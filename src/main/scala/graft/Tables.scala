@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated test tables (TESTDATA.md).
+  *
+  * At 100 TB these would be partitioned/bucketed parquet directories; the
+  * loaders keep the access path a plain `spark.read.parquet` so Catalyst's
+  * filter pushdown / column pruning apply unchanged at any scale.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 only
+    * reads with `spark.sql.legacy.parquet.nanosAsLong=true` (as INT64
+    * nanos). Convert back to a microsecond timestamp with exact integer
+    * division (`div`, not `/` — 1.7e18 ns overflows double precision).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}
+
+/** Cross-engine (Spark vs DuckDB) deterministic building blocks.
+  *
+  * The driver's correctness gate hash-compares our parquet output against a
+  * DuckDB run of `oracleSql`, so every exposed value must be bit-identical
+  * across engines:
+  *   - integer outputs: computed integers always widened to BIGINT;
+  *   - floating aggregates: never expose a raw SUM(double) (partial-agg
+  *     order differs) — sum exactly as DECIMAL, cast the final value to
+  *     DOUBLE (decimal→double conversion is correctly rounded in both);
+  *   - hashes: engines' native hash functions differ, so the portable hash
+  *     is the first 15 hex chars of md5 parsed as a 60-bit integer;
+  *   - array folds: left-fold (`aggregate` / `list_reduce`) so IEEE add
+  *     order is identical.
+  */
+object Portable {
+  /** Spark-side SQL fragment: 60-bit deterministic hash of a string expr.
+    * DuckDB equivalent: ('0x'||substr(md5(x),1,15))::BIGINT  */
+  def hash60(x: String): String =
+    s"cast(conv(substring(md5($x),1,15),16,10) as bigint)"
+
+  /** DuckDB-side fragment for the same hash. */
+  def duckHash60(x: String): String =
+    s"(('0x'||substr(md5($x),1,15))::BIGINT)"
+
+  /** Spark-side: order-insensitive exact sum of a double column, as double. */
+  def dsum(col: String, scale: Int = 4): String =
+    s"cast(sum(cast($col as decimal(28,$scale))) as double)"
+
+  /** DuckDB-side: identical exact sum. */
+  def duckDsum(col: String, scale: Int = 4): String =
+    s"CAST(SUM(CAST($col AS DECIMAL(28,$scale))) AS DOUBLE)"
+}
+
+/** A named query + optional DuckDB oracle. `fn` builds the Spark plan from
+  * (session, scale-factor dir); `oracle` is ANSI-ish SQL DuckDB runs over
+  * the same parquet tables registered under their bare names.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  def apply(name: String, oracle: String)(
+      fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, Some(oracle))
+  def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, None)
+}

@@ -1,0 +1,130 @@
+package graft.functions
+
+import graft.{Portable => P, Q, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.b — scalar/UDF function families that run *inside* pipeline
+  * operators in the reference (TFExample parsing, text/NLP, control flow,
+  * vector math). All are expressed as codegen-friendly built-in functions,
+  * never Scala closures, so they stay inside whole-stage codegen.
+  */
+object FunctionOps {
+
+  val queries: Seq[Q] = Seq(
+
+    // Parse-fields family (imagenet_input.py:42-48): typed field extraction
+    // with defaults (FixedLenFeature default handling → coalesce).
+    Q(
+      "fn01_parse_fields",
+      """SELECT event_id,
+        |  COALESCE(json_extract(props, 'k')::BIGINT, -1) AS k,
+        |  COALESCE(user_id, -1) AS uid
+        |FROM events WHERE event_id < 500""".stripMargin) { (s, d) =>
+      T.events(s, d)
+        .filter(col("event_id") < 500)
+        .selectExpr(
+          "event_id",
+          "coalesce(cast(get_json_object(props, '$.k') as bigint), -1) as k",
+          "coalesce(user_id, -1) as uid")
+    },
+
+    // Tokenize + hash-bucket (iterator_utils.py:64-66; strings.to_hash_bucket_fast):
+    // portable 60-bit md5 hash of the first token, bucketed mod 64.
+    Q(
+      "fn02_tokenize_hashbucket",
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS ntok,
+         |  ${P.duckHash60("regexp_split_to_array(text, '\\s+')[1]")} % 64 AS bucket
+         |FROM documents""".stripMargin) { (s, d) =>
+      T.documents(s, d).selectExpr(
+        "doc_id",
+        "cast(size(split(text, '\\\\s+')) as bigint) as ntok",
+        s"${P.hash60("element_at(split(text, '\\\\s+'), 1)")} % 64 as bucket")
+    },
+
+    // Vocab-table lookup (iterator_utils.py:90-141): broadcast join against
+    // small dimension tables (the Spark-native vocab lookup).
+    Q(
+      "fn03_vocab_lookup",
+      """SELECT s_suppkey, n_name, r_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey""".stripMargin) { (s, d) =>
+      T.supplier(s, d)
+        .join(broadcast(T.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "n_name", "r_name")
+    },
+
+    // Control flow (imagenet_input.py:86-87: tf.cond; dataloader gather):
+    // when/otherwise + element_at over an inline array.
+    Q(
+      "fn04_control_flow",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CASE l_returnflag WHEN 'A' THEN 1 WHEN 'N' THEN 2 WHEN 'R' THEN 3
+        |       ELSE 0 END AS BIGINT) AS flagcode,
+        |  (['lo','mid','hi'])[LEAST(3, 1 + CAST(FLOOR(l_quantity/20.0) AS INT))] AS qclass
+        |FROM lineitem WHERE l_orderkey % 20 = 0""".stripMargin) { (s, d) =>
+      T.lineitem(s, d)
+        .filter(col("l_orderkey") % 20 === 0)
+        .selectExpr(
+          "l_orderkey",
+          "l_linenumber",
+          "cast(case l_returnflag when 'A' then 1 when 'N' then 2 when 'R' then 3 " +
+            "else 0 end as bigint) as flagcode",
+          "element_at(array('lo','mid','hi'), least(3, 1 + cast(floor(l_quantity/20.0) as int))) as qclass")
+    },
+
+    // Vector math on Array[Float] (simple_ssd/dataloader.py:263-320 label
+    // assigner analogue): left-fold so the IEEE add order matches DuckDB's
+    // list_reduce exactly.
+    Q(
+      "fn05_vector_math",
+      """SELECT vec_id,
+        |  list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), (a, x) -> a + x) AS norm2,
+        |  list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(embedding, x -> abs(x::DOUBLE))), (a, x) -> a + x) AS l1
+        |FROM embeddings WHERE vec_id < 100""".stripMargin) { (s, d) =>
+      T.embeddings(s, d)
+        .filter(col("vec_id") < 100)
+        .selectExpr(
+          "vec_id",
+          "aggregate(embedding, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double)) as norm2",
+          "aggregate(embedding, cast(0.0 as double), (a, x) -> a + abs(cast(x as double))) as l1")
+    },
+
+    // String ops family (string_split/substr/concat, iterator_utils.py:142-166)
+    Q(
+      "fn06_string_ops",
+      """SELECT doc_id, substr(lower(text), 1, 10) AS head10,
+        |  CAST(length(text) AS BIGINT) AS len,
+        |  upper(substr(text, 1, 5)) AS shout,
+        |  concat(lang, ':', source) AS tag
+        |FROM documents""".stripMargin) { (s, d) =>
+      T.documents(s, d).selectExpr(
+        "doc_id",
+        "substr(lower(text), 1, 10) as head10",
+        "cast(length(text) as bigint) as len",
+        "upper(substr(text, 1, 5)) as shout",
+        "concat(lang, ':', source) as tag")
+    },
+
+    // sos/eos concat over token-id arrays (iterator_utils.py:169-193):
+    // ids = portable hashes of tokens, bounded to vocab 1000, wrapped 1|ids|2.
+    Q(
+      "fn07_sos_eos_tokens",
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+')[1:6] AS toks
+         |           FROM documents WHERE doc_id < 50)
+         |SELECT doc_id,
+         |  list_concat(list_concat([1::BIGINT],
+         |    list_transform(toks, w -> 3 + ${P.duckHash60("w")} % 997)), [2::BIGINT]) AS ids
+         |FROM t""".stripMargin) { (s, d) =>
+      T.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .selectExpr("doc_id", "slice(split(text, '\\\\s+'), 1, 6) as toks")
+        .selectExpr(
+          "doc_id",
+          s"concat(array(1L), transform(toks, w -> 3 + ${P.hash60("w")} % 997), array(2L)) as ids")
+    }
+  )
+}

@@ -1,0 +1,104 @@
+package graft.functions
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language-ID (marker n-gram heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish regex), and document fingerprinting. All pure
+  * built-in expressions — at 100 TB these run as a single codegen'd scan
+  * projection with no shuffle.
+  */
+object TextOps {
+
+  private val enWords = "'the','a','of','and','to'"
+  private val deWords = "'der','die','das','und','ist'"
+  private val frWords = "'le','la','les','et','est'"
+
+  val queries: Seq[Q] = Seq(
+
+    // Language-ID: count language-marker tokens, argmax with a fixed
+    // tie order (en < de < fr). N-gram-heuristic stand-in for fastText-style
+    // classifiers; the marker lists are the deterministic model.
+    Q(
+      "tx01_langid",
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+         |           FROM documents),
+         |     sc AS (SELECT doc_id,
+         |       len(list_filter(toks, w -> w IN ($enWords))) AS s_en,
+         |       len(list_filter(toks, w -> w IN ($deWords))) AS s_de,
+         |       len(list_filter(toks, w -> w IN ($frWords))) AS s_fr
+         |       FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN s_de > s_en AND s_de > s_fr THEN 'de'
+         |       WHEN s_fr > s_en AND s_fr >= s_de THEN 'fr'
+         |       ELSE 'en' END AS pred_lang,
+         |  CAST(s_en AS BIGINT) AS s_en, CAST(s_de AS BIGINT) AS s_de,
+         |  CAST(s_fr AS BIGINT) AS s_fr
+         |FROM sc""".stripMargin) { (s, d) =>
+      T.documents(s, d)
+        .selectExpr("doc_id", "split(lower(text), '\\\\s+') as toks")
+        .selectExpr(
+          "doc_id",
+          s"size(filter(toks, w -> w in ($enWords))) as s_en0",
+          s"size(filter(toks, w -> w in ($deWords))) as s_de0",
+          s"size(filter(toks, w -> w in ($frWords))) as s_fr0")
+        .selectExpr(
+          "doc_id",
+          "case when s_de0 > s_en0 and s_de0 > s_fr0 then 'de' " +
+            "when s_fr0 > s_en0 and s_fr0 >= s_de0 then 'fr' else 'en' end as pred_lang",
+          "cast(s_en0 as bigint) as s_en",
+          "cast(s_de0 as bigint) as s_de",
+          "cast(s_fr0 as bigint) as s_fr")
+    },
+
+    // Quality scoring: token count, punctuation count, mean token length
+    // ×100, stopword ratio ×1000 — all integer-exact across engines.
+    Q(
+      "tx02_quality_score",
+      s"""WITH t AS (SELECT doc_id, text,
+         |    regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS ntok,
+         |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS npunct,
+         |  CAST(FLOOR(CAST(100 AS DOUBLE) * length(text) / len(toks)) AS BIGINT) AS avglen_x100,
+         |  CAST(FLOOR(CAST(1000 AS DOUBLE) * len(list_filter(toks, w -> w IN ($enWords)))
+         |       / len(toks)) AS BIGINT) AS stop_x1000
+         |FROM t""".stripMargin) { (s, d) =>
+      T.documents(s, d)
+        .selectExpr("doc_id", "text", "split(lower(text), '\\\\s+') as toks")
+        .selectExpr(
+          "doc_id",
+          "cast(size(toks) as bigint) as ntok",
+          "cast(length(text) - length(regexp_replace(text, '[.,;:!?]', '')) as bigint) as npunct",
+          "cast(floor(cast(100 as double) * length(text) / size(toks)) as bigint) as avglen_x100",
+          s"cast(floor(cast(1000 as double) * size(filter(toks, w -> w in ($enWords))) / size(toks)) as bigint) as stop_x1000")
+    },
+
+    // Token counting: whitespace tokens + BPE-ish regex pieces (letter runs,
+    // digit runs, single punctuation marks).
+    Q(
+      "tx03_token_stats",
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_pieces
+        |FROM documents""".stripMargin) { (s, d) =>
+      T.documents(s, d).selectExpr(
+        "doc_id",
+        "cast(size(split(text, '\\\\s+')) as bigint) as ws_tokens",
+        "cast(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)) as bigint) as bpe_pieces")
+    },
+
+    // Document fingerprint: whitespace-normalized lowercase md5 prefix.
+    // (Content-defined fingerprint; duplicates share fp.)
+    Q(
+      "tx04_fingerprint",
+      """SELECT doc_id,
+        |  substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fp
+        |FROM documents""".stripMargin) { (s, d) =>
+      T.documents(s, d).selectExpr(
+        "doc_id",
+        "substr(md5(trim(regexp_replace(lower(text), '\\\\s+', ' '))), 1, 16) as fp")
+    }
+  )
+}

@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.{Portable => P, Q, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family over the `documents` table: exact (hash-groupBy),
+  * MinHash signatures + LSH banding, SimHash, and n-gram Jaccard.
+  *
+  * All hashes are the portable 60-bit md5 hash (Portable.hash60) so every
+  * stage is oracle-checkable in DuckDB — the *algorithms* are the real
+  * thing, only the hash primitive is pinned for cross-engine determinism.
+  *
+  * Scale notes (100 TB): exact dedup is a single hash-shuffle on the text
+  * hash (never on the full text — group by a 60-bit digest, not the
+  * payload). MinHash/LSH shuffles only (band_key, doc_id) pairs — a few
+  * dozen bytes/doc regardless of document size; candidate verification
+  * (Jaccard) touches only within-bucket pairs. This is the standard
+  * shingle→minhash→band→bucket-join plan and it parallelizes freely.
+  */
+object DedupOps {
+
+  /** Spark SQL fragment: token array of `text`. */
+  private val sparkToks = "split(text, '\\\\s+')"
+  private val duckToks = "regexp_split_to_array(text, '\\s+')"
+
+  /** Spark SQL: 3-token shingles from a `toks` column. */
+  private val sparkShingles =
+    "case when size(toks) < 3 then array() else " +
+      "transform(sequence(1, size(toks) - 2), i -> " +
+      "concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2))) end"
+  private val duckShingles =
+    "list_transform(range(1, greatest(1, len(toks) - 1)), i -> " +
+      "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+
+  /** MinHash under seed k: min over shingles of hash60(k || '|' || s). */
+  private def sparkMh(k: Int): String =
+    s"array_min(transform(shingles, s -> ${P.hash60(s"concat('$k|', s)")})) as mh$k"
+  private def duckMh(k: Int): String =
+    s"list_min(list_transform(shingles, s -> ${P.duckHash60(s"'$k|' || s")})) AS mh$k"
+
+  private val nBits = 16
+
+  val queries: Seq[Q] = Seq(
+
+    // Exact dedup: group by content digest, keep min doc_id per group.
+    // (Grouping key is the 60-bit digest; at scale the text never shuffles.)
+    Q(
+      "dd01_exact_dedup",
+      s"""SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
+         |FROM documents GROUP BY ${P.duckHash60("text")}""".stripMargin) { (s, d) =>
+      T.documents(s, d)
+        .groupBy(expr(P.hash60("text")).as("h"))
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_cnt"))
+        .select("doc_id", "dup_cnt")
+    },
+
+    // Exact dedup on a column subset (dropDuplicates analogue).
+    Q(
+      "dd02_dedup_subset",
+      """SELECT lang, source, min(doc_id) AS keeper, count(*) AS n
+        |FROM documents GROUP BY lang, source""".stripMargin) { (s, d) =>
+      T.documents(s, d)
+        .groupBy("lang", "source")
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n"))
+    },
+
+    // MinHash signatures: 4 independent permutation-hashes over 3-token
+    // shingles (shingle→minhash stage of the LSH pipeline).
+    Q(
+      "dd03_minhash_signatures",
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |     sh AS (SELECT doc_id, $duckShingles AS shingles FROM t)
+         |SELECT doc_id, ${duckMh(0)}, ${duckMh(1)}, ${duckMh(2)}, ${duckMh(3)}
+         |FROM sh""".stripMargin) { (s, d) =>
+      T.documents(s, d)
+        .selectExpr("doc_id", s"$sparkToks as toks")
+        .selectExpr("doc_id", s"$sparkShingles as shingles")
+        .selectExpr("doc_id", sparkMh(0), sparkMh(1), sparkMh(2), sparkMh(3))
+    },
+
+    // LSH banding: candidate pairs sharing the (mh0) band bucket.
+    Q(
+      "dd04_lsh_candidate_pairs",
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |     sh AS (SELECT doc_id, $duckShingles AS shingles FROM t),
+         |     sig AS (SELECT doc_id, ${duckMh(0)} FROM sh)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |FROM sig a JOIN sig b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id""".stripMargin) {
+      (s, d) =>
+        val sig = T.documents(s, d)
+          .selectExpr("doc_id", s"$sparkToks as toks")
+          .selectExpr("doc_id", s"$sparkShingles as shingles")
+          .selectExpr("doc_id", sparkMh(0))
+        val a = sig.select(col("doc_id").as("a_id"), col("mh0"))
+        val b = sig.select(col("doc_id").as("b_id"), col("mh0"))
+        a.join(b, Seq("mh0")).filter(col("a_id") < col("b_id")).select("a_id", "b_id")
+    },
+
+    // SimHash: 16-bit signature — per bit b, majority vote over token
+    // hashes' bit b. Near-dup docs land at small Hamming distance.
+    Q(
+      "dd05_simhash", {
+        val bits = (0 until nBits).map { b =>
+          s"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> $b) & 1 = 1)) >= len(hs) " +
+            s"THEN ${1L << b} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+           |     h AS (SELECT doc_id,
+           |       list_transform(toks, w -> ${P.duckHash60("w")}) AS hs FROM t)
+           |SELECT doc_id, CAST(${bits} AS BIGINT) AS simhash
+           |FROM h""".stripMargin
+      }) { (s, d) =>
+      val bits = (0 until nBits).map { b =>
+        s"(case when 2 * size(filter(hs, h -> (shiftright(h, $b) & 1) = 1)) >= size(hs) " +
+          s"then ${1L << b}L else 0L end)"
+      }.mkString(" + ")
+      T.documents(s, d)
+        .selectExpr("doc_id", s"$sparkToks as toks")
+        .selectExpr("doc_id", s"transform(toks, w -> ${P.hash60("w")}) as hs")
+        .selectExpr("doc_id", s"cast($bits as bigint) as simhash")
+    },
+
+    // n-gram Jaccard verification of LSH candidates: exact set overlap of
+    // distinct 3-shingles, scaled to an integer (×10000, floored).
+    Q(
+      "dd06_ngram_jaccard",
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |     sh AS (SELECT doc_id, $duckShingles AS shingles FROM t),
+         |     sig AS (SELECT doc_id, ${duckMh(0)} FROM sh),
+         |     pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |               FROM sig a JOIN sig b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id),
+         |     ex AS (SELECT DISTINCT doc_id, unnest(shingles) AS sng FROM sh),
+         |     sizes AS (SELECT doc_id, count(*) AS c FROM ex GROUP BY doc_id),
+         |     inter AS (SELECT p.a_id, p.b_id, count(*) AS i
+         |               FROM pairs p JOIN ex ea ON ea.doc_id = p.a_id
+         |                            JOIN ex eb ON eb.doc_id = p.b_id AND eb.sng = ea.sng
+         |               GROUP BY p.a_id, p.b_id)
+         |SELECT i.a_id, i.b_id,
+         |  CAST(FLOOR(CAST(10000 AS DOUBLE) * i.i / (sa.c + sb.c - i.i)) AS BIGINT) AS jacc_x10000
+         |FROM inter i JOIN sizes sa ON sa.doc_id = i.a_id
+         |             JOIN sizes sb ON sb.doc_id = i.b_id""".stripMargin) { (s, d) =>
+      val sh = T.documents(s, d)
+        .selectExpr("doc_id", s"$sparkToks as toks")
+        .selectExpr("doc_id", s"$sparkShingles as shingles")
+      val sig = sh.selectExpr("doc_id", sparkMh(0))
+      val pairs = sig.select(col("doc_id").as("a_id"), col("mh0"))
+        .join(sig.select(col("doc_id").as("b_id"), col("mh0")), Seq("mh0"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id")
+      val ex = sh.selectExpr("doc_id", "explode(shingles) as sng").distinct()
+      val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      val inter = pairs
+        .join(ex.withColumnRenamed("doc_id", "a_id"), Seq("a_id"))
+        .join(ex.withColumnRenamed("doc_id", "b_id"), Seq("b_id", "sng"))
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("c", "ca"), Seq("a_id"))
+        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("c", "cb"), Seq("b_id"))
+        .selectExpr(
+          "a_id", "b_id",
+          "cast(floor(cast(10000 as double) * i / (ca + cb - i)) as bigint) as jacc_x10000")
+    }
+  )
+}

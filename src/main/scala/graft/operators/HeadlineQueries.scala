@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.{Portable => P, Q, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Headline analytical queries (TPC-H-shaped) over the test star schema.
+  *
+  * These exercise the whole relational engine surface at once — scan
+  * pushdown, hash aggregation with partial (map-side) combine, broadcast
+  * joins for the small dimensions, shuffle joins for fact-fact — and are
+  * the primary BENCH workload. Dimension tables (region/nation/supplier/
+  * customer/part) are broadcast explicitly: at 100 TB the fact tables grow
+  * but dims stay broadcast-able, so these plans hold shape at scale.
+  */
+object HeadlineQueries {
+
+  val queries: Seq[Q] = Seq(
+
+    // Pricing summary (TPC-H Q1 shape): full-fact scan + 4-way agg.
+    Q(
+      "q1_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      T.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          expr(P.dsum("l_quantity")).as("sum_qty"),
+          expr(P.dsum("l_extendedprice")).as("sum_base_price"),
+          expr(P.dsum("l_extendedprice * (1 - l_discount)", 6)).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // Shipping-priority (Q3 shape): customer ⋈ orders ⋈ lineitem, top-10.
+    Q(
+      "q3_top_revenue_orders",
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      val c = T.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = T.orders(s, d).filter(col("o_orderstatus") === "O")
+      val l = T.lineitem(s, d)
+      // orders is a fact table: broadcast only the filtered customer dim,
+      // then shuffle-join lineitem⋈orders on the shared orderkey.
+      l.join(o.join(broadcast(c), col("c_custkey") === col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+          expr(P.dsum("l_extendedprice * (1 - l_discount)", 6)).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // Local-supplier volume (Q5 shape): 6-way join through the dim chain.
+    Q(
+      "q5_nation_revenue",
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('ASIA', 'EUROPE')
+        |GROUP BY n_name""".stripMargin) { (s, d) =>
+      val l = T.lineitem(s, d)
+      val o = T.orders(s, d)
+      val c = T.customer(s, d)
+      val su = T.supplier(s, d)
+      val n = T.nation(s, d)
+      val r = T.region(s, d).filter(col("r_name").isin("ASIA", "EUROPE"))
+      // customer scales with the fact data — no broadcast hint; AQE picks
+      // the strategy from runtime stats. True dims below stay hinted.
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(
+          broadcast(su),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(expr(P.dsum("l_extendedprice * (1 - l_discount)", 6)).as("revenue"))
+    },
+
+    // Forecasting revenue change (Q6 shape): pure scan + filter + scalar agg;
+    // the filters must reach the parquet reader (PushedFilters).
+    Q(
+      "q6_forecast_revenue",
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin) {
+      (s, d) =>
+        T.lineitem(s, d)
+          .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+          .agg(
+            expr(P.dsum("l_extendedprice * l_discount", 6)).as("revenue"),
+            count(lit(1)).as("n"))
+    },
+
+    // Order-priority checking (Q4 shape): EXISTS via left-semi join.
+    Q(
+      "q4_priority_semijoin",
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND EXISTS (
+        |  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      val o = T.orders(s, d).filter(col("o_orderstatus") === "F")
+      val l = T.lineitem(s, d).filter(col("l_quantity") > 45)
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+    },
+
+    // Anti-join (orders with no high-quantity lines) — NOT EXISTS.
+    Q(
+      "q_antijoin_orders",
+      """SELECT o_orderstatus, count(*) AS n
+        |FROM orders
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 40)
+        |GROUP BY o_orderstatus""".stripMargin) { (s, d) =>
+      val l = T.lineitem(s, d).filter(col("l_quantity") > 40)
+      T.orders(s, d)
+        .join(l, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // Distinct + exact distinct-count profiling over a fact column.
+    Q(
+      "q_distinct_profile",
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      T.lineitem(s, d).agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+    },
+
+    // Approximate distinct (HLL) — engines' sketches differ, rows-only gate.
+    Q.noOracle("q_approx_distinct") { (s, d) =>
+      T.lineitem(s, d).agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+    }
+  )
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (Array[Float] column):
+  * brute-force cosine top-k as the exactness baseline, an IVF-bucketed
+  * variant as the scale path, and embedding-cosine near-duplicate pairs.
+  *
+  * Determinism: dot products are left-folds (`aggregate` ≡ `list_reduce`)
+  * so both engines execute the identical IEEE add sequence; ordering ties
+  * break on vec_id.
+  *
+  * Scale notes (100 TB): brute force is O(Q·N) — correct but only for
+  * small Q; the IVF variant broadcast-joins the (tiny) centroid table,
+  * assigns each vector to a cell in one codegen'd scan, and probes only
+  * the query's cell, which is the standard distributed ANN layout.
+  */
+object SimilarityOps {
+
+  private val dim = 64
+
+  /** Left-fold dot product of two float-array columns, as double. */
+  private def sparkDot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
+      "cast(0.0 as double), (acc, v) -> acc + v)"
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${dim + 1}), " +
+      s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, v) -> acc + v)"
+
+  private def sparkCos(a: String, b: String): String =
+    s"${sparkDot(a, b)} / sqrt(${sparkDot(a, a)} * ${sparkDot(b, b)})"
+  private def duckCos(a: String, b: String): String =
+    s"${duckDot(a, b)} / sqrt(${duckDot(a, a)} * ${duckDot(b, b)})"
+
+  val queries: Seq[Q] = Seq(
+
+    // Brute-force cosine top-5 neighbors for query vectors vec_id < 5.
+    Q(
+      "ss01_topk_cosine",
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |     c AS (SELECT vec_id AS n_id, embedding AS ne FROM embeddings),
+         |     s AS (SELECT q_id, n_id, ${duckCos("qe", "ne")} AS cs
+         |           FROM q CROSS JOIN c WHERE q_id <> n_id)
+         |SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id FROM (
+         |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id) AS rn
+         |  FROM s) WHERE rn <= 5""".stripMargin) { (s, d) =>
+      val e = T.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("ne"))
+      broadcast(q).crossJoin(c)
+        .filter(col("q_id") =!= col("n_id"))
+        .selectExpr("q_id", "n_id", s"${sparkCos("qe", "ne")} as cs")
+        .selectExpr(
+          "q_id", "n_id",
+          "cast(row_number() over (partition by q_id order by cs desc, n_id) as bigint) as rank")
+        .filter(col("rank") <= 5)
+        .select("q_id", "rank", "n_id")
+    },
+
+    // IVF ANN: centroid per label = member with min vec_id (deterministic
+    // "medoid"); assign every vector to its nearest centroid cell; probe
+    // only the query's cell for top-3.
+    Q(
+      "ss02_ann_ivf",
+      s"""WITH cent AS (
+         |  SELECT label AS cell, embedding AS ce FROM (
+         |    SELECT label, embedding,
+         |      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+         |    FROM embeddings) WHERE rn = 1),
+         |  assign AS (
+         |    SELECT vec_id, cell FROM (
+         |      SELECT e.vec_id, c.cell,
+         |        row_number() OVER (PARTITION BY e.vec_id
+         |          ORDER BY ${duckCos("e.embedding", "c.ce")} DESC, c.cell) AS rn
+         |      FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+         |  q AS (SELECT e.vec_id AS q_id, e.embedding AS qe, a.cell
+         |        FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+         |        WHERE e.vec_id < 5),
+         |  cand AS (SELECT q.q_id, q.qe, e.vec_id AS n_id, e.embedding AS ne
+         |           FROM q JOIN assign a ON a.cell = q.cell
+         |                  JOIN embeddings e ON e.vec_id = a.vec_id
+         |           WHERE e.vec_id <> q.q_id)
+         |SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id FROM (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ${duckCos("qe", "ne")} DESC, n_id) AS rn
+         |  FROM cand) WHERE rn <= 3""".stripMargin) { (s, d) =>
+      val e = T.embeddings(s, d)
+      val cent = e
+        .selectExpr(
+          "label as cell", "embedding as ce",
+          "row_number() over (partition by label order by vec_id) as rn")
+        .filter(col("rn") === 1)
+        .drop("rn")
+      val assign = e.crossJoin(broadcast(cent))
+        .selectExpr(
+          "vec_id", "cell",
+          s"row_number() over (partition by vec_id order by ${sparkCos("embedding", "ce")} desc, cell) as rn")
+        .filter(col("rn") === 1)
+        .select("vec_id", "cell")
+      val q = e.filter(col("vec_id") < 5)
+        .join(assign, "vec_id")
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("cell"))
+      val cand = broadcast(q)
+        .join(assign.withColumnRenamed("vec_id", "n_id"), "cell")
+        .join(
+          e.select(col("vec_id").as("n_id"), col("embedding").as("ne")),
+          Seq("n_id"))
+        .filter(col("n_id") =!= col("q_id"))
+      cand
+        .selectExpr(
+          "q_id", "n_id",
+          s"cast(row_number() over (partition by q_id order by ${sparkCos("qe", "ne")} desc, n_id) as bigint) as rank")
+        .filter(col("rank") <= 3)
+        .select("q_id", "rank", "n_id")
+    },
+
+    // Embedding-cosine near-duplicate pairs within a candidate window
+    // (same label, id distance ≤ 25) above a similarity threshold.
+    Q(
+      "ss03_embed_neardup",
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |FROM e a JOIN e b ON a.label = b.label
+         |  AND a.vec_id < b.vec_id AND b.vec_id - a.vec_id <= 25
+         |WHERE ${duckCos("a.embedding", "b.embedding")} > 0.3""".stripMargin) { (s, d) =>
+      val e = T.embeddings(s, d).select("vec_id", "label", "embedding")
+      val a = e.toDF("a_id", "label", "ea")
+      val b = e.toDF("b_id", "label", "eb")
+      a.join(b, Seq("label"))
+        .filter(col("a_id") < col("b_id") && col("b_id") - col("a_id") <= 25)
+        .filter(expr(s"${sparkCos("ea", "eb")} > 0.3"))
+        .select("a_id", "b_id")
+    }
+  )
+}

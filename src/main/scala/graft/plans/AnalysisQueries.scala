@@ -1,0 +1,118 @@
+package graft.plans
+
+import graft.{Portable => P, Q, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational renderings of the reference's analysis operators (SURVEY
+  * §2.c) — the shapes that ARE expressible as pure SQL over test tables.
+  * The full analysis engine (ranked bottleneck table over live pipeline
+  * metrics, LP solvers, cache placement) lives in graft.plans/graft.solver
+  * and is golden-tested in ScalaTest; these queries pin the relational
+  * semantics against DuckDB.
+  */
+object AnalysisQueries {
+
+  val queries: Seq[Q] = Seq(
+
+    // A4 shape (graph_rewrites.py:333-441): per-group derived rate metric,
+    // ranked ascending — the "ranked bottleneck table" as a relational op.
+    Q(
+      "an01_ranked_rates",
+      """WITH m AS (
+        |  SELECT l_returnflag AS opflag, l_linestatus AS opstatus,
+        |    count(*) AS elems,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS work
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+        |SELECT opflag, opstatus, elems,
+        |  CAST(row_number() OVER (ORDER BY elems / work, opflag, opstatus) AS BIGINT) AS rank
+        |FROM m""".stripMargin) { (s, d) =>
+      T.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("opflag"), col("l_linestatus").as("opstatus"))
+        .agg(count(lit(1)).as("elems"), expr(P.dsum("l_extendedprice")).as("work"))
+        .withColumn(
+          "rank",
+          row_number()
+            .over(Window.orderBy(col("elems") / col("work"), col("opflag"), col("opstatus")))
+            .cast("long"))
+        .select("opflag", "opstatus", "elems", "rank")
+    },
+
+    // A5 (graph_rewrites.py:266-320): span aggregation + outlier detection
+    // — group spans by name, mean/σ from exact sums, flag dt > mean + 2σ.
+    Q(
+      "an02_span_outliers",
+      """WITH stats AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sm,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(38,10))) AS DOUBLE) AS s2,
+        |    count(*) AS n
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type
+        |FROM events e JOIN stats s ON e.event_type = s.event_type
+        |WHERE s.n > 1 AND e.value > s.sm / s.n +
+        |  2 * sqrt(greatest(CAST(0 AS DOUBLE), (s.s2 - s.sm * s.sm / s.n) / (s.n - 1)))""".stripMargin) {
+      (s, d) =>
+        val ev = T.events(s, d)
+        val stats = ev.groupBy("event_type").agg(
+          expr(P.dsum("value")).as("sm"),
+          expr("cast(sum(cast(value * value as decimal(38,10))) as double)").as("s2"),
+          count(lit(1)).as("n"))
+        ev.join(broadcast(stats), "event_type")
+          .filter(
+            col("n") > 1 && col("value") >
+              col("sm") / col("n") + lit(2) * sqrt(greatest(
+                lit(0.0),
+                (col("s2") - col("sm") * col("sm") / col("n")) / (col("n") - 1))))
+          .select("event_id", "event_type")
+    },
+
+    // A3 (graphdef_util.py:739-753): canonical `Base_k` renaming by
+    // topological order, over a literal node table.
+    Q(
+      "an03_canonical_rename",
+      """WITH nodes(id, base, topo) AS (VALUES
+        |  (1, 'Map', 3), (2, 'Map', 1), (3, 'Batch', 2),
+        |  (4, 'Map', 5), (5, 'Prefetch', 4), (6, 'Batch', 6))
+        |SELECT id, base || '_' ||
+        |  CAST(row_number() OVER (PARTITION BY base ORDER BY topo) - 1 AS VARCHAR) AS cname
+        |FROM nodes""".stripMargin) { (s, _) =>
+      import s.implicits._
+      Seq((1, "Map", 3), (2, "Map", 1), (3, "Batch", 2),
+        (4, "Map", 5), (5, "Prefetch", 4), (6, "Batch", 6))
+        .toDF("id", "base", "topo")
+        .withColumn(
+          "k",
+          row_number().over(Window.partitionBy("base").orderBy("topo")) - 1)
+        .selectExpr("id", "concat(base, '_', cast(k as string)) as cname")
+    },
+
+    // A21 (graph_rewrites.py:489-493): dataset cardinality inventory.
+    Q(
+      "an04_table_cardinalities",
+      """SELECT 'lineitem' AS tname, count(*) AS n FROM lineitem
+        |UNION ALL SELECT 'orders', count(*) FROM orders
+        |UNION ALL SELECT 'customer', count(*) FROM customer
+        |UNION ALL SELECT 'documents', count(*) FROM documents
+        |UNION ALL SELECT 'events', count(*) FROM events""".stripMargin) { (s, d) =>
+      def c(n: String) = T.t(s, d, n).agg(count(lit(1)).as("n")).withColumn("tname", lit(n))
+      c("lineitem").unionByName(c("orders")).unionByName(c("customer"))
+        .unionByName(c("documents")).unionByName(c("events"))
+        .select("tname", "n")
+    },
+
+    // A8/A21 (graph_rewrites.py:707-712): per-source working-set size —
+    // the byte estimate the cache planner compares against 0.9·memory.
+    Q(
+      "an05_working_set",
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(SUM(CAST(strlen(text) AS BIGINT)) AS BIGINT) AS bytes
+        |FROM documents GROUP BY source""".stripMargin) { (s, d) =>
+      T.documents(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(expr("cast(octet_length(text) as bigint)")).as("bytes"))
+    }
+  )
+}
