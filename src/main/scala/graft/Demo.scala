@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** End-to-end demo of the SURVEY §7.3 slice: build the flagship pipeline
+  * IR, trace it instrumented, rank bottlenecks, solve the LP, apply
+  * rewrites, and benchmark the optimized plan.
+  *
+  *   sbt 'runMain graft.Demo [sfDir]'
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val g0 = api.Flagship.graph
+    val res = api.Optimizer.optimizePipeline(spark, g0, sfDir)
+
+    println(s"bottleneck node   : ${res.bottleneck.map(g0.canonicalNames)}")
+    println(s"LP thetas         : ${res.thetas.toSeq.sortBy(_._1)}")
+    println(f"predicted min-rate: ${res.predictedRate}%.0f elems/s")
+    println(s"rules applied     : ${res.ruleReport.applied.mkString(", ")}")
+    println(s"rules skipped     : ${res.ruleReport.skipped.mkString(", ")}")
+    println("ranked bottleneck table:")
+    res.rankedTable(spark)
+      .select("name", "op", "parallelism", "elementsProduced",
+        "expected_parallel_max_rate", "p_busy", "element_ratio")
+      .show(32, false)
+    println("optimized pipeline DOT:\n" + res.optimized.toDot())
+
+    val before = bench.Harness.benchmark(spark, g0, sfDir, maxIterations = 3)
+    val after = bench.Harness.benchmark(spark, res.optimized, sfDir, maxIterations = 3)
+    println(f"rows/s original ${before.elementRate}%.0f -> optimized ${after.elementRate}%.0f")
+    spark.stop()
+  }
+}

@@ -1,0 +1,93 @@
+package graft.api
+
+import graft.compile.Compiler
+import graft.ir._
+import graft.metrics.{GlobalMetrics, Instrument, NodeMetrics}
+import graft.plans.Analysis
+import graft.rules.{Rule, RuleRunner, Rules}
+import graft.solver.MaxMinThroughputLP
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One-call pipeline optimization — the @optimize_pipeline decorator
+  * analogue (annotations.py:86-172 → pipeline_optimizer_wrapper.step_par_2).
+  * Pass sequence mirrors §3.1 step 4: trace → remove caches → LP
+  * parallelism pass → prefetch (roofline) → cache placement → recompile.
+  */
+object Optimizer {
+
+  final case class Config(
+      cores: Option[Int] = None,
+      applyCaching: Boolean = true,
+      maxChange: Option[Double] = None,
+      cacheSizeEstimates: Map[Int, Long] = Map.empty)
+
+  final case class Result(
+      original: PipelineGraph,
+      optimized: PipelineGraph,
+      metrics: Seq[NodeMetrics],
+      global: GlobalMetrics,
+      thetas: Map[Int, Double],
+      predictedRate: Double,
+      bottleneck: Option[Int],
+      ruleReport: RuleRunner.Report) {
+    def rankedTable(spark: SparkSession): DataFrame =
+      Analysis.rankedTable(spark, metrics, global)
+  }
+
+  def optimizePipeline(spark: SparkSession, g0: PipelineGraph, sfDir: String,
+      cfg: Config = Config()): Result = {
+    // 1. instrumented trace run (the 62 s benchmark analogue — here one
+    //    bounded pass over the fixture tables)
+    val run = Instrument.run(spark, g0, sfDir)
+    val cores = cfg.cores.getOrElse(run.global.cores)
+
+    // 2. LP inputs: per-core rates for parallelizable ops; θmax = 1 for
+    //    sequential ops (convex_solver.py:41-47)
+    val ops = run.nodeMetrics.filter(_.elementsProduced > 0).map { m =>
+      MaxMinThroughputLP.OpRate(
+        id = m.nodeId,
+        perCoreRate = Analysis.expectedPerCoreMaxRate(m) match {
+          case r if r.isFinite => r
+          case _               => 1e12 // effectively unconstrained
+        },
+        thetaMin = 0.0,
+        thetaMax = if (m.isParallelizable) cores.toDouble else 1.0,
+        existing = m.parallelism.toDouble)
+    }
+    val sol =
+      if (ops.nonEmpty) MaxMinThroughputLP.solve(ops, cores.toDouble, cfg.maxChange)
+      else MaxMinThroughputLP.Solution(Map.empty, 0.0, 0.0)
+
+    // 3. rewrite plan: strip stale caches, apply θs, place a cache if a
+    //    known working-set estimate fits safely, roofline prefetch marker
+    val cacheRule: Seq[Rule] =
+      if (!cfg.applyCaching) Nil
+      else Analysis.cacheCandidate(g0, cfg.cacheSizeEstimates, run.global.memoryFreeBytes)
+        .map(id => Seq(Rules.InsertCache(id): Rule)).getOrElse(Nil)
+    val totalWork = run.nodeMetrics.map(_.processingTimeNs).sum.toDouble
+    val roof = Analysis.roofline(totalWork, run.global.wallclockNs.toDouble,
+      run.rowCount, minLatencyNs = totalWork / math.max(1, run.rowCount))
+    val prefetchRule: Seq[Rule] =
+      if (roof.prefetchDelta > 0) Seq(Rules.InsertPrefetch(roof.prefetchDelta))
+      else Nil
+
+    val report = RuleRunner.run(
+      g0,
+      Seq(Rules.RemoveCaches, Rules.ApplyLpThetas(sol.thetas)) ++ cacheRule ++ prefetchRule)
+
+    // 4. safety rail: schema invariance (element_spec immutability)
+    val g1 =
+      if (Compiler.schemaInvariant(spark, g0, report.graph, sfDir)) report.graph
+      else g0
+
+    Result(
+      original = g0,
+      optimized = g1,
+      metrics = run.nodeMetrics,
+      global = run.global,
+      thetas = sol.thetas,
+      predictedRate = sol.rate,
+      bottleneck = Analysis.bottleneck(run.nodeMetrics, run.global).map(_.nodeId),
+      ruleReport = report)
+  }
+}

@@ -1,0 +1,190 @@
+package graft.compile
+
+import graft.ir._
+import graft.ir.PipelineOp._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Compiles a PipelineGraph to a declarative DataFrame program — the
+  * Spark-native replacement for the reference's GraphDef→tf.data
+  * instantiation (graphdef_util.py:456-483 instantiate_pipeline).
+  *
+  * Everything stays in the DataFrame API so Catalyst applies pushdown,
+  * pruning and whole-stage codegen across IR op boundaries; per-node
+  * `parallelism` compiles to scan/shuffle partitioning, the only lever
+  * that exists (and the right one) in Spark's execution model.
+  *
+  * With `instrument = true` every node boundary gets a CollectMetrics
+  * (`df.observe`) counting elements — observation survives WSCG fusion
+  * without breaking it (SURVEY §7.4).
+  */
+object Compiler {
+
+  final case class Compiled(df: DataFrame, observedNodes: Seq[Int])
+
+  def compile(spark: SparkSession, g: PipelineGraph, sfDir: String,
+      instrument: Boolean = false): Compiled = {
+    val memo = scala.collection.mutable.Map[Int, DataFrame]()
+    val observed = scala.collection.mutable.ArrayBuffer[Int]()
+
+    def obs(id: Int, df: DataFrame): DataFrame =
+      if (!instrument) df
+      else { observed += id; df.observe(s"node_$id", count(lit(1)).as("elements")) }
+
+    def build(id: Int): DataFrame = memo.getOrElseUpdate(id, {
+      val node = g.byId(id)
+      def in(k: Int = 0): DataFrame = build(node.inputs(k))
+      val df = node.op match {
+        case Scan(table, cols) =>
+          val base = graft.Tables.t(spark, sfDir, table)
+          val pruned = if (cols.nonEmpty) base.select(cols.map(col): _*) else base
+          // parallelism > 1 → explicit scan repartition (tf.data interleave
+          // cycle_length analogue); at scale prefer files.maxPartitionBytes.
+          if (node.parallelism > 1) pruned.repartition(node.parallelism) else pruned
+        case RangeSource(n) =>
+          if (node.parallelism > 1) spark.range(0, n, 1, node.parallelism).toDF()
+          else spark.range(n).toDF()
+        case MapE(exprs, _)   => in().selectExpr(exprs: _*)
+        case FilterE(cond)    => in().filter(expr(cond))
+        case Batch(size, drop, shardExpr, orderCols, aggs) =>
+          val w = Window.partitionBy(expr(shardExpr)).orderBy(orderCols.map(col): _*)
+          val b = in()
+            .withColumn("_shard", expr(shardExpr))
+            .withColumn("_rn", row_number().over(w))
+            .withColumn("batch_id", floor((col("_rn") - 1) / size))
+            .groupBy(col("_shard").as("shard"), col("batch_id"))
+            .agg(count(lit(1)).as("batch_n"), aggs.map(a => expr(a)): _*)
+          if (drop) b.filter(col("batch_n") === size) else b
+        case ShuffleOp(seed) =>
+          // approximate buffer shuffle: redistribute by a seeded hash of the
+          // whole row — cheap (single shuffle, no sort), like the reference's
+          // bounded reservoir it perturbs order without total ordering.
+          val src = in()
+          src.repartition(abs(hash(src.columns.map(col) :+ lit(seed): _*)))
+        case Repeat(k) =>
+          require(k > 0, "repeat(-1) is a benchmark-loop construct, not a plan")
+          in().crossJoin(spark.range(k).select(col("id").as("_copy"))).drop("_copy")
+        case Take(n, ord)  => in().orderBy(ord.map(col): _*).limit(n)
+        case Skip(n, ord)  => in().orderBy(ord.map(col): _*).offset(n)
+        case ShardOp(m, i, key) => in().filter(expr(s"($key) % $m = $i"))
+        case CacheOp       => in().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        case Prefetch(_)   => in() // stage pipelining is implicit in Spark
+        case ZipOp(ordL, ordR) =>
+          val l = in(0).withColumn("_zrn", row_number().over(Window.orderBy(ordL.map(col): _*)))
+          val r = in(1).withColumn("_zrn", row_number().over(Window.orderBy(ordR.map(col): _*)))
+          l.join(r, "_zrn").drop("_zrn")
+        case ConcatOp      => in(0).unionByName(in(1))
+        case FlatMapEcho(f) =>
+          in().withColumn("_copy", explode(sequence(lit(0L), expr(f)))).drop("_copy")
+        case Unbatch(c)    =>
+          in().withColumn("_el", explode(col(c))).drop(c).withColumnRenamed("_el", c)
+        case GroupByWindow(key, ws, ord, aggs) =>
+          val w = Window.partitionBy(expr(key)).orderBy(ord.map(col): _*)
+          in()
+            .withColumn("_bucket", expr(key))
+            .withColumn("_rn", row_number().over(w))
+            .withColumn("window_id", floor((col("_rn") - 1) / ws))
+            .groupBy(col("_bucket").as("bucket"), col("window_id"))
+            .agg(count(lit(1)).as("window_n"), aggs.map(a => expr(a)): _*)
+      }
+      obs(id, df)
+    })
+
+    val df = build(g.sink)
+    Compiled(df, observed.toSeq)
+  }
+
+  /** Schema-invariance rail (element_spec immutability,
+    * pipeline_optimizer.py:665-669): compiled schemas must match exactly.
+    */
+  def schemaInvariant(spark: SparkSession, a: PipelineGraph, b: PipelineGraph,
+      sfDir: String): Boolean =
+    compile(spark, a, sfDir).df.schema == compile(spark, b, sfDir).df.schema
+}
+
+/** Graph persistence as nodes/edges DataFrames (SURVEY §1.4) — the
+  * ResumeDataset analogue: a pipeline written to Parquet/JSON can be
+  * reloaded and recompiled (graphdef_util.py:456-483).
+  */
+object GraphCodec {
+  import PipelineOp._
+
+  private def opToJson(op: PipelineOp): (String, String) = op match {
+    case Scan(t, cs)      => ("Scan", s"$t|${cs.mkString(",")}")
+    case RangeSource(n)   => ("RangeSource", n.toString)
+    case MapE(es, r)      => ("MapE", s"$r|${es.mkString(";;")}")
+    case FilterE(c)       => ("FilterE", c)
+    case Batch(s, dr, sh, oc, ag) => ("Batch", s"$s|$dr|$sh|${oc.mkString(",")}|${ag.mkString(";;")}")
+    case ShuffleOp(seed)  => ("ShuffleOp", seed.toString)
+    case Repeat(k)        => ("Repeat", k.toString)
+    case Take(n, oc)      => ("Take", s"$n|${oc.mkString(",")}")
+    case Skip(n, oc)      => ("Skip", s"$n|${oc.mkString(",")}")
+    case ShardOp(m, i, k) => ("ShardOp", s"$m|$i|$k")
+    case CacheOp          => ("CacheOp", "")
+    case Prefetch(b)      => ("Prefetch", b.toString)
+    case ZipOp(l, r)      => ("ZipOp", s"${l.mkString(",")}|${r.mkString(",")}")
+    case ConcatOp         => ("ConcatOp", "")
+    case FlatMapEcho(f)   => ("FlatMapEcho", f)
+    case Unbatch(c)       => ("Unbatch", c)
+    case GroupByWindow(k, ws, oc, ag) => ("GroupByWindow", s"$ws|$k|${oc.mkString(",")}|${ag.mkString(";;")}")
+  }
+
+  private def opFromJson(kind: String, arg: String): PipelineOp = kind match {
+    case "Scan" => val Array(t, cs @ _*) = arg.split("\\|", 2): @unchecked
+      Scan(t, cs.headOption.filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil))
+    case "RangeSource" => RangeSource(arg.toLong)
+    case "MapE" => val Array(r, es) = arg.split("\\|", 2): @unchecked
+      MapE(es.split(";;").toSeq, r.toBoolean)
+    case "FilterE" => FilterE(arg)
+    case "Batch" =>
+      val Array(s, dr, sh, oc, ag) = arg.split("\\|", 5): @unchecked
+      Batch(s.toInt, dr.toBoolean, sh, splitList(oc), splitList(ag, ";;"))
+    case "ShuffleOp" => ShuffleOp(arg.toLong)
+    case "Repeat" => Repeat(arg.toInt)
+    case "Take" => val Array(n, oc) = arg.split("\\|", 2): @unchecked
+      Take(n.toInt, splitList(oc))
+    case "Skip" => val Array(n, oc) = arg.split("\\|", 2): @unchecked
+      Skip(n.toInt, splitList(oc))
+    case "ShardOp" => val Array(m, i, k) = arg.split("\\|", 3): @unchecked
+      ShardOp(m.toInt, i.toInt, k)
+    case "CacheOp" => CacheOp
+    case "Prefetch" => Prefetch(arg.toInt)
+    case "ZipOp" => val Array(l, r) = arg.split("\\|", 2): @unchecked
+      ZipOp(splitList(l), splitList(r))
+    case "ConcatOp" => ConcatOp
+    case "FlatMapEcho" => FlatMapEcho(arg)
+    case "Unbatch" => Unbatch(arg)
+    case "GroupByWindow" =>
+      val Array(ws, k, oc, ag) = arg.split("\\|", 4): @unchecked
+      GroupByWindow(k, ws.toInt, splitList(oc), splitList(ag, ";;"))
+  }
+
+  private def splitList(s: String, sep: String = ","): Seq[String] =
+    if (s.isEmpty) Nil else s.split(java.util.regex.Pattern.quote(sep)).toSeq
+
+  final case class NodeRow(id: Int, kind: String, arg: String,
+      inputs: Seq[Int], parallelism: Int, sink: Boolean)
+
+  def toRows(g: PipelineGraph): Seq[NodeRow] =
+    g.nodes.map { n =>
+      val (k, a) = opToJson(n.op)
+      NodeRow(n.id, k, a, n.inputs, n.parallelism, n.id == g.sink)
+    }
+
+  def fromRows(rows: Seq[NodeRow]): PipelineGraph =
+    PipelineGraph(
+      rows.map(r => PipelineNode(r.id, opFromJson(r.kind, r.arg), r.inputs, r.parallelism)),
+      rows.find(_.sink).map(_.id).getOrElse(rows.map(_.id).max))
+
+  def save(spark: SparkSession, g: PipelineGraph, path: String): Unit = {
+    import spark.implicits._
+    toRows(g).toDS().coalesce(1).write.mode("overwrite").json(path)
+  }
+
+  def load(spark: SparkSession, path: String): PipelineGraph = {
+    import spark.implicits._
+    fromRows(spark.read.schema(implicitly[org.apache.spark.sql.Encoder[NodeRow]].schema)
+      .json(path).as[NodeRow].collect().toSeq)
+  }
+}

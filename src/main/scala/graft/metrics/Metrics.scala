@@ -1,0 +1,110 @@
+package graft.metrics
+
+import graft.compile.Compiler
+import graft.ir.PipelineGraph
+import org.apache.spark.sql.SparkSession
+
+/** Per-operator metrics — our stats.pb analogue (SURVEY §1.3). One row per
+  * pipeline node per snapshot; field names mirror the per-node state the
+  * reference reads in graph_rewrites.py:390-432.
+  */
+final case class NodeMetrics(
+    nodeId: Int,
+    name: String,
+    op: String,
+    parallelism: Int,
+    elementsProduced: Long,
+    elementsConsumed: Long,
+    processingTimeNs: Long,
+    bytesPerElement: Double,
+    isParallelizable: Boolean,
+    isSource: Boolean,
+    isRandom: Boolean)
+
+/** Machine/global snapshot row (machine_info + global counters,
+  * graph_rewrites.py:466-535 get_runtime_data).
+  */
+final case class GlobalMetrics(
+    cores: Int,
+    memoryTotalBytes: Long,
+    memoryFreeBytes: Long,
+    wallclockNs: Long,
+    cpuTimeNs: Long,
+    diskBandwidthBps: Double)
+
+object GlobalMetrics {
+  /** Autodetect from the JVM (machine_info autodetect analogue). Disk
+    * bandwidth uses the reference's conservative local default of 100 MB/s
+    * (graph_rewrites.py:161) unless measured by graft.bench.FsProbe.
+    */
+  def detect(wallclockNs: Long, cpuTimeNs: Long,
+      diskBandwidthBps: Double = 100e6): GlobalMetrics = {
+    val rt = Runtime.getRuntime
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val (tot, free) = os match {
+      case b: com.sun.management.OperatingSystemMXBean =>
+        (b.getTotalMemorySize, b.getFreeMemorySize)
+      case _ => (rt.maxMemory(), rt.freeMemory())
+    }
+    GlobalMetrics(rt.availableProcessors(), tot, free, wallclockNs, cpuTimeNs, diskBandwidthBps)
+  }
+}
+
+/** Instrumented pipeline execution: compile with per-node CollectMetrics,
+  * run one action, and turn the observed counters + wall-clock into
+  * Seq[NodeMetrics]. This replaces the TF fork's iterator tracing with the
+  * observation surface Spark actually provides (SURVEY §7.4): element
+  * counts are exact per node; time is attributed proportionally to
+  * elements processed (documented approximation, refined per node by
+  * bench.NodeSweep when precision matters).
+  */
+object Instrument {
+
+  final case class RunResult(
+      nodeMetrics: Seq[NodeMetrics],
+      global: GlobalMetrics,
+      rowCount: Long)
+
+  def run(spark: SparkSession, g: PipelineGraph, sfDir: String): RunResult = {
+    val compiled = Compiler.compile(spark, g, sfDir, instrument = true)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val cpu0 = osBean.getProcessCpuTime
+    val t0 = System.nanoTime()
+    // collect() (not count()) — count() builds a NEW QueryExecution around
+    // an added aggregate, and the CollectMetrics results would attach to
+    // that execution instead of compiled.df.queryExecution. Instrumented
+    // runs are bounded pipelines (profile mode), so collecting is safe.
+    val rows = compiled.df.collect().length.toLong
+    val wallNs = System.nanoTime() - t0
+    val cpuNs = math.max(0L, osBean.getProcessCpuTime - cpu0)
+
+    val observed: Map[String, Long] =
+      compiled.df.queryExecution.observedMetrics
+        .map { case (k, row) => k -> row.getLong(0) }
+
+    val elems: Int => Long = id => observed.getOrElse(s"node_$id", 0L)
+    val totalElems = math.max(1L, g.nodes.map(n => elems(n.id)).sum)
+
+    val metrics = g.topoOrder.map { id =>
+      val n = g.byId(id)
+      val produced = elems(id)
+      val consumed = n.inputs.map(elems).sum
+      NodeMetrics(
+        nodeId = id,
+        name = g.canonicalNames(id),
+        op = n.op.base,
+        parallelism = n.parallelism,
+        elementsProduced = produced,
+        elementsConsumed = consumed,
+        // proportional attribution of measured CPU time across nodes by
+        // work processed — coarse but honest; see NodeSweep for exact.
+        processingTimeNs = (cpuNs.toDouble * produced / totalElems).toLong,
+        bytesPerElement = 0.0,
+        isParallelizable = graft.ir.PipelineOp.supportsParallelism(n.op),
+        isSource = graft.ir.PipelineOp.isSource(n.op),
+        isRandom = n.op.isRandom)
+    }
+    RunResult(metrics, GlobalMetrics.detect(wallNs, cpuNs), rows)
+  }
+}

@@ -1,0 +1,142 @@
+package graft.solver
+
+/** A10 — max-min throughput allocation (convex_solver.py:29-156).
+  *
+  * maximize   min_i(rate_i · θ_i)
+  * subject to Σθ_i ≤ cores, θmin_i ≤ θ_i ≤ θmax_i
+  *
+  * The optimum equalizes effective rates for every unclamped op, so no LP
+  * solver is needed: binary-search the achievable rate R and water-fill
+  * θ_i(R) = clamp(R/rate_i, θmin_i, θmax_i) — Σθ_i(R) is monotone in R.
+  * Mirrors the reference's semantics: θmax = 1 for sequential ops, θmin
+  * scaled down when over-subscribed (convex_solver.py:77-83), optional
+  * per-op change budget (convex_solver.py:98-103).
+  */
+object MaxMinThroughputLP {
+
+  final case class OpRate(
+      id: Int,
+      perCoreRate: Double, // elements/sec at θ=1
+      thetaMin: Double = 0.0,
+      thetaMax: Double = Double.PositiveInfinity,
+      existing: Double = 0.0)
+
+  final case class Solution(thetas: Map[Int, Double], rate: Double, coresUsed: Double)
+
+  def solve(ops: Seq[OpRate], cores: Double, maxChange: Option[Double] = None): Solution = {
+    require(ops.nonEmpty && cores > 0)
+    // over-subscription guard: scale θmin down if Σθmin > cores
+    val minSum = ops.map(_.thetaMin).sum
+    val minScale = if (minSum > cores) cores / minSum else 1.0
+    val eff = ops.map { o =>
+      val hi0 = maxChange.fold(o.thetaMax)(mc => math.min(o.thetaMax, o.existing + mc))
+      val lo = o.thetaMin * minScale
+      o.copy(thetaMin = lo, thetaMax = math.max(lo, hi0))
+    }
+    def thetasFor(r: Double): Seq[Double] =
+      eff.map(o => clamp(if (o.perCoreRate > 0) r / o.perCoreRate else o.thetaMin, o.thetaMin, o.thetaMax))
+    def used(r: Double): Double = thetasFor(r).sum
+
+    // bracket: R=0 uses Σθmin; no op can exceed rate·min(θmax, cores), so
+    // the fastest op at full budget bounds the achievable min-rate above
+    var lo = 0.0
+    var hi = eff.map(o => o.perCoreRate * math.min(o.thetaMax, cores))
+      .foldLeft(1.0)(math.max) * 2 + 1
+    for (_ <- 0 until 200) {
+      val mid = (lo + hi) / 2
+      if (used(mid) <= cores) lo = mid else hi = mid
+    }
+    // the feasibility search can overshoot R once a clamped op stops the
+    // objective from rising; shrink to the binding min-rate so non-binding
+    // ops don't hoard cores (matches the equalizing optimum)
+    val rate = eff.zip(thetasFor(lo)).map { case (o, t) => o.perCoreRate * t }.min
+    val thetas = thetasFor(rate)
+    Solution(eff.map(_.id).zip(thetas).toMap, rate, thetas.sum)
+  }
+
+  private def clamp(x: Double, lo: Double, hi: Double): Double =
+    math.max(lo, math.min(hi, x))
+}
+
+/** A11 — min-cost resource allocation (convex_solver.py:158-300):
+  * minimize CPU·$ + disk·$ + cache·$ subject to meeting `minRate`, with at
+  * most one cache whose placement masks the cost of everything upstream
+  * (the reference's cache_mask). One boolean per candidate → enumerate
+  * cache choices (≤ ~20) and solve each inner allocation in closed form.
+  * Prices are the reference's GCP N1 constants (machine_info.py:80-109).
+  */
+object MinCostLP {
+
+  final case class Prices(
+      vcpuPerHour: Double = 0.031611,
+      gbRamPerHour: Double = 0.004237,
+      ssdGbPerMonth: Double = 0.080)
+
+  final case class OpSpec(id: Int, perCoreRate: Double, upstreamOf: Set[Int])
+
+  final case class Choice(cacheAt: Option[Int], thetas: Map[Int, Double], costPerHour: Double)
+
+  def solve(ops: Seq[OpSpec], minRate: Double, cacheCandidates: Seq[Int],
+      cacheBytes: Map[Int, Long], prices: Prices = Prices()): Choice = {
+    def inner(cacheAt: Option[Int]): Choice = {
+      val masked: Set[Int] = cacheAt.map(c => ops.find(_.id == c).map(_.upstreamOf + c)
+        .getOrElse(Set(c))).getOrElse(Set.empty)
+      val thetas = ops.map { o =>
+        // cached upstream ops replay from the materialization: θ → 0
+        val t = if (masked.contains(o.id) && cacheAt.exists(_ != o.id)) 0.0
+          else if (o.perCoreRate > 0) minRate / o.perCoreRate
+          else 0.0
+        o.id -> t
+      }.toMap
+      val cpuCost = thetas.values.sum * prices.vcpuPerHour
+      val cacheCost = cacheAt.map(c =>
+        cacheBytes.getOrElse(c, 0L) / 1e9 * prices.gbRamPerHour).getOrElse(0.0)
+      Choice(cacheAt, thetas, cpuCost + cacheCost)
+    }
+    (None +: cacheCandidates.map(Option(_))).map(inner).minBy(_.costPerHour)
+  }
+}
+
+/** A14 — two-segment piecewise-linear bandwidth fit
+  * (bandwidth_utilities.py:7-77): sweep source parallelism, fit both
+  * segments by least squares at every breakpoint, keep the split with the
+  * lowest weighted one-sided error. Predicts saturation bandwidth for the
+  * LP's disk rows.
+  */
+object PiecewiseFit {
+
+  final case class Fit(breakIdx: Int, slope1: Double, icept1: Double,
+      slope2: Double, icept2: Double, error: Double) {
+    def predict(x: Double, xs: Seq[Double]): Double =
+      if (x <= xs(breakIdx)) slope1 * x + icept1 else slope2 * x + icept2
+  }
+
+  def fit(xs: Seq[Double], ys: Seq[Double]): Fit = {
+    require(xs.size == ys.size && xs.size >= 4, "need ≥4 sweep points")
+    val fits = (1 until xs.size - 1).map { b =>
+      val (s1, i1, e1) = lsq(xs.take(b + 1), ys.take(b + 1))
+      val (s2, i2, e2) = lsq(xs.drop(b), ys.drop(b))
+      Fit(b, s1, i1, s2, i2, e1 + e2)
+    }
+    fits.minBy(_.error)
+  }
+
+  /** simple 2×2 normal equations; error = Σ over-prediction-weighted
+    * residuals (one-sided, like the reference's asymmetric penalty).
+    */
+  private def lsq(xs: Seq[Double], ys: Seq[Double]): (Double, Double, Double) = {
+    val n = xs.size.toDouble
+    val sx = xs.sum; val sy = ys.sum
+    val sxx = xs.map(x => x * x).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val det = n * sxx - sx * sx
+    val (slope, icept) =
+      if (math.abs(det) < 1e-12) (0.0, sy / n)
+      else ((n * sxy - sx * sy) / det, (sy * sxx - sx * sxy) / det)
+    val err = xs.zip(ys).map { case (x, y) =>
+      val r = slope * x + icept - y
+      if (r > 0) 2 * r * r else r * r // over-prediction penalized harder
+    }.sum
+    (slope, icept, err)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.SparkTestSession.{sf, spark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + spot checks over the full registered query surface. The
+  * DuckDB hash-compare is the driver's gate; here we assert every query
+  * runs at sf0.001 and pin a few independently-computed values.
+  */
+class QuerySpec extends AnyFunSuite {
+
+  // queries whose correct result can legitimately be empty
+  private val mayBeEmpty = Set("dd04_lsh_candidate_pairs", "dd06_ngram_jaccard",
+    "ss03_embed_neardup", "op08b_batch_drop_remainder")
+
+  SparkEntry.all.foreach { q =>
+    test(s"${q.name} runs${if (q.oracle.isDefined) " (oracle-gated)" else ""}") {
+      val n = q.fn(spark, sf).count()
+      if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned 0 rows")
+    }
+  }
+
+  test("entry() smoke: flagship rows > 0") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q1 pricing summary: totals reconcile with raw counts") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+    val total = df.agg(org.apache.spark.sql.functions.sum("count_order")).head().getLong(0)
+    assert(total == 6000) // sf0.001 lineitem cardinality
+  }
+
+  test("dd01 exact dedup keeps ≤ one row per distinct text") {
+    val df = SparkEntry.queries("dd01_exact_dedup")(spark, sf)
+    val docs = Tables.documents(spark, sf).select("text").distinct().count()
+    assert(df.count() == docs)
+  }
+
+  test("ss01 top-k returns exactly 5 ranked neighbors per query vector") {
+    val rows = SparkEntry.queries("ss01_topk_cosine")(spark, sf).collect()
+    assert(rows.length == 25)
+    val perQ = rows.groupBy(_.getLong(0))
+    assert(perQ.forall { case (_, rs) =>
+      rs.map(_.getLong(1)).sorted.sameElements(1L to 5L) })
+  }
+
+  test("oracle SQL exists for every oracle-checkable query") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // rows-only queries are the documented exceptions
+    assert(missing == Set("op03_list_files", "q_approx_distinct"))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.api
+
+import graft.SparkTestSession.{sf, spark}
+import graft.bench.Harness
+import graft.compile.{Compiler, GraphCodec}
+import graft.ir.PipelineOp._
+import graft.ir.{PipelineGraph, PipelineNode}
+import graft.metrics.Instrument
+import graft.rules.{RuleRunner, Rules}
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+
+  test("flagship IR compiles and produces batches") {
+    val df = Flagship.run(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 64)
+    assert(df.columns.contains("batch_n") && df.columns.contains("revenue"))
+  }
+
+  test("instrumented run observes per-node element counts") {
+    val run = Instrument.run(spark, Flagship.graph, sf)
+    val byId = run.nodeMetrics.map(m => m.nodeId -> m).toMap
+    assert(byId(0).elementsProduced == 6000) // full lineitem scan at sf0.001
+    assert(byId(2).elementsProduced < byId(1).elementsProduced) // filter drops
+    assert(byId(4).elementsProduced <= byId(2).elementsProduced / 32) // batching shrinks
+    assert(run.rowCount > 0 && run.global.cores > 0)
+  }
+
+  test("optimizePipeline: LP thetas, bottleneck, schema invariance") {
+    val res = Optimizer.optimizePipeline(spark, Flagship.graph, sf)
+    assert(res.thetas.nonEmpty)
+    assert(res.predictedRate > 0)
+    assert(res.bottleneck.nonEmpty)
+    // optimized graph still compiles to the same schema
+    assert(Compiler.schemaInvariant(spark, res.original, res.optimized, sf))
+    // ranked table exposes the derived-rate columns
+    val cols = res.rankedTable(spark).columns.toSet
+    assert(Set("expected_parallel_max_rate", "p_busy", "element_ratio").subsetOf(cols))
+  }
+
+  test("InsertCache/RemoveCaches round-trip preserves semantics") {
+    val g = Flagship.graph
+    val cached = Rules.InsertCache(2).rewrite(g)
+    assert(cached.nodes.exists(_.op == CacheOp))
+    assert(Compiler.schemaInvariant(spark, g, cached, sf))
+    val roundTrip = Rules.RemoveCaches.rewrite(cached)
+    assert(!roundTrip.nodes.exists(_.op == CacheOp))
+    assert(roundTrip.diff(g)._1.isEmpty)
+    // cache insertion under a random op is rejected by the precondition
+    val shuffled = PipelineGraph(
+      g.nodes :+ PipelineNode(g.nextId, ShuffleOp(1), Seq(g.sink)), g.nextId)
+    val report = RuleRunner.run(shuffled, Seq(Rules.InsertCache(shuffled.sink)))
+    assert(report.skipped.nonEmpty && report.applied.isEmpty)
+  }
+
+  test("SourceOnlyTruncate keeps only the source (I/O ceiling probe)") {
+    val truncated = Rules.SourceOnlyTruncate.rewrite(Flagship.graph)
+    assert(truncated.nodes.size == 1)
+    val n = Compiler.compile(spark, truncated, sf).df.count()
+    assert(n == 6000)
+  }
+
+  test("prefetch compiles to identity; DeadNodeElim drops orphans") {
+    val g = Flagship.graph
+    val withPf = Rules.InsertPrefetch(16).rewrite(g)
+    assert(Compiler.compile(spark, withPf, sf).df.count() ==
+      Compiler.compile(spark, g, sf).df.count())
+    val orphaned = PipelineGraph(
+      g.nodes :+ PipelineNode(g.nextId, RangeSource(10)), g.sink)
+    val cleaned = Rules.DeadNodeElim.rewrite(orphaned)
+    assert(cleaned.nodes.map(_.id).toSet == g.nodes.map(_.id).toSet)
+  }
+
+  test("graph codec: save/load through Spark JSON preserves the pipeline") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ir").toString + "/g"
+    GraphCodec.save(spark, Flagship.graph, path)
+    val loaded = GraphCodec.load(spark, path)
+    assert(loaded.nodes.sortBy(_.id) == Flagship.graph.nodes.sortBy(_.id))
+    // ResumeDataset analogue: the reloaded graph compiles identically
+    assert(Compiler.compile(spark, loaded, sf).df.schema ==
+      Compiler.compile(spark, Flagship.graph, sf).df.schema)
+  }
+
+  test("benchmark harness converges (AUTOTUNE state machine)") {
+    val state = new graft.bench.AutotuneState(errorThreshold = 0.5, minRuntimeSec = 0.0)
+    val res = Harness.benchmark(spark, Flagship.graph, sf, maxIterations = 6, state = state)
+    assert(res.iterations >= 2 && res.elementRate > 0)
+  }
+
+  test("node sweep benchmarks parallelizable prefixes over the grid") {
+    val small = Harness.truncateAt(Flagship.graph, 2)
+    val sweep = Harness.nodeSweep(spark, small, sf, grid = Seq(2), takeN = 100)
+    assert(sweep.nonEmpty && sweep.values.forall(_ > 0))
+  }
+
+  test("compiled ops: zip truncates, concat appends, echo multiplies, unbatch explodes") {
+    val g = PipelineGraph(
+      Seq(
+        PipelineNode(0, Scan("customer", Seq("c_custkey"))),
+        PipelineNode(1, Scan("supplier", Seq("s_suppkey"))),
+        PipelineNode(2, ZipOp(Seq("c_custkey"), Seq("s_suppkey")), Seq(0, 1))),
+      sink = 2)
+    assert(Compiler.compile(spark, g, sf).df.count() == 10) // truncated to supplier
+
+    val echo = PipelineGraph(
+      Seq(
+        PipelineNode(0, Scan("supplier", Seq("s_suppkey"))),
+        PipelineNode(1, FlatMapEcho("s_suppkey % 2"), Seq(0))),
+      sink = 1)
+    // suppliers 1..10: odd keys emit 2 copies, even 1 → 10 + 5
+    assert(Compiler.compile(spark, echo, sf).df.count() == 15)
+  }
+}
