@@ -87,10 +87,14 @@ object DedupOps {
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id
          |FROM sig a JOIN sig b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id""".stripMargin) {
       (s, d) =>
+        // persist: the self-join would otherwise recompute the minhash on
+        // both sides, and the join's isnotnull(mh0) pushdown would inline
+        // the whole shingle pipeline into a filter (observed 13 s → <1 s).
         val sig = T.documents(s, d)
           .selectExpr("doc_id", s"$sparkToks as toks")
           .selectExpr("doc_id", s"$sparkShingles as shingles")
           .selectExpr("doc_id", sparkMh(0))
+          .persist()
         val a = sig.select(col("doc_id").as("a_id"), col("mh0"))
         val b = sig.select(col("doc_id").as("b_id"), col("mh0"))
         a.join(b, Seq("mh0")).filter(col("a_id") < col("b_id")).select("a_id", "b_id")
@@ -139,10 +143,14 @@ object DedupOps {
          |  CAST(FLOOR(CAST(10000 AS DOUBLE) * i.i / (sa.c + sb.c - i.i)) AS BIGINT) AS jacc_x10000
          |FROM inter i JOIN sizes sa ON sa.doc_id = i.a_id
          |             JOIN sizes sb ON sb.doc_id = i.b_id""".stripMargin) { (s, d) =>
+      // persist both derived tables: sh feeds three consumers (sig, ex —
+      // twice via the pair join), sig self-joins; without materialization
+      // each consumer re-runs the shingle + hash pipeline.
       val sh = T.documents(s, d)
         .selectExpr("doc_id", s"$sparkToks as toks")
         .selectExpr("doc_id", s"$sparkShingles as shingles")
-      val sig = sh.selectExpr("doc_id", sparkMh(0))
+        .persist()
+      val sig = sh.selectExpr("doc_id", sparkMh(0)).persist()
       val pairs = sig.select(col("doc_id").as("a_id"), col("mh0"))
         .join(sig.select(col("doc_id").as("b_id"), col("mh0")), Seq("mh0"))
         .filter(col("a_id") < col("b_id"))

@@ -100,6 +100,7 @@ object SimilarityOps {
           s"row_number() over (partition by vec_id order by ${sparkCos("embedding", "ce")} desc, cell) as rn")
         .filter(col("rn") === 1)
         .select("vec_id", "cell")
+        .persist() // consumed twice (query cells + candidate cells)
       val q = e.filter(col("vec_id") < 5)
         .join(assign, "vec_id")
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("cell"))
