@@ -125,6 +125,37 @@ object FunctionOps {
         .selectExpr(
           "doc_id",
           s"concat(array(1L), transform(toks, w -> 3 + ${P.hash60("w")} % 997), array(2L)) as ids")
+    },
+
+    // Tensor-shaping family (imagenet_input.py:122-132; reshape/split/pad/
+    // slice/flatten): higher-order array functions over a per-order
+    // quantity "tensor" — reshape 8→2×4, pad, slice, flatten back.
+    Q(
+      "fn08_tensor_shaping",
+      """WITH v AS (
+        |  SELECT l_orderkey,
+        |    (list_concat(list(l_quantity ORDER BY l_linenumber, l_quantity),
+        |     [0.0::DOUBLE,0.0::DOUBLE,0.0::DOUBLE,0.0::DOUBLE,
+        |      0.0::DOUBLE,0.0::DOUBLE,0.0::DOUBLE,0.0::DOUBLE]))[1:8] AS t
+        |  FROM lineitem WHERE l_orderkey % 25 = 0 GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  t[1:4] AS row1, t[5:8] AS row2,
+        |  t[3:6] AS sliced,
+        |  list_reduce(list_prepend(0.0::DOUBLE, t), (a, x) -> a + x) AS checksum
+        |FROM v""".stripMargin) { (s, d) =>
+      T.lineitem(s, d)
+        .filter(col("l_orderkey") % 25 === 0)
+        .groupBy("l_orderkey")
+        .agg(array_sort(collect_list(struct(col("l_linenumber"), col("l_quantity")))).as("pairs"))
+        .selectExpr(
+          "l_orderkey",
+          "slice(concat(transform(pairs, p -> p.l_quantity), array_repeat(0.0d, 8)), 1, 8) as t")
+        .selectExpr(
+          "l_orderkey",
+          "slice(t, 1, 4) as row1",
+          "slice(t, 5, 4) as row2",
+          "slice(t, 3, 4) as sliced",
+          "aggregate(t, cast(0.0 as double), (a, x) -> a + x) as checksum")
     }
   )
 }

@@ -376,6 +376,26 @@ object PipelineOps {
           "cast(event_id % 3 as bigint) as choice",
           "case when event_id % 3 = 0 then value * 2 " +
             "when event_id % 3 = 1 then value + 100 else -value end as routed")
+    },
+
+    // op 26: RestructuredDataset (annotations.py:56-64): coerce a frame to
+    // a target element spec — casts + renames + column order.
+    Q(
+      "op26_restructure",
+      """SELECT o_orderkey AS key, CAST(o_totalprice AS DOUBLE) AS amount,
+        |  CAST(o_custkey AS INT) AS cust32, o_orderstatus AS status
+        |FROM orders WHERE o_orderkey <= 500""".stripMargin) { (s, d) =>
+      T.orders(s, d)
+        .filter(col("o_orderkey") <= 500)
+        .selectExpr(
+          "o_orderkey as key",
+          "cast(o_totalprice as double) as amount",
+          "cast(o_custkey as int) as cust32",
+          "o_orderstatus as status")
     }
+    // ops 24/27/28 (with_options wrappers, tf.data service distribute,
+    // determinism/threadpool options) are session-level configuration in
+    // Spark, not plan nodes — recorded as such in SURVEY §2.a; nothing to
+    // compile or gate.
   )
 }

@@ -28,8 +28,13 @@ object SimilarityOps {
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${dim + 1}), " +
       s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, v) -> acc + v)"
 
+  /** Spark side uses the native codegen expression (graft.functions.
+    * CosineSimilarity) — same ascending-index double accumulation as the
+    * SQL fold, so results stay bit-identical to the DuckDB oracle while
+    * fusing three folds into one allocation-free pass.
+    */
   private def sparkCos(a: String, b: String): String =
-    s"${sparkDot(a, b)} / sqrt(${sparkDot(a, a)} * ${sparkDot(b, b)})"
+    s"cosine_similarity($a, $b)"
   private def duckCos(a: String, b: String): String =
     s"${duckDot(a, b)} / sqrt(${duckDot(a, a)} * ${duckDot(b, b)})"
 
@@ -45,6 +50,7 @@ object SimilarityOps {
          |SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id FROM (
          |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id) AS rn
          |  FROM s) WHERE rn <= 5""".stripMargin) { (s, d) =>
+      graft.functions.CosineSimilarity.register(s)
       val e = T.embeddings(s, d)
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
@@ -87,6 +93,7 @@ object SimilarityOps {
          |    row_number() OVER (PARTITION BY q_id
          |      ORDER BY ${duckCos("qe", "ne")} DESC, n_id) AS rn
          |  FROM cand) WHERE rn <= 3""".stripMargin) { (s, d) =>
+      graft.functions.CosineSimilarity.register(s)
       val e = T.embeddings(s, d)
       val cent = e
         .selectExpr(
@@ -127,6 +134,7 @@ object SimilarityOps {
          |FROM e a JOIN e b ON a.label = b.label
          |  AND a.vec_id < b.vec_id AND b.vec_id - a.vec_id <= 25
          |WHERE ${duckCos("a.embedding", "b.embedding")} > 0.3""".stripMargin) { (s, d) =>
+      graft.functions.CosineSimilarity.register(s)
       val e = T.embeddings(s, d).select("vec_id", "label", "embedding")
       val a = e.toDF("a_id", "label", "ea")
       val b = e.toDF("b_id", "label", "eb")

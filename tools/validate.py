@@ -21,10 +21,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     # normalize list/array cells to tuples so they sort/compare
+    def deep(v):
+        if isinstance(v, np.ndarray):
+            return tuple(deep(x) for x in v.tolist())
+        if isinstance(v, (list, tuple)):
+            return tuple(deep(x) for x in v)
+        return v
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: tuple(v.tolist()) if isinstance(v, np.ndarray)
-                              else (tuple(v) if isinstance(v, list) else v))
+            df[c] = df[c].map(deep)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 def main():
