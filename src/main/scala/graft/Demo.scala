@@ -40,6 +40,14 @@ object Demo {
     val before = bench.Harness.benchmark(spark, g0, sfDir, maxIterations = 3)
     val after = bench.Harness.benchmark(spark, res.optimized, sfDir, maxIterations = 3)
     println(f"rows/s original ${before.elementRate}%.0f -> optimized ${after.elementRate}%.0f")
+
+    // §3.2 incremental rewriter loop with CSV artifacts
+    val out = java.nio.file.Files.createTempDirectory("graft-rewriter").toString
+    val (_, steps) = api.Rewriter.run(spark, g0, sfDir,
+      api.Rewriter.Config(numSteps = 3, benchIterations = 1, outDir = Some(out)))
+    steps.foreach(s => println(
+      f"rewriter step ${s.step}: node=${s.chosenNode.getOrElse(-1)} ${s.action} rate=${s.rate}%.0f"))
+    println(s"rewriter CSVs: $out")
     spark.stop()
   }
 }

@@ -34,6 +34,25 @@ object Optimizer {
       Analysis.rankedTable(spark, metrics, global)
   }
 
+  /** Source-parallelism calibration (§3.1 step 4b,
+    * pipeline_optimizer_wrapper.py:365-459): benchmark the source-only
+    * pipeline across the 2^0..2^5 grid, fit the two-segment bandwidth
+    * curve; the saturation segment feeds the LP's disk rows.
+    */
+  def calibrateSource(spark: SparkSession, g0: PipelineGraph, sfDir: String,
+      grid: Seq[Int] = Seq(1, 2, 4, 8, 16, 32)): (Seq[(Int, Double)], graft.solver.PiecewiseFit.Fit) = {
+    val srcOnly = graft.rules.Rules.SourceOnlyTruncate.rewrite(g0)
+    val points = grid.map { p =>
+      val tuned = graft.rules.Rules.SetParallelism(srcOnly.sink, p).rewrite(srcOnly)
+      val r = graft.bench.Harness.benchmark(spark, tuned, sfDir, maxIterations = 2,
+        state = new graft.bench.AutotuneState(minRuntimeSec = 0.0))
+      p -> r.elementRate
+    }
+    val fit = graft.solver.PiecewiseFit.fit(
+      points.map(_._1.toDouble), points.map(_._2))
+    (points, fit)
+  }
+
   def optimizePipeline(spark: SparkSession, g0: PipelineGraph, sfDir: String,
       cfg: Config = Config()): Result = {
     // 1. instrumented trace run (the 62 s benchmark analogue — here one

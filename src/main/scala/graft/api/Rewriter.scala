@@ -1,0 +1,121 @@
+package graft.api
+
+import graft.bench.Harness
+import graft.ir.{PipelineGraph, PipelineOp}
+import graft.metrics.Instrument
+import graft.plans.Analysis
+import graft.rules.Rules
+import graft.solver.MaxMinThroughputLP
+import org.apache.spark.sql.SparkSession
+
+/** §3.2 — the incremental human-in-the-loop rewriter
+  * (graph_rewrites.default_main → run_rewriter_runner,
+  * graph_rewrites.py:808-988): per step, trace the pipeline, rank
+  * bottlenecks, pick one by strategy, bump its parallelism (or record the
+  * fusion no-op for Batch bottlenecks — graph_rewrites.py:325-331),
+  * benchmark, detect plateaus, and emit the reference's CSV artifacts
+  * (node_stats.csv, thetas.csv, benchmark_stats.csv).
+  */
+object Rewriter {
+
+  sealed trait Strategy
+  case object RankedTop extends Strategy                    // default: ranked top valid
+  final case class RandomValid(seed: Long) extends Strategy // graph_rewrites.py:560-611
+
+  final case class StepResult(
+      step: Int,
+      chosenNode: Option[Int],
+      action: String,
+      rate: Double,
+      thetas: Map[Int, Double])
+
+  final case class Config(
+      numSteps: Int = 5,
+      strategy: Strategy = RankedTop,
+      upParallelism: Int = 1, // parallelism increment per step
+      benchIterations: Int = 2,
+      outDir: Option[String] = None)
+
+  def run(spark: SparkSession, g0: PipelineGraph, sfDir: String,
+      cfg: Config = Config()): (PipelineGraph, Seq[StepResult]) = {
+    var g = g0
+    val history = scala.collection.mutable.ArrayBuffer[Analysis.Step]()
+    val ignore = scala.collection.mutable.Set[Int]()
+    val results = scala.collection.mutable.ArrayBuffer[StepResult]()
+    val rnd = cfg.strategy match {
+      case RandomValid(seed) => new scala.util.Random(seed)
+      case _ => null
+    }
+
+    for (step <- 1 to cfg.numSteps) {
+      val run = Instrument.run(spark, g, sfDir)
+      val valid = run.nodeMetrics.filter(m =>
+        m.isParallelizable && !ignore.contains(m.nodeId) &&
+          g.reachableFromSink.contains(m.nodeId) && m.elementsProduced > 0)
+
+      val chosen: Option[graft.metrics.NodeMetrics] = cfg.strategy match {
+        case RankedTop => valid.sortBy(m => Analysis.expectedParallelMaxRate(m, run.global)).headOption
+        case RandomValid(_) => if (valid.isEmpty) None else Some(valid(rnd.nextInt(valid.size)))
+      }
+
+      // LP thetas over the current metrics (joined onto the node table in
+      // the CSVs, graph_rewrites.py:699-759)
+      val ops = run.nodeMetrics.filter(_.elementsProduced > 0).map { m =>
+        MaxMinThroughputLP.OpRate(
+          m.nodeId,
+          Analysis.expectedPerCoreMaxRate(m) match {
+            case r if r.isFinite => r; case _ => 1e12
+          },
+          thetaMax = if (m.isParallelizable) run.global.cores.toDouble else 1.0,
+          existing = m.parallelism.toDouble)
+      }
+      val thetas =
+        if (ops.nonEmpty) MaxMinThroughputLP.solve(ops, run.global.cores.toDouble).thetas
+        else Map.empty[Int, Double]
+
+      val action = chosen match {
+        case Some(m) if m.op == "Batch" =>
+          "map_and_batch_fusion(noop)" // Catalyst already fuses (§4.1)
+        case Some(m) =>
+          g = Rules.SetParallelism(m.nodeId,
+            g.byId(m.nodeId).parallelism + cfg.upParallelism).rewrite(g)
+          s"parallelism+${cfg.upParallelism}"
+        case None => "none"
+      }
+
+      val bench = Harness.benchmark(spark, g, sfDir, cfg.benchIterations,
+        new graft.bench.AutotuneState(minRuntimeSec = 0.0))
+      chosen.foreach(m => history += Analysis.Step(m.nodeId, bench.elementRate))
+      Analysis.detectCycle(history.toSeq).foreach { plateaued =>
+        ignore += plateaued // graph_rewrites.py:170-198 feeds next step
+        history.clear()
+      }
+      results += StepResult(step, chosen.map(_.nodeId), action, bench.elementRate, thetas)
+
+      cfg.outDir.foreach(dir => emitCsvs(dir, step, g, run, thetas, results.toSeq))
+    }
+    (g, results.toSeq)
+  }
+
+  /** node_stats.csv / thetas.csv / benchmark_stats.csv per step
+    * (graph_rewrites.py:966-983).
+    */
+  private def emitCsvs(dir: String, step: Int, g: PipelineGraph,
+      run: Instrument.RunResult, thetas: Map[Int, Double],
+      results: Seq[StepResult]): Unit = {
+    val d = new java.io.File(dir); d.mkdirs()
+    def write(name: String, lines: Seq[String]): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(d, name))
+      try lines.foreach(w.println) finally w.close()
+    }
+    write(s"node_stats_$step.csv",
+      "node_id,name,op,parallelism,elements_produced,elements_consumed,processing_time_ns" +:
+        run.nodeMetrics.map(m =>
+          s"${m.nodeId},${m.name},${m.op},${m.parallelism},${m.elementsProduced},${m.elementsConsumed},${m.processingTimeNs}"))
+    write(s"thetas_$step.csv",
+      "node_id,theta" +: thetas.toSeq.sortBy(_._1).map { case (k, v) => s"$k,$v" })
+    write("benchmark_stats.csv",
+      "step,chosen_node,action,rate" +:
+        results.map(r => s"${r.step},${r.chosenNode.getOrElse(-1)},${r.action},${r.rate}"))
+  }
+}
