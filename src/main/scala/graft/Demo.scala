@@ -41,6 +41,13 @@ object Demo {
     val after = bench.Harness.benchmark(spark, res.optimized, sfDir, maxIterations = 3)
     println(f"rows/s original ${before.elementRate}%.0f -> optimized ${after.elementRate}%.0f")
 
+    // precise per-node timing (profile mode: iterator barriers)
+    val prof = metrics.PreciseProfiler.run(spark, g0, sfDir)
+    println("precise per-node self time:")
+    prof.timings.foreach(t => println(
+      f"  ${g0.canonicalNames(t.nodeId)}%-12s agg=${t.aggregatePullNs / 1e6}%8.1f ms " +
+        f"self=${t.selfNs / 1e6}%8.1f ms elems=${t.elements}"))
+
     // §3.2 incremental rewriter loop with CSV artifacts
     val out = java.nio.file.Files.createTempDirectory("graft-rewriter").toString
     val (_, steps) = api.Rewriter.run(spark, g0, sfDir,

@@ -12,7 +12,78 @@ import org.apache.spark.sql.streaming.Trigger
   * At scale the same query runs against a Kafka/file stream with the
   * identical plan; watermark bounds state so the agg never grows unbounded.
   */
+/** Per-user session state carried across micro-batches. */
+final case class SessState(lastTsUs: Long, sessions: Long, events: Long)
+
 object StreamRunner {
+
+  /** Stateful sessionization with flatMapGroupsWithState: the events table
+    * is staged as TWO files so the file stream delivers two micro-batches
+    * (time-split, oldest first) and per-user session state genuinely
+    * persists across batches. 30-minute inactivity gap, exactly the batch
+    * st02 semantics — StreamingSpec asserts equality.
+    */
+  def sessionizeStateful(spark: SparkSession, sfDir: String,
+      queryName: String = "graft_sessions"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+
+    // stage two time-ordered batch files
+    val ev = graft.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "unix_micros(ts) as ts_us", "event_id")
+    val Array(minTs, maxTs) = ev.selectExpr("min(ts_us)", "max(ts_us)").head() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val mid = minTs + (maxTs - minTs) / 2
+    val stage = java.nio.file.Files.createTempDirectory("graft-sess")
+    def emit(name: String, cond: String): Unit = {
+      val tmp = stage.resolve(name + "_tmp").toString
+      ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, stage.resolve(name + ".parquet"))
+      Thread.sleep(1100) // distinct mtimes → deterministic oldest-first order
+    }
+    emit("batch_a", s"ts_us <= $mid")
+    emit("batch_b", s"ts_us > $mid")
+
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+
+    val updates = stream.as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[(Long, Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[SessState]) => {
+          val evs = it.toSeq.sortBy(e => (e._2, e._3))
+          var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+          evs.foreach { e =>
+            st =
+              if (st.events == 0L) SessState(e._2, 1L, 1L)
+              else SessState(e._2,
+                st.sessions + (if (e._2 - st.lastTsUs > 1800000000L) 1L else 0L),
+                st.events + 1L)
+          }
+          state.update(st)
+          Iterator((uid, st.sessions, st.events))
+        })
+      .toDF("user_id", "n_sessions", "n_events")
+
+    val q = updates.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // last update per user = the row with the max cumulative event count
+    spark.table(queryName)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("n_sessions"))).as("s"))
+      .selectExpr("user_id", "s.n_sessions as n_sessions", "s.n_events as n_events")
+  }
 
   /** Run the st01 window aggregation as a real stream over the events
     * fixture; returns the collected result as a DataFrame.

@@ -14,4 +14,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("stateful sessionization across micro-batches equals batch st02") {
+    val streamed = StreamRunner.sessionizeStateful(spark, sf, "graft_sessions_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.streaming.StreamingOps.queries.find(_.name == "st02_sessionize").get
+      .fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("user_id")),
+        r.getLong(r.fieldIndex("n_sessions")), r.getLong(r.fieldIndex("n_events"))))
+      .toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
