@@ -25,6 +25,9 @@ object Tables {
     * division (`div`, not `/` — 1.7e18 ns overflows double precision).
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    // self-healing: the flag is a runtime-settable SQLConf, so sessions
+    // built without it (e.g. a driver-owned session) still read events
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -113,6 +113,37 @@ object AnalysisQueries {
         .agg(
           count(lit(1)).as("n_docs"),
           sum(expr("cast(octet_length(text) as bigint)")).as("bytes"))
+    },
+
+    // Column profiling for training-data QA: per-column counts, null
+    // rates, ranges, exact distincts over the fact table.
+    Q(
+      "an06_column_profile",
+      """SELECT count(*) AS n_rows,
+        |  CAST(count(*) - count(l_quantity) AS BIGINT) AS qty_nulls,
+        |  min(l_quantity) AS qty_min, max(l_quantity) AS qty_max,
+        |  count(DISTINCT l_returnflag) AS flag_distinct,
+        |  count(DISTINCT l_partkey) AS part_distinct,
+        |  min(l_extendedprice) AS price_min, max(l_extendedprice) AS price_max
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      T.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("l_quantity"))).cast("long").as("qty_nulls"),
+        min("l_quantity").as("qty_min"),
+        max("l_quantity").as("qty_max"),
+        countDistinct("l_returnflag").as("flag_distinct"),
+        countDistinct("l_partkey").as("part_distinct"),
+        min("l_extendedprice").as("price_min"),
+        max("l_extendedprice").as("price_max"))
+    },
+
+    // Approximate profile (t-digest quantiles + HLL) — sketches differ per
+    // engine, rows-only gate; the scale path for 100 TB profiling.
+    Q.noOracle("an07_approx_profile") { (s, d) =>
+      T.lineitem(s, d).agg(
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99))").as("price_quantiles"),
+        approx_count_distinct(col("l_partkey")).as("part_approx_distinct"),
+        expr("avg(l_quantity)").as("qty_mean"))
     }
   )
 }

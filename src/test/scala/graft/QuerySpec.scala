@@ -47,6 +47,6 @@ class QuerySpec extends AnyFunSuite {
   test("oracle SQL exists for every oracle-checkable query") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // rows-only queries are the documented exceptions
-    assert(missing == Set("op03_list_files", "q_approx_distinct"))
+    assert(missing == Set("op03_list_files", "q_approx_distinct", "an07_approx_profile"))
   }
 }
