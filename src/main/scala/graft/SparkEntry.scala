@@ -18,6 +18,7 @@ object SparkEntry {
       graft.functions.FunctionOps.queries ++
       graft.functions.TextOps.queries ++
       graft.operators.DedupOps.queries ++
+      graft.operators.MlDedup.queries ++
       graft.operators.SimilarityOps.queries ++
       graft.operators.MultimodalOps.queries ++
       graft.streaming.StreamingOps.queries ++

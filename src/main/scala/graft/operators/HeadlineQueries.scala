@@ -156,6 +156,41 @@ object HeadlineQueries {
       T.lineitem(s, d).agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         count(lit(1)).as("n_rows"))
+    },
+
+    // Window function: top-3 highest-price lines per order (partitioned
+    // window → parallel; ties broken by linenumber+quantity for a total
+    // order over the non-unique synthetic keys).
+    Q(
+      "q_window_topn",
+      """SELECT l_orderkey, CAST(rn AS BIGINT) AS rn, l_extendedprice
+        |FROM (
+        |  SELECT l_orderkey, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_extendedprice DESC, l_linenumber, l_quantity) AS rn
+        |  FROM lineitem WHERE l_orderkey % 10 = 3)
+        |WHERE rn <= 3""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("l_extendedprice").desc, col("l_linenumber"), col("l_quantity"))
+      T.lineitem(s, d)
+        .filter(col("l_orderkey") % 10 === 3)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("l_orderkey", "rn", "l_extendedprice")
+    },
+
+    // Rollup aggregation (hierarchical subtotals; NULL grouping semantics
+    // are identical across engines).
+    Q(
+      "q_rollup_totals",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin) {
+      (s, d) =>
+        T.lineitem(s, d)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), expr(P.dsum("l_quantity")).as("qty"))
     }
   )
 }

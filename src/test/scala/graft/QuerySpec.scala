@@ -11,7 +11,7 @@ class QuerySpec extends AnyFunSuite {
 
   // queries whose correct result can legitimately be empty
   private val mayBeEmpty = Set("dd04_lsh_candidate_pairs", "dd06_ngram_jaccard",
-    "ss03_embed_neardup", "op08b_batch_drop_remainder")
+    "ss03_embed_neardup", "op08b_batch_drop_remainder", "dd07_mllib_minhash_lsh")
 
   SparkEntry.all.foreach { q =>
     test(s"${q.name} runs${if (q.oracle.isDefined) " (oracle-gated)" else ""}") {
@@ -47,6 +47,7 @@ class QuerySpec extends AnyFunSuite {
   test("oracle SQL exists for every oracle-checkable query") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // rows-only queries are the documented exceptions
-    assert(missing == Set("op03_list_files", "q_approx_distinct", "an07_approx_profile"))
+    assert(missing == Set("op03_list_files", "q_approx_distinct", "an07_approx_profile",
+      "dd07_mllib_minhash_lsh"))
   }
 }
