@@ -96,3 +96,20 @@ object CosineSimilarity {
       exprs => CosineSimilarity(exprs(0), exprs(1)),
       "built-in")
 }
+
+/** Session-extension deployment path: sessions built with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * (or `.withExtensions(new GraftExtensions)`) get graft's native
+  * functions in every context — SQL, views, thrift — without a runtime
+  * registry call.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_similarity"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimilarity(exprs(0), exprs(1))))
+  }
+}

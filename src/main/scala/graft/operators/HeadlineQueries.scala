@@ -49,9 +49,9 @@ object HeadlineQueries {
       val c = T.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       val o = T.orders(s, d).filter(col("o_orderstatus") === "O")
       val l = T.lineitem(s, d)
-      // orders is a fact table: broadcast only the filtered customer dim,
-      // then shuffle-join lineitem⋈orders on the shared orderkey.
-      l.join(o.join(broadcast(c), col("c_custkey") === col("o_custkey")),
+      // orders and customer both scale with the fact data — no broadcast
+      // hints; AQE promotes the small side at runtime when it fits.
+      l.join(o.join(c, col("c_custkey") === col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_orderkey")
         .agg(

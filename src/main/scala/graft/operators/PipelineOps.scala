@@ -316,6 +316,23 @@ object PipelineOps {
           explode(sequence(lit(0L), col("event_id") % 2)).as("copy"))
     },
 
+    // op 20b: Bernoulli-smoothed data echoing (dataset_echoing.py:37-44):
+    // fractional echo factor e=1.3 → every element once, plus a second
+    // copy for the 30 % selected by a seeded portable hash.
+    Q(
+      "op20b_echo_bernoulli",
+      s"""SELECT event_id, unnest(range(0,
+         |  1 + CASE WHEN ${P.duckHash60("'echo7|' || CAST(event_id AS VARCHAR)")} % 1000 < 300
+         |      THEN 1 ELSE 0 END)) AS copy
+         |FROM events WHERE event_id < 400""".stripMargin) { (s, d) =>
+      T.events(s, d)
+        .filter(col("event_id") < 400)
+        .selectExpr(
+          "event_id",
+          s"explode(sequence(0L, case when ${P.hash60("concat('echo7|', cast(event_id as string))")} % 1000 < 300 " +
+            "then 1L else 0L end)) as copy")
+    },
+
     // op 21: unbatch (dataset_echoing.py:47-55): batch → posexplode round
     // trip; pos is the 1-based position within the batch.
     Q(
