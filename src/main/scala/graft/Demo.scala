@@ -26,6 +26,9 @@ object Demo {
     val res = api.Optimizer.optimizePipeline(spark, g0, sfDir)
 
     println(s"bottleneck node   : ${res.bottleneck.map(g0.canonicalNames)}")
+    println(f"machine           : ${res.global.cores} cores, " +
+      f"disk ${res.global.diskBandwidthBps / 1e6}%.0f MB/s (FsProbe), " +
+      f"mem free ${res.global.memoryFreeBytes >> 30} GiB")
     println(s"LP thetas         : ${res.thetas.toSeq.sortBy(_._1)}")
     println(f"predicted min-rate: ${res.predictedRate}%.0f elems/s")
     println(s"rules applied     : ${res.ruleReport.applied.mkString(", ")}")

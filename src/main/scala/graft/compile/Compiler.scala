@@ -61,7 +61,7 @@ object Compiler {
           // whole row — cheap (single shuffle, no sort), like the reference's
           // bounded reservoir it perturbs order without total ordering.
           val src = in()
-          src.repartition(abs(hash(src.columns.map(col) :+ lit(seed): _*)))
+          src.repartition(abs(hash((src.columns.map(col) :+ lit(seed)).toIndexedSeq: _*)))
         case Repeat(k) =>
           require(k > 0, "repeat(-1) is a benchmark-loop construct, not a plan")
           in().crossJoin(spark.range(k).select(col("id").as("_copy"))).drop("_copy")

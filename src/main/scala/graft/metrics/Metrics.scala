@@ -69,13 +69,14 @@ object Instrument {
     val compiled = Compiler.compile(spark, g, sfDir, instrument = true)
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val listener = new StageMetricsListener
     val cpu0 = osBean.getProcessCpuTime
     val t0 = System.nanoTime()
     // collect() (not count()) — count() builds a NEW QueryExecution around
     // an added aggregate, and the CollectMetrics results would attach to
     // that execution instead of compiled.df.queryExecution. Instrumented
     // runs are bounded pipelines (profile mode), so collecting is safe.
-    val rows = compiled.df.collect().length.toLong
+    val rows = listener.collect(spark) { compiled.df.collect().length.toLong }
     val wallNs = System.nanoTime() - t0
     val cpuNs = math.max(0L, osBean.getProcessCpuTime - cpu0)
 
@@ -90,6 +91,7 @@ object Instrument {
       val n = g.byId(id)
       val produced = elems(id)
       val consumed = n.inputs.map(elems).sum
+      val isSrc = graft.ir.PipelineOp.isSource(n.op)
       NodeMetrics(
         nodeId = id,
         name = g.canonicalNames(id),
@@ -98,13 +100,24 @@ object Instrument {
         elementsProduced = produced,
         elementsConsumed = consumed,
         // proportional attribution of measured CPU time across nodes by
-        // work processed — coarse but honest; see NodeSweep for exact.
+        // work processed — coarse but honest; PreciseProfiler for exact.
         processingTimeNs = (cpuNs.toDouble * produced / totalElems).toLong,
-        bytesPerElement = 0.0,
+        // measured task input bytes attributed to source nodes — feeds
+        // disk_bytes_per_root_element / diskUpperBound (A13)
+        bytesPerElement =
+          if (isSrc && produced > 0) listener.inputBytes.toDouble / produced else 0.0,
         isParallelizable = graft.ir.PipelineOp.supportsParallelism(n.op),
-        isSource = graft.ir.PipelineOp.isSource(n.op),
+        isSource = isSrc,
         isRandom = n.op.isRandom)
     }
-    RunResult(metrics, GlobalMetrics.detect(wallNs, cpuNs), rows)
+    val global = GlobalMetrics.detect(wallNs, cpuNs)
+      .copy(diskBandwidthBps = measuredBandwidth(sfDir))
+    RunResult(metrics, global, rows)
   }
+
+  // FsProbe capacity measurement, cached per fixture dir (A20 feeding
+  // machine_info, replacing the reference's 100 MB/s fallback).
+  private val bwCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+  private def measuredBandwidth(sfDir: String): Double =
+    bwCache.computeIfAbsent(sfDir, d => graft.bench.FsProbe.sequentialReadBps(d))
 }
