@@ -23,7 +23,10 @@ object Demo {
     spark.sparkContext.setLogLevel("ERROR")
 
     val g0 = api.Flagship.graph
-    val res = api.Optimizer.optimizePipeline(spark, g0, sfDir)
+    // honors GRAFT_NO_OPTIMIZE / GRAFT_APPLY_CACHING / GRAFT_MAX_CHANGE /
+    // GRAFT_FAST_OPTIMIZE (the reference's PLUMBER_* env-gate parity)
+    val res = api.Optimizer.optimizePipeline(spark, g0, sfDir,
+      api.Optimizer.Config.fromEnv())
 
     println(s"bottleneck node   : ${res.bottleneck.map(g0.canonicalNames)}")
     println(f"machine           : ${res.global.cores} cores, " +

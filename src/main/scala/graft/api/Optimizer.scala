@@ -19,7 +19,21 @@ object Optimizer {
       cores: Option[Int] = None,
       applyCaching: Boolean = true,
       maxChange: Option[Double] = None,
-      cacheSizeEstimates: Map[Int, Long] = Map.empty)
+      cacheSizeEstimates: Map[Int, Long] = Map.empty,
+      noOptimize: Boolean = false,
+      fastOptimize: Boolean = false) // skip source calibration
+
+  object Config {
+    /** Env-var gates mirroring the reference's PLUMBER_* knobs
+      * (pipeline_optimizer_wrapper.py:238-307): GRAFT_NO_OPTIMIZE,
+      * GRAFT_APPLY_CACHING, GRAFT_MAX_CHANGE, GRAFT_FAST_OPTIMIZE.
+      */
+    def fromEnv(base: Config = Config()): Config = base.copy(
+      noOptimize = sys.env.get("GRAFT_NO_OPTIMIZE").exists(_ == "1"),
+      applyCaching = sys.env.get("GRAFT_APPLY_CACHING").forall(_ != "0") && base.applyCaching,
+      maxChange = sys.env.get("GRAFT_MAX_CHANGE").map(_.toDouble).orElse(base.maxChange),
+      fastOptimize = sys.env.get("GRAFT_FAST_OPTIMIZE").exists(_ == "1"))
+  }
 
   final case class Result(
       original: PipelineGraph,
@@ -32,6 +46,17 @@ object Optimizer {
       ruleReport: RuleRunner.Report) {
     def rankedTable(spark: SparkSession): DataFrame =
       Analysis.rankedTable(spark, metrics, global)
+
+    /** Colored DOT: bottleneck red, cached nodes green (the reference's
+      * debug rendering, graph_rewrites.py:614-667).
+      */
+    def toDot: String = {
+      val cacheIds = optimized.nodes.filter(_.op == graft.ir.PipelineOp.CacheOp).map(_.id).toSet
+      optimized.toDot(extraAttrs = id =>
+        if (bottleneck.contains(id)) "style=filled, fillcolor=\"#ffcccc\", color=red"
+        else if (cacheIds.contains(id)) "color=green"
+        else "")
+    }
   }
 
   /** Source-parallelism calibration (§3.1 step 4b,
@@ -58,6 +83,12 @@ object Optimizer {
     // 1. instrumented trace run (the 62 s benchmark analogue — here one
     //    bounded pass over the fixture tables)
     val run = Instrument.run(spark, g0, sfDir)
+    if (cfg.noOptimize) {
+      // PLUMBER_NO_OPTIMIZE parity: trace + report, change nothing
+      return Result(g0, g0, run.nodeMetrics, run.global, Map.empty, 0.0,
+        Analysis.bottleneck(run.nodeMetrics, run.global).map(_.nodeId),
+        graft.rules.RuleRunner.Report(Nil, Nil, g0))
+    }
     val cores = cfg.cores.getOrElse(run.global.cores)
 
     // 2. LP inputs: per-core rates for parallelizable ops; θmax = 1 for

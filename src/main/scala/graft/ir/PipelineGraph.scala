@@ -188,10 +188,18 @@ final case class PipelineGraph(nodes: Seq[PipelineNode], sink: Int) {
     (a -- b, b -- a)
   }
 
-  /** DOT export (A26 analogue, graph_rewrites.py:614-667). */
-  def toDot(extraLabel: Int => String = _ => ""): String = {
+  /** DOT export (A26 analogue, graph_rewrites.py:614-667). `extraLabel`
+    * extends the node label; `extraAttrs` appends raw DOT attributes
+    * (e.g. colors for bottleneck/cache highlighting).
+    */
+  def toDot(extraLabel: Int => String = _ => "",
+      extraAttrs: Int => String = _ => ""): String = {
     val ns = nodes.map { n =>
-      s"""  n${n.id} [label="${canonicalNames(n.id)}(p=${n.parallelism})${extraLabel(n.id)}"];"""
+      val attrs = extraAttrs(n.id) match {
+        case "" => ""
+        case a  => s", $a"
+      }
+      s"""  n${n.id} [label="${canonicalNames(n.id)}(p=${n.parallelism})${extraLabel(n.id)}"$attrs];"""
     }
     val es = nodes.flatMap(n => n.inputs.map(i => s"  n$i -> n${n.id};"))
     (Seq("digraph pipeline {") ++ ns ++ es ++ Seq("}")).mkString("\n")

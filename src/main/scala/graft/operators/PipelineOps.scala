@@ -105,8 +105,8 @@ object PipelineOps {
     Q(
       "op08_batch",
       """WITH b AS (
-        |  SELECT l_orderkey % 8 AS shard, l_orderkey, l_quantity,
-        |    row_number() OVER (PARTITION BY l_orderkey % 8
+        |  SELECT l_orderkey % 32 AS shard, l_orderkey, l_quantity,
+        |    row_number() OVER (PARTITION BY l_orderkey % 32
         |                       ORDER BY l_orderkey, l_linenumber, l_quantity) AS rn
         |  FROM lineitem)
         |SELECT shard, CAST(FLOOR((rn-1)/16.0) AS BIGINT) AS batch_id,
@@ -115,7 +115,7 @@ object PipelineOps {
         |FROM b GROUP BY shard, batch_id""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("shard").orderBy("l_orderkey", "l_linenumber", "l_quantity")
       T.lineitem(s, d)
-        .withColumn("shard", col("l_orderkey") % 8)
+        .withColumn("shard", col("l_orderkey") % 32)
         .withColumn("rn", row_number().over(w))
         .withColumn("batch_id", floor((col("rn") - 1) / 16))
         .groupBy("shard", "batch_id")
@@ -130,15 +130,15 @@ object PipelineOps {
     Q(
       "op08b_batch_drop_remainder",
       """WITH b AS (
-        |  SELECT l_orderkey % 8 AS shard, l_orderkey, l_quantity,
-        |    row_number() OVER (PARTITION BY l_orderkey % 8
+        |  SELECT l_orderkey % 32 AS shard, l_orderkey, l_quantity,
+        |    row_number() OVER (PARTITION BY l_orderkey % 32
         |                       ORDER BY l_orderkey, l_linenumber, l_quantity) AS rn
         |  FROM lineitem)
         |SELECT shard, CAST(FLOOR((rn-1)/16.0) AS BIGINT) AS batch_id, count(*) AS n
         |FROM b GROUP BY shard, batch_id HAVING count(*) = 16""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("shard").orderBy("l_orderkey", "l_linenumber", "l_quantity")
       T.lineitem(s, d)
-        .withColumn("shard", col("l_orderkey") % 8)
+        .withColumn("shard", col("l_orderkey") % 32)
         .withColumn("rn", row_number().over(w))
         .withColumn("batch_id", floor((col("rn") - 1) / 16))
         .groupBy("shard", "batch_id")
