@@ -47,6 +47,13 @@ object Demo {
     val after = bench.Harness.benchmark(spark, res.optimized, sfDir, maxIterations = 3)
     println(f"rows/s original ${before.elementRate}%.0f -> optimized ${after.elementRate}%.0f")
 
+    // §3.3 introspection surface (PlumberPerformanceModel API shape)
+    val rec = api.Recommendation(g0, res.metrics, res.global,
+      res.metrics.lastOption.map(_.elementsProduced).getOrElse(0L))
+    println(f"introspection     : cpuUtil=${rec.cpuUtil * 100}%.0f%% " +
+      f"diskUtil=${rec.diskUtil * 100}%.1f%% lpUpper=${rec.lpUpperBounds()}%.0f/s " +
+      f"diskUpper=${rec.diskUpperBounds()}%.0f/s remainingCores=${rec.remainingCpuCores}%.1f")
+
     // precise per-node timing (profile mode: iterator barriers)
     val prof = metrics.PreciseProfiler.run(spark, g0, sfDir)
     println("precise per-node self time:")
