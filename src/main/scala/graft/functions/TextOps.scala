@@ -89,6 +89,23 @@ object TextOps {
         "cast(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)) as bigint) as bpe_pieces")
     },
 
+    // C4-style quality filter (TextQuality.filterQuality with defaults):
+    // token count, mean token length, punct density bands. Doc ids only —
+    // the predicate arithmetic is double-deterministic in both engines.
+    Q(
+      "tx05_quality_filter",
+      s"""WITH t AS (SELECT doc_id, text,
+         |    regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents)
+         |SELECT doc_id FROM t
+         |WHERE len(toks) BETWEEN 10 AND 100000
+         |  AND (length(text)::DOUBLE / len(toks)) BETWEEN 2.0 AND 12.0
+         |  AND ((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+         |       / length(text)) <= 0.2
+         |  AND (len(list_filter(toks, w -> w IN ($enWords)))::DOUBLE / len(toks)) >= 0.0
+         |""".stripMargin) { (s, d) =>
+      TextQuality.filterQuality(T.documents(s, d)).select("doc_id")
+    },
+
     // Document fingerprint: whitespace-normalized lowercase md5 prefix.
     // (Content-defined fingerprint; duplicates share fp.)
     Q(

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** C4-style text-quality filtering: keep documents inside configurable
+  * bands of token count, mean token length, punctuation density, and
+  * stopword ratio — the composition of the tx01–tx03 signals as a single
+  * codegen'd predicate (no UDF, no shuffle).
+  */
+object TextQuality {
+
+  final case class Thresholds(
+      minTokens: Int = 10,
+      maxTokens: Int = 100000,
+      minAvgTokenLen: Double = 2.0,
+      maxAvgTokenLen: Double = 12.0,
+      maxPunctRatio: Double = 0.2,
+      minStopwordRatio: Double = 0.0)
+
+  private val stopwords = "'the','a','of','and','to'"
+
+  /** Boolean quality predicate over the named text column. */
+  def isQuality(textCol: String, t: Thresholds = Thresholds()): Column = {
+    val toks = split(lower(col(textCol)), "\\s+")
+    val ntok = size(toks)
+    val len = length(col(textCol))
+    val punct = len - length(regexp_replace(col(textCol), "[.,;:!?]", ""))
+    val stops = expr(
+      s"size(filter(split(lower($textCol), '\\\\s+'), w -> w in ($stopwords)))")
+    ntok.between(t.minTokens, t.maxTokens) &&
+      (len.cast("double") / ntok)
+        .between(t.minAvgTokenLen, t.maxAvgTokenLen) &&
+      (punct.cast("double") / len) <= t.maxPunctRatio &&
+      (stops.cast("double") / ntok) >= t.minStopwordRatio
+  }
+
+  /** Filter a documents frame on the quality predicate. */
+  def filterQuality(df: DataFrame, textCol: String = "text",
+      t: Thresholds = Thresholds()): DataFrame =
+    df.filter(isQuality(textCol, t))
+}
+
+/** Dedup driver APIs — function-shaped entry points over the plans the
+  * dd* queries pin (users call these; the queries carry the oracles).
+  */
+object Dedup {
+  import graft.{Portable => P}
+
+  /** Exact dedup on a content digest: first row (min of `keep`) per
+    * distinct value of `col`. The payload never shuffles — only the
+    * 60-bit digest and the keep-key move.
+    */
+  def exact(df: DataFrame, textCol: String, keepCol: String): DataFrame = {
+    val keyed = df.withColumn("_h", expr(P.hash60(textCol)))
+    val keepers = keyed.groupBy("_h")
+      .agg(min(col(keepCol)).as(keepCol))
+      .withColumnRenamed(keepCol, "_keep")
+    keyed.join(keepers, keyed("_h") === keepers("_h") && col(keepCol) === col("_keep"))
+      .drop("_h", "_keep")
+  }
+
+  /** MinHash-LSH near-dup candidate pairs over a text column (the
+    * dd03/dd04 plan as a function): returns (a, b) id pairs sharing the
+    * band bucket.
+    */
+  def nearDupCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sig = df.selectExpr(s"$idCol as _id", s"split($textCol, '\\\\s+') as toks")
+      .selectExpr("_id",
+        "case when size(toks) < 3 then array() else transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2))) end as shingles")
+      .selectExpr("_id", s"array_min(transform(shingles, s -> ${P.hash60("concat('0|', s)")})) as mh0")
+      .persist()
+    sig.select(col("_id").as("a_id"), col("mh0"))
+      .join(sig.select(col("_id").as("b_id"), col("mh0")), Seq("mh0"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+  }
+}
