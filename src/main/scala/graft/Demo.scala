@@ -41,6 +41,8 @@ object Demo {
       .select("name", "op", "parallelism", "elementsProduced",
         "expected_parallel_max_rate", "p_busy", "element_ratio")
       .show(32, false)
+    println("recommended params (show_params analogue):")
+    res.recommendedParams.foreach { case (k, v) => println(s"  $k = $v") }
     println("optimized pipeline DOT:\n" + res.optimized.toDot())
 
     val before = bench.Harness.benchmark(spark, g0, sfDir, maxIterations = 3)

@@ -47,6 +47,23 @@ object Optimizer {
     def rankedTable(spark: SparkSession): DataFrame =
       Analysis.rankedTable(spark, metrics, global)
 
+    /** show_params.sh workflow (README.md:625-633): the recommended
+      * parameters a human applies to a pipeline that can't be resumed —
+      * per-node parallelism plus the session-level knobs.
+      */
+    def recommendedParams: Seq[(String, String)] = {
+      val perNode = optimized.topoOrder.map { id =>
+        val n = optimized.byId(id)
+        s"parallelism[${optimized.canonicalNames(id)}]" -> n.parallelism.toString
+      }
+      perNode ++ Seq(
+        "spark.sql.shuffle.partitions" ->
+          math.max(1, math.ceil(thetas.values.sum).toInt).toString,
+        "spark.sql.adaptive.enabled" -> "true",
+        "cache" -> optimized.nodes.find(_.op == graft.ir.PipelineOp.CacheOp)
+          .map(c => s"after ${optimized.canonicalNames(c.inputs.head)}").getOrElse("none"))
+    }
+
     /** Colored DOT: bottleneck red, cached nodes green (the reference's
       * debug rendering, graph_rewrites.py:614-667).
       */

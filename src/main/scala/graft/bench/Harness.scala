@@ -33,7 +33,15 @@ final class AutotuneState(
 }
 
 object Harness {
-  final case class BenchResult(elementRate: Double, iterations: Int, elapsedSec: Double)
+  final case class BenchResult(elementRate: Double, iterations: Int,
+      elapsedSec: Double, iterationRates: Seq[Double]) {
+    /** iterator_variance() parity: variance of per-iteration rates. */
+    def rateVariance: Double = {
+      if (iterationRates.size < 2) return 0.0
+      val m = iterationRates.sum / iterationRates.size
+      iterationRates.map(r => (r - m) * (r - m)).sum / (iterationRates.size - 1)
+    }
+  }
 
   /** Repeatedly run the compiled pipeline until AUTOTUNE convergence or
     * `maxIterations` — the reference's benchmark_summary loop
@@ -43,14 +51,17 @@ object Harness {
       maxIterations: Int = 20, state: AutotuneState = new AutotuneState()): BenchResult = {
     val df = Compiler.compile(spark, g, sfDir).df
     var iters = 0
+    val rates = scala.collection.mutable.ArrayBuffer[Double]()
     val t0 = System.nanoTime()
     while (!state.isConverged && iters < maxIterations) {
       val s0 = System.nanoTime()
       val n = df.count()
-      state.update(n, (System.nanoTime() - s0) / 1e9)
+      val dt = (System.nanoTime() - s0) / 1e9
+      state.update(n, dt)
+      if (dt > 0) rates += n / dt
       iters += 1
     }
-    BenchResult(state.currentRate, iters, (System.nanoTime() - t0) / 1e9)
+    BenchResult(state.currentRate, iters, (System.nanoTime() - t0) / 1e9, rates.toSeq)
   }
 
   /** A16 — per-node throughput sweep (benchmark_util.py:11-148): truncate
