@@ -111,5 +111,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[CosineSimilarity].getName, "cosine_similarity"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("reservoir_sample"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[ReservoirSample].getName, "reservoir_sample"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ReservoirSample(
+          exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue(),
+          if (exprs.size > 2) exprs(2).eval().asInstanceOf[Number].longValue() else 42L)
+          .toAggregateExpression()))
   }
 }

@@ -206,6 +206,20 @@ object PipelineOps {
         .select("pos", "l_orderkey", "l_linenumber")
     },
 
+    // op 11b: exact bounded-buffer shuffle via the reservoir_sample
+    // TypedImperativeAggregate (tf.data's true shuffle semantics) —
+    // sampling is engine-internal, so rows-only gate; the aggregate's
+    // invariants are pinned in ReservoirSampleSpec.
+    Q.noOracle("op11b_reservoir_shuffle") { (s, d) =>
+      graft.functions.ReservoirSample.register(s)
+      T.lineitem(s, d).createOrReplaceTempView("li_reservoir")
+      s.sql(
+        """select shard, explode(sample) as l_orderkey from (
+          |  select l_orderkey % 4 as shard,
+          |         reservoir_sample(l_orderkey, 64, 7L) as sample
+          |  from li_reservoir group by l_orderkey % 4)""".stripMargin)
+    },
+
     // op 12: repeat(3) (graphdef_util.py:566-601)
     Q(
       "op12_repeat",

@@ -48,6 +48,6 @@ class QuerySpec extends AnyFunSuite {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // rows-only queries are the documented exceptions
     assert(missing == Set("op03_list_files", "q_approx_distinct", "an07_approx_profile",
-      "dd07_mllib_minhash_lsh"))
+      "dd07_mllib_minhash_lsh", "op11b_reservoir_shuffle"))
   }
 }
