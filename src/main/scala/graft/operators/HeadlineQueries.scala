@@ -180,6 +180,29 @@ object HeadlineQueries {
         .select("l_orderkey", "rn", "l_extendedprice")
     },
 
+    // Returned-item reporting (Q10 shape): customers ranked by revenue
+    // lost to returns — fact-fact shuffle join + dim lookup + top-k.
+    Q(
+      "q10_returned_customers",
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      T.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(expr(P.dsum("l_extendedprice * (1 - l_discount)", 6)).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
     // As-of join: attach to every click the most recent prior 'view' of
     // the same user. Composed from built-ins (union + partitioned window
     // last_value over preceding rows) — no custom operator needed, stays
