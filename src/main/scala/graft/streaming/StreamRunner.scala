@@ -85,6 +85,40 @@ object StreamRunner {
       .selectExpr("user_id", "s.n_sessions as n_sessions", "s.n_events as n_events")
   }
 
+  /** Streaming deduplication — the exactly-once-ingest primitive:
+    * duplicate the events stream (two staged copies of the same file),
+    * then `dropDuplicatesWithinWatermark` on event_id keeps state only
+    * inside the watermark horizon. Returns the deduped collected rows;
+    * StreamingSpec asserts equality with the batch distinct.
+    */
+  def dedupStream(spark: SparkSession, sfDir: String,
+      queryName: String = "graft_dedup"): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir).select("event_id", "ts", "event_type")
+    val stage = java.nio.file.Files.createTempDirectory("graft-dedup")
+    // stage the SAME data twice → every event arrives duplicated
+    ev.coalesce(1).write.mode("overwrite").parquet(stage.resolve("a_tmp").toString)
+    val part = new java.io.File(stage.resolve("a_tmp").toString)
+      .listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, stage.resolve("copy_a.parquet"))
+    java.nio.file.Files.copy(part.toPath, stage.resolve("copy_b.parquet"))
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+      .where("event_id is not null")
+    val deduped = stream
+      .withWatermark("ts", "24 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Run the st01 window aggregation as a real stream over the events
     * fixture; returns the collected result as a DataFrame.
     */

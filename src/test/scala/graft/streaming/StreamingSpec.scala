@@ -15,6 +15,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming dedup drops the duplicated copy exactly") {
+    val deduped = StreamRunner.dedupStream(spark, sf, "graft_dedup_spec")
+    val ids = deduped.select("event_id").collect().map(_.getLong(0))
+    val batch = graft.Tables.events(spark, sf).select("event_id")
+      .collect().map(_.getLong(0))
+    assert(ids.length == batch.length) // 2× input collapsed back to 1×
+    assert(ids.sorted.sameElements(batch.sorted))
+  }
+
   test("stateful sessionization across micro-batches equals batch st02") {
     val streamed = StreamRunner.sessionizeStateful(spark, sf, "graft_sessions_spec")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
