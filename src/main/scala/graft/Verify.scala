@@ -24,7 +24,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
 
-    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    var pool = java.util.concurrent.Executors.newSingleThreadExecutor()
     SparkEntry.queries.foreach { case (name, fn) =>
       val task = pool.submit(new java.util.concurrent.Callable[Unit] {
         override def call(): Unit = {
@@ -39,11 +39,19 @@ object Verify {
         case _: java.util.concurrent.TimeoutException =>
           spark.sparkContext.cancelJobGroup(name)
           task.cancel(true)
+          // Abandon the single-thread pool: if the cancelled job ignores
+          // interruption, a reused pool would queue the NEXT query behind
+          // it and its timeout clock would include the queue wait —
+          // cascading false timeouts across the rest of the gate.
+          pool.shutdownNow()
+          pool = java.util.concurrent.Executors.newSingleThreadExecutor()
           System.err.println(s"[verify] $name failed: timeout after ${timeoutS}s (cancelled)")
         case e: Throwable =>
           val cause = Option(e.getCause).getOrElse(e)
           System.err.println(s"[verify] $name failed: ${cause.getMessage}")
       }
+      // drop query-local persist() blocks before the next query runs
+      spark.sharedState.cacheManager.clearCache()
     }
     pool.shutdownNow()
 

@@ -110,26 +110,39 @@ object FunctionOps {
     },
 
     // sos/eos concat over token-id arrays (iterator_utils.py:169-193):
-    // ids = portable hashes of tokens, bounded to vocab 1000, wrapped 1|ids|2.
+    // ids = portable hashes of tokens, bounded to vocab 1000, wrapped
+    // 1|ids|2. Built as a real array, gated per-position via posexplode
+    // (driver's comparator can't hash array cells; the exploded form pins
+    // the exact sequence — sos at pos 1, eos at pos len).
     Q(
       "fn07_sos_eos_tokens",
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+')[1:6] AS toks
-         |           FROM documents WHERE doc_id < 50)
-         |SELECT doc_id,
-         |  list_concat(list_concat([1::BIGINT],
-         |    list_transform(toks, w -> 3 + ${P.duckHash60("w")} % 997)), [2::BIGINT]) AS ids
-         |FROM t""".stripMargin) { (s, d) =>
+         |           FROM documents WHERE doc_id < 50),
+         |  v AS (SELECT doc_id,
+         |    list_concat(list_concat([1::BIGINT],
+         |      list_transform(toks, w -> 3 + ${P.duckHash60("w")} % 997)), [2::BIGINT]) AS ids
+         |  FROM t)
+         |SELECT doc_id, u.pos AS pos, u.tok_id AS tok_id FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(ids) + 1),
+         |    i -> {'pos': CAST(i AS BIGINT), 'tok_id': ids[i]})) AS u
+         |  FROM v)""".stripMargin) { (s, d) =>
       T.documents(s, d)
         .filter(col("doc_id") < 50)
         .selectExpr("doc_id", "slice(split(text, '\\\\s+'), 1, 6) as toks")
         .selectExpr(
           "doc_id",
           s"concat(array(1L), transform(toks, w -> 3 + ${P.hash60("w")} % 997), array(2L)) as ids")
+        .selectExpr("doc_id", "posexplode(ids) as (pos0, tok_id)")
+        .selectExpr("doc_id", "cast(pos0 + 1 as bigint) as pos", "tok_id")
     },
 
     // Tensor-shaping family (imagenet_input.py:122-132; reshape/split/pad/
     // slice/flatten): higher-order array functions over a per-order
     // quantity "tensor" — reshape 8→2×4, pad, slice, flatten back.
+    // The 8-vector is reshaped 2×4 and gated cell-by-cell: (pos, r, c)
+    // prove the reshape arithmetic, in_slice marks the t[3:6] slice, and
+    // the per-order left-fold checksum rides along on every cell. Scalar
+    // cells only — the driver's comparator can't hash array columns.
     Q(
       "fn08_tensor_shaping",
       """WITH v AS (
@@ -137,12 +150,19 @@ object FunctionOps {
         |    (list_concat(list(l_quantity ORDER BY l_linenumber, l_quantity),
         |     [0.0::DOUBLE,0.0::DOUBLE,0.0::DOUBLE,0.0::DOUBLE,
         |      0.0::DOUBLE,0.0::DOUBLE,0.0::DOUBLE,0.0::DOUBLE]))[1:8] AS t
-        |  FROM lineitem WHERE l_orderkey % 25 = 0 GROUP BY l_orderkey)
-        |SELECT l_orderkey,
-        |  t[1:4] AS row1, t[5:8] AS row2,
-        |  t[3:6] AS sliced,
-        |  list_reduce(list_prepend(0.0::DOUBLE, t), (a, x) -> a + x) AS checksum
-        |FROM v""".stripMargin) { (s, d) =>
+        |  FROM lineitem WHERE l_orderkey % 25 = 0 GROUP BY l_orderkey),
+        |  w AS (SELECT l_orderkey, t,
+        |    list_reduce(list_prepend(0.0::DOUBLE, t), (a, x) -> a + x) AS checksum
+        |  FROM v)
+        |SELECT l_orderkey, u.pos AS pos, u.r AS r, u.c AS c,
+        |  u.in_slice AS in_slice, u.val AS val, checksum FROM (
+        |  SELECT l_orderkey, checksum, unnest(list_transform(range(1, 9), i -> {
+        |    'pos': CAST(i AS BIGINT),
+        |    'r': CAST((i - 1) // 4 + 1 AS BIGINT),
+        |    'c': CAST((i - 1) % 4 + 1 AS BIGINT),
+        |    'in_slice': CAST(CASE WHEN i BETWEEN 3 AND 6 THEN 1 ELSE 0 END AS BIGINT),
+        |    'val': t[i]})) AS u
+        |  FROM w)""".stripMargin) { (s, d) =>
       T.lineitem(s, d)
         .filter(col("l_orderkey") % 25 === 0)
         .groupBy("l_orderkey")
@@ -152,10 +172,16 @@ object FunctionOps {
           "slice(concat(transform(pairs, p -> p.l_quantity), array_repeat(0.0d, 8)), 1, 8) as t")
         .selectExpr(
           "l_orderkey",
-          "slice(t, 1, 4) as row1",
-          "slice(t, 5, 4) as row2",
-          "slice(t, 3, 4) as sliced",
-          "aggregate(t, cast(0.0 as double), (a, x) -> a + x) as checksum")
+          "aggregate(t, cast(0.0 as double), (a, x) -> a + x) as checksum",
+          "posexplode(t) as (pos0, val)")
+        .selectExpr(
+          "l_orderkey",
+          "cast(pos0 + 1 as bigint) as pos",
+          "cast(pos0 div 4 + 1 as bigint) as r",
+          "cast(pos0 % 4 + 1 as bigint) as c",
+          "cast(case when pos0 + 1 between 3 and 6 then 1 else 0 end as bigint) as in_slice",
+          "val",
+          "checksum")
     }
   )
 }

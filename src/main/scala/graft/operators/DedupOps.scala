@@ -78,26 +78,40 @@ object DedupOps {
         .selectExpr("doc_id", sparkMh(0), sparkMh(1), sparkMh(2), sparkMh(3))
     },
 
-    // LSH banding: candidate pairs sharing the (mh0) band bucket.
+    // LSH banding: candidate pairs sharing ANY of the b=4 band buckets
+    // (bands mh0..mh3, r=1 row each), unioned and dedup'd — the standard
+    // b×r banding contract: multi-band raises recall (P[candidate] =
+    // 1-(1-s^r)^b), the final DISTINCT collapses pairs that collide in
+    // several bands. Shuffles only (band, bucket, doc_id) — never text.
     Q(
       "dd04_lsh_candidate_pairs",
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |     sh AS (SELECT doc_id, $duckShingles AS shingles FROM t),
-         |     sig AS (SELECT doc_id, ${duckMh(0)} FROM sh)
-         |SELECT a.doc_id AS a_id, b.doc_id AS b_id
-         |FROM sig a JOIN sig b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id""".stripMargin) {
+         |     sig AS (SELECT doc_id, ${duckMh(0)}, ${duckMh(1)}, ${duckMh(2)}, ${duckMh(3)} FROM sh),
+         |     bands AS (
+         |       SELECT doc_id, 0 AS band, mh0 AS h FROM sig
+         |       UNION ALL SELECT doc_id, 1, mh1 FROM sig
+         |       UNION ALL SELECT doc_id, 2, mh2 FROM sig
+         |       UNION ALL SELECT doc_id, 3, mh3 FROM sig)
+         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id""".stripMargin) {
       (s, d) =>
         // persist: the self-join would otherwise recompute the minhash on
-        // both sides, and the join's isnotnull(mh0) pushdown would inline
+        // both sides, and the join's isnotnull(h) pushdown would inline
         // the whole shingle pipeline into a filter (observed 13 s → <1 s).
-        val sig = T.documents(s, d)
+        val bands = T.documents(s, d)
           .selectExpr("doc_id", s"$sparkToks as toks")
           .selectExpr("doc_id", s"$sparkShingles as shingles")
-          .selectExpr("doc_id", sparkMh(0))
+          .selectExpr("doc_id", sparkMh(0), sparkMh(1), sparkMh(2), sparkMh(3))
+          .selectExpr("doc_id", "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) as (band, h)")
           .persist()
-        val a = sig.select(col("doc_id").as("a_id"), col("mh0"))
-        val b = sig.select(col("doc_id").as("b_id"), col("mh0"))
-        a.join(b, Seq("mh0")).filter(col("a_id") < col("b_id")).select("a_id", "b_id")
+        val a = bands.select(col("doc_id").as("a_id"), col("band"), col("h"))
+        val b = bands.select(col("doc_id").as("b_id"), col("band"), col("h"))
+        a.join(b, Seq("band", "h"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id")
+          .distinct()
     },
 
     // SimHash: 16-bit signature — per bit b, majority vote over token
@@ -126,13 +140,20 @@ object DedupOps {
 
     // n-gram Jaccard verification of LSH candidates: exact set overlap of
     // distinct 3-shingles, scaled to an integer (×10000, floored).
+    // Candidates come from the SAME multi-band (b=4, r=1) LSH as dd04.
     Q(
       "dd06_ngram_jaccard",
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |     sh AS (SELECT doc_id, $duckShingles AS shingles FROM t),
-         |     sig AS (SELECT doc_id, ${duckMh(0)} FROM sh),
-         |     pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
-         |               FROM sig a JOIN sig b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id),
+         |     sig AS (SELECT doc_id, ${duckMh(0)}, ${duckMh(1)}, ${duckMh(2)}, ${duckMh(3)} FROM sh),
+         |     bands AS (
+         |       SELECT doc_id, 0 AS band, mh0 AS h FROM sig
+         |       UNION ALL SELECT doc_id, 1, mh1 FROM sig
+         |       UNION ALL SELECT doc_id, 2, mh2 FROM sig
+         |       UNION ALL SELECT doc_id, 3, mh3 FROM sig),
+         |     pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |               FROM bands a JOIN bands b
+         |                 ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
          |     ex AS (SELECT DISTINCT doc_id, unnest(shingles) AS sng FROM sh),
          |     sizes AS (SELECT doc_id, count(*) AS c FROM ex GROUP BY doc_id),
          |     inter AS (SELECT p.a_id, p.b_id, count(*) AS i
@@ -150,11 +171,15 @@ object DedupOps {
         .selectExpr("doc_id", s"$sparkToks as toks")
         .selectExpr("doc_id", s"$sparkShingles as shingles")
         .persist()
-      val sig = sh.selectExpr("doc_id", sparkMh(0)).persist()
-      val pairs = sig.select(col("doc_id").as("a_id"), col("mh0"))
-        .join(sig.select(col("doc_id").as("b_id"), col("mh0")), Seq("mh0"))
+      val bands = sh
+        .selectExpr("doc_id", sparkMh(0), sparkMh(1), sparkMh(2), sparkMh(3))
+        .selectExpr("doc_id", "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) as (band, h)")
+        .persist()
+      val pairs = bands.select(col("doc_id").as("a_id"), col("band"), col("h"))
+        .join(bands.select(col("doc_id").as("b_id"), col("band"), col("h")), Seq("band", "h"))
         .filter(col("a_id") < col("b_id"))
         .select("a_id", "b_id")
+        .distinct()
       val ex = sh.selectExpr("doc_id", "explode(shingles) as sng").distinct()
       val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("c"))
       val inter = pairs

@@ -147,20 +147,29 @@ object PipelineOps {
     },
 
     // op 9: padded_batch (iterator_utils.py:207-229): per-order quantity
-    // vector padded to fixed length 8 with 0.0.
+    // vector padded to fixed length 8 with 0.0. The padded tensor is built
+    // as a real array, then gated cell-by-cell via posexplode — the
+    // driver's comparator can't hash array cells, and the exploded form
+    // pins the EXACT content (value at every position) anyway.
     Q(
       "op09_padded_batch",
-      """SELECT l_orderkey,
+      """WITH v AS (SELECT l_orderkey,
         |  (list_concat(list(l_quantity ORDER BY l_linenumber, l_quantity),
         |               [0.0::DOUBLE,0.0::DOUBLE,0.0::DOUBLE,0.0::DOUBLE,
         |                0.0::DOUBLE,0.0::DOUBLE,0.0::DOUBLE,0.0::DOUBLE]))[1:8] AS padded
-        |FROM lineitem GROUP BY l_orderkey""".stripMargin) { (s, d) =>
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey, u.pos AS pos, u.val AS val FROM (
+        |  SELECT l_orderkey, unnest(list_transform(range(1, 9),
+        |    i -> {'pos': CAST(i AS BIGINT), 'val': padded[i]})) AS u
+        |  FROM v)""".stripMargin) { (s, d) =>
       T.lineitem(s, d)
         .groupBy("l_orderkey")
         .agg(array_sort(collect_list(struct(col("l_linenumber"), col("l_quantity")))).as("pairs"))
         .selectExpr(
           "l_orderkey",
           "slice(concat(transform(pairs, p -> p.l_quantity), array_repeat(0.0d, 8)), 1, 8) as padded")
+        .selectExpr("l_orderkey", "posexplode(padded) as (pos0, val)")
+        .selectExpr("l_orderkey", "cast(pos0 + 1 as bigint) as pos", "val")
     },
 
     // op 10: MapAndBatchDataset fusion (graphdef_util.py:13): map fused into
@@ -187,23 +196,32 @@ object PipelineOps {
 
     // op 11: shuffle(buffer, seed) (imagenet_input.py:198-202): seeded
     // deterministic permutation via a multiplicative-hash sort key (a full
-    // shuffle is a strict superset of tf.data's reservoir shuffle).
+    // shuffle is a strict superset of tf.data's reservoir shuffle). The
+    // permutation is sharded by the hash itself — each shard sorts its own
+    // slice in parallel (a global Window.orderBy would funnel every row
+    // through ONE partition, the classic 100 TB scale-killer).
     Q(
       "op11_shuffle",
-      """SELECT CAST(row_number() OVER (ORDER BY
-        |    (l_orderkey * 2654435761 + l_linenumber * 40503) % 999983,
-        |    l_orderkey, l_linenumber) AS BIGINT) AS pos,
+      """WITH s AS (SELECT l_orderkey, l_linenumber,
+        |    (l_orderkey * 2654435761 + l_linenumber * 40503) % 999983 AS skey
+        |  FROM lineitem WHERE l_orderkey % 10 = 0)
+        |SELECT CAST(skey % 8 AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY skey % 8
+        |    ORDER BY skey, l_orderkey, l_linenumber) AS BIGINT) AS pos,
         |  l_orderkey, l_linenumber
-        |FROM lineitem WHERE l_orderkey % 10 = 0""".stripMargin) { (s, d) =>
+        |FROM s""".stripMargin) { (s, d) =>
       val skey = (col("l_orderkey") * 2654435761L + col("l_linenumber") * 40503L) % 999983L
       T.lineitem(s, d)
         .filter(col("l_orderkey") % 10 === 0)
+        .withColumn("skey", skey)
+        .withColumn("shard", (col("skey") % 8).cast("long"))
         .withColumn(
           "pos",
           row_number()
-            .over(Window.orderBy(skey, col("l_orderkey"), col("l_linenumber")))
+            .over(Window.partitionBy("shard")
+              .orderBy(col("skey"), col("l_orderkey"), col("l_linenumber")))
             .cast("long"))
-        .select("pos", "l_orderkey", "l_linenumber")
+        .select("shard", "pos", "l_orderkey", "l_linenumber")
     },
 
     // op 11b: exact bounded-buffer shuffle via the reservoir_sample

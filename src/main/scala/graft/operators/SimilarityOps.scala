@@ -127,6 +127,14 @@ object SimilarityOps {
 
     // Embedding-cosine near-duplicate pairs within a candidate window
     // (same label, id distance ≤ 25) above a similarity threshold.
+    //
+    // Candidate generation joins on id-BLOCKS (floor(id/25), each left row
+    // probes its own block and the next — the standard band join), NOT on
+    // `label`: label is low-cardinality, so a label join is per-label
+    // near-cartesian under skew, while the block join caps every row at
+    // ≤ ~50 candidates regardless of the label distribution. The label
+    // equality stays as a cheap post-join filter, so the SEMANTICS (and
+    // the oracle SQL) are unchanged — only the plan is skew-proof.
     Q(
       "ss03_embed_neardup",
       s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
@@ -136,9 +144,15 @@ object SimilarityOps {
          |WHERE ${duckCos("a.embedding", "b.embedding")} > 0.3""".stripMargin) { (s, d) =>
       graft.functions.CosineSimilarity.register(s)
       val e = T.embeddings(s, d).select("vec_id", "label", "embedding")
-      val a = e.toDF("a_id", "label", "ea")
-      val b = e.toDF("b_id", "label", "eb")
-      a.join(b, Seq("label"))
+      // a probes block(a) and block(a)+1; b sits in block(b). Since
+      // 0 < b-a <= 25 implies block(b) ∈ {block(a), block(a)+1}, each
+      // qualifying pair matches on exactly one block key (no dup pairs).
+      val a = e.toDF("a_id", "la", "ea")
+        .withColumn("blk", explode(expr("array(a_id div 25, a_id div 25 + 1)")))
+      val b = e.toDF("b_id", "lb", "eb")
+        .withColumn("blk", expr("b_id div 25"))
+      a.join(b, Seq("blk"))
+        .filter(col("la") === col("lb"))
         .filter(col("a_id") < col("b_id") && col("b_id") - col("a_id") <= 25)
         .filter(expr(s"${sparkCos("ea", "eb")} > 0.3"))
         .select("a_id", "b_id")

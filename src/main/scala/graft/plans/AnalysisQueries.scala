@@ -138,12 +138,23 @@ object AnalysisQueries {
     },
 
     // Approximate profile (t-digest quantiles + HLL) — sketches differ per
-    // engine, rows-only gate; the scale path for 100 TB profiling.
+    // engine, rows-only gate; the scale path for 100 TB profiling. The
+    // quantile array is flattened to scalar columns: the driver's
+    // comparator hashes every output cell even on rows-only gates, and it
+    // can't hash array cells.
     Q.noOracle("an07_approx_profile") { (s, d) =>
-      T.lineitem(s, d).agg(
-        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99))").as("price_quantiles"),
-        approx_count_distinct(col("l_partkey")).as("part_approx_distinct"),
-        expr("avg(l_quantity)").as("qty_mean"))
+      T.lineitem(s, d)
+        .agg(
+          expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99))").as("pq"),
+          approx_count_distinct(col("l_partkey")).as("part_approx_distinct"),
+          expr("avg(l_quantity)").as("qty_mean"))
+        .selectExpr(
+          "element_at(pq, 1) as price_p25",
+          "element_at(pq, 2) as price_p50",
+          "element_at(pq, 3) as price_p75",
+          "element_at(pq, 4) as price_p99",
+          "part_approx_distinct",
+          "qty_mean")
     }
   )
 }
