@@ -110,71 +110,68 @@ object Compiler {
 object GraphCodec {
   import PipelineOp._
 
-  private def opToJson(op: PipelineOp): (String, String) = op match {
-    case Scan(t, cs)      => ("Scan", s"$t|${cs.mkString(",")}")
-    case RangeSource(n)   => ("RangeSource", n.toString)
-    case MapE(es, r)      => ("MapE", s"$r|${es.mkString(";;")}")
-    case FilterE(c)       => ("FilterE", c)
-    case Batch(s, dr, sh, oc, ag) => ("Batch", s"$s|$dr|$sh|${oc.mkString(",")}|${ag.mkString(";;")}")
-    case ShuffleOp(seed)  => ("ShuffleOp", seed.toString)
-    case Repeat(k)        => ("Repeat", k.toString)
-    case Take(n, oc)      => ("Take", s"$n|${oc.mkString(",")}")
-    case Skip(n, oc)      => ("Skip", s"$n|${oc.mkString(",")}")
-    case ShardOp(m, i, k) => ("ShardOp", s"$m|$i|$k")
-    case CacheOp          => ("CacheOp", "")
-    case Prefetch(b)      => ("Prefetch", b.toString)
-    case ZipOp(l, r)      => ("ZipOp", s"${l.mkString(",")}|${r.mkString(",")}")
-    case ConcatOp         => ("ConcatOp", "")
-    case FlatMapEcho(f)   => ("FlatMapEcho", f)
-    case Unbatch(c)       => ("Unbatch", c)
-    case GroupByWindow(k, ws, oc, ag) => ("GroupByWindow", s"$ws|$k|${oc.mkString(",")}|${ag.mkString(";;")}")
+  // Each op serializes to (kind, scalar args, list slot A, list slot B) —
+  // every field is its own JSON element, so expressions containing '|',
+  // ',' or ';;' (e.g. SQL string concat `a || b`) round-trip verbatim; a
+  // delimiter-joined encoding would silently shift fields on decode.
+  private def opToJson(op: PipelineOp): (String, Seq[String], Seq[String], Seq[String]) =
+    op match {
+      case Scan(t, cs)      => ("Scan", Seq(t), cs, Nil)
+      case RangeSource(n)   => ("RangeSource", Seq(n.toString), Nil, Nil)
+      case MapE(es, r)      => ("MapE", Seq(r.toString), es, Nil)
+      case FilterE(c)       => ("FilterE", Seq(c), Nil, Nil)
+      case Batch(s, dr, sh, oc, ag) =>
+        ("Batch", Seq(s.toString, dr.toString, sh), oc, ag)
+      case ShuffleOp(seed)  => ("ShuffleOp", Seq(seed.toString), Nil, Nil)
+      case Repeat(k)        => ("Repeat", Seq(k.toString), Nil, Nil)
+      case Take(n, oc)      => ("Take", Seq(n.toString), oc, Nil)
+      case Skip(n, oc)      => ("Skip", Seq(n.toString), oc, Nil)
+      case ShardOp(m, i, k) => ("ShardOp", Seq(m.toString, i.toString, k), Nil, Nil)
+      case CacheOp          => ("CacheOp", Nil, Nil, Nil)
+      case Prefetch(b)      => ("Prefetch", Seq(b.toString), Nil, Nil)
+      case ZipOp(l, r)      => ("ZipOp", Nil, l, r)
+      case ConcatOp         => ("ConcatOp", Nil, Nil, Nil)
+      case FlatMapEcho(f)   => ("FlatMapEcho", Seq(f), Nil, Nil)
+      case Unbatch(c)       => ("Unbatch", Seq(c), Nil, Nil)
+      case GroupByWindow(k, ws, oc, ag) =>
+        ("GroupByWindow", Seq(k, ws.toString), oc, ag)
+    }
+
+  private def opFromJson(kind: String, args: Seq[String],
+      listA: Seq[String], listB: Seq[String]): PipelineOp = kind match {
+    case "Scan"          => Scan(args(0), listA)
+    case "RangeSource"   => RangeSource(args(0).toLong)
+    case "MapE"          => MapE(listA, args(0).toBoolean)
+    case "FilterE"       => FilterE(args(0))
+    case "Batch"         => Batch(args(0).toInt, args(1).toBoolean, args(2), listA, listB)
+    case "ShuffleOp"     => ShuffleOp(args(0).toLong)
+    case "Repeat"        => Repeat(args(0).toInt)
+    case "Take"          => Take(args(0).toInt, listA)
+    case "Skip"          => Skip(args(0).toInt, listA)
+    case "ShardOp"       => ShardOp(args(0).toInt, args(1).toInt, args(2))
+    case "CacheOp"       => CacheOp
+    case "Prefetch"      => Prefetch(args(0).toInt)
+    case "ZipOp"         => ZipOp(listA, listB)
+    case "ConcatOp"      => ConcatOp
+    case "FlatMapEcho"   => FlatMapEcho(args(0))
+    case "Unbatch"       => Unbatch(args(0))
+    case "GroupByWindow" => GroupByWindow(args(0), args(1).toInt, listA, listB)
   }
 
-  private def opFromJson(kind: String, arg: String): PipelineOp = kind match {
-    case "Scan" => val Array(t, cs @ _*) = arg.split("\\|", 2): @unchecked
-      Scan(t, cs.headOption.filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil))
-    case "RangeSource" => RangeSource(arg.toLong)
-    case "MapE" => val Array(r, es) = arg.split("\\|", 2): @unchecked
-      MapE(es.split(";;").toSeq, r.toBoolean)
-    case "FilterE" => FilterE(arg)
-    case "Batch" =>
-      val Array(s, dr, sh, oc, ag) = arg.split("\\|", 5): @unchecked
-      Batch(s.toInt, dr.toBoolean, sh, splitList(oc), splitList(ag, ";;"))
-    case "ShuffleOp" => ShuffleOp(arg.toLong)
-    case "Repeat" => Repeat(arg.toInt)
-    case "Take" => val Array(n, oc) = arg.split("\\|", 2): @unchecked
-      Take(n.toInt, splitList(oc))
-    case "Skip" => val Array(n, oc) = arg.split("\\|", 2): @unchecked
-      Skip(n.toInt, splitList(oc))
-    case "ShardOp" => val Array(m, i, k) = arg.split("\\|", 3): @unchecked
-      ShardOp(m.toInt, i.toInt, k)
-    case "CacheOp" => CacheOp
-    case "Prefetch" => Prefetch(arg.toInt)
-    case "ZipOp" => val Array(l, r) = arg.split("\\|", 2): @unchecked
-      ZipOp(splitList(l), splitList(r))
-    case "ConcatOp" => ConcatOp
-    case "FlatMapEcho" => FlatMapEcho(arg)
-    case "Unbatch" => Unbatch(arg)
-    case "GroupByWindow" =>
-      val Array(ws, k, oc, ag) = arg.split("\\|", 4): @unchecked
-      GroupByWindow(k, ws.toInt, splitList(oc), splitList(ag, ";;"))
-  }
-
-  private def splitList(s: String, sep: String = ","): Seq[String] =
-    if (s.isEmpty) Nil else s.split(java.util.regex.Pattern.quote(sep)).toSeq
-
-  final case class NodeRow(id: Int, kind: String, arg: String,
+  final case class NodeRow(id: Int, kind: String, args: Seq[String],
+      listA: Seq[String], listB: Seq[String],
       inputs: Seq[Int], parallelism: Int, sink: Boolean)
 
   def toRows(g: PipelineGraph): Seq[NodeRow] =
     g.nodes.map { n =>
-      val (k, a) = opToJson(n.op)
-      NodeRow(n.id, k, a, n.inputs, n.parallelism, n.id == g.sink)
+      val (k, a, la, lb) = opToJson(n.op)
+      NodeRow(n.id, k, a, la, lb, n.inputs, n.parallelism, n.id == g.sink)
     }
 
   def fromRows(rows: Seq[NodeRow]): PipelineGraph =
     PipelineGraph(
-      rows.map(r => PipelineNode(r.id, opFromJson(r.kind, r.arg), r.inputs, r.parallelism)),
+      rows.map(r => PipelineNode(
+        r.id, opFromJson(r.kind, r.args, r.listA, r.listB), r.inputs, r.parallelism)),
       rows.find(_.sink).map(_.id).getOrElse(rows.map(_.id).max))
 
   def save(spark: SparkSession, g: PipelineGraph, path: String): Unit = {

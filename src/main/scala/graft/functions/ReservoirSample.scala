@@ -102,10 +102,13 @@ case class ReservoirSample(
     r
   }
 
-  private def copyOf(v: Any): Any = v match {
-    case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
-    case other => other
-  }
+  // Deep-copy buffer-backed values before storing: Spark reuses the
+  // underlying buffers across rows for UTF8String AND for array/map/struct
+  // values (UnsafeArrayData, UnsafeRow…), so a stored reference would be
+  // silently overwritten by later rows. InternalRow.copyValue handles
+  // every such type (UTF8String, ArrayData, MapData, InternalRow).
+  private def copyOf(v: Any): Any =
+    org.apache.spark.sql.catalyst.InternalRow.copyValue(v)
 
   private def nextLong(buf: Reservoir, bound: Long): Long = {
     // deterministic per (seed, seen): uniform in [0, bound)

@@ -53,4 +53,31 @@ class ReservoirSampleSpec extends AnyFunSuite {
     // every sampled key belongs to its shard
     assert(out.filter("l_orderkey % 4 <> shard").count() == 0)
   }
+
+  test("array-typed items are deep-copied, not buffer-aliased") {
+    // Spark reuses the UnsafeArrayData buffer across rows: without a deep
+    // copy every stored reservoir item would alias the LAST row's array.
+    // Each input array is (id, id+1), so a corrupted sample shows arrays
+    // whose second element isn't first+1 — or all-identical arrays.
+    ReservoirSample.register(spark)
+    val rows = spark.sql(
+      """select explode(s) as a from (
+        |  select reservoir_sample(array(id, id + 1), 20, 3L) as s
+        |  from range(1000))""".stripMargin).collect()
+    val arrays = rows.map(_.getSeq[Long](0))
+    assert(arrays.length == 20)
+    assert(arrays.forall(a => a(1) == a(0) + 1))
+    assert(arrays.map(_.head).distinct.length == 20) // ids unique → no aliasing
+  }
+
+  test("string items survive buffer reuse (UTF8String deep copy)") {
+    ReservoirSample.register(spark)
+    val rows = spark.sql(
+      """select explode(s) as v from (
+        |  select reservoir_sample(concat('row-', id), 15, 11L) as s
+        |  from range(500))""".stripMargin).collect()
+    val vals = rows.map(_.getString(0))
+    assert(vals.length == 15 && vals.distinct.length == 15)
+    assert(vals.forall(_.startsWith("row-")))
+  }
 }

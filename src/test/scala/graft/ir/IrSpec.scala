@@ -94,6 +94,21 @@ class IrSpec extends AnyFunSuite {
     assert(back.sink == g.sink)
   }
 
+  test("codec round-trips expressions containing delimiters ('|', ',', ';;')") {
+    // '||' (SQL string concat), ',' and ';;' must survive encode/decode
+    // verbatim — a delimiter-joined arg encoding would shift fields.
+    val g = PipelineGraph(
+      Seq(
+        PipelineNode(0, Scan("documents", Seq("doc_id", "text")), Nil),
+        PipelineNode(1, FilterE("text || ',' IS NOT NULL"), Seq(0)),
+        PipelineNode(2, MapE(Seq("concat(text, '|', ';;') as tagged", "doc_id"), false), Seq(1)),
+        PipelineNode(3, Batch(4, false, "doc_id % 2", Seq("doc_id"),
+          Seq("max(tagged || '|x') as mt")), Seq(2))),
+      sink = 3)
+    val back = GraphCodec.fromRows(GraphCodec.toRows(g))
+    assert(back.nodes.sortBy(_.id) == g.nodes.sortBy(_.id))
+  }
+
   test("DOT export names every node and edge") {
     val dot = chain.toDot()
     assert(dot.contains("MapE_1") && dot.contains("n0 -> n1"))
