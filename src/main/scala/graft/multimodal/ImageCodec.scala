@@ -1,0 +1,116 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Real image decode over binary payload columns via javax.imageio — the
+  * Spark-native analogue of the reference's JPEG decode/crop input path
+  * (imagenet_input.py:50-120, simple_ssd/dataloader.py:249-446).
+  *
+  * The container ships no image fixtures, so the PNGs are GENERATED
+  * deterministically (gray pixel g(x,y) = (id·31 + 7x + 13y) mod 256, size
+  * keyed off the id) — but the decode side is the real codec: bytes →
+  * ImageIO.read → BufferedImage → pixel access. PNG is lossless, so the
+  * decoded statistics equal the closed form and the whole path is
+  * oracle-checkable in SQL (no rows-only cop-out).
+  *
+  * Scale shape (100 TB): encode/decode run partition-local in
+  * mapPartitions (streaming iterator, no shuffle, no driver hop); payload
+  * bytes are dropped as soon as features are extracted so only fixed-width
+  * rows flow downstream. A real corpus would swap `syntheticPng` for a
+  * parquet binary column and keep everything else unchanged.
+  */
+object ImageCodec {
+
+  /** Deterministic synthetic image: gray value (id·31 + 7x + 13y) % 256,
+    * width 16 + id%5, height 12 + id%7.
+    */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = 16 + (id % 5).toInt
+    val h = 12 + (id % 7).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = ((id * 31 + 7L * x + 13L * y) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL codec: PNG/JPEG/GIF bytes → BufferedImage (javax.imageio). */
+  def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image payload")
+    img
+  }
+
+  /** Deterministic nearest-neighbor resample to tw×th: source pixel
+    * (x'·w/tw, y'·h/th) with integer floor — bit-stable on every JVM
+    * (Graphics2D interpolation is not).
+    */
+  def nearestResize(img: java.awt.image.BufferedImage, tw: Int, th: Int): Array[Int] = {
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Int](tw * th)
+    var j = 0
+    while (j < th) {
+      var i = 0
+      while (i < tw) {
+        out(j * tw + i) = img.getRGB(i * w / tw, j * h / th) & 0xff
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  final case class ImageFeatures(
+      doc_id: Long,
+      width: Long,
+      height: Long,
+      px_sum: Long,   // sum of the gray channel over all pixels
+      nn4_sum: Long)  // sum of the 4×4 nearest-neighbor resample
+
+  /** Decode + feature-extract one payload (real codec + NN resize). */
+  def features(id: Long, bytes: Array[Byte]): ImageFeatures = {
+    val img = decodeImage(bytes)
+    val w = img.getWidth; val h = img.getHeight
+    var s = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { s += (img.getRGB(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    ImageFeatures(id, w.toLong, h.toLong, s, nearestResize(img, 4, 4).map(_.toLong).sum)
+  }
+
+  /** (doc_id, payload BINARY) view: synthetic PNGs for doc_id < n,
+    * generated partition-local (the encode stage of the fixture).
+    */
+  def payloads(spark: SparkSession, sfDir: String, n: Long): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .filter(s"doc_id < $n")
+      .select("doc_id").as[Long]
+      .mapPartitions(_.map(id => (id, syntheticPng(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Partition-local decode: (doc_id, payload) → typed features via the
+    * real javax.imageio codec. Streaming mapPartitions — no shuffle, no
+    * per-row task overhead, payload dropped at this boundary.
+    */
+  def decodeFeatures(spark: SparkSession, in: DataFrame,
+      idCol: String = "doc_id", payloadCol: String = "payload"): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    in.select(idCol, payloadCol).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => features(id, bytes) })
+  }
+}

@@ -54,6 +54,31 @@ object MultimodalOps {
           "doc_id",
           "cast(idx as bigint) as idx",
           "substr(md5(substr(text, cast(idx * 32 + 1 as int), 32)), 1, 12) as chunk_sig")
+    },
+
+    // REAL image decode (imagenet_input.py:50-120 analogue): synthetic
+    // PNGs (pixel = closed-form function of doc_id) are encoded AND
+    // decoded with javax.imageio inside mapPartitions; the gated output is
+    // integer pixel statistics of the DECODED image (full sum + 4×4
+    // nearest-neighbor resample sum). PNG is lossless, so DuckDB can
+    // compute the same statistics from the closed form — a hash-match
+    // oracle over a real codec round-trip.
+    Q(
+      "mm03_image_decode",
+      """WITH p AS (SELECT doc_id, 16 + doc_id % 5 AS w, 12 + doc_id % 7 AS h
+        |           FROM documents WHERE doc_id < 64)
+        |SELECT doc_id,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  list_reduce(list_transform(range(0, w * h),
+        |    i -> (doc_id * 31 + 7 * (i % w) + 13 * (i // w)) % 256),
+        |    (a, b) -> a + b) AS px_sum,
+        |  list_reduce(list_transform(range(0, 16),
+        |    j -> (doc_id * 31 + 7 * (((j % 4) * w) // 4)
+        |          + 13 * (((j // 4) * h) // 4)) % 256),
+        |    (a, b) -> a + b) AS nn4_sum
+        |FROM p""".stripMargin) { (s, d) =>
+      import graft.multimodal.ImageCodec
+      ImageCodec.decodeFeatures(s, ImageCodec.payloads(s, d, 64)).toDF()
     }
   )
 }

@@ -24,4 +24,34 @@ class MultimodalSpec extends AnyFunSuite {
       .selectExpr("octet_length(text)").head().getInt(0)
     assert(n0.nbytes == t0)
   }
+
+  test("PNG round-trip through the real codec is lossless (closed form)") {
+    // decode(encode(img)) must reproduce every pixel of the generator
+    // g(x,y) = (id*31 + 7x + 13y) % 256 — PNG is lossless.
+    for (id <- Seq(0L, 1L, 17L, 63L)) {
+      val img = ImageCodec.decodeImage(ImageCodec.syntheticPng(id))
+      val (w, h) = (16 + (id % 5).toInt, 12 + (id % 7).toInt)
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val expect = ((id * 31 + 7L * x + 13L * y) % 256).toInt
+        assert((img.getRGB(x, y) & 0xff) == expect, s"id=$id ($x,$y)")
+      }
+    }
+  }
+
+  test("nearest-neighbor resize samples the exact floor coordinates") {
+    val img = ImageCodec.decodeImage(ImageCodec.syntheticPng(5L))
+    val rs = ImageCodec.nearestResize(img, 4, 4)
+    assert(rs.length == 16)
+    val (w, h) = (img.getWidth, img.getHeight)
+    for (j <- 0 until 4; i <- 0 until 4)
+      assert(rs(j * 4 + i) == (img.getRGB(i * w / 4, j * h / 4) & 0xff))
+  }
+
+  test("distributed decode emits one feature row per payload") {
+    val feats = ImageCodec.decodeFeatures(
+      spark, ImageCodec.payloads(spark, sf, 32)).collect()
+    assert(feats.length == 32)
+    assert(feats.forall(f => f.px_sum > 0 && f.width >= 16 && f.height >= 12))
+  }
 }
