@@ -21,7 +21,10 @@ object Optimizer {
       maxChange: Option[Double] = None,
       cacheSizeEstimates: Map[Int, Long] = Map.empty,
       noOptimize: Boolean = false,
-      fastOptimize: Boolean = false) // skip source calibration
+      fastOptimize: Boolean = false, // skip source calibration
+      // floor LP θs at each node's current allocation
+      // (convex_solver.py:55-75 use_existing_usage)
+      useExistingUsage: Boolean = false)
 
   object Config {
     /** Env-var gates mirroring the reference's PLUMBER_* knobs
@@ -122,7 +125,9 @@ object Optimizer {
         existing = m.parallelism.toDouble)
     }
     val sol =
-      if (ops.nonEmpty) MaxMinThroughputLP.solve(ops, cores.toDouble, cfg.maxChange)
+      if (ops.nonEmpty)
+        MaxMinThroughputLP.solve(ops, cores.toDouble, cfg.maxChange,
+          useExistingUsage = cfg.useExistingUsage)
       else MaxMinThroughputLP.Solution(Map.empty, 0.0, 0.0)
 
     // 3. rewrite plan: strip stale caches, apply θs, place a cache if a

@@ -39,10 +39,13 @@ final case class Recommendation(
       m.nodeId -> (if (keepPBusy) r * math.max(1e-9, pBusy(m)) else r)
     }.toMap
 
-  /** LP_upper_bounds(naive): max-min achievable rate; naive skips the
-    * sequential-op θmax=1 clamp (convex_solver.py's naive mode).
+  /** LP_upper_bounds(naive, use_existing_usage): max-min achievable rate.
+    * naive skips the sequential-op θmax=1 clamp; useExistingUsage floors
+    * every θ at the node's current allocation (convex_solver.py:55-75,
+    * the 4th LP variant get_runtime_data reports,
+    * graph_rewrites.py:466-535).
     */
-  def lpUpperBounds(naive: Boolean = false): Double = {
+  def lpUpperBounds(naive: Boolean = false, useExistingUsage: Boolean = false): Double = {
     val ops = metrics.filter(_.elementsProduced > 0).map { m =>
       MaxMinThroughputLP.OpRate(
         m.nodeId,
@@ -54,7 +57,8 @@ final case class Recommendation(
         existing = m.parallelism.toDouble)
     }
     if (ops.isEmpty) 0.0
-    else MaxMinThroughputLP.solve(ops, global.cores.toDouble).rate
+    else MaxMinThroughputLP.solve(ops, global.cores.toDouble,
+      useExistingUsage = useExistingUsage).rate
   }
 
   /** disk_upper_bounds(bandwidth): element-rate ceiling from disk. */

@@ -19,11 +19,17 @@ import org.apache.spark.sql.SparkSession
 object Rewriter {
 
   sealed trait Strategy
-  case object RankedTop extends Strategy                    // default: ranked top valid
-  final case class RandomValid(seed: Long) extends Strategy // graph_rewrites.py:560-611
+  case object RankedTop extends Strategy                    // default: ranked top valid (strategy None)
+  final case class Random(seed: Long) extends Strategy      // ANY ranked node (graph_rewrites.py:582-584)
+  final case class RandomValid(seed: Long) extends Strategy // random among valid (585-593)
+  /** Random among valid nodes with the ranked recommendation REMOVED —
+    * the paper's deviation/ablation arm (graph_rewrites.py:594-607).
+    */
+  final case class RandomValidDeviation(seed: Long) extends Strategy
 
   final case class StepResult(
       step: Int,
+      deviation: Int, // 0 = forward arm; 1.. = exploratory deviation arms
       chosenNode: Option[Int],
       action: String,
       rate: Double,
@@ -34,33 +40,52 @@ object Rewriter {
       strategy: Strategy = RankedTop,
       upParallelism: Int = 1, // parallelism increment per step
       benchIterations: Int = 2,
+      // per step, arms 1..numDeviations-1 re-choose with
+      // random_valid_deviation and benchmark the branch WITHOUT advancing
+      // the forward graph (run_rewriter_runner, graph_rewrites.py:929-940)
+      numDeviations: Int = 1,
       outDir: Option[String] = None)
+
+  private def seedOf(s: Strategy): Long = s match {
+    case Random(seed) => seed
+    case RandomValid(seed) => seed
+    case RandomValidDeviation(seed) => seed
+    case RankedTop => 13L
+  }
 
   def run(spark: SparkSession, g0: PipelineGraph, sfDir: String,
       cfg: Config = Config()): (PipelineGraph, Seq[StepResult]) = {
+    require(cfg.numDeviations >= 1, "numDeviations has to be at least 1") // graph_rewrites.py:818
     var g = g0
     val history = scala.collection.mutable.ArrayBuffer[Analysis.Step]()
     val ignore = scala.collection.mutable.Set[Int]()
     val results = scala.collection.mutable.ArrayBuffer[StepResult]()
-    val rnd = cfg.strategy match {
-      case RandomValid(seed) => new scala.util.Random(seed)
-      case _ => null
-    }
+    val rnd = new scala.util.Random(seedOf(cfg.strategy))
 
     for (step <- 1 to cfg.numSteps) {
       val run = Instrument.run(spark, g, sfDir)
-      val valid = run.nodeMetrics.filter(m =>
+      val ranked = run.nodeMetrics.filter(_.elementsProduced > 0)
+      val valid = ranked.filter(m =>
         m.isParallelizable && !ignore.contains(m.nodeId) &&
-          g.reachableFromSink.contains(m.nodeId) && m.elementsProduced > 0)
+          g.reachableFromSink.contains(m.nodeId))
+      // the ranked recommendation (what strategy None would take)
+      val recommended =
+        valid.sortBy(m => Analysis.expectedParallelMaxRate(m, run.global)).headOption
 
-      val chosen: Option[graft.metrics.NodeMetrics] = cfg.strategy match {
-        case RankedTop => valid.sortBy(m => Analysis.expectedParallelMaxRate(m, run.global)).headOption
-        case RandomValid(_) => if (valid.isEmpty) None else Some(valid(rnd.nextInt(valid.size)))
+      def choose(s: Strategy): Option[graft.metrics.NodeMetrics] = s match {
+        case RankedTop => recommended
+        case Random(_) =>
+          if (ranked.isEmpty) None else Some(ranked(rnd.nextInt(ranked.size)))
+        case RandomValid(_) =>
+          if (valid.isEmpty) None else Some(valid(rnd.nextInt(valid.size)))
+        case RandomValidDeviation(_) =>
+          val pool = valid.filterNot(m => recommended.exists(_.nodeId == m.nodeId))
+          if (pool.isEmpty) None else Some(pool(rnd.nextInt(pool.size)))
       }
 
       // LP thetas over the current metrics (joined onto the node table in
       // the CSVs, graph_rewrites.py:699-759)
-      val ops = run.nodeMetrics.filter(_.elementsProduced > 0).map { m =>
+      val ops = ranked.map { m =>
         MaxMinThroughputLP.OpRate(
           m.nodeId,
           Analysis.expectedPerCoreMaxRate(m) match {
@@ -73,24 +98,40 @@ object Rewriter {
         if (ops.nonEmpty) MaxMinThroughputLP.solve(ops, run.global.cores.toDouble).thetas
         else Map.empty[Int, Double]
 
-      val action = chosen match {
-        case Some(m) if m.op == "Batch" =>
-          "map_and_batch_fusion(noop)" // Catalyst already fuses (§4.1)
-        case Some(m) =>
-          g = Rules.SetParallelism(m.nodeId,
-            g.byId(m.nodeId).parallelism + cfg.upParallelism).rewrite(g)
-          s"parallelism+${cfg.upParallelism}"
-        case None => "none"
-      }
+      // arm 0 = configured strategy (advances the forward graph);
+      // arms 1.. = random_valid_deviation branches from the same base
+      for (deviation <- 0 until cfg.numDeviations) {
+        val armStrategy =
+          if (deviation == 0) cfg.strategy
+          else RandomValidDeviation(seedOf(cfg.strategy))
+        val chosen = choose(armStrategy)
+        var gArm = g
+        val action = chosen match {
+          case Some(m) if m.op == "Batch" =>
+            "map_and_batch_fusion(noop)" // Catalyst already fuses (§4.1)
+          case Some(m) if !m.isParallelizable =>
+            "not_parallelizable(noop)" // Random can land on any ranked node
+          case Some(m) =>
+            gArm = Rules.SetParallelism(m.nodeId,
+              g.byId(m.nodeId).parallelism + cfg.upParallelism).rewrite(g)
+            s"parallelism+${cfg.upParallelism}"
+          case None => "none"
+        }
 
-      val bench = Harness.benchmark(spark, g, sfDir, cfg.benchIterations,
-        new graft.bench.AutotuneState(minRuntimeSec = 0.0))
-      chosen.foreach(m => history += Analysis.Step(m.nodeId, bench.elementRate))
-      Analysis.detectCycle(history.toSeq).foreach { plateaued =>
-        ignore += plateaued // graph_rewrites.py:170-198 feeds next step
-        history.clear()
+        val bench = Harness.benchmark(spark, gArm, sfDir, cfg.benchIterations,
+          new graft.bench.AutotuneState(minRuntimeSec = 0.0))
+        results += StepResult(step, deviation, chosen.map(_.nodeId), action,
+          bench.elementRate, thetas)
+
+        if (deviation == 0) {
+          g = gArm // only the forward arm advances the pipeline
+          chosen.foreach(m => history += Analysis.Step(m.nodeId, bench.elementRate))
+          Analysis.detectCycle(history.toSeq).foreach { plateaued =>
+            ignore += plateaued // graph_rewrites.py:170-198 feeds next step
+            history.clear()
+          }
+        }
       }
-      results += StepResult(step, chosen.map(_.nodeId), action, bench.elementRate, thetas)
 
       cfg.outDir.foreach(dir => emitCsvs(dir, step, g, run, thetas, results.toSeq))
     }
@@ -115,7 +156,8 @@ object Rewriter {
     write(s"thetas_$step.csv",
       "node_id,theta" +: thetas.toSeq.sortBy(_._1).map { case (k, v) => s"$k,$v" })
     write("benchmark_stats.csv",
-      "step,chosen_node,action,rate" +:
-        results.map(r => s"${r.step},${r.chosenNode.getOrElse(-1)},${r.action},${r.rate}"))
+      "step,deviation,chosen_node,action,rate" +:
+        results.map(r =>
+          s"${r.step},${r.deviation},${r.chosenNode.getOrElse(-1)},${r.action},${r.rate}"))
   }
 }

@@ -124,4 +124,39 @@ object Analysis {
   def diskUpperBound(bandwidthBps: Double, bytesPerRootElement: Double): Double =
     if (bytesPerRootElement <= 0) Double.PositiveInfinity
     else bandwidthBps / bytesPerRootElement
+
+  /** A21 companion — subsampling-error simulation (simulation.py:12-75):
+    * per trial, draw `numSamples` rows without replacement, extrapolate
+    * total size as sampleSum / fractionSeen, report totalSize − estimate.
+    * Feeds cache/working-set planning: how wrong is a size estimate made
+    * from an n-row subsample?
+    *
+    * Distributed shape: trials explode to (trial, row) and each trial is
+    * its own window partition, so parallelism = numTrials and the
+    * per-trial hash-rank sort never crosses partitions. (Exact-k sampling
+    * sorts each trial's copy; at extreme row counts swap in
+    * hash-threshold fraction sampling — this is the reference's
+    * back-of-envelope tool, sized for metadata tables.)
+    */
+  def simulateSubsampling(df: DataFrame, sizeCol: String, idCol: String,
+      numSamples: Int, numTrials: Int, seed: Long = 42L): Seq[Double] = {
+    require(numSamples > 0 && numTrials > 0)
+    val n = df.count()
+    require(numSamples <= n, s"numSamples=$numSamples > rows=$n")
+    val fractionSeen = numSamples.toDouble / n
+    val totalSize = df.agg(sum(col(sizeCol).cast("double"))).head().getDouble(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_trial")
+      .orderBy(xxhash64(col(idCol), col("_trial"), lit(seed)), col(idCol))
+    df.select(col(idCol), col(sizeCol).cast("double").as("_sz"))
+      .withColumn("_trial", explode(sequence(lit(0), lit(numTrials - 1))))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= numSamples)
+      .groupBy("_trial")
+      .agg(sum("_sz").as("_sub"))
+      .orderBy("_trial")
+      .collect()
+      .map(r => totalSize - r.getDouble(1) / fractionSeen)
+      .toSeq
+  }
 }

@@ -23,12 +23,27 @@ object MaxMinThroughputLP {
 
   final case class Solution(thetas: Map[Int, Double], rate: Double, coresUsed: Double)
 
-  def solve(ops: Seq[OpRate], cores: Double, maxChange: Option[Double] = None): Solution = {
+  def solve(ops: Seq[OpRate], cores: Double, maxChange: Option[Double] = None,
+      useExistingUsage: Boolean = false, cpuUtilCores: Double = 0.0): Solution = {
     require(ops.nonEmpty && cores > 0)
-    // over-subscription guard: scale θmin down if Σθmin > cores
-    val minSum = ops.map(_.thetaMin).sum
-    val minScale = if (minSum > cores) cores / minSum else 1.0
-    val eff = ops.map { o =>
+    // use_existing_usage (convex_solver.py:55-75): floor every θ at the
+    // op's observed core usage (sequential ops capped at 1), and charge
+    // whatever measured utilization the per-op floors do NOT explain
+    // (cpuUtilCores − Σfloors, the "modeling bias") against the budget.
+    val floored =
+      if (!useExistingUsage) ops
+      else ops.map { o =>
+        val cap = if (o.thetaMax <= 1.0) math.min(o.existing, 1.0) else o.existing
+        o.copy(thetaMin = math.max(o.thetaMin, cap))
+      }
+    val modelingBias =
+      if (useExistingUsage) math.max(0.0, cpuUtilCores - floored.map(_.thetaMin).sum)
+      else 0.0
+    val coresAvail = math.max(cores - modelingBias, 1e-10)
+    // over-subscription guard: scale θmin down if Σθmin > coresAvail
+    val minSum = floored.map(_.thetaMin).sum
+    val minScale = if (minSum > coresAvail) coresAvail / minSum else 1.0
+    val eff = floored.map { o =>
       val hi0 = maxChange.fold(o.thetaMax)(mc => math.min(o.thetaMax, o.existing + mc))
       val lo = o.thetaMin * minScale
       o.copy(thetaMin = lo, thetaMax = math.max(lo, hi0))
@@ -40,11 +55,11 @@ object MaxMinThroughputLP {
     // bracket: R=0 uses Σθmin; no op can exceed rate·min(θmax, cores), so
     // the fastest op at full budget bounds the achievable min-rate above
     var lo = 0.0
-    var hi = eff.map(o => o.perCoreRate * math.min(o.thetaMax, cores))
+    var hi = eff.map(o => o.perCoreRate * math.min(o.thetaMax, coresAvail))
       .foldLeft(1.0)(math.max) * 2 + 1
     for (_ <- 0 until 200) {
       val mid = (lo + hi) / 2
-      if (used(mid) <= cores) lo = mid else hi = mid
+      if (used(mid) <= coresAvail) lo = mid else hi = mid
     }
     // the feasibility search can overshoot R once a clamped op stops the
     // objective from rising; shrink to the binding min-rate so non-binding

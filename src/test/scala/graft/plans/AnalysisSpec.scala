@@ -86,6 +86,25 @@ class AnalysisSpec extends AnyFunSuite {
     assert(starved.prefetchDelta == math.ceil(50.0 - 0.8).toInt)
   }
 
+  test("subsampling-error simulation: exact at full sample, tighter with more samples") {
+    // simulation.py:12-75 — extrapolation error of size estimates made
+    // from n-row subsamples (feeds A21 working-set planning).
+    import graft.SparkTestSession.{sf, spark}
+    val docs = graft.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "octet_length(text) as sz")
+    val n = docs.count().toInt
+    val full = Analysis.simulateSubsampling(docs, "sz", "doc_id", n, numTrials = 3)
+    assert(full.size == 3 && full.forall(e => math.abs(e) < 1e-6)) // exact
+    val small = Analysis.simulateSubsampling(docs, "sz", "doc_id", 10, 20, seed = 7)
+    val big = Analysis.simulateSubsampling(docs, "sz", "doc_id", n / 2, 20, seed = 7)
+    assert(small.size == 20 && big.size == 20)
+    def rmse(xs: Seq[Double]) = math.sqrt(xs.map(x => x * x).sum / xs.size)
+    assert(rmse(big) < rmse(small)) // more samples → tighter estimate
+    // deterministic under a fixed seed
+    assert(Analysis.simulateSubsampling(docs, "sz", "doc_id", 10, 5, seed = 9) ==
+      Analysis.simulateSubsampling(docs, "sz", "doc_id", 10, 5, seed = 9))
+  }
+
   test("disk upper bound scales with bandwidth") {
     assert(Analysis.diskUpperBound(100e6, 1e4) == 1e4.toDouble * 0 + 10000.0)
     assert(Analysis.diskUpperBound(100e6, 0.0).isPosInfinity)

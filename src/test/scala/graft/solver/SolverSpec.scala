@@ -72,6 +72,59 @@ class SolverSpec extends AnyFunSuite {
     }
   }
 
+  test("use_existing_usage floors θ at current allocation (convex_solver.py:55-75)") {
+    // op 1 is fast (would get few cores) but already holds 4 — the floor
+    // mode must not plan below what's in use.
+    val ops = Seq(
+      OpRate(1, perCoreRate = 1000.0, thetaMax = 8.0, existing = 4.0),
+      OpRate(2, perCoreRate = 50.0, thetaMax = 8.0, existing = 1.0))
+    val free = solve(ops, cores = 8.0)
+    val floored = solve(ops, cores = 8.0, useExistingUsage = true)
+    assert(free.thetas(1) < 4.0) // unfloored: fast op needs far less
+    assert(floored.thetas(1) >= 4.0 - 1e-9)
+    assert(floored.thetas(2) >= 1.0 - 1e-9)
+    assert(floored.coresUsed <= 8.0 + 1e-9)
+    // sequential node's floor is capped at 1 even if usage reads higher
+    val seq = solve(Seq(
+      OpRate(1, perCoreRate = 100.0, thetaMax = 1.0, existing = 2.5),
+      OpRate(2, perCoreRate = 10.0, thetaMax = 8.0, existing = 0.0)),
+      cores = 8.0, useExistingUsage = true)
+    assert(seq.thetas(1) <= 1.0 + 1e-9 && seq.thetas(1) >= 1.0 - 1e-9)
+  }
+
+  test("use_existing_usage: unexplained utilization shrinks the budget (modeling bias)") {
+    val ops = Seq(
+      OpRate(1, perCoreRate = 100.0, thetaMax = 16.0, existing = 1.0),
+      OpRate(2, perCoreRate = 100.0, thetaMax = 16.0, existing = 1.0))
+    val noBias = solve(ops, cores = 8.0, useExistingUsage = true, cpuUtilCores = 2.0)
+    // 6 cores of measured utilization vs 2 explained by floors → 4 cores
+    // of bias leave only 4 to allocate
+    val biased = solve(ops, cores = 8.0, useExistingUsage = true, cpuUtilCores = 6.0)
+    assert(biased.coresUsed <= 4.0 + 1e-9)
+    assert(biased.rate < noBias.rate)
+  }
+
+  test("property: floor mode matches brute force with θ ≥ existing on 2 ops") {
+    for (_ <- 1 to 200) {
+      val r1 = 10.0 + rnd.nextDouble() * 490.0
+      val r2 = 10.0 + rnd.nextDouble() * 490.0
+      val cores = 4.0 + rnd.nextDouble() * 12.0
+      val e1 = rnd.nextDouble() * 2.0
+      val e2 = rnd.nextDouble() * 2.0
+      val s = solve(
+        Seq(OpRate(1, r1, thetaMax = cores, existing = e1),
+          OpRate(2, r2, thetaMax = cores, existing = e2)),
+        cores, useExistingUsage = true)
+      val brute = (0 to 1000).map { i =>
+        val t1 = e1 + (cores - e1 - e2) * i / 1000.0
+        val t2 = cores - t1
+        if (t2 < e2) Double.NegativeInfinity else math.min(r1 * t1, r2 * t2)
+      }.max
+      assert(s.rate >= brute * 0.999, s"rate=${s.rate} brute=$brute")
+      assert(s.thetas(1) >= e1 - 1e-9 && s.thetas(2) >= e2 - 1e-9)
+    }
+  }
+
   test("min-cost LP: cache masks upstream cost when cheaper") {
     import MinCostLP._
     val ops = Seq(
