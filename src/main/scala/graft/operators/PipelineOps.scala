@@ -308,17 +308,18 @@ object PipelineOps {
     },
 
     // op 18: zip (iterator_utils.py:55): positional join, truncating at the
-    // shorter input (tf.data zip semantics).
+    // shorter input (tf.data zip semantics). The positional ordinal is
+    // inherently global, but it's computed DISTRIBUTED via the zipWithIndex
+    // composition (Ordinal.withGlobalOrdinal): range-bucketed per-partition
+    // ranks + broadcast prefix offsets — no single-partition global sort.
     Q(
       "op18_zip",
       """WITH a AS (SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) AS rn FROM customer),
         |     b AS (SELECT s_suppkey, row_number() OVER (ORDER BY s_suppkey) AS rn FROM supplier)
         |SELECT CAST(a.rn AS BIGINT) AS rn, a.c_custkey, b.s_suppkey
         |FROM a JOIN b ON a.rn = b.rn""".stripMargin) { (s, d) =>
-      val a = T.customer(s, d)
-        .withColumn("rn", row_number().over(Window.orderBy("c_custkey")).cast("long"))
-      val b = T.supplier(s, d)
-        .withColumn("rn", row_number().over(Window.orderBy("s_suppkey")).cast("long"))
+      val a = Ordinal.withGlobalOrdinal(T.customer(s, d), "c_custkey", "rn")
+      val b = Ordinal.withGlobalOrdinal(T.supplier(s, d), "s_suppkey", "rn")
       a.join(b, "rn").select("rn", "c_custkey", "s_suppkey")
     },
 
