@@ -71,9 +71,21 @@ object Compiler {
         case CacheOp       => in().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         case Prefetch(_)   => in() // stage pipelining is implicit in Spark
         case ZipOp(ordL, ordR) =>
-          val l = in(0).withColumn("_zrn", row_number().over(Window.orderBy(ordL.map(col): _*)))
-          val r = in(1).withColumn("_zrn", row_number().over(Window.orderBy(ordR.map(col): _*)))
-          l.join(r, "_zrn").drop("_zrn")
+          // single numeric order key → distributed ordinal (range-bucketed
+          // ranks + broadcast prefix offsets); otherwise fall back to the
+          // global window (positional semantics are inherently ordered).
+          // Skipped under instrumentation: the helper's bucket-sizing
+          // min/max is an eager action and would fire the upstream
+          // CollectMetrics observers a second time (double counts).
+          def ordinal(df: DataFrame, ord: Seq[String]): DataFrame = {
+            val numeric = ord.size == 1 &&
+              df.schema.fields.exists(f => f.name == ord.head &&
+                f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+            if (numeric && !instrument)
+              graft.operators.Ordinal.withGlobalOrdinal(df, ord.head, "_zrn")
+            else df.withColumn("_zrn", row_number().over(Window.orderBy(ord.map(col): _*)).cast("long"))
+          }
+          ordinal(in(0), ordL).join(ordinal(in(1), ordR), "_zrn").drop("_zrn")
         case ConcatOp      => in(0).unionByName(in(1))
         case FlatMapEcho(f) =>
           in().withColumn("_copy", explode(sequence(lit(0L), expr(f)))).drop("_copy")

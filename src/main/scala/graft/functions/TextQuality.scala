@@ -81,4 +81,45 @@ object Dedup {
       .select("a_id", "b_id")
       .distinct()
   }
+
+  /** Connected components over an undirected pair graph: every node gets
+    * `cluster_id` = min node id in its component (nodes absent from
+    * `pairs` are singletons labeling themselves). Iterative min-label
+    * propagation: per round each node takes the min label among itself
+    * and its neighbors; rounds = graph diameter, and each round shuffles
+    * only (id, label) pairs — the keep/drop grouping stage of a near-dup
+    * pipeline at scale.
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+      idCol: String, aCol: String, bCol: String): DataFrame = {
+    // localCheckpoint (eager) TRUNCATES lineage each round — without it
+    // round k's plan embeds round k-1's twice (self + neighbor branch),
+    // i.e. exponential plan growth that OOMs the driver by ~round 15.
+    // Executor-local blocks are fine for iterative temp state.
+    val edges = pairs
+      .select(col(aCol).as("_src"), col(bCol).as("_dst"))
+      .union(pairs.select(col(bCol).as("_src"), col(aCol).as("_dst")))
+      .localCheckpoint() // also cuts the (expensive) pair-derivation lineage
+    var labels = nodes
+      .select(col(idCol).as("_node"), col(idCol).cast("long").as("cluster_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) { // min-label is monotone: rounds ≈ diameter
+      rounds += 1
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("_node", "_src"), "_src")
+        .select(col("_dst").as("_node"), col("cluster_id"))
+      val next = labels.select("_node", "cluster_id").union(viaNeighbor)
+        .groupBy("_node")
+        .agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("cluster_id", "_old"), "_node")
+        .filter(col("cluster_id") < col("_old"))
+        .count()
+      labels = next
+    }
+    labels.withColumnRenamed("_node", idCol).select(idCol, "cluster_id")
+  }
 }

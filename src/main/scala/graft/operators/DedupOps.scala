@@ -193,6 +193,52 @@ object DedupOps {
         .selectExpr(
           "a_id", "b_id",
           "cast(floor(cast(10000 as double) * i / (ca + cb - i)) as bigint) as jacc_x10000")
+    },
+
+    // Dedup CLUSTERS: connected components over the multi-band LSH
+    // candidate graph — the step that turns near-dup pairs into keep/drop
+    // groups (cluster_id = min doc_id in the component; singletons label
+    // themselves). Spark side: iterative min-label propagation — per round
+    // each doc takes the min label among itself and its neighbors; rounds
+    // = graph diameter (LSH clusters are near-cliques, 2-3 rounds). Every
+    // round shuffles only (doc_id, label) longs. Oracle: recursive-CTE
+    // transitive closure with the identical min-label reduction.
+    Q(
+      "dd08_dedup_clusters",
+      s"""WITH RECURSIVE
+         |     t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |     sh AS (SELECT doc_id, $duckShingles AS shingles FROM t),
+         |     sig AS (SELECT doc_id, ${duckMh(0)}, ${duckMh(1)}, ${duckMh(2)}, ${duckMh(3)} FROM sh),
+         |     bands AS (
+         |       SELECT doc_id, 0 AS band, mh0 AS h FROM sig
+         |       UNION ALL SELECT doc_id, 1, mh1 FROM sig
+         |       UNION ALL SELECT doc_id, 2, mh2 FROM sig
+         |       UNION ALL SELECT doc_id, 3, mh3 FROM sig),
+         |     pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |               FROM bands a JOIN bands b
+         |                 ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+         |     edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |               UNION ALL SELECT b_id, a_id FROM pairs),
+         |     reach(src, dst) AS (
+         |       SELECT doc_id, doc_id FROM documents
+         |       UNION
+         |       SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst)
+         |SELECT src AS doc_id, min(dst) AS cluster_id
+         |FROM reach GROUP BY src""".stripMargin) { (s, d) =>
+      val sh = T.documents(s, d)
+        .selectExpr("doc_id", s"$sparkToks as toks")
+        .selectExpr("doc_id", s"$sparkShingles as shingles")
+      val bands = sh
+        .selectExpr("doc_id", sparkMh(0), sparkMh(1), sparkMh(2), sparkMh(3))
+        .selectExpr("doc_id", "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) as (band, h)")
+        .persist()
+      val pairs = bands.select(col("doc_id").as("a_id"), col("band"), col("h"))
+        .join(bands.select(col("doc_id").as("b_id"), col("band"), col("h")), Seq("band", "h"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+      graft.functions.Dedup.connectedComponents(
+        T.documents(s, d).select("doc_id"), pairs, "doc_id", "a_id", "b_id")
     }
   )
 }

@@ -44,4 +44,15 @@ class DataProfilerSpec extends AnyFunSuite {
     val dd04 = graft.SparkEntry.queries("dd04_lsh_candidate_pairs")(spark, sf)
     assert(pairs.count() == dd04.count())
   }
+
+  test("connected components: min-label per component, singletons self-label") {
+    import spark.implicits._
+    // components: {1,2,3,9} (chain 1-2, 2-3, 3-9), {5,6}; singletons 4, 7
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 9L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L)).toDF("a", "b")
+    val got = graft.functions.Dedup.connectedComponents(nodes, pairs, "id", "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L, 4L -> 4L, 7L -> 7L))
+  }
 }
