@@ -119,6 +119,53 @@ object StreamRunner {
     spark.table(queryName)
   }
 
+  /** Genuine stream-stream interval join (the st03 semantics): clicks and
+    * purchases read as two watermarked streams, inner-joined on user with
+    * a [cts, cts + 30 min] event-time range. The watermarks + range
+    * condition let Spark bound both join-state buffers — the unbounded-
+    * stream shape that matters at scale; StreamingSpec asserts the result
+    * equals the batch st03 rendering.
+    */
+  def streamStreamJoin(spark: SparkSession, sfDir: String,
+      queryName: String = "graft_ssjoin"): DataFrame = {
+    val schema = graft.Tables.t(spark, sfDir, "events").schema
+    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(src)) src.toString
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft-ssjoin")
+        java.nio.file.Files.createSymbolicLink(d.resolve("events.parquet"), src)
+        d.toString
+      }
+    def source(): DataFrame = {
+      val s0 = spark.readStream.schema(schema).format("parquet").load(streamDir)
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        s0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else s0
+    }
+    val clicks = source()
+      .where("event_type = 'click'")
+      .selectExpr("event_id as click_id", "user_id as c_uid", "ts as cts")
+      .withWatermark("cts", "1 hour")
+    val purchases = source()
+      .where("event_type = 'purchase'")
+      .selectExpr("event_id as purchase_id", "user_id as p_uid", "ts as pts")
+      .withWatermark("pts", "1 hour")
+    val joined = clicks.join(
+      purchases,
+      expr("c_uid = p_uid and pts >= cts and pts <= cts + interval 30 minutes"))
+      .selectExpr("click_id", "purchase_id", "c_uid as user_id")
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Run the st01 window aggregation as a real stream over the events
     * fixture; returns the collected result as a DataFrame.
     */

@@ -47,6 +47,33 @@ object StreamingOps {
         .agg(
           count(lit(1)).as("n_events"),
           (lit(1) + count(when(col("gap_us") > 1800000000L, 1))).cast("long").as("n_sessions"))
+    },
+
+    // Stream-stream interval join (batch rendering): click→purchase pairs
+    // by the same user within 30 minutes. StreamRunner.streamStreamJoin
+    // runs the same join as a genuine watermarked stream-stream join;
+    // StreamingSpec asserts equality. The batch plan joins on (user,
+    // TIME-BLOCK) — each click probes its own 30-min block and the next —
+    // so per-user candidate fan-out stays bounded even for power users
+    // (the ss03 band-join pattern applied to time).
+    Q(
+      "st03_interval_join",
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d)
+      val c = ev.filter("event_type = 'click'")
+        .selectExpr("event_id as click_id", "user_id", "ts as cts",
+          "unix_micros(ts) div 1800000000 as blk0")
+        .withColumn("blk", explode(expr("array(blk0, blk0 + 1)")))
+        .drop("blk0")
+      val p = ev.filter("event_type = 'purchase'")
+        .selectExpr("event_id as purchase_id", "user_id", "ts as pts",
+          "unix_micros(ts) div 1800000000 as blk")
+      c.join(p, Seq("user_id", "blk"))
+        .filter("pts >= cts and pts <= cts + interval 30 minutes")
+        .select("click_id", "purchase_id", "user_id")
     }
   )
 }

@@ -24,6 +24,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.sorted.sameElements(batch.sorted))
   }
 
+  test("stream-stream interval join equals the batch st03 rendering") {
+    val streamed = StreamRunner.streamStreamJoin(spark, sf, "graft_ssjoin_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.streaming.StreamingOps.queries.find(_.name == "st03_interval_join").get
+      .fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stateful sessionization across micro-batches equals batch st02") {
     val streamed = StreamRunner.sessionizeStateful(spark, sf, "graft_sessions_spec")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
