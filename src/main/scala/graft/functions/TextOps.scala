@@ -116,6 +116,36 @@ object TextOps {
       T.documents(s, d).selectExpr(
         "doc_id",
         "substr(md5(trim(regexp_replace(lower(text), '\\\\s+', ' '))), 1, 16) as fp")
+    },
+
+    // Corpus heavy-hitters: top-20 3-gram shingles by DOCUMENT frequency
+    // (how many distinct docs contain the shingle), ties broken on the
+    // shingle. groupBy shuffles (shingle, doc_id) pairs with map-side
+    // partial aggregation; the top-k is TakeOrderedAndProject (per-
+    // partition heaps merged on the driver), never a global sort.
+    Q(
+      "tx06_top_ngrams",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |     sh AS (SELECT DISTINCT doc_id,
+        |       unnest(list_transform(range(1, greatest(1, len(toks) - 1)),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sng
+        |     FROM t)
+        |SELECT sng, n_docs FROM (
+        |  SELECT sng, count(*) AS n_docs FROM sh GROUP BY sng)
+        |ORDER BY n_docs DESC, sng LIMIT 20""".stripMargin) { (s, d) =>
+      T.documents(s, d)
+        .selectExpr("doc_id", "split(text, '\\\\s+') as toks")
+        .selectExpr(
+          "doc_id",
+          "case when size(toks) < 3 then array() else " +
+            "transform(sequence(1, size(toks) - 2), i -> " +
+            "concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2))) end as shingles")
+        .selectExpr("doc_id", "explode(shingles) as sng")
+        .distinct()
+        .groupBy("sng")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("sng"))
+        .limit(20)
     }
   )
 }

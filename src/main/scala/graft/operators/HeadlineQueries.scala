@@ -233,6 +233,27 @@ object HeadlineQueries {
         .selectExpr("user_id", "event_id", "coalesce(asof_view, -1) as asof_view")
     },
 
+    // Bloom pre-filtered fact-dim join: the small side (urgent orders,
+    // every 50th key) builds a native Bloom filter; lineitem rows failing
+    // `might_contain` are dropped BEFORE the join shuffle. False positives
+    // are removed by the join itself, so the result is exactly the plain
+    // join — which is what the oracle checks.
+    Q(
+      "q_bloom_prefilter",
+      """SELECT l.l_orderkey, o.o_orderpriority,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS rev
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderkey % 50 = 0
+        |GROUP BY l.l_orderkey, o.o_orderpriority""".stripMargin) { (s, d) =>
+      val small = T.orders(s, d)
+        .filter("o_orderpriority = '1-URGENT' and o_orderkey % 50 = 0")
+        .selectExpr("o_orderkey as l_orderkey", "o_orderpriority")
+      val big = T.lineitem(s, d).select("l_orderkey", "l_extendedprice")
+      graft.plans.BloomPrefilter.join(big, small, "l_orderkey")
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(expr(P.dsum("l_extendedprice")).as("rev"))
+    },
+
     // Rollup aggregation (hierarchical subtotals; NULL grouping semantics
     // are identical across engines).
     Q(

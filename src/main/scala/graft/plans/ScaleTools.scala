@@ -29,6 +29,55 @@ object Bucketing {
     df.queryExecution.executedPlan.toString.contains("Exchange")
 }
 
+/** Bloom pre-filtered join — the 100 TB shuffle-reduction pattern: build
+  * a Bloom filter over the small side's join keys (one tiny aggregate),
+  * broadcast it, and drop non-matching big-side rows BEFORE the shuffle.
+  * The filter admits false positives but never false negatives, and the
+  * join itself removes the false positives — results are exactly the
+  * plain join's, while the shuffle moves only ~matching rows. Uses
+  * Spark's native BloomFilterAggregate / BloomFilterMightContain
+  * expressions (the machinery behind runtime row-level filtering),
+  * registered as SQL functions the same way reservoir_sample is.
+  */
+object BloomPrefilter {
+
+  def register(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_filter_agg",
+      exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2)).toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "might_contain",
+      exprs => new BloomFilterMightContain(exprs(0), exprs(1)),
+      "built-in")
+  }
+
+  private val viewCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Big-side rows failing `might_contain` never reach the join shuffle.
+    * might_contain requires the filter as a constant or scalar subquery,
+    * so the one-row bloom aggregate is staged as a temp view and
+    * referenced by subquery (Spark materializes it once, like its own
+    * runtime-filter subqueries).
+    */
+  def prefilter(big: DataFrame, small: DataFrame, key: String,
+      expectedItems: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
+    register(big.sparkSession)
+    val view = s"graft_bloom_${viewCounter.incrementAndGet()}"
+    small.agg(
+      expr(s"bloom_filter_agg(xxhash64($key), ${expectedItems}L, ${numBits}L)").as("_bf"))
+      .createOrReplaceTempView(view)
+    big.filter(expr(s"might_contain((select _bf from $view), xxhash64($key))"))
+  }
+
+  /** Exact inner join with the Bloom pre-filter applied to `big`. */
+  def join(big: DataFrame, small: DataFrame, key: String,
+      expectedItems: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame =
+    prefilter(big, small, key, expectedItems, numBits).join(small, key)
+}
+
 /** Skew handling: salted join for hot keys. AQE's skew-join split handles
   * most cases at runtime; explicit salting is the deterministic fallback
   * when a handful of keys dominate (e.g. a header row joined by billions

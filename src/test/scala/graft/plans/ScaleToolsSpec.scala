@@ -47,4 +47,22 @@ class ScaleToolsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(a == b)
   }
+
+  test("bloom prefilter: exact join result, big side shrinks pre-shuffle") {
+    import graft.SparkTestSession.{sf, spark}
+    val big = graft.Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val small = graft.Tables.orders(spark, sf)
+      .filter("o_orderkey % 40 = 0")
+      .selectExpr("o_orderkey as l_orderkey", "o_totalprice")
+    // exactness: bloom-prefiltered join == plain join (fp removed by join)
+    val bloomed = BloomPrefilter.join(big, small, "l_orderkey")
+      .select("l_orderkey", "l_quantity", "o_totalprice")
+    val plain = big.join(small, "l_orderkey")
+      .select("l_orderkey", "l_quantity", "o_totalprice")
+    assert(bloomed.exceptAll(plain).isEmpty && plain.exceptAll(bloomed).isEmpty)
+    // the prefilter genuinely drops rows before the join
+    val kept = BloomPrefilter.prefilter(big, small, "l_orderkey").count()
+    assert(kept < big.count() / 10) // 1-in-40 keys + false positives
+    assert(kept >= plain.select("l_orderkey").count())
+  }
 }
