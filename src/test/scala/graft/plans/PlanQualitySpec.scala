@@ -1,0 +1,40 @@
+package graft.plans
+
+import graft.SparkTestSession.{sf, spark}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-quality rail over EVERY registered query's physical plan: an
+  * unpartitioned window (Window.orderBy with no partitionBy) funnels the
+  * whole input through one partition — the op11-class regression this
+  * spec exists to catch. Global windows are tolerated only over
+  * aggregated inputs (bucket-count offset tables, ranked node metrics —
+  * tiny by construction).
+  */
+class PlanQualitySpec extends AnyFunSuite {
+
+  private def hasAggregateBelow(p: SparkPlan): Boolean =
+    p.collectFirst {
+      case a if a.nodeName.toLowerCase.contains("aggregate") => a
+    }.nonEmpty
+
+  test("no gated query plans a global window over unaggregated input") {
+    val offenders = graft.SparkEntry.all
+      // dd08 drives an iterative loop whose returned plan is a checkpoint
+      // scan; building it executes the whole algorithm — covered by its
+      // own gate + spec, skip the (expensive) plan build here
+      .filterNot(_.name == "dd08_dedup_clusters")
+      .flatMap { q =>
+        val plan =
+          try q.fn(spark, sf).queryExecution.executedPlan
+          catch { case e: Throwable => fail(s"${q.name} failed to plan: $e") }
+        plan.collect {
+          case w: WindowExec
+              if w.partitionSpec.isEmpty && !hasAggregateBelow(w.child) =>
+            s"${q.name}: global Window over unaggregated input"
+        }
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
