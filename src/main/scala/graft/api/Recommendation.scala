@@ -45,7 +45,8 @@ final case class Recommendation(
     * the 4th LP variant get_runtime_data reports,
     * graph_rewrites.py:466-535).
     */
-  def lpUpperBounds(naive: Boolean = false, useExistingUsage: Boolean = false): Double = {
+  def lpUpperBounds(naive: Boolean = false, useExistingUsage: Boolean = false,
+      bandwidth: Option[MaxMinThroughputLP.Bandwidth] = None): Double = {
     val ops = metrics.filter(_.elementsProduced > 0).map { m =>
       MaxMinThroughputLP.OpRate(
         m.nodeId,
@@ -58,7 +59,7 @@ final case class Recommendation(
     }
     if (ops.isEmpty) 0.0
     else MaxMinThroughputLP.solve(ops, global.cores.toDouble,
-      useExistingUsage = useExistingUsage).rate
+      useExistingUsage = useExistingUsage, bandwidth = bandwidth).rate
   }
 
   /** disk_upper_bounds(bandwidth): element-rate ceiling from disk. */

@@ -23,8 +23,23 @@ object MaxMinThroughputLP {
 
   final case class Solution(thetas: Map[Int, Double], rate: Double, coresUsed: Double)
 
+  /** Piecewise bandwidth cap on one op (convex_solver.py:104-128): the
+    * achievable rate is additionally bounded by BOTH segment lines of the
+    * A14 fit evaluated at that op's θ — rate ≤ m1·θ + b1 and
+    * rate ≤ m2·θ + b2 (the second segment is typically near-flat: the
+    * device's saturation bandwidth).
+    */
+  final case class Bandwidth(opId: Int, m1: Double, b1: Double, m2: Double, b2: Double)
+
+  object Bandwidth {
+    /** Adapt an A14 PiecewiseFit (elements/sec vs parallelism) to the LP. */
+    def fromFit(opId: Int, f: PiecewiseFit.Fit): Bandwidth =
+      Bandwidth(opId, f.slope1, f.icept1, f.slope2, f.icept2)
+  }
+
   def solve(ops: Seq[OpRate], cores: Double, maxChange: Option[Double] = None,
-      useExistingUsage: Boolean = false, cpuUtilCores: Double = 0.0): Solution = {
+      useExistingUsage: Boolean = false, cpuUtilCores: Double = 0.0,
+      bandwidth: Option[Bandwidth] = None): Solution = {
     require(ops.nonEmpty && cores > 0)
     // use_existing_usage (convex_solver.py:55-75): floor every θ at the
     // op's observed core usage (sequential ops capped at 1), and charge
@@ -48,9 +63,30 @@ object MaxMinThroughputLP {
       val lo = o.thetaMin * minScale
       o.copy(thetaMin = lo, thetaMax = math.max(lo, hi0))
     }
+    // θ needed by one bandwidth segment to reach rate r: invert r = m·θ+b
+    // (a flat segment is a hard cap — zero θ below it, unreachable above)
+    def segTheta(m: Double, b: Double, r: Double): Double =
+      if (m > 1e-12) math.max(0.0, (r - b) / m)
+      else if (r <= b) 0.0
+      else Double.PositiveInfinity
+    def neededTheta(o: OpRate, r: Double): Double = {
+      val base = if (o.perCoreRate > 0) r / o.perCoreRate else o.thetaMin
+      bandwidth match {
+        case Some(bw) if bw.opId == o.id =>
+          math.max(base, math.max(segTheta(bw.m1, bw.b1, r), segTheta(bw.m2, bw.b2, r)))
+        case _ => base
+      }
+    }
     def thetasFor(r: Double): Seq[Double] =
-      eff.map(o => clamp(if (o.perCoreRate > 0) r / o.perCoreRate else o.thetaMin, o.thetaMin, o.thetaMax))
+      eff.map(o => clamp(neededTheta(o, r), o.thetaMin, o.thetaMax))
     def used(r: Double): Double = thetasFor(r).sum
+    // effective rate of an op at allocation t, bandwidth caps included
+    def effRate(o: OpRate, t: Double): Double = {
+      val r0 = o.perCoreRate * t
+      bandwidth.filter(_.opId == o.id)
+        .map(bw => math.min(r0, math.min(bw.m1 * t + bw.b1, bw.m2 * t + bw.b2)))
+        .getOrElse(r0)
+    }
 
     // bracket: R=0 uses Σθmin; no op can exceed rate·min(θmax, cores), so
     // the fastest op at full budget bounds the achievable min-rate above
@@ -64,7 +100,7 @@ object MaxMinThroughputLP {
     // the feasibility search can overshoot R once a clamped op stops the
     // objective from rising; shrink to the binding min-rate so non-binding
     // ops don't hoard cores (matches the equalizing optimum)
-    val rate = eff.zip(thetasFor(lo)).map { case (o, t) => o.perCoreRate * t }.min
+    val rate = eff.zip(thetasFor(lo)).map { case (o, t) => effRate(o, t) }.min
     val thetas = thetasFor(rate)
     Solution(eff.map(_.id).zip(thetas).toMap, rate, thetas.sum)
   }

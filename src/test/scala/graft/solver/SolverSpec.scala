@@ -125,6 +125,30 @@ class SolverSpec extends AnyFunSuite {
     }
   }
 
+  test("bandwidth cap bounds the source's effective rate (convex_solver.py:104-128)") {
+    // src reaches 100/core compute-wise but its device delivers only
+    // 50/core up to a 150-el/s saturation ceiling (flat second segment)
+    val ops = Seq(
+      OpRate(1, perCoreRate = 100.0, thetaMax = 8.0),
+      OpRate(2, perCoreRate = 100.0, thetaMax = 8.0))
+    val unbounded = solve(ops, cores = 8.0)
+    assert(math.abs(unbounded.rate - 400.0) < 1.0) // equalized 4/4 cores
+    val bw = Bandwidth(opId = 1, m1 = 50.0, b1 = 0.0, m2 = 0.0, b2 = 150.0)
+    val capped = solve(ops, cores = 8.0, bandwidth = Some(bw))
+    assert(math.abs(capped.rate - 150.0) < 0.5) // saturation ceiling binds
+    assert(math.abs(capped.thetas(1) - 3.0) < 0.05) // θ = 150/50 on segment 1
+    assert(math.abs(capped.thetas(2) - 1.5) < 0.05) // θ = 150/100
+    // a non-binding (generous) bandwidth leaves the solution unchanged
+    val loose = solve(ops, cores = 8.0,
+      bandwidth = Some(Bandwidth(1, 1000.0, 0.0, 0.0, 1e9)))
+    assert(math.abs(loose.rate - unbounded.rate) < 1.0)
+    // A14 fit adapter carries both segments through
+    val fit = PiecewiseFit.fit(
+      Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0), Seq(50.0, 100.0, 150.0, 150.0, 150.0, 150.0))
+    val viaFit = solve(ops, cores = 8.0, bandwidth = Some(Bandwidth.fromFit(1, fit)))
+    assert(viaFit.rate <= 160.0) // capped near the fitted saturation
+  }
+
   test("min-cost LP: cache masks upstream cost when cheaper") {
     import MinCostLP._
     val ops = Seq(
