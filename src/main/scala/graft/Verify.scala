@@ -10,7 +10,10 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0)
+    val outDir = args(1)
+    // optional query-name subset (dev loop); driver passes exactly two args
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val timeoutS = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "300").toLong
     val spark = SparkSession.builder()
@@ -25,7 +28,9 @@ object Verify {
     new java.io.File(outDir).mkdirs()
 
     var pool = java.util.concurrent.Executors.newSingleThreadExecutor()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       val task = pool.submit(new java.util.concurrent.Callable[Unit] {
         override def call(): Unit = {
           spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)

@@ -156,6 +156,31 @@ object SimilarityOps {
         .filter(col("a_id") < col("b_id") && col("b_id") - col("a_id") <= 25)
         .filter(expr(s"${sparkCos("ea", "eb")} > 0.3"))
         .select("a_id", "b_id")
+    },
+
+    // Grouped vector centroids (the IVF training step / per-class mean):
+    // per label, exact decimal-summed centroid components at probe dims
+    // 1/16/32/64 plus the member count. Decimal sums are order-insensitive
+    // so the aggregation is hash-exact under ANY partitioning — the rule
+    // every distributed float aggregation here follows. No explode: one
+    // codegen'd scan, partial aggregation map-side.
+    Q(
+      "ss04_label_centroids", {
+        def dim(i: Int) =
+          s"CAST(SUM(CAST(embedding[$i]::DOUBLE AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS c$i"
+        s"""SELECT label, count(*) AS n, ${dim(1)}, ${dim(16)}, ${dim(32)}, ${dim(64)}
+           |FROM embeddings GROUP BY label""".stripMargin
+      }) { (s, d) =>
+      def dim(i: Int) =
+        s"cast(sum(cast(cast(element_at(embedding, $i) as double) as decimal(28,8))) as double) / count(*) as c$i"
+      T.embeddings(s, d)
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n"),
+          expr(dim(1)).as("c1"),
+          expr(dim(16)).as("c16"),
+          expr(dim(32)).as("c32"),
+          expr(dim(64)).as("c64"))
     }
   )
 }
