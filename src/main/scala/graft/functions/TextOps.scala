@@ -149,6 +149,50 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("n_docs").desc, col("sng"))
         .limit(20)
+    },
+
+    // TF-IDF top-3 terms per document, with a LINEAR idf (tf·N/df instead
+    // of tf·log(N/df)): log is transcendental and not guaranteed
+    // bit-identical across engines, while tf·N and df are exact integers
+    // and one IEEE division is — same ranking family, hash-exact gate.
+    // Plan shape at 100 TB: doc-term counts and doc frequencies are two
+    // map-side-combined aggregations; the score join shuffles on term;
+    // the top-3 window re-shuffles on doc_id. df uses per-doc
+    // array_distinct BEFORE explode (the tx06 lesson — a row-level
+    // distinct after explode re-runs the tokenizer through the exchange).
+    Q(
+      "tx07_tfidf",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+        |           FROM documents),
+        |     tf AS (SELECT doc_id, w, count(*) AS tf
+        |            FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY doc_id, w),
+        |     df AS (SELECT w, count(*) AS df
+        |            FROM (SELECT DISTINCT doc_id, unnest(toks) AS w FROM t) GROUP BY w),
+        |     n AS (SELECT count(*) AS n FROM documents),
+        |     sc AS (SELECT tf.doc_id, tf.w,
+        |              CAST(tf.tf * n.n AS DOUBLE) / df.df AS score
+        |            FROM tf JOIN df ON df.w = tf.w CROSS JOIN n)
+        |SELECT doc_id, CAST(rn AS BIGINT) AS rank, w AS term, score FROM (
+        |  SELECT doc_id, w, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rn
+        |  FROM sc) WHERE rn <= 3""".stripMargin) { (s, d) =>
+      val t = T.documents(s, d)
+        .selectExpr("doc_id", "split(lower(text), '\\\\s+') as toks")
+      val tf = t.selectExpr("doc_id", "explode(toks) as w")
+        .groupBy("doc_id", "w")
+        .agg(count(lit(1)).as("tf"))
+      val df = t.selectExpr("doc_id", "explode(array_distinct(toks)) as w")
+        .groupBy("w")
+        .agg(count(lit(1)).as("df"))
+      val n = T.documents(s, d).agg(count(lit(1)).as("n"))
+      tf.join(df, "w")
+        .crossJoin(broadcast(n))
+        .selectExpr("doc_id", "w", "cast(tf * n as double) / df as score")
+        .selectExpr(
+          "doc_id", "w", "score",
+          "cast(row_number() over (partition by doc_id order by score desc, w) as bigint) as rank")
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("w").as("term"), col("score"))
     }
   )
 }

@@ -239,6 +239,58 @@ object DedupOps {
         .distinct()
       graft.functions.Dedup.connectedComponents(
         T.documents(s, d).select("doc_id"), pairs, "doc_id", "a_id", "b_id")
+    },
+
+    // MinHash similarity ESTIMATE from signature agreement alone: for each
+    // multi-band LSH candidate pair, est(J) = (#agreeing components)/4
+    // (E[mh_a = mh_b] = J is the MinHash identity). The estimator never
+    // touches document text — at 100 TB the verify stage reads 4 longs per
+    // doc instead of re-shingling both sides, which is the point of
+    // carrying signatures through the pipeline.
+    Q(
+      "dd09_signature_jaccard", {
+        val matches = (0 until 4)
+          .map(k => s"(CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+           |     sh AS (SELECT doc_id, $duckShingles AS shingles FROM t),
+           |     sig AS (SELECT doc_id, ${duckMh(0)}, ${duckMh(1)}, ${duckMh(2)}, ${duckMh(3)} FROM sh),
+           |     bands AS (
+           |       SELECT doc_id, 0 AS band, mh0 AS h FROM sig
+           |       UNION ALL SELECT doc_id, 1, mh1 FROM sig
+           |       UNION ALL SELECT doc_id, 2, mh2 FROM sig
+           |       UNION ALL SELECT doc_id, 3, mh3 FROM sig),
+           |     pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |               FROM bands a JOIN bands b
+           |                 ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id)
+           |SELECT p.a_id, p.b_id,
+           |  CAST($matches AS BIGINT) AS match_cnt,
+           |  CAST(($matches) * 2500 AS BIGINT) AS est_x10000
+           |FROM pairs p JOIN sig sa ON sa.doc_id = p.a_id
+           |             JOIN sig sb ON sb.doc_id = p.b_id""".stripMargin
+      }) { (s, d) =>
+      val matches = (0 until 4)
+        .map(k => s"(case when sa_mh$k = sb_mh$k then 1 else 0 end)")
+        .mkString(" + ")
+      val sig = T.documents(s, d)
+        .selectExpr("doc_id", s"$sparkToks as toks")
+        .selectExpr("doc_id", s"$sparkShingles as shingles")
+        .selectExpr("doc_id", sparkMh(0), sparkMh(1), sparkMh(2), sparkMh(3))
+        .persist() // consumed three times (bands + both pair sides)
+      val bands = sig
+        .selectExpr("doc_id", "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) as (band, h)")
+      val pairs = bands.select(col("doc_id").as("a_id"), col("band"), col("h"))
+        .join(bands.select(col("doc_id").as("b_id"), col("band"), col("h")), Seq("band", "h"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+      val sa = sig.toDF("a_id", "sa_mh0", "sa_mh1", "sa_mh2", "sa_mh3")
+      val sb = sig.toDF("b_id", "sb_mh0", "sb_mh1", "sb_mh2", "sb_mh3")
+      pairs.join(sa, Seq("a_id")).join(sb, Seq("b_id"))
+        .selectExpr(
+          "a_id", "b_id",
+          s"cast($matches as bigint) as match_cnt",
+          s"cast(($matches) * 2500 as bigint) as est_x10000")
     }
   )
 }

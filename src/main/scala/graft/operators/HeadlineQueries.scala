@@ -265,6 +265,26 @@ object HeadlineQueries {
         T.lineitem(s, d)
           .rollup("l_returnflag", "l_linestatus")
           .agg(count(lit(1)).as("n"), expr(P.dsum("l_quantity")).as("qty"))
+    },
+
+    // Salted fact-fact join: lineitem×orders with the join key salted into
+    // 8 buckets (left rows hashed, right rows replicated 8×) — the
+    // deterministic hot-key defense when a handful of keys dominate and
+    // AQE's runtime skew split isn't available (e.g. a pre-AQE shuffle or
+    // an external sink partitioning). Salting changes ONLY the shuffle
+    // distribution; the oracle checks the result equals the plain join.
+    Q(
+      "q_salted_join",
+      """SELECT o.o_orderpriority AS priority, count(*) AS n,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS total
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |GROUP BY o.o_orderpriority""".stripMargin) { (s, d) =>
+      val li = T.lineitem(s, d).select("l_orderkey", "l_extendedprice")
+      val ord = T.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.plans.SkewTools.saltedJoin(li, ord, "l_orderkey", saltBuckets = 8)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"), expr(P.dsum("l_extendedprice")).as("total"))
     }
   )
 }

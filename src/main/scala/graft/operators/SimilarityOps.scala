@@ -181,6 +181,71 @@ object SimilarityOps {
           expr(dim(16)).as("c16"),
           expr(dim(32)).as("c32"),
           expr(dim(64)).as("c64"))
+    },
+
+    // IVF ANN with nprobe=2: like ss02 but each query probes its TWO
+    // nearest cells — the standard recall knob (nprobe) of inverted-file
+    // search. Database vectors still live in exactly one cell (rn = 1),
+    // so the two probed cells are disjoint and candidates need no dedup.
+    // One scored cross-join with the broadcast centroids feeds BOTH the
+    // cell assignment and the query probe list (persisted, consumed twice).
+    Q(
+      "ss05_ann_nprobe2",
+      s"""WITH cent AS (
+         |  SELECT label AS cell, embedding AS ce FROM (
+         |    SELECT label, embedding,
+         |      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+         |    FROM embeddings) WHERE rn = 1),
+         |  scored AS (
+         |    SELECT e.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.embedding", "c.ce")} DESC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN cent c),
+         |  assign AS (SELECT vec_id, cell FROM scored WHERE rn = 1),
+         |  qc AS (SELECT vec_id AS q_id, cell FROM scored
+         |         WHERE vec_id < 5 AND rn <= 2),
+         |  q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+         |        WHERE vec_id < 5),
+         |  cand AS (SELECT q.q_id, q.qe, e.vec_id AS n_id, e.embedding AS ne
+         |           FROM q JOIN qc ON qc.q_id = q.q_id
+         |                  JOIN assign a ON a.cell = qc.cell
+         |                  JOIN embeddings e ON e.vec_id = a.vec_id
+         |           WHERE e.vec_id <> q.q_id)
+         |SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id FROM (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ${duckCos("qe", "ne")} DESC, n_id) AS rn
+         |  FROM cand) WHERE rn <= 3""".stripMargin) { (s, d) =>
+      graft.functions.CosineSimilarity.register(s)
+      val e = T.embeddings(s, d)
+      val cent = e
+        .selectExpr(
+          "label as cell", "embedding as ce",
+          "row_number() over (partition by label order by vec_id) as rn")
+        .filter(col("rn") === 1)
+        .drop("rn")
+      val scored = e.crossJoin(broadcast(cent))
+        .selectExpr(
+          "vec_id", "cell",
+          s"row_number() over (partition by vec_id order by ${sparkCos("embedding", "ce")} desc, cell) as rn")
+        .persist() // consumed twice (cell assignment + query probe list)
+      val assign = scored.filter(col("rn") === 1).select("vec_id", "cell")
+      val qc = scored.filter(col("vec_id") < 5 && col("rn") <= 2)
+        .select(col("vec_id").as("q_id"), col("cell"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val cand = broadcast(q.join(qc, "q_id"))
+        .join(assign.withColumnRenamed("vec_id", "n_id"), "cell")
+        .join(
+          e.select(col("vec_id").as("n_id"), col("embedding").as("ne")),
+          Seq("n_id"))
+        .filter(col("n_id") =!= col("q_id"))
+      cand
+        .selectExpr(
+          "q_id", "n_id",
+          s"cast(row_number() over (partition by q_id order by ${sparkCos("qe", "ne")} desc, n_id) as bigint) as rank")
+        .filter(col("rank") <= 3)
+        .select("q_id", "rank", "n_id")
     }
   )
 }
