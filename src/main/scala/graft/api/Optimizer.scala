@@ -24,7 +24,11 @@ object Optimizer {
       fastOptimize: Boolean = false, // skip source calibration
       // floor LP θs at each node's current allocation
       // (convex_solver.py:55-75 use_existing_usage)
-      useExistingUsage: Boolean = false)
+      useExistingUsage: Boolean = false,
+      // trace with PreciseProfiler (exact per-node self time via iterator
+      // barriers, the reference's full-tracing mode) instead of the cheap
+      // instrumented pass with proportional CPU attribution
+      preciseProfile: Boolean = false)
 
   object Config {
     /** Env-var gates mirroring the reference's PLUMBER_* knobs
@@ -35,7 +39,8 @@ object Optimizer {
       noOptimize = sys.env.get("GRAFT_NO_OPTIMIZE").exists(_ == "1"),
       applyCaching = sys.env.get("GRAFT_APPLY_CACHING").forall(_ != "0") && base.applyCaching,
       maxChange = sys.env.get("GRAFT_MAX_CHANGE").map(_.toDouble).orElse(base.maxChange),
-      fastOptimize = sys.env.get("GRAFT_FAST_OPTIMIZE").exists(_ == "1"))
+      fastOptimize = sys.env.get("GRAFT_FAST_OPTIMIZE").exists(_ == "1"),
+      preciseProfile = sys.env.get("GRAFT_PRECISE_PROFILE").exists(_ == "1") || base.preciseProfile)
   }
 
   final case class Result(
@@ -100,9 +105,26 @@ object Optimizer {
 
   def optimizePipeline(spark: SparkSession, g0: PipelineGraph, sfDir: String,
       cfg: Config = Config()): Result = {
-    // 1. instrumented trace run (the 62 s benchmark analogue — here one
-    //    bounded pass over the fixture tables)
-    val run = Instrument.run(spark, g0, sfDir)
+    // 1. trace run (the 62 s benchmark analogue — here one bounded pass
+    //    over the fixture tables). Cheap mode observes element counts and
+    //    attributes CPU proportionally; precise mode re-materializes each
+    //    prefix behind iterator barriers for exact per-node self time (at
+    //    the cost of breaking codegen — profile mode only, like the
+    //    reference's span tracing perturbing the pipeline it measures).
+    val run =
+      if (cfg.preciseProfile) {
+        val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+          .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        val cpu0 = osBean.getProcessCpuTime
+        val p = graft.metrics.PreciseProfiler.run(spark, g0, sfDir)
+        val cpuNs = math.max(0L, osBean.getProcessCpuTime - cpu0)
+        Instrument.RunResult(
+          graft.metrics.PreciseProfiler.toNodeMetrics(
+            g0, p, Runtime.getRuntime.availableProcessors()),
+          GlobalMetrics.detect(p.wallNs, cpuNs)
+            .copy(diskBandwidthBps = Instrument.measuredBandwidth(sfDir)),
+          p.rowCount)
+      } else Instrument.run(spark, g0, sfDir)
     if (cfg.noOptimize) {
       // PLUMBER_NO_OPTIMIZE parity: trace + report, change nothing
       return Result(g0, g0, run.nodeMetrics, run.global, Map.empty, 0.0,

@@ -118,6 +118,6 @@ object Instrument {
   // FsProbe capacity measurement, cached per fixture dir (A20 feeding
   // machine_info, replacing the reference's 100 MB/s fallback).
   private val bwCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
-  private def measuredBandwidth(sfDir: String): Double =
+  private[graft] def measuredBandwidth(sfDir: String): Double =
     bwCache.computeIfAbsent(sfDir, d => graft.bench.FsProbe.sequentialReadBps(d))
 }

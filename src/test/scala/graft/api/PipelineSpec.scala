@@ -39,6 +39,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(Set("expected_parallel_max_rate", "p_busy", "element_ratio").subsetOf(cols))
   }
 
+  test("optimizePipeline with preciseProfile uses exact per-node self time") {
+    val res = Optimizer.optimizePipeline(
+      spark, Flagship.graph, sf, Optimizer.Config(preciseProfile = true))
+    assert(res.thetas.nonEmpty && res.predictedRate > 0)
+    assert(Compiler.schemaInvariant(spark, res.original, res.optimized, sf))
+    // precise mode measures each node directly: every traced node carries
+    // its own element count, and self times are non-negative by clamping
+    val byId = res.metrics.map(m => m.nodeId -> m).toMap
+    assert(byId(0).elementsProduced == 6000)
+    assert(res.metrics.forall(_.processingTimeNs >= 0))
+  }
+
   test("InsertCache/RemoveCaches round-trip preserves semantics") {
     val g = Flagship.graph
     val cached = Rules.InsertCache(2).rewrite(g)
