@@ -193,6 +193,42 @@ object TextOps {
           "cast(row_number() over (partition by doc_id order by score desc, w) as bigint) as rank")
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("rank"), col("w").as("term"), col("score"))
+    },
+
+    // Sequence packing: split each document's token stream into fixed
+    // 32-token training windows (chunk_id, length, boundary tokens, and a
+    // content hash instead of the raw array — gate outputs stay scalar).
+    // The LLM-pretraining "pack to max_len" operator: explode is linear in
+    // tokens, chunks inherit the document's partition, nothing shuffles.
+    Q(
+      "tx08_chunk_pack",
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+         |           FROM documents),
+         |     c AS (SELECT doc_id, toks,
+         |             unnest(range(0, greatest(1, (len(toks) + 31) // 32))) AS chunk_id
+         |           FROM t),
+         |     w AS (SELECT doc_id, chunk_id,
+         |             toks[(chunk_id*32 + 1):(chunk_id*32 + 32)] AS chunk
+         |           FROM c)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(len(chunk) AS BIGINT) AS n_toks,
+         |  chunk[1] AS first_tok, chunk[len(chunk)] AS last_tok,
+         |  ${graft.Portable.duckHash60("array_to_string(chunk, ' ')")} AS tok_hash
+         |FROM w""".stripMargin) { (s, d) =>
+      T.documents(s, d)
+        .selectExpr("doc_id", "split(text, '\\\\s+') as toks")
+        .selectExpr(
+          "doc_id", "toks",
+          "explode(sequence(0, greatest(1, (size(toks) + 31) div 32) - 1)) as chunk_id")
+        .selectExpr(
+          "doc_id", "chunk_id",
+          "slice(toks, chunk_id*32 + 1, 32) as chunk")
+        .selectExpr(
+          "doc_id", "cast(chunk_id as bigint) as chunk_id",
+          "cast(size(chunk) as bigint) as n_toks",
+          "element_at(chunk, 1) as first_tok",
+          "element_at(chunk, size(chunk)) as last_tok",
+          s"${graft.Portable.hash60("concat_ws(' ', chunk)")} as tok_hash")
     }
   )
 }

@@ -285,6 +285,26 @@ object HeadlineQueries {
       graft.plans.SkewTools.saltedJoin(li, ord, "l_orderkey", saltBuckets = 8)
         .groupBy(col("o_orderpriority").as("priority"))
         .agg(count(lit(1)).as("n"), expr(P.dsum("l_extendedprice")).as("total"))
+    },
+
+    // Partitioned sink → pruned source round-trip: write orders
+    // Hive-partitioned by priority, read back filtering two partitions —
+    // the scan opens only those directories (PartitionFilters; the coarse
+    // pruning lever that reads 0.1 % of a 1000-partition table before any
+    // row-group stats are consulted). Oracle runs the same filter over the
+    // original table, so the gate proves the round-trip is lossless.
+    Q(
+      "q_partition_prune",
+      """SELECT o_orderpriority AS priority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_part_orders_${math.abs(d.hashCode)}"
+      graft.sources.Sources.writePartitioned(T.orders(s, d), path, "o_orderpriority")
+      graft.sources.Sources.readPartitioned(s, path)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"), expr(P.dsum("o_totalprice")).as("total"))
     }
   )
 }

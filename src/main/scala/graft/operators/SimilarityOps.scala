@@ -246,6 +246,35 @@ object SimilarityOps {
           s"cast(row_number() over (partition by q_id order by ${sparkCos("qe", "ne")} desc, n_id) as bigint) as rank")
         .filter(col("rank") <= 3)
         .select("q_id", "rank", "n_id")
+    },
+
+    // Int8 scalar quantization (symmetric, per-vector absmax — the
+    // embedding-compression step before an ANN index ships to serving):
+    // scale = 127/max|x|, q_i = floor(x_i·scale + 0.5) (round-half-up —
+    // floor of an identical double is identical on both engines, unlike
+    // round() whose tie mode differs). Gated at probe dims 1/16/32/64
+    // plus the scale. One codegen'd scan, no shuffle.
+    Q(
+      "ss06_quantize_int8", {
+        def qd(i: Int) =
+          s"CAST(FLOOR(embedding[$i]::DOUBLE * (127.0 / mx) + 0.5) AS BIGINT) AS q$i"
+        s"""WITH m AS (SELECT vec_id,  embedding,
+           |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+           |  FROM embeddings)
+           |SELECT vec_id, CAST(mx AS DOUBLE) AS absmax,
+           |  ${qd(1)}, ${qd(16)}, ${qd(32)}, ${qd(64)}
+           |FROM m WHERE mx > 0""".stripMargin
+      }) { (s, d) =>
+      def qs(i: Int) =
+        s"cast(floor(cast(element_at(embedding, $i) as double) * (127.0 / mx) + 0.5) as bigint) as q$i"
+      T.embeddings(s, d)
+        .selectExpr(
+          "vec_id", "embedding",
+          "array_max(transform(embedding, x -> abs(cast(x as double)))) as mx")
+        .filter(col("mx") > 0)
+        .selectExpr(
+          "vec_id", "cast(mx as double) as absmax",
+          qs(1), qs(16), qs(32), qs(64))
     }
   )
 }

@@ -37,4 +37,13 @@ class PlanQualitySpec extends AnyFunSuite {
       }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("q_partition_prune's scan prunes to the filtered partitions") {
+    val q = graft.SparkEntry.all.find(_.name == "q_partition_prune").get
+    val df = q.fn(spark, sf)
+    assert(
+      graft.sources.Sources.prunesPartitions(df),
+      "partition filter did not reach the scan:\n" +
+        df.queryExecution.executedPlan.toString)
+  }
 }
