@@ -291,6 +291,62 @@ object DedupOps {
           "a_id", "b_id",
           s"cast($matches as bigint) as match_cnt",
           s"cast(($matches) * 2500 as bigint) as est_x10000")
+    },
+
+    // SimHash near-dup pairing — the step dd05 feeds, at production width:
+    // a 32-bit signature (dd05's 16 bits collide too much for pairing)
+    // banded into 4×8-bit keys. Hamming ≤ 3 pairs agree on SOME band by
+    // pigeonhole (3 flips touch ≤ 3 of the 4 bands), so the per-band
+    // bucket-join + union catches every near-dup; exact verification is
+    // bit_count of the XOR. Only (band, key, doc_id) tuples shuffle; the
+    // verify reads one long per side.
+    Q(
+      "dd10_simhash_neardup", {
+        val simBits = (0 until 32).map { b =>
+          s"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> $b) & 1 = 1)) >= len(hs) " +
+            s"THEN ${1L << b} ELSE 0 END)"
+        }.mkString(" + ")
+        val bandSel = (0 until 4)
+          .map(k => s"SELECT doc_id, $k AS band, (sh >> ${k * 8}) & 255 AS v FROM s")
+          .mkString("\n           UNION ALL ")
+        s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+           |     h AS (SELECT doc_id,
+           |       list_transform(toks, w -> ${P.duckHash60("w")}) AS hs FROM t),
+           |     s AS (SELECT doc_id, CAST($simBits AS BIGINT) AS sh FROM h),
+           |     bands AS (
+           |       $bandSel),
+           |     pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |               FROM bands a JOIN bands b
+           |                 ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)
+           |SELECT p.a_id, p.b_id,
+           |  CAST(bit_count(xor(sa.sh, sb.sh)) AS BIGINT) AS hamming
+           |FROM pairs p JOIN s sa ON sa.doc_id = p.a_id
+           |             JOIN s sb ON sb.doc_id = p.b_id
+           |WHERE bit_count(xor(sa.sh, sb.sh)) <= 3""".stripMargin
+      }) { (s, d) =>
+      val simBits = (0 until 32).map { b =>
+        s"(case when 2 * size(filter(hs, h -> (shiftright(h, $b) & 1) = 1)) >= size(hs) " +
+          s"then ${1L << b}L else 0L end)"
+      }.mkString(" + ")
+      val sig = T.documents(s, d)
+        .selectExpr("doc_id", s"$sparkToks as toks")
+        .selectExpr("doc_id", s"transform(toks, w -> ${P.hash60("w")}) as hs")
+        .selectExpr("doc_id", s"cast($simBits as bigint) as sh")
+        .persist() // consumed three times (bands + both verify sides)
+      val bandVals = (0 until 4)
+        .map(k => s"$k, shiftright(sh, ${k * 8}) & 255")
+        .mkString(", ")
+      val bands = sig.selectExpr("doc_id", s"stack(4, $bandVals) as (band, v)")
+      val pairs = bands.select(col("doc_id").as("a_id"), col("band"), col("v"))
+        .join(bands.select(col("doc_id").as("b_id"), col("band"), col("v")), Seq("band", "v"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+      pairs
+        .join(sig.toDF("a_id", "sha"), Seq("a_id"))
+        .join(sig.toDF("b_id", "shb"), Seq("b_id"))
+        .selectExpr("a_id", "b_id", "cast(bit_count(sha ^ shb) as bigint) as hamming")
+        .filter(col("hamming") <= 3)
     }
   )
 }

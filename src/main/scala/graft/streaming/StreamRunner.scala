@@ -166,6 +166,45 @@ object StreamRunner {
     spark.table(queryName)
   }
 
+  /** Stream-static enrichment join (the st04 semantics): the events
+    * stream inner-joined per micro-batch against the static customer
+    * dimension (broadcast — stream-static joins keep NO join state, the
+    * static side is just re-planned each batch), revenue by segment in
+    * complete mode. StreamingSpec asserts equality with batch st04.
+    */
+  def streamStaticJoin(spark: SparkSession, sfDir: String,
+      queryName: String = "graft_enrich"): DataFrame = {
+    val schema = graft.Tables.t(spark, sfDir, "events").schema
+    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(src)) src.toString
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft-enrich")
+        java.nio.file.Files.createSymbolicLink(d.resolve("events.parquet"), src)
+        d.toString
+      }
+    val s0 = spark.readStream.schema(schema).format("parquet").load(streamDir)
+    val stream =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        s0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else s0
+    val dim = graft.Tables.customer(spark, sfDir)
+    val agg = stream
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"),
+        expr(graft.Portable.dsum("value")).as("v"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Run the st01 window aggregation as a real stream over the events
     * fixture; returns the collected result as a DataFrame.
     */

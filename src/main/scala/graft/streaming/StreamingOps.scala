@@ -74,6 +74,23 @@ object StreamingOps {
       c.join(p, Seq("user_id", "blk"))
         .filter("pts >= cts and pts <= cts + interval 30 minutes")
         .select("click_id", "purchase_id", "user_id")
+    },
+
+    // Stream-static enrichment (batch rendering): the events stream joined
+    // to the customer dimension, revenue rolled up by market segment — the
+    // canonical "enrich the firehose with a dim table" pattern.
+    // StreamRunner.streamStaticJoin runs it as a genuine stream-static
+    // join (the static side is re-read per micro-batch, broadcast, no join
+    // state to bound); StreamingSpec asserts equality.
+    Q(
+      "st04_stream_enrich",
+      s"""SELECT c.c_mktsegment AS segment, count(*) AS n, ${P.duckDsum("e.value")} AS v
+         |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+         |GROUP BY c.c_mktsegment""".stripMargin) { (s, d) =>
+      T.events(s, d)
+        .join(broadcast(T.customer(s, d)), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"), expr(P.dsum("value")).as("v"))
     }
   )
 }

@@ -34,6 +34,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-static enrichment join equals the batch st04 rendering") {
+    val streamed = StreamRunner.streamStaticJoin(spark, sf, "graft_enrich_spec")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.streaming.StreamingOps.queries.find(_.name == "st04_stream_enrich").get
+      .fn(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stateful sessionization across micro-batches equals batch st02") {
     val streamed = StreamRunner.sessionizeStateful(spark, sf, "graft_sessions_spec")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
