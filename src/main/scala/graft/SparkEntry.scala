@@ -20,6 +20,7 @@ object SparkEntry {
       graft.operators.DedupOps.queries ++
       graft.operators.MlDedup.queries ++
       graft.operators.SimilarityOps.queries ++
+      graft.operators.SamplingOps.queries ++
       graft.operators.MultimodalOps.queries ++
       graft.streaming.StreamingOps.queries ++
       graft.plans.AnalysisQueries.queries

@@ -305,6 +305,45 @@ object HeadlineQueries {
         .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
         .groupBy(col("o_orderpriority").as("priority"))
         .agg(count(lit(1)).as("n"), expr(P.dsum("o_totalprice")).as("total"))
+    },
+
+    // CUBE aggregation with GROUPING() disambiguation (rollup's sibling;
+    // grouping flags distinguish "NULL value" from "subtotal row").
+    Q(
+      "q_cube_totals",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin) {
+      (s, d) =>
+        T.lineitem(s, d)
+          .cube("l_returnflag", "l_linestatus")
+          .agg(
+            grouping(col("l_returnflag")).cast("long").as("g_rf"),
+            grouping(col("l_linestatus")).cast("long").as("g_ls"),
+            count(lit(1)).as("n"),
+            expr(P.dsum("l_quantity")).as("qty"))
+    },
+
+    // Pivot: documents per (source, lang) spread into one column per
+    // language — Spark's native pivot with an explicit value list (no
+    // extra distinct-scan job); zero-filled so empty cells match the
+    // oracle's conditional counts.
+    Q(
+      "q_pivot_counts", {
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        val cells = langs
+          .map(l => s"count(CASE WHEN lang = '$l' THEN 1 END) AS $l")
+          .mkString(", ")
+        s"SELECT source, $cells FROM documents GROUP BY source"
+      }) { (s, d) =>
+      T.documents(s, d)
+        .groupBy("source")
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
     }
   )
 }

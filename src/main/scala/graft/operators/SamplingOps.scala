@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.{Portable => P, Q, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines. Random `sample()`
+  * can't be oracle-checked and can't be REPRODUCED across reruns of a
+  * 100 TB job either — production pipelines sample by content hash for
+  * exactly the reason the gate does: the decision for a row is a pure
+  * function of the row, so re-runs, backfills, and engines agree.
+  *
+  * All three queries are single codegen'd scans (the split/sample
+  * decision never shuffles; only the rolled-up outputs do).
+  */
+object SamplingOps {
+
+  val queries: Seq[Q] = Seq(
+
+    // Stratified downsampling: per-language sampling rates (en kept at
+    // 10%, others fully) via hash-mod-100 on doc_id — the mixture
+    // rebalance step before pretraining. Gate rolls up kept counts per
+    // stratum (the membership itself is also deterministic; the rollup
+    // keeps the gated output small at any SF).
+    Q(
+      "sm01_stratified_sample",
+      s"""WITH k AS (
+         |  SELECT lang, ${P.duckHash60("'strat|' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+         |  FROM documents)
+         |SELECT lang, count(*) AS total,
+         |  count(CASE WHEN bucket < (CASE WHEN lang = 'en' THEN 10 ELSE 100 END)
+         |        THEN 1 END) AS kept
+         |FROM k GROUP BY lang""".stripMargin) { (s, d) =>
+      T.documents(s, d)
+        .selectExpr(
+          "lang",
+          s"${P.hash60("concat('strat|', cast(doc_id as string))")} % 100 as bucket")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("total"),
+          count(when(col("bucket") <
+            when(col("lang") === "en", 10).otherwise(100), 1)).as("kept"))
+    },
+
+    // Group-aware train/validation/test split (80/10/10): the split key is
+    // the SOURCE hash, not the document hash, so every doc from one source
+    // lands in the same split — the leakage guard for near-duplicate
+    // documents within a crawl domain. Gate: per (split, lang) counts.
+    Q(
+      "sm02_hash_split",
+      s"""WITH k AS (
+         |  SELECT lang, ${P.duckHash60("'split|' || source")} % 10 AS bucket
+         |  FROM documents)
+         |SELECT CASE WHEN bucket < 8 THEN 'train'
+         |            WHEN bucket = 8 THEN 'valid' ELSE 'test' END AS split,
+         |  lang, count(*) AS n
+         |FROM k GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      T.documents(s, d)
+        .selectExpr(
+          "lang",
+          s"${P.hash60("concat('split|', source)")} % 10 as bucket")
+        .selectExpr(
+          "case when bucket < 8 then 'train' " +
+            "when bucket = 8 then 'valid' else 'test' end as split",
+          "lang")
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // Key-skew profile: the diagnostic run before choosing a join
+    // strategy — per-key row counts of the would-be shuffle key, top-10
+    // plus each key's share of the table in basis points. A key holding
+    // >1% of a 100 TB fact table is the signal to salt or broadcast.
+    Q(
+      "sm03_key_skew",
+      """WITH c AS (SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY 1),
+        |     t AS (SELECT count(*) AS total FROM orders)
+        |SELECT key, n, CAST(FLOOR(CAST(10000 AS DOUBLE) * n / total) AS BIGINT) AS share_bp
+        |FROM c CROSS JOIN t
+        |ORDER BY n DESC, key LIMIT 10""".stripMargin) { (s, d) =>
+      val counts = T.orders(s, d)
+        .groupBy(col("o_custkey").as("key"))
+        .agg(count(lit(1)).as("n"))
+      val total = T.orders(s, d).agg(count(lit(1)).as("total"))
+      counts.crossJoin(broadcast(total))
+        .selectExpr(
+          "key", "n",
+          "cast(floor(cast(10000 as double) * n / total) as bigint) as share_bp")
+        .orderBy(col("n").desc, col("key"))
+        .limit(10)
+    }
+  )
+}
