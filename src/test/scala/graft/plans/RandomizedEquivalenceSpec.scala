@@ -1,0 +1,97 @@
+package graft.plans
+
+import graft.SparkTestSession.spark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Seeded randomized equivalence checks (hand-rolled property loops —
+  * scalatestplus isn't in the offline cache): the scale-oriented rewrites
+  * (salting, Bloom pre-filtering, distributed connected components,
+  * distributed ordinals) must be RESULT-invariant on arbitrary inputs,
+  * not just on the fixture tables the gate exercises. Seeds are fixed so
+  * failures reproduce.
+  */
+class RandomizedEquivalenceSpec extends AnyFunSuite {
+
+  import spark.implicits._
+
+  test("connected components match union-find on random graphs") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val nVerts = 30 + rnd.nextInt(40)
+      val verts = (0L until nVerts.toLong).toSeq
+      val edges = Seq.fill(2 * nVerts)(
+        (rnd.nextInt(nVerts).toLong, rnd.nextInt(nVerts).toLong))
+        .filter(p => p._1 < p._2).distinct
+
+      // reference: plain union-find with path compression
+      val parent = Array.tabulate(nVerts)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = verts.map(v => v -> find(v.toInt).toLong).toMap
+
+      val got = graft.functions.Dedup.connectedComponents(
+        verts.toDF("doc_id"), edges.toDF("a_id", "b_id"),
+        "doc_id", "a_id", "b_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("salted join equals plain join under extreme synthetic skew") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      // 90% of left rows hit one hot key — the case salting exists for
+      val left = (1 to 400).map { i =>
+        (if (rnd.nextDouble() < 0.9) 1L else 1L + rnd.nextInt(20), i.toLong)
+      }.toDF("k", "payload")
+      val right = (1L to 20L).map(k => (k, s"dim_$k")).toDF("k", "name")
+      val plain = left.join(right, "k")
+        .groupBy("k").agg(count(lit(1)).as("n"), sum("payload").as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val salted = SkewTools.saltedJoin(left, right, "k", saltBuckets = 5)
+        .groupBy("k").agg(count(lit(1)).as("n"), sum("payload").as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(salted == plain, s"seed=$seed")
+    }
+  }
+
+  test("bloom-prefiltered join equals plain join on random key sets") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val big = Seq.fill(500)((rnd.nextInt(1000).toLong, rnd.nextInt(100)))
+        .toDF("k", "v")
+      val small = Seq.fill(30)(rnd.nextInt(1000).toLong).distinct
+        .map(k => (k, s"s$k")).toDF("k", "tag")
+      val plain = big.join(small, "k")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      val bloomed = BloomPrefilter.join(big, small, "k",
+        expectedItems = 64, numBits = 1 << 12)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(bloomed == plain, s"seed=$seed")
+    }
+  }
+
+  test("distributed ordinal is a dense rank on random multiset keys") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val n = 50 + rnd.nextInt(200)
+      // duplicate-heavy keys: ordinal must still be a permutation of 1..n
+      val keys = Seq.fill(n)(rnd.nextInt(30).toLong - 15L)
+      val got = graft.operators.Ordinal.withGlobalOrdinal(
+        keys.toDF("k"), "k", "rn", buckets = 1 + rnd.nextInt(8))
+        .orderBy("rn").select("k", "rn").as[(Long, Long)].collect()
+      assert(got.map(_._2).toSeq == (1L to n.toLong), s"seed=$seed")
+      assert(got.map(_._1).toSeq == keys.sorted, s"seed=$seed")
+    }
+  }
+}
