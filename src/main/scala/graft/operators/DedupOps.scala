@@ -347,6 +347,59 @@ object DedupOps {
         .join(sig.toDF("b_id", "shb"), Seq("b_id"))
         .selectExpr("a_id", "b_id", "cast(bit_count(sha ^ shb) as bigint) as hamming")
         .filter(col("hamming") <= 3)
+    },
+
+    // Incremental-ingest dedup: a new batch (doc_id ≥ 400) arrives and
+    // must drop exact duplicates of the EXISTING corpus (doc_id < 400) —
+    // the continual-pretraining ingest step. LEFT ANTI join on the 60-bit
+    // content digest: only digests shuffle, the corpus text is never
+    // read past hashing, and at 100 TB the corpus side is a pre-built
+    // digest index (or a Bloom pre-filter) rather than a rescan.
+    Q(
+      "dd11_incremental_dedup",
+      s"""WITH corpus AS (SELECT ${P.duckHash60("text")} AS h FROM documents WHERE doc_id < 400),
+         |     batch AS (SELECT doc_id, ${P.duckHash60("text")} AS h FROM documents WHERE doc_id >= 400)
+         |SELECT b.doc_id FROM batch b
+         |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)""".stripMargin) {
+      (s, d) =>
+        val docs = T.documents(s, d)
+        val corpus = docs.filter(col("doc_id") < 400)
+          .selectExpr(s"${P.hash60("text")} as h")
+        val batch = docs.filter(col("doc_id") >= 400)
+          .selectExpr("doc_id", s"${P.hash60("text")} as h")
+        batch.join(corpus, Seq("h"), "left_anti").select("doc_id")
+    },
+
+    // Train/test contamination detection: train docs sharing ANY 3-token
+    // shingle with the held-out set (every 50th doc) — the benchmark-leak
+    // audit run before training. Distinct per-side (doc, shingle-hash)
+    // pairs semi-join on the shingle hash: only 60-bit hashes shuffle,
+    // and the distinct count per train doc bounds the output.
+    Q(
+      "dd12_contamination",
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |     sh AS (SELECT doc_id, $duckShingles AS shingles FROM t),
+         |     ex AS (SELECT DISTINCT doc_id, ${P.duckHash60("unnest(shingles)")} AS sng
+         |            FROM sh),
+         |     test AS (SELECT DISTINCT sng FROM ex WHERE doc_id % 50 = 0),
+         |     train AS (SELECT doc_id, sng FROM ex WHERE doc_id % 50 <> 0)
+         |SELECT tr.doc_id, count(*) AS n_shared
+         |FROM train tr JOIN test te ON te.sng = tr.sng
+         |GROUP BY tr.doc_id""".stripMargin) { (s, d) =>
+      val ex = T.documents(s, d)
+        .selectExpr("doc_id", s"$sparkToks as toks")
+        .selectExpr("doc_id", s"$sparkShingles as shingles")
+        // per-doc array_distinct ≡ row-level DISTINCT, minus the re-run
+        // of the shingle pipeline through the exchange (tx06 lesson)
+        .selectExpr(
+          "doc_id",
+          s"explode(array_distinct(transform(shingles, x -> ${P.hash60("x")}))) as sng")
+        .persist() // consumed by both sides of the contamination join
+      val test = ex.filter(col("doc_id") % 50 === 0).select("sng").distinct()
+      val train = ex.filter(col("doc_id") % 50 =!= 0)
+      train.join(test, "sng")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"))
     }
   )
 }

@@ -275,6 +275,38 @@ object SimilarityOps {
         .selectExpr(
           "vec_id", "cast(mx as double) as absmax",
           qs(1), qs(16), qs(32), qs(64))
+    },
+
+    // Per-dimension corpus statistics (mean + variance at probe dims) —
+    // the whitening/normalization pass before indexing. Decimal-exact
+    // sums of x and x² make the one-pass parallel aggregation
+    // order-insensitive (hash-exact under any partitioning); the final
+    // var = E[x²] − E[x]² arithmetic is identical IEEE on both engines.
+    Q(
+      "ss07_dim_stats", {
+        def m(i: Int) =
+          s"CAST(SUM(CAST(embedding[$i]::DOUBLE AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS mean$i"
+        def v(i: Int) =
+          s"CAST(SUM(CAST(embedding[$i]::DOUBLE * embedding[$i]::DOUBLE AS DECIMAL(28,8))) AS DOUBLE) / count(*) " +
+            s"- (CAST(SUM(CAST(embedding[$i]::DOUBLE AS DECIMAL(28,8))) AS DOUBLE) / count(*)) " +
+            s"* (CAST(SUM(CAST(embedding[$i]::DOUBLE AS DECIMAL(28,8))) AS DOUBLE) / count(*)) AS var$i"
+        s"""SELECT count(*) AS n, ${m(1)}, ${v(1)}, ${m(32)}, ${v(32)}, ${m(64)}, ${v(64)}
+           |FROM embeddings""".stripMargin
+      }) { (s, d) =>
+      def x(i: Int) = s"cast(element_at(embedding, $i) as double)"
+      def m(i: Int) =
+        s"cast(sum(cast(${x(i)} as decimal(28,8))) as double) / count(*) as mean$i"
+      def v(i: Int) =
+        s"cast(sum(cast(${x(i)} * ${x(i)} as decimal(28,8))) as double) / count(*) " +
+          s"- (cast(sum(cast(${x(i)} as decimal(28,8))) as double) / count(*)) " +
+          s"* (cast(sum(cast(${x(i)} as decimal(28,8))) as double) / count(*)) as var$i"
+      T.embeddings(s, d)
+        .selectExpr("embedding")
+        .agg(
+          count(lit(1)).as("n"),
+          expr(m(1)).as("mean1"), expr(v(1)).as("var1"),
+          expr(m(32)).as("mean32"), expr(v(32)).as("var32"),
+          expr(m(64)).as("mean64"), expr(v(64)).as("var64"))
     }
   )
 }
