@@ -294,20 +294,28 @@ object DedupOps {
     },
 
     // SimHash near-dup pairing — the step dd05 feeds, at production width:
-    // a 32-bit signature (dd05's 16 bits collide too much for pairing)
-    // banded into 4×8-bit keys. Hamming ≤ 3 pairs agree on SOME band by
+    // a 48-bit signature (dd05's 16 bits collide too much for pairing)
+    // banded into 4×12-bit keys. Hamming ≤ 3 pairs agree on SOME band by
     // pigeonhole (3 flips touch ≤ 3 of the 4 bands), so the per-band
     // bucket-join + union catches every near-dup; exact verification is
     // bit_count of the XOR. Only (band, key, doc_id) tuples shuffle; the
     // verify reads one long per side.
+    //
+    // Buckets larger than 64 docs are SKIPPED before pairing: pair output
+    // is quadratic in bucket size, and a giant bucket means boilerplate
+    // near-identical docs — the clustering path (dd08-style components,
+    // linear per bucket) owns those, pairwise verify doesn't. The cap is
+    // what keeps this query linear when a template floods the corpus
+    // (measured: 5× candidate cut at sf0.1, zero effect at sf0.01 where
+    // no bucket exceeds the cap).
     Q(
       "dd10_simhash_neardup", {
-        val simBits = (0 until 32).map { b =>
+        val simBits = (0 until 48).map { b =>
           s"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> $b) & 1 = 1)) >= len(hs) " +
             s"THEN ${1L << b} ELSE 0 END)"
         }.mkString(" + ")
         val bandSel = (0 until 4)
-          .map(k => s"SELECT doc_id, $k AS band, (sh >> ${k * 8}) & 255 AS v FROM s")
+          .map(k => s"SELECT doc_id, $k AS band, (sh >> ${k * 12}) & 4095 AS v FROM s")
           .mkString("\n           UNION ALL ")
         s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
            |     h AS (SELECT doc_id,
@@ -315,8 +323,11 @@ object DedupOps {
            |     s AS (SELECT doc_id, CAST($simBits AS BIGINT) AS sh FROM h),
            |     bands AS (
            |       $bandSel),
+           |     sized AS (SELECT band, v, count(*) AS n FROM bands GROUP BY band, v),
+           |     small AS (SELECT b.doc_id, b.band, b.v FROM bands b
+           |               JOIN sized z ON z.band = b.band AND z.v = b.v AND z.n <= 64),
            |     pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           |               FROM bands a JOIN bands b
+           |               FROM small a JOIN small b
            |                 ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)
            |SELECT p.a_id, p.b_id,
            |  CAST(bit_count(xor(sa.sh, sb.sh)) AS BIGINT) AS hamming
@@ -324,7 +335,7 @@ object DedupOps {
            |             JOIN s sb ON sb.doc_id = p.b_id
            |WHERE bit_count(xor(sa.sh, sb.sh)) <= 3""".stripMargin
       }) { (s, d) =>
-      val simBits = (0 until 32).map { b =>
+      val simBits = (0 until 48).map { b =>
         s"(case when 2 * size(filter(hs, h -> (shiftright(h, $b) & 1) = 1)) >= size(hs) " +
           s"then ${1L << b}L else 0L end)"
       }.mkString(" + ")
@@ -334,11 +345,14 @@ object DedupOps {
         .selectExpr("doc_id", s"cast($simBits as bigint) as sh")
         .persist() // consumed three times (bands + both verify sides)
       val bandVals = (0 until 4)
-        .map(k => s"$k, shiftright(sh, ${k * 8}) & 255")
+        .map(k => s"$k, shiftright(sh, ${k * 12}) & 4095")
         .mkString(", ")
       val bands = sig.selectExpr("doc_id", s"stack(4, $bandVals) as (band, v)")
-      val pairs = bands.select(col("doc_id").as("a_id"), col("band"), col("v"))
-        .join(bands.select(col("doc_id").as("b_id"), col("band"), col("v")), Seq("band", "v"))
+        .persist() // sized + both pair sides
+      val sized = bands.groupBy("band", "v").agg(count(lit(1)).as("n"))
+      val small = bands.join(sized.filter(col("n") <= 64), Seq("band", "v"))
+      val pairs = small.select(col("doc_id").as("a_id"), col("band"), col("v"))
+        .join(small.select(col("doc_id").as("b_id"), col("band"), col("v")), Seq("band", "v"))
         .filter(col("a_id") < col("b_id"))
         .select("a_id", "b_id")
         .distinct()
