@@ -37,16 +37,23 @@ object Bench {
 
     def round3(v: Double): Double = math.rint(v * 1000) / 1000
 
+    // min over reps (default 2): single-shot timings on a busy host carry
+    // ±20% noise that pollutes round-over-round comparisons; the minimum
+    // is the standard steady-state estimator.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val results = SparkEntry.all.map { q =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { q.fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
-      val dt = round3((System.nanoTime() - t0) / 1e9)
-      // unpersist query-local caches so back-to-back queries don't
-      // accumulate MEMORY_AND_DISK blocks across the whole sweep
-      spark.sharedState.cacheManager.clearCache()
-      (q.name, dt, ok)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { q.fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // unpersist query-local caches so back-to-back runs don't
+        // accumulate MEMORY_AND_DISK blocks across the whole sweep
+        spark.sharedState.cacheManager.clearCache()
+        (dt, ok)
+      }
+      (q.name, round3(times.map(_._1).min), times.forall(_._2))
     }
 
     // flagship pipeline throughput (input elements/sec over one pass) —
@@ -54,11 +61,13 @@ object Bench {
     val flagshipRate = {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       val n = li.count()
-      val df = api.Flagship.run(spark, sfDir)
-      val t0 = System.nanoTime()
-      df.count()
-      val dt = (System.nanoTime() - t0) / 1e9
-      if (dt > 0) math.rint(n / dt) else 0.0
+      (1 to reps).map { _ =>
+        val df = api.Flagship.run(spark, sfDir)
+        val t0 = System.nanoTime()
+        df.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (dt > 0) math.rint(n / dt) else 0.0
+      }.max
     }
 
     val qs = results.filter(_._3).map { case (k, v, _) => "\"" + k + "\":" + v }
