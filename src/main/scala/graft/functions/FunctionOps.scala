@@ -182,6 +182,29 @@ object FunctionOps {
           "cast(case when pos0 + 1 between 3 and 6 then 1 else 0 end as bigint) as in_slice",
           "val",
           "checksum")
+    },
+
+    // Semi-structured parsing: the events.props JSON column → typed field
+    // plus a rolled-up per-type aggregate of the extracted value. The
+    // tf.Example-parsing sibling for JSON payloads; get_json_object is
+    // codegen'd, so extraction fuses into the scan projection.
+    Q(
+      "fn09_json_extract",
+      """WITH x AS (SELECT event_type,
+        |             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |           FROM events)
+        |SELECT event_type, count(*) AS n, CAST(SUM(k) AS BIGINT) AS k_sum,
+        |  CAST(MAX(k) AS BIGINT) AS k_max
+        |FROM x GROUP BY event_type""".stripMargin) { (s, d) =>
+      graft.Tables.events(s, d)
+        .selectExpr(
+          "event_type",
+          "cast(get_json_object(props, '$.k') as bigint) as k")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("k").cast("long").as("k_sum"),
+          max("k").cast("long").as("k_max"))
     }
   )
 }

@@ -344,6 +344,28 @@ object HeadlineQueries {
         .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
         .agg(count(lit(1)))
         .na.fill(0L)
+    },
+
+    // Cumulative window frame (ROWS UNBOUNDED PRECEDING): running spend
+    // per customer over their order history. The frame's accumulation
+    // order is pinned by the unique (date, key) sort, and the decimal
+    // running sum keeps every prefix exact — so all 150k prefreshes
+    // hash-match. Window shards by customer; no global sort.
+    Q(
+      "q_running_total",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_total
+        |FROM orders""".stripMargin) { (s, d) =>
+      T.orders(s, d)
+        .selectExpr(
+          "o_custkey", "o_orderkey",
+          "cast(sum(cast(o_totalprice as decimal(28,4))) over (" +
+            "partition by o_custkey order by o_orderdate, o_orderkey " +
+            "rows between unbounded preceding and current row) as double) " +
+            "as running_total")
     }
   )
 }

@@ -79,6 +79,40 @@ object MultimodalOps {
         |FROM p""".stripMargin) { (s, d) =>
       import graft.multimodal.ImageCodec
       ImageCodec.decodeFeatures(s, ImageCodec.payloads(s, d, 64)).toDF()
+    },
+
+    // Audio-feature shape: payload bytes as 8-bit PCM samples, 25-sample
+    // windows → per-window energy (sum of squares) and peak — the VAD /
+    // loudness-analysis layout minus the codec. The fixture text is pure
+    // ASCII (verified: char length = byte length corpus-wide), so
+    // ascii(substr(...)) is the portable byte accessor in both engines.
+    Q(
+      "mm04_pcm_energy",
+      """WITH w AS (SELECT doc_id, text,
+        |             unnest(range(0, (strlen(text) + 24) // 25)) AS win
+        |           FROM documents WHERE doc_id < 50),
+        |     s AS (SELECT doc_id, win,
+        |             list_transform(range(1, least(25, strlen(text) - win*25) + 1),
+        |               i -> ascii(substr(text, CAST(win*25 + i AS INT), 1))) AS smp
+        |           FROM w)
+        |SELECT doc_id, CAST(win AS BIGINT) AS win_id,
+        |  CAST(list_reduce(list_prepend(0, list_transform(smp, v -> v*v)),
+        |       (a, b) -> a + b) AS BIGINT) AS energy,
+        |  CAST(list_max(smp) AS BIGINT) AS peak
+        |FROM s""".stripMargin) { (s, d) =>
+      T.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .selectExpr(
+          "doc_id", "text",
+          "explode(sequence(0, cast((length(text) + 24) div 25 as int) - 1)) as win")
+        .selectExpr(
+          "doc_id", "win",
+          "transform(sequence(1, least(25, length(text) - win*25)), " +
+            "i -> ascii(substring(text, win*25 + i, 1))) as smp")
+        .selectExpr(
+          "doc_id", "cast(win as bigint) as win_id",
+          "cast(aggregate(transform(smp, v -> v*v), 0, (a, b) -> a + b) as bigint) as energy",
+          "cast(array_max(smp) as bigint) as peak")
     }
   )
 }
