@@ -366,6 +366,29 @@ object HeadlineQueries {
             "partition by o_custkey order by o_orderdate, o_orderkey " +
             "rows between unbounded preceding and current row) as double) " +
             "as running_total")
+    },
+
+    // Set operators with SQL DISTINCT semantics: customers who ordered
+    // urgently AND with low priority (INTERSECT), and urgent-only
+    // customers (EXCEPT). Both compile to aggregate + join plans that
+    // shuffle only the key column.
+    Q(
+      "q_setops",
+      """SELECT o_custkey, 'both' AS kind FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+        |UNION ALL
+        |SELECT o_custkey, 'urgent_only' AS kind FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')""".stripMargin) {
+      (s, d) =>
+        val o = T.orders(s, d)
+        val urgent = o.filter("o_orderpriority = '1-URGENT'").select("o_custkey")
+        val low = o.filter("o_orderpriority = '5-LOW'").select("o_custkey")
+        urgent.intersect(low).withColumn("kind", lit("both"))
+          .unionAll(urgent.except(low).withColumn("kind", lit("urgent_only")))
     }
   )
 }
