@@ -39,6 +39,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(Set("expected_parallel_max_rate", "p_busy", "element_ratio").subsetOf(cols))
   }
 
+  test("optimizer un-starves a deliberately serialized pipeline") {
+    // the reference's value prop end-to-end: a pipeline whose map stage is
+    // pinned to parallelism 1 must come out of optimizePipeline with its
+    // parallelizable stages scaled up (θ ceil'd into parallelism).
+    val starved = Seq(0, 1, 2, 3).foldLeft(Flagship.graph)(
+      (g, id) => Rules.SetParallelism(id, 1).rewrite(g))
+    val res = Optimizer.optimizePipeline(spark, starved, sf)
+    val widened = res.optimized.nodes.filter(n =>
+      graft.ir.PipelineOp.supportsParallelism(n.op) && n.parallelism > 1)
+    assert(widened.nonEmpty,
+      s"no parallelizable node widened: ${res.optimized.nodes.map(n => n.id -> n.parallelism)}")
+    assert(res.predictedRate > 0)
+  }
+
   test("optimizePipeline with preciseProfile uses exact per-node self time") {
     val res = Optimizer.optimizePipeline(
       spark, Flagship.graph, sf, Optimizer.Config(preciseProfile = true))
