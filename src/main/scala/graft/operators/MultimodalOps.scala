@@ -90,7 +90,7 @@ object MultimodalOps {
       "mm04_pcm_energy",
       """WITH w AS (SELECT doc_id, text,
         |             unnest(range(0, (strlen(text) + 24) // 25)) AS win
-        |           FROM documents WHERE doc_id < 50),
+        |           FROM documents WHERE doc_id < 50 AND strlen(text) > 0),
         |     s AS (SELECT doc_id, win,
         |             list_transform(range(1, least(25, strlen(text) - win*25) + 1),
         |               i -> ascii(substr(text, CAST(win*25 + i AS INT), 1))) AS smp
@@ -101,7 +101,9 @@ object MultimodalOps {
         |  CAST(list_max(smp) AS BIGINT) AS peak
         |FROM s""".stripMargin) { (s, d) =>
       T.documents(s, d)
-        .filter(col("doc_id") < 50)
+        // the length guard keeps sequence()'s stop ≥ 0: Spark generates a
+        // DESCENDING sequence for stop < start instead of an empty one
+        .filter(col("doc_id") < 50 && length(col("text")) > 0)
         .selectExpr(
           "doc_id", "text",
           "explode(sequence(0, cast((length(text) + 24) div 25 as int) - 1)) as win")
