@@ -229,6 +229,40 @@ object TextOps {
           "element_at(chunk, 1) as first_tok",
           "element_at(chunk, size(chunk)) as last_tok",
           s"${graft.Portable.hash60("concat_ws(' ', chunk)")} as tok_hash")
+    },
+
+    // Vocabulary build + coverage eval: the top-20 corpus tokens become
+    // the vocab (rank = token id, ties broken lexically); the gate reports
+    // each entry's corpus frequency plus its share of ALL token
+    // occurrences in basis points — whose sum is the vocab's coverage,
+    // the number that decides vocab size in a tokenizer build. Two
+    // map-side-combined aggregations; the total rides in as a broadcast
+    // scalar, nothing but (token, count) pairs shuffle.
+    Q(
+      "tx09_vocab_coverage",
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |            FROM documents),
+        |     cnt AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+        |     tot AS (SELECT count(*) AS total FROM tok),
+        |     top AS (SELECT w, n, row_number() OVER (ORDER BY n DESC, w) AS vocab_id
+        |             FROM cnt ORDER BY n DESC, w LIMIT 20)
+        |SELECT CAST(vocab_id AS BIGINT) AS vocab_id, w AS token, n,
+        |  CAST(FLOOR(CAST(10000 AS DOUBLE) * n / total) AS BIGINT) AS share_bp
+        |FROM top CROSS JOIN tot""".stripMargin) { (s, d) =>
+      val tok = T.documents(s, d)
+        .selectExpr("explode(split(lower(text), '\\\\s+')) as w")
+      val cnt = tok.groupBy("w").agg(count(lit(1)).as("n"))
+      val tot = tok.agg(count(lit(1)).as("total"))
+      // top-20 via orderBy+limit = TakeOrdered (no global sort); the rank
+      // window then runs over those 20 rows only
+      cnt.orderBy(col("n").desc, col("w")).limit(20)
+        .selectExpr(
+          "cast(row_number() over (order by n desc, w) as bigint) as vocab_id",
+          "w as token", "n")
+        .crossJoin(broadcast(tot))
+        .selectExpr(
+          "vocab_id", "token", "n",
+          "cast(floor(cast(10000 as double) * n / total) as bigint) as share_bp")
     }
   )
 }

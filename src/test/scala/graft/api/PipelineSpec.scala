@@ -40,16 +40,24 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("optimizer un-starves a deliberately serialized pipeline") {
-    // the reference's value prop end-to-end: a pipeline whose map stage is
+    // the reference's value prop end-to-end: a pipeline whose stages are
     // pinned to parallelism 1 must come out of optimizePipeline with its
     // parallelizable stages scaled up (θ ceil'd into parallelism).
+    //
+    // Needs preciseProfile: the cheap trace attributes CPU proportionally
+    // to element counts, which makes every node's modeled rate IDENTICAL
+    // by construction — the LP then correctly equalizes all θ at ~1.0 and
+    // the outcome rides on float noise. Exact per-node self times give
+    // the LP a real bottleneck to widen.
     val starved = Seq(0, 1, 2, 3).foldLeft(Flagship.graph)(
       (g, id) => Rules.SetParallelism(id, 1).rewrite(g))
-    val res = Optimizer.optimizePipeline(spark, starved, sf)
+    val res = Optimizer.optimizePipeline(
+      spark, starved, sf, Optimizer.Config(preciseProfile = true))
     val widened = res.optimized.nodes.filter(n =>
       graft.ir.PipelineOp.supportsParallelism(n.op) && n.parallelism > 1)
     assert(widened.nonEmpty,
-      s"no parallelizable node widened: ${res.optimized.nodes.map(n => n.id -> n.parallelism)}")
+      s"no parallelizable node widened: ${res.optimized.nodes.map(n => n.id -> n.parallelism)}" +
+        s" thetas=${res.thetas}")
     assert(res.predictedRate > 0)
   }
 
