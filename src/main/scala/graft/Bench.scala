@@ -40,7 +40,9 @@ object Bench {
     // min over reps (default 2): single-shot timings on a busy host carry
     // ±20% noise that pollutes round-over-round comparisons; the minimum
     // is the standard steady-state estimator.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(2).max(1)
     val results = SparkEntry.all.map { q =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -113,15 +113,14 @@ object Optimizer {
     //    reference's span tracing perturbing the pipeline it measures).
     val run =
       if (cfg.preciseProfile) {
-        val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-          .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-        val cpu0 = osBean.getProcessCpuTime
         val p = graft.metrics.PreciseProfiler.run(spark, g0, sfDir)
-        val cpuNs = math.max(0L, osBean.getProcessCpuTime - cpu0)
+        // globals come from the FINAL (full-pipeline) pass only — the
+        // harness's own wall/CPU span all N prefix re-runs and would
+        // collapse roofline's jobs-in-flight estimate if reported as one
+        // trace pass (spurious prefetch insertion)
         Instrument.RunResult(
-          graft.metrics.PreciseProfiler.toNodeMetrics(
-            g0, p, Runtime.getRuntime.availableProcessors()),
-          GlobalMetrics.detect(p.wallNs, cpuNs)
+          graft.metrics.PreciseProfiler.toNodeMetrics(g0, p),
+          GlobalMetrics.detect(p.finalWallNs, p.finalCpuNs)
             .copy(diskBandwidthBps = Instrument.measuredBandwidth(sfDir)),
           p.rowCount)
       } else Instrument.run(spark, g0, sfDir)

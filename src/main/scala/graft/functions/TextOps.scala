@@ -243,7 +243,7 @@ object TextOps {
       """WITH tok AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
         |            FROM documents),
         |     cnt AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
-        |     tot AS (SELECT count(*) AS total FROM tok),
+        |     tot AS (SELECT sum(n) AS total FROM cnt),
         |     top AS (SELECT w, n, row_number() OVER (ORDER BY n DESC, w) AS vocab_id
         |             FROM cnt ORDER BY n DESC, w LIMIT 20)
         |SELECT CAST(vocab_id AS BIGINT) AS vocab_id, w AS token, n,
@@ -251,8 +251,10 @@ object TextOps {
         |FROM top CROSS JOIN tot""".stripMargin) { (s, d) =>
       val tok = T.documents(s, d)
         .selectExpr("explode(split(lower(text), '\\\\s+')) as w")
-      val cnt = tok.groupBy("w").agg(count(lit(1)).as("n"))
-      val tot = tok.agg(count(lit(1)).as("total"))
+      val cnt = tok.groupBy("w").agg(count(lit(1)).as("n")).persist()
+      // total token occurrences = sum over the grouped counts — derived
+      // from cnt instead of a second full tokenize+explode of the corpus
+      val tot = cnt.agg(sum("n").as("total"))
       // top-20 via orderBy+limit = TakeOrdered (no global sort); the rank
       // window then runs over those 20 rows only
       cnt.orderBy(col("n").desc, col("w")).limit(20)

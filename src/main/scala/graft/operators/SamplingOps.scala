@@ -73,14 +73,17 @@ object SamplingOps {
     Q(
       "sm03_key_skew",
       """WITH c AS (SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY 1),
-        |     t AS (SELECT count(*) AS total FROM orders)
+        |     t AS (SELECT sum(n) AS total FROM c)
         |SELECT key, n, CAST(FLOOR(CAST(10000 AS DOUBLE) * n / total) AS BIGINT) AS share_bp
         |FROM c CROSS JOIN t
         |ORDER BY n DESC, key LIMIT 10""".stripMargin) { (s, d) =>
       val counts = T.orders(s, d)
         .groupBy(col("o_custkey").as("key"))
         .agg(count(lit(1)).as("n"))
-      val total = T.orders(s, d).agg(count(lit(1)).as("total"))
+        .persist() // feeds both the total and the top-10
+      // total rows = sum of the per-key counts — no second scan of the
+      // fact table just for one scalar
+      val total = counts.agg(sum("n").as("total"))
       counts.crossJoin(broadcast(total))
         .selectExpr(
           "key", "n",

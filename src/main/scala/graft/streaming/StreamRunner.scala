@@ -17,6 +17,28 @@ final case class SessState(lastTsUs: Long, sessions: Long, events: Long)
 
 object StreamRunner {
 
+  /** Events fixture as a file-source stream with `ts` normalized to a
+    * timestamp. FileStreamSource needs a directory, so a single-file
+    * fixture is staged behind a symlink dir (zero-copy); the INT64-nanos
+    * variant of `ts` (nanosAsLong) is converted exactly like
+    * Tables.events does.
+    */
+  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = graft.Tables.t(spark, sfDir, "events").schema
+    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(src)) src.toString
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft-stream-src")
+        java.nio.file.Files.createSymbolicLink(d.resolve("events.parquet"), src)
+        d.toString
+      }
+    val s0 = spark.readStream.schema(schema).format("parquet").load(streamDir)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      s0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else s0
+  }
+
   /** Stateful sessionization with flatMapGroupsWithState: the events table
     * is staged as TWO files so the file stream delivers two micro-batches
     * (time-split, oldest first) and per-user session state genuinely
@@ -128,21 +150,7 @@ object StreamRunner {
     */
   def streamStreamJoin(spark: SparkSession, sfDir: String,
       queryName: String = "graft_ssjoin"): DataFrame = {
-    val schema = graft.Tables.t(spark, sfDir, "events").schema
-    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
-    val streamDir =
-      if (java.nio.file.Files.isDirectory(src)) src.toString
-      else {
-        val d = java.nio.file.Files.createTempDirectory("graft-ssjoin")
-        java.nio.file.Files.createSymbolicLink(d.resolve("events.parquet"), src)
-        d.toString
-      }
-    def source(): DataFrame = {
-      val s0 = spark.readStream.schema(schema).format("parquet").load(streamDir)
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        s0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else s0
-    }
+    def source(): DataFrame = eventsStream(spark, sfDir)
     val clicks = source()
       .where("event_type = 'click'")
       .selectExpr("event_id as click_id", "user_id as c_uid", "ts as cts")
@@ -174,22 +182,8 @@ object StreamRunner {
     */
   def streamStaticJoin(spark: SparkSession, sfDir: String,
       queryName: String = "graft_enrich"): DataFrame = {
-    val schema = graft.Tables.t(spark, sfDir, "events").schema
-    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
-    val streamDir =
-      if (java.nio.file.Files.isDirectory(src)) src.toString
-      else {
-        val d = java.nio.file.Files.createTempDirectory("graft-enrich")
-        java.nio.file.Files.createSymbolicLink(d.resolve("events.parquet"), src)
-        d.toString
-      }
-    val s0 = spark.readStream.schema(schema).format("parquet").load(streamDir)
-    val stream =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        s0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else s0
     val dim = graft.Tables.customer(spark, sfDir)
-    val agg = stream
+    val agg = eventsStream(spark, sfDir)
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment").as("segment"))
       .agg(count(lit(1)).as("n"),
@@ -209,28 +203,7 @@ object StreamRunner {
     * fixture; returns the collected result as a DataFrame.
     */
   def windowedAgg(spark: SparkSession, sfDir: String, queryName: String = "graft_stream"): DataFrame = {
-    // raw on-disk schema (ts may be INT64 nanos under nanosAsLong) — the
-    // stream reader must match the file, conversion happens after.
-    val schema = graft.Tables.t(spark, sfDir, "events").schema
-    // FileStreamSource requires a directory; the fixture table is a single
-    // file, so stage a symlink dir (zero-copy).
-    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
-    val streamDir =
-      if (java.nio.file.Files.isDirectory(src)) src.toString
-      else {
-        val d = java.nio.file.Files.createTempDirectory("graft-stream")
-        java.nio.file.Files.createSymbolicLink(d.resolve("events.parquet"), src)
-        d.toString
-      }
-    val stream = spark.readStream
-      .schema(schema)
-      .format("parquet")
-      .load(streamDir)
-    val normalized =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else stream
-    val agg = normalized
+    val agg = eventsStream(spark, sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))

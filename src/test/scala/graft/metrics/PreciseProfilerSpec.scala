@@ -24,7 +24,7 @@ class PreciseProfilerSpec extends AnyFunSuite {
       assert(t.selfNs == math.max(0L, t.aggregatePullNs - inputsAgg))
     }
     // converts into NodeMetrics consumable by the ranked table / LP
-    val ms = PreciseProfiler.toNodeMetrics(g, p, cores = 4)
+    val ms = PreciseProfiler.toNodeMetrics(g, p)
     assert(ms.size == g.nodes.size)
     val ranked = graft.plans.Analysis.rankedTable(spark, ms,
       GlobalMetrics(4, 1L << 33, 1L << 32, p.wallNs, p.timings.map(_.selfNs).sum, 100e6))
