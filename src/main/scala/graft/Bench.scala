@@ -29,9 +29,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Warm-up (untimed): JIT + codegen + broadcast machinery + FS cache.
+    // Guarded throughout — a missing/corrupt fixture must surface as a
+    // per-query "failed" entry below, not kill the bench before timing.
     spark.range(1L << 20).selectExpr("sum(id)").collect()
     for (t <- Seq("lineitem", "orders", "customer", "documents", "embeddings"))
-      spark.read.parquet(s"$sfDir/$t.parquet").count()
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
     SparkEntry.all.find(_.name == "q3_top_revenue_orders")
       .foreach(q => try q.fn(spark, sfDir).count() catch { case _: Throwable => () })
 

@@ -74,18 +74,36 @@ object Compiler {
           // single numeric order key → distributed ordinal (range-bucketed
           // ranks + broadcast prefix offsets); otherwise fall back to the
           // global window (positional semantics are inherently ordered).
-          // Skipped under instrumentation: the helper's bucket-sizing
-          // min/max is an eager action and would fire the upstream
-          // CollectMetrics observers a second time (double counts).
-          def ordinal(df: DataFrame, ord: Seq[String]): DataFrame = {
+          // Under instrumentation the bucket bounds are probed from an
+          // UNINSTRUMENTED recompile of the same prefix, so (a) the eager
+          // min/max never fires the CollectMetrics observers twice, and
+          // (b) profile mode measures the SAME distributed plan that
+          // production runs — a serial-window stand-in would make the
+          // optimizer rank a bottleneck that doesn't exist.
+          def ordinal(inputIdx: Int, ord: Seq[String]): DataFrame = {
+            val df = in(inputIdx)
             val numeric = ord.size == 1 &&
               df.schema.fields.exists(f => f.name == ord.head &&
                 f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
-            if (numeric && !instrument)
-              graft.operators.Ordinal.withGlobalOrdinal(df, ord.head, "_zrn")
-            else df.withColumn("_zrn", row_number().over(Window.orderBy(ord.map(col): _*)).cast("long"))
+            if (!numeric)
+              df.withColumn("_zrn", row_number().over(Window.orderBy(ord.map(col): _*)).cast("long"))
+            else {
+              val bounds =
+                if (!instrument) None
+                else {
+                  val clean = compile(spark,
+                    graft.bench.Harness.truncateAt(g, node.inputs(inputIdx)),
+                    sfDir).df
+                  val mm = clean.agg(
+                    min(col(ord.head)).cast("long"),
+                    max(col(ord.head)).cast("long")).head()
+                  if (mm.isNullAt(0)) None else Some((mm.getLong(0), mm.getLong(1)))
+                }
+              graft.operators.Ordinal.withGlobalOrdinal(df, ord.head, "_zrn",
+                bounds = bounds)
+            }
           }
-          ordinal(in(0), ordL).join(ordinal(in(1), ordR), "_zrn").drop("_zrn")
+          ordinal(0, ordL).join(ordinal(1, ordR), "_zrn").drop("_zrn")
         case ConcatOp      => in(0).unionByName(in(1))
         case FlatMapEcho(f) =>
           in().withColumn("_copy", explode(sequence(lit(0L), expr(f)))).drop("_copy")

@@ -105,7 +105,8 @@ object Dedup {
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 64) { // min-label is monotone: rounds ≈ diameter
+    val maxRounds = 64
+    while (changed > 0 && rounds < maxRounds) { // min-label is monotone: rounds ≈ diameter
       rounds += 1
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("_node", "_src"), "_src")
@@ -120,6 +121,12 @@ object Dedup {
         .count()
       labels = next
     }
+    // a graph with diameter > maxRounds would exit with partial labels —
+    // cluster_ids above the true component minimum. Fail loudly: silently
+    // wrong keep/drop groups are worse than a crashed dedup job.
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxRounds rounds " +
+        s"($changed labels still shrinking) — graph diameter exceeds the cap")
     labels.withColumnRenamed("_node", idCol).select(idCol, "cluster_id")
   }
 }

@@ -19,17 +19,29 @@ import org.apache.spark.sql.functions._
   */
 object Ordinal {
 
+  /** @param bounds precomputed (min, max) of the key — pass when an eager
+    *               probe on `df` itself is unacceptable (e.g. the plan
+    *               carries CollectMetrics observers that must fire once);
+    *               when None, one min/max scan sizes the buckets.
+    */
   def withGlobalOrdinal(df: DataFrame, keyCol: String, outCol: String,
-      buckets: Int = 32): DataFrame = {
-    val mm = df.agg(
-      min(col(keyCol)).cast("long").as("lo"),
-      max(col(keyCol)).cast("long").as("hi")).head()
-    if (mm.isNullAt(0)) return df.withColumn(outCol, lit(null).cast("long"))
-    val lo = mm.getLong(0)
-    val hi = mm.getLong(1)
+      buckets: Int = 32, bounds: Option[(Long, Long)] = None): DataFrame = {
+    val (lo, hi) = bounds.getOrElse {
+      val mm = df.agg(
+        min(col(keyCol)).cast("long").as("lo"),
+        max(col(keyCol)).cast("long").as("hi")).head()
+      if (mm.isNullAt(0)) return df.withColumn(outCol, lit(null).cast("long"))
+      (mm.getLong(0), mm.getLong(1))
+    }
     val width = math.max(1L, (hi - lo) / buckets + 1)
+    // NULL keys get bucket -1 (sorts before every real bucket — matching
+    // row_number over an ASC order, nulls first); a plain div expression
+    // would give them a null bucket and the equi-join below would DROP
+    // those rows, shifting every ordinal after them.
     val withB = df.withColumn(
-      "_ord_b", expr(s"(cast($keyCol as bigint) - ${lo}L) div ${width}L"))
+      "_ord_b",
+      expr(s"case when $keyCol is null then -1L " +
+        s"else (cast($keyCol as bigint) - ${lo}L) div ${width}L end"))
     val offsets = withB
       .groupBy("_ord_b")
       .agg(count(lit(1)).as("_ord_n"))

@@ -29,18 +29,49 @@ object MaxMinThroughputLP {
     * rate ≤ m2·θ + b2 (the second segment is typically near-flat: the
     * device's saturation bandwidth).
     */
-  final case class Bandwidth(opId: Int, m1: Double, b1: Double, m2: Double, b2: Double)
+  final case class Bandwidth(opId: Int, m1: Double, b1: Double, m2: Double, b2: Double) {
+    /** Negative-slope second segment → flat plateau at the segments'
+      * crossing (see fromFit). Identity for well-formed caps.
+      */
+    def normalized: Bandwidth =
+      if (m2 >= 0) this
+      else {
+        val plateau =
+          if (m1 - m2 > 1e-12) m1 * ((b2 - b1) / (m1 - m2)) + b1 else b1
+        copy(m2 = 0.0, b2 = plateau)
+      }
+  }
 
   object Bandwidth {
-    /** Adapt an A14 PiecewiseFit (elements/sec vs parallelism) to the LP. */
-    def fromFit(opId: Int, f: PiecewiseFit.Fit): Bandwidth =
-      Bandwidth(opId, f.slope1, f.icept1, f.slope2, f.icept2)
+    /** Adapt an A14 PiecewiseFit (elements/sec vs parallelism) to the LP.
+      *
+      * A fitted NEGATIVE second slope (throughput declining past
+      * saturation — contention) is replaced by a flat cap at the
+      * saturation level: the unconstrained least-squares intercept of a
+      * declining line extrapolates ABOVE every observed rate at θ=0, and
+      * segTheta's flat-cap branch would read that intercept as the
+      * ceiling, overstating it (and disagreeing with effRate's declining
+      * line — the solve() bracket then lands below the true optimum). The
+      * plateau level is the fit evaluated at the breakpoint.
+      */
+    def fromFit(opId: Int, f: PiecewiseFit.Fit,
+        xBreak: Option[Double] = None): Bandwidth =
+      if (f.slope2 >= 0) Bandwidth(opId, f.slope1, f.icept1, f.slope2, f.icept2)
+      else {
+        val plateau = xBreak.map(x => f.slope2 * x + f.icept2)
+        plateau.fold(
+          Bandwidth(opId, f.slope1, f.icept1, f.slope2, f.icept2).normalized)(
+          p => Bandwidth(opId, f.slope1, f.icept1, 0.0, p))
+      }
   }
 
   def solve(ops: Seq[OpRate], cores: Double, maxChange: Option[Double] = None,
       useExistingUsage: Boolean = false, cpuUtilCores: Double = 0.0,
       bandwidth: Option[Bandwidth] = None): Solution = {
     require(ops.nonEmpty && cores > 0)
+    // declining caps are normalized to their plateau (see Bandwidth):
+    // segTheta/effRate assume non-negative segment slopes
+    val bandwidthN = bandwidth.map(_.normalized)
     // use_existing_usage (convex_solver.py:55-75): floor every θ at the
     // op's observed core usage (sequential ops capped at 1), and charge
     // whatever measured utilization the per-op floors do NOT explain
@@ -71,7 +102,7 @@ object MaxMinThroughputLP {
       else Double.PositiveInfinity
     def neededTheta(o: OpRate, r: Double): Double = {
       val base = if (o.perCoreRate > 0) r / o.perCoreRate else o.thetaMin
-      bandwidth match {
+      bandwidthN match {
         case Some(bw) if bw.opId == o.id =>
           math.max(base, math.max(segTheta(bw.m1, bw.b1, r), segTheta(bw.m2, bw.b2, r)))
         case _ => base
@@ -83,7 +114,7 @@ object MaxMinThroughputLP {
     // effective rate of an op at allocation t, bandwidth caps included
     def effRate(o: OpRate, t: Double): Double = {
       val r0 = o.perCoreRate * t
-      bandwidth.filter(_.opId == o.id)
+      bandwidthN.filter(_.opId == o.id)
         .map(bw => math.min(r0, math.min(bw.m1 * t + bw.b1, bw.m2 * t + bw.b2)))
         .getOrElse(r0)
     }

@@ -147,6 +147,17 @@ class SolverSpec extends AnyFunSuite {
       Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0), Seq(50.0, 100.0, 150.0, 150.0, 150.0, 150.0))
     val viaFit = solve(ops, cores = 8.0, bandwidth = Some(Bandwidth.fromFit(1, fit)))
     assert(viaFit.rate <= 160.0) // capped near the fitted saturation
+
+    // a DECLINING fitted second segment (contention past saturation) must
+    // cap at the plateau (segment crossing ≈ 166.7), not at the declining
+    // line's extrapolated intercept (200) — nor land below the optimum
+    val declining = Bandwidth(opId = 1, m1 = 50.0, b1 = 0.0, m2 = -10.0, b2 = 200.0)
+    val norm = declining.normalized
+    assert(norm.m2 == 0.0 && math.abs(norm.b2 - 500.0 / 3) < 0.1)
+    val sol = solve(ops, cores = 8.0, bandwidth = Some(declining))
+    assert(math.abs(sol.rate - 500.0 / 3) < 0.5,
+      s"expected plateau-capped 166.7, got ${sol.rate}")
+    assert(math.abs(sol.thetas(1) - 10.0 / 3) < 0.05)
   }
 
   test("min-cost LP: cache masks upstream cost when cheaper") {
