@@ -307,6 +307,85 @@ object SimilarityOps {
           expr(m(1)).as("mean1"), expr(v(1)).as("var1"),
           expr(m(32)).as("mean32"), expr(v(32)).as("var32"),
           expr(m(64)).as("mean64"), expr(v(64)).as("var64"))
+    },
+
+    // ANN quality evaluation: recall@3 of the IVF index (ss02's plan)
+    // against the exact brute-force top-3, per query — the measurement
+    // that decides nlist/nprobe before an index ships. Both arms are
+    // deterministic, so even the recall VALUES are oracle-exact.
+    Q(
+      "ss08_ivf_recall",
+      s"""WITH cent AS (
+         |  SELECT label AS cell, embedding AS ce FROM (
+         |    SELECT label, embedding,
+         |      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+         |    FROM embeddings) WHERE rn = 1),
+         |  assign AS (
+         |    SELECT vec_id, cell FROM (
+         |      SELECT e.vec_id, c.cell,
+         |        row_number() OVER (PARTITION BY e.vec_id
+         |          ORDER BY ${duckCos("e.embedding", "c.ce")} DESC, c.cell) AS rn
+         |      FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+         |  q AS (SELECT e.vec_id AS q_id, e.embedding AS qe, a.cell
+         |        FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+         |        WHERE e.vec_id < 5),
+         |  ivf AS (SELECT q_id, n_id FROM (
+         |    SELECT q.q_id, e.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${duckCos("q.qe", "e.embedding")} DESC, e.vec_id) AS rn
+         |    FROM q JOIN assign a ON a.cell = q.cell
+         |           JOIN embeddings e ON e.vec_id = a.vec_id
+         |    WHERE e.vec_id <> q.q_id) WHERE rn <= 3),
+         |  exact AS (SELECT q_id, n_id FROM (
+         |    SELECT q.q_id, e.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${duckCos("q.qe", "e.embedding")} DESC, e.vec_id) AS rn
+         |    FROM q CROSS JOIN embeddings e
+         |    WHERE e.vec_id <> q.q_id) WHERE rn <= 3)
+         |SELECT x.q_id, count(i.n_id) AS n_hit,
+         |  (count(i.n_id) * 100) // 3 AS recall_x100
+         |FROM exact x LEFT JOIN ivf i ON i.q_id = x.q_id AND i.n_id = x.n_id
+         |GROUP BY x.q_id""".stripMargin) { (s, d) =>
+      graft.functions.CosineSimilarity.register(s)
+      val e = T.embeddings(s, d)
+      val cent = e
+        .selectExpr(
+          "label as cell", "embedding as ce",
+          "row_number() over (partition by label order by vec_id) as rn")
+        .filter(col("rn") === 1)
+        .drop("rn")
+      val assign = e.crossJoin(broadcast(cent))
+        .selectExpr(
+          "vec_id", "cell",
+          s"row_number() over (partition by vec_id order by ${sparkCos("embedding", "ce")} desc, cell) as rn")
+        .filter(col("rn") === 1)
+        .select("vec_id", "cell")
+        .persist() // query cells + candidate cells
+      val q = e.filter(col("vec_id") < 5)
+        .join(assign, "vec_id")
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("cell"))
+      def top3(cand: org.apache.spark.sql.DataFrame) = cand
+        .selectExpr(
+          "q_id", "n_id",
+          s"row_number() over (partition by q_id order by ${sparkCos("qe", "ne")} desc, n_id) as rn")
+        .filter(col("rn") <= 3)
+        .select("q_id", "n_id")
+      val ivf = top3(broadcast(q)
+        .join(assign.withColumnRenamed("vec_id", "n_id"), "cell")
+        .join(e.select(col("vec_id").as("n_id"), col("embedding").as("ne")), Seq("n_id"))
+        .filter(col("n_id") =!= col("q_id")))
+      val exact = top3(broadcast(q.drop("cell"))
+        .crossJoin(e.select(col("vec_id").as("n_id"), col("embedding").as("ne")))
+        .filter(col("n_id") =!= col("q_id")))
+      val hits = ivf.toDF("hq_id", "hit_id")
+      exact.join(
+        hits,
+        col("q_id") === col("hq_id") && col("n_id") === col("hit_id"),
+        "left")
+        .groupBy("q_id")
+        .agg(
+          count(col("hit_id")).as("n_hit"),
+          expr("(count(hit_id) * 100) div 3").as("recall_x100"))
     }
   )
 }

@@ -155,6 +155,23 @@ object AnalysisQueries {
           "element_at(pq, 4) as price_p99",
           "part_approx_distinct",
           "qty_mean")
+    },
+
+    // Exact equi-width histogram of order value (50k buckets) with bucket
+    // boundaries realized from data — the distribution profile a skew
+    // diagnosis starts from. One map-side-combined aggregation; the
+    // bucket id is floor of one exact IEEE division, portable.
+    Q(
+      "an08_value_histogram",
+      """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+        |  count(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM orders GROUP BY 1""".stripMargin) { (s, d) =>
+      T.orders(s, d)
+        .groupBy(expr("cast(floor(o_totalprice / 50000.0) as bigint)").as("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          min("o_totalprice").as("lo"),
+          max("o_totalprice").as("hi"))
     }
   )
 }
