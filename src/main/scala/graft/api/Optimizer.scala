@@ -145,10 +145,31 @@ object Optimizer {
         thetaMax = if (m.isParallelizable) cores.toDouble else 1.0,
         existing = m.parallelism.toDouble)
     }
+    // 2b. source calibration → LP bandwidth row (§3.1 step 4b): sweep the
+    //     source-only pipeline, fit the two-segment curve, and hand the
+    //     LP the source's rate-vs-θ cap — this is what fastOptimize
+    //     skips (PLUMBER_FAST_OPTIMIZE parity). Calibration failures
+    //     (e.g. un-truncatable graphs) degrade to an uncapped LP.
+    val bandwidthRow: Option[MaxMinThroughputLP.Bandwidth] =
+      if (cfg.fastOptimize) None
+      else scala.util.Try {
+        val (points, fit) = calibrateSource(spark, g0, sfDir)
+        g0.nodes.find(n => graft.ir.PipelineOp.isSource(n.op)).map { src =>
+          MaxMinThroughputLP.Bandwidth.fromFit(src.id, fit,
+            xBreak = Some(points(fit.breakIdx)._1.toDouble))
+        }
+      }.toOption.flatten
+        // sanity gate: a fixture-scale sweep can fit a DECLINING ramp
+        // (per-task overhead dominates tiny reads) whose cap would poison
+        // the LP with a near-zero or negative ceiling. A usable disk
+        // curve rises then saturates at a positive plateau; anything
+        // else means the source isn't the constraint — run uncapped.
+        .filter(bw => bw.m1 > 0 && bw.m2 * 64 + bw.b2 > 0)
+
     val sol =
       if (ops.nonEmpty)
         MaxMinThroughputLP.solve(ops, cores.toDouble, cfg.maxChange,
-          useExistingUsage = cfg.useExistingUsage)
+          useExistingUsage = cfg.useExistingUsage, bandwidth = bandwidthRow)
       else MaxMinThroughputLP.Solution(Map.empty, 0.0, 0.0)
 
     // 3. rewrite plan: strip stale caches, apply θs, place a cache if a

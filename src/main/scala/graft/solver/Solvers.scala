@@ -112,10 +112,13 @@ object MaxMinThroughputLP {
       eff.map(o => clamp(neededTheta(o, r), o.thetaMin, o.thetaMax))
     def used(r: Double): Double = thetasFor(r).sum
     // effective rate of an op at allocation t, bandwidth caps included
+    // (floored at 0: a fitted line can dip negative at small θ, but a
+    // physical rate cannot)
     def effRate(o: OpRate, t: Double): Double = {
       val r0 = o.perCoreRate * t
       bandwidthN.filter(_.opId == o.id)
-        .map(bw => math.min(r0, math.min(bw.m1 * t + bw.b1, bw.m2 * t + bw.b2)))
+        .map(bw => math.max(0.0,
+          math.min(r0, math.min(bw.m1 * t + bw.b1, bw.m2 * t + bw.b2))))
         .getOrElse(r0)
     }
 
