@@ -389,6 +389,28 @@ object HeadlineQueries {
         val low = o.filter("o_orderpriority = '5-LOW'").select("o_custkey")
         urgent.intersect(low).withColumn("kind", lit("both"))
           .unionAll(urgent.except(low).withColumn("kind", lit("urgent_only")))
+    },
+
+    // Explicit GROUPING SETS (arbitrary subtotal shapes beyond
+    // rollup/cube), via the spark.sql entry point — the same Catalyst
+    // Expand + single-shuffle aggregate the DataFrame rollup compiles to.
+    Q(
+      "q_grouping_sets",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin) {
+      (s, d) =>
+        T.lineitem(s, d).createOrReplaceTempView("graft_li_gs")
+        s.sql(
+          """SELECT l_returnflag, l_linestatus,
+            |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+            |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+            |  count(*) AS n
+            |FROM graft_li_gs
+            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
     }
   )
 }
