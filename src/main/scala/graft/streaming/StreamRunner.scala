@@ -199,6 +199,30 @@ object StreamRunner {
     spark.table(queryName)
   }
 
+  /** Idempotent foreachBatch file sink — the production exactly-once
+    * recipe for sinks without transactional support: each micro-batch
+    * OVERWRITES its own `batch=<id>` directory, so replaying a batch
+    * after a failure rewrites the same files instead of duplicating
+    * rows. Returns the sink directory; StreamingSpec runs the stream
+    * twice over the same input and asserts the row count is unchanged.
+    */
+  def idempotentFileSink(spark: SparkSession, sfDir: String, outDir: String,
+      queryName: String = "graft_sink"): Unit = {
+    val stream = eventsStream(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "value")
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite")
+          .parquet(s"$outDir/batch=$batchId")
+      }
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Run the st01 window aggregation as a real stream over the events
     * fixture; returns the collected result as a DataFrame.
     */

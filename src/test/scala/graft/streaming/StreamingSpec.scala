@@ -44,6 +44,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("idempotent foreachBatch sink: replay rewrites, never duplicates") {
+    val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    StreamRunner.idempotentFileSink(spark, sf, out, "graft_sink_a")
+    val first = spark.read.parquet(out).count()
+    val expected = graft.Tables.events(spark, sf).count()
+    assert(first == expected)
+    // full replay (fresh query, no checkpoint): same batches overwrite
+    // their own partition dirs — row count must be unchanged
+    StreamRunner.idempotentFileSink(spark, sf, out, "graft_sink_b")
+    assert(spark.read.parquet(out).count() == expected)
+  }
+
   test("stateful sessionization across micro-batches equals batch st02") {
     val streamed = StreamRunner.sessionizeStateful(spark, sf, "graft_sessions_spec")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
