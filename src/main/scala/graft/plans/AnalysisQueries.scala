@@ -172,6 +172,25 @@ object AnalysisQueries {
           count(lit(1)).as("n"),
           min("o_totalprice").as("lo"),
           max("o_totalprice").as("hi"))
+    },
+
+    // Exact interpolated quantiles (percentile ≡ quantile_cont: both
+    // engines sort and linearly interpolate at (n−1)·q, so even the
+    // interpolated doubles hash-match). The exact complement to an07's
+    // sketches — at 100 TB you'd reach for the sketch; the exact path is
+    // the ground truth it's validated against.
+    Q(
+      "an09_exact_quantiles",
+      """SELECT l_returnflag, count(*) AS n,
+        |  quantile_cont(l_quantity, 0.5) AS med,
+        |  quantile_cont(l_quantity, 0.95) AS p95
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      T.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          expr("percentile(l_quantity, 0.5)").as("med"),
+          expr("percentile(l_quantity, 0.95)").as("p95"))
     }
   )
 }
