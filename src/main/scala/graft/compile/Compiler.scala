@@ -71,15 +71,16 @@ object Compiler {
         case CacheOp       => in().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         case Prefetch(_)   => in() // stage pipelining is implicit in Spark
         case ZipOp(ordL, ordR) =>
-          // single numeric order key → distributed ordinal (range-bucketed
-          // ranks + broadcast prefix offsets); otherwise fall back to the
-          // global window (positional semantics are inherently ordered).
-          // Under instrumentation the bucket bounds are probed from an
-          // UNINSTRUMENTED recompile of the same prefix, so (a) the eager
-          // min/max never fires the CollectMetrics observers twice, and
-          // (b) profile mode measures the SAME distributed plan that
-          // production runs — a serial-window stand-in would make the
-          // optimizer rank a bottleneck that doesn't exist.
+          // single numeric order key → distributed ordinal (quantile-
+          // bucketed ranks + broadcast prefix offsets); otherwise fall
+          // back to the global window (positional semantics are
+          // inherently ordered). Under instrumentation the bucket splits
+          // are probed from an UNINSTRUMENTED recompile of the same
+          // prefix, so (a) the eager sketch pass never fires the
+          // CollectMetrics observers twice, and (b) profile mode measures
+          // the SAME distributed plan that production runs — a serial-
+          // window stand-in would make the optimizer rank a bottleneck
+          // that doesn't exist.
           def ordinal(inputIdx: Int, ord: Seq[String]): DataFrame = {
             val df = in(inputIdx)
             val numeric = ord.size == 1 &&
@@ -88,19 +89,16 @@ object Compiler {
             if (!numeric)
               df.withColumn("_zrn", row_number().over(Window.orderBy(ord.map(col): _*)).cast("long"))
             else {
-              val bounds =
+              val splits =
                 if (!instrument) None
                 else {
                   val clean = compile(spark,
                     graft.bench.Harness.truncateAt(g, node.inputs(inputIdx)),
                     sfDir).df
-                  val mm = clean.agg(
-                    min(col(ord.head)).cast("long"),
-                    max(col(ord.head)).cast("long")).head()
-                  if (mm.isNullAt(0)) None else Some((mm.getLong(0), mm.getLong(1)))
+                  Some(graft.operators.Ordinal.quantileSplits(clean, ord.head, 32))
                 }
               graft.operators.Ordinal.withGlobalOrdinal(df, ord.head, "_zrn",
-                bounds = bounds)
+                splits = splits)
             }
           }
           ordinal(0, ordL).join(ordinal(1, ordR), "_zrn").drop("_zrn")

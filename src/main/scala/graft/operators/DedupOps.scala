@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Portable => P, Q, Tables => T}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Deduplication family over the `documents` table: exact (hash-groupBy),
@@ -39,6 +40,45 @@ object DedupOps {
     s"list_min(list_transform(shingles, s -> ${P.duckHash60(s"'$k|' || s")})) AS mh$k"
 
   private val nBits = 16
+
+  /** Max docs per (band, bucket) admitted to pairwise enumeration.
+    *
+    * Pair output is quadratic in bucket size, so one boilerplate template
+    * flooding a bucket turns the candidate join into the scale-killer. A
+    * bucket past the cap means near-identical mass-produced docs — those
+    * belong to the linear clustering path (dd08-style components), not
+    * pairwise verification. Same contract as dd10's simhash cap; mirrored
+    * verbatim in every oracle so the gate exercises the capped semantics.
+    */
+  private[graft] val bucketCap = 64
+
+  /** DuckDB CTE chain: bands → sized → small → pairs, with the bucket cap.
+    * Expects a `bands(doc_id, band, h)` CTE already in scope.
+    */
+  private def duckCapPairs: String =
+    s"""sized AS (SELECT band, h, count(*) AS n FROM bands GROUP BY band, h),
+       |     small AS (SELECT b.doc_id, b.band, b.h FROM bands b
+       |               JOIN sized z ON z.band = b.band AND z.h = b.h AND z.n <= $bucketCap),
+       |     pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |               FROM small a JOIN small b
+       |                 ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Candidate pairs from a banded-signature frame `(doc_id, band, h)`,
+    * skipping buckets larger than [[bucketCap]] before the self-join.
+    * Shuffles only (band, h, doc_id) tuples; output is linear in corpus
+    * size because every admitted bucket contributes ≤ cap² pairs.
+    */
+  private[graft] def cappedBandPairs(bands: DataFrame): DataFrame = {
+    val sized = bands.groupBy("band", "h").agg(count(lit(1)).as("n"))
+    val small = bands
+      .join(sized.filter(col("n") <= bucketCap), Seq("band", "h"))
+      .select("doc_id", "band", "h")
+    small.select(col("doc_id").as("a_id"), col("band"), col("h"))
+      .join(small.select(col("doc_id").as("b_id"), col("band"), col("h")), Seq("band", "h"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+  }
 
   val queries: Seq[Q] = Seq(
 
@@ -82,7 +122,9 @@ object DedupOps {
     // (bands mh0..mh3, r=1 row each), unioned and dedup'd — the standard
     // b×r banding contract: multi-band raises recall (P[candidate] =
     // 1-(1-s^r)^b), the final DISTINCT collapses pairs that collide in
-    // several bands. Shuffles only (band, bucket, doc_id) — never text.
+    // several bands. Shuffles only (band, bucket, doc_id) — never text —
+    // and buckets past `bucketCap` are skipped before the self-join so a
+    // template flood can't make the pair output quadratic.
     Q(
       "dd04_lsh_candidate_pairs",
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
@@ -92,10 +134,9 @@ object DedupOps {
          |       SELECT doc_id, 0 AS band, mh0 AS h FROM sig
          |       UNION ALL SELECT doc_id, 1, mh1 FROM sig
          |       UNION ALL SELECT doc_id, 2, mh2 FROM sig
-         |       UNION ALL SELECT doc_id, 3, mh3 FROM sig)
-         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id""".stripMargin) {
+         |       UNION ALL SELECT doc_id, 3, mh3 FROM sig),
+         |     $duckCapPairs
+         |SELECT a_id, b_id FROM pairs""".stripMargin) {
       (s, d) =>
         // persist: the self-join would otherwise recompute the minhash on
         // both sides, and the join's isnotnull(h) pushdown would inline
@@ -106,12 +147,7 @@ object DedupOps {
           .selectExpr("doc_id", sparkMh(0), sparkMh(1), sparkMh(2), sparkMh(3))
           .selectExpr("doc_id", "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) as (band, h)")
           .persist()
-        val a = bands.select(col("doc_id").as("a_id"), col("band"), col("h"))
-        val b = bands.select(col("doc_id").as("b_id"), col("band"), col("h"))
-        a.join(b, Seq("band", "h"))
-          .filter(col("a_id") < col("b_id"))
-          .select("a_id", "b_id")
-          .distinct()
+        cappedBandPairs(bands)
     },
 
     // SimHash: 16-bit signature — per bit b, majority vote over token
@@ -151,9 +187,7 @@ object DedupOps {
          |       UNION ALL SELECT doc_id, 1, mh1 FROM sig
          |       UNION ALL SELECT doc_id, 2, mh2 FROM sig
          |       UNION ALL SELECT doc_id, 3, mh3 FROM sig),
-         |     pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |               FROM bands a JOIN bands b
-         |                 ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+         |     $duckCapPairs,
          |     ex AS (SELECT DISTINCT doc_id, unnest(shingles) AS sng FROM sh),
          |     sizes AS (SELECT doc_id, count(*) AS c FROM ex GROUP BY doc_id),
          |     inter AS (SELECT p.a_id, p.b_id, count(*) AS i
@@ -175,11 +209,7 @@ object DedupOps {
         .selectExpr("doc_id", sparkMh(0), sparkMh(1), sparkMh(2), sparkMh(3))
         .selectExpr("doc_id", "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) as (band, h)")
         .persist()
-      val pairs = bands.select(col("doc_id").as("a_id"), col("band"), col("h"))
-        .join(bands.select(col("doc_id").as("b_id"), col("band"), col("h")), Seq("band", "h"))
-        .filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
+      val pairs = cappedBandPairs(bands)
       val ex = sh.selectExpr("doc_id", "explode(shingles) as sng").distinct()
       val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("c"))
       val inter = pairs
@@ -214,9 +244,7 @@ object DedupOps {
          |       UNION ALL SELECT doc_id, 1, mh1 FROM sig
          |       UNION ALL SELECT doc_id, 2, mh2 FROM sig
          |       UNION ALL SELECT doc_id, 3, mh3 FROM sig),
-         |     pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |               FROM bands a JOIN bands b
-         |                 ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+         |     $duckCapPairs,
          |     edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
          |               UNION ALL SELECT b_id, a_id FROM pairs),
          |     reach(src, dst) AS (
@@ -232,11 +260,7 @@ object DedupOps {
         .selectExpr("doc_id", sparkMh(0), sparkMh(1), sparkMh(2), sparkMh(3))
         .selectExpr("doc_id", "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) as (band, h)")
         .persist()
-      val pairs = bands.select(col("doc_id").as("a_id"), col("band"), col("h"))
-        .join(bands.select(col("doc_id").as("b_id"), col("band"), col("h")), Seq("band", "h"))
-        .filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
+      val pairs = cappedBandPairs(bands)
       graft.functions.Dedup.connectedComponents(
         T.documents(s, d).select("doc_id"), pairs, "doc_id", "a_id", "b_id")
     },
@@ -260,9 +284,7 @@ object DedupOps {
            |       UNION ALL SELECT doc_id, 1, mh1 FROM sig
            |       UNION ALL SELECT doc_id, 2, mh2 FROM sig
            |       UNION ALL SELECT doc_id, 3, mh3 FROM sig),
-           |     pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           |               FROM bands a JOIN bands b
-           |                 ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id)
+           |     $duckCapPairs
            |SELECT p.a_id, p.b_id,
            |  CAST($matches AS BIGINT) AS match_cnt,
            |  CAST(($matches) * 2500 AS BIGINT) AS est_x10000
@@ -279,11 +301,7 @@ object DedupOps {
         .persist() // consumed three times (bands + both pair sides)
       val bands = sig
         .selectExpr("doc_id", "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) as (band, h)")
-      val pairs = bands.select(col("doc_id").as("a_id"), col("band"), col("h"))
-        .join(bands.select(col("doc_id").as("b_id"), col("band"), col("h")), Seq("band", "h"))
-        .filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
+      val pairs = cappedBandPairs(bands)
       val sa = sig.toDF("a_id", "sa_mh0", "sa_mh1", "sa_mh2", "sa_mh3")
       val sb = sig.toDF("b_id", "sb_mh0", "sb_mh1", "sb_mh2", "sb_mh3")
       pairs.join(sa, Seq("a_id")).join(sb, Seq("b_id"))
@@ -414,6 +432,39 @@ object DedupOps {
       train.join(test, "sng")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shared"))
+    },
+
+    // LSH banding at r=2 — the precision knob of the b×r contract: 8
+    // minhash components grouped into b=4 bands of r=2 rows each, band
+    // key = hash of the concatenated pair. P[candidate] = 1-(1-s²)⁴, so
+    // moderately-similar docs that flood dd04's r=1 buckets (any shared
+    // frequent shingle-minimum) only collide here when BOTH minhashes of
+    // some band agree — the candidate set shrinks toward true near-dups
+    // while the shuffle stays (band, key, doc_id) tuples. Same bucket cap
+    // as dd04 guards the residual boilerplate-clique case.
+    Q(
+      "dd13_lsh_r2", {
+        val duckBand = (k: Int) =>
+          s"SELECT doc_id, $k AS band, " +
+            s"${P.duckHash60(s"mh${2 * k}::VARCHAR || '|' || mh${2 * k + 1}::VARCHAR")} AS h FROM sig"
+        s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+           |     sh AS (SELECT doc_id, $duckShingles AS shingles FROM t),
+           |     sig AS (SELECT doc_id, ${(0 until 8).map(duckMh).mkString(", ")} FROM sh),
+           |     bands AS (
+           |       ${(0 until 4).map(duckBand).mkString("\n           UNION ALL ")}),
+           |     $duckCapPairs
+           |SELECT a_id, b_id FROM pairs""".stripMargin
+      }) { (s, d) =>
+      val bandKey = (k: Int) =>
+        P.hash60(s"concat(cast(mh${2 * k} as string), '|', cast(mh${2 * k + 1} as string))")
+      val stackArgs = (0 until 4).map(k => s"$k, ${bandKey(k)}").mkString(", ")
+      val bands = T.documents(s, d)
+        .selectExpr("doc_id", s"$sparkToks as toks")
+        .selectExpr("doc_id", s"$sparkShingles as shingles")
+        .selectExpr("doc_id" +: (0 until 8).map(sparkMh): _*)
+        .selectExpr("doc_id", s"stack(4, $stackArgs) as (band, h)")
+        .persist() // sized + both pair sides (dd04 pushdown lesson)
+      cappedBandPairs(bands)
     }
   )
 }

@@ -80,12 +80,13 @@ object HeadlineQueries {
       val su = T.supplier(s, d)
       val n = T.nation(s, d)
       val r = T.region(s, d).filter(col("r_name").isin("ASIA", "EUROPE"))
-      // customer scales with the fact data — no broadcast hint; AQE picks
-      // the strategy from runtime stats. True dims below stay hinted.
+      // customer and supplier scale with the fact data — no broadcast
+      // hint; AQE broadcasts while they fit and shuffles when they don't.
+      // Only the genuinely fixed dims (nation, region) stay hinted.
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .join(
-          broadcast(su),
+          su,
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))

@@ -1,47 +1,65 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed global ordinal — `row_number() OVER (ORDER BY key)` without
   * the single-partition global sort (the zipWithIndex composition):
   *
-  *   1. bucket rows by key RANGE (order-preserving: every key in bucket i
-  *      sorts before every key in bucket i+1),
+  *   1. bucket rows by key QUANTILE (order-preserving: every key in bucket
+  *      i sorts before every key in bucket i+1; boundaries come from
+  *      Spark's Greenwald-Khanna sketch, so buckets stay balanced no
+  *      matter how skewed the key distribution is),
   *   2. rank inside each bucket with a partitioned window (parallel),
   *   3. add each bucket's exclusive prefix count, computed by windowing
   *      the ~`buckets`-row count table (tiny, driver-scale) and
   *      broadcast-joined back.
   *
-  * Costs one extra min/max scan to size the buckets; the payload-sized
+  * Costs one extra key-column scan to size the buckets; the payload-sized
   * sort never crosses a partition boundary, so the plan survives 100×.
+  * Quantile (not equal-width) boundaries matter at scale: a filter that
+  * leaves the surviving ids clustered in 1% of the key range would pile
+  * ~everything into one equal-width bucket and serialize the rank there —
+  * quantile splits give each bucket ~n/buckets rows by construction. They
+  * also avoid any (hi - lo) width arithmetic, which silently overflows
+  * for full-range 64-bit keys.
   */
 object Ordinal {
 
-  /** @param bounds precomputed (min, max) of the key — pass when an eager
-    *               probe on `df` itself is unacceptable (e.g. the plan
-    *               carries CollectMetrics observers that must fire once);
-    *               when None, one min/max scan sizes the buckets.
+  /** Quantile split points for `keyCol` — the probe half of
+    * [[withGlobalOrdinal]], exposed so instrumented callers can compute
+    * splits on an UNINSTRUMENTED twin plan (an in-plan probe would fire
+    * CollectMetrics observers a second time).
+    */
+  def quantileSplits(df: DataFrame, keyCol: String, buckets: Int): Array[Double] =
+    if (buckets <= 1) Array.empty
+    else df.stat.approxQuantile(
+      keyCol, (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+
+  /** @param splits precomputed quantile boundaries from [[quantileSplits]]
+    *               — pass when an eager probe on `df` itself is
+    *               unacceptable (e.g. the plan carries CollectMetrics
+    *               observers that must fire once); when None, one
+    *               key-column sketch pass sizes the buckets.
     */
   def withGlobalOrdinal(df: DataFrame, keyCol: String, outCol: String,
-      buckets: Int = 32, bounds: Option[(Long, Long)] = None): DataFrame = {
-    val (lo, hi) = bounds.getOrElse {
-      val mm = df.agg(
-        min(col(keyCol)).cast("long").as("lo"),
-        max(col(keyCol)).cast("long").as("hi")).head()
-      if (mm.isNullAt(0)) return df.withColumn(outCol, lit(null).cast("long"))
-      (mm.getLong(0), mm.getLong(1))
-    }
-    val width = math.max(1L, (hi - lo) / buckets + 1)
+      buckets: Int = 32, splits: Option[Array[Double]] = None): DataFrame = {
+    val bs = splits.getOrElse(quantileSplits(df, keyCol, buckets))
+    // Bucket = number of split points strictly below the key: monotone in
+    // the key (long→double casts are order-preserving), so bucket i's keys
+    // all sort before bucket i+1's, and duplicate keys share a bucket.
     // NULL keys get bucket -1 (sorts before every real bucket — matching
-    // row_number over an ASC order, nulls first); a plain div expression
-    // would give them a null bucket and the equi-join below would DROP
-    // those rows, shifting every ordinal after them.
-    val withB = df.withColumn(
-      "_ord_b",
-      expr(s"case when $keyCol is null then -1L " +
-        s"else (cast($keyCol as bigint) - ${lo}L) div ${width}L end"))
+    // row_number over an ASC order, nulls first); a null bucket key would
+    // make the equi-join below DROP those rows, shifting every ordinal
+    // after them.
+    val bucketOf: Column =
+      if (bs.isEmpty) when(col(keyCol).isNull, lit(-1L)).otherwise(lit(0L))
+      else when(col(keyCol).isNull, lit(-1L)).otherwise(
+        aggregate(
+          typedLit(bs.toSeq), lit(0L),
+          (acc, s) => acc + when(col(keyCol).cast("double") > s, 1L).otherwise(0L)))
+    val withB = df.withColumn("_ord_b", bucketOf)
     val offsets = withB
       .groupBy("_ord_b")
       .agg(count(lit(1)).as("_ord_n"))

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkTestSession.{sf, spark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("bucket cap keeps pair enumeration linear under a template flood") {
+    // A boilerplate template floods one band bucket with 300 docs; a
+    // legitimate near-dup group of 10 sits in another. Uncapped pairing
+    // would emit 300*299/2 = 44,850 pairs from the flood alone.
+    val flood = (0L until 300L).map(i => (i, 0, 777L))
+    val organic = (1000L until 1010L).map(i => (i, 1, 42L))
+    val bands = (flood ++ organic).toDF("doc_id", "band", "h")
+    val pairs = DedupOps.cappedBandPairs(bands).collect()
+    // flooded bucket (n=300 > cap) skipped entirely; organic bucket kept
+    assert(pairs.length == 10 * 9 / 2)
+    assert(pairs.forall(r => r.getLong(0) >= 1000L && r.getLong(1) >= 1000L))
+  }
+
+  test("buckets at exactly the cap still pair (boundary is inclusive)") {
+    val n = DedupOps.bucketCap.toLong
+    val bands = (0L until n).map(i => (i, 0, 5L)).toDF("doc_id", "band", "h")
+    assert(DedupOps.cappedBandPairs(bands).count() == n * (n - 1) / 2)
+  }
+
+  test("pair volume is bounded by buckets * cap^2 regardless of flood size") {
+    // Three floods of different sizes over the cap, plus small buckets:
+    // output must never exceed (#admitted buckets) * cap*(cap-1)/2.
+    val cap = DedupOps.bucketCap
+    val rows =
+      (0L until 500L).map(i => (i, 0, 1L)) ++          // flood, skipped
+        (500L until 700L).map(i => (i, 1, 2L)) ++      // flood, skipped
+        (700L until 700L + cap).map(i => (i, 2, 3L)) ++ // exactly cap, kept
+        (900L until 905L).map(i => (i, 3, 4L))         // small, kept
+    val pairs = DedupOps.cappedBandPairs(rows.toDF("doc_id", "band", "h"))
+    val perBucketMax = cap.toLong * (cap - 1) / 2
+    assert(pairs.count() == perBucketMax + 5L * 4 / 2)
+  }
+
+  test("r=2 banding (dd13) admits no more candidates than r=1 (dd04)") {
+    // The b×r precision contract: requiring TWO minhash components to
+    // agree per band can only shrink the candidate set relative to one.
+    val dd04 = graft.SparkEntry.queries("dd04_lsh_candidate_pairs")(spark, sf)
+    val dd13 = graft.SparkEntry.queries("dd13_lsh_r2")(spark, sf)
+    val n04 = dd04.count()
+    val n13 = dd13.count()
+    info(s"candidate pairs: r=1 (dd04) = $n04, r=2 (dd13) = $n13")
+    assert(n13 <= n04, s"r=2 produced $n13 > r=1's $n04")
+    assert(dd13.filter(col("a_id") >= col("b_id")).isEmpty)
+  }
+}

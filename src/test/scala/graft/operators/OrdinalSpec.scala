@@ -40,11 +40,11 @@ class OrdinalSpec extends AnyFunSuite {
     assert(got.drop(2).map(_.getLong(1)).toSeq == Seq(1L, 5L, 9L))
   }
 
-  test("precomputed bounds skip the probe but produce the same ordinal") {
+  test("precomputed splits skip the probe but produce the same ordinal") {
     val df = graft.Tables.orders(spark, sf).select("o_orderkey")
     val probed = Ordinal.withGlobalOrdinal(df, "o_orderkey", "rn", 8)
     val given = Ordinal.withGlobalOrdinal(df, "o_orderkey", "rn", 8,
-      bounds = Some((1L, 15000L)))
+      splits = Some(Ordinal.quantileSplits(df, "o_orderkey", 8)))
     assert(given.exceptAll(probed).isEmpty && probed.exceptAll(given).isEmpty)
   }
 
@@ -55,5 +55,33 @@ class OrdinalSpec extends AnyFunSuite {
       .orderBy("rn").select("k", "rn").as[(Long, Long)].collect()
     assert(got.map(_._2).toSeq == (1L to 6L))
     assert(got.map(_._1).toSeq == Seq(-100L, -3L, 0L, 7L, 7000L, 123456L))
+  }
+
+  test("skewed keys (99% clustered in 1% of the range) still bucket evenly") {
+    import spark.implicits._
+    // 5000 ids packed into [0, 100) plus a handful of far outliers — an
+    // equal-width bucketing over [0, 1e12] would put 99.9% of rows in
+    // bucket 0 and serialize the rank there.
+    val keys = (0 until 5000).map(i => (i % 100).toLong * 1L) ++
+      Seq(1_000_000_000_000L, 999_999_999_999L, 500_000_000_000L)
+    val df = keys.toDF("k").repartition(8)
+    val buckets = 16
+    val bs = Ordinal.quantileSplits(df, "k", buckets)
+    val counts = df
+      .withColumn(
+        "b",
+        aggregate(
+          typedLit(bs.toSeq), lit(0L),
+          (acc, s) => acc + when(col("k").cast("double") > s, 1L).otherwise(0L)))
+      .groupBy("b").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // no bucket may hold more than ~3× its fair share (fair = n/buckets);
+    // equal-width would have put >99% of all rows in one bucket
+    val fair = keys.size.toDouble / buckets
+    assert(counts.values.max <= (3 * fair).toLong, counts.toSeq.sorted.mkString(", "))
+    // and the ordinal built on those splits is still the exact row_number
+    val got = Ordinal.withGlobalOrdinal(df, "k", "rn", buckets)
+      .orderBy("rn", "k").select("k").as[Long].collect()
+    assert(got.toSeq == keys.sorted)
   }
 }
