@@ -39,15 +39,22 @@ object Bench {
       .foreach(q => try q.fn(spark, sfDir).count() catch { case _: Throwable => () })
 
     def round3(v: Double): Double = math.rint(v * 1000) / 1000
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
 
-    // min over reps (default 2): single-shot timings on a busy host carry
-    // ±20% noise that pollutes round-over-round comparisons; the minimum
-    // is the standard steady-state estimator.
+    // min over reps (default 2, +1 extra rep for sub-second queries whose
+    // round-over-round deltas are dominated by host noise): single-shot
+    // timings on a busy host carry ±20% noise that pollutes comparisons;
+    // the minimum is the standard steady-state estimator, and the median
+    // is reported alongside so a min-vs-median gap flags a noisy sample
+    // instead of triggering a manual plan audit.
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
       .getOrElse(2).max(1)
     val results = SparkEntry.all.map { q =>
-      val times = (1 to reps).map { _ =>
+      def rep(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok =
           try { q.fn(spark, sfDir).count(); true }
@@ -58,30 +65,44 @@ object Bench {
         spark.sharedState.cacheManager.clearCache()
         (dt, ok)
       }
-      (q.name, round3(times.map(_._1).min), times.forall(_._2))
+      var times = (1 to reps).map(_ => rep())
+      if (times.forall(_._2) && times.map(_._1).min < 1.0) times :+= rep()
+      (q.name, round3(times.map(_._1).min),
+        round3(median(times.map(_._1))), times.forall(_._2))
     }
 
     // flagship pipeline throughput (input elements/sec over one pass) —
-    // the images/sec-shaped headline number
-    val flagshipRate = {
-      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      val n = li.count()
-      (1 to reps).map { _ =>
-        val df = api.Flagship.run(spark, sfDir)
-        val t0 = System.nanoTime()
-        df.count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        if (dt > 0) math.rint(n / dt) else 0.0
-      }.max
-    }
+    // the images/sec-shaped headline number. Guarded like the per-query
+    // loop: a missing/corrupt lineitem fixture must not abort main before
+    // the JSON artifact is written.
+    val flagshipRate =
+      try {
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        val n = li.count()
+        (1 to reps).map { _ =>
+          val df = api.Flagship.run(spark, sfDir)
+          val t0 = System.nanoTime()
+          df.count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (dt > 0) math.rint(n / dt) else 0.0
+        }.max
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] flagship failed: ${e.getMessage}")
+          0.0
+      }
 
-    val qs = results.filter(_._3).map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.filter(_._4).map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.filter(!_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val total = round3(results.filter(_._3).map(_._2).sum)
+    val qsMed = results.filter(_._4).map { case (k, _, m, _) => "\"" + k + "\":" + m }
+      .mkString("{", ",", "}")
+    val failed = results.filter(!_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = round3(results.filter(_._4).map(_._2).sum)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""failed":$failed,"pipeline_elements_per_sec":$flagshipRate,"sf":"$sfDir"}"""
+        s""""queries_median":$qsMed,"failed":$failed,""" +
+        s""""flagship_failed":${flagshipRate == 0.0},""" +
+        s""""pipeline_elements_per_sec":$flagshipRate,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json)
     println(json)
     spark.stop()

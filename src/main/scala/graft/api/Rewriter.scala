@@ -60,7 +60,13 @@ object Rewriter {
     val history = scala.collection.mutable.ArrayBuffer[Analysis.Step]()
     val ignore = scala.collection.mutable.Set[Int]()
     val results = scala.collection.mutable.ArrayBuffer[StepResult]()
-    val rnd = new scala.util.Random(seedOf(cfg.strategy))
+    // per-arm RNG: the forward arm's draws are a pure function of
+    // (seed, step), so changing numDeviations never perturbs the forward
+    // trajectory (the reference's deviation branches don't advance the
+    // forward walk — sharing one stream would make forward runs
+    // non-comparable across deviation settings)
+    def armRng(step: Int, deviation: Int): scala.util.Random =
+      new scala.util.Random(seedOf(cfg.strategy) ^ (step.toLong << 8) ^ deviation.toLong)
 
     for (step <- 1 to cfg.numSteps) {
       val run = Instrument.run(spark, g, sfDir)
@@ -72,7 +78,7 @@ object Rewriter {
       val recommended =
         valid.sortBy(m => Analysis.expectedParallelMaxRate(m, run.global)).headOption
 
-      def choose(s: Strategy): Option[graft.metrics.NodeMetrics] = s match {
+      def choose(s: Strategy, rnd: scala.util.Random): Option[graft.metrics.NodeMetrics] = s match {
         case RankedTop => recommended
         case Random(_) =>
           if (ranked.isEmpty) None else Some(ranked(rnd.nextInt(ranked.size)))
@@ -104,7 +110,7 @@ object Rewriter {
         val armStrategy =
           if (deviation == 0) cfg.strategy
           else RandomValidDeviation(seedOf(cfg.strategy))
-        val chosen = choose(armStrategy)
+        val chosen = choose(armStrategy, armRng(step, deviation))
         var gArm = g
         val action = chosen match {
           case Some(m) if m.op == "Batch" =>

@@ -45,7 +45,10 @@ object PreciseProfiler {
     var finalWallNs = 0L
     var finalCpuNs = 0L
     var sourceInputBytes = 0L
-    val sinkId = g.topoOrder.last
+    // anchor on the graph's declared sink, not topo position: a dead
+    // terminal node with a larger id would otherwise get the run-level
+    // globals measured on the wrong prefix
+    val sinkId = g.sink
     val timings = g.topoOrder.map { id =>
       val acc = spark.sparkContext.longAccumulator(s"t_$id")
       val cnt = spark.sparkContext.longAccumulator(s"c_$id")
@@ -64,7 +67,7 @@ object PreciseProfiler {
       } else df.write.format("noop").mode("overwrite").save()
       NodeTiming(id, math.max(acc.value, 1L), 0L, cnt.value)
     }
-    val rowCount = timings.lastOption.map(_.elements).getOrElse(0L)
+    val rowCount = timings.find(_.nodeId == sinkId).map(_.elements).getOrElse(0L)
 
     // self time = own aggregate pull minus inputs' aggregate pull
     val byId = timings.map(t => t.nodeId -> t).toMap

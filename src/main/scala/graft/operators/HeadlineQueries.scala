@@ -412,6 +412,29 @@ object HeadlineQueries {
             |  count(*) AS n
             |FROM graft_li_gs
             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    },
+
+    // The same GROUPING SETS through the native Dataset API
+    // (Dataset.groupingSets, new in Spark 4) — compiles to the identical
+    // Expand + single-shuffle aggregate as the SQL entry point above;
+    // gated separately so the native-API surface is covered too.
+    Q(
+      "q_grouping_sets_ds",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin) {
+      (s, d) =>
+        T.lineitem(s, d)
+          .groupingSets(
+            Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            grouping("l_returnflag").cast("bigint").as("g_rf"),
+            grouping("l_linestatus").cast("bigint").as("g_ls"),
+            count(lit(1)).as("n"))
     }
   )
 }

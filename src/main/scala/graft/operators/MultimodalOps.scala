@@ -115,6 +115,30 @@ object MultimodalOps {
           "doc_id", "cast(win as bigint) as win_id",
           "cast(aggregate(transform(smp, v -> v*v), 0, (a, b) -> a + b) as bigint) as energy",
           "cast(array_max(smp) as bigint) as peak")
+    },
+
+    // REAL WAV decode (audio twin of mm03): synthetic 16-bit mono PCM
+    // WAVs (sample = closed-form function of doc_id) are encoded AND
+    // decoded with javax.sound.sampled inside mapPartitions; the gated
+    // output is integer sample statistics of the DECODED signal. WAV PCM
+    // is lossless, so DuckDB computes the same statistics from the closed
+    // form — a hash-match oracle over a real codec round-trip.
+    Q(
+      "mm05_wav_decode",
+      """WITH p AS (SELECT doc_id, 200 + doc_id % 50 AS n
+        |           FROM documents WHERE doc_id < 64),
+        |     s AS (SELECT doc_id, n,
+        |             list_transform(range(0, n),
+        |               i -> (doc_id * 37 + 11 * i) % 65536 - 32768) AS smp
+        |           FROM p)
+        |SELECT doc_id,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(list_max(smp) AS BIGINT) AS peak,
+        |  CAST(list_reduce(list_prepend(0, list_transform(smp, v -> v * v)),
+        |       (a, b) -> a + b) AS BIGINT) AS sq_sum
+        |FROM s""".stripMargin) { (s, d) =>
+      import graft.multimodal.AudioCodec
+      AudioCodec.decodeFeatures(s, AudioCodec.payloads(s, d, 64)).toDF()
     }
   )
 }

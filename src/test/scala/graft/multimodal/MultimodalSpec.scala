@@ -54,4 +54,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.length == 32)
     assert(feats.forall(f => f.px_sum > 0 && f.width >= 16 && f.height >= 12))
   }
+
+  test("WAV round-trip through the real codec is lossless (closed form)") {
+    // decode(encode(pcm)) must reproduce every 16-bit sample of the
+    // generator s(id,i) = ((id*37 + 11i) % 65536) - 32768 — WAV is PCM.
+    for (id <- Seq(0L, 1L, 17L, 63L)) {
+      val f = AudioCodec.features(id, AudioCodec.syntheticWav(id))
+      val n = AudioCodec.numSamples(id)
+      assert(f.n_samples == n)
+      val samples = (0 until n).map(i => AudioCodec.sampleAt(id, i).toLong)
+      assert(f.peak == samples.max, s"id=$id")
+      assert(f.sq_sum == samples.map(s => s * s).sum, s"id=$id")
+    }
+  }
+
+  test("distributed WAV decode emits one feature row per payload") {
+    val feats = AudioCodec.decodeFeatures(
+      spark, AudioCodec.payloads(spark, sf, 32)).collect()
+    assert(feats.length == 32)
+    assert(feats.forall(f => f.n_samples >= 200 && f.sq_sum > 0))
+  }
 }
