@@ -56,12 +56,23 @@ object DedupOps {
     * Expects a `bands(doc_id, band, h)` CTE already in scope.
     */
   private def duckCapPairs: String =
-    s"""sized AS (SELECT band, h, count(*) AS n FROM bands GROUP BY band, h),
+    s"""sized AS (SELECT band, h, count(*) AS n, min(doc_id) AS root
+       |               FROM bands GROUP BY band, h),
        |     small AS (SELECT b.doc_id, b.band, b.h FROM bands b
        |               JOIN sized z ON z.band = b.band AND z.h = b.h AND z.n <= $bucketCap),
        |     pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |               FROM small a JOIN small b
        |                 ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** DuckDB CTE (after [[duckCapPairs]]): star edges for OVERSIZED buckets
+    * — every doc connects to the bucket's min doc_id. Same connected
+    * components as the full clique (a star spans the bucket), linear cost.
+    */
+  private def duckStarEdges: String =
+    s"""stars AS (SELECT DISTINCT z.root AS a_id, b.doc_id AS b_id
+       |               FROM bands b JOIN sized z
+       |                 ON z.band = b.band AND z.h = b.h AND z.n > $bucketCap
+       |               WHERE b.doc_id <> z.root)""".stripMargin
 
   /** Candidate pairs from a banded-signature frame `(doc_id, band, h)`,
     * skipping buckets larger than [[bucketCap]] before the self-join.
@@ -78,6 +89,33 @@ object DedupOps {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .distinct()
+  }
+
+  /** Edges for CLUSTERING: capped pairwise edges for normal buckets plus
+    * a linear STAR (every doc → the bucket's min doc_id) for oversized
+    * ones. A star has the same connected components as the full clique,
+    * so dedup clusters stay EXACT under a template flood — the flooded
+    * bucket contributes O(bucket) edges instead of O(bucket²) pairs.
+    * Pairwise-verify queries (dd04/dd06/dd09) keep the plain cap: their
+    * output IS the pair list, and a quadratic pair list is the scale
+    * problem; components only need connectivity.
+    */
+  private[graft] def cappedBandEdges(bands: DataFrame): DataFrame = {
+    val sized = bands.groupBy("band", "h")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("root"))
+      .persist() // consumed by the small filter and the star join
+    val small = bands
+      .join(sized.filter(col("n") <= bucketCap), Seq("band", "h"))
+      .select("doc_id", "band", "h")
+    val pairs = small.select(col("doc_id").as("a_id"), col("band"), col("h"))
+      .join(small.select(col("doc_id").as("b_id"), col("band"), col("h")), Seq("band", "h"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+    val stars = bands
+      .join(sized.filter(col("n") > bucketCap), Seq("band", "h"))
+      .filter(col("doc_id") =!= col("root"))
+      .select(col("root").as("a_id"), col("doc_id").as("b_id"))
+    pairs.union(stars).distinct()
   }
 
   val queries: Seq[Q] = Seq(
@@ -233,6 +271,11 @@ object DedupOps {
     // = graph diameter (LSH clusters are near-cliques, 2-3 rounds). Every
     // round shuffles only (doc_id, label) longs. Oracle: recursive-CTE
     // transitive closure with the identical min-label reduction.
+    //
+    // Flood behavior: normal buckets contribute capped pairwise edges;
+    // OVERSIZED buckets contribute a linear star (doc → bucket min), so a
+    // boilerplate template still clusters as one component — same
+    // components as the uncapped clique, O(bucket) instead of O(bucket²).
     Q(
       "dd08_dedup_clusters",
       s"""WITH RECURSIVE
@@ -245,8 +288,11 @@ object DedupOps {
          |       UNION ALL SELECT doc_id, 2, mh2 FROM sig
          |       UNION ALL SELECT doc_id, 3, mh3 FROM sig),
          |     $duckCapPairs,
-         |     edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
-         |               UNION ALL SELECT b_id, a_id FROM pairs),
+         |     $duckStarEdges,
+         |     link AS (SELECT a_id, b_id FROM pairs
+         |              UNION SELECT a_id, b_id FROM stars),
+         |     edges AS (SELECT a_id AS src, b_id AS dst FROM link
+         |               UNION ALL SELECT b_id, a_id FROM link),
          |     reach(src, dst) AS (
          |       SELECT doc_id, doc_id FROM documents
          |       UNION
@@ -260,7 +306,7 @@ object DedupOps {
         .selectExpr("doc_id", sparkMh(0), sparkMh(1), sparkMh(2), sparkMh(3))
         .selectExpr("doc_id", "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) as (band, h)")
         .persist()
-      val pairs = cappedBandPairs(bands)
+      val pairs = cappedBandEdges(bands)
       graft.functions.Dedup.connectedComponents(
         T.documents(s, d).select("doc_id"), pairs, "doc_id", "a_id", "b_id")
     },

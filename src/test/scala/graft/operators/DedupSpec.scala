@@ -40,6 +40,23 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.count() == perBucketMax + 5L * 4 / 2)
   }
 
+  test("star edges keep a flooded bucket as ONE cluster at linear cost") {
+    // 300 template docs share a bucket (over the cap): pairwise edges are
+    // suppressed, but the star (doc -> bucket min) must still connect the
+    // whole flood into a single component — with 299 edges, not 44,850.
+    val flood = (0L until 300L).map(i => (i, 0, 777L))
+    val organic = (1000L until 1005L).map(i => (i, 1, 42L))
+    val bands = (flood ++ organic).toDF("doc_id", "band", "h")
+    val edges = DedupOps.cappedBandEdges(bands)
+    assert(edges.count() == 299L + 5L * 4 / 2)
+    val vertices = (flood ++ organic).map(_._1).toDF("doc_id")
+    val clusters = graft.functions.Dedup
+      .connectedComponents(vertices, edges, "doc_id", "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 300L).forall(clusters(_) == 0L), "flood must be one cluster")
+    assert((1000L until 1005L).forall(clusters(_) == 1000L))
+  }
+
   test("r=2 banding (dd13) admits no more candidates than r=1 (dd04)") {
     // The b×r precision contract: requiring TWO minhash components to
     // agree per band can only shrink the candidate set relative to one.
