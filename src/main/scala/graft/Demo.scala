@@ -49,6 +49,10 @@ object Demo {
     val after = bench.Harness.benchmark(spark, res.optimized, sfDir, maxIterations = 3)
     println(f"rows/s original ${before.elementRate}%.0f -> optimized ${after.elementRate}%.0f")
 
+    // roofline figure (plotting_util.py parity, dependency-free SVG)
+    res.rooflineSvg("roofline.svg")
+    println("wrote roofline.svg")
+
     // §3.3 introspection surface (PlumberPerformanceModel API shape)
     val rec = api.Recommendation(g0, res.metrics, res.global,
       res.metrics.lastOption.map(_.elementsProduced).getOrElse(0L))

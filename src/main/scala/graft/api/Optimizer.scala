@@ -51,7 +51,30 @@ object Optimizer {
       thetas: Map[Int, Double],
       predictedRate: Double,
       bottleneck: Option[Int],
-      ruleReport: RuleRunner.Report) {
+      ruleReport: RuleRunner.Report,
+      roofline: graft.plans.Analysis.Roofline =
+        graft.plans.Analysis.Roofline(0, 0, 0, 0)) {
+
+    /** Emit the reference's roofline figure (plotting_util.py:27-75) as
+      * dependency-free SVG: queueing ramp + LP compute bound + per-node
+      * max rates, rates converted to elements/second.
+      */
+    def rooflineSvg(path: String): Unit = {
+      val nodeRates = metrics
+        .filter(_.elementsProduced > 0)
+        .map(m => graft.plans.Analysis.expectedParallelMaxRate(m, global) -> m.name)
+        .filter(_._1.isFinite)
+        .sortBy(_._1)
+        .take(8)
+      graft.tools.Plots.rooflineSvg(
+        path,
+        nJobs = roofline.n,
+        secPerElement = roofline.r / 1e9,
+        nStar = roofline.nStar,
+        cpuBound = predictedRate,
+        diskBound = None,
+        nodeRates = nodeRates)
+    }
     def rankedTable(spark: SparkSession): DataFrame =
       Analysis.rankedTable(spark, metrics, global)
 
@@ -202,6 +225,7 @@ object Optimizer {
       thetas = sol.thetas,
       predictedRate = sol.rate,
       bottleneck = Analysis.bottleneck(run.nodeMetrics, run.global).map(_.nodeId),
-      ruleReport = report)
+      ruleReport = report,
+      roofline = roof)
   }
 }

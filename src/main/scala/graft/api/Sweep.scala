@@ -93,6 +93,10 @@ object Sweep {
         results.foreach(r =>
           w.println(s"${r.arm},${r.steps},${r.finalRate},${r.bestRate},${r.meanRate}"))
       } finally w.close()
+      // the per-arm comparison figure the reference scrapes its logs for
+      graft.tools.Plots.barsSvg(
+        new java.io.File(d, "sweep_stats.svg").getPath,
+        results.map(r => r.arm -> r.bestRate))
     }
     results
   }

@@ -3,16 +3,75 @@ package graft.metrics
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** A19 — OS-monitoring time series (statistics_collection.py:12-129):
-  * a background thread samples process CPU, system load, and memory at a
-  * fixed interval; samples flatten to a DataFrame with a timestamp column
-  * (mirrors the reference's pandas frame, gen_util.py:159-174).
+  * a background thread samples process CPU, system load, memory, CPU
+  * frequency/temperature, and process IO at a fixed interval; samples
+  * flatten to a DataFrame with a timestamp column (mirrors the
+  * reference's pandas frame, gen_util.py:159-174).
+  *
+  * The reference's Sample tuple is (timestep, cpu_frequency,
+  * cpu_temperature, cpu_percent, io_usage, memory_usage)
+  * (statistics_collection.py:13-19); frequency/temperature/IO aren't
+  * reachable via JMX, so they come from Linux procfs/sysfs with a -1 /
+  * last-value fallback on other platforms — the sampler never throws.
   */
 final case class Sample(
     timestepMs: Long,
     cpuProcessLoad: Double,
     systemLoadAvg: Double,
     heapUsedBytes: Long,
-    memoryFreeBytes: Long)
+    memoryFreeBytes: Long,
+    cpuFreqMhz: Double,     // psutil.cpu_freq().current analogue; -1 if unknown
+    cpuTempC: Double,       // hottest thermal zone; -1 if unknown
+    ioReadBytes: Long,      // process cumulative (psutil io_counters analogue)
+    ioWriteBytes: Long)
+
+object OsProbes {
+  private def readFile(p: String): Option[String] =
+    try Some(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
+    catch { case _: Throwable => None }
+
+  /** Current CPU frequency in MHz: sysfs scaling_cur_freq (kHz) first,
+    * /proc/cpuinfo "cpu MHz" average as fallback, -1 when neither reads.
+    */
+  def cpuFreqMhz(): Double =
+    readFile("/sys/devices/system/cpu/cpu0/cpufreq/scaling_cur_freq")
+      .flatMap(s => s.trim.toDoubleOption).map(_ / 1000.0)
+      .orElse {
+        readFile("/proc/cpuinfo").flatMap { txt =>
+          val vals = txt.linesIterator
+            .filter(_.startsWith("cpu MHz"))
+            .flatMap(_.split(':').lastOption.flatMap(_.trim.toDoubleOption))
+            .toSeq
+          if (vals.isEmpty) None else Some(vals.sum / vals.size)
+        }
+      }
+      .getOrElse(-1.0)
+
+  /** Hottest thermal zone in °C (sysfs reports milli-°C); -1 if none. */
+  def cpuTempC(): Double = {
+    val zones =
+      try {
+        val dir = new java.io.File("/sys/class/thermal")
+        Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("thermal_zone"))
+          .flatMap(z => readFile(z.getPath + "/temp"))
+          .flatMap(_.trim.toDoubleOption)
+      } catch { case _: Throwable => Array.empty[Double] }
+    if (zones.isEmpty) -1.0 else zones.max / 1000.0
+  }
+
+  /** Cumulative process IO (read_bytes, write_bytes) from /proc/self/io;
+    * (-1, -1) when unreadable.
+    */
+  def processIo(): (Long, Long) =
+    readFile("/proc/self/io").map { txt =>
+      def field(k: String): Long = txt.linesIterator
+        .find(_.startsWith(k + ":"))
+        .flatMap(_.split(':').lastOption.flatMap(_.trim.toLongOption))
+        .getOrElse(-1L)
+      (field("read_bytes"), field("write_bytes"))
+    }.getOrElse((-1L, -1L))
+}
 
 final class Monitor(intervalMs: Long = 200) {
   private val samples = new java.util.concurrent.ConcurrentLinkedQueue[Sample]()
@@ -27,12 +86,16 @@ final class Monitor(intervalMs: Long = 200) {
       val rt = Runtime.getRuntime
       val t0 = System.currentTimeMillis()
       while (running) {
+        val (ioR, ioW) = OsProbes.processIo()
         samples.add(Sample(
           System.currentTimeMillis() - t0,
           math.max(0.0, os.getProcessCpuLoad),
           os.getSystemLoadAverage,
           rt.totalMemory() - rt.freeMemory(),
-          os.getFreeMemorySize))
+          os.getFreeMemorySize,
+          OsProbes.cpuFreqMhz(),
+          OsProbes.cpuTempC(),
+          ioR, ioW))
         Thread.sleep(intervalMs)
       }
     }, "graft-monitor")

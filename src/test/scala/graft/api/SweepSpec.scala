@@ -33,6 +33,8 @@ class SweepSpec extends AnyFunSuite {
     // per-arm rewriter artifacts (benchmark_stats.csv per rewriter arm)
     assert(new java.io.File(out, "plumber_rewrites/benchmark_stats.csv").exists())
     assert(new java.io.File(out, "random_rewrites_0/benchmark_stats.csv").exists())
+    // comparison figure (SVG twin of the reference's scraped plot)
+    assert(new java.io.File(out, "sweep_stats.svg").exists())
   }
 
   test("forward trajectory is invariant to numDeviations (per-arm RNG)") {
