@@ -265,6 +265,42 @@ object TextOps {
         .selectExpr(
           "vocab_id", "token", "n",
           "cast(floor(cast(10000 as double) * n / total) as bigint) as share_bp")
+    },
+
+    // Repetition ratios (the Gopher-rules quality signals): per doc, the
+    // share of duplicate words (1 - distinct/total) and the share of the
+    // single most frequent word — high values flag machine-generated or
+    // boilerplate text before it poisons training. Word counts group by
+    // (doc_id, word): only (doc-id, word-hash-sized) rows shuffle, and
+    // the second aggregation is on doc_id, already the shuffle key's
+    // prefix — at 100 TB this is one shuffle of token counts, never text.
+    Q(
+      "tx10_repetition",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+        |           FROM documents),
+        |     ex AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        |     wc AS (SELECT doc_id, w, count(*) AS c FROM ex GROUP BY doc_id, w),
+        |     ag AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+        |                   COUNT(*) AS n_distinct, MAX(c) AS top_cnt
+        |            FROM wc GROUP BY doc_id)
+        |SELECT doc_id, n_words,
+        |  CAST(FLOOR(CAST(10000 AS DOUBLE) * (n_words - n_distinct) / n_words) AS BIGINT)
+        |    AS dup_ratio_bp,
+        |  CAST(FLOOR(CAST(10000 AS DOUBLE) * top_cnt / n_words) AS BIGINT)
+        |    AS top_share_bp
+        |FROM ag""".stripMargin) { (s, d) =>
+      T.documents(s, d)
+        .selectExpr("doc_id", "explode(split(lower(text), '\\\\s+')) as w")
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(
+          sum("c").cast("bigint").as("n_words"),
+          count(lit(1)).as("n_distinct"),
+          max("c").as("top_cnt"))
+        .selectExpr(
+          "doc_id", "n_words",
+          "cast(floor(cast(10000 as double) * (n_words - n_distinct) / n_words) as bigint) as dup_ratio_bp",
+          "cast(floor(cast(10000 as double) * top_cnt / n_words) as bigint) as top_share_bp")
     }
   )
 }
