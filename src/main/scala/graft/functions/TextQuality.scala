@@ -100,8 +100,16 @@ object Dedup {
       .select(col(aCol).as("_src"), col(bCol).as("_dst"))
       .union(pairs.select(col(bCol).as("_src"), col(aCol).as("_dst")))
       .localCheckpoint() // also cuts the (expensive) pair-derivation lineage
-    var labels = nodes
+    // iterate ONLY over edge endpoints: in a near-dup corpus almost every
+    // doc is a singleton, and carrying their (id, id) labels through
+    // every propagation round would dominate the shuffle at scale.
+    // Singletons re-join, labeling themselves, after convergence.
+    val allNodes = nodes
       .select(col(idCol).as("_node"), col(idCol).cast("long").as("cluster_id"))
+    val endpoints = edges.select(col("_src").as("_node")).distinct()
+    var labels = allNodes
+      .join(endpoints, "_node")
+      .select("_node", "cluster_id")
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
@@ -127,6 +135,9 @@ object Dedup {
     require(changed == 0,
       s"connectedComponents did not converge in $maxRounds rounds " +
         s"($changed labels still shrinking) — graph diameter exceeds the cap")
-    labels.withColumnRenamed("_node", idCol).select(idCol, "cluster_id")
+    // singletons (no edges) label themselves; LEFT ANTI keeps only them
+    val singletons = allNodes.join(labels.select("_node"), Seq("_node"), "left_anti")
+    labels.union(singletons)
+      .withColumnRenamed("_node", idCol).select(idCol, "cluster_id")
   }
 }
