@@ -65,16 +65,28 @@ object Bench {
         spark.sharedState.cacheManager.clearCache()
         (dt, ok)
       }
-      var times = (1 to reps).map(_ => rep())
-      if (times.forall(_._2) && times.map(_._1).min < 1.0) times :+= rep()
+      // Pass/fail is decided by the base reps only; the bonus rep for
+      // sub-second queries is timing-only (its time is kept when it
+      // succeeds, a failure there never flips a green query to failed).
+      // reps=1 means exactly one run — no silent bonus rep.
+      val base = (1 to reps).map(_ => rep())
+      val ok = base.forall(_._2)
+      val times =
+        if (reps >= 2 && ok && base.map(_._1).min < 1.0) {
+          val extra = rep()
+          if (extra._2) base :+ extra else base
+        } else base
       (q.name, round3(times.map(_._1).min),
-        round3(median(times.map(_._1))), times.forall(_._2))
+        round3(median(times.map(_._1))), ok)
     }
 
     // flagship pipeline throughput (input elements/sec over one pass) —
     // the images/sec-shaped headline number. Guarded like the per-query
     // loop: a missing/corrupt lineitem fixture must not abort main before
     // the JSON artifact is written.
+    // Failure is tracked separately from the rate: a thrown exception sets
+    // the flag, while a legitimately computed 0.0 (dt <= 0 path) does not.
+    var flagshipFailed = false
     val flagshipRate =
       try {
         val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -89,6 +101,7 @@ object Bench {
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] flagship failed: ${e.getMessage}")
+          flagshipFailed = true
           0.0
       }
 
@@ -101,7 +114,7 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""queries_median":$qsMed,"failed":$failed,""" +
-        s""""flagship_failed":${flagshipRate == 0.0},""" +
+        s""""flagship_failed":$flagshipFailed,""" +
         s""""pipeline_elements_per_sec":$flagshipRate,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json)
     println(json)

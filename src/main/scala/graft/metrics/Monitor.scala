@@ -11,8 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * The reference's Sample tuple is (timestep, cpu_frequency,
   * cpu_temperature, cpu_percent, io_usage, memory_usage)
   * (statistics_collection.py:13-19); frequency/temperature/IO aren't
-  * reachable via JMX, so they come from Linux procfs/sysfs with a -1 /
-  * last-value fallback on other platforms — the sampler never throws.
+  * reachable via JMX, so they come from Linux procfs/sysfs and report -1
+  * on platforms where neither source reads — the sampler never throws.
   */
 final case class Sample(
     timestepMs: Long,
@@ -30,22 +30,46 @@ object OsProbes {
     try Some(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
     catch { case _: Throwable => None }
 
-  /** Current CPU frequency in MHz: sysfs scaling_cur_freq (kHz) first,
-    * /proc/cpuinfo "cpu MHz" average as fallback, -1 when neither reads.
+  /** Current CPU frequency in MHz: sysfs scaling_cur_freq (kHz) when
+    * present (re-read each sample — it's live and a single small file);
+    * otherwise the /proc/cpuinfo "cpu MHz" average, parsed ONCE and
+    * cached (on VMs/containers without cpufreq sysfs it reports the
+    * nominal clock, so re-parsing the whole file every 200 ms buys
+    * nothing); -1 when neither source reads. The source resolution is
+    * cached after the first call so unavailable probes cost one failed
+    * read total, not one per sample.
     */
-  def cpuFreqMhz(): Double =
-    readFile("/sys/devices/system/cpu/cpu0/cpufreq/scaling_cur_freq")
-      .flatMap(s => s.trim.toDoubleOption).map(_ / 1000.0)
-      .orElse {
-        readFile("/proc/cpuinfo").flatMap { txt =>
-          val vals = txt.linesIterator
-            .filter(_.startsWith("cpu MHz"))
-            .flatMap(_.split(':').lastOption.flatMap(_.trim.toDoubleOption))
-            .toSeq
-          if (vals.isEmpty) None else Some(vals.sum / vals.size)
-        }
+  private val SysfsFreq = "/sys/devices/system/cpu/cpu0/cpufreq/scaling_cur_freq"
+  // 0 = unresolved, 1 = sysfs (live), 2 = cached cpuinfo value, 3 = none
+  @volatile private var freqSource = 0
+  @volatile private var cachedCpuinfoMhz = -1.0
+
+  private def readSysfsFreq(): Option[Double] =
+    readFile(SysfsFreq).flatMap(_.trim.toDoubleOption).map(_ / 1000.0)
+
+  private def readCpuinfoFreq(): Option[Double] =
+    readFile("/proc/cpuinfo").flatMap { txt =>
+      val vals = txt.linesIterator
+        .filter(_.startsWith("cpu MHz"))
+        .flatMap(_.split(':').lastOption.flatMap(_.trim.toDoubleOption))
+        .toSeq
+      if (vals.isEmpty) None else Some(vals.sum / vals.size)
+    }
+
+  def cpuFreqMhz(): Double = {
+    if (freqSource == 0) {
+      if (readSysfsFreq().isDefined) freqSource = 1
+      else readCpuinfoFreq() match {
+        case Some(v) => cachedCpuinfoMhz = v; freqSource = 2
+        case None => freqSource = 3
       }
-      .getOrElse(-1.0)
+    }
+    freqSource match {
+      case 1 => readSysfsFreq().getOrElse(-1.0)
+      case 2 => cachedCpuinfoMhz
+      case _ => -1.0
+    }
+  }
 
   /** Hottest thermal zone in °C (sysfs reports milli-°C); -1 if none. */
   def cpuTempC(): Double = {

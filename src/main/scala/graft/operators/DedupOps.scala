@@ -115,7 +115,11 @@ object DedupOps {
       .join(sized.filter(col("n") > bucketCap), Seq("band", "h"))
       .filter(col("doc_id") =!= col("root"))
       .select(col("root").as("a_id"), col("doc_id").as("b_id"))
-    pairs.union(stars).distinct()
+    // Materialize eagerly so `sized` can be unpersisted here instead of
+    // leaking a cached RDD to drivers that never call clearCache.
+    val edges = pairs.union(stars).distinct().localCheckpoint(true)
+    sized.unpersist()
+    edges
   }
 
   val queries: Seq[Q] = Seq(
