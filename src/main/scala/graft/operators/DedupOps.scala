@@ -33,11 +33,32 @@ object DedupOps {
     "list_transform(range(1, greatest(1, len(toks) - 1)), i -> " +
       "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
 
-  /** MinHash under seed k: min over shingles of hash60(k || '|' || s). */
+  /** Each shingle hashed ONCE to a 60-bit int — the only md5 in the whole
+    * MinHash pipeline. Every permutation below is a cheap integer hash over
+    * these, so adding signature width (dd13's 8 components) costs integer
+    * ops, not extra md5 passes over the text.
+    */
+  private val sparkHs = s"transform(shingles, s -> ${P.hash60("s")})"
+  private val duckHs  = s"list_transform(shingles, s -> ${P.duckHash60("s")})"
+
+  /** MinHash permutation k: the standard Broder universal-hash family
+    * h_k(x) = (a_k·x + b_k) mod p over the base shingle hashes, p = 2³¹−1
+    * (Mersenne prime). x is reduced mod p first so a_k·x stays < 2⁶² —
+    * exact in 64-bit integer arithmetic, hence bit-identical across
+    * engines. One md5/shingle total (vs one per seed per shingle): the
+    * permutations are arithmetic, which is both the textbook construction
+    * and ~k× less hashing work on the scan.
+    */
+  private val mhP = 2147483647L
+  private val mhA = Seq(1103515245L, 1588635695L, 1203248318L, 784588716L,
+    1343692587L, 423493549L, 858993459L, 1640531527L)
+  private val mhB = Seq(12345L, 392541289L, 1574243550L, 1914771284L,
+    669059329L, 2027004510L, 1431655765L, 97531L)
+
   private def sparkMh(k: Int): String =
-    s"array_min(transform(shingles, s -> ${P.hash60(s"concat('$k|', s)")})) as mh$k"
+    s"array_min(transform(hs, x -> (${mhA(k)}L * (x % ${mhP}L) + ${mhB(k)}L) % ${mhP}L)) as mh$k"
   private def duckMh(k: Int): String =
-    s"list_min(list_transform(shingles, s -> ${P.duckHash60(s"'$k|' || s")})) AS mh$k"
+    s"list_min(list_transform(hs, x -> (${mhA(k)}::BIGINT * (x % ${mhP}) + ${mhB(k)}) % ${mhP})) AS mh$k"
 
   private val nBits = 16
 
@@ -151,12 +172,14 @@ object DedupOps {
     Q(
       "dd03_minhash_signatures",
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
-         |     sh AS (SELECT doc_id, $duckShingles AS shingles FROM t)
+         |     sh AS (SELECT doc_id, $duckShingles AS shingles FROM t),
+         |     hh AS (SELECT doc_id, $duckHs AS hs FROM sh)
          |SELECT doc_id, ${duckMh(0)}, ${duckMh(1)}, ${duckMh(2)}, ${duckMh(3)}
-         |FROM sh""".stripMargin) { (s, d) =>
+         |FROM hh""".stripMargin) { (s, d) =>
       T.documents(s, d)
         .selectExpr("doc_id", s"$sparkToks as toks")
         .selectExpr("doc_id", s"$sparkShingles as shingles")
+        .selectExpr("doc_id", s"$sparkHs as hs")
         .selectExpr("doc_id", sparkMh(0), sparkMh(1), sparkMh(2), sparkMh(3))
     },
 
@@ -171,7 +194,8 @@ object DedupOps {
       "dd04_lsh_candidate_pairs",
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |     sh AS (SELECT doc_id, $duckShingles AS shingles FROM t),
-         |     sig AS (SELECT doc_id, ${duckMh(0)}, ${duckMh(1)}, ${duckMh(2)}, ${duckMh(3)} FROM sh),
+         |     hh AS (SELECT doc_id, $duckHs AS hs FROM sh),
+         |     sig AS (SELECT doc_id, ${duckMh(0)}, ${duckMh(1)}, ${duckMh(2)}, ${duckMh(3)} FROM hh),
          |     bands AS (
          |       SELECT doc_id, 0 AS band, mh0 AS h FROM sig
          |       UNION ALL SELECT doc_id, 1, mh1 FROM sig
@@ -186,6 +210,7 @@ object DedupOps {
         val bands = T.documents(s, d)
           .selectExpr("doc_id", s"$sparkToks as toks")
           .selectExpr("doc_id", s"$sparkShingles as shingles")
+          .selectExpr("doc_id", s"$sparkHs as hs")
           .selectExpr("doc_id", sparkMh(0), sparkMh(1), sparkMh(2), sparkMh(3))
           .selectExpr("doc_id", "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) as (band, h)")
           .persist()
@@ -217,20 +242,24 @@ object DedupOps {
     },
 
     // n-gram Jaccard verification of LSH candidates: exact set overlap of
-    // distinct 3-shingles, scaled to an integer (×10000, floored).
+    // distinct 3-shingle hashes, scaled to an integer (×10000, floored).
     // Candidates come from the SAME multi-band (b=4, r=1) LSH as dd04.
+    // The overlap join runs on the 60-bit shingle hashes, not the shingle
+    // strings — at 100 TB the verify stage shuffles 8-byte ints and the
+    // text never crosses an exchange.
     Q(
       "dd06_ngram_jaccard",
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |     sh AS (SELECT doc_id, $duckShingles AS shingles FROM t),
-         |     sig AS (SELECT doc_id, ${duckMh(0)}, ${duckMh(1)}, ${duckMh(2)}, ${duckMh(3)} FROM sh),
+         |     hh AS (SELECT doc_id, $duckHs AS hs FROM sh),
+         |     sig AS (SELECT doc_id, ${duckMh(0)}, ${duckMh(1)}, ${duckMh(2)}, ${duckMh(3)} FROM hh),
          |     bands AS (
          |       SELECT doc_id, 0 AS band, mh0 AS h FROM sig
          |       UNION ALL SELECT doc_id, 1, mh1 FROM sig
          |       UNION ALL SELECT doc_id, 2, mh2 FROM sig
          |       UNION ALL SELECT doc_id, 3, mh3 FROM sig),
          |     $duckCapPairs,
-         |     ex AS (SELECT DISTINCT doc_id, unnest(shingles) AS sng FROM sh),
+         |     ex AS (SELECT doc_id, unnest(list_distinct(hs)) AS sng FROM hh),
          |     sizes AS (SELECT doc_id, count(*) AS c FROM ex GROUP BY doc_id),
          |     inter AS (SELECT p.a_id, p.b_id, count(*) AS i
          |               FROM pairs p JOIN ex ea ON ea.doc_id = p.a_id
@@ -240,19 +269,22 @@ object DedupOps {
          |  CAST(FLOOR(CAST(10000 AS DOUBLE) * i.i / (sa.c + sb.c - i.i)) AS BIGINT) AS jacc_x10000
          |FROM inter i JOIN sizes sa ON sa.doc_id = i.a_id
          |             JOIN sizes sb ON sb.doc_id = i.b_id""".stripMargin) { (s, d) =>
-      // persist both derived tables: sh feeds three consumers (sig, ex —
+      // persist both derived tables: hh feeds three consumers (sig, ex —
       // twice via the pair join), sig self-joins; without materialization
       // each consumer re-runs the shingle + hash pipeline.
-      val sh = T.documents(s, d)
+      val hh = T.documents(s, d)
         .selectExpr("doc_id", s"$sparkToks as toks")
         .selectExpr("doc_id", s"$sparkShingles as shingles")
+        .selectExpr("doc_id", s"$sparkHs as hs")
         .persist()
-      val bands = sh
+      val bands = hh
         .selectExpr("doc_id", sparkMh(0), sparkMh(1), sparkMh(2), sparkMh(3))
         .selectExpr("doc_id", "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) as (band, h)")
         .persist()
       val pairs = cappedBandPairs(bands)
-      val ex = sh.selectExpr("doc_id", "explode(shingles) as sng").distinct()
+      // per-doc array_distinct ≡ row-level DISTINCT without the re-run of
+      // the pipeline through the exchange (tx06 lesson)
+      val ex = hh.selectExpr("doc_id", "explode(array_distinct(hs)) as sng")
       val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("c"))
       val inter = pairs
         .join(ex.withColumnRenamed("doc_id", "a_id"), Seq("a_id"))
@@ -285,7 +317,8 @@ object DedupOps {
       s"""WITH RECURSIVE
          |     t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |     sh AS (SELECT doc_id, $duckShingles AS shingles FROM t),
-         |     sig AS (SELECT doc_id, ${duckMh(0)}, ${duckMh(1)}, ${duckMh(2)}, ${duckMh(3)} FROM sh),
+         |     hh AS (SELECT doc_id, $duckHs AS hs FROM sh),
+         |     sig AS (SELECT doc_id, ${duckMh(0)}, ${duckMh(1)}, ${duckMh(2)}, ${duckMh(3)} FROM hh),
          |     bands AS (
          |       SELECT doc_id, 0 AS band, mh0 AS h FROM sig
          |       UNION ALL SELECT doc_id, 1, mh1 FROM sig
@@ -303,10 +336,10 @@ object DedupOps {
          |       SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst)
          |SELECT src AS doc_id, min(dst) AS cluster_id
          |FROM reach GROUP BY src""".stripMargin) { (s, d) =>
-      val sh = T.documents(s, d)
+      val bands = T.documents(s, d)
         .selectExpr("doc_id", s"$sparkToks as toks")
         .selectExpr("doc_id", s"$sparkShingles as shingles")
-      val bands = sh
+        .selectExpr("doc_id", s"$sparkHs as hs")
         .selectExpr("doc_id", sparkMh(0), sparkMh(1), sparkMh(2), sparkMh(3))
         .selectExpr("doc_id", "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) as (band, h)")
         .persist()
@@ -328,7 +361,8 @@ object DedupOps {
           .mkString(" + ")
         s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
            |     sh AS (SELECT doc_id, $duckShingles AS shingles FROM t),
-           |     sig AS (SELECT doc_id, ${duckMh(0)}, ${duckMh(1)}, ${duckMh(2)}, ${duckMh(3)} FROM sh),
+           |     hh AS (SELECT doc_id, $duckHs AS hs FROM sh),
+           |     sig AS (SELECT doc_id, ${duckMh(0)}, ${duckMh(1)}, ${duckMh(2)}, ${duckMh(3)} FROM hh),
            |     bands AS (
            |       SELECT doc_id, 0 AS band, mh0 AS h FROM sig
            |       UNION ALL SELECT doc_id, 1, mh1 FROM sig
@@ -347,6 +381,7 @@ object DedupOps {
       val sig = T.documents(s, d)
         .selectExpr("doc_id", s"$sparkToks as toks")
         .selectExpr("doc_id", s"$sparkShingles as shingles")
+        .selectExpr("doc_id", s"$sparkHs as hs")
         .selectExpr("doc_id", sparkMh(0), sparkMh(1), sparkMh(2), sparkMh(3))
         .persist() // consumed three times (bands + both pair sides)
       val bands = sig
