@@ -61,25 +61,18 @@ object Dedup {
   }
 
   /** MinHash-LSH near-dup candidate pairs over a text column (the
-    * dd03/dd04 plan as a function): returns distinct (a, b) id pairs that
-    * collide in ANY of the b=4 (r=1) band buckets — multi-band banding,
-    * P[candidate] = 1-(1-s^r)^b, the standard recall knob.
+    * dd03/dd04 plan as a function): returns distinct (a_id, b_id) pairs
+    * that collide in ANY of the b=4 (r=1) band buckets — multi-band
+    * banding, P[candidate] = 1-(1-s^r)^b, the standard recall knob.
+    *
+    * Delegates to the exact machinery the gated dd04 query runs
+    * (DedupOps.r1Bands + cappedBandPairs): same single-md5 Broder hash
+    * family and the same bucket cap, so the API result equals dd04's and
+    * a template flood can't make the pair output quadratic.
     */
   def nearDupCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val mh = (k: Int) =>
-      s"array_min(transform(shingles, s -> ${P.hash60(s"concat('$k|', s)")})) as mh$k"
-    val bands = df.selectExpr(s"$idCol as _id", s"split($textCol, '\\\\s+') as toks")
-      .selectExpr("_id",
-        "case when size(toks) < 3 then array() else transform(sequence(1, size(toks) - 2), " +
-          "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2))) end as shingles")
-      .selectExpr("_id", mh(0), mh(1), mh(2), mh(3))
-      .selectExpr("_id", "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) as (band, h)")
-      .persist()
-    bands.select(col("_id").as("a_id"), col("band"), col("h"))
-      .join(bands.select(col("_id").as("b_id"), col("band"), col("h")), Seq("band", "h"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
-      .distinct()
+    import graft.operators.DedupOps
+    DedupOps.cappedBandPairs(DedupOps.r1Bands(df, idCol, textCol))
   }
 
   /** Connected components over an undirected pair graph: every node gets

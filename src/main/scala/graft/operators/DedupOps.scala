@@ -112,6 +112,23 @@ object DedupOps {
       .distinct()
   }
 
+  /** r=1 banded MinHash frame `(doc_id, band, h)` over arbitrary id/text
+    * columns — the shingle→hash→minhash→band stage shared by the gated
+    * dd04 query and the `Dedup.nearDupCandidates` driver API, so the
+    * public API and the oracle-checked pipeline can never diverge.
+    * Persisted: the downstream self-join would otherwise recompute the
+    * minhash on both sides AND inline the shingle pipeline into an
+    * isnotnull(h) pushdown filter (observed 13 s → <1 s). Caller-side
+    * `spark.catalog.clearCache()` releases it (bench/verify contract).
+    */
+  private[graft] def r1Bands(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.selectExpr(s"$idCol as doc_id", s"split($textCol, '\\\\s+') as toks")
+      .selectExpr("doc_id", s"$sparkShingles as shingles")
+      .selectExpr("doc_id", s"$sparkHs as hs")
+      .selectExpr("doc_id", sparkMh(0), sparkMh(1), sparkMh(2), sparkMh(3))
+      .selectExpr("doc_id", "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) as (band, h)")
+      .persist()
+
   /** Edges for CLUSTERING: capped pairwise edges for normal buckets plus
     * a linear STAR (every doc → the bucket's min doc_id) for oversized
     * ones. A star has the same connected components as the full clique,
@@ -204,17 +221,7 @@ object DedupOps {
          |     $duckCapPairs
          |SELECT a_id, b_id FROM pairs""".stripMargin) {
       (s, d) =>
-        // persist: the self-join would otherwise recompute the minhash on
-        // both sides, and the join's isnotnull(h) pushdown would inline
-        // the whole shingle pipeline into a filter (observed 13 s → <1 s).
-        val bands = T.documents(s, d)
-          .selectExpr("doc_id", s"$sparkToks as toks")
-          .selectExpr("doc_id", s"$sparkShingles as shingles")
-          .selectExpr("doc_id", s"$sparkHs as hs")
-          .selectExpr("doc_id", sparkMh(0), sparkMh(1), sparkMh(2), sparkMh(3))
-          .selectExpr("doc_id", "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) as (band, h)")
-          .persist()
-        cappedBandPairs(bands)
+        cappedBandPairs(r1Bands(T.documents(s, d), "doc_id", "text"))
     },
 
     // SimHash: 16-bit signature — per bit b, majority vote over token
@@ -534,7 +541,8 @@ object DedupOps {
             s"${P.duckHash60(s"mh${2 * k}::VARCHAR || '|' || mh${2 * k + 1}::VARCHAR")} AS h FROM sig"
         s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
            |     sh AS (SELECT doc_id, $duckShingles AS shingles FROM t),
-           |     sig AS (SELECT doc_id, ${(0 until 8).map(duckMh).mkString(", ")} FROM sh),
+           |     hh AS (SELECT doc_id, $duckHs AS hs FROM sh),
+           |     sig AS (SELECT doc_id, ${(0 until 8).map(duckMh).mkString(", ")} FROM hh),
            |     bands AS (
            |       ${(0 until 4).map(duckBand).mkString("\n           UNION ALL ")}),
            |     $duckCapPairs
@@ -546,6 +554,7 @@ object DedupOps {
       val bands = T.documents(s, d)
         .selectExpr("doc_id", s"$sparkToks as toks")
         .selectExpr("doc_id", s"$sparkShingles as shingles")
+        .selectExpr("doc_id", s"$sparkHs as hs")
         .selectExpr("doc_id" +: (0 until 8).map(sparkMh): _*)
         .selectExpr("doc_id", s"stack(4, $stackArgs) as (band, h)")
         .persist() // sized + both pair sides (dd04 pushdown lesson)
