@@ -41,24 +41,48 @@ object DedupOps {
   private val sparkHs = s"transform(shingles, s -> ${P.hash60("s")})"
   private val duckHs  = s"list_transform(shingles, s -> ${P.duckHash60("s")})"
 
-  /** MinHash permutation k: the standard Broder universal-hash family
-    * h_k(x) = (a_k·x + b_k) mod p over the base shingle hashes, p = 2³¹−1
-    * (Mersenne prime). x is reduced mod p first so a_k·x stays < 2⁶² —
-    * exact in 64-bit integer arithmetic, hence bit-identical across
-    * engines. One md5/shingle total (vs one per seed per shingle): the
-    * permutations are arithmetic, which is both the textbook construction
-    * and ~k× less hashing work on the scan.
+  /** MinHash permutation k: a Broder universal-hash pair composed into a
+    * 62-bit value, h_k(x) = h1_k(x)·2³¹ + h2_k(x) with
+    * h1_k(x) = (a1_k·x + b1_k) mod p1, p1 = 2³¹−1 (Mersenne) and
+    * h2_k(x) = (a2_k·x + b2_k) mod p2, p2 = 2³¹−19 (distinct prime).
+    * x is reduced mod p before each multiply so every intermediate stays
+    * < 2⁶² — exact in 64-bit integer arithmetic, hence bit-identical
+    * across engines. One md5/shingle total (vs one per seed per shingle):
+    * the permutations are arithmetic, which is both the textbook
+    * construction and ~k× less hashing work on the scan.
+    *
+    * Why a PAIR of 31-bit hashes instead of one: a single mod-p1 hash
+    * puts band keys in a 31-bit space, and two distinct shingle hashes
+    * that are equal mod p1 collide under EVERY permutation (a correlated
+    * family) — at billions of docs each r=1 band gains ~N²/2³² spurious
+    * candidate pairs. The composition collides only when x ≡ y mod p1
+    * AND mod p2, i.e. x ≡ y mod p1·p2 ≈ 2⁶², impossible for distinct
+    * 60-bit base hashes — so band-key collisions for distinct shingle
+    * sets are driven by the ~2⁻⁶² combined space, not 2⁻³¹. Ordering is
+    * h1-major with h2 as an exact tie-break, so the min-wise statistics
+    * match the plain Broder family. (A 61-bit Mersenne-prime hash needs
+    * 128-bit products — not expressible as exact BIGINT SQL on both
+    * engines; the two-prime CRT composition is.)
     */
-  private val mhP = 2147483647L
-  private val mhA = Seq(1103515245L, 1588635695L, 1203248318L, 784588716L,
+  private val mhP1 = 2147483647L // 2^31 - 1
+  private val mhP2 = 2147483629L // 2^31 - 19
+  private val mhA1 = Seq(1103515245L, 1588635695L, 1203248318L, 784588716L,
     1343692587L, 423493549L, 858993459L, 1640531527L)
-  private val mhB = Seq(12345L, 392541289L, 1574243550L, 1914771284L,
+  private val mhB1 = Seq(12345L, 392541289L, 1574243550L, 1914771284L,
     669059329L, 2027004510L, 1431655765L, 97531L)
+  private val mhA2 = Seq(1597334677L, 1812433253L, 1566083941L, 900000011L,
+    1234567891L, 1111111121L, 362437L, 1300000003L)
+  private val mhB2 = Seq(1013904223L, 2027808443L, 7919L, 104729L,
+    611953L, 1299709L, 15485863L, 32452843L)
 
   private def sparkMh(k: Int): String =
-    s"array_min(transform(hs, x -> (${mhA(k)}L * (x % ${mhP}L) + ${mhB(k)}L) % ${mhP}L)) as mh$k"
+    s"array_min(transform(hs, x -> " +
+      s"((${mhA1(k)}L * (x % ${mhP1}L) + ${mhB1(k)}L) % ${mhP1}L) * 2147483648L + " +
+      s"((${mhA2(k)}L * (x % ${mhP2}L) + ${mhB2(k)}L) % ${mhP2}L))) as mh$k"
   private def duckMh(k: Int): String =
-    s"list_min(list_transform(hs, x -> (${mhA(k)}::BIGINT * (x % ${mhP}) + ${mhB(k)}) % ${mhP})) AS mh$k"
+    s"list_min(list_transform(hs, x -> " +
+      s"((${mhA1(k)}::BIGINT * (x % ${mhP1}) + ${mhB1(k)}) % ${mhP1}) * 2147483648 + " +
+      s"((${mhA2(k)}::BIGINT * (x % ${mhP2}) + ${mhB2(k)}) % ${mhP2}))) AS mh$k"
 
   private val nBits = 16
 
