@@ -32,17 +32,23 @@ object OsProbes {
 
   /** Current CPU frequency in MHz: sysfs scaling_cur_freq (kHz) when
     * present (re-read each sample — it's live and a single small file);
-    * otherwise the /proc/cpuinfo "cpu MHz" average, parsed ONCE and
-    * cached (on VMs/containers without cpufreq sysfs it reports the
-    * nominal clock, so re-parsing the whole file every 200 ms buys
-    * nothing); -1 when neither source reads. The source resolution is
-    * cached after the first call so unavailable probes cost one failed
-    * read total, not one per sample.
+    * otherwise the /proc/cpuinfo "cpu MHz" average, re-parsed every
+    * [[cpuinfoRefreshEvery]]th sample: on VMs/containers it reports a
+    * fixed nominal clock, but on bare-metal Linux without cpufreq sysfs
+    * it is LIVE (aperf/mperf-derived), so caching it permanently would
+    * freeze a varying signal — the periodic refresh tracks it while
+    * amortizing the full-file parse. -1 when neither source reads. The
+    * source resolution is cached after the first call so unavailable
+    * probes cost one failed read total, not one per sample. (The
+    * check-then-act on `freqSource` is racy across sampler threads but
+    * benign: concurrent writers converge to the same resolution.)
     */
   private val SysfsFreq = "/sys/devices/system/cpu/cpu0/cpufreq/scaling_cur_freq"
-  // 0 = unresolved, 1 = sysfs (live), 2 = cached cpuinfo value, 3 = none
+  // 0 = unresolved, 1 = sysfs (live), 2 = cpuinfo (periodic refresh), 3 = none
   @volatile private var freqSource = 0
   @volatile private var cachedCpuinfoMhz = -1.0
+  private val cpuinfoRefreshEvery = 16
+  private val cpuinfoCalls = new java.util.concurrent.atomic.AtomicLong(0)
 
   private def readSysfsFreq(): Option[Double] =
     readFile(SysfsFreq).flatMap(_.trim.toDoubleOption).map(_ / 1000.0)
@@ -66,7 +72,10 @@ object OsProbes {
     }
     freqSource match {
       case 1 => readSysfsFreq().getOrElse(-1.0)
-      case 2 => cachedCpuinfoMhz
+      case 2 =>
+        if (cpuinfoCalls.getAndIncrement() % cpuinfoRefreshEvery == 0)
+          readCpuinfoFreq().foreach(cachedCpuinfoMhz = _)
+        cachedCpuinfoMhz
       case _ => -1.0
     }
   }

@@ -179,6 +179,13 @@ object DedupOps {
       .select(col("root").as("a_id"), col("doc_id").as("b_id"))
     // Materialize eagerly so `sized` can be unpersisted here instead of
     // leaking a cached RDD to drivers that never call clearCache.
+    // Fault-tolerance tradeoff: localCheckpoint blocks live only on
+    // executors, so a lost executor (preemption, dynamic allocation)
+    // makes the edges unrecoverable and fails the job. That is the right
+    // trade for single-host/local runs; a cluster deployment that must
+    // survive executor loss should set spark.checkpoint.dir and use
+    // reliable Dataset.checkpoint() here instead — same lineage cut,
+    // storage-backed blocks.
     val edges = pairs.union(stars).distinct().localCheckpoint(true)
     sized.unpersist()
     edges

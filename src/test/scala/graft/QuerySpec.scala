@@ -44,6 +44,28 @@ class QuerySpec extends AnyFunSuite {
       rs.map(_.getLong(1)).sorted.sameElements(1L to 5L) })
   }
 
+  // Registered AFTER the full per-query sweep above (funsuite runs tests
+  // in registration order): the persist() sites inside the queries rely
+  // on the documented caller contract — bench/verify run
+  // spark.catalog.clearCache() between queries — so a full sweep plus one
+  // clearCache must leave ZERO persistent RDDs. DataFrame persists are
+  // released synchronously by clearCache; localCheckpoint blocks are
+  // released by the ContextCleaner once unreachable, hence the bounded
+  // GC nudge. A leak here is a cached-RDD growth bug at scale.
+  test("cache hygiene: full sweep + clearCache leaves no persistent RDDs") {
+    spark.catalog.clearCache()
+    System.gc()
+    val deadline = System.currentTimeMillis() + 20000
+    while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
+        System.currentTimeMillis() < deadline) {
+      System.gc()
+      Thread.sleep(250)
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs
+    assert(leaked.isEmpty,
+      s"persistent RDDs survive clearCache + GC: ${leaked.values.map(_.toString).mkString("; ")}")
+  }
+
   test("oracle SQL exists for every oracle-checkable query") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // rows-only queries are the documented exceptions
