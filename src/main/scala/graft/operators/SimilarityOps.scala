@@ -386,6 +386,193 @@ object SimilarityOps {
         .agg(
           count(col("hit_id")).as("n_hit"),
           expr("(count(hit_id) * 100) div 3").as("recall_x100"))
+    },
+
+    // Product-quantization ANN (deterministic grid codebook) + recall@3.
+    //
+    // Codebook: each dimension is scalar-quantized to 4 levels by ntile
+    // over the corpus ordering (v, vec_id) — a k-means-free PQ codebook
+    // of 64 dims × 4 codes whose representative is the decimal-exact
+    // bucket mean, so the whole "training" step is closed-form and the
+    // DuckDB oracle reproduces it bit-for-bit. Search scores candidates
+    // by ADC (asymmetric distance computation): exact query · quantized
+    // reconstruction, summed as DECIMAL so the grouped aggregation is
+    // order-insensitive. Output is recall@3 of PQ-ADC against the exact
+    // inner-product top-3, per query — ss08's evaluation row for the
+    // quantized arm.
+    //
+    // Scale notes (100 TB): codebook training is the only non-linear
+    // step (a 64-partition window, N rows each) — production trains on a
+    // bounded sample instead, exactly like IVF centroid training; code
+    // assignment joins the BROADCAST 256-row codebook, ADC is one
+    // map-side-combined aggregation over broadcast query rows, and
+    // reconstructions shuffle only (q_id, n_id, partial-sum) rows.
+    Q(
+      "ss09_pq_recall",
+      s"""WITH ex AS (
+         |  SELECT vec_id, i AS dim, embedding[i]::DOUBLE AS v
+         |  FROM embeddings CROSS JOIN range(1, ${dim + 1}) t(i)),
+         |  coded AS (
+         |    SELECT vec_id, dim, v,
+         |      ntile(4) OVER (PARTITION BY dim ORDER BY v, vec_id) AS bucket
+         |    FROM ex),
+         |  cb AS (
+         |    SELECT dim, bucket,
+         |      CAST(SUM(CAST(v AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS rep
+         |    FROM coded GROUP BY dim, bucket),
+         |  recon AS (
+         |    SELECT c.vec_id AS n_id, c.dim, cb.rep
+         |    FROM coded c JOIN cb ON cb.dim = c.dim AND cb.bucket = c.bucket),
+         |  q AS (SELECT vec_id AS q_id, dim, v AS qv FROM ex WHERE vec_id < 5),
+         |  adc AS (
+         |    SELECT q_id, n_id,
+         |      CAST(SUM(CAST(qv * rep AS DECIMAL(28,12))) AS DOUBLE) AS score
+         |    FROM q JOIN recon USING (dim) WHERE n_id <> q_id
+         |    GROUP BY q_id, n_id),
+         |  pq AS (SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rn
+         |    FROM adc) WHERE rn <= 3),
+         |  exact AS (SELECT q_id, n_id FROM (
+         |    SELECT qv.q_id, e.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY qv.q_id
+         |        ORDER BY ${duckDot("qv.qe", "e.embedding")} DESC, e.vec_id) AS rn
+         |    FROM (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+         |          WHERE vec_id < 5) qv
+         |    CROSS JOIN embeddings e WHERE e.vec_id <> qv.q_id) WHERE rn <= 3)
+         |SELECT x.q_id, count(p.n_id) AS n_hit,
+         |  (count(p.n_id) * 100) // 3 AS recall_x100
+         |FROM exact x LEFT JOIN pq p ON p.q_id = x.q_id AND p.n_id = x.n_id
+         |GROUP BY x.q_id""".stripMargin) { (s, d) =>
+      val e = T.embeddings(s, d)
+      val ex = e
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .selectExpr("vec_id", "pos + 1 as dim", "cast(col as double) as v")
+      val coded = ex
+        .selectExpr(
+          "vec_id", "dim", "v",
+          "ntile(4) over (partition by dim order by v, vec_id) as bucket")
+        .persist() // consumed twice: codebook training + code assignment
+      val cb = coded
+        .groupBy("dim", "bucket")
+        .agg(expr("cast(sum(cast(v as decimal(28,8))) as double) / count(*)").as("rep"))
+      val recon = coded
+        .join(broadcast(cb), Seq("dim", "bucket"))
+        .select(col("vec_id").as("n_id"), col("dim"), col("rep"))
+      val q = ex.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("dim"), col("v").as("qv"))
+      val adc = broadcast(q)
+        .join(recon, "dim")
+        .filter(col("n_id") =!= col("q_id"))
+        .groupBy("q_id", "n_id")
+        .agg(expr("cast(sum(cast(qv * rep as decimal(28,12))) as double)").as("score"))
+      val pq = adc
+        .selectExpr(
+          "q_id", "n_id",
+          "row_number() over (partition by q_id order by score desc, n_id) as rn")
+        .filter(col("rn") <= 3)
+        .select(col("q_id").as("pq_id"), col("n_id").as("hit_id"))
+      val exact = broadcast(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe")))
+        .crossJoin(e.select(col("vec_id").as("n_id"), col("embedding").as("ne")))
+        .filter(col("n_id") =!= col("q_id"))
+        .selectExpr(
+          "q_id", "n_id",
+          s"row_number() over (partition by q_id order by ${sparkDot("qe", "ne")} desc, n_id) as rn")
+        .filter(col("rn") <= 3)
+        .select("q_id", "n_id")
+      exact.join(
+        pq,
+        col("q_id") === col("pq_id") && col("n_id") === col("hit_id"),
+        "left")
+        .groupBy("q_id")
+        .agg(
+          count(col("hit_id")).as("n_hit"),
+          expr("(count(hit_id) * 100) div 3").as("recall_x100"))
+    },
+
+    // SRP-LSH near-duplicates: signed-random-projection (Charikar cosine
+    // LSH) bucketing — the SIMILARITY-AWARE blocking scheme that replaces
+    // ss03's id-window blocking at scale (id blocks only catch near-dups
+    // that happen to sit close in ingestion order; SRP buckets catch them
+    // anywhere in the corpus).
+    //
+    // 32 deterministic hyperplanes (components derived from md5(p|i),
+    // scaled to [-1,1) — engine-portable, no RNG), sign bits packed into
+    // a 64-bit code, banded 4×8 bits; same-bucket pairs (bucket capped at
+    // 64 by vec_id order, dd04's flood guard) are verified with the exact
+    // codegen cosine at the ss03 threshold.
+    //
+    // Scale notes (100 TB): the plane table is 32×64 doubles (broadcast);
+    // sign-bit computation is one linear scan of N×32 fold rows; only
+    // (vec_id, band, key) longs shuffle into the band join; the cap
+    // bounds every bucket's pair fan-out regardless of embedding-space
+    // skew (a flood of identical vectors yields ≤64·63/2 pairs/bucket,
+    // not N²); exact verification touches only surviving candidates.
+    Q(
+      "ss10_srp_neardup",
+      s"""WITH planes AS (
+         |  SELECT p, list_transform(range(1, ${dim + 1}),
+         |    i -> ('0x'||substr(md5(p::VARCHAR||'|'||i::VARCHAR),1,15))::BIGINT
+         |           / 576460752303423488.0 - 1.0) AS h
+         |  FROM range(0, 32) t(p)),
+         |  bits AS (
+         |    SELECT e.vec_id, pl.p,
+         |      CASE WHEN ${duckDot("e.embedding", "pl.h")} > 0
+         |           THEN (1::BIGINT << pl.p) ELSE 0 END AS bit
+         |    FROM embeddings e CROSS JOIN planes pl),
+         |  codes AS (SELECT vec_id, SUM(bit)::BIGINT AS code FROM bits GROUP BY vec_id),
+         |  bands AS (
+         |    SELECT vec_id, b, (code >> (8*b)) & 255 AS key
+         |    FROM codes CROSS JOIN range(0, 4) t(b)),
+         |  capped AS (
+         |    SELECT vec_id, b, key,
+         |      row_number() OVER (PARTITION BY b, key ORDER BY vec_id) AS rn
+         |    FROM bands),
+         |  cand AS (
+         |    SELECT DISTINCT a.vec_id AS a_id, c.vec_id AS b_id
+         |    FROM capped a JOIN capped c ON a.b = c.b AND a.key = c.key
+         |      AND a.vec_id < c.vec_id
+         |    WHERE a.rn <= 64 AND c.rn <= 64)
+         |SELECT cand.a_id, cand.b_id
+         |FROM cand JOIN embeddings ea ON ea.vec_id = cand.a_id
+         |          JOIN embeddings eb ON eb.vec_id = cand.b_id
+         |WHERE ${duckCos("ea.embedding", "eb.embedding")} > 0.3""".stripMargin) { (s, d) =>
+      graft.functions.CosineSimilarity.register(s)
+      val e = T.embeddings(s, d)
+      val planes = s.range(0, 32).toDF("p")
+        .selectExpr(
+          "cast(p as int) as p",
+          s"""transform(sequence(1, $dim), i ->
+             |  cast(conv(substring(md5(concat(cast(p as string), '|', cast(i as string))), 1, 15), 16, 10) as bigint)
+             |    / 576460752303423488.0 - 1.0) as h""".stripMargin)
+      val codes = e.crossJoin(broadcast(planes))
+        .selectExpr(
+          "vec_id",
+          s"case when ${sparkDot("embedding", "h")} > 0 " +
+            "then shiftleft(cast(1 as bigint), p) else cast(0 as bigint) end as bit")
+        .groupBy("vec_id")
+        .agg(expr("cast(sum(bit) as bigint)").as("code"))
+      val capped = codes
+        .withColumn("b", explode(expr("sequence(0, 3)")))
+        .selectExpr("vec_id", "b", "shiftright(code, 8*b) & 255 as key")
+        .selectExpr(
+          "vec_id", "b", "key",
+          "row_number() over (partition by b, key order by vec_id) as rn")
+        .filter(col("rn") <= 64)
+        .select("vec_id", "b", "key")
+        .persist() // both sides of the band self-join
+      val cand = capped.toDF("a_id", "b", "key")
+        .join(capped.toDF("b_id", "b", "key"), Seq("b", "key"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+      cand
+        .join(e.select(col("vec_id").as("a_id"), col("embedding").as("ea")), "a_id")
+        .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb")), "b_id")
+        .filter(expr(s"${sparkCos("ea", "eb")} > 0.3"))
+        .select("a_id", "b_id")
     }
   )
 }

@@ -44,6 +44,14 @@ class QuerySpec extends AnyFunSuite {
       rs.map(_.getLong(1)).sorted.sameElements(1L to 5L) })
   }
 
+  test("ss09 PQ recall rows are well-formed per query vector") {
+    val rows = SparkEntry.queries("ss09_pq_recall")(spark, sf).collect()
+    assert(rows.length == 5) // one row per query vector (vec_id < 5)
+    assert(rows.forall { r =>
+      val hits = r.getLong(1)
+      hits >= 0 && hits <= 3 && r.getLong(2) == hits * 100 / 3 })
+  }
+
   // Registered AFTER the full per-query sweep above (funsuite runs tests
   // in registration order): the persist() sites inside the queries rely
   // on the documented caller contract — bench/verify run
