@@ -20,10 +20,14 @@ object SimilarityOps {
 
   private val dim = 64
 
-  /** Left-fold dot product of two float-array columns, as double. */
+  /** Left-fold dot product of two array columns, as double. The native
+    * codegen expression (graft.functions.DotProduct) replaces the HOF
+    * `aggregate(zip_with(...))` rendering: identical ascending-index
+    * IEEE accumulation, but allocation-free and inside whole-stage
+    * codegen. Queries using this must call `DotProduct.register`.
+    */
   private def sparkDot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
-      "cast(0.0 as double), (acc, v) -> acc + v)"
+    s"dot_product($a, $b)"
   private def duckDot(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${dim + 1}), " +
       s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, v) -> acc + v)"
@@ -35,6 +39,20 @@ object SimilarityOps {
     */
   private def sparkCos(a: String, b: String): String =
     s"cosine_similarity($a, $b)"
+
+  /** Component i (1-based) of SRP hyperplane p — the md5-derived double
+    * the ss10 oracle computes in SQL, reproduced at plan-build time so
+    * the planes can be inlined as foldable literals.
+    * `Double.toString` round-trips through Spark's literal parser
+    * exactly, so the inlined value IS this value.
+    */
+  private[graft] def srpPlane(p: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$p|$i".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16).toDouble /
+      576460752303423488.0 - 1.0
+  }
   private def duckCos(a: String, b: String): String =
     s"${duckDot(a, b)} / sqrt(${duckDot(a, a)} * ${duckDot(b, b)})"
 
@@ -444,6 +462,7 @@ object SimilarityOps {
          |  (count(p.n_id) * 100) // 3 AS recall_x100
          |FROM exact x LEFT JOIN pq p ON p.q_id = x.q_id AND p.n_id = x.n_id
          |GROUP BY x.q_id""".stripMargin) { (s, d) =>
+      graft.functions.DotProduct.register(s)
       val e = T.embeddings(s, d)
       val ex = e
         .select(col("vec_id"), posexplode(col("embedding")))
@@ -504,18 +523,23 @@ object SimilarityOps {
     // 64 by vec_id order, dd04's flood guard) are verified with the exact
     // codegen cosine at the ss03 threshold.
     //
-    // Scale notes (100 TB): the plane table is 32×64 doubles (broadcast);
-    // sign-bit computation is one linear scan of N×32 fold rows; only
-    // (vec_id, band, key) longs shuffle into the band join; the cap
-    // bounds every bucket's pair fan-out regardless of embedding-space
-    // skew (a flood of identical vectors yields ≤64·63/2 pairs/bucket,
-    // not N²); exact verification touches only surviving candidates.
+    // Scale notes (100 TB): the 32 planes are FOLDABLE LITERALS in the
+    // Spark plan (md5 is deterministic, so plan-build Scala computes the
+    // identical doubles the oracle's SQL derives — asserted in
+    // SimilarityPlanesSpec), which collapses sign-bit computation into
+    // ONE codegen'd projection on the scan: no plane crossJoin, no
+    // N×32-row groupBy exchange — the whole code is born in the same
+    // stage that reads the vector. Only (vec_id, band, key) longs
+    // shuffle into the band join; the cap bounds every bucket's pair
+    // fan-out regardless of embedding-space skew (a flood of identical
+    // vectors yields ≤64·63/2 pairs/bucket, not N²); exact verification
+    // touches only surviving candidates.
     Q(
       "ss10_srp_neardup",
       s"""WITH planes AS (
          |  SELECT p, list_transform(range(1, ${dim + 1}),
-         |    i -> ('0x'||substr(md5(p::VARCHAR||'|'||i::VARCHAR),1,15))::BIGINT
-         |           / 576460752303423488.0 - 1.0) AS h
+         |    i -> ('0x'||substr(md5(p::VARCHAR||'|'||i::VARCHAR),1,15))::BIGINT::DOUBLE
+         |           / 576460752303423488.0::DOUBLE - 1.0::DOUBLE) AS h
          |  FROM range(0, 32) t(p)),
          |  bits AS (
          |    SELECT e.vec_id, pl.p,
@@ -540,20 +564,16 @@ object SimilarityOps {
          |          JOIN embeddings eb ON eb.vec_id = cand.b_id
          |WHERE ${duckCos("ea.embedding", "eb.embedding")} > 0.3""".stripMargin) { (s, d) =>
       graft.functions.CosineSimilarity.register(s)
+      graft.functions.DotProduct.register(s)
       val e = T.embeddings(s, d)
-      val planes = s.range(0, 32).toDF("p")
-        .selectExpr(
-          "cast(p as int) as p",
-          s"""transform(sequence(1, $dim), i ->
-             |  cast(conv(substring(md5(concat(cast(p as string), '|', cast(i as string))), 1, 15), 16, 10) as bigint)
-             |    / 576460752303423488.0 - 1.0) as h""".stripMargin)
-      val codes = e.crossJoin(broadcast(planes))
-        .selectExpr(
-          "vec_id",
-          s"case when ${sparkDot("embedding", "h")} > 0 " +
-            "then shiftleft(cast(1 as bigint), p) else cast(0 as bigint) end as bit")
-        .groupBy("vec_id")
-        .agg(expr("cast(sum(bit) as bigint)").as("code"))
+      val codeTerms = (0 until 32).map { p =>
+        val arr = (1 to dim)
+          .map(i => s"${srpPlane(p, i)}d").mkString("array(", ", ", ")")
+        s"(case when ${sparkDot("embedding", arr)} > 0 " +
+          s"then ${1L << p}L else 0L end)"
+      }
+      val codes = e.selectExpr(
+        "vec_id", codeTerms.mkString("", " + ", " as code"))
       val capped = codes
         .withColumn("b", explode(expr("sequence(0, 3)")))
         .selectExpr("vec_id", "b", "shiftright(code, 8*b) & 255 as key")
