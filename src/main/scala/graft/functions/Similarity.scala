@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Similarity-search driver APIs — function-shaped entry points over the
+  * plans the ss* queries pin (users call these; the queries carry the
+  * oracles). Mirrors the `Dedup` object's contract: every function
+  * delegates to the SAME `private[graft]` machinery its gated query
+  * runs, so the public API can never diverge from the oracle-checked
+  * semantics (the round-4 `nearDupCandidates` lesson).
+  */
+object Similarity {
+
+  /** Exact cosine top-k: for every row of `queries`, the `k` highest-
+    * cosine rows of `corpus` (self-matches by id excluded), ranked.
+    * The ss01 plan as a function: queries broadcast, one codegen'd
+    * cosine scan of the corpus, per-query window for the top-k.
+    * O(Q·N) — the correctness baseline; use the IVF/SRP paths when Q
+    * is large.
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    CosineSimilarity.register(corpus.sparkSession)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qe"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("ne"))
+    broadcast(q).crossJoin(c)
+      .filter(col("q_id") =!= col("n_id"))
+      .selectExpr("q_id", "n_id", "cosine_similarity(qe, ne) as cs")
+      .selectExpr(
+        "q_id", "n_id", "cs",
+        "cast(row_number() over (partition by q_id order by cs desc, n_id) as bigint) as rank")
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cs")
+  }
+
+  /** SRP-LSH (Charikar cosine LSH) near-duplicate pairs over an
+    * embedding column — the ss10 plan as a function: 64-bit sign code
+    * from 32 inlined deterministic hyperplanes (one codegen'd
+    * projection, zero shuffle), 4×8-bit banding with `bucketCap`-capped
+    * buckets, exact cosine verification at `minCosine`. Returns
+    * distinct (a_id, b_id) with a_id < b_id.
+    *
+    * Delegates to SimilarityOps.srpCodeExpr / srpBandPairs — the exact
+    * machinery the gated ss10 query runs.
+    */
+  def srpNearDup(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double = 0.3, bucketCap: Int = 64): DataFrame = {
+    import graft.operators.SimilarityOps
+    val spark = df.sparkSession
+    CosineSimilarity.register(spark)
+    DotProduct.register(spark)
+    val e = df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val codes = e.selectExpr(
+      "vec_id", s"${SimilarityOps.srpCodeExpr("embedding")} as code")
+    SimilarityOps.srpBandPairs(codes, bucketCap)
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("ea")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb")), "b_id")
+      .filter(expr(s"cosine_similarity(ea, eb) > $minCosine"))
+      .select("a_id", "b_id")
+  }
+}

@@ -53,6 +53,44 @@ object SimilarityOps {
     java.lang.Long.parseLong(hex.substring(0, 15), 16).toDouble /
       576460752303423488.0 - 1.0
   }
+
+  /** 64-bit SRP sign code of `vecCol` — 32 inlined-literal hyperplane
+    * dots in one codegen'd projection (no join, no shuffle). Callers
+    * must have run `DotProduct.register` on the session. Shared by the
+    * gated ss10 query and the public `Similarity.srpNearDup` API so the
+    * two can never diverge.
+    */
+  private[graft] def srpCodeExpr(vecCol: String): String =
+    (0 until 32).map { p =>
+      val arr = (1 to dim)
+        .map(i => s"${srpPlane(p, i)}d").mkString("array(", ", ", ")")
+      s"(case when ${sparkDot(vecCol, arr)} > 0 then ${1L << p}L else 0L end)"
+    }.mkString("", " + ", "")
+
+  /** Band a (vec_id, code) frame 4×8 bits and emit distinct same-bucket
+    * candidate pairs (a_id < b_id), each bucket capped at `cap` members
+    * by vec_id order (dd04's flood guard: a template flood yields
+    * ≤ cap·(cap−1)/2 pairs per bucket, never N²). Leaves one persisted
+    * frame behind; callers follow the repo-wide contract of
+    * `spark.catalog.clearCache()` between queries.
+    */
+  private[graft] def srpBandPairs(codes: org.apache.spark.sql.DataFrame,
+      cap: Int = 64): org.apache.spark.sql.DataFrame = {
+    val capped = codes
+      .withColumn("b", explode(expr("sequence(0, 3)")))
+      .selectExpr("vec_id", "b", "shiftright(code, 8*b) & 255 as key")
+      .selectExpr(
+        "vec_id", "b", "key",
+        "row_number() over (partition by b, key order by vec_id) as rn")
+      .filter(col("rn") <= cap)
+      .select("vec_id", "b", "key")
+      .persist() // both sides of the band self-join
+    capped.toDF("a_id", "b", "key")
+      .join(capped.toDF("b_id", "b", "key"), Seq("b", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+  }
   private def duckCos(a: String, b: String): String =
     s"${duckDot(a, b)} / sqrt(${duckDot(a, a)} * ${duckDot(b, b)})"
 
@@ -566,28 +604,8 @@ object SimilarityOps {
       graft.functions.CosineSimilarity.register(s)
       graft.functions.DotProduct.register(s)
       val e = T.embeddings(s, d)
-      val codeTerms = (0 until 32).map { p =>
-        val arr = (1 to dim)
-          .map(i => s"${srpPlane(p, i)}d").mkString("array(", ", ", ")")
-        s"(case when ${sparkDot("embedding", arr)} > 0 " +
-          s"then ${1L << p}L else 0L end)"
-      }
-      val codes = e.selectExpr(
-        "vec_id", codeTerms.mkString("", " + ", " as code"))
-      val capped = codes
-        .withColumn("b", explode(expr("sequence(0, 3)")))
-        .selectExpr("vec_id", "b", "shiftright(code, 8*b) & 255 as key")
-        .selectExpr(
-          "vec_id", "b", "key",
-          "row_number() over (partition by b, key order by vec_id) as rn")
-        .filter(col("rn") <= 64)
-        .select("vec_id", "b", "key")
-        .persist() // both sides of the band self-join
-      val cand = capped.toDF("a_id", "b", "key")
-        .join(capped.toDF("b_id", "b", "key"), Seq("b", "key"))
-        .filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
+      val codes = e.selectExpr("vec_id", s"${srpCodeExpr("embedding")} as code")
+      val cand = srpBandPairs(codes, cap = 64)
       cand
         .join(e.select(col("vec_id").as("a_id"), col("embedding").as("ea")), "a_id")
         .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb")), "b_id")
