@@ -104,10 +104,22 @@ object Dedup {
       .join(endpoints, "_node")
       .select("_node", "cluster_id")
       .localCheckpoint()
-    var changed = 1L
+    // Convergence test: min-label propagation is MONOTONE (labels only
+    // decrease), so the fixpoint is reached exactly when the decimal-
+    // exact label sum stops changing. One map-side-combined aggregation
+    // per round replaces the labels⋈labels change-count join — the agg
+    // shuffles a few partial rows where the join re-shuffled the whole
+    // label table. (decimal(38,0): 1e12 nodes × 1e12 max ids overflows
+    // a long sum at the design scale.)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val row = df.agg(sum(col("cluster_id").cast("decimal(38,0)")).as("s")).head()
+      if (row.isNullAt(0)) java.math.BigDecimal.ZERO else row.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
+    var converged = false
     var rounds = 0
     val maxRounds = 64
-    while (changed > 0 && rounds < maxRounds) { // min-label is monotone: rounds ≈ diameter
+    while (!converged && rounds < maxRounds) { // min-label is monotone: rounds ≈ diameter
       rounds += 1
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("_node", "_src"), "_src")
@@ -116,18 +128,17 @@ object Dedup {
         .groupBy("_node")
         .agg(min("cluster_id").as("cluster_id"))
         .localCheckpoint()
-      changed = next
-        .join(labels.withColumnRenamed("cluster_id", "_old"), "_node")
-        .filter(col("cluster_id") < col("_old"))
-        .count()
+      val nextSum = labelSum(next)
+      converged = prevSum.compareTo(nextSum) == 0
+      prevSum = nextSum
       labels = next
     }
     // a graph with diameter > maxRounds would exit with partial labels —
     // cluster_ids above the true component minimum. Fail loudly: silently
     // wrong keep/drop groups are worse than a crashed dedup job.
-    require(changed == 0,
+    require(converged,
       s"connectedComponents did not converge in $maxRounds rounds " +
-        s"($changed labels still shrinking) — graph diameter exceeds the cap")
+        "(label sum still shrinking) — graph diameter exceeds the cap")
     // singletons (no edges) label themselves; LEFT ANTI keeps only them
     val singletons = allNodes.join(labels.select("_node"), Seq("_node"), "left_anti")
     labels.union(singletons)

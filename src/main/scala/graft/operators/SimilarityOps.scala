@@ -40,6 +40,14 @@ object SimilarityOps {
   private def sparkCos(a: String, b: String): String =
     s"cosine_similarity($a, $b)"
 
+  /** Quartile assignment against broadcast cut points — identical text
+    * on both engines (ss09's corpus-side coding step).
+    */
+  private val duckBucket =
+    "CASE WHEN v <= c1 THEN 1 WHEN v <= c2 THEN 2 WHEN v <= c3 THEN 3 ELSE 4 END"
+  private val sparkBucket =
+    "case when v <= c1 then 1 when v <= c2 then 2 when v <= c3 then 3 else 4 end"
+
   /** Component i (1-based) of SRP hyperplane p — the md5-derived double
     * the ss10 oracle computes in SQL, reproduced at plan-build time so
     * the planes can be inlined as foldable literals.
@@ -446,39 +454,55 @@ object SimilarityOps {
 
     // Product-quantization ANN (deterministic grid codebook) + recall@3.
     //
-    // Codebook: each dimension is scalar-quantized to 4 levels by ntile
-    // over the corpus ordering (v, vec_id) — a k-means-free PQ codebook
-    // of 64 dims × 4 codes whose representative is the decimal-exact
-    // bucket mean, so the whole "training" step is closed-form and the
-    // DuckDB oracle reproduces it bit-for-bit. Search scores candidates
-    // by ADC (asymmetric distance computation): exact query · quantized
-    // reconstruction, summed as DECIMAL so the grouped aggregation is
-    // order-insensitive. Output is recall@3 of PQ-ADC against the exact
-    // inner-product top-3, per query — ss08's evaluation row for the
-    // quantized arm.
+    // Codebook: TRAINED ON A DETERMINISTIC 20% HASH-SAMPLE of the corpus
+    // (md5(vec_id) mod 10 < 2 — the sm02 content-hash split), the scale
+    // path every production PQ/IVF trainer takes: each dimension's
+    // quartile cut points come from an ntile over the SAMPLE ordering
+    // (v, vec_id), and the 64×4 codeword representatives are the
+    // decimal-exact sample-bucket means — k-means-free, so the whole
+    // training step stays closed-form and the DuckDB oracle reproduces
+    // it bit-for-bit. The FULL corpus is then coded by comparing against
+    // the broadcast cut points (a codegen'd CASE, no ranking), and
+    // search scores candidates by ADC (asymmetric distance computation):
+    // exact query · quantized reconstruction, summed as DECIMAL so the
+    // grouped aggregation is order-insensitive. Output is recall@3 of
+    // PQ-ADC against the exact inner-product top-3, per query — ss08's
+    // evaluation row for the quantized arm.
     //
-    // Scale notes (100 TB): codebook training is the only non-linear
-    // step (a 64-partition window, N rows each) — production trains on a
-    // bounded sample instead, exactly like IVF centroid training; code
-    // assignment joins the BROADCAST 256-row codebook, ADC is one
-    // map-side-combined aggregation over broadcast query rows, and
-    // reconstructions shuffle only (q_id, n_id, partial-sum) rows.
+    // Scale notes (100 TB): the only ranking window runs over the
+    // bounded training sample; corpus-side assignment is one broadcast
+    // join (64 cut rows + 256 codeword rows) inside the scan stage, ADC
+    // partial-aggregates map-side over broadcast query rows, and only
+    // (q_id, n_id, partial-sum) rows cross the exchange. A codeword
+    // empty on the sample (possible under heavy ties) reconstructs as
+    // 0.0 on both engines (COALESCE).
     Q(
       "ss09_pq_recall",
       s"""WITH ex AS (
          |  SELECT vec_id, i AS dim, embedding[i]::DOUBLE AS v
          |  FROM embeddings CROSS JOIN range(1, ${dim + 1}) t(i)),
-         |  coded AS (
-         |    SELECT vec_id, dim, v,
+         |  train AS (
+         |    SELECT * FROM ex
+         |    WHERE ((('0x'||substr(md5(vec_id::VARCHAR),1,15))::BIGINT) % 10) < 2),
+         |  coded_t AS (
+         |    SELECT dim, v,
          |      ntile(4) OVER (PARTITION BY dim ORDER BY v, vec_id) AS bucket
-         |    FROM ex),
+         |    FROM train),
+         |  cuts AS (
+         |    SELECT dim,
+         |      MAX(CASE WHEN bucket = 1 THEN v END) AS c1,
+         |      MAX(CASE WHEN bucket = 2 THEN v END) AS c2,
+         |      MAX(CASE WHEN bucket = 3 THEN v END) AS c3
+         |    FROM coded_t WHERE bucket < 4 GROUP BY dim),
          |  cb AS (
-         |    SELECT dim, bucket,
+         |    SELECT t.dim, $duckBucket AS bucket,
          |      CAST(SUM(CAST(v AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS rep
-         |    FROM coded GROUP BY dim, bucket),
+         |    FROM train t JOIN cuts USING (dim)
+         |    GROUP BY t.dim, $duckBucket),
          |  recon AS (
-         |    SELECT c.vec_id AS n_id, c.dim, cb.rep
-         |    FROM coded c JOIN cb ON cb.dim = c.dim AND cb.bucket = c.bucket),
+         |    SELECT e.vec_id AS n_id, e.dim, COALESCE(cb.rep, 0.0::DOUBLE) AS rep
+         |    FROM ex e JOIN cuts USING (dim)
+         |    LEFT JOIN cb ON cb.dim = e.dim AND cb.bucket = ($duckBucket)),
          |  q AS (SELECT vec_id AS q_id, dim, v AS qv FROM ex WHERE vec_id < 5),
          |  adc AS (
          |    SELECT q_id, n_id,
@@ -505,17 +529,27 @@ object SimilarityOps {
       val ex = e
         .select(col("vec_id"), posexplode(col("embedding")))
         .selectExpr("vec_id", "pos + 1 as dim", "cast(col as double) as v")
-      val coded = ex
+        .persist() // consumed by train (×2), recon, and the query side
+      val train = ex.filter(
+        expr(s"pmod(${graft.Portable.hash60("cast(vec_id as string)")}, 10) < 2"))
+      val cuts = train
         .selectExpr(
-          "vec_id", "dim", "v",
+          "dim", "v",
           "ntile(4) over (partition by dim order by v, vec_id) as bucket")
-        .persist() // consumed twice: codebook training + code assignment
-      val cb = coded
+        .filter(col("bucket") < 4)
+        .groupBy("dim")
+        .agg(
+          max(when(col("bucket") === 1, col("v"))).as("c1"),
+          max(when(col("bucket") === 2, col("v"))).as("c2"),
+          max(when(col("bucket") === 3, col("v"))).as("c3"))
+      val cb = train.join(broadcast(cuts), "dim")
+        .selectExpr("dim", s"$sparkBucket as bucket", "v")
         .groupBy("dim", "bucket")
         .agg(expr("cast(sum(cast(v as decimal(28,8))) as double) / count(*)").as("rep"))
-      val recon = coded
-        .join(broadcast(cb), Seq("dim", "bucket"))
-        .select(col("vec_id").as("n_id"), col("dim"), col("rep"))
+      val recon = ex.join(broadcast(cuts), "dim")
+        .selectExpr("vec_id as n_id", "dim", s"$sparkBucket as bucket")
+        .join(broadcast(cb), Seq("dim", "bucket"), "left")
+        .selectExpr("n_id", "dim", "coalesce(rep, 0.0d) as rep")
       val q = ex.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("dim"), col("v").as("qv"))
       val adc = broadcast(q)
