@@ -102,6 +102,32 @@ object SimilarityOps {
   private def duckCos(a: String, b: String): String =
     s"${duckDot(a, b)} / sqrt(${duckDot(a, a)} * ${duckDot(b, b)})"
 
+  /** ss03's skew-proof near-dup pair builder: candidate generation joins
+    * on id-BLOCKS (each left row probes its own floor(id/25) block and
+    * the next, capping fan-out at ~50 candidates per row regardless of
+    * the label distribution), label equality and the cosine threshold
+    * stay as post-join filters. Returns distinct (a_id, b_id), a < b.
+    * Shared by the gated ss03 query and dd14's clustering stage so the
+    * pair semantics can't diverge from the oracle-checked plan.
+    */
+  private[graft] def embedNearDupPairs(s: org.apache.spark.sql.SparkSession,
+      e: org.apache.spark.sql.DataFrame,
+      threshold: Double = 0.3): org.apache.spark.sql.DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    // a probes block(a) and block(a)+1; b sits in block(b). Since
+    // 0 < b-a <= 25 implies block(b) ∈ {block(a), block(a)+1}, each
+    // qualifying pair matches on exactly one block key (no dup pairs).
+    val a = e.toDF("a_id", "la", "ea")
+      .withColumn("blk", explode(expr("array(a_id div 25, a_id div 25 + 1)")))
+    val b = e.toDF("b_id", "lb", "eb")
+      .withColumn("blk", expr("b_id div 25"))
+    a.join(b, Seq("blk"))
+      .filter(col("la") === col("lb"))
+      .filter(col("a_id") < col("b_id") && col("b_id") - col("a_id") <= 25)
+      .filter(expr(s"${sparkCos("ea", "eb")} > $threshold"))
+      .select("a_id", "b_id")
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Brute-force cosine top-5 neighbors for query vectors vec_id < 5.
@@ -206,20 +232,7 @@ object SimilarityOps {
          |FROM e a JOIN e b ON a.label = b.label
          |  AND a.vec_id < b.vec_id AND b.vec_id - a.vec_id <= 25
          |WHERE ${duckCos("a.embedding", "b.embedding")} > 0.3""".stripMargin) { (s, d) =>
-      graft.functions.CosineSimilarity.register(s)
-      val e = T.embeddings(s, d).select("vec_id", "label", "embedding")
-      // a probes block(a) and block(a)+1; b sits in block(b). Since
-      // 0 < b-a <= 25 implies block(b) ∈ {block(a), block(a)+1}, each
-      // qualifying pair matches on exactly one block key (no dup pairs).
-      val a = e.toDF("a_id", "la", "ea")
-        .withColumn("blk", explode(expr("array(a_id div 25, a_id div 25 + 1)")))
-      val b = e.toDF("b_id", "lb", "eb")
-        .withColumn("blk", expr("b_id div 25"))
-      a.join(b, Seq("blk"))
-        .filter(col("la") === col("lb"))
-        .filter(col("a_id") < col("b_id") && col("b_id") - col("a_id") <= 25)
-        .filter(expr(s"${sparkCos("ea", "eb")} > 0.3"))
-        .select("a_id", "b_id")
+      embedNearDupPairs(s, T.embeddings(s, d).select("vec_id", "label", "embedding"))
     },
 
     // Grouped vector centroids (the IVF training step / per-class mean):
@@ -645,6 +658,48 @@ object SimilarityOps {
         .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb")), "b_id")
         .filter(expr(s"${sparkCos("ea", "eb")} > 0.3"))
         .select("a_id", "b_id")
+    },
+
+    // Semantic dedup (the embedding-space analogue of dd08): cosine
+    // near-dup pairs — ss03's skew-proof block-join plan, shared via
+    // embedNearDupPairs — feed min-label connected components, and each
+    // cluster keeps its minimum vec_id as the representative. Output is
+    // the deduplicated keep set with merged-member counts: the corpus a
+    // training run would actually read after semantic dedup.
+    //
+    // Scale notes (100 TB): pair fan-out is capped by the block join
+    // (~50 candidates/row); CC shuffles only (id, label) longs per round
+    // over edge ENDPOINTS (singletons — the vast majority — re-join once
+    // after convergence, inside connectedComponents); the keep-set agg
+    // is map-side combinable on cluster_id. Swap embedNearDupPairs for
+    // Similarity.srpNearDup to avoid the exact-cosine pass when no
+    // blocking key exists.
+    Q(
+      "dd14_semantic_dedup",
+      s"""WITH RECURSIVE
+         | e AS (SELECT vec_id, label, embedding FROM embeddings),
+         | link AS (
+         |   SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |   FROM e a JOIN e b ON a.label = b.label
+         |     AND a.vec_id < b.vec_id AND b.vec_id - a.vec_id <= 25
+         |   WHERE ${duckCos("a.embedding", "b.embedding")} > 0.3),
+         | edges AS (SELECT a_id AS src, b_id AS dst FROM link
+         |           UNION ALL SELECT b_id, a_id FROM link),
+         | reach(src, dst) AS (
+         |   SELECT vec_id, vec_id FROM e
+         |   UNION
+         |   SELECT r.src, ed.dst FROM reach r JOIN edges ed ON ed.src = r.dst),
+         | comp AS (SELECT src AS vec_id, min(dst) AS cluster_id
+         |          FROM reach GROUP BY src)
+         |SELECT cluster_id AS keep_id, count(*) AS n_merged
+         |FROM comp GROUP BY keep_id""".stripMargin) { (s, d) =>
+      val e = T.embeddings(s, d).select("vec_id", "label", "embedding")
+      val pairs = embedNearDupPairs(s, e)
+      graft.functions.Dedup
+        .connectedComponents(e.select("vec_id"), pairs, "vec_id", "a_id", "b_id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_merged"))
+        .withColumnRenamed("cluster_id", "keep_id")
     }
   )
 }

@@ -57,6 +57,25 @@ class DedupSpec extends AnyFunSuite {
     assert((1000L until 1005L).forall(clusters(_) == 1000L))
   }
 
+  test("dd14 semantic dedup partitions the corpus into keep groups") {
+    val n = graft.Tables.embeddings(spark, sf).count()
+    val dd14 = graft.SparkEntry.queries("dd14_semantic_dedup")(spark, sf).collect()
+    // every vector lands in exactly one cluster; representatives unique
+    assert(dd14.map(_.getLong(1)).sum == n)
+    assert(dd14.map(_.getLong(0)).distinct.length == dd14.length)
+    // ss03 finds pairs at this SF, so some cluster must have merged
+    assert(dd14.exists(_.getLong(1) > 1), "expected a merged cluster")
+    // each ss03 pair's endpoints share a component: the keep set never
+    // contains both sides of a near-dup pair
+    val keeps = dd14.map(_.getLong(0)).toSet
+    val pairs = graft.SparkEntry.queries("ss03_embed_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => !(keeps(a) && keeps(b)) },
+      "a near-dup pair survived dedup intact")
+    spark.catalog.clearCache()
+  }
+
   test("r=2 banding (dd13) admits no more candidates than r=1 (dd04)") {
     // The b×r precision contract: requiring TWO minhash components to
     // agree per band can only shrink the candidate set relative to one.
