@@ -59,4 +59,22 @@ object Similarity {
       .filter(expr(s"cosine_similarity(ea, eb) > $minCosine"))
       .select("a_id", "b_id")
   }
+
+  /** Semantic dedup: cluster `corpus` rows over a near-dup `pairs` graph
+    * (any candidate generator — `srpNearDup` is the no-blocking-key scale
+    * path) and keep each cluster's minimum id as the representative.
+    * Returns (keep_id, n_merged): the deduplicated corpus a training run
+    * would read, with merged-member counts. The dd14 plan as a function —
+    * the gated query calls THIS, so API and oracle can't diverge.
+    *
+    * Scale: CC shuffles only (id, label) longs per round over edge
+    * endpoints; the keep-set aggregation combines map-side on cluster_id.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    Dedup.connectedComponents(corpus.select(idCol), pairs, idCol, aCol, bCol)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_merged"))
+      .withColumnRenamed("cluster_id", "keep_id")
+  }
 }

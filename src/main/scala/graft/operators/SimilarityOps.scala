@@ -694,12 +694,8 @@ object SimilarityOps {
          |SELECT cluster_id AS keep_id, count(*) AS n_merged
          |FROM comp GROUP BY keep_id""".stripMargin) { (s, d) =>
       val e = T.embeddings(s, d).select("vec_id", "label", "embedding")
-      val pairs = embedNearDupPairs(s, e)
-      graft.functions.Dedup
-        .connectedComponents(e.select("vec_id"), pairs, "vec_id", "a_id", "b_id")
-        .groupBy("cluster_id")
-        .agg(count(lit(1)).as("n_merged"))
-        .withColumnRenamed("cluster_id", "keep_id")
+      graft.functions.Similarity
+        .semanticDedup(e, "vec_id", embedNearDupPairs(s, e))
     }
   )
 }

@@ -23,6 +23,21 @@ class SimilarityApiSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("semanticDedup over srpNearDup pairs merges every SRP pair") {
+    // the no-blocking-key scale path: SRP candidates -> CC -> keep set.
+    // Different pair generator than gated dd14, so compare invariants,
+    // not rows: partition of the corpus, no pair left intact.
+    val e = graft.Tables.embeddings(spark, sf)
+    val pairs = Similarity.srpNearDup(e, "vec_id", "embedding")
+    val keep = Similarity.semanticDedup(e, "vec_id", pairs).collect()
+    assert(keep.map(_.getLong(1)).sum == e.count())
+    val keeps = keep.map(_.getLong(0)).toSet
+    val pc = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pc.nonEmpty)
+    assert(pc.forall { case (a, b) => !(keeps(a) && keeps(b)) })
+    spark.catalog.clearCache()
+  }
+
   test("cosineTopK equals the gated ss01 top-5") {
     val e = graft.Tables.embeddings(spark, sf)
     val api = Similarity
