@@ -23,6 +23,7 @@ object SparkEntry {
       graft.operators.SamplingOps.queries ++
       graft.operators.MultimodalOps.queries ++
       graft.streaming.StreamingOps.queries ++
+      graft.operators.CurationOps.queries ++
       graft.plans.AnalysisQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

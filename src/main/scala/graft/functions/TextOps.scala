@@ -11,9 +11,9 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  private val enWords = "'the','a','of','and','to'"
-  private val deWords = "'der','die','das','und','ist'"
-  private val frWords = "'le','la','les','et','est'"
+  private[graft] val enWords = "'the','a','of','and','to'"
+  private[graft] val deWords = "'der','die','das','und','ist'"
+  private[graft] val frWords = "'le','la','les','et','est'"
 
   val queries: Seq[Q] = Seq(
 

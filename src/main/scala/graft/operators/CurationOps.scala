@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.{Portable => P, Q, Tables => T}
+import graft.functions.{TextOps, TextQuality}
+import org.apache.spark.sql.functions._
+
+/** The corpus-curation LEDGER: the whole pre-training data-curation pass
+  * as ONE Spark plan. Per document it records every keep/drop signal a
+  * production pipeline computes before training — predicted language
+  * (tx01's heuristic), quality verdict (tx05's thresholds), exact-dup
+  * keeper flag (dd01's digest grouping), near-dup cluster + keeper flag
+  * (dd08's capped LSH + connected components), the content-hash split
+  * (sm02), and the final `kept` verdict. Materialize the ledger once,
+  * then `WHERE kept` is the training corpus and the dropped rows carry
+  * their reason — the audit artifact data-governance reviews ask for.
+  *
+  * Reference behavior composed here: mkuchnik/PlumberApp treats the
+  * input pipeline as one analyzable graph end-to-end (plumber_analysis/
+  * src/plumber_analysis/graphdef_util.py); this query is that idea
+  * applied to corpus curation — one declarative plan, one scan, every
+  * signal.
+  *
+  * Scale notes (100 TB): ONE documents scan feeds the lang/quality/
+  * digest/split projections (a single codegen stage — no per-signal
+  * rescan); the shuffles are the digest window (60-bit longs, never
+  * text), the banding stage, and the CC label rounds (id/label longs
+  * over edge endpoints only); the final assembly joins on doc_id. Every
+  * stage reuses the exact machinery its standalone gated query pins
+  * (clusterLabels = dd08, isQuality = tx05), so the ledger can't drift
+  * from the per-signal oracles.
+  */
+object CurationOps {
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "cu01_curation_ledger",
+      s"""WITH RECURSIVE
+         |     ${DedupOps.duckClusterCtes},
+         |     lt AS (SELECT doc_id, text,
+         |            regexp_split_to_array(lower(text), '\\s+') AS ltoks FROM documents),
+         |     sc AS (SELECT doc_id,
+         |       len(list_filter(ltoks, w -> w IN (${TextOps.enWords}))) AS s_en,
+         |       len(list_filter(ltoks, w -> w IN (${TextOps.deWords}))) AS s_de,
+         |       len(list_filter(ltoks, w -> w IN (${TextOps.frWords}))) AS s_fr
+         |       FROM lt),
+         |     lang AS (SELECT doc_id,
+         |       CASE WHEN s_de > s_en AND s_de > s_fr THEN 'de'
+         |            WHEN s_fr > s_en AND s_fr >= s_de THEN 'fr'
+         |            ELSE 'en' END AS pred_lang FROM sc),
+         |     qual AS (SELECT doc_id,
+         |       (len(ltoks) BETWEEN 10 AND 100000
+         |        AND (length(text)::DOUBLE / len(ltoks)) BETWEEN 2.0 AND 12.0
+         |        AND ((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+         |             / length(text)) <= 0.2
+         |        AND (len(list_filter(ltoks, w -> w IN (${TextOps.enWords})))::DOUBLE
+         |             / len(ltoks)) >= 0.0) AS is_quality
+         |       FROM lt),
+         |     ek AS (SELECT doc_id,
+         |       doc_id = min(doc_id) OVER (PARTITION BY ${P.duckHash60("text")}) AS exact_keep
+         |       FROM documents),
+         |     sp AS (SELECT doc_id,
+         |       CASE WHEN ${P.duckHash60("'split|' || source")} % 10 < 8 THEN 'train'
+         |            WHEN ${P.duckHash60("'split|' || source")} % 10 = 8 THEN 'valid'
+         |            ELSE 'test' END AS split FROM documents)
+         |SELECT l.doc_id, l.pred_lang, q.is_quality, e.exact_keep, c.cluster_id,
+         |  c.cluster_id = l.doc_id AS near_keep, s.split,
+         |  (q.is_quality AND e.exact_keep AND c.cluster_id = l.doc_id) AS kept
+         |FROM lang l JOIN qual q USING (doc_id) JOIN ek e USING (doc_id)
+         |  JOIN comp c USING (doc_id) JOIN sp s USING (doc_id)""".stripMargin) { (s, d) =>
+      val docs = T.documents(s, d)
+      val labels = DedupOps.clusterLabels(docs)
+      val base = docs
+        .selectExpr("doc_id", "text", "source",
+          "split(lower(text), '\\\\s+') as ltoks")
+        .selectExpr(
+          "doc_id", "text", "source",
+          s"size(filter(ltoks, w -> w in (${TextOps.enWords}))) as s_en0",
+          s"size(filter(ltoks, w -> w in (${TextOps.deWords}))) as s_de0",
+          s"size(filter(ltoks, w -> w in (${TextOps.frWords}))) as s_fr0")
+        .withColumn("pred_lang", expr(
+          "case when s_de0 > s_en0 and s_de0 > s_fr0 then 'de' " +
+            "when s_fr0 > s_en0 and s_fr0 >= s_de0 then 'fr' else 'en' end"))
+        .withColumn("is_quality", TextQuality.isQuality("text"))
+        .selectExpr(
+          "doc_id", "pred_lang", "is_quality",
+          s"${P.hash60("text")} as digest",
+          s"case when ${P.hash60("concat('split|', source)")} % 10 < 8 then 'train' " +
+            s"when ${P.hash60("concat('split|', source)")} % 10 = 8 then 'valid' " +
+            "else 'test' end as split")
+        .selectExpr("*",
+          "doc_id = min(doc_id) over (partition by digest) as exact_keep")
+      base.join(labels, "doc_id")
+        .selectExpr(
+          "doc_id", "pred_lang", "is_quality", "exact_keep", "cluster_id",
+          "cluster_id = doc_id as near_keep", "split",
+          "is_quality and exact_keep and cluster_id = doc_id as kept")
+    })
+}

@@ -153,6 +153,47 @@ object DedupOps {
       .selectExpr("doc_id", "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) as (band, h)")
       .persist()
 
+  /** dd08's full oracle CTE chain — shingle → minhash → r=1 bands →
+    * capped pairs + star edges → recursive min-label closure, ending in
+    * `comp(doc_id, cluster_id)`. Caller supplies `WITH RECURSIVE` and
+    * selects from `comp`. Shared with the curation-ledger oracle so the
+    * clustering SQL can't drift between queries.
+    */
+  private[graft] def duckClusterCtes: String =
+    s"""t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |     sh AS (SELECT doc_id, $duckShingles AS shingles FROM t),
+       |     hh AS (SELECT doc_id, $duckHs AS hs FROM sh),
+       |     sig AS (SELECT doc_id, ${duckMh(0)}, ${duckMh(1)}, ${duckMh(2)}, ${duckMh(3)} FROM hh),
+       |     bands AS (
+       |       SELECT doc_id, 0 AS band, mh0 AS h FROM sig
+       |       UNION ALL SELECT doc_id, 1, mh1 FROM sig
+       |       UNION ALL SELECT doc_id, 2, mh2 FROM sig
+       |       UNION ALL SELECT doc_id, 3, mh3 FROM sig),
+       |     $duckCapPairs,
+       |     $duckStarEdges,
+       |     link AS (SELECT a_id, b_id FROM pairs
+       |              UNION SELECT a_id, b_id FROM stars),
+       |     edges AS (SELECT a_id AS src, b_id AS dst FROM link
+       |               UNION ALL SELECT b_id, a_id FROM link),
+       |     reach(src, dst) AS (
+       |       SELECT doc_id, doc_id FROM documents
+       |       UNION
+       |       SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+       |     comp AS (SELECT src AS doc_id, min(dst) AS cluster_id
+       |              FROM reach GROUP BY src)""".stripMargin
+
+  /** dd08's clustering stage as a helper: minhash r=1 bands → capped
+    * pair + star edges → min-label connected components. Returns
+    * (doc_id, cluster_id) for every document (singletons label
+    * themselves). Shared by the gated dd08 query and the curation
+    * ledger so the keep/drop grouping can't diverge from the oracle.
+    */
+  private[graft] def clusterLabels(docs: DataFrame): DataFrame = {
+    val edges = cappedBandEdges(r1Bands(docs, "doc_id", "text"))
+    graft.functions.Dedup.connectedComponents(
+      docs.select("doc_id"), edges, "doc_id", "a_id", "b_id")
+  }
+
   /** Edges for CLUSTERING: capped pairwise edges for normal buckets plus
     * a linear STAR (every doc → the bucket's min doc_id) for oversized
     * ones. A star has the same connected components as the full clique,
@@ -353,37 +394,9 @@ object DedupOps {
     Q(
       "dd08_dedup_clusters",
       s"""WITH RECURSIVE
-         |     t AS (SELECT doc_id, $duckToks AS toks FROM documents),
-         |     sh AS (SELECT doc_id, $duckShingles AS shingles FROM t),
-         |     hh AS (SELECT doc_id, $duckHs AS hs FROM sh),
-         |     sig AS (SELECT doc_id, ${duckMh(0)}, ${duckMh(1)}, ${duckMh(2)}, ${duckMh(3)} FROM hh),
-         |     bands AS (
-         |       SELECT doc_id, 0 AS band, mh0 AS h FROM sig
-         |       UNION ALL SELECT doc_id, 1, mh1 FROM sig
-         |       UNION ALL SELECT doc_id, 2, mh2 FROM sig
-         |       UNION ALL SELECT doc_id, 3, mh3 FROM sig),
-         |     $duckCapPairs,
-         |     $duckStarEdges,
-         |     link AS (SELECT a_id, b_id FROM pairs
-         |              UNION SELECT a_id, b_id FROM stars),
-         |     edges AS (SELECT a_id AS src, b_id AS dst FROM link
-         |               UNION ALL SELECT b_id, a_id FROM link),
-         |     reach(src, dst) AS (
-         |       SELECT doc_id, doc_id FROM documents
-         |       UNION
-         |       SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst)
-         |SELECT src AS doc_id, min(dst) AS cluster_id
-         |FROM reach GROUP BY src""".stripMargin) { (s, d) =>
-      val bands = T.documents(s, d)
-        .selectExpr("doc_id", s"$sparkToks as toks")
-        .selectExpr("doc_id", s"$sparkShingles as shingles")
-        .selectExpr("doc_id", s"$sparkHs as hs")
-        .selectExpr("doc_id", sparkMh(0), sparkMh(1), sparkMh(2), sparkMh(3))
-        .selectExpr("doc_id", "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) as (band, h)")
-        .persist()
-      val pairs = cappedBandEdges(bands)
-      graft.functions.Dedup.connectedComponents(
-        T.documents(s, d).select("doc_id"), pairs, "doc_id", "a_id", "b_id")
+         |     $duckClusterCtes
+         |SELECT doc_id, cluster_id FROM comp""".stripMargin) { (s, d) =>
+      clusterLabels(T.documents(s, d))
     },
 
     // MinHash similarity ESTIMATE from signature agreement alone: for each
