@@ -75,6 +75,16 @@ object Dedup {
     DedupOps.cappedBandPairs(DedupOps.r1Bands(df, idCol, textCol))
   }
 
+  /** Near-dup dedup CLUSTERS over a text column — the dd08 plan as a
+    * function: minhash r=1 bands → capped pair edges + linear STAR edges
+    * for oversized buckets (template floods cluster exactly at O(bucket)
+    * cost) → min-label connected components. Returns (idCol, cluster_id);
+    * keep `cluster_id = id` rows for the deduplicated corpus. Delegates
+    * to the exact machinery the gated dd08 query runs.
+    */
+  def clusters(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.operators.DedupOps.clusterLabels(df, idCol, textCol)
+
   /** Connected components over an undirected pair graph: every node gets
     * `cluster_id` = min node id in its component (nodes absent from
     * `pairs` are singletons labeling themselves). Iterative min-label

@@ -1,8 +1,7 @@
 package graft.operators
 
 import graft.{Portable => P, Q, Tables => T}
-import graft.functions.{TextOps, TextQuality}
-import org.apache.spark.sql.functions._
+import graft.functions.TextOps
 
 /** The corpus-curation LEDGER: the whole pre-training data-curation pass
   * as ONE Spark plan. Per document it records every keep/drop signal a
@@ -67,32 +66,6 @@ object CurationOps {
          |  (q.is_quality AND e.exact_keep AND c.cluster_id = l.doc_id) AS kept
          |FROM lang l JOIN qual q USING (doc_id) JOIN ek e USING (doc_id)
          |  JOIN comp c USING (doc_id) JOIN sp s USING (doc_id)""".stripMargin) { (s, d) =>
-      val docs = T.documents(s, d)
-      val labels = DedupOps.clusterLabels(docs)
-      val base = docs
-        .selectExpr("doc_id", "text", "source",
-          "split(lower(text), '\\\\s+') as ltoks")
-        .selectExpr(
-          "doc_id", "text", "source",
-          s"size(filter(ltoks, w -> w in (${TextOps.enWords}))) as s_en0",
-          s"size(filter(ltoks, w -> w in (${TextOps.deWords}))) as s_de0",
-          s"size(filter(ltoks, w -> w in (${TextOps.frWords}))) as s_fr0")
-        .withColumn("pred_lang", expr(
-          "case when s_de0 > s_en0 and s_de0 > s_fr0 then 'de' " +
-            "when s_fr0 > s_en0 and s_fr0 >= s_de0 then 'fr' else 'en' end"))
-        .withColumn("is_quality", TextQuality.isQuality("text"))
-        .selectExpr(
-          "doc_id", "pred_lang", "is_quality",
-          s"${P.hash60("text")} as digest",
-          s"case when ${P.hash60("concat('split|', source)")} % 10 < 8 then 'train' " +
-            s"when ${P.hash60("concat('split|', source)")} % 10 = 8 then 'valid' " +
-            "else 'test' end as split")
-        .selectExpr("*",
-          "doc_id = min(doc_id) over (partition by digest) as exact_keep")
-      base.join(labels, "doc_id")
-        .selectExpr(
-          "doc_id", "pred_lang", "is_quality", "exact_keep", "cluster_id",
-          "cluster_id = doc_id as near_keep", "split",
-          "is_quality and exact_keep and cluster_id = doc_id as kept")
+      graft.functions.Curation.ledger(T.documents(s, d))
     })
 }

@@ -188,10 +188,11 @@ object DedupOps {
     * themselves). Shared by the gated dd08 query and the curation
     * ledger so the keep/drop grouping can't diverge from the oracle.
     */
-  private[graft] def clusterLabels(docs: DataFrame): DataFrame = {
-    val edges = cappedBandEdges(r1Bands(docs, "doc_id", "text"))
+  private[graft] def clusterLabels(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val edges = cappedBandEdges(r1Bands(docs, idCol, textCol))
     graft.functions.Dedup.connectedComponents(
-      docs.select("doc_id"), edges, "doc_id", "a_id", "b_id")
+      docs.select(idCol), edges, idCol, "a_id", "b_id")
   }
 
   /** Edges for CLUSTERING: capped pairwise edges for normal buckets plus

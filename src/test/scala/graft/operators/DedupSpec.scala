@@ -57,6 +57,16 @@ class DedupSpec extends AnyFunSuite {
     assert((1000L until 1005L).forall(clusters(_) == 1000L))
   }
 
+  test("Dedup.clusters API equals the gated dd08 query") {
+    val docs = graft.Tables.documents(spark, sf)
+    val api = graft.functions.Dedup.clusters(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gated = graft.SparkEntry.queries("dd08_dedup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(api == gated)
+    spark.catalog.clearCache()
+  }
+
   test("dd14 semantic dedup partitions the corpus into keep groups") {
     val n = graft.Tables.embeddings(spark, sf).count()
     val dd14 = graft.SparkEntry.queries("dd14_semantic_dedup")(spark, sf).collect()
