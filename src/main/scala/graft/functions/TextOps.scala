@@ -15,6 +15,59 @@ object TextOps {
   private[graft] val deWords = "'der','die','das','und','ist'"
   private[graft] val frWords = "'le','la','les','et','est'"
 
+  // winnowing parameters: k-gram length, window width, Rabin base/prime.
+  // k=12/w=8 ⇒ any shared span ≥ w+k-1 = 19 normalized chars yields a
+  // shared fingerprint; at k below ~10, common English character grams
+  // connect most of the corpus (measured: k=5 → 50k candidate pairs at
+  // sf0.01 vs ~1k at k=12 against dd04's 474 LSH pairs).
+  private val winnowK = 12
+  private val winnowW = 8
+  private val winnowP = 2147483647L // 2^31 - 1
+  private def winnowCoef(j: Int): Long = {
+    var c = 1L
+    (0 until (winnowK - 1 - j)).foreach(_ => c = c * 256L % winnowP)
+    c
+  }
+
+  /** DuckDB k-gram Rabin hash at position `pos` of `norm` — the BIGINT
+    * cast is load-bearing: ord×coef overflows INT32 for any codepoint
+    * past ASCII.
+    */
+  private def winnowDuckHash: String = (0 until winnowK)
+    .map(j => s"ord(substr(norm, pos+$j, 1))::BIGINT * ${winnowCoef(j)}")
+    .mkString(" + ")
+
+  /** Winnowed fingerprint set (doc_id, fp) — tx11's plan as a helper,
+    * shared with tx12's overlap join.
+    *
+    * The whole selection runs INSIDE the scan projection via array
+    * higher-order functions (k-gram hashes → per-window minima →
+    * per-doc distinct), so no per-position row ever crosses an
+    * exchange. The first cut used explode + a doc-partitioned window
+    * min; ShuffleAudit measured it shuffling 18.8 MiB of positions
+    * against a 0.6 MiB scan at sf0.1 (ratio 33) — the sort-by-doc the
+    * window needs IS a full shuffle of every k-gram. This formulation
+    * shuffles nothing; only the final (doc_id, fp) rows exist.
+    */
+  private[graft] def winnowFps(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val hashLambda = (0 until winnowK)
+      .map(j => s"cast(ascii(substring(norm, i+$j, 1)) as bigint) * ${winnowCoef(j)}L")
+      .mkString(" + ")
+    docs
+      .selectExpr("doc_id",
+        "trim(regexp_replace(lower(text), '\\\\s+', ' ')) as norm")
+      // docs shorter than the k+w-1 guarantee threshold yield no windows
+      .selectExpr("doc_id",
+        s"case when length(norm) >= ${winnowK + winnowW - 1} " +
+          s"then transform(sequence(1, length(norm) - $winnowK + 1), " +
+          s"i -> ($hashLambda) % $winnowP) else array() end as hs")
+      .selectExpr("doc_id",
+        s"explode(case when size(hs) >= $winnowW " +
+          s"then array_distinct(transform(sequence(1, size(hs) - $winnowW + 1), " +
+          s"s -> array_min(slice(hs, s, $winnowW)))) " +
+          "else array() end) as fp")
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Language-ID: count language-marker tokens, argmax with a fixed
@@ -301,6 +354,88 @@ object TextOps {
           "doc_id", "n_words",
           "cast(floor(cast(10000 as double) * (n_words - n_distinct) / n_words) as bigint) as dup_ratio_bp",
           "cast(floor(cast(10000 as double) * top_cnt / n_words) as bigint) as top_share_bp")
+    },
+
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken's MOSS
+    // algorithm): Rabin-style rolling hash over character k-grams of the
+    // whitespace-normalized text, then the minimum hash of every
+    // w-window of consecutive positions — the guarantee is that any
+    // match of length ≥ w+k-1 between two documents shares a selected
+    // fingerprint, at ~1/w the storage of the full k-gram set. The
+    // per-position hash is the closed form of the rolling recurrence
+    // (sum of codepoint × B^j mod P, k terms inlined); the window
+    // minimum is an array_min over each w-slice of the hash array.
+    //
+    // Scale notes (100 TB): the ENTIRE selection — k-gram hashes,
+    // window minima, per-doc dedup — runs inside the scan projection as
+    // array higher-order functions, so tx11 shuffles NOTHING (the
+    // oracle renders the same set with an explode + window min, which
+    // is fine single-node; the Spark plan must not, because the
+    // doc-partitioned sort the window needs is a full shuffle of every
+    // position — ShuffleAudit measured 18.8 MiB vs a 0.6 MiB scan).
+    // The winnowed output is ~|text|/w rows per doc.
+    Q(
+      "tx11_winnow_fingerprints", {
+        val hashSql = winnowDuckHash
+        s"""WITH n AS (SELECT doc_id,
+           |       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+           |     FROM documents),
+           |     kg AS (SELECT doc_id, pos, ($hashSql) % $winnowP AS h
+           |       FROM n CROSS JOIN unnest(range(1, greatest(1, length(norm) - $winnowK + 2))) AS t(pos)),
+           |     wm AS (SELECT doc_id, pos,
+           |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+           |                      ROWS BETWEEN CURRENT ROW AND ${winnowW - 1} FOLLOWING) AS fp,
+           |         count(*) OVER (PARTITION BY doc_id) AS nk
+           |       FROM kg)
+           |SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= nk - $winnowW + 1""".stripMargin
+      }) { (s, d) => winnowFps(T.documents(s, d)) },
+
+    // Winnowing-overlap near-dup candidates: pairs of documents sharing
+    // ≥ 5 selected fingerprints — the plagiarism/contamination detector
+    // winnowing exists for. Same flood discipline as the LSH family:
+    // fingerprints held by more than 64 docs are boilerplate (a shared
+    // header selects the same minimum everywhere) and are skipped before
+    // the self-join, so pair volume stays linear in the corpus.
+    Q(
+      "tx12_winnow_overlap", {
+        val hashSql = winnowDuckHash
+        s"""WITH n AS (SELECT doc_id,
+           |       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+           |     FROM documents),
+           |     kg AS (SELECT doc_id, pos, ($hashSql) % $winnowP AS h
+           |       FROM n CROSS JOIN unnest(range(1, greatest(1, length(norm) - $winnowK + 2))) AS t(pos)),
+           |     wm AS (SELECT doc_id, pos,
+           |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+           |                      ROWS BETWEEN CURRENT ROW AND ${winnowW - 1} FOLLOWING) AS fp,
+           |         count(*) OVER (PARTITION BY doc_id) AS nk
+           |       FROM kg),
+           |     fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= nk - $winnowW + 1),
+           |     sized AS (SELECT fp, count(*) AS nd FROM fps GROUP BY fp),
+           |     small AS (SELECT f.doc_id, f.fp FROM fps f
+           |               JOIN sized z ON z.fp = f.fp AND z.nd <= 64)
+           |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+           |FROM small a JOIN small b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |GROUP BY a_id, b_id HAVING count(*) >= 5""".stripMargin
+      }) { (s, d) =>
+      // ONE shuffle of the fp set (groupBy fp), then pairs are emitted
+      // from each capped doc list with array functions — the self-join
+      // formulation shuffles the same rows on both join sides plus the
+      // sizing pre-pass (measured 3× the bytes for identical output).
+      winnowFps(T.documents(s, d))
+        .groupBy("fp").agg(collect_list("doc_id").as("ds"))
+        .filter(size(col("ds")) <= 64) // boilerplate cap, as in the LSH family
+        .selectExpr("array_sort(ds) as ds2")
+        .selectExpr(
+          "explode(case when size(ds2) >= 2 then " +
+            "flatten(transform(sequence(1, size(ds2) - 1), " +
+            "i -> transform(slice(ds2, i + 1, size(ds2) - i), " +
+            "b -> struct(element_at(ds2, i) as a_id, b as b_id)))) " +
+            "else array() end) as pr")
+        .selectExpr("pr.a_id as a_id", "pr.b_id as b_id")
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5)
     }
   )
+
 }
