@@ -50,8 +50,12 @@ object TextOps {
     * shuffles nothing; only the final (doc_id, fp) rows exist.
     */
   private[graft] def winnowFps(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // index a PRE-SPLIT codepoint array, never substring(norm, i, 1):
+    // UTF8String substring is O(i) (it must walk multi-byte chars from
+    // the start), which turns the per-position hash into O(|doc|²·k) —
+    // measured 23.9 s at sf0.1 vs 3.0 s for this array-indexed form.
     val hashLambda = (0 until winnowK)
-      .map(j => s"cast(ascii(substring(norm, i+$j, 1)) as bigint) * ${winnowCoef(j)}L")
+      .map(j => s"element_at(cs, i + $j) * ${winnowCoef(j)}L")
       .mkString(" + ")
     docs
       .selectExpr("doc_id",
@@ -59,7 +63,11 @@ object TextOps {
       // docs shorter than the k+w-1 guarantee threshold yield no windows
       .selectExpr("doc_id",
         s"case when length(norm) >= ${winnowK + winnowW - 1} " +
-          s"then transform(sequence(1, length(norm) - $winnowK + 1), " +
+          "then transform(split(norm, ''), c -> cast(ascii(c) as bigint)) " +
+          "else array() end as cs")
+      .selectExpr("doc_id",
+        s"case when size(cs) >= $winnowK " +
+          s"then transform(sequence(1, size(cs) - $winnowK + 1), " +
           s"i -> ($hashLambda) % $winnowP) else array() end as hs")
       .selectExpr("doc_id",
         s"explode(case when size(hs) >= $winnowW " +
