@@ -118,6 +118,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs(0), exprs(1))))
     e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("winnow_fps"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[WinnowFingerprints].getName, "winnow_fps"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WinnowFingerprints(
+          exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue(),
+          exprs(2).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("reservoir_sample"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[ReservoirSample].getName, "reservoir_sample"),

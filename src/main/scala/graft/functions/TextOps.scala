@@ -50,30 +50,20 @@ object TextOps {
     * shuffles nothing; only the final (doc_id, fp) rows exist.
     */
   private[graft] def winnowFps(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    // index a PRE-SPLIT codepoint array, never substring(norm, i, 1):
-    // UTF8String substring is O(i) (it must walk multi-byte chars from
-    // the start), which turns the per-position hash into O(|doc|²·k) —
-    // measured 23.9 s at sf0.1 vs 3.0 s for this array-indexed form.
-    val hashLambda = (0 until winnowK)
-      .map(j => s"element_at(cs, i + $j) * ${winnowCoef(j)}L")
-      .mkString(" + ")
+    // the selection runs in the native WinnowFingerprints expression —
+    // a true O(1)-rolling hash + deque window min, one static call
+    // inside whole-stage codegen. The journey here is instructive:
+    // explode + doc-partitioned window min shuffled every position
+    // (18.8 MiB vs a 0.6 MiB scan); array HOFs with substring(norm, i)
+    // were O(|doc|²·k) (UTF8 substring walks from the start; 23.9 s at
+    // sf0.1); HOFs over a pre-split codepoint array ran 3.0 s in
+    // interpreted lambdas; the native expression is 0-shuffle AND
+    // loop-fused (sub-second).
     docs
       .selectExpr("doc_id",
         "trim(regexp_replace(lower(text), '\\\\s+', ' ')) as norm")
-      // docs shorter than the k+w-1 guarantee threshold yield no windows
-      .selectExpr("doc_id",
-        s"case when length(norm) >= ${winnowK + winnowW - 1} " +
-          "then transform(split(norm, ''), c -> cast(ascii(c) as bigint)) " +
-          "else array() end as cs")
-      .selectExpr("doc_id",
-        s"case when size(cs) >= $winnowK " +
-          s"then transform(sequence(1, size(cs) - $winnowK + 1), " +
-          s"i -> ($hashLambda) % $winnowP) else array() end as hs")
-      .selectExpr("doc_id",
-        s"explode(case when size(hs) >= $winnowW " +
-          s"then array_distinct(transform(sequence(1, size(hs) - $winnowW + 1), " +
-          s"s -> array_min(slice(hs, s, $winnowW)))) " +
-          "else array() end) as fp")
+      .select(col("doc_id"),
+        explode(WinnowFingerprints.winnowFps(col("norm"), winnowK, winnowW)).as("fp"))
   }
 
   val queries: Seq[Q] = Seq(
