@@ -414,26 +414,31 @@ object TextOps {
            |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
            |FROM small a JOIN small b ON a.fp = b.fp AND a.doc_id < b.doc_id
            |GROUP BY a_id, b_id HAVING count(*) >= 5""".stripMargin
-      }) { (s, d) =>
-      // ONE shuffle of the fp set (groupBy fp), then pairs are emitted
-      // from each capped doc list with array functions — the self-join
-      // formulation shuffles the same rows on both join sides plus the
-      // sizing pre-pass (measured 3× the bytes for identical output).
-      winnowFps(T.documents(s, d))
-        .groupBy("fp").agg(collect_list("doc_id").as("ds"))
-        .filter(size(col("ds")) <= 64) // boilerplate cap, as in the LSH family
-        .selectExpr("array_sort(ds) as ds2")
-        .selectExpr(
-          "explode(case when size(ds2) >= 2 then " +
-            "flatten(transform(sequence(1, size(ds2) - 1), " +
-            "i -> transform(slice(ds2, i + 1, size(ds2) - i), " +
-            "b -> struct(element_at(ds2, i) as a_id, b as b_id)))) " +
-            "else array() end) as pr")
-        .selectExpr("pr.a_id as a_id", "pr.b_id as b_id")
-        .groupBy("a_id", "b_id")
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 5)
-    }
+      }) { (s, d) => winnowOverlap(winnowFps(T.documents(s, d))) }
   )
 
+  /** Overlap pairs from a winnowed (doc_id, fp) set: pairs sharing
+    * ≥ `minShared` fingerprints, buckets past `cap` docs skipped as
+    * boilerplate. ONE shuffle of the fp set (groupBy fp), then pairs
+    * are emitted from each capped doc list with array functions — the
+    * self-join formulation shuffles the same rows on both join sides
+    * plus a sizing pre-pass (measured 3× the bytes, identical output).
+    * Shared by the gated tx12 query and `Dedup.winnowCandidates`.
+    */
+  private[graft] def winnowOverlap(fps: org.apache.spark.sql.DataFrame,
+      minShared: Int = 5, cap: Int = 64): org.apache.spark.sql.DataFrame =
+    fps
+      .groupBy("fp").agg(collect_list("doc_id").as("ds"))
+      .filter(size(col("ds")) <= cap) // boilerplate cap, as in the LSH family
+      .selectExpr("array_sort(ds) as ds2")
+      .selectExpr(
+        "explode(case when size(ds2) >= 2 then " +
+          "flatten(transform(sequence(1, size(ds2) - 1), " +
+          "i -> transform(slice(ds2, i + 1, size(ds2) - i), " +
+          "b -> struct(element_at(ds2, i) as a_id, b as b_id)))) " +
+          "else array() end) as pr")
+      .selectExpr("pr.a_id as a_id", "pr.b_id as b_id")
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
 }

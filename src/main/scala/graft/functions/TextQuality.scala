@@ -85,6 +85,20 @@ object Dedup {
   def clusters(df: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.operators.DedupOps.clusterLabels(df, idCol, textCol)
 
+  /** Winnowing-overlap contamination candidates over a text column —
+    * the tx12 plan as a function: native `winnow_fps` selection (MOSS
+    * rolling-hash fingerprints, zero shuffle), then pairs sharing
+    * ≥ `minShared` fingerprints with boilerplate buckets capped.
+    * Returns (a_id, b_id, n_shared), a < b. Delegates to the exact
+    * machinery the gated tx12 query runs.
+    */
+  def winnowCandidates(df: DataFrame, idCol: String, textCol: String,
+      minShared: Int = 5): DataFrame =
+    TextOps.winnowOverlap(
+      TextOps.winnowFps(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text"))),
+      minShared)
+
   /** Connected components over an undirected pair graph: every node gets
     * `cluster_id` = min node id in its component (nodes absent from
     * `pairs` are singletons labeling themselves). Iterative min-label

@@ -67,6 +67,16 @@ class WinnowSpec extends AnyFunSuite {
     }
   }
 
+  test("Dedup.winnowCandidates API equals the gated tx12 query") {
+    val docs = graft.Tables.documents(spark, sf)
+    val api = Dedup.winnowCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val gated = graft.SparkEntry.queries("tx12_winnow_overlap")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(api.nonEmpty && api == gated)
+    spark.catalog.clearCache()
+  }
+
   test("tx12 pairs each share >= 5 fingerprints from the tx11 set") {
     val fps = graft.SparkEntry.queries("tx11_winnow_fingerprints")(spark, sf)
       .collect().groupBy(_.getLong(0)).view
