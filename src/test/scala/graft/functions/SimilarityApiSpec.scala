@@ -38,6 +38,15 @@ class SimilarityApiSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("semanticDedup with an empty pair graph keeps every row") {
+    import spark.implicits._
+    val corpus = (1L to 10L).map(i => (i, i)).toDF("vec_id", "payload")
+    val noPairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val keep = Similarity.semanticDedup(corpus, "vec_id", noPairs).collect()
+    assert(keep.length == 10)
+    assert(keep.forall(_.getLong(1) == 1L), "all singletons")
+  }
+
   test("cosineTopK equals the gated ss01 top-5") {
     val e = graft.Tables.embeddings(spark, sf)
     val api = Similarity

@@ -38,4 +38,16 @@ class CurationSpec extends AnyFunSuite {
     })
     spark.catalog.clearCache()
   }
+
+  test("Curation.ledger accepts renamed id/text/source columns") {
+    import org.apache.spark.sql.functions.col
+    val renamed = graft.Tables.documents(spark, sf)
+      .select(col("doc_id").as("id"), col("text").as("body"),
+        col("source").as("origin"))
+    val out = graft.functions.Curation
+      .ledger(renamed, idCol = "id", textCol = "body", sourceCol = "origin")
+    assert(out.columns.head == "id")
+    assert(out.count() == graft.Tables.documents(spark, sf).count())
+    spark.catalog.clearCache()
+  }
 }
