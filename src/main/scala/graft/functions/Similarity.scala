@@ -60,6 +60,25 @@ object Similarity {
       .select("a_id", "b_id")
   }
 
+  /** IVF (inverted-file) top-k ANN — the ss05 plan as a function: one
+    * scored pass against the BROADCAST `centroids(cell, ce)` table
+    * feeds both the corpus cell assignment and each query's `nprobe`
+    * probe list; candidates rank by exact cosine. Queries are corpus
+    * rows matching `queryPred` (self-matches excluded). Centroid
+    * training is the caller's concern (ss04's per-label means, a
+    * k-means run, or SimilarityOps.labelCentroids' deterministic pick).
+    * Delegates to the exact machinery the gated ss05 query runs.
+    */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, queryPred: org.apache.spark.sql.Column,
+      k: Int, nprobe: Int = 1): DataFrame = {
+    import graft.operators.SimilarityOps
+    CosineSimilarity.register(corpus.sparkSession)
+    SimilarityOps.ivfSearch(
+      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+      centroids, queryPred, k, nprobe)
+  }
+
   /** Semantic dedup: cluster `corpus` rows over a near-dup `pairs` graph
     * (any candidate generator — `srpNearDup` is the no-blocking-key scale
     * path) and keep each cluster's minimum id as the representative.

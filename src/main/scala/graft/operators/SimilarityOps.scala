@@ -102,6 +102,54 @@ object SimilarityOps {
   private def duckCos(a: String, b: String): String =
     s"${duckDot(a, b)} / sqrt(${duckDot(a, a)} * ${duckDot(b, b)})"
 
+  /** The fixture's deterministic codebook: each label's first vector
+    * (by vec_id) as that cell's centroid — k-means-free so the oracle
+    * is closed-form. Production swaps in trained centroids.
+    */
+  private[graft] def labelCentroids(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    e.selectExpr(
+      "label as cell", "embedding as ce",
+      "row_number() over (partition by label order by vec_id) as rn")
+      .filter(col("rn") === 1)
+      .drop("rn")
+
+  /** IVF top-k search over a corpus with a supplied centroid table
+    * `cent(cell, ce)`: ONE scored pass against the BROADCAST centroids
+    * feeds both the per-vector cell assignment (rn = 1, cells disjoint
+    * so candidates need no dedup) and each query's `nprobe` probe list;
+    * candidates are ranked by exact cosine. Queries are the corpus rows
+    * matching `queryPred` (self-matches excluded). Shared by the gated
+    * ss05 query and `Similarity.ivfTopK` so the API can't diverge.
+    */
+  private[graft] def ivfSearch(e: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame,
+      queryPred: org.apache.spark.sql.Column,
+      k: Int, nprobe: Int): org.apache.spark.sql.DataFrame = {
+    val scored = e.crossJoin(broadcast(cent))
+      .selectExpr(
+        "vec_id", "cell",
+        s"row_number() over (partition by vec_id order by ${sparkCos("embedding", "ce")} desc, cell) as rn")
+      .withColumn("_q", queryPred)
+      .persist() // consumed twice (cell assignment + query probe list)
+    val assign = scored.filter(col("rn") === 1).select("vec_id", "cell")
+    val qc = scored.filter(col("_q") && col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val cand = broadcast(q.join(qc, "q_id"))
+      .join(assign.withColumnRenamed("vec_id", "n_id"), "cell")
+      .join(
+        e.select(col("vec_id").as("n_id"), col("embedding").as("ne")),
+        Seq("n_id"))
+      .filter(col("n_id") =!= col("q_id"))
+    cand
+      .selectExpr(
+        "q_id", "n_id",
+        s"cast(row_number() over (partition by q_id order by ${sparkCos("qe", "ne")} desc, n_id) as bigint) as rank")
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id")
+  }
+
   /** ss03's skew-proof near-dup pair builder: candidate generation joins
     * on id-BLOCKS (each left row probes its own floor(id/25) block and
     * the next, capping fan-out at ~50 candidates per row regardless of
@@ -294,35 +342,8 @@ object SimilarityOps {
          |      ORDER BY ${duckCos("qe", "ne")} DESC, n_id) AS rn
          |  FROM cand) WHERE rn <= 3""".stripMargin) { (s, d) =>
       graft.functions.CosineSimilarity.register(s)
-      val e = T.embeddings(s, d)
-      val cent = e
-        .selectExpr(
-          "label as cell", "embedding as ce",
-          "row_number() over (partition by label order by vec_id) as rn")
-        .filter(col("rn") === 1)
-        .drop("rn")
-      val scored = e.crossJoin(broadcast(cent))
-        .selectExpr(
-          "vec_id", "cell",
-          s"row_number() over (partition by vec_id order by ${sparkCos("embedding", "ce")} desc, cell) as rn")
-        .persist() // consumed twice (cell assignment + query probe list)
-      val assign = scored.filter(col("rn") === 1).select("vec_id", "cell")
-      val qc = scored.filter(col("vec_id") < 5 && col("rn") <= 2)
-        .select(col("vec_id").as("q_id"), col("cell"))
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-      val cand = broadcast(q.join(qc, "q_id"))
-        .join(assign.withColumnRenamed("vec_id", "n_id"), "cell")
-        .join(
-          e.select(col("vec_id").as("n_id"), col("embedding").as("ne")),
-          Seq("n_id"))
-        .filter(col("n_id") =!= col("q_id"))
-      cand
-        .selectExpr(
-          "q_id", "n_id",
-          s"cast(row_number() over (partition by q_id order by ${sparkCos("qe", "ne")} desc, n_id) as bigint) as rank")
-        .filter(col("rank") <= 3)
-        .select("q_id", "rank", "n_id")
+      val e = T.embeddings(s, d).select("vec_id", "label", "embedding")
+      ivfSearch(e, labelCentroids(e), col("vec_id") < 5, k = 3, nprobe = 2)
     },
 
     // Int8 scalar quantization (symmetric, per-vector absmax — the

@@ -38,6 +38,18 @@ class SimilarityApiSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("ivfTopK equals the gated ss05 nprobe=2 query") {
+    val e = graft.Tables.embeddings(spark, sf).select("vec_id", "label", "embedding")
+    val api = Similarity.ivfTopK(
+      e, "vec_id", "embedding",
+      centroids = graft.operators.SimilarityOps.labelCentroids(e),
+      queryPred = col("vec_id") < 5, k = 3, nprobe = 2).collect()
+    val gated = graft.SparkEntry.queries("ss05_ann_nprobe2")(spark, sf).collect()
+    assert(api.nonEmpty)
+    assert(sorted(api) == sorted(gated))
+    spark.catalog.clearCache()
+  }
+
   test("semanticDedup with an empty pair graph keeps every row") {
     import spark.implicits._
     val corpus = (1L to 10L).map(i => (i, i)).toDF("vec_id", "payload")
