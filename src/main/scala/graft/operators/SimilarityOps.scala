@@ -232,35 +232,9 @@ object SimilarityOps {
          |      ORDER BY ${duckCos("qe", "ne")} DESC, n_id) AS rn
          |  FROM cand) WHERE rn <= 3""".stripMargin) { (s, d) =>
       graft.functions.CosineSimilarity.register(s)
-      val e = T.embeddings(s, d)
-      val cent = e
-        .selectExpr(
-          "label as cell", "embedding as ce",
-          "row_number() over (partition by label order by vec_id) as rn")
-        .filter(col("rn") === 1)
-        .drop("rn")
-      val assign = e.crossJoin(broadcast(cent))
-        .selectExpr(
-          "vec_id", "cell",
-          s"row_number() over (partition by vec_id order by ${sparkCos("embedding", "ce")} desc, cell) as rn")
-        .filter(col("rn") === 1)
-        .select("vec_id", "cell")
-        .persist() // consumed twice (query cells + candidate cells)
-      val q = e.filter(col("vec_id") < 5)
-        .join(assign, "vec_id")
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("cell"))
-      val cand = broadcast(q)
-        .join(assign.withColumnRenamed("vec_id", "n_id"), "cell")
-        .join(
-          e.select(col("vec_id").as("n_id"), col("embedding").as("ne")),
-          Seq("n_id"))
-        .filter(col("n_id") =!= col("q_id"))
-      cand
-        .selectExpr(
-          "q_id", "n_id",
-          s"cast(row_number() over (partition by q_id order by ${sparkCos("qe", "ne")} desc, n_id) as bigint) as rank")
-        .filter(col("rank") <= 3)
-        .select("q_id", "rank", "n_id")
+      val e = T.embeddings(s, d).select("vec_id", "label", "embedding")
+      // nprobe=1: each query probes only its own assigned cell
+      ivfSearch(e, labelCentroids(e), col("vec_id") < 5, k = 3, nprobe = 1)
     },
 
     // Embedding-cosine near-duplicate pairs within a candidate window
