@@ -22,24 +22,19 @@ object Curation {
       col(idCol).as("doc_id"), col(textCol).as("text"),
       col(sourceCol).as("source"))
     val labels = graft.operators.DedupOps.clusterLabels(docs)
+    // every signal expression is the SHARED snippet its standalone
+    // gated query runs (sparkLangScores/Case = tx01, isQuality = tx05,
+    // sparkSplitCase = sm02) — the ledger assembles, never re-derives
     val base = docs
       .selectExpr("doc_id", "text", "source",
         "split(lower(text), '\\\\s+') as ltoks")
-      .selectExpr(
-        "doc_id", "text", "source",
-        s"size(filter(ltoks, w -> w in (${TextOps.enWords}))) as s_en0",
-        s"size(filter(ltoks, w -> w in (${TextOps.deWords}))) as s_de0",
-        s"size(filter(ltoks, w -> w in (${TextOps.frWords}))) as s_fr0")
-      .withColumn("pred_lang", expr(
-        "case when s_de0 > s_en0 and s_de0 > s_fr0 then 'de' " +
-          "when s_fr0 > s_en0 and s_fr0 >= s_de0 then 'fr' else 'en' end"))
+      .selectExpr("doc_id" +: "text" +: "source" +: TextOps.sparkLangScores: _*)
+      .withColumn("pred_lang", expr(TextOps.sparkLangCase))
       .withColumn("is_quality", TextQuality.isQuality("text"))
       .selectExpr(
         "doc_id", "pred_lang", "is_quality",
         s"${P.hash60("text")} as digest",
-        s"case when ${P.hash60("concat('split|', source)")} % 10 < 8 then 'train' " +
-          s"when ${P.hash60("concat('split|', source)")} % 10 = 8 then 'valid' " +
-          "else 'test' end as split")
+        s"${graft.operators.SamplingOps.sparkSplitCase} as split")
       .selectExpr("*",
         "doc_id = min(doc_id) over (partition by digest) as exact_keep")
     base.join(labels, "doc_id")

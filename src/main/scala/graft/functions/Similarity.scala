@@ -41,6 +41,14 @@ object Similarity {
     * buckets, exact cosine verification at `minCosine`. Returns
     * distinct (a_id, b_id) with a_id < b_id.
     *
+    * REQUIRES 64-dimensional vectors: the inlined hyperplanes have
+    * exactly 64 components. Other dimensionalities hit dot_product's
+    * length-mismatch NULL, every sign bit falls to its ELSE arm, and
+    * all vectors collapse into one over-cap bucket — output degrades
+    * to (near-)empty rather than silently hashing a truncated
+    * projection. Build planes of the right width via the srpPlane
+    * recipe in SimilarityOps for other dims.
+    *
     * Delegates to SimilarityOps.srpCodeExpr / srpBandPairs — the exact
     * machinery the gated ss10 query runs.
     */
@@ -74,9 +82,13 @@ object Similarity {
       k: Int, nprobe: Int = 1): DataFrame = {
     import graft.operators.SimilarityOps
     CosineSimilarity.register(corpus.sparkSession)
-    SimilarityOps.ivfSearch(
-      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
-      centroids, queryPred, k, nprobe)
+    // evaluate the caller's predicate against THEIR column names, then
+    // normalize — a pred like col("id") < 5 must resolve on the input
+    // frame, not on the internally renamed one
+    val e = corpus.withColumn("_pred", queryPred)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+        col("_pred"))
+    SimilarityOps.ivfSearch(e, centroids, col("_pred"), k, nprobe)
   }
 
   /** Semantic dedup: cluster `corpus` rows over a near-dup `pairs` graph

@@ -15,6 +15,19 @@ object TextOps {
   private[graft] val deWords = "'der','die','das','und','ist'"
   private[graft] val frWords = "'le','la','les','et','est'"
 
+  /** tx01's marker-token score projections (over a lowercased-token
+    * array column named `ltoks`) and its argmax CASE — shared with
+    * Curation.ledger so the language heuristic can't drift between the
+    * standalone query and the ledger's `pred_lang` column.
+    */
+  private[graft] val sparkLangScores: Seq[String] = Seq(
+    s"size(filter(ltoks, w -> w in ($enWords))) as s_en0",
+    s"size(filter(ltoks, w -> w in ($deWords))) as s_de0",
+    s"size(filter(ltoks, w -> w in ($frWords))) as s_fr0")
+  private[graft] val sparkLangCase: String =
+    "case when s_de0 > s_en0 and s_de0 > s_fr0 then 'de' " +
+      "when s_fr0 > s_en0 and s_fr0 >= s_de0 then 'fr' else 'en' end"
+
   // winnowing parameters: k-gram length, window width, Rabin base/prime.
   // k=12/w=8 ⇒ any shared span ≥ w+k-1 = 19 normalized chars yields a
   // shared fingerprint; at k below ~10, common English character grams
@@ -40,9 +53,8 @@ object TextOps {
   /** Winnowed fingerprint set (doc_id, fp) — tx11's plan as a helper,
     * shared with tx12's overlap join.
     *
-    * The whole selection runs INSIDE the scan projection via array
-    * higher-order functions (k-gram hashes → per-window minima →
-    * per-doc distinct), so no per-position row ever crosses an
+    * The whole selection runs INSIDE the scan projection as one native
+    * `WinnowFingerprints` call, so no per-position row ever crosses an
     * exchange. The first cut used explode + a doc-partitioned window
     * min; ShuffleAudit measured it shuffling 18.8 MiB of positions
     * against a 0.6 MiB scan at sf0.1 (ratio 33) — the sort-by-doc the
@@ -88,16 +100,11 @@ object TextOps {
          |  CAST(s_fr AS BIGINT) AS s_fr
          |FROM sc""".stripMargin) { (s, d) =>
       T.documents(s, d)
-        .selectExpr("doc_id", "split(lower(text), '\\\\s+') as toks")
+        .selectExpr("doc_id", "split(lower(text), '\\\\s+') as ltoks")
+        .selectExpr("doc_id" +: sparkLangScores: _*)
         .selectExpr(
           "doc_id",
-          s"size(filter(toks, w -> w in ($enWords))) as s_en0",
-          s"size(filter(toks, w -> w in ($deWords))) as s_de0",
-          s"size(filter(toks, w -> w in ($frWords))) as s_fr0")
-        .selectExpr(
-          "doc_id",
-          "case when s_de0 > s_en0 and s_de0 > s_fr0 then 'de' " +
-            "when s_fr0 > s_en0 and s_fr0 >= s_de0 then 'fr' else 'en' end as pred_lang",
+          s"$sparkLangCase as pred_lang",
           "cast(s_en0 as bigint) as s_en",
           "cast(s_de0 as bigint) as s_de",
           "cast(s_fr0 as bigint) as s_fr")

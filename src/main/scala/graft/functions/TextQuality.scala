@@ -109,6 +109,17 @@ object Dedup {
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       idCol: String, aCol: String, bCol: String): DataFrame = {
+    // fail FAST on non-integral ids: cast("long") on e.g. a string id
+    // column yields NULL for every node, the NULL labels "converge"
+    // immediately, and every downstream keep/drop decision silently
+    // corrupts. String/UUID ids should be hashed to long first
+    // (graft.Portable.hash60).
+    val idType = nodes.schema(nodes.schema.fieldIndex(idCol)).dataType
+    require(Seq("byte", "short", "int", "integer", "long", "bigint")
+      .contains(idType.simpleString),
+      s"connectedComponents needs an integral id column; '$idCol' is " +
+        s"${idType.simpleString} — hash non-numeric ids to long first " +
+        "(e.g. Portable.hash60)")
     // localCheckpoint (eager) TRUNCATES lineage each round — without it
     // round k's plan embeds round k-1's twice (self + neighbor branch),
     // i.e. exponential plan growth that OOMs the driver by ~round 15.

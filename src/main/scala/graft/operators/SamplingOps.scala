@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object SamplingOps {
 
+  /** sm02's content-hash split rule (80/10/10 by source hash), shared
+    * with Curation.ledger so the split boundary can't drift between
+    * the standalone query and the ledger's `split` column.
+    */
+  private[graft] val sparkSplitCase: String =
+    s"case when ${P.hash60("concat('split|', source)")} % 10 < 8 then 'train' " +
+      s"when ${P.hash60("concat('split|', source)")} % 10 = 8 then 'valid' " +
+      "else 'test' end"
+
   val queries: Seq[Q] = Seq(
 
     // Stratified downsampling: per-language sampling rates (en kept at
@@ -55,13 +64,7 @@ object SamplingOps {
          |  lang, count(*) AS n
          |FROM k GROUP BY 1, 2""".stripMargin) { (s, d) =>
       T.documents(s, d)
-        .selectExpr(
-          "lang",
-          s"${P.hash60("concat('split|', source)")} % 10 as bucket")
-        .selectExpr(
-          "case when bucket < 8 then 'train' " +
-            "when bucket = 8 then 'valid' else 'test' end as split",
-          "lang")
+        .selectExpr(s"$sparkSplitCase as split", "lang")
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n"))
     },

@@ -125,11 +125,17 @@ object SimilarityOps {
       cent: org.apache.spark.sql.DataFrame,
       queryPred: org.apache.spark.sql.Column,
       k: Int, nprobe: Int): org.apache.spark.sql.DataFrame = {
-    val scored = e.crossJoin(broadcast(cent))
+    // _q is evaluated on `e` BEFORE the centroid projection so the
+    // predicate may reference any of e's columns (the public ivfTopK
+    // passes a caller-built pred); rows past rank nprobe are dropped
+    // BEFORE the persist so the cache holds N×nprobe rows, not N×C
+    // (the unfiltered scored frame is one row per vector per centroid).
+    val scored = e.withColumn("_q", queryPred)
+      .crossJoin(broadcast(cent))
       .selectExpr(
-        "vec_id", "cell",
+        "vec_id", "cell", "_q",
         s"row_number() over (partition by vec_id order by ${sparkCos("embedding", "ce")} desc, cell) as rn")
-      .withColumn("_q", queryPred)
+      .filter(col("rn") <= math.max(nprobe, 1))
       .persist() // consumed twice (cell assignment + query probe list)
     val assign = scored.filter(col("rn") === 1).select("vec_id", "cell")
     val qc = scored.filter(col("_q") && col("rn") <= nprobe)

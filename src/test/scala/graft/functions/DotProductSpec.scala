@@ -59,11 +59,18 @@ class DotProductSpec extends AnyFunSuite {
       org.apache.spark.sql.catalyst.expressions.Literal.create(
         Array(3.0, 4.0), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
     assert(expr.eval(null).asInstanceOf[Double] == 11.0)
-    // min-length semantics: the fold runs over the shorter prefix
-    val empty = spark.sql(
+    // mismatched lengths → NULL (zip_with pads the short side with
+    // NULLs, nulling the fold — dotting the common prefix silently
+    // would diverge from the oracle rendering)
+    val mismatch = spark.sql(
       "select dot_product(array(cast(1.0 as float)), " +
         "array_remove(array(cast(2.0 as double)), cast(2.0 as double))) as d")
-    assert(empty.head().getDouble(0) == 0.0)
+    assert(mismatch.head().isNullAt(0))
+    // a NULL element also nulls the product
+    val nullElem = spark.sql(
+      "select dot_product(array(cast(1.0 as float), cast(null as float)), " +
+        "array(cast(2.0 as double), cast(3.0 as double))) as d")
+    assert(nullElem.head().isNullAt(0))
   }
 
   test("non-numeric element types are rejected") {

@@ -50,6 +50,21 @@ class SimilarityApiSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("ivfTopK resolves the query predicate against the caller's column names") {
+    // regression: the pred references the USER's id column; the internal
+    // rename to vec_id/embedding must not break resolution
+    val e = graft.Tables.embeddings(spark, sf).select("vec_id", "label", "embedding")
+    val renamed = e.select(col("vec_id").as("id"), col("label"),
+      col("embedding").as("emb"))
+    val api = Similarity.ivfTopK(
+      renamed, "id", "emb",
+      centroids = graft.operators.SimilarityOps.labelCentroids(e),
+      queryPred = col("id") < 5, k = 3, nprobe = 2).collect()
+    val gated = graft.SparkEntry.queries("ss05_ann_nprobe2")(spark, sf).collect()
+    assert(sorted(api) == sorted(gated))
+    spark.catalog.clearCache()
+  }
+
   test("semanticDedup with an empty pair graph keeps every row") {
     import spark.implicits._
     val corpus = (1L to 10L).map(i => (i, i)).toDF("vec_id", "payload")
