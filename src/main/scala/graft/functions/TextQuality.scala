@@ -101,82 +101,123 @@ object Dedup {
 
   /** Connected components over an undirected pair graph: every node gets
     * `cluster_id` = min node id in its component (nodes absent from
-    * `pairs` are singletons labeling themselves). Iterative min-label
-    * propagation: per round each node takes the min label among itself
-    * and its neighbors; rounds = graph diameter, and each round shuffles
-    * only (id, label) pairs — the keep/drop grouping stage of a near-dup
-    * pipeline at scale.
+    * `pairs` are singletons labeling themselves; `pairs` endpoints are
+    * expected to reference `nodes` ids). Alternating large-star /
+    * small-star (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii —
+    * "Connected Components in MapReduce and Beyond", SoCC '14): the edge
+    * set converges to per-component STARS centered at the minimum id in
+    * O(log² n) rounds INDEPENDENT OF GRAPH DIAMETER. Min-label
+    * propagation (the previous implementation) needed diameter rounds —
+    * unbounded for chain-shaped near-dup graphs (doc A ~ B ~ C under
+    * gradual drift), the one remaining scale cliff at 100 TB. Each round
+    * still shuffles only (long, long) edge pairs, and both per-round
+    * aggregations (neighborhood min, edge fingerprint) combine map-side,
+    * so a high-degree hub never materializes its neighbor list anywhere.
+    *
+    *   large-star: ∀u, connect every neighbor v > u to m = min(Γ(u) ∪ {u})
+    *   small-star: ∀u (edges directed big→small), connect every smaller
+    *               neighbor and u itself to m = min(Γ⁻(u) ∪ {u})
+    *
+    * Both steps preserve components and never move an edge's small end
+    * below the component minimum; an edge set fixed under BOTH is exactly
+    * a star forest, whose centers are the component minima.
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       idCol: String, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
     // fail FAST on non-integral ids: cast("long") on e.g. a string id
     // column yields NULL for every node, the NULL labels "converge"
     // immediately, and every downstream keep/drop decision silently
     // corrupts. String/UUID ids should be hashed to long first
-    // (graft.Portable.hash60).
-    val idType = nodes.schema(nodes.schema.fieldIndex(idCol)).dataType
-    require(Seq("byte", "short", "int", "integer", "long", "bigint")
-      .contains(idType.simpleString),
-      s"connectedComponents needs an integral id column; '$idCol' is " +
-        s"${idType.simpleString} — hash non-numeric ids to long first " +
-        "(e.g. Portable.hash60)")
-    // localCheckpoint (eager) TRUNCATES lineage each round — without it
-    // round k's plan embeds round k-1's twice (self + neighbor branch),
-    // i.e. exponential plan growth that OOMs the driver by ~round 15.
+    // (graft.Portable.hash60). Match on DataType, not simpleString —
+    // Spark renders ByteType as "tinyint", never "byte".
+    nodes.schema(nodes.schema.fieldIndex(idCol)).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"connectedComponents needs an integral id column; '$idCol' is " +
+          s"${t.simpleString} — hash non-numeric ids to long first " +
+          "(e.g. Portable.hash60)")
+    }
+    // Edge-set fingerprint (count + decimal-exact xxhash64 sum): the
+    // per-step no-op test. Equal fingerprints ⇒ equal distinct-edge sets
+    // up to a 2⁻⁶⁴-ish hash-sum collision; one tiny map-side-combined
+    // aggregation per step replaces an edges⋈edges set-equality join.
+    def fp(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(
+        count(lit(1)).as("n"),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("s")).head()
+      (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    def same(a: (Long, java.math.BigDecimal), b: (Long, java.math.BigDecimal)) =
+      a._1 == b._1 && a._2.compareTo(b._2) == 0
+    // direct every edge big→small (the small-star orientation; large-star
+    // symmetrizes internally). localCheckpoint (eager) TRUNCATES lineage
+    // each step — without it round k's plan embeds round k−1's several
+    // times over, i.e. exponential plan growth that OOMs the driver.
     // Executor-local blocks are fine for iterative temp state.
-    val edges = pairs
-      .select(col(aCol).as("_src"), col(bCol).as("_dst"))
-      .union(pairs.select(col(bCol).as("_src"), col(aCol).as("_dst")))
+    var edges = pairs
+      .select(
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
       .localCheckpoint() // also cuts the (expensive) pair-derivation lineage
-    // iterate ONLY over edge endpoints: in a near-dup corpus almost every
-    // doc is a singleton, and carrying their (id, id) labels through
-    // every propagation round would dominate the shuffle at scale.
-    // Singletons re-join, labeling themselves, after convergence.
-    val allNodes = nodes
-      .select(col(idCol).as("_node"), col(idCol).cast("long").as("cluster_id"))
-    val endpoints = edges.select(col("_src").as("_node")).distinct()
-    var labels = allNodes
-      .join(endpoints, "_node")
-      .select("_node", "cluster_id")
-      .localCheckpoint()
-    // Convergence test: min-label propagation is MONOTONE (labels only
-    // decrease), so the fixpoint is reached exactly when the decimal-
-    // exact label sum stops changing. One map-side-combined aggregation
-    // per round replaces the labels⋈labels change-count join — the agg
-    // shuffles a few partial rows where the join re-shuffled the whole
-    // label table. (decimal(38,0): 1e12 nodes × 1e12 max ids overflows
-    // a long sum at the design scale.)
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val row = df.agg(sum(col("cluster_id").cast("decimal(38,0)")).as("s")).head()
-      if (row.isNullAt(0)) java.math.BigDecimal.ZERO else row.getDecimal(0)
-    }
-    var prevSum = labelSum(labels)
-    var converged = false
+    var prev = fp(edges)
+    var converged = prev._1 == 0L
     var rounds = 0
-    val maxRounds = 64
-    while (!converged && rounds < maxRounds) { // min-label is monotone: rounds ≈ diameter
+    val maxRounds = 64 // O(log² n) bound — far above any 2⁶⁴-node graph's need
+    while (!converged && rounds < maxRounds) {
       rounds += 1
-      val viaNeighbor = edges
-        .join(labels.withColumnRenamed("_node", "_src"), "_src")
-        .select(col("_dst").as("_node"), col("cluster_id"))
-      val next = labels.select("_node", "cluster_id").union(viaNeighbor)
-        .groupBy("_node")
-        .agg(min("cluster_id").as("cluster_id"))
+      // large-star: group the symmetrized edges by u (min combines
+      // map-side) and attach each strictly-larger neighbor to the
+      // neighborhood minimum. Output stays directed big→small (m ≤ u < v).
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lmin = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.filter(col("v") > col("u"))
+        .join(lmin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
         .localCheckpoint()
-      val nextSum = labelSum(next)
-      converged = prevSum.compareTo(nextSum) == 0
-      prevSum = nextSum
-      labels = next
+      val largeFp = fp(large)
+      // small-star: attach every smaller neighbor AND u itself to the
+      // smallest neighbor (all of Γ(u) is < u here, so min(Γ(u)) = m).
+      val smin = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(smin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(smin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      val cur = fp(small)
+      // converged ⇔ BOTH steps were no-ops this round (a fixpoint of the
+      // composition alone could in principle cycle; of both, only stars)
+      converged = same(prev, largeFp) && same(largeFp, cur)
+      prev = cur
+      edges = small
     }
-    // a graph with diameter > maxRounds would exit with partial labels —
-    // cluster_ids above the true component minimum. Fail loudly: silently
-    // wrong keep/drop groups are worse than a crashed dedup job.
+    // an edge set still changing past maxRounds would yield labels above
+    // the true component minimum. Fail loudly: silently wrong keep/drop
+    // groups are worse than a crashed dedup job.
     require(converged,
-      s"connectedComponents did not converge in $maxRounds rounds " +
-        "(label sum still shrinking) — graph diameter exceeds the cap")
-    // singletons (no edges) label themselves; LEFT ANTI keeps only them
-    val singletons = allNodes.join(labels.select("_node"), Seq("_node"), "left_anti")
-    labels.union(singletons)
-      .withColumnRenamed("_node", idCol).select(idCol, "cluster_id")
+      s"connectedComponents did not converge in $maxRounds star rounds " +
+        "(edge set still changing)")
+    // star forest: leaves point at their component minimum; centers
+    // (the v side) label themselves; each node appears exactly once.
+    val labels = edges.select(col("u").as("_node"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("_node"), col("v").as("cluster_id")))
+      .distinct()
+    // join labels back on the long form of the caller's id (output keeps
+    // the original id column type); singletons label themselves.
+    val keyed = nodes.select(
+      col(idCol).as("_orig"), col(idCol).cast("long").as("_node"))
+    val labeled = keyed.join(labels, "_node")
+      .select(col("_orig"), col("cluster_id"))
+    val singletons = keyed
+      .join(labels.select("_node"), Seq("_node"), "left_anti")
+      .select(col("_orig"), col("_node").as("cluster_id"))
+    labeled.union(singletons)
+      .withColumnRenamed("_orig", idCol).select(idCol, "cluster_id")
   }
 }

@@ -154,7 +154,7 @@ object DedupOps {
       .persist()
 
   /** dd08's full oracle CTE chain — shingle → minhash → r=1 bands →
-    * capped pairs + star edges → recursive min-label closure, ending in
+    * capped pairs + star edges → recursive min-id closure, ending in
     * `comp(doc_id, cluster_id)`. Caller supplies `WITH RECURSIVE` and
     * selects from `comp`. Shared with the curation-ledger oracle so the
     * clustering SQL can't drift between queries.
@@ -183,7 +183,8 @@ object DedupOps {
        |              FROM reach GROUP BY src)""".stripMargin
 
   /** dd08's clustering stage as a helper: minhash r=1 bands → capped
-    * pair + star edges → min-label connected components. Returns
+    * pair + star edges → large-star/small-star connected components.
+    * Returns
     * (doc_id, cluster_id) for every document (singletons label
     * themselves). Shared by the gated dd08 query and the curation
     * ledger so the keep/drop grouping can't diverge from the oracle.
@@ -382,11 +383,10 @@ object DedupOps {
     // Dedup CLUSTERS: connected components over the multi-band LSH
     // candidate graph — the step that turns near-dup pairs into keep/drop
     // groups (cluster_id = min doc_id in the component; singletons label
-    // themselves). Spark side: iterative min-label propagation — per round
-    // each doc takes the min label among itself and its neighbors; rounds
-    // = graph diameter (LSH clusters are near-cliques, 2-3 rounds). Every
-    // round shuffles only (doc_id, label) longs. Oracle: recursive-CTE
-    // transitive closure with the identical min-label reduction.
+    // themselves). Spark side: alternating large-star/small-star
+    // (Dedup.connectedComponents) — O(log² n) rounds independent of graph
+    // diameter, each shuffling only (long, long) edge pairs. Oracle:
+    // recursive-CTE transitive closure with the same min-id reduction.
     //
     // Flood behavior: normal buckets contribute capped pairwise edges;
     // OVERSIZED buckets contribute a linear star (doc → bucket min), so a

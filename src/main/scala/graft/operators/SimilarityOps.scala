@@ -663,7 +663,7 @@ object SimilarityOps {
 
     // Semantic dedup (the embedding-space analogue of dd08): cosine
     // near-dup pairs — ss03's skew-proof block-join plan, shared via
-    // embedNearDupPairs — feed min-label connected components, and each
+    // embedNearDupPairs — feed star-contraction connected components, and each
     // cluster keeps its minimum vec_id as the representative. Output is
     // the deduplicated keep set with merged-member counts: the corpus a
     // training run would actually read after semantic dedup.

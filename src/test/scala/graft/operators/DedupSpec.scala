@@ -57,6 +57,38 @@ class DedupSpec extends AnyFunSuite {
     assert((1000L until 1005L).forall(clusters(_) == 1000L))
   }
 
+  test("connected components converge on a path graph far longer than the round cap") {
+    // A chain-shaped near-dup graph (gradual drift): diameter 600 ≫ the
+    // 64-round cap. Min-label propagation would need 600 rounds and fail
+    // loudly; the large-star/small-star alternation is diameter-
+    // independent (O(log² n) rounds) and must label the whole chain 0.
+    val n = 600L
+    val verts = (0L to n).toDF("doc_id")
+    val edges = (0L until n).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got = graft.functions.Dedup
+      .connectedComponents(verts, edges, "doc_id", "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == n + 1)
+    assert(got.forall(_._2 == 0L), "every chain node must label to the minimum")
+  }
+
+  test("connected components accept narrow integral ids and reject strings") {
+    // tinyint/smallint render as "tinyint"/"smallint" — the DataType
+    // match must admit them (the old simpleString guard wrongly rejected
+    // them) and still reject non-integral ids fast.
+    val verts = Seq(1, 2, 3).toDF("id").select(col("id").cast("smallint").as("id"))
+    val edges = Seq((1, 2)).toDF("a", "b")
+      .select(col("a").cast("smallint").as("a"), col("b").cast("smallint").as("b"))
+    val got = graft.functions.Dedup.connectedComponents(verts, edges, "id", "a", "b")
+      .collect().map(r => (r.getShort(0).toLong, r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    val bad = intercept[IllegalArgumentException] {
+      graft.functions.Dedup.connectedComponents(
+        Seq("a", "b").toDF("id"), Seq(("a", "b")).toDF("a", "b"), "id", "a", "b")
+    }
+    assert(bad.getMessage.contains("integral id column"))
+  }
+
   test("Dedup.clusters API equals the gated dd08 query") {
     val docs = graft.Tables.documents(spark, sf)
     val api = graft.functions.Dedup.clusters(docs, "doc_id", "text")
