@@ -41,26 +41,34 @@ object Similarity {
     * buckets, exact cosine verification at `minCosine`. Returns
     * distinct (a_id, b_id) with a_id < b_id.
     *
-    * REQUIRES 64-dimensional vectors: the inlined hyperplanes have
-    * exactly 64 components. Other dimensionalities hit dot_product's
-    * length-mismatch NULL, every sign bit falls to its ELSE arm, and
-    * all vectors collapse into one over-cap bucket — output degrades
-    * to (near-)empty rather than silently hashing a truncated
-    * projection. Build planes of the right width via the srpPlane
-    * recipe in SimilarityOps for other dims.
+    * `dim` sets the hyperplane width and must match the embedding
+    * dimensionality (default 64, the fixture's width; pass dim=384 for
+    * 384-dim embeddings, etc.). Rows whose vector is NULL or of any
+    * other length FAIL THE JOB with an actionable error — without the
+    * guard every sign bit of a mismatched vector falls to its ELSE arm
+    * and the whole corpus collapses into one over-cap bucket, silently
+    * returning an arbitrary id-capped subset (the round-5 weak spot).
     *
     * Delegates to SimilarityOps.srpCodeExpr / srpBandPairs — the exact
     * machinery the gated ss10 query runs.
     */
   def srpNearDup(df: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double = 0.3, bucketCap: Int = 64): DataFrame = {
+      minCosine: Double = 0.3, bucketCap: Int = 64, dim: Int = 64): DataFrame = {
     import graft.operators.SimilarityOps
     val spark = df.sparkSession
     CosineSimilarity.register(spark)
     DotProduct.register(spark)
-    val e = df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    // in-plan guard: stays in the row path (unlike a droppable
+    // assert_true column, which the optimizer would prune away)
+    val guarded = when(col(vecCol).isNotNull && size(col(vecCol)) === dim,
+      col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"srpNearDup: expected $dim-dim vectors (pass dim= to match " +
+          "your embeddings), got "),
+        coalesce(size(col(vecCol)).cast("string"), lit("NULL")))))
+    val e = df.select(col(idCol).as("vec_id"), guarded.as("embedding"))
     val codes = e.selectExpr(
-      "vec_id", s"${SimilarityOps.srpCodeExpr("embedding")} as code")
+      "vec_id", s"${SimilarityOps.srpCodeExpr("embedding", dim)} as code")
     SimilarityOps.srpBandPairs(codes, bucketCap)
       .join(e.select(col("vec_id").as("a_id"), col("embedding").as("ea")), "a_id")
       .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb")), "b_id")

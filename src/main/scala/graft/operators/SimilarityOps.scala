@@ -63,14 +63,17 @@ object SimilarityOps {
   }
 
   /** 64-bit SRP sign code of `vecCol` — 32 inlined-literal hyperplane
-    * dots in one codegen'd projection (no join, no shuffle). Callers
-    * must have run `DotProduct.register` on the session. Shared by the
-    * gated ss10 query and the public `Similarity.srpNearDup` API so the
-    * two can never diverge.
+    * dots in one codegen'd projection (no join, no shuffle). Plane
+    * components are generated at width `d` (default: the fixture's 64),
+    * so any embedding dimensionality gets real hyperplanes, not
+    * length-mismatch NULL dots. Callers must have run
+    * `DotProduct.register` on the session. Shared by the gated ss10
+    * query and the public `Similarity.srpNearDup` API so the two can
+    * never diverge.
     */
-  private[graft] def srpCodeExpr(vecCol: String): String =
+  private[graft] def srpCodeExpr(vecCol: String, d: Int = dim): String =
     (0 until 32).map { p =>
-      val arr = (1 to dim)
+      val arr = (1 to d)
         .map(i => s"${srpPlane(p, i)}d").mkString("array(", ", ", ")")
       s"(case when ${sparkDot(vecCol, arr)} > 0 then ${1L << p}L else 0L end)"
     }.mkString("", " + ", "")

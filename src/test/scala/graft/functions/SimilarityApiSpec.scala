@@ -23,6 +23,36 @@ class SimilarityApiSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("srpNearDup is dimension-parametric: 32-dim vectors with dim=32") {
+    import spark.implicits._
+    // two groups of identical 32-dim vectors, mutually orthogonal: every
+    // within-group pair must surface (identical code -> same buckets,
+    // cosine 1.0), no cross-group pair survives the cosine filter (0.0)
+    val a = Array.tabulate(32)(i => if (i % 2 == 0) 1.0f else 0.0f)
+    val b = Array.tabulate(32)(i => if (i % 2 == 1) 1.0f else 0.0f)
+    val df = ((0L until 5L).map(i => (i, a)) ++ (5L until 10L).map(i => (i, b)))
+      .toDF("id", "emb")
+    val pairs = Similarity.srpNearDup(df, "id", "emb", dim = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val withinA = (for (i <- 0L until 5L; j <- i + 1 until 5L) yield (i, j)).toSet
+    val withinB = (for (i <- 5L until 10L; j <- i + 1 until 10L) yield (i, j)).toSet
+    assert(pairs == withinA ++ withinB)
+  }
+
+  test("srpNearDup fails fast on mismatched vector dimensionality") {
+    import spark.implicits._
+    // the round-5 weak spot: 32-dim input against the default 64-dim
+    // planes must ERROR with an actionable message, never silently
+    // return an id-capped subset
+    val df = (0L until 6L).map(i => (i, Array.fill(32)(1.0f))).toDF("id", "emb")
+    val ex = intercept[Exception] {
+      Similarity.srpNearDup(df, "id", "emb").collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage}\n${msgs(t.getCause)}"
+    assert(msgs(ex).contains("expected 64-dim vectors"))
+  }
+
   test("semanticDedup over srpNearDup pairs merges every SRP pair") {
     // the no-blocking-key scale path: SRP candidates -> CC -> keep set.
     // Different pair generator than gated dd14, so compare invariants,
