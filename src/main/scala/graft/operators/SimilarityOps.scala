@@ -116,6 +116,34 @@ object SimilarityOps {
       .filter(col("rn") === 1)
       .drop("rn")
 
+  /** TRAINED centroids: each label's decimal-exact per-dimension mean
+    * vector — the real-codebook counterpart of `labelCentroids`' pick-
+    * first medoid (ss04's aggregation extended to every dimension).
+    * Components are quantized to FLOAT so the cosine kernel's
+    * (array<float>, array<float>) signature stays exact on both
+    * engines; decimal sums make the grouped mean order-insensitive
+    * under any partitioning. One codegen'd scan, map-side partials —
+    * the centroid table stays k-ish rows, broadcastable at any corpus
+    * size.
+    */
+  private[graft] def trainedCentroids(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val aggs = count(lit(1)).as("n") +: (1 to dim).map(i => expr(
+      s"sum(cast(cast(element_at(embedding, $i) as double) as decimal(28,8)))")
+      .as(s"s$i"))
+    val ce = (1 to dim)
+      .map(i => s"cast(cast(s$i as double) / n as float)")
+      .mkString("array(", ", ", ")")
+    e.groupBy("label")
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr("label as cell", s"$ce as ce")
+  }
+
+  /** DuckDB rendering of one trained-centroid component (kept beside
+    * the Spark rendering above so the two can't drift).
+    */
+  private def duckCentDim(i: Int): String =
+    s"CAST(CAST(SUM(CAST(embedding[$i]::DOUBLE AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS FLOAT)"
+
   /** IVF top-k search over a corpus with a supplied centroid table
     * `cent(cell, ce)`: ONE scored pass against the BROADCAST centroids
     * feeds both the per-vector cell assignment (rn = 1, cells disjoint
@@ -700,6 +728,78 @@ object SimilarityOps {
       val e = T.embeddings(s, d).select("vec_id", "label", "embedding")
       graft.functions.Similarity
         .semanticDedup(e, "vec_id", embedNearDupPairs(s, e))
+    },
+
+    // IVF with a TRAINED codebook + recall@3: ss04's decimal-exact
+    // per-label means (extended to all 64 dims, float-quantized) feed
+    // the shared `ivfSearch` as the centroid table — the "real codebook"
+    // path end-to-end, where ss02/ss05/ss08 use the deterministic
+    // pick-first medoid. nprobe=2 exercises the probe-list arm against
+    // trained cells; output is recall@3 vs the exact cosine top-3 per
+    // query, ss08's evaluation row for the trained arm.
+    //
+    // Scale notes (100 TB): training is ONE map-side-combined grouped
+    // aggregation over the corpus (no window, no sample needed — means
+    // are closed-form); the centroid table stays k rows and broadcasts;
+    // everything downstream is the audited ivfSearch plan (scored pass
+    // persisted at N×nprobe rows, candidates only from probed cells).
+    Q(
+      "ss11_ivf_trained_recall",
+      s"""WITH cent AS (
+         |  SELECT label AS cell,
+         |    ${(1 to dim).map(duckCentDim).mkString("[", ", ", "]")} AS ce
+         |  FROM embeddings GROUP BY label),
+         |  scored AS (
+         |    SELECT e.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.embedding", "c.ce")} DESC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN cent c),
+         |  assign AS (SELECT vec_id, cell FROM scored WHERE rn = 1),
+         |  qc AS (SELECT vec_id AS q_id, cell FROM scored
+         |         WHERE vec_id < 5 AND rn <= 2),
+         |  q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+         |        WHERE vec_id < 5),
+         |  ivf AS (SELECT q_id, n_id FROM (
+         |    SELECT q.q_id, e.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${duckCos("q.qe", "e.embedding")} DESC, e.vec_id) AS rn
+         |    FROM q JOIN qc ON qc.q_id = q.q_id
+         |           JOIN assign a ON a.cell = qc.cell
+         |           JOIN embeddings e ON e.vec_id = a.vec_id
+         |    WHERE e.vec_id <> q.q_id) WHERE rn <= 3),
+         |  exact AS (SELECT q_id, n_id FROM (
+         |    SELECT q.q_id, e.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${duckCos("q.qe", "e.embedding")} DESC, e.vec_id) AS rn
+         |    FROM q CROSS JOIN embeddings e
+         |    WHERE e.vec_id <> q.q_id) WHERE rn <= 3)
+         |SELECT x.q_id, count(i.n_id) AS n_hit,
+         |  (count(i.n_id) * 100) // 3 AS recall_x100
+         |FROM exact x LEFT JOIN ivf i ON i.q_id = x.q_id AND i.n_id = x.n_id
+         |GROUP BY x.q_id""".stripMargin) { (s, d) =>
+      graft.functions.CosineSimilarity.register(s)
+      val e = T.embeddings(s, d).select("vec_id", "label", "embedding")
+      val ivf = ivfSearch(e, trainedCentroids(e), col("vec_id") < 5,
+        k = 3, nprobe = 2)
+        .select(col("q_id").as("hq_id"), col("n_id").as("hit_id"))
+      val exact = broadcast(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe")))
+        .crossJoin(e.select(col("vec_id").as("n_id"), col("embedding").as("ne")))
+        .filter(col("n_id") =!= col("q_id"))
+        .selectExpr(
+          "q_id", "n_id",
+          s"row_number() over (partition by q_id order by ${sparkCos("qe", "ne")} desc, n_id) as rn")
+        .filter(col("rn") <= 3)
+        .select("q_id", "n_id")
+      exact.join(
+        ivf,
+        col("q_id") === col("hq_id") && col("n_id") === col("hit_id"),
+        "left")
+        .groupBy("q_id")
+        .agg(
+          count(col("hit_id")).as("n_hit"),
+          expr("(count(hit_id) * 100) div 3").as("recall_x100"))
     }
   )
 }

@@ -52,6 +52,20 @@ class QuerySpec extends AnyFunSuite {
       hits >= 0 && hits <= 3 && r.getLong(2) == hits * 100 / 3 })
   }
 
+  test("ss11 trained-centroid IVF recall rows are well-formed per query vector") {
+    val rows = SparkEntry.queries("ss11_ivf_trained_recall")(spark, sf).collect()
+    assert(rows.length == 5) // one row per query vector (vec_id < 5)
+    assert(rows.forall { r =>
+      val hits = r.getLong(1)
+      hits >= 0 && hits <= 3 && r.getLong(2) == hits * 100 / 3 })
+    // trained codebook: one centroid per label, full-width float means
+    val e = graft.Tables.embeddings(spark, sf).select("vec_id", "label", "embedding")
+    val cent = graft.operators.SimilarityOps.trainedCentroids(e).collect()
+    assert(cent.length == e.select("label").distinct().count())
+    assert(cent.forall(_.getSeq[Float](1).length == 64))
+    spark.catalog.clearCache()
+  }
+
   // Registered AFTER the full per-query sweep above (funsuite runs tests
   // in registration order): the persist() sites inside the queries rely
   // on the documented caller contract — bench/verify run
