@@ -107,6 +107,36 @@ object CosineSimilarity {
       "built-in")
 }
 
+/** Plan-time extraction of literal scalar arguments for SQL-registered
+  * graft functions (winnow_fps' k/w, reservoir_sample's n/seed). These
+  * parameters shape the expression itself, so they must be FOLDABLE,
+  * DETERMINISTIC literals: a column reference would otherwise die as an
+  * obscure NPE/ClassCastException inside `eval()`, and a foldable-but-
+  * nondeterministic expression would be silently frozen at plan time.
+  * Raised from the function builder, the error surfaces as a clear
+  * analysis-time failure on the user's query.
+  */
+private[functions] object LiteralArg {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  def int(fn: String, arg: String, e: Expression): Int =
+    num(fn, arg, e).intValue()
+  def long(fn: String, arg: String, e: Expression): Long =
+    num(fn, arg, e).longValue()
+  private def num(fn: String, arg: String, e: Expression): Number = {
+    if (!e.foldable || !e.deterministic)
+      throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer literal, got ${e.sql}")
+    e.eval() match {
+      case n: Number => n
+      case null => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer literal, got NULL (${e.sql})")
+      case _ => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer literal, got ${e.sql} of type " +
+          e.dataType.simpleString)
+    }
+  }
+}
+
 /** Session-extension deployment path: sessions built with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
   * (or `.withExtensions(new GraftExtensions)`) get graft's native
@@ -134,8 +164,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WinnowFingerprints(
           exprs(0),
-          exprs(1).eval().asInstanceOf[Number].intValue(),
-          exprs(2).eval().asInstanceOf[Number].intValue())))
+          LiteralArg.int("winnow_fps", "k", exprs(1)),
+          LiteralArg.int("winnow_fps", "w", exprs(2)))))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("reservoir_sample"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
@@ -143,8 +173,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ReservoirSample(
           exprs(0),
-          exprs(1).eval().asInstanceOf[Number].intValue(),
-          if (exprs.size > 2) exprs(2).eval().asInstanceOf[Number].longValue() else 42L)
+          LiteralArg.int("reservoir_sample", "n", exprs(1)),
+          if (exprs.size > 2) LiteralArg.long("reservoir_sample", "seed", exprs(2))
+          else 42L)
           .toAggregateExpression()))
   }
 }

@@ -126,14 +126,18 @@ case class ReservoirSample(
 }
 
 object ReservoirSample {
-  /** Register `reservoir_sample(col, k, seed)` on a session. */
+  /** Register `reservoir_sample(col, k, seed)` on a session. k and seed
+    * must be integer literals (validated — clear analysis-time error,
+    * not an eval NPE).
+    */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "reservoir_sample",
       exprs => ReservoirSample(
         exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        if (exprs.size > 2) exprs(2).eval().asInstanceOf[Number].longValue() else 42L)
+        LiteralArg.int("reservoir_sample", "n", exprs(1)),
+        if (exprs.size > 2) LiteralArg.long("reservoir_sample", "seed", exprs(2))
+        else 42L)
         .toAggregateExpression(),
       "built-in")
 }

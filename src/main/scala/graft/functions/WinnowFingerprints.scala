@@ -108,13 +108,16 @@ object WinnowFingerprints {
     column(WinnowFingerprints(expression(s), k, w))
   }
 
-  /** Register `winnow_fps(str, k, w)` for SQL use on a session. */
+  /** Register `winnow_fps(str, k, w)` for SQL use on a session. k and w
+    * must be integer literals (validated — clear analysis-time error,
+    * not an eval NPE).
+    */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_fps",
       exprs => WinnowFingerprints(
         exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue()),
+        LiteralArg.int("winnow_fps", "k", exprs(1)),
+        LiteralArg.int("winnow_fps", "w", exprs(2))),
       "built-in")
 }

@@ -32,4 +32,35 @@ class GraftExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(prev)
     }
   }
+
+  test("winnow_fps rejects non-literal k/w with a clear analysis error") {
+    val spark = graft.SparkTestSession.spark
+    WinnowFingerprints.register(spark)
+    graft.Tables.documents(spark, graft.SparkTestSession.sf).limit(5)
+      .createOrReplaceTempView("docs_lit")
+    val colK = intercept[Exception] {
+      spark.sql("select winnow_fps(text, cast(doc_id as int), 4) from docs_lit").collect()
+    }
+    assert(colK.getMessage.contains("k must be an integer literal"))
+    val strW = intercept[Exception] {
+      spark.sql("select winnow_fps(text, 5, 'wide') from docs_lit").collect()
+    }
+    assert(strW.getMessage.contains("w must be an integer literal"))
+    // foldable literals still work, including arithmetic that folds
+    assert(spark.sql("select winnow_fps(text, 5, 2 + 2) from docs_lit").count() == 5)
+  }
+
+  test("reservoir_sample rejects non-literal n/seed with a clear analysis error") {
+    val spark = graft.SparkTestSession.spark
+    ReservoirSample.register(spark)
+    val bad = intercept[Exception] {
+      spark.range(10).selectExpr("reservoir_sample(id, id)").collect()
+    }
+    assert(bad.getMessage.contains("n must be an integer literal"))
+    val badSeed = intercept[Exception] {
+      spark.range(10).selectExpr("reservoir_sample(id, 4, rand())").collect()
+    }
+    assert(badSeed.getMessage.contains("seed must be an integer literal"))
+    assert(spark.range(10).selectExpr("reservoir_sample(id, 4, 7)").count() == 1)
+  }
 }
