@@ -309,6 +309,7 @@ object TextOps {
         |FROM top CROSS JOIN tot""".stripMargin) { (s, d) =>
       val tok = T.documents(s, d)
         .selectExpr("explode(split(lower(text), '\\\\s+')) as w")
+      // released by caller clearCache; reruns dedup via CacheManager
       val cnt = tok.groupBy("w").agg(count(lit(1)).as("n")).persist()
       // total token occurrences = sum over the grouped counts — derived
       // from cnt instead of a second full tokenize+explode of the corpus

@@ -41,7 +41,9 @@ object MlDedup {
   def nearDupPairs(docs: DataFrame, maxDistance: Double): DataFrame = {
     val model = pipeline().fit(docs)
     // materialize: approxSimilarityJoin self-joins this frame, and the
-    // tokenize→shingle→TF→minhash chain would otherwise run twice
+    // tokenize→shingle→TF→minhash chain would otherwise run twice.
+    // Released by caller clearCache; reruns reuse the entry (CacheManager
+    // dedups by plan — CacheHygieneSpec)
     val hashed = model.transform(docs).persist()
     // token-set vectors with zero set bits break MinHash; docs are non-empty
     val lshModel = model.stages.last.asInstanceOf[org.apache.spark.ml.feature.MinHashLSHModel]

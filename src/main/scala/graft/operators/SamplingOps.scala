@@ -83,7 +83,8 @@ object SamplingOps {
       val counts = T.orders(s, d)
         .groupBy(col("o_custkey").as("key"))
         .agg(count(lit(1)).as("n"))
-        .persist() // feeds both the total and the top-10
+        .persist() // feeds both the total and the top-10; caller clearCache
+        // releases it, reruns dedup via CacheManager (CacheHygieneSpec)
       // total rows = sum of the per-key counts — no second scan of the
       // fact table just for one scalar
       val total = counts.agg(sum("n").as("total"))

@@ -167,7 +167,10 @@ object SimilarityOps {
         "vec_id", "cell", "_q",
         s"row_number() over (partition by vec_id order by ${sparkCos("embedding", "ce")} desc, cell) as rn")
       .filter(col("rn") <= math.max(nprobe, 1))
-      .persist() // consumed twice (cell assignment + query probe list)
+      // consumed twice (cell assignment + query probe list); released by
+      // caller clearCache — reruns reuse the entry (CacheManager dedups
+      // by plan; asserted in CacheHygieneSpec)
+      .persist()
     val assign = scored.filter(col("rn") === 1).select("vec_id", "cell")
     val qc = scored.filter(col("_q") && col("rn") <= nprobe)
       .select(col("vec_id").as("q_id"), col("cell"))
