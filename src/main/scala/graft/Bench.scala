@@ -111,9 +111,19 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.filter(!_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = round3(results.filter(_._4).map(_._2).sum)
+    // Host-contention detector: on an idle host min≈median; a busy host
+    // inflates some reps, widening the gap. Flag the run as noisy when
+    // median/min > 1.5 on ≥ 5 non-trivial queries (min ≥ 0.1 s — below
+    // that the ratio is dominated by scheduler jitter, not contention),
+    // so a reader discounts regressions without a manual re-run.
+    val noisyCount = results.count { case (_, mn, md, ok) =>
+      ok && mn >= 0.1 && md / mn > 1.5
+    }
+    val noisy = noisyCount >= 5
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""queries_median":$qsMed,"failed":$failed,""" +
+        s""""noisy":$noisy,"noisy_queries":$noisyCount,""" +
         s""""flagship_failed":$flagshipFailed,""" +
         s""""pipeline_elements_per_sec":$flagshipRate,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json)
