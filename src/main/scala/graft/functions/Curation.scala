@@ -44,4 +44,32 @@ object Curation {
         "is_quality and exact_keep and cluster_id = doc_id as kept")
       .withColumnRenamed("doc_id", idCol)
   }
+
+  /** ADAPTIVE quality filtering: keep each document scoring STRICTLY
+    * above its own source's median quality score — per-group thresholds
+    * instead of one global band, so a low-quality source doesn't set
+    * the bar for a high-quality one (and vice versa). The score is
+    * tx02's mean-token-length×100 (integer-exact); the median is the
+    * deterministic LOWER median (score at row (n+1) div 2 under
+    * (score, id) order), computed as a second window over the SAME
+    * source partitioning — one exchange of (id, source, score) rows,
+    * text never shuffles, no self-join.
+    */
+  def adaptiveQualityKeep(docs0: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", sourceCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bysrc = Window.partitionBy("source")
+    docs0.selectExpr(
+        s"$idCol as doc_id", s"$sourceCol as source",
+        s"cast(floor(cast(100 as double) * length($textCol) / " +
+          s"size(split(lower($textCol), '\\\\s+'))) as bigint) as score")
+      .withColumn("rn",
+        row_number().over(bysrc.orderBy(col("score"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(bysrc))
+      .withColumn("med",
+        max(when(expr("rn = (n + 1) div 2"), col("score"))).over(bysrc))
+      .filter(col("score") > col("med"))
+      .select(col("doc_id").as(idCol), col("source").as(sourceCol),
+        col("score"), col("med"))
+  }
 }

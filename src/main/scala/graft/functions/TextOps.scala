@@ -422,7 +422,36 @@ object TextOps {
            |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
            |FROM small a JOIN small b ON a.fp = b.fp AND a.doc_id < b.doc_id
            |GROUP BY a_id, b_id HAVING count(*) >= 5""".stripMargin
-      }) { (s, d) => winnowOverlap(winnowFps(T.documents(s, d))) }
+      }) { (s, d) => winnowOverlap(winnowFps(T.documents(s, d))) },
+
+    // Gopher-style composite quality rules (TextQuality.gopherFlags):
+    // five integer-exact rule flags + the conjunction, one codegen'd
+    // scan projection. The per-rule flags are the audit artifact — a
+    // corpus report says WHICH rule dropped each document, not just
+    // how many were dropped.
+    Q(
+      "tx13_gopher_rules",
+      s"""WITH t AS (SELECT doc_id, text,
+         |    regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
+         |    s AS (SELECT doc_id,
+         |      len(toks) AS ntok, length(text) AS nchar,
+         |      len(list_distinct(toks)) AS ndist,
+         |      list_max(list_transform(list_distinct(toks),
+         |        w -> len(list_filter(toks, t -> t = w)))) AS maxfreq,
+         |      len(list_filter(toks, w -> w IN ($enWords))) AS nstop
+         |      FROM t),
+         |    r AS (SELECT doc_id,
+         |      ntok BETWEEN 30 AND 100000 AS r_wc,
+         |      3 * ntok <= nchar AND nchar <= 10 * ntok AS r_len,
+         |      20 * nstop >= ntok AS r_stop,
+         |      10 * ndist >= 3 * ntok AS r_dist,
+         |      4 * maxfreq <= ntok AS r_rep
+         |      FROM s)
+         |SELECT doc_id, r_wc, r_len, r_stop, r_dist, r_rep,
+         |  r_wc AND r_len AND r_stop AND r_dist AND r_rep AS pass
+         |FROM r""".stripMargin) { (s, d) =>
+      TextQuality.gopherFlags(T.documents(s, d))
+    }
   )
 
   /** Overlap pairs from a winnowed (doc_id, fp) set: pairs sharing

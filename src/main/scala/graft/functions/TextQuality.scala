@@ -39,6 +39,39 @@ object TextQuality {
   def filterQuality(df: DataFrame, textCol: String = "text",
       t: Thresholds = Thresholds()): DataFrame =
     df.filter(isQuality(textCol, t))
+
+  /** Gopher-style composite quality rules (Rae et al. 2021, adapted to
+    * the signals the corpus carries): per document, one boolean flag per
+    * rule plus the conjunction. All-INTEGER arithmetic (ratio bounds are
+    * multiplied out) so the verdicts are bit-identical across engines,
+    * and the whole thing is one codegen'd scan projection — no shuffle,
+    * no UDF. Rules:
+    *   r_wc    30 ≤ ntok ≤ 100000          (word-count band)
+    *   r_len   3·ntok ≤ nchar ≤ 10·ntok    (mean token length band)
+    *   r_stop  20·nstop ≥ ntok             (stopword ratio ≥ 5%)
+    *   r_dist  10·ndistinct ≥ 3·ntok       (type/token ratio ≥ 0.3)
+    *   r_rep   4·maxfreq ≤ ntok            (no token above 25% of doc)
+    * Shared by the gated tx13 query (which carries the DuckDB oracle).
+    */
+  def gopherFlags(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    df.selectExpr(idCol,
+        s"$textCol as _text", s"split(lower($textCol), '\\\\s+') as _toks")
+      .selectExpr(idCol,
+        "size(_toks) as _ntok",
+        "length(_text) as _nchar",
+        "size(array_distinct(_toks)) as _ndist",
+        "array_max(transform(array_distinct(_toks), " +
+          "w -> size(filter(_toks, t -> t = w)))) as _maxfreq",
+        s"size(filter(_toks, w -> w in ($stopwords))) as _nstop")
+      .selectExpr(idCol,
+        "_ntok between 30 and 100000 as r_wc",
+        "3 * _ntok <= _nchar and _nchar <= 10 * _ntok as r_len",
+        "20 * _nstop >= _ntok as r_stop",
+        "10 * _ndist >= 3 * _ntok as r_dist",
+        "4 * _maxfreq <= _ntok as r_rep")
+      .selectExpr(idCol, "r_wc", "r_len", "r_stop", "r_dist", "r_rep",
+        "r_wc and r_len and r_stop and r_dist and r_rep as pass")
 }
 
 /** Dedup driver APIs — function-shaped entry points over the plans the

@@ -67,5 +67,28 @@ object CurationOps {
          |FROM lang l JOIN qual q USING (doc_id) JOIN ek e USING (doc_id)
          |  JOIN comp c USING (doc_id) JOIN sp s USING (doc_id)""".stripMargin) { (s, d) =>
       graft.functions.Curation.ledger(T.documents(s, d))
+    },
+
+    // Adaptive per-source quality thresholding (Curation
+    // .adaptiveQualityKeep): keep documents strictly above their own
+    // source's median score. The lower median at row (n+1)÷2 under
+    // (score, doc_id) order is deterministic in both engines — never
+    // percentile interpolation, which Spark and DuckDB round
+    // differently.
+    Q(
+      "cu02_adaptive_quality",
+      """WITH s AS (SELECT doc_id, source,
+        |      CAST(FLOOR(CAST(100 AS DOUBLE) * length(text)
+        |           / len(regexp_split_to_array(lower(text), '\s+'))) AS BIGINT) AS score
+        |      FROM documents),
+        |     r AS (SELECT doc_id, source, score,
+        |      row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rn,
+        |      count(*) OVER (PARTITION BY source) AS n FROM s),
+        |     w AS (SELECT doc_id, source, score,
+        |      max(CASE WHEN rn = (n + 1) // 2 THEN score END)
+        |        OVER (PARTITION BY source) AS med FROM r)
+        |SELECT doc_id, source, score, med FROM w
+        |WHERE score > med""".stripMargin) { (s, d) =>
+      graft.functions.Curation.adaptiveQualityKeep(T.documents(s, d))
     })
 }

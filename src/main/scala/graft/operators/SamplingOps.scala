@@ -94,6 +94,45 @@ object SamplingOps {
           "cast(floor(cast(10000 as double) * n / total) as bigint) as share_bp")
         .orderBy(col("n").desc, col("key"))
         .limit(10)
+    },
+
+    // Domain-mixture rebalancing (DoReMi/Pile-style): downsample every
+    // source toward a UNIFORM target mixture at half the corpus size.
+    // Per-source keep probability p_s = min(1, quota/n_s) with
+    // quota = total div (2·nsrc), realized DETERMINISTICALLY as a
+    // hash-ppm threshold on doc_id (so membership is stable across
+    // runs/retries — the property that makes the sample reproducible
+    // on a 1000-executor rerun). All-integer arithmetic.
+    // Scale: the fact table never shuffles — per-source counts are a
+    // map-side-combined agg (nsrc rows), the ppm table broadcasts back,
+    // membership is a scan-local filter; the gate rolls up per source.
+    Q(
+      "sm04_mixture_weights",
+      s"""WITH n AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+         |     t AS (SELECT CAST(sum(n_src) AS BIGINT) AS total,
+         |                  count(*) AS nsrc FROM n),
+         |     p AS (SELECT source, n_src,
+         |           least(1000000, (1000000 * (total // (2 * nsrc))) // n_src) AS keep_ppm
+         |           FROM n CROSS JOIN t),
+         |     k AS (SELECT d.source,
+         |           CASE WHEN ${P.duckHash60("'mix|' || CAST(d.doc_id AS VARCHAR)")} % 1000000
+         |                     < p.keep_ppm THEN 1 END AS kp
+         |           FROM documents d JOIN p USING (source))
+         |SELECT k.source, count(*) AS total, count(kp) AS kept
+         |FROM k GROUP BY k.source""".stripMargin) { (s, d) =>
+      val docs = T.documents(s, d)
+      val n = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+      val t = n.agg(sum("n_src").cast("bigint").as("total"),
+        count(lit(1)).as("nsrc"))
+      val p = n.crossJoin(broadcast(t))
+        .selectExpr("source", "n_src",
+          "least(1000000, (1000000 * (total div (2 * nsrc))) div n_src) as keep_ppm")
+      docs.join(broadcast(p), "source")
+        .selectExpr("source",
+          s"case when ${P.hash60("concat('mix|', cast(doc_id as string))")} % 1000000" +
+            " < keep_ppm then 1 end as kp")
+        .groupBy("source")
+        .agg(count(lit(1)).as("total"), count(col("kp")).as("kept"))
     }
   )
 }

@@ -66,6 +66,38 @@ class QuerySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("tx13 gopher flags: pass is exactly the conjunction of the rules") {
+    val rows = SparkEntry.queries("tx13_gopher_rules")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getBoolean(6) ==
+      (r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3) &&
+        r.getBoolean(4) && r.getBoolean(5))))
+  }
+
+  test("sm04 mixture: kept ≤ total per source, global kept near half") {
+    val rows = SparkEntry.queries("sm04_mixture_weights")(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1)))
+    val total = rows.map(_.getLong(1)).sum
+    val kept = rows.map(_.getLong(2)).sum
+    // target mixture is uniform at half the corpus; the hash threshold
+    // realizes each source's quota in expectation — allow sampling slack
+    assert(kept > total / 4 && kept < 3 * total / 4,
+      s"kept $kept of $total is far from the half-corpus target")
+  }
+
+  test("cu02 adaptive quality: strictly-above-median keeps under half per source") {
+    val kept = SparkEntry.queries("cu02_adaptive_quality")(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = Tables.documents(spark, sf).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.nonEmpty)
+    kept.foreach { case (src, k) =>
+      assert(2 * k <= sizes(src),
+        s"$src keeps $k of ${sizes(src)} — above-median can keep at most half")
+    }
+  }
+
   // Registered AFTER the full per-query sweep above (funsuite runs tests
   // in registration order): the persist() sites inside the queries rely
   // on the documented caller contract — bench/verify run
