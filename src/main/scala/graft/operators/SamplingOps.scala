@@ -18,10 +18,11 @@ object SamplingOps {
     * with Curation.ledger so the split boundary can't drift between
     * the standalone query and the ledger's `split` column.
     */
-  private[graft] val sparkSplitCase: String =
-    s"case when ${P.hash60("concat('split|', source)")} % 10 < 8 then 'train' " +
-      s"when ${P.hash60("concat('split|', source)")} % 10 = 8 then 'valid' " +
+  private[graft] def splitCaseFor(c: String): String =
+    s"case when ${P.hash60(s"concat('split|', $c)")} % 10 < 8 then 'train' " +
+      s"when ${P.hash60(s"concat('split|', $c)")} % 10 = 8 then 'valid' " +
       "else 'test' end"
+  private[graft] val sparkSplitCase: String = splitCaseFor("source")
 
   val queries: Seq[Q] = Seq(
 
@@ -120,17 +121,10 @@ object SamplingOps {
          |           FROM documents d JOIN p USING (source))
          |SELECT k.source, count(*) AS total, count(kp) AS kept
          |FROM k GROUP BY k.source""".stripMargin) { (s, d) =>
-      val docs = T.documents(s, d)
-      val n = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
-      val t = n.agg(sum("n_src").cast("bigint").as("total"),
-        count(lit(1)).as("nsrc"))
-      val p = n.crossJoin(broadcast(t))
-        .selectExpr("source", "n_src",
-          "least(1000000, (1000000 * (total div (2 * nsrc))) div n_src) as keep_ppm")
-      docs.join(broadcast(p), "source")
-        .selectExpr("source",
-          s"case when ${P.hash60("concat('mix|', cast(doc_id as string))")} % 1000000" +
-            " < keep_ppm then 1 end as kp")
+      // the rollup aggregates the SAME flag machinery the public
+      // Sampling.mixtureSample API filters on — API ≡ oracle
+      graft.functions.Sampling
+        .mixtureFlag(T.documents(s, d), "doc_id", "source", shrink = 2)
         .groupBy("source")
         .agg(count(lit(1)).as("total"), count(col("kp")).as("kept"))
     }
