@@ -76,6 +76,36 @@ object Similarity {
       .select("a_id", "b_id")
   }
 
+  /** Semantic contamination audit — the embedding-space analogue of
+    * dd12's shingle audit: which TRAIN vectors are near-duplicates of a
+    * BENCHMARK/eval vector? Cross-set SRP banding (each side's buckets
+    * capped independently, no self-join) proposes candidates; exact
+    * cosine above `minCosine` confirms. Returns (bench_id, train_id)
+    * hit pairs — the rows to quarantine before training. Delegates to
+    * the exact machinery the gated ss12 query runs.
+    *
+    * Scale: sign codes are born in each side's scan projection (planes
+    * are foldable literals — no plane join); only (id, band, key) longs
+    * shuffle; the verify join reads the two embedding columns for
+    * candidate pairs only.
+    */
+  def semanticContamination(bench: DataFrame, train: DataFrame,
+      idCol: String, vecCol: String, minCosine: Double = 0.3,
+      bucketCap: Int = 64, dim: Int = 64): DataFrame = {
+    import graft.operators.SimilarityOps
+    CosineSimilarity.register(bench.sparkSession)
+    DotProduct.register(bench.sparkSession)
+    def codesOf(df: DataFrame) = df
+      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      .selectExpr("vec_id",
+        s"${SimilarityOps.srpCodeExpr("embedding", dim)} as code")
+    SimilarityOps.srpBandPairsBetween(codesOf(bench), codesOf(train), bucketCap)
+      .join(bench.select(col(idCol).as("a_id"), col(vecCol).as("ea")), "a_id")
+      .join(train.select(col(idCol).as("b_id"), col(vecCol).as("eb")), "b_id")
+      .filter(expr(s"cosine_similarity(ea, eb) > $minCosine"))
+      .select(col("a_id").as("bench_id"), col("b_id").as("train_id"))
+  }
+
   /** IVF (inverted-file) top-k ANN — the ss05 plan as a function: one
     * scored pass against the BROADCAST `centroids(cell, ce)` table
     * feeds both the corpus cell assignment and each query's `nprobe`

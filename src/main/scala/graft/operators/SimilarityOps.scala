@@ -85,9 +85,12 @@ object SimilarityOps {
     * frame behind; callers follow the repo-wide contract of
     * `spark.catalog.clearCache()` between queries.
     */
-  private[graft] def srpBandPairs(codes: org.apache.spark.sql.DataFrame,
-      cap: Int = 64): org.apache.spark.sql.DataFrame = {
-    val capped = codes
+  /** 4×8-bit band rows of a (vec_id, code) frame, each (band, key)
+    * bucket capped at `cap` members by vec_id order.
+    */
+  private[graft] def srpCappedBands(codes: org.apache.spark.sql.DataFrame,
+      cap: Int): org.apache.spark.sql.DataFrame =
+    codes
       .withColumn("b", explode(expr("sequence(0, 3)")))
       .selectExpr("vec_id", "b", "shiftright(code, 8*b) & 255 as key")
       .selectExpr(
@@ -95,6 +98,10 @@ object SimilarityOps {
         "row_number() over (partition by b, key order by vec_id) as rn")
       .filter(col("rn") <= cap)
       .select("vec_id", "b", "key")
+
+  private[graft] def srpBandPairs(codes: org.apache.spark.sql.DataFrame,
+      cap: Int = 64): org.apache.spark.sql.DataFrame = {
+    val capped = srpCappedBands(codes, cap)
       .persist() // both sides of the band self-join
     capped.toDF("a_id", "b", "key")
       .join(capped.toDF("b_id", "b", "key"), Seq("b", "key"))
@@ -102,6 +109,20 @@ object SimilarityOps {
       .select("a_id", "b_id")
       .distinct()
   }
+
+  /** Cross-SET band candidates: (a_id from `codesA`) × (b_id from
+    * `codesB`) sharing any band bucket, each side capped independently —
+    * the candidate stage of the semantic contamination audit. No
+    * self-join, no persist (each side is consumed once).
+    */
+  private[graft] def srpBandPairsBetween(
+      codesA: org.apache.spark.sql.DataFrame,
+      codesB: org.apache.spark.sql.DataFrame,
+      cap: Int = 64): org.apache.spark.sql.DataFrame =
+    srpCappedBands(codesA, cap).toDF("a_id", "b", "key")
+      .join(srpCappedBands(codesB, cap).toDF("b_id", "b", "key"), Seq("b", "key"))
+      .select("a_id", "b_id")
+      .distinct()
   private def duckCos(a: String, b: String): String =
     s"${duckDot(a, b)} / sqrt(${duckDot(a, a)} * ${duckDot(b, b)})"
 
@@ -803,6 +824,49 @@ object SimilarityOps {
         .agg(
           count(col("hit_id")).as("n_hit"),
           expr("(count(hit_id) * 100) div 3").as("recall_x100"))
+    },
+
+    // Semantic contamination audit (Similarity.semanticContamination):
+    // the embedding-space analogue of dd12 — benchmark vectors
+    // (vec_id < 100 as the held-out eval stand-in) vs the train corpus,
+    // cross-set SRP banding with per-side caps, exact-cosine confirm.
+    // The hit list is what a training run quarantines.
+    Q(
+      "ss12_semantic_contamination",
+      s"""WITH planes AS (
+         |  SELECT p, list_transform(range(1, ${dim + 1}),
+         |    i -> ('0x'||substr(md5(p::VARCHAR||'|'||i::VARCHAR),1,15))::BIGINT::DOUBLE
+         |           / 576460752303423488.0::DOUBLE - 1.0::DOUBLE) AS h
+         |  FROM range(0, 32) t(p)),
+         |  bits AS (
+         |    SELECT e.vec_id, pl.p,
+         |      CASE WHEN ${duckDot("e.embedding", "pl.h")} > 0
+         |           THEN (1::BIGINT << pl.p) ELSE 0 END AS bit
+         |    FROM embeddings e CROSS JOIN planes pl),
+         |  codes AS (SELECT vec_id, SUM(bit)::BIGINT AS code FROM bits GROUP BY vec_id),
+         |  bands AS (
+         |    SELECT vec_id, b, (code >> (8*b)) & 255 AS key
+         |    FROM codes CROSS JOIN range(0, 4) t(b)),
+         |  bb AS (
+         |    SELECT vec_id, b, key,
+         |      row_number() OVER (PARTITION BY b, key ORDER BY vec_id) AS rn
+         |    FROM bands WHERE vec_id < 100),
+         |  tb AS (
+         |    SELECT vec_id, b, key,
+         |      row_number() OVER (PARTITION BY b, key ORDER BY vec_id) AS rn
+         |    FROM bands WHERE vec_id >= 100),
+         |  cand AS (
+         |    SELECT DISTINCT a.vec_id AS bench_id, c.vec_id AS train_id
+         |    FROM bb a JOIN tb c ON a.b = c.b AND a.key = c.key
+         |    WHERE a.rn <= 64 AND c.rn <= 64)
+         |SELECT cand.bench_id, cand.train_id
+         |FROM cand JOIN embeddings ea ON ea.vec_id = cand.bench_id
+         |          JOIN embeddings eb ON eb.vec_id = cand.train_id
+         |WHERE ${duckCos("ea.embedding", "eb.embedding")} > 0.3""".stripMargin) { (s, d) =>
+      val e = T.embeddings(s, d)
+      graft.functions.Similarity.semanticContamination(
+        e.filter(col("vec_id") < 100), e.filter(col("vec_id") >= 100),
+        "vec_id", "embedding")
     }
   )
 }

@@ -104,6 +104,19 @@ class SimilarityApiSpec extends AnyFunSuite {
     assert(keep.forall(_.getLong(1) == 1L), "all singletons")
   }
 
+  test("semanticContamination equals the gated ss12 hit list and is cross-set") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val api = Similarity.semanticContamination(
+      e.filter(col("vec_id") < 100), e.filter(col("vec_id") >= 100),
+      "vec_id", "embedding").collect()
+    val gated = graft.SparkEntry.queries("ss12_semantic_contamination")(spark, sf)
+      .collect()
+    assert(sorted(api) == sorted(gated))
+    assert(api.forall(r => r.getLong(0) < 100 && r.getLong(1) >= 100),
+      "every hit pairs a benchmark id with a train id")
+    spark.catalog.clearCache()
+  }
+
   test("cosineTopK equals the gated ss01 top-5") {
     val e = graft.Tables.embeddings(spark, sf)
     val api = Similarity
