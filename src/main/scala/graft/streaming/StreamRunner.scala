@@ -107,6 +107,73 @@ object StreamRunner {
       .selectExpr("user_id", "s.n_sessions as n_sessions", "s.n_events as n_events")
   }
 
+  /** Stateful keyed FIRST-TOUCH with mapGroupsWithState: per
+    * (user, event_type), track the earliest (event-time, id) event seen
+    * across micro-batches — streaming first-occurrence dedup where the
+    * winner is decided by EVENT time, not arrival order (the property
+    * `dropDuplicates` can't give you under replay/reordering). The
+    * events table is staged as two time-split files so state genuinely
+    * carries across batches; update-mode emissions only ever improve
+    * (shrink) per key, so the per-key minimum over the memory sink is
+    * the final state. StreamingSpec asserts equality with the batch
+    * st05 rendering.
+    */
+  def firstTouchStream(spark: SparkSession, sfDir: String,
+      queryName: String = "graft_first_touch"): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import spark.implicits._
+
+    val ev = graft.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) as ts_us", "event_id")
+    val Array(minTs, maxTs) = ev.selectExpr("min(ts_us)", "max(ts_us)").head() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val mid = minTs + (maxTs - minTs) / 2
+    val stage = java.nio.file.Files.createTempDirectory("graft-first")
+    def emit(name: String, cond: String): Unit = {
+      val tmp = stage.resolve(name + "_tmp").toString
+      ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, stage.resolve(name + ".parquet"))
+      Thread.sleep(1100) // distinct mtimes → deterministic oldest-first order
+    }
+    // LATER half first: arrival order is the opposite of event-time
+    // order, so the spec's equality with batch proves event-time wins
+    emit("batch_b", s"ts_us > $mid")
+    emit("batch_a", s"ts_us <= $mid")
+
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+
+    val updates = stream.as[(Long, String, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (key: (Long, String), it: Iterator[(Long, String, Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long)]) => {
+          val batchMin = it.map(r => (r._3, r._4)).min
+          val best = state.getOption.fold(batchMin)(s => Ordering[(Long, Long)].min(s, batchMin))
+          state.update(best)
+          (key._1, key._2, best._2, best._1)
+        })
+      .toDF("user_id", "event_type", "event_id", "ts_us")
+
+    val q = updates.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // update-mode rows only improve per key → per-key min is final state
+    spark.table(queryName)
+      .groupBy("user_id", "event_type")
+      .agg(min(struct(col("ts_us"), col("event_id"))).as("s"))
+      .selectExpr("user_id", "event_type", "s.event_id as event_id", "s.ts_us as ts_us")
+  }
+
   /** Streaming deduplication — the exactly-once-ingest primitive:
     * duplicate the events stream (two staged copies of the same file),
     * then `dropDuplicatesWithinWatermark` on event_id keeps state only

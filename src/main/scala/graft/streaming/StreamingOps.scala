@@ -91,6 +91,31 @@ object StreamingOps {
         .join(broadcast(T.customer(s, d)), col("user_id") === col("c_custkey"))
         .groupBy(col("c_mktsegment").as("segment"))
         .agg(count(lit(1)).as("n"), expr(P.dsum("value")).as("v"))
+    },
+
+    // First-touch per (user, event_type): the earliest event by
+    // (event time, id) — the batch rendering of streaming keyed
+    // first-occurrence dedup (StreamRunner.firstTouchStream runs the
+    // real mapGroupsWithState path; StreamingSpec asserts equality).
+    // Microsecond epoch ordering on BOTH engines: the parquet carries
+    // nanos, and ordering by the raw nanos timestamp would tie-break
+    // differently from Spark's micros-truncated view.
+    Q(
+      "st05_first_touch",
+      """WITH r AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |                     ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, event_id, ts_us
+        |FROM r WHERE rn = 1""".stripMargin) { (s, d) =>
+      T.events(s, d)
+        .selectExpr("event_id", "user_id", "event_type",
+          "unix_micros(ts) as ts_us")
+        .selectExpr("*",
+          "row_number() over (partition by user_id, event_type " +
+            "order by ts_us, event_id) as rn")
+        .filter(col("rn") === 1)
+        .select("user_id", "event_type", "event_id", "ts_us")
     }
   )
 }

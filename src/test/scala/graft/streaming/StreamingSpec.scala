@@ -15,6 +15,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stateful first-touch equals batch st05 despite reversed arrival order") {
+    val streamed = StreamRunner.firstTouchStream(spark, sf, "graft_first_spec")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.streaming.StreamingOps.queries.find(_.name == "st05_first_touch").get
+      .fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup drops the duplicated copy exactly") {
     val deduped = StreamRunner.dedupStream(spark, sf, "graft_dedup_spec")
     val ids = deduped.select("event_id").collect().map(_.getLong(0))
