@@ -867,6 +867,172 @@ object SimilarityOps {
       graft.functions.Similarity.semanticContamination(
         e.filter(col("vec_id") < 100), e.filter(col("vec_id") >= 100),
         "vec_id", "embedding")
+    },
+
+    // IVF-PQ (the FAISS-style composite): coarse trained-centroid cells
+    // (ss11's codebook) + product quantization on the RESIDUALS
+    // (vector − its cell centroid, ss09's pipeline) + ADC ranking over
+    // only the probed cells' candidates, evaluated as recall@3 against
+    // exact search. Residual PQ is what makes PQ codes short at scale:
+    // residuals concentrate near zero, so per-dim quartiles spend their
+    // resolution where the mass is.
+    //
+    // Scale notes (100 TB): centroids/cuts/codebook all broadcast
+    // (k·dim-sized tables); the corpus-side work is two linear passes
+    // (assignment, residual coding) with map-side-combined decimal
+    // aggregations; ADC touches only probe-cell candidates — never the
+    // full corpus per query; decimal sums keep every ranking
+    // order-insensitive. The PQ TRAINING ntile runs over the 20%
+    // hash-sample only (the one ranking window, bounded by design).
+    Q(
+      "ss13_ivfpq_recall",
+      s"""WITH cent AS (
+         |  SELECT label AS cell,
+         |    ${(1 to dim).map(duckCentDim).mkString("[", ", ", "]")} AS ce
+         |  FROM embeddings GROUP BY label),
+         |  scored AS (
+         |    SELECT e.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.embedding", "c.ce")} DESC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN cent c),
+         |  assign AS (SELECT vec_id, cell FROM scored WHERE rn = 1),
+         |  qc AS (SELECT vec_id AS q_id, cell FROM scored
+         |         WHERE vec_id < 5 AND rn <= 2),
+         |  ex AS (
+         |    SELECT vec_id, i AS dim, embedding[i]::DOUBLE AS v
+         |    FROM embeddings CROSS JOIN range(1, ${dim + 1}) t(i)),
+         |  resid AS (
+         |    SELECT x.vec_id, x.dim, c.ce[x.dim]::DOUBLE AS cv,
+         |      x.v - c.ce[x.dim]::DOUBLE AS rv
+         |    FROM ex x JOIN assign a USING (vec_id) JOIN cent c ON c.cell = a.cell),
+         |  train AS (
+         |    SELECT * FROM resid
+         |    WHERE ((('0x'||substr(md5(vec_id::VARCHAR),1,15))::BIGINT) % 10) < 2),
+         |  coded_t AS (
+         |    SELECT dim, rv AS v,
+         |      ntile(4) OVER (PARTITION BY dim ORDER BY rv, vec_id) AS bucket
+         |    FROM train),
+         |  cuts AS (
+         |    SELECT dim,
+         |      MAX(CASE WHEN bucket = 1 THEN v END) AS c1,
+         |      MAX(CASE WHEN bucket = 2 THEN v END) AS c2,
+         |      MAX(CASE WHEN bucket = 3 THEN v END) AS c3
+         |    FROM coded_t WHERE bucket < 4 GROUP BY dim),
+         |  cb AS (
+         |    SELECT t.dim, $duckBucket AS bucket,
+         |      CAST(SUM(CAST(v AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS rrep
+         |    FROM (SELECT dim, rv AS v FROM train) t JOIN cuts USING (dim)
+         |    GROUP BY t.dim, $duckBucket),
+         |  recon AS (
+         |    SELECT r.vec_id AS n_id, r.dim,
+         |      r.cv + COALESCE(cb.rrep, 0.0::DOUBLE) AS recon
+         |    FROM (SELECT vec_id, dim, cv, rv AS v FROM resid) r
+         |    JOIN cuts USING (dim)
+         |    LEFT JOIN cb ON cb.dim = r.dim AND cb.bucket = ($duckBucket)),
+         |  qx AS (SELECT vec_id AS q_id, dim, v AS qv FROM ex WHERE vec_id < 5),
+         |  cand AS (
+         |    SELECT qc.q_id, a.vec_id AS n_id
+         |    FROM qc JOIN assign a ON a.cell = qc.cell
+         |    WHERE a.vec_id <> qc.q_id),
+         |  adc AS (
+         |    SELECT c.q_id, c.n_id,
+         |      CAST(SUM(CAST(q.qv * r.recon AS DECIMAL(28,12))) AS DOUBLE) AS score
+         |    FROM cand c JOIN qx q ON q.q_id = c.q_id
+         |      JOIN recon r ON r.n_id = c.n_id AND r.dim = q.dim
+         |    GROUP BY c.q_id, c.n_id),
+         |  pq AS (SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rn
+         |    FROM adc) WHERE rn <= 3),
+         |  exact AS (SELECT q_id, n_id FROM (
+         |    SELECT q.q_id, e.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${duckDot("q.qe", "e.embedding")} DESC, e.vec_id) AS rn
+         |    FROM (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+         |          WHERE vec_id < 5) q
+         |    CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id) WHERE rn <= 3)
+         |SELECT x.q_id, count(p.n_id) AS n_hit,
+         |  (count(p.n_id) * 100) // 3 AS recall_x100
+         |FROM exact x LEFT JOIN pq p ON p.q_id = x.q_id AND p.n_id = x.n_id
+         |GROUP BY x.q_id""".stripMargin) { (s, d) =>
+      graft.functions.CosineSimilarity.register(s)
+      graft.functions.DotProduct.register(s)
+      val e = T.embeddings(s, d).select("vec_id", "label", "embedding")
+      val cent = trainedCentroids(e)
+      // one scored pass vs broadcast centroids → assignment + probe
+      // lists (ivfSearch's head); persisted for its two consumers,
+      // released by the caller-clearCache contract (CacheHygieneSpec)
+      val scored = e.crossJoin(broadcast(cent))
+        .selectExpr("vec_id", "cell",
+          s"row_number() over (partition by vec_id order by ${sparkCos("embedding", "ce")} desc, cell) as rn")
+        .persist()
+      val assign = scored.filter(col("rn") === 1).select("vec_id", "cell")
+      val qc = scored.filter(col("vec_id") < 5 && col("rn") <= 2)
+        .select(col("vec_id").as("q_id"), col("cell"))
+      val ex = e
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .selectExpr("vec_id", "pos + 1 as dim", "cast(col as double) as v")
+      val cd = cent.select(col("cell"), posexplode(col("ce")))
+        .selectExpr("cell", "pos + 1 as dim", "cast(col as double) as cv")
+      // residuals vs the assigned cell's centroid; consumed by PQ train
+      // and the full-corpus coding pass (same release contract)
+      val resid = ex.join(assign, "vec_id")
+        .join(broadcast(cd), Seq("cell", "dim"))
+        .selectExpr("vec_id", "dim", "cv", "v - cv as rv")
+        .persist()
+      val train = resid.filter(
+        expr(s"pmod(${graft.Portable.hash60("cast(vec_id as string)")}, 10) < 2"))
+      val cuts = train
+        .selectExpr("dim", "rv as v", "vec_id")
+        .selectExpr("dim", "v",
+          "ntile(4) over (partition by dim order by v, vec_id) as bucket")
+        .filter(col("bucket") < 4)
+        .groupBy("dim")
+        .agg(
+          max(when(col("bucket") === 1, col("v"))).as("c1"),
+          max(when(col("bucket") === 2, col("v"))).as("c2"),
+          max(when(col("bucket") === 3, col("v"))).as("c3"))
+      val cb = train.selectExpr("dim", "rv as v")
+        .join(broadcast(cuts), "dim")
+        .selectExpr("dim", s"$sparkBucket as bucket", "v")
+        .groupBy("dim", "bucket")
+        .agg(expr("cast(sum(cast(v as decimal(28,8))) as double) / count(*)").as("rrep"))
+      val recon = resid.selectExpr("vec_id", "dim", "cv", "rv as v")
+        .join(broadcast(cuts), "dim")
+        .selectExpr("vec_id as n_id", "dim", "cv", s"$sparkBucket as bucket")
+        .join(broadcast(cb), Seq("dim", "bucket"), "left")
+        .selectExpr("n_id", "dim", "cv + coalesce(rrep, 0.0d) as recon")
+      val qx = ex.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("dim"), col("v").as("qv"))
+      val cand = qc.join(assign.toDF("n_id", "cell"), "cell")
+        .filter(col("n_id") =!= col("q_id"))
+        .select("q_id", "n_id")
+      val adc = cand.join(broadcast(qx), "q_id")
+        .join(recon, Seq("n_id", "dim"))
+        .groupBy("q_id", "n_id")
+        .agg(expr("cast(sum(cast(qv * recon as decimal(28,12))) as double)").as("score"))
+      val pq = adc
+        .selectExpr("q_id", "n_id",
+          "row_number() over (partition by q_id order by score desc, n_id) as rn")
+        .filter(col("rn") <= 3)
+        .select(col("q_id").as("pq_id"), col("n_id").as("hit_id"))
+      val exact = broadcast(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe")))
+        .crossJoin(e.select(col("vec_id").as("n_id"), col("embedding").as("ne")))
+        .filter(col("n_id") =!= col("q_id"))
+        .selectExpr("q_id", "n_id",
+          s"row_number() over (partition by q_id order by ${sparkDot("qe", "ne")} desc, n_id) as rn")
+        .filter(col("rn") <= 3)
+        .select("q_id", "n_id")
+      exact.join(
+        pq,
+        col("q_id") === col("pq_id") && col("n_id") === col("hit_id"),
+        "left")
+        .groupBy("q_id")
+        .agg(
+          count(col("hit_id")).as("n_hit"),
+          expr("(count(hit_id) * 100) div 3").as("recall_x100"))
     }
   )
 }

@@ -35,7 +35,11 @@ object ShuffleAudit {
     "dd14_semantic_dedup" -> "block join caps pair fan-out; CC rounds shuffle (id, label) longs only",
     "cu01_curation_ledger" -> "signal projections share a scan (banding scans once more); only digest/label longs shuffle",
     "tx11_winnow_fingerprints" -> "winnow selection entirely inside the scan projection: zero shuffle",
-    "tx12_winnow_overlap" -> "fp set + cap-bounded pair rows shuffle (linear under floods); text never does")
+    "tx12_winnow_overlap" -> "fp set + cap-bounded pair rows shuffle (linear under floods); text never does",
+    "tx13_gopher_rules" -> "pure scan projection: zero shuffle",
+    "sm04_mixture_weights" -> "per-source ppm broadcasts back; the fact table never shuffles",
+    "cu02_adaptive_quality" -> "one exchange of (id, source, score); stacked windows share it",
+    "ss12_semantic_contamination" -> "cross-set banding: only (id, band, key) longs shuffle, per-side caps")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

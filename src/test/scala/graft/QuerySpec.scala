@@ -66,6 +66,15 @@ class QuerySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("ss13 IVF-PQ recall rows are well-formed per query vector") {
+    val rows = SparkEntry.queries("ss13_ivfpq_recall")(spark, sf).collect()
+    assert(rows.length == 5) // one row per query vector (vec_id < 5)
+    assert(rows.forall { r =>
+      val hits = r.getLong(1)
+      hits >= 0 && hits <= 3 && r.getLong(2) == hits * 100 / 3 })
+    spark.catalog.clearCache()
+  }
+
   test("tx13 gopher flags: pass is exactly the conjunction of the rules") {
     val rows = SparkEntry.queries("tx13_gopher_rules")(spark, sf).collect()
     assert(rows.nonEmpty)
