@@ -451,6 +451,39 @@ object TextOps {
          |  r_wc AND r_len AND r_stop AND r_dist AND r_rep AS pass
          |FROM r""".stripMargin) { (s, d) =>
       TextQuality.gopherFlags(T.documents(s, d))
+    },
+
+    // Cross-lingual label audit: per (source, declared lang), how many
+    // documents does the tx01 heuristic FAIL to confirm? High mismatch
+    // in a (source, lang) stratum flags mislabeled crawl metadata — the
+    // signal deciding whether to trust a corpus's own language tags.
+    // Shares tx01's exact scoring snippets; the rollup keeps output
+    // tiny at any SF (one row per stratum, map-side combined).
+    Q(
+      "tx14_lang_mismatch",
+      s"""WITH t AS (SELECT doc_id, source, lang,
+         |      regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
+         |     sc AS (SELECT doc_id, source, lang,
+         |       len(list_filter(toks, w -> w IN ($enWords))) AS s_en,
+         |       len(list_filter(toks, w -> w IN ($deWords))) AS s_de,
+         |       len(list_filter(toks, w -> w IN ($frWords))) AS s_fr
+         |       FROM t),
+         |     p AS (SELECT source, lang,
+         |       CASE WHEN s_de > s_en AND s_de > s_fr THEN 'de'
+         |            WHEN s_fr > s_en AND s_fr >= s_de THEN 'fr'
+         |            ELSE 'en' END AS pred_lang FROM sc)
+         |SELECT source, lang, count(*) AS n,
+         |  count(CASE WHEN pred_lang <> lang THEN 1 END) AS n_mismatch
+         |FROM p GROUP BY source, lang""".stripMargin) { (s, d) =>
+      T.documents(s, d)
+        .selectExpr("doc_id", "source", "lang",
+          "split(lower(text), '\\\\s+') as ltoks")
+        .selectExpr("source" +: "lang" +: sparkLangScores: _*)
+        .withColumn("pred_lang", expr(sparkLangCase))
+        .groupBy("source", "lang")
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(col("pred_lang") =!= col("lang"), 1)).as("n_mismatch"))
     }
   )
 
