@@ -108,6 +108,30 @@ object Dedup {
     DedupOps.cappedBandPairs(DedupOps.r1Bands(df, idCol, textCol))
   }
 
+  /** Incremental NEAR-dup admission — dd11's incremental exact dedup
+    * lifted to MinHash: admit only the `batch` rows sharing NO r=1 band
+    * bucket with the existing `corpus` (candidate-level near-dup, the
+    * dd04 sensitivity). Returns the admitted batch ids.
+    *
+    * Scale: this is anti-join shaped, not pair shaped — the corpus side
+    * reduces to DISTINCT (band, key) longs, so there is no pair
+    * enumeration and no bucket cap needed: a boilerplate bucket of any
+    * size is one key row. Only band keys shuffle; text never does.
+    * Delegates to the machinery the gated dd15 query runs.
+    */
+  def incrementalNearDup(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    import graft.operators.DedupOps
+    val cKeys = DedupOps.r1Bands(corpus, idCol, textCol)
+      .select("band", "h").distinct()
+    val bBands = DedupOps.r1Bands(batch, idCol, textCol)
+    val rejected = bBands.join(cKeys, Seq("band", "h"), "left_semi")
+      .select("doc_id").distinct()
+    bBands.select("doc_id").distinct()
+      .join(rejected, Seq("doc_id"), "left_anti")
+      .withColumnRenamed("doc_id", idCol)
+  }
+
   /** Near-dup dedup CLUSTERS over a text column — the dd08 plan as a
     * function: minhash r=1 bands → capped pair edges + linear STAR edges
     * for oversized buckets (template floods cluster exactly at O(bucket)

@@ -604,6 +604,37 @@ object DedupOps {
         .selectExpr("doc_id", s"stack(4, $stackArgs) as (band, h)")
         .persist() // sized + both pair sides (dd04 pushdown lesson)
       cappedBandPairs(bands)
+    },
+
+    // Incremental NEAR-dup admission (Dedup.incrementalNearDup): dd11's
+    // incremental exact dedup lifted to MinHash — admit only batch docs
+    // (doc_id ≥ 400, dd11's split) sharing NO r=1 band bucket with the
+    // existing corpus. Anti-join shaped, not pair shaped: the corpus
+    // reduces to DISTINCT band keys, so there is no pair enumeration
+    // and no bucket cap needed — a boilerplate bucket of any size is
+    // one key row. Only band keys shuffle.
+    Q(
+      "dd15_incremental_neardup",
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |     sh AS (SELECT doc_id, $duckShingles AS shingles FROM t),
+         |     hh AS (SELECT doc_id, $duckHs AS hs FROM sh),
+         |     sig AS (SELECT doc_id, ${duckMh(0)}, ${duckMh(1)}, ${duckMh(2)}, ${duckMh(3)} FROM hh),
+         |     bands AS (
+         |       SELECT doc_id, 0 AS band, mh0 AS h FROM sig
+         |       UNION ALL SELECT doc_id, 1, mh1 FROM sig
+         |       UNION ALL SELECT doc_id, 2, mh2 FROM sig
+         |       UNION ALL SELECT doc_id, 3, mh3 FROM sig),
+         |     ck AS (SELECT DISTINCT band, h FROM bands WHERE doc_id < 400),
+         |     rej AS (SELECT DISTINCT b.doc_id FROM bands b
+         |             JOIN ck c ON c.band = b.band AND c.h = b.h
+         |             WHERE b.doc_id >= 400)
+         |SELECT DISTINCT doc_id FROM bands
+         |WHERE doc_id >= 400 AND doc_id NOT IN (SELECT doc_id FROM rej)""".stripMargin) {
+      (s, d) =>
+        val docs = T.documents(s, d)
+        graft.functions.Dedup.incrementalNearDup(
+          docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+          "doc_id", "text")
     }
   )
 }

@@ -66,6 +66,17 @@ class QuerySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("dd15 incremental near-dup admits a subset of dd11's exact-dedup admissions") {
+    // an exact duplicate has identical minhash signatures, so it shares
+    // every band bucket — near-dup admission is strictly stricter
+    val near = SparkEntry.queries("dd15_incremental_neardup")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val exact = SparkEntry.queries("dd11_incremental_dedup")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(near.subsetOf(exact), s"${(near -- exact).size} near-admitted ids not exact-admitted")
+    spark.catalog.clearCache()
+  }
+
   test("ss13 IVF-PQ recall rows are well-formed per query vector") {
     val rows = SparkEntry.queries("ss13_ivfpq_recall")(spark, sf).collect()
     assert(rows.length == 5) // one row per query vector (vec_id < 5)
