@@ -45,6 +45,62 @@ object Curation {
       .withColumnRenamed("doc_id", idCol)
   }
 
+  /** The FULL curation ledger — `ledger` extended with every round-6
+    * signal: gopher rule verdict (tx13), adaptive per-source median
+    * quality (cu02), deterministic mixture-rebalance membership (sm04),
+    * and the language-label agreement flag (tx14). One plan, one
+    * documents scan for all per-row signals (language scores, quality,
+    * gopher signals, digest, split, score come out of a single codegen
+    * projection); the exchanges are the digest window, the source
+    * window, the tiny per-source count agg (broadcast back), and the
+    * CC label rounds — text never shuffles. `kept` is the conjunction
+    * of every drop-worthy signal; `lang_ok` stays informational (the
+    * tx01 heuristic only knows en/de/fr, so gating on it would drop
+    * every honestly-labeled zh/es document).
+    */
+  def fullLedger(docs0: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", sourceCol: String = "source",
+      langCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = docs0.select(
+      col(idCol).as("doc_id"), col(textCol).as("text"),
+      col(sourceCol).as("source"), col(langCol).as("lang"))
+    val labels = graft.operators.DedupOps.clusterLabels(docs)
+    val keep = Seq("doc_id", "source", "lang")
+    // ONE scan projection for every per-row signal, each expression the
+    // SHARED snippet its standalone gated query runs
+    val base = docs
+      .selectExpr("doc_id", "source", "lang",
+        "text as _text", "split(lower(text), '\\\\s+') as _toks")
+      .selectExpr(keep ++ Seq("_text", "_toks") ++
+        TextOps.sparkLangScores.map(_.replace("ltoks", "_toks")) ++
+        TextQuality.gopherSignalExprs ++ Seq(
+          s"${P.hash60("_text")} as digest",
+          s"${graft.operators.SamplingOps.sparkSplitCase} as split",
+          "cast(floor(cast(100 as double) * length(_text) / size(_toks)) as bigint) as score"): _*)
+      .withColumn("pred_lang", expr(TextOps.sparkLangCase))
+      .withColumn("is_quality", TextQuality.isQuality("_text"))
+      .selectExpr(keep ++ Seq("pred_lang", "is_quality", "digest", "split",
+        "score", s"${TextQuality.gopherConjExpr} as gopher_pass"): _*)
+    val bysrc = Window.partitionBy("source")
+    val flagged = Sampling.mixtureFlag(base, "doc_id", "source", shrink = 2)
+      .withColumn("exact_keep",
+        expr("doc_id = min(doc_id) over (partition by digest)"))
+      .withColumn("rn",
+        row_number().over(bysrc.orderBy(col("score"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(bysrc))
+      .withColumn("med",
+        max(when(expr("rn = (n + 1) div 2"), col("score"))).over(bysrc))
+    flagged.join(labels, "doc_id")
+      .selectExpr(
+        "doc_id", "pred_lang", "pred_lang = lang as lang_ok", "is_quality",
+        "gopher_pass", "exact_keep", "cluster_id = doc_id as near_keep",
+        "score > med as above_med", "kp is not null as mix_keep", "split",
+        "is_quality and gopher_pass and exact_keep and cluster_id = doc_id " +
+          "and score > med and kp is not null as kept")
+      .withColumnRenamed("doc_id", idCol)
+  }
+
   /** ADAPTIVE quality filtering: keep each document scoring STRICTLY
     * above its own source's median quality score — per-group thresholds
     * instead of one global band, so a low-quality source doesn't set

@@ -53,23 +53,34 @@ object TextQuality {
     *   r_rep   4·maxfreq ≤ ntok            (no token above 25% of doc)
     * Shared by the gated tx13 query (which carries the DuckDB oracle).
     */
+  /** The gopher signal/rule expression lists, shared between
+    * `gopherFlags` and `Curation.fullLedger` so the rules can't drift.
+    * Signals project over `_text`/`_toks` columns; rules over the
+    * signal columns.
+    */
+  private[graft] val gopherSignalExprs: Seq[String] = Seq(
+    "size(_toks) as _ntok",
+    "length(_text) as _nchar",
+    "size(array_distinct(_toks)) as _ndist",
+    "array_max(transform(array_distinct(_toks), " +
+      "w -> size(filter(_toks, t -> t = w)))) as _maxfreq",
+    s"size(filter(_toks, w -> w in ($stopwords))) as _nstop")
+  private[graft] val gopherRules: Seq[(String, String)] = Seq(
+    "_ntok between 30 and 100000" -> "r_wc",
+    "3 * _ntok <= _nchar and _nchar <= 10 * _ntok" -> "r_len",
+    "20 * _nstop >= _ntok" -> "r_stop",
+    "10 * _ndist >= 3 * _ntok" -> "r_dist",
+    "4 * _maxfreq <= _ntok" -> "r_rep")
+  /** The conjunction of all rules, usable inline (no aliases). */
+  private[graft] val gopherConjExpr: String =
+    gopherRules.map(_._1).mkString("(", ") and (", ")")
+
   def gopherFlags(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     df.selectExpr(idCol,
         s"$textCol as _text", s"split(lower($textCol), '\\\\s+') as _toks")
-      .selectExpr(idCol,
-        "size(_toks) as _ntok",
-        "length(_text) as _nchar",
-        "size(array_distinct(_toks)) as _ndist",
-        "array_max(transform(array_distinct(_toks), " +
-          "w -> size(filter(_toks, t -> t = w)))) as _maxfreq",
-        s"size(filter(_toks, w -> w in ($stopwords))) as _nstop")
-      .selectExpr(idCol,
-        "_ntok between 30 and 100000 as r_wc",
-        "3 * _ntok <= _nchar and _nchar <= 10 * _ntok as r_len",
-        "20 * _nstop >= _ntok as r_stop",
-        "10 * _ndist >= 3 * _ntok as r_dist",
-        "4 * _maxfreq <= _ntok as r_rep")
+      .selectExpr(idCol +: gopherSignalExprs: _*)
+      .selectExpr(idCol +: gopherRules.map { case (e, a) => s"$e as $a" }: _*)
       .selectExpr(idCol, "r_wc", "r_len", "r_stop", "r_dist", "r_rep",
         "r_wc and r_len and r_stop and r_dist and r_rep as pass")
 }

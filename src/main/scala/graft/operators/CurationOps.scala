@@ -90,5 +90,87 @@ object CurationOps {
         |SELECT doc_id, source, score, med FROM w
         |WHERE score > med""".stripMargin) { (s, d) =>
       graft.functions.Curation.adaptiveQualityKeep(T.documents(s, d))
+    },
+
+    // The FULL ledger (Curation.fullLedger): cu01 plus every round-6
+    // signal — gopher verdict, adaptive per-source median quality,
+    // mixture-rebalance membership, language-label agreement — still
+    // ONE plan. `kept` conjoins all drop-worthy signals; `lang_ok` is
+    // informational (the heuristic only knows en/de/fr).
+    Q(
+      "cu03_full_ledger",
+      s"""WITH RECURSIVE
+         |     ${DedupOps.duckClusterCtes},
+         |     lt AS (SELECT doc_id, text,
+         |            regexp_split_to_array(lower(text), '\\s+') AS ltoks FROM documents),
+         |     sc AS (SELECT doc_id,
+         |       len(list_filter(ltoks, w -> w IN (${TextOps.enWords}))) AS s_en,
+         |       len(list_filter(ltoks, w -> w IN (${TextOps.deWords}))) AS s_de,
+         |       len(list_filter(ltoks, w -> w IN (${TextOps.frWords}))) AS s_fr
+         |       FROM lt),
+         |     lang AS (SELECT doc_id,
+         |       CASE WHEN s_de > s_en AND s_de > s_fr THEN 'de'
+         |            WHEN s_fr > s_en AND s_fr >= s_de THEN 'fr'
+         |            ELSE 'en' END AS pred_lang FROM sc),
+         |     qual AS (SELECT doc_id,
+         |       (len(ltoks) BETWEEN 10 AND 100000
+         |        AND (length(text)::DOUBLE / len(ltoks)) BETWEEN 2.0 AND 12.0
+         |        AND ((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+         |             / length(text)) <= 0.2
+         |        AND (len(list_filter(ltoks, w -> w IN (${TextOps.enWords})))::DOUBLE
+         |             / len(ltoks)) >= 0.0) AS is_quality
+         |       FROM lt),
+         |     gsig AS (SELECT doc_id,
+         |       len(ltoks) AS ntok, length(text) AS nchar,
+         |       len(list_distinct(ltoks)) AS ndist,
+         |       list_max(list_transform(list_distinct(ltoks),
+         |         w -> len(list_filter(ltoks, x -> x = w)))) AS maxfreq,
+         |       len(list_filter(ltoks, w -> w IN (${TextOps.enWords}))) AS nstop
+         |       FROM lt),
+         |     gr AS (SELECT doc_id,
+         |       (ntok BETWEEN 30 AND 100000
+         |        AND 3 * ntok <= nchar AND nchar <= 10 * ntok
+         |        AND 20 * nstop >= ntok
+         |        AND 10 * ndist >= 3 * ntok
+         |        AND 4 * maxfreq <= ntok) AS gopher_pass
+         |       FROM gsig),
+         |     ek AS (SELECT doc_id,
+         |       doc_id = min(doc_id) OVER (PARTITION BY ${P.duckHash60("text")}) AS exact_keep
+         |       FROM documents),
+         |     sp AS (SELECT doc_id,
+         |       CASE WHEN ${P.duckHash60("'split|' || source")} % 10 < 8 THEN 'train'
+         |            WHEN ${P.duckHash60("'split|' || source")} % 10 = 8 THEN 'valid'
+         |            ELSE 'test' END AS split FROM documents),
+         |     qs AS (SELECT doc_id, source,
+         |       CAST(FLOOR(CAST(100 AS DOUBLE) * length(text)
+         |            / len(regexp_split_to_array(lower(text), '\\s+'))) AS BIGINT) AS score
+         |       FROM documents),
+         |     qr AS (SELECT doc_id, source, score,
+         |       row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rn,
+         |       count(*) OVER (PARTITION BY source) AS n FROM qs),
+         |     qw AS (SELECT doc_id, score,
+         |       max(CASE WHEN rn = (n + 1) // 2 THEN score END)
+         |         OVER (PARTITION BY source) AS med FROM qr),
+         |     mn AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+         |     mt AS (SELECT CAST(sum(n_src) AS BIGINT) AS total,
+         |                   count(*) AS nsrc FROM mn),
+         |     mp AS (SELECT source,
+         |            least(1000000, (1000000 * (total // (2 * nsrc))) // n_src) AS keep_ppm
+         |            FROM mn CROSS JOIN mt),
+         |     mk AS (SELECT d.doc_id,
+         |            (${P.duckHash60("'mix|' || CAST(d.doc_id AS VARCHAR)")} % 1000000
+         |              < p.keep_ppm) AS mix_keep
+         |            FROM documents d JOIN mp p USING (source))
+         |SELECT l.doc_id, l.pred_lang, l.pred_lang = d.lang AS lang_ok,
+         |  q.is_quality, g.gopher_pass, e.exact_keep,
+         |  c.cluster_id = l.doc_id AS near_keep,
+         |  w.score > w.med AS above_med, m.mix_keep, s.split,
+         |  (q.is_quality AND g.gopher_pass AND e.exact_keep
+         |   AND c.cluster_id = l.doc_id AND w.score > w.med AND m.mix_keep) AS kept
+         |FROM lang l JOIN documents d USING (doc_id) JOIN qual q USING (doc_id)
+         |  JOIN gr g USING (doc_id) JOIN ek e USING (doc_id)
+         |  JOIN comp c USING (doc_id) JOIN qw w USING (doc_id)
+         |  JOIN mk m USING (doc_id) JOIN sp s USING (doc_id)""".stripMargin) { (s, d) =>
+      graft.functions.Curation.fullLedger(T.documents(s, d))
     })
 }

@@ -66,6 +66,28 @@ class QuerySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("cu03 full ledger agrees with cu01 on every shared signal") {
+    val full = SparkEntry.queries("cu03_full_ledger")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getBoolean(3), r.getBoolean(5), r.getBoolean(6),
+          r.getString(9))).toMap
+    val base = SparkEntry.queries("cu01_curation_ledger")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(5),
+          r.getString(6))).toMap
+    assert(full.keySet == base.keySet)
+    // (pred_lang, is_quality, exact_keep, near_keep, split) must be
+    // identical — the full ledger only ADDS signals
+    assert(full == base)
+    // and full-ledger kept implies base-ledger kept (strictly stricter)
+    val fullKept = SparkEntry.queries("cu03_full_ledger")(spark, sf)
+      .filter("kept").collect().map(_.getLong(0)).toSet
+    val baseKept = SparkEntry.queries("cu01_curation_ledger")(spark, sf)
+      .filter("kept").collect().map(_.getLong(0)).toSet
+    assert(fullKept.subsetOf(baseKept))
+    spark.catalog.clearCache()
+  }
+
   test("dd15 incremental near-dup admits a subset of dd11's exact-dedup admissions") {
     // an exact duplicate has identical minhash signatures, so it shares
     // every band bucket — near-dup admission is strictly stricter
