@@ -39,7 +39,9 @@ object ShuffleAudit {
     "tx13_gopher_rules" -> "pure scan projection: zero shuffle",
     "sm04_mixture_weights" -> "per-source ppm broadcasts back; the fact table never shuffles",
     "cu02_adaptive_quality" -> "one exchange of (id, source, score); stacked windows share it",
-    "ss12_semantic_contamination" -> "cross-set banding: only (id, band, key) longs shuffle, per-side caps")
+    "ss12_semantic_contamination" -> "cross-set banding: only (id, band, key) longs shuffle, per-side caps",
+    "dd15_incremental_neardup" -> "anti-join shaped: corpus reduces to distinct band keys, no pair enumeration",
+    "cu03_full_ledger" -> "all per-row signals in one scan projection; digest/source/count exchanges only")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
