@@ -152,7 +152,9 @@ object ShuffleAudit {
       "dd13_lsh_r2" ->
         "r=2 keys + cap: template still floods a bucket, still skipped",
       "tx12_winnow_overlap" ->
-        "fp bucket cap: 300 identical docs share every fp, all skipped — flood adds ZERO pairs")
+        "fp bucket cap: 300 identical docs share every fp, all skipped — flood adds ZERO pairs",
+      "dd15_incremental_neardup" ->
+        "anti-join: every flood copy matches the template's corpus band key — all rejected, admitted set unchanged")
     floodAudited.foreach { case (name, claim) =>
       val q = byName(name)
       val plainRows = q.fn(spark, sfDir).count()

@@ -66,6 +66,20 @@ class QuerySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("dd15 admission is invariant under batch repartitioning") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter("doc_id < 400")
+    val batch = docs.filter("doc_id >= 400")
+    val a = graft.functions.Dedup.incrementalNearDup(corpus, batch, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    spark.catalog.clearCache()
+    val b = graft.functions.Dedup.incrementalNearDup(
+      corpus.repartition(5), batch.repartition(3), "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    spark.catalog.clearCache()
+    assert(a == b)
+  }
+
   test("cu03 full ledger agrees with cu01 on every shared signal") {
     val full = SparkEntry.queries("cu03_full_ledger")(spark, sf).collect()
       .map(r => r.getLong(0) ->

@@ -37,6 +37,17 @@ class SamplingApiSpec extends AnyFunSuite {
     assert(Sampling.mixtureSample(docs, shrink = 1).count() == docs.count())
   }
 
+  test("mixtureSample membership is invariant under repartitioning") {
+    // the cluster-safety property: a 1000-executor rerun with different
+    // partitioning must keep EXACTLY the same rows
+    val docs = Tables.documents(spark, sf)
+    val a = Sampling.mixtureSample(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.mixtureSample(docs.repartition(7)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("assignSplit matches sm02's split assignment") {
     val docs = Tables.documents(spark, sf)
     val api = Sampling.assignSplit(docs)
