@@ -23,6 +23,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     "ss05_ann_nprobe2",         // ivfSearch scored persist
     "ss10_srp_neardup",         // srpBandPairs capped persist
     "ss11_ivf_trained_recall",  // trained centroids + ivfSearch scored
+    "ss13_ivfpq_recall",        // scored persist + residual persist
+    "dd15_incremental_neardup", // two r1Bands persists (corpus + batch)
     "tx06_top_ngrams")          // token-count persist
 
   /** localCheckpoint blocks release via the ContextCleaner once their
