@@ -119,6 +119,24 @@ object Dedup {
     DedupOps.cappedBandPairs(DedupOps.r1Bands(df, idCol, textCol))
   }
 
+  /** Contamination audit — per TRAIN document, how many of its distinct
+    * 3-token shingles also appear anywhere in the `heldout` set (dd12's
+    * benchmark-leak audit as a function). Only 60-bit shingle hashes
+    * shuffle; the held-out side reduces to a distinct hash set.
+    * Delegates to the machinery the gated dd12 query runs.
+    */
+  def contamination(train: DataFrame, heldout: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    import graft.operators.DedupOps
+    val te = DedupOps.shingleHashes(heldout, idCol, textCol)
+      .select("sng").distinct()
+    DedupOps.shingleHashes(train, idCol, textCol)
+      .join(te, "sng")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumnRenamed("doc_id", idCol)
+  }
+
   /** Incremental NEAR-dup admission — dd11's incremental exact dedup
     * lifted to MinHash: admit only the `batch` rows sharing NO r=1 band
     * bucket with the existing `corpus` (candidate-level near-dup, the

@@ -145,6 +145,19 @@ object DedupOps {
     * isnotnull(h) pushdown filter (observed 13 s → <1 s). Caller-side
     * `spark.catalog.clearCache()` releases it (bench/verify contract).
     */
+  /** DISTINCT per-document 60-bit shingle hashes over arbitrary id/text
+    * columns — dd12's audit primitive (per-doc `array_distinct` before
+    * the explode ≡ row-level DISTINCT, minus the re-run of the shingle
+    * pipeline through the exchange; the tx06 lesson). Shared by the
+    * gated dd12 query and the `Dedup.contamination` driver API.
+    */
+  private[graft] def shingleHashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.selectExpr(s"$idCol as doc_id", s"split($textCol, '\\\\s+') as toks")
+      .selectExpr("doc_id", s"$sparkShingles as shingles")
+      .selectExpr(
+        "doc_id",
+        s"explode(array_distinct(transform(shingles, x -> ${P.hash60("x")}))) as sng")
+
   private[graft] def r1Bands(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.selectExpr(s"$idCol as doc_id", s"split($textCol, '\\\\s+') as toks")
       .selectExpr("doc_id", s"$sparkShingles as shingles")
@@ -555,14 +568,7 @@ object DedupOps {
          |SELECT tr.doc_id, count(*) AS n_shared
          |FROM train tr JOIN test te ON te.sng = tr.sng
          |GROUP BY tr.doc_id""".stripMargin) { (s, d) =>
-      val ex = T.documents(s, d)
-        .selectExpr("doc_id", s"$sparkToks as toks")
-        .selectExpr("doc_id", s"$sparkShingles as shingles")
-        // per-doc array_distinct ≡ row-level DISTINCT, minus the re-run
-        // of the shingle pipeline through the exchange (tx06 lesson)
-        .selectExpr(
-          "doc_id",
-          s"explode(array_distinct(transform(shingles, x -> ${P.hash60("x")}))) as sng")
+      val ex = shingleHashes(T.documents(s, d), "doc_id", "text")
         .persist() // consumed by both sides of the contamination join
       val test = ex.filter(col("doc_id") % 50 === 0).select("sng").distinct()
       val train = ex.filter(col("doc_id") % 50 =!= 0)

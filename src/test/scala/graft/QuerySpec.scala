@@ -102,6 +102,20 @@ class QuerySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("Dedup.contamination equals the gated dd12 audit") {
+    val docs = Tables.documents(spark, sf)
+    val api = graft.functions.Dedup.contamination(
+      docs.filter("doc_id % 50 <> 0"), docs.filter("doc_id % 50 = 0"),
+      "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    val gated = SparkEntry.queries("dd12_contamination")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    assert(api == gated)
+    assert(api.nonEmpty)
+  }
+
   test("dd15 incremental near-dup admits a subset of dd11's exact-dedup admissions") {
     // an exact duplicate has identical minhash signatures, so it shares
     // every band bucket — near-dup admission is strictly stricter
