@@ -641,6 +641,29 @@ object DedupOps {
         graft.functions.Dedup.incrementalNearDup(
           docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
           "doc_id", "text")
+    },
+
+    // Dedup REPORTING: the cluster-size histogram a dedup run publishes
+    // — how many clusters of each size, i.e. how much of the corpus is
+    // singleton vs duplicated mass. Rides dd08's exact clustering
+    // machinery; the histogram itself is two tiny aggregations of
+    // (id, label) longs.
+    Q(
+      "dd16_cluster_stats",
+      s"""WITH RECURSIVE
+         |     $duckClusterCtes,
+         |     cs AS (SELECT cluster_id, count(*) AS cluster_size
+         |            FROM comp GROUP BY cluster_id)
+         |SELECT cluster_size, count(*) AS n_clusters,
+         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+         |FROM cs GROUP BY cluster_size""".stripMargin) { (s, d) =>
+      clusterLabels(T.documents(s, d))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(
+          count(lit(1)).as("n_clusters"),
+          expr("cast(cluster_size * count(1) as bigint) as n_docs"))
     }
   )
 }

@@ -77,7 +77,9 @@ object ScaleSmoke {
       "dd08_dedup_clusters" -> "CC rounds shuffle (id,label) longs only",
       "tx12_winnow_overlap" -> "worst shuffle/scan ratio stays linear",
       "cu01_curation_ledger" -> "one-plan ledger, signals share a scan",
-      "ss10_srp_neardup" -> "sign codes born in scan; capped banding")
+      "ss10_srp_neardup" -> "sign codes born in scan; capped banding",
+      "cu03_full_ledger" -> "full ledger: signal exchanges scale with rows, not text",
+      "dd15_incremental_neardup" -> "anti-join: corpus side stays a distinct-key set")
     val byName = graft.SparkEntry.all.map(q => q.name -> q).toMap
     def fmt(b: Long): String =
       if (b >= (1L << 20)) f"${b / 1048576.0}%.1f MiB"

@@ -102,6 +102,14 @@ class QuerySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("dd16 cluster histogram accounts for every document exactly once") {
+    val rows = SparkEntry.queries("dd16_cluster_stats")(spark, sf).collect()
+    val total = rows.map(_.getLong(2)).sum // Σ size·count
+    assert(total == Tables.documents(spark, sf).count())
+    assert(rows.forall(r => r.getLong(2) == r.getLong(0) * r.getLong(1)))
+    spark.catalog.clearCache()
+  }
+
   test("Dedup.contamination equals the gated dd12 audit") {
     val docs = Tables.documents(spark, sf)
     val api = graft.functions.Dedup.contamination(
