@@ -205,6 +205,26 @@ object FunctionOps {
           count(lit(1)).as("n"),
           sum("k").cast("long").as("k_sum"),
           max("k").cast("long").as("k_max"))
+    },
+
+    // Feature hashing (the hashing trick): tokens → a fixed 16-bucket
+    // count vector via the portable 60-bit hash — the dimensionality-
+    // free featurizer quality classifiers train on. Emitted as
+    // (doc_id, bucket, cnt) rows; the whole thing is one codegen'd scan
+    // projection + explode, no vocabulary build, no shuffle.
+    Q(
+      "fn10_feature_hash",
+      s"""WITH t AS (SELECT doc_id,
+         |    regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents)
+         |SELECT doc_id, CAST(b AS BIGINT) AS bucket,
+         |  CAST(len(list_filter(toks, w -> ${graft.Portable.duckHash60("w")} % 16 = b)) AS BIGINT) AS cnt
+         |FROM t CROSS JOIN range(0, 16) r(b)""".stripMargin) { (s, d) =>
+      graft.Tables.documents(s, d)
+        .selectExpr("doc_id", "split(lower(text), '\\\\s+') as toks")
+        .selectExpr("doc_id",
+          "explode(sequence(0, 15)) as bucket", "toks")
+        .selectExpr("doc_id", "cast(bucket as bigint) as bucket",
+          s"cast(size(filter(toks, w -> ${graft.Portable.hash60("w")} % 16 = bucket)) as bigint) as cnt")
     }
   )
 }
