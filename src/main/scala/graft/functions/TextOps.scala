@@ -484,6 +484,35 @@ object TextOps {
         .agg(
           count(lit(1)).as("n"),
           count(when(col("pred_lang") =!= col("lang"), 1)).as("n_mismatch"))
+    },
+
+    // Cross-document packing: greedily fill 256-token context bins per
+    // source in doc_id order (running token sum; bin = prefix div
+    // capacity, offset = prefix mod capacity) — the batch-construction
+    // step between curation and training. Pure window arithmetic, all
+    // integers: one exchange on source, documents never leave their
+    // partition after it.
+    Q(
+      "tx15_doc_packing",
+      """WITH t AS (SELECT doc_id, source,
+        |      len(regexp_split_to_array(text, '\s+')) AS ntok FROM documents),
+        |     w AS (SELECT doc_id, source, ntok,
+        |      sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+        |                      ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+        |SELECT doc_id, source, CAST(ntok AS BIGINT) AS ntok,
+        |  CAST((cum - ntok) // 256 AS BIGINT) AS bin,
+        |  CAST((cum - ntok) % 256 AS BIGINT) AS off
+        |FROM w""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      T.documents(s, d)
+        .selectExpr("doc_id", "source",
+          "size(split(text, '\\\\s+')) as ntok")
+        .withColumn("cum", sum(col("ntok")).over(
+          Window.partitionBy("source").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .selectExpr("doc_id", "source", "cast(ntok as bigint) as ntok",
+          "cast((cum - ntok) div 256 as bigint) as bin",
+          "cast((cum - ntok) % 256 as bigint) as off")
     }
   )
 
