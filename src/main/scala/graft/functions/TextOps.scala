@@ -513,6 +513,47 @@ object TextOps {
         .selectExpr("doc_id", "source", "cast(ntok as bigint) as ntok",
           "cast((cum - ntok) div 256 as bigint) as bin",
           "cast((cum - ntok) % 256 as bigint) as off")
+    },
+
+    // Corpus-statistical fluency scoring: a bigram LM trained on the
+    // corpus itself scores each document by the summed conditional
+    // probability of its bigrams — the perplexity-proxy quality signal
+    // (log-free and integer-exact: per-occurrence floor(1e6·C₂/C₁),
+    // summed as BIGINTs, so both engines agree bit-for-bit where a
+    // floating log-sum would drift). Low scores flag token salads and
+    // boilerplate that n-gram-frequency filters miss.
+    // Scale: counts are map-side-combined aggs over (w1[,w2]) tokens;
+    // the per-occurrence joins hash-partition on the same keys — token
+    // rows shuffle (like tx06/tx07), text never does.
+    Q(
+      "tx16_bigram_fluency",
+      """WITH t AS (SELECT doc_id,
+        |      regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |     bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |            FROM t CROSS JOIN unnest(range(1, len(toks))) r(i)),
+        |     c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY w1, w2),
+        |     c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY w1)
+        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum((1000000 * c2.n2) // c1.n1) AS BIGINT) AS fluency_x1e6
+        |FROM bg b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY b.doc_id""".stripMargin) { (s, d) =>
+      val bg = T.documents(s, d)
+        .selectExpr("doc_id", "split(lower(text), '\\\\s+') as toks")
+        .selectExpr("doc_id",
+          "explode(case when size(toks) >= 2 then " +
+            "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(element_at(toks, i) as w1, element_at(toks, i + 1) as w2)) " +
+            "else array() end) as b")
+        .selectExpr("doc_id", "b.w1 as w1", "b.w2 as w2")
+        .persist() // three consumers (c2, c1, occurrence join); released
+        // by caller clearCache, reruns dedup via CacheManager
+      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
+      bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).cast("long").as("n_bigrams"),
+          sum(expr("(1000000 * n2) div n1")).cast("long").as("fluency_x1e6"))
     }
   )
 
