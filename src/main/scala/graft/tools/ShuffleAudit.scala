@@ -41,7 +41,8 @@ object ShuffleAudit {
     "cu02_adaptive_quality" -> "one exchange of (id, source, score); stacked windows share it",
     "ss12_semantic_contamination" -> "cross-set banding: only (id, band, key) longs shuffle, per-side caps",
     "dd15_incremental_neardup" -> "anti-join shaped: corpus reduces to distinct band keys, no pair enumeration",
-    "cu03_full_ledger" -> "all per-row signals in one scan projection; digest/source/count exchanges only")
+    "cu03_full_ledger" -> "all per-row signals in one scan projection; digest/source/count exchanges only",
+    "tx16_bigram_fluency" -> "token-level shuffles (counts + occurrence joins), linear in corpus; text never shuffles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
