@@ -126,6 +126,17 @@ private[functions] object LiteralArg {
     if (!e.foldable || !e.deterministic)
       throw new IllegalArgumentException(
         s"$fn: $arg must be an integer literal, got ${e.sql}")
+    // Integral dataType gate: a fractional literal (winnow_fps(text, 5.7, 4))
+    // would otherwise silently truncate via Number.intValue, breaking the
+    // "must be an integer literal" contract the error message promises.
+    e.dataType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => ()
+      case other =>
+        throw new IllegalArgumentException(
+          s"$fn: $arg must be an integer literal, got ${e.sql} of type " +
+            other.simpleString)
+    }
     e.eval() match {
       case n: Number => n
       case null => throw new IllegalArgumentException(

@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
   * SCALE.md evidence is sf0.1, so the linearity claims are unstressed.
   * No sf1 fixture exists, so this derives one from sf0.1: documents and
   * embeddings replicated `copies`× with remapped ids, text rotated
-  * through a per-copy character substitution and embeddings offset by a
-  * per-copy deterministic delta. The rotation keeps each copy's ORGANIC
+  * through a per-copy character substitution and embedding dimensions
+  * sign-flipped by a per-(copy, dim) hash. The rotation keeps each copy's ORGANIC
   * near-dup structure intact while making cross-copy shingles/planes
   * distinct — i.e. 10× the data carries 10× the structure, instead of
   * turning every document into a 10-way near-dup flood (which the flood
@@ -97,9 +97,9 @@ object ScaleSmoke {
     }
 
     val sb = new StringBuilder
-    sb ++= s"\n## Derived ${copies}x fixture (sf0.1 replicated, copy-rotated text, offset embeddings)\n\n"
+    sb ++= s"\n## Derived ${copies}x fixture (sf0.1 replicated, copy-rotated text, sign-flipped embeddings)\n\n"
     sb ++= s"${copies}× the documents/embeddings of sf0.1 with per-copy\n"
-    sb ++= "character-rotated text and offset embeddings — organic near-dup\n"
+    sb ++= "character-rotated text and per-(copy, dim) sign-flipped embeddings — organic near-dup\n"
     sb ++= "structure preserved per copy, no cross-copy floods. Linear plans\n"
     sb ++= s"must scale shuffle ≈ ${copies}× with zero spill.\n\n"
     sb ++= "| query | rows 1x/" + copies + "x | shuffle 1x | shuffle " + copies +

@@ -46,6 +46,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
       spark.sql("select winnow_fps(text, 5, 'wide') from docs_lit").collect()
     }
     assert(strW.getMessage.contains("w must be an integer literal"))
+    // fractional literals must fail loudly, not silently truncate 5.7 → 5
+    val fracK = intercept[Exception] {
+      spark.sql("select winnow_fps(text, 5.7, 4) from docs_lit").collect()
+    }
+    assert(fracK.getMessage.contains("k must be an integer literal"))
+    val dblW = intercept[Exception] {
+      spark.sql("select winnow_fps(text, 5, double(4.0)) from docs_lit").collect()
+    }
+    assert(dblW.getMessage.contains("w must be an integer literal"))
     // foldable literals still work, including arithmetic that folds
     assert(spark.sql("select winnow_fps(text, 5, 2 + 2) from docs_lit").count() == 5)
   }
