@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.{Portable => P}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sampling driver APIs — function-shaped entry points over the plans
@@ -55,4 +55,51 @@ object Sampling {
   def assignSplit(docs: DataFrame, sourceCol: String = "source"): DataFrame =
     docs.withColumn("split",
       expr(graft.operators.SamplingOps.splitCaseFor(sourceCol)))
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", adapted to the
+    * integer-exact gate): score every document by how much its hashed
+    * unigram distribution looks like the TARGET subset's. Each token
+    * hashes into one of `buckets` feature buckets; a token occurrence
+    * in bucket h contributes floor(1e6·(tgt_h+1)/(all_h+1)) (add-one
+    * smoothed target share, scaled to parts-per-million — log-free and
+    * all-integer so engines agree bit-for-bit). Returns per document:
+    * n_toks, the summed weight `w_x1e6`, and the per-token mean
+    * `wavg_x1e6` — rank by wavg and keep the top mass to resample the
+    * corpus toward the target domain.
+    *
+    * Scale: tokens never shuffle — both bucket-count aggregations
+    * combine map-side down to ≤ `buckets` rows, those tiny tables
+    * BROADCAST back onto the token stream, and the per-doc sum
+    * partial-aggregates to one row per document before its exchange.
+    * The gated sm05 query aggregates THIS machinery (target =
+    * source 'src0'), so API and oracle can't diverge.
+    */
+  def importanceWeights(docs: DataFrame, isTarget: Column,
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    // Deliberately NOT persisted: three consumers re-run the scan +
+    // explode, but that's a map-only codegen'd pass — caching the token
+    // stream would pin ~corpus-sized state for work cheaper than the
+    // cache write. (tx16 persists its bigram stream because its reuse
+    // crosses a shuffle; this one never shuffles.)
+    val tok = docs
+      .withColumn("_tgt", isTarget)
+      .selectExpr(idCol, "_tgt",
+        s"explode(split(lower($textCol), '\\\\s+')) as w")
+      .selectExpr(idCol, "_tgt",
+        s"${P.hash60("concat('dsir|', w)")} % $buckets as h")
+    val allc = tok.groupBy("h").agg(count(lit(1)).as("n_all"))
+    val tgtc = tok.filter(col("_tgt")).groupBy("h").agg(count(lit(1)).as("n_tgt"))
+    tok.join(broadcast(allc), "h").join(broadcast(tgtc), Seq("h"), "left")
+      .selectExpr(idCol, "coalesce(n_tgt, 0L) as n_tgt", "n_all")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).cast("long").as("n_toks"),
+        sum(expr("(1000000 * (n_tgt + 1)) div (n_all + 1)"))
+          .cast("long").as("w_x1e6"))
+      .selectExpr(idCol, "n_toks", "w_x1e6",
+        "w_x1e6 div n_toks as wavg_x1e6")
+  }
 }

@@ -554,6 +554,49 @@ object TextOps {
         .agg(
           count(lit(1)).cast("long").as("n_bigrams"),
           sum(expr("(1000000 * n2) div n1")).cast("long").as("fluency_x1e6"))
+    },
+
+    // PII detection + redaction (TextQuality.redactPii): per-document
+    // match counts for emails / IPv4 / 555-phones plus the redacted
+    // length — the compliance-scrub pass every released corpus needs.
+    // The synthetic fixture contains no PII (no '@', '.', or digits in
+    // the word-salad text — probed), so the query first AUGMENTS the
+    // text with deterministic doc_id-derived PII on BOTH engines (docs
+    // divisible by 3/5/7 gain an email/IP/phone respectively): the
+    // detector and redactor are then exercised against known-positive
+    // and known-negative rows instead of vacuously matching nothing.
+    // Scale: one codegen'd scan projection, no shuffle — the real-corpus
+    // path is `TextQuality.redactPii(docs)` with no augmentation.
+    Q(
+      "tx17_pii_redact",
+      """WITH aug AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' host 10.2.' || CAST(doc_id % 256 AS VARCHAR) || '.7 port' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' today' ELSE '' END
+        |    AS text FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+        |  len(regexp_extract_all(text, '\b555-\d{4}\b')) AS n_phones,
+        |  len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+        |    + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |    + len(regexp_extract_all(text, '\b555-\d{4}\b')) > 0 AS has_pii,
+        |  length(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b555-\d{4}\b', '<PHONE>', 'g')) AS n_chars_out
+        |FROM aug""".stripMargin) { (s, d) =>
+      val aug = T.documents(s, d).selectExpr("doc_id",
+        "concat(text, " +
+          "case when doc_id % 3 = 0 then concat(' contact user', cast(doc_id as string), '@example.com now') else '' end, " +
+          "case when doc_id % 5 = 0 then concat(' host 10.2.', cast(doc_id % 256 as string), '.7 port') else '' end, " +
+          "case when doc_id % 7 = 0 then concat(' call 555-01', lpad(cast(doc_id % 100 as string), 2, '0'), ' today') else '' end" +
+          ") as text")
+      TextQuality.redactPii(aug, "text")
+        .selectExpr("doc_id", "cast(n_emails as bigint) as n_emails",
+          "cast(n_ipv4 as bigint) as n_ipv4",
+          "cast(n_phones as bigint) as n_phones", "has_pii",
+          "cast(length(redacted) as bigint) as n_chars_out")
     }
   )
 

@@ -83,6 +83,45 @@ object TextQuality {
       .selectExpr(idCol +: gopherRules.map { case (e, a) => s"$e as $a" }: _*)
       .selectExpr(idCol, "r_wc", "r_len", "r_stop", "r_dist", "r_rep",
         "r_wc and r_len and r_stop and r_dist and r_rep as pass")
+
+  /** PII patterns (Java + RE2 compatible — both engines agree): emails,
+    * dotted-quad IPv4, and NANP-style 555-prefixed phone numbers. The
+    * pattern set is deliberately conservative/high-precision (the shape
+    * a compliance scrub wants): each is anchored on `\b` word
+    * boundaries so partial tokens don't match. Shared by the gated
+    * tx17 query and `redactPii` so detection and redaction can't drift.
+    */
+  private[graft] val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b555-\\d{4}\\b", "<PHONE>"))
+
+  /** PII detection + redaction over a text column: adds one match-count
+    * column per pattern (`n_emails`, `n_ipv4`, `n_phones`), a `has_pii`
+    * flag, and a `redacted` column with every match replaced by its
+    * placeholder (email → ip → phone order, fixed so engines agree).
+    * Pure codegen'd scan projection — no shuffle, no UDF; at 100 TB
+    * this is a map-only pass the scrub step fuses into the scan.
+    */
+  def redactPii(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val counted = piiPatterns.foldLeft(df) { case (acc, (name, pat, _)) =>
+      acc.withColumn(countColFor(name), regexp_count(col(textCol), lit(pat)))
+    }
+    val redacted = piiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    counted
+      .withColumn("has_pii",
+        piiPatterns.map(p => col(countColFor(p._1)) > 0).reduce(_ || _))
+      .withColumn("redacted", redacted)
+  }
+
+  private[graft] def countColFor(name: String): String = name match {
+    case "email" => "n_emails"
+    case "ipv4" => "n_ipv4"
+    case "phone" => "n_phones"
+    case other => s"n_$other"
+  }
 }
 
 /** Dedup driver APIs — function-shaped entry points over the plans the
@@ -185,6 +224,39 @@ object Dedup {
         df.select(col(idCol).as("doc_id"), col(textCol).as("text"))),
       minShared)
 
+  /** Passage-level boilerplate pruning — the dd17 plan as a function:
+    * chunk each document into consecutive `chunk`-token passages of the
+    * LOWERCASED text, drop every passage whose hash occurs in more than
+    * `maxDocs` distinct documents, and rebuild the surviving text.
+    * Returns (idCol, pruned, n_toks_kept); `pruned` is the lowercased
+    * concatenation of kept passages in document order (empty string when
+    * everything was boilerplate). Delegates to the flag machinery the
+    * gated dd17 query aggregates.
+    *
+    * Scale: the flag pass shuffles only long columns; reconstruction
+    * joins the per-doc kept-index ARRAY (ints) back to the documents and
+    * re-slices the token array locally — the text crosses exactly one
+    * co-partitioned exchange, which any full-corpus rewrite pays anyway.
+    */
+  def prunePassages(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", chunk: Int = 8, maxDocs: Int = 2): DataFrame = {
+    import graft.operators.DedupOps
+    val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val kept = DedupOps.passageFlags(docs, chunk, maxDocs)
+      .filter(col("keep"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list("i")).as("_kept_idx"),
+        sum("ntok_p").cast("long").as("n_toks_kept"))
+    docs.join(kept, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "split(lower(text), '\\\\s+') as toks",
+        "coalesce(_kept_idx, array()) as ki",
+        "coalesce(n_toks_kept, 0L) as n_toks_kept")
+      .selectExpr("doc_id",
+        s"array_join(flatten(transform(ki, i -> slice(toks, i * $chunk + 1, $chunk))), ' ') as pruned",
+        "n_toks_kept")
+      .withColumnRenamed("doc_id", idCol)
+  }
+
   /** Connected components over an undirected pair graph: every node gets
     * `cluster_id` = min node id in its component (nodes absent from
     * `pairs` are singletons labeling themselves; `pairs` endpoints are
@@ -251,7 +323,11 @@ object Dedup {
     var prev = fp(edges)
     var converged = prev._1 == 0L
     var rounds = 0
-    val maxRounds = 64 // O(log² n) bound — far above any 2⁶⁴-node graph's need
+    // Empirical safety margin, not the O(log² n) worst-case bound (which
+    // is ~4096 for a 2⁶⁴-node graph): alternating star rounds converge in
+    // ~log n rounds in practice, and non-convergence past the cap fails
+    // loudly below rather than looping forever.
+    val maxRounds = 64
     while (!converged && rounds < maxRounds) {
       rounds += 1
       // large-star: group the symmetrized edges by u (min combines

@@ -664,6 +664,68 @@ object DedupOps {
         .agg(
           count(lit(1)).as("n_clusters"),
           expr("cast(cluster_size * count(1) as bigint) as n_docs"))
+    },
+
+    // Passage-level boilerplate pruning (CCNet/RefinedWeb line-dedup,
+    // adapted to the newline-free fixture): chunk each document into
+    // consecutive 8-token passages, hash each passage, and flag any
+    // passage whose hash appears in MORE than 2 distinct documents as
+    // boilerplate — the shared-header/footer scrub that document-level
+    // dedup can't see. Gate: per-doc passage/boilerplate/kept-token
+    // counts. Scale: only (doc_id, i, ntok, hash) longs ever shuffle —
+    // passage text is hashed inside the scan projection and dropped;
+    // the frequency rollup and the flag join both key on the 60-bit
+    // hash. `Dedup.prunePassages` reconstructs the cleaned corpus from
+    // the same flags.
+    Q(
+      "dd17_passage_boilerplate",
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+         |           FROM documents),
+         |     p AS (SELECT doc_id, i,
+         |             len(toks[i*8+1 : i*8+8]) AS ntok_p,
+         |             ${P.duckHash60("'pp|' || array_to_string(toks[i*8+1 : i*8+8], ' ')")} AS ph
+         |           FROM t CROSS JOIN unnest(range(0, (len(toks) + 7) // 8)) r(i)),
+         |     b AS (SELECT ph FROM p GROUP BY ph HAVING count(DISTINCT doc_id) > 2)
+         |SELECT p.doc_id, count(*) AS n_passages,
+         |  count(b.ph) AS n_boiler,
+         |  CAST(coalesce(sum(CASE WHEN b.ph IS NULL THEN ntok_p END), 0) AS BIGINT) AS n_toks_kept
+         |FROM p LEFT JOIN b ON b.ph = p.ph
+         |GROUP BY p.doc_id""".stripMargin) { (s, d) =>
+      passageFlags(T.documents(s, d))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_passages"),
+          count(when(!col("keep"), 1)).as("n_boiler"),
+          coalesce(sum(when(col("keep"), col("ntok_p"))), lit(0L))
+            .cast("long").as("n_toks_kept"))
     }
   )
+
+  /** Per-passage boilerplate flags: (doc_id, i, ntok_p, ph, keep) for
+    * consecutive `chunk`-token passages of lowercased text; `keep` is
+    * false when the passage hash occurs in more than `maxDocs` distinct
+    * documents. Chunking, joining, and hashing all happen inside the
+    * scan projection; only long columns cross the two exchanges (the
+    * frequency rollup and the flag join, both keyed on the hash).
+    * Shared by the gated dd17 query and `Dedup.prunePassages`.
+    */
+  private[graft] def passageFlags(docs: DataFrame, chunk: Int = 8,
+      maxDocs: Int = 2): DataFrame = {
+    val hashFrag = P.hash60(
+      s"concat('pp|', array_join(slice(toks, i * $chunk + 1, $chunk), ' '))")
+    val passages = docs
+      .selectExpr("doc_id", "split(lower(text), '\\\\s+') as toks")
+      .selectExpr("doc_id",
+        s"explode(transform(sequence(0, (size(toks) + ${chunk - 1}) div $chunk - 1), " +
+          s"i -> struct(i as i, size(slice(toks, i * $chunk + 1, $chunk)) as ntok_p, " +
+          s"$hashFrag as ph))) as p")
+      .selectExpr("doc_id", "p.i as i", "p.ntok_p as ntok_p", "p.ph as ph")
+    val boiler = passages.groupBy("ph")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > maxDocs)
+      .select(col("ph"), lit(true).as("_boiler"))
+    passages.join(boiler, Seq("ph"), "left")
+      .select(col("doc_id"), col("i"), col("ntok_p"), col("ph"),
+        col("_boiler").isNull.as("keep"))
+  }
 }

@@ -127,6 +127,30 @@ object SamplingOps {
         .mixtureFlag(T.documents(s, d), "doc_id", "source", shrink = 2)
         .groupBy("source")
         .agg(count(lit(1)).as("total"), count(col("kp")).as("kept"))
+    },
+
+    // DSIR-style importance weights (Sampling.importanceWeights): score
+    // every document by the add-one-smoothed target share of its hashed
+    // unigram buckets, target = the 'src0' source — the data-selection
+    // signal for resampling a 100 TB crawl toward a trusted domain.
+    // All-integer ppm arithmetic (see the API scaladoc); the gate pins
+    // the full per-document weight table.
+    Q(
+      "sm05_dsir_weights",
+      s"""WITH t AS (SELECT doc_id, source = 'src0' AS tgt,
+         |             unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+         |           FROM documents),
+         |     k AS (SELECT doc_id, tgt,
+         |             ${P.duckHash60("'dsir|' || w")} % 1024 AS h FROM t),
+         |     a AS (SELECT h, count(*) AS n_all FROM k GROUP BY h),
+         |     g AS (SELECT h, count(*) AS n_tgt FROM k WHERE tgt GROUP BY h)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         |  CAST(sum((1000000 * (coalesce(n_tgt, 0) + 1)) // (n_all + 1)) AS BIGINT) AS w_x1e6,
+         |  CAST(sum((1000000 * (coalesce(n_tgt, 0) + 1)) // (n_all + 1)) // count(*) AS BIGINT) AS wavg_x1e6
+         |FROM k JOIN a USING (h) LEFT JOIN g USING (h)
+         |GROUP BY doc_id""".stripMargin) { (s, d) =>
+      graft.functions.Sampling.importanceWeights(
+        T.documents(s, d), col("source") === "src0")
     }
   )
 }

@@ -42,7 +42,10 @@ object ShuffleAudit {
     "ss12_semantic_contamination" -> "cross-set banding: only (id, band, key) longs shuffle, per-side caps",
     "dd15_incremental_neardup" -> "anti-join shaped: corpus reduces to distinct band keys, no pair enumeration",
     "cu03_full_ledger" -> "all per-row signals in one scan projection; digest/source/count exchanges only",
-    "tx16_bigram_fluency" -> "token-level shuffles (counts + occurrence joins), linear in corpus; text never shuffles")
+    "tx16_bigram_fluency" -> "token-level shuffles (counts + occurrence joins), linear in corpus; text never shuffles",
+    "sm05_dsir_weights" -> "bucket tables (≤1024 rows) broadcast back; tokens never shuffle, per-doc sums combine map-side",
+    "tx17_pii_redact" -> "pure scan projection (regex count + replace): zero shuffle",
+    "dd17_passage_boilerplate" -> "only (doc_id, i, ntok, hash) longs shuffle; passage text hashed in the scan and dropped")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -2,6 +2,7 @@ package graft.functions
 
 import graft.SparkTestSession.{sf, spark}
 import graft.{SparkEntry, Tables}
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The function-shaped Sampling APIs must agree exactly with the gated
@@ -63,5 +64,44 @@ class SamplingApiSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, sf).withColumnRenamed("source", "domain")
     val out = Sampling.assignSplit(docs, sourceCol = "domain")
     assert(out.select("split").distinct().count() <= 3)
+  }
+
+  test("importanceWeights ranks target-vocabulary docs above the rest") {
+    import spark.implicits._
+    // target docs draw from one vocabulary, background from another:
+    // a doc written in target vocab must carry a far higher mean weight
+    val docs = Seq(
+      (1L, true, "apple banana cherry apple banana"),
+      (2L, true, "cherry apple banana cherry"),
+      (3L, false, "dog elephant ferret giraffe heron"),
+      (4L, false, "ferret dog giraffe heron elephant dog"),
+      (5L, false, "apple dog banana elephant")) // mixed
+      .toDF("doc_id", "tgt", "text")
+    val w = Sampling.importanceWeights(docs, col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(w(1L) > w(3L) && w(2L) > w(4L))
+    // the mixed doc sits strictly between pure-target and pure-background
+    assert(w(5L) < w(1L) && w(5L) > w(3L))
+  }
+
+  test("importanceWeights matches the gated sm05 query and is partition-invariant") {
+    val docs = Tables.documents(spark, sf)
+    val api = Sampling.importanceWeights(docs, col("source") === "src0")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val gate = SparkEntry.queries("sm05_dsir_weights")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(api == gate)
+    val repart = Sampling
+      .importanceWeights(docs.repartition(7), col("source") === "src0")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(repart == api)
+  }
+
+  test("importanceWeights rejects a non-positive bucket count") {
+    val docs = Tables.documents(spark, sf)
+    val e = intercept[IllegalArgumentException] {
+      Sampling.importanceWeights(docs, col("source") === "src0", buckets = 0)
+    }
+    assert(e.getMessage.contains("buckets"))
   }
 }

@@ -118,6 +118,41 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("Dedup.prunePassages drops shared boilerplate, keeps unique text") {
+    import spark.implicits._
+    // 8-token boilerplate header shared by 3 docs (> maxDocs=2) + unique
+    // bodies; doc 4 is all-unique, doc 5 is ONLY the boilerplate
+    val boiler = "terms of service apply to all content here"
+    val docs = Seq(
+      (1L, s"$boiler alpha bravo charlie delta echo foxtrot golf hotel"),
+      (2L, s"$boiler india juliet kilo lima mike november oscar papa"),
+      (3L, s"$boiler quebec romeo sierra tango uniform victor whiskey xray"),
+      (4L, "yankee zulu one two three four five six"),
+      (5L, boiler)).toDF("doc_id", "text")
+    val out = graft.functions.Dedup.prunePassages(docs).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) ==
+      ("alpha bravo charlie delta echo foxtrot golf hotel", 8L))
+    assert(out(4L) == ("yankee zulu one two three four five six", 8L))
+    assert(out(5L) == ("", 0L)) // pure boilerplate doc survives as empty
+  }
+
+  test("prunePassages kept-token counts agree with the gated dd17 query") {
+    val docs = graft.Tables.documents(spark, sf)
+    val api = graft.functions.Dedup.prunePassages(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val gated = graft.SparkEntry.queries("dd17_passage_boilerplate")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(api == gated)
+    // reconstruction is consistent: pruned token count == n_toks_kept
+    val recon = graft.functions.Dedup.prunePassages(docs)
+      .selectExpr("doc_id",
+        "case when pruned = '' then 0 else size(split(pruned, ' ')) end as n",
+        "n_toks_kept")
+      .collect()
+    assert(recon.forall(r => r.getInt(1).toLong == r.getLong(2)))
+  }
+
   test("r=2 banding (dd13) admits no more candidates than r=1 (dd04)") {
     // The b×r precision contract: requiring TWO minhash components to
     // agree per band can only shrink the candidate set relative to one.
