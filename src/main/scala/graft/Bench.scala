@@ -55,7 +55,12 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
       .getOrElse(2).max(1)
-    val results = SparkEntry.all.map { q =>
+    // Dev-loop subset filter (comma-separated query names). The driver
+    // never sets it, so round benches always time the full surface.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val bench = only.fold(SparkEntry.all)(s => SparkEntry.all.filter(q => s(q.name)))
+    val results = bench.map { q =>
       def rep(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok =
@@ -90,7 +95,8 @@ object Bench {
     // the flag, while a legitimately computed 0.0 (dt <= 0 path) does not.
     var flagshipFailed = false
     val flagshipRate =
-      try {
+      if (only.isDefined) 0.0 // subset dev runs skip the flagship pass
+      else try {
         val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
         val n = li.count()
         (1 to reps).map { _ =>

@@ -101,6 +101,58 @@ object Curation {
       .withColumnRenamed("doc_id", idCol)
   }
 
+  /** Quality-aware near-dup cluster keeper: per dd08 cluster, flag the
+    * member with the highest tx02 quality score (doc_id tiebreak) as
+    * the keeper, instead of cu01's min-id representative — "keep the
+    * best copy", the selection a production curation pass wants. One
+    * row per document: (idCol, cluster_id, score, keep). Reuses the
+    * exact clustering machinery the dd08 oracle pins; the only added
+    * exchange is the per-cluster ranking window over
+    * (doc_id, cluster_id, score) longs.
+    */
+  def qualityKeeper(docs0: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = docs0.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val labels = graft.operators.DedupOps.clusterLabels(docs)
+    // tx02's mean-token-length×100 score — the shared integer-exact
+    // snippet cu02/cu03 also inline
+    val scored = docs.selectExpr("doc_id",
+      "cast(floor(cast(100 as double) * length(text) / " +
+        "size(split(lower(text), '\\\\s+'))) as bigint) as score")
+    scored.join(labels, "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cluster_id")
+          .orderBy(col("score").desc, col("doc_id"))))
+      .selectExpr("doc_id", "cluster_id", "score", "rn = 1 as keep")
+      .withColumnRenamed("doc_id", idCol)
+  }
+
+  /** URL domain blocklist filtering: adds `host` (the URL's authority),
+    * `reg_domain` (last two dot-labels of the host — the registered
+    * domain, so subdomains of a blocked domain are blocked too), and
+    * `blocked`. Rows whose URL doesn't parse get empty host/reg_domain
+    * and are never blocked — surface them with `host = ''` rather than
+    * dropping silently. The blocklist inlines as a literal IN (codegen,
+    * zero shuffle); lists too large to inline should join a broadcast
+    * blocklist table on `reg_domain` instead. The gated cu05 query IS
+    * this function over synthesized URLs.
+    */
+  def domainFilter(docs: DataFrame, urlCol: String = "url",
+      blocklist: Seq[String] = Nil): DataFrame = {
+    require(blocklist.forall(d => !d.contains("'")),
+      "blocklist entries must not contain quotes")
+    val blockedExpr =
+      if (blocklist.isEmpty) "false"
+      else s"reg_domain in (${blocklist.map(d => s"'$d'").mkString(", ")})"
+    docs
+      .withColumn("host",
+        regexp_extract(col(urlCol), "^[a-z]+://([^/]+)", 1))
+      .withColumn("reg_domain",
+        regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+      .withColumn("blocked", expr(blockedExpr))
+  }
+
   /** ADAPTIVE quality filtering: keep each document scoring STRICTLY
     * above its own source's median quality score — per-group thresholds
     * instead of one global band, so a low-quality source doesn't set

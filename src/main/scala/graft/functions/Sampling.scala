@@ -56,6 +56,50 @@ object Sampling {
     docs.withColumn("split",
       expr(graft.operators.SamplingOps.splitCaseFor(sourceCol)))
 
+  /** CCNet-style perplexity-bucketed sampling (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data", adapted to the integer-exact gate): per source, rank
+    * documents by their bigram-LM fluency (tx16's machinery; per-bigram
+    * mean as the perplexity proxy — higher is more fluent), split into
+    * head/middle/tail terciles, keep the head entirely, keep the middle
+    * at `midPpm`/1e6 via the deterministic document hash, drop the
+    * tail. Docs with < 2 tokens score 0 and land in the tail. Returns
+    * (idCol, sourceCol, score, bucket, keep) for every input document.
+    *
+    * Scale: the LM counts are map-side-combined token aggs (text never
+    * shuffles); the tercile split is one (id, source, score) window
+    * exchange; the keep decision is pure hash arithmetic — a
+    * 1000-executor rerun with different partitioning keeps EXACTLY the
+    * same rows. The gated sm06 query IS this function.
+    */
+  def fluencyBuckets(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", sourceCol: String = "source",
+      midPpm: Int = 500000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(midPpm >= 0 && midPpm <= 1000000,
+      s"midPpm must be in [0, 1000000], got $midPpm")
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("text"), col(sourceCol).as("source"))
+    val fl = graft.functions.TextOps.bigramFluency(base)
+    val bysrc = Window.partitionBy("source")
+    base.select("doc_id", "source")
+      .join(fl, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "source",
+        "coalesce(fluency_x1e6 div n_bigrams, 0L) as score")
+      .withColumn("rn", row_number().over(
+        bysrc.orderBy(col("score").desc, col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(bysrc))
+      .selectExpr("doc_id", "source", "cast(score as bigint) as score",
+        "case when rn * 3 <= n then 'head' " +
+          "when rn * 3 <= 2 * n then 'middle' else 'tail' end as bucket")
+      .selectExpr("doc_id", "source", "score", "bucket",
+        "case bucket when 'head' then true when 'middle' then " +
+          s"${P.hash60("concat('ppx|', cast(doc_id as string))")} % 1000000 < $midPpm " +
+          "else false end as keep")
+      .withColumnRenamed("doc_id", idCol)
+      .withColumnRenamed("source", sourceCol)
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling", adapted to the
     * integer-exact gate): score every document by how much its hashed

@@ -1,6 +1,7 @@
 package graft.functions
 
 import graft.{Q, Tables => T}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -36,6 +37,50 @@ object TextOps {
   private val winnowK = 12
   private val winnowW = 8
   private val winnowP = 2147483647L // 2^31 - 1
+
+  /** DuckDB CTEs for the corpus bigram LM (tx16): defines `bg` (one row
+    * per bigram occurrence), `c2`/`c1` (bigram/unigram counts), and `fl`
+    * (per-doc n_bigrams + integer-ppm fluency sum). Shared by the tx16
+    * oracle and sm06's fluency-bucketed sampling oracle. MUST stay above
+    * `queries` (object init order).
+    */
+  private[graft] val duckFluencyCtes: String =
+    """t AS (SELECT doc_id,
+      |      regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+      |     bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      |            FROM t CROSS JOIN unnest(range(1, len(toks))) r(i)),
+      |     c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY w1, w2),
+      |     c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY w1),
+      |     fl AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |       CAST(sum((1000000 * c2.n2) // c1.n1) AS BIGINT) AS fluency_x1e6
+      |       FROM bg b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+      |       GROUP BY b.doc_id)""".stripMargin
+
+  /** Per-document bigram-LM fluency (tx16's machinery as a helper):
+    * (doc_id, n_bigrams, fluency_x1e6) for every doc with ≥ 2 tokens.
+    * The LM is trained on the input corpus itself; scores are the
+    * integer-exact per-occurrence floor(1e6·C₂/C₁) sums (see the tx16
+    * query comment). Persists the bigram stream — three consumers cross
+    * shuffles — released by the caller's clearCache.
+    */
+  private[graft] def bigramFluency(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .selectExpr("doc_id", "split(lower(text), '\\\\s+') as toks")
+      .selectExpr("doc_id",
+        "explode(case when size(toks) >= 2 then " +
+          "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) as w1, element_at(toks, i + 1) as w2)) " +
+          "else array() end) as b")
+      .selectExpr("doc_id", "b.w1 as w1", "b.w2 as w2")
+      .persist()
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
+    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_bigrams"),
+        sum(expr("(1000000 * n2) div n1")).cast("long").as("fluency_x1e6"))
+  }
   private def winnowCoef(j: Int): Long = {
     var c = 1L
     (0 until (winnowK - 1 - j)).foreach(_ => c = c * 256L % winnowP)
@@ -527,33 +572,9 @@ object TextOps {
     // rows shuffle (like tx06/tx07), text never does.
     Q(
       "tx16_bigram_fluency",
-      """WITH t AS (SELECT doc_id,
-        |      regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
-        |     bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
-        |            FROM t CROSS JOIN unnest(range(1, len(toks))) r(i)),
-        |     c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY w1, w2),
-        |     c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY w1)
-        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  CAST(sum((1000000 * c2.n2) // c1.n1) AS BIGINT) AS fluency_x1e6
-        |FROM bg b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
-        |GROUP BY b.doc_id""".stripMargin) { (s, d) =>
-      val bg = T.documents(s, d)
-        .selectExpr("doc_id", "split(lower(text), '\\\\s+') as toks")
-        .selectExpr("doc_id",
-          "explode(case when size(toks) >= 2 then " +
-            "transform(sequence(1, size(toks) - 1), " +
-            "i -> struct(element_at(toks, i) as w1, element_at(toks, i + 1) as w2)) " +
-            "else array() end) as b")
-        .selectExpr("doc_id", "b.w1 as w1", "b.w2 as w2")
-        .persist() // three consumers (c2, c1, occurrence join); released
-        // by caller clearCache, reruns dedup via CacheManager
-      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
-      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
-      bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).cast("long").as("n_bigrams"),
-          sum(expr("(1000000 * n2) div n1")).cast("long").as("fluency_x1e6"))
+      s"""WITH $duckFluencyCtes
+         |SELECT doc_id, n_bigrams, fluency_x1e6 FROM fl""".stripMargin) {
+      (s, d) => bigramFluency(T.documents(s, d))
     },
 
     // PII detection + redaction (TextQuality.redactPii): per-document

@@ -257,6 +257,53 @@ object Dedup {
       .withColumnRenamed("doc_id", idCol)
   }
 
+  /** Exact duplicated-span detection (Lee et al. 2021 ExactSubstr,
+    * Spark-native): maximal token intervals [span_start, span_end)
+    * covered by `k`-token stride-1 windows whose hash occurs at least
+    * `minCount` times corpus-wide — cross-document boilerplate and
+    * within-document repetition alike. Returns one row per span
+    * (idCol, span_start, span_end, n_windows). Resolution is k tokens:
+    * a shared substring shorter than k is never flagged, one of length
+    * L ≥ k is caught with its full extent (L − k + 1 flagged windows
+    * merge back to the L-token interval). Delegates to the machinery
+    * the gated dd18 query aggregates.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 16, minCount: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    graft.operators.DedupOps
+      .dupWindowSpans(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text")), k, minCount)
+      .withColumnRenamed("doc_id", idCol)
+  }
+
+  /** Rewrite the corpus with every duplicated span removed: returns
+    * (idCol, pruned, n_toks_kept) where `pruned` is the lowercased
+    * text minus all `duplicatedSpans` intervals (document order kept,
+    * empty string when the whole doc was duplicated). The span list per
+    * doc is a small int-pair array carried through one co-partitioned
+    * join; token filtering happens locally in an array HOF.
+    */
+  def removeSpans(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 16, minCount: Int = 2): DataFrame = {
+    val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val spans = graft.operators.DedupOps.dupWindowSpans(docs, k, minCount)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("sp"))
+    docs.join(spans, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "split(lower(text), '\\\\s+') as toks",
+        "coalesce(sp, array()) as sp")
+      .selectExpr("doc_id",
+        "filter(transform(toks, (t, j) -> struct(t as t, j as j)), " +
+          "p -> !exists(sp, q -> p.j >= q.s and p.j < q.e)) as kept")
+      .selectExpr("doc_id",
+        "array_join(transform(kept, p -> p.t), ' ') as pruned",
+        "cast(size(kept) as bigint) as n_toks_kept")
+      .withColumnRenamed("doc_id", idCol)
+  }
+
   /** Connected components over an undirected pair graph: every node gets
     * `cluster_id` = min node id in its component (nodes absent from
     * `pairs` are singletons labeling themselves; `pairs` endpoints are
@@ -342,7 +389,6 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint()
-      val largeFp = fp(large)
       // small-star: attach every smaller neighbor AND u itself to the
       // smallest neighbor (all of Γ(u) is < u here, so min(Γ(u)) = m).
       val smin = large.groupBy("u").agg(min("v").as("m"))
@@ -352,7 +398,23 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint()
-      val cur = fp(small)
+      // Both steps' fingerprints in ONE tagged aggregation over the two
+      // checkpointed edge sets (3 jobs/round instead of 4 — at bench
+      // scale the loop's cost is job overhead, not data). Missing group
+      // ⇒ that edge set is empty.
+      val fpRows = large.select(lit(0).as("t"), col("u"), col("v"))
+        .union(small.select(lit(1).as("t"), col("u"), col("v")))
+        .groupBy("t")
+        .agg(count(lit(1)).as("n"),
+          sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("s"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          (r.getLong(1),
+            if (r.isNullAt(2)) java.math.BigDecimal.ZERO else r.getDecimal(2)))
+        .toMap
+      val empty = (0L, java.math.BigDecimal.ZERO)
+      val largeFp = fpRows.getOrElse(0, empty)
+      val cur = fpRows.getOrElse(1, empty)
       // converged ⇔ BOTH steps were no-ops this round (a fixpoint of the
       // composition alone could in principle cycle; of both, only stars)
       converged = same(prev, largeFp) && same(largeFp, cur)

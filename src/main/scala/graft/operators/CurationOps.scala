@@ -172,5 +172,65 @@ object CurationOps {
          |  JOIN comp c USING (doc_id) JOIN qw w USING (doc_id)
          |  JOIN mk m USING (doc_id) JOIN sp s USING (doc_id)""".stripMargin) { (s, d) =>
       graft.functions.Curation.fullLedger(T.documents(s, d))
+    },
+
+    // Quality-aware cluster keeper (Curation.qualityKeeper): cu01 keeps
+    // each near-dup cluster's MIN-id doc (the CC label); a production
+    // curation pass keeps the BEST doc. Per dd08 cluster, rank members
+    // by tx02's integer-exact quality score (desc, doc_id tiebreak) and
+    // keep rank 1 — same clustering machinery, quality-first selection.
+    // Scale: one (doc_id, cluster_id, score) window exchange on top of
+    // the clustering rounds; text never shuffles.
+    Q(
+      "cu04_quality_keeper",
+      s"""WITH RECURSIVE
+         |     ${DedupOps.duckClusterCtes},
+         |     s AS (SELECT doc_id,
+         |       CAST(FLOOR(CAST(100 AS DOUBLE) * length(text)
+         |            / len(regexp_split_to_array(lower(text), '\\s+'))) AS BIGINT) AS score
+         |       FROM documents),
+         |     r AS (SELECT c.doc_id, c.cluster_id, s.score,
+         |       row_number() OVER (PARTITION BY c.cluster_id
+         |                          ORDER BY s.score DESC, c.doc_id) AS rn
+         |       FROM comp c JOIN s USING (doc_id))
+         |SELECT doc_id, cluster_id, score, rn = 1 AS keep FROM r""".stripMargin) {
+      (s, d) => graft.functions.Curation.qualityKeeper(T.documents(s, d))
+    },
+
+    // URL domain blocklist filtering (Curation.domainFilter): the C4/
+    // RefinedWeb source-hygiene pass — extract each document's host and
+    // registered domain from its URL and flag rows whose registered
+    // domain is blocklisted (subdomains of a blocked domain are blocked
+    // too, which host-equality filters miss). The fixture has no URL
+    // column, so the query synthesizes one per doc_id on BOTH engines
+    // (7 deterministic hosts, 2 of them under blocked registered
+    // domains). Scale: pure codegen'd scan projection (two regex
+    // extracts + a literal IN) — zero shuffle; a list too large to
+    // inline becomes a broadcast semi-join on reg_domain.
+    Q(
+      "cu05_domain_filter",
+      s"""WITH aug AS (SELECT doc_id, 'https://' ||
+         |    CASE doc_id % 7
+         |      WHEN 0 THEN 'www.example.com' WHEN 1 THEN 'news.example.org'
+         |      WHEN 2 THEN 'blog.example.net' WHEN 3 THEN 'spam.bad-site.com'
+         |      WHEN 4 THEN 'tracker.adsite.io' WHEN 5 THEN 'docs.example.edu'
+         |      ELSE 'cdn.bad-site.com' END ||
+         |    '/p/' || CAST(doc_id AS VARCHAR) AS url FROM documents),
+         |  e AS (SELECT doc_id, url,
+         |    regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host FROM aug),
+         |  r AS (SELECT doc_id, host,
+         |    regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS reg_domain FROM e)
+         |SELECT doc_id, host, reg_domain,
+         |  reg_domain IN ('bad-site.com', 'adsite.io') AS blocked
+         |FROM r""".stripMargin) { (s, d) =>
+      val aug = T.documents(s, d).selectExpr("doc_id",
+        "concat('https://', case doc_id % 7 " +
+          "when 0 then 'www.example.com' when 1 then 'news.example.org' " +
+          "when 2 then 'blog.example.net' when 3 then 'spam.bad-site.com' " +
+          "when 4 then 'tracker.adsite.io' when 5 then 'docs.example.edu' " +
+          "else 'cdn.bad-site.com' end, '/p/', cast(doc_id as string)) as url")
+      graft.functions.Curation
+        .domainFilter(aug, blocklist = Seq("bad-site.com", "adsite.io"))
+        .select("doc_id", "host", "reg_domain", "blocked")
     })
 }

@@ -64,6 +64,18 @@ object DedupOps {
     * 128-bit products — not expressible as exact BIGINT SQL on both
     * engines; the two-prime CRT composition is.)
     */
+  /** Fixed 24-token boilerplate tail appended (deterministically, on both
+    * engines) to doc_id % 4 == 0 rows by the gated dd18 query, so the
+    * exact-substring detector runs against known-positive spans — the
+    * word-salad fixture's only organic 16-token duplicates are the exact
+    * duplicate documents dd01 exists for. MUST be declared above
+    * `queries` (Scala object init order: later vals interpolate as null).
+    */
+  private val esTail =
+    "this agreement is provided as is without warranty of any kind " +
+      "either express or implied including without limitation any " +
+      "warranty of merchantability or fitness"
+
   private val mhP1 = 2147483647L // 2^31 - 1
   private val mhP2 = 2147483629L // 2^31 - 19
   private val mhA1 = Seq(1103515245L, 1588635695L, 1203248318L, 784588716L,
@@ -698,6 +710,64 @@ object DedupOps {
           count(when(!col("keep"), 1)).as("n_boiler"),
           coalesce(sum(when(col("keep"), col("ntok_p"))), lit(0L))
             .cast("long").as("n_toks_kept"))
+    },
+
+    // Exact duplicated-span removal (Lee et al. 2021, "Deduplicating
+    // Training Data Makes Language Models Better" — the ExactSubstr
+    // pass, re-expressed Spark-native): hash EVERY 16-token window
+    // (stride 1) of the lowercased text, flag windows whose hash occurs
+    // more than once corpus-wide (cross-doc boilerplate AND within-doc
+    // repetition alike), and merge each doc's flagged windows into
+    // maximal removal spans (gaps-and-islands over the window starts).
+    // The reference algorithm uses a corpus suffix array; stride-1
+    // window hashing is the shuffle-friendly distributed equivalent,
+    // trading suffix-array exactness for k-token span resolution. The
+    // fixture text is word salad whose only organic 16-token repeats
+    // are dd01's exact-duplicate documents, so the query AUGMENTS
+    // doc_id % 4 == 0 rows with a fixed 24-token tail on BOTH engines —
+    // known-positive spans (the tail merges to exactly one 24-token
+    // span) alongside the organic whole-doc duplicates. Scale: window
+    // rows are (doc_id, i, hash) longs — text is hashed in the scan
+    // projection and dropped; the frequency rollup and flag join key on
+    // the 60-bit hash; span merging is one doc-sharded window exchange
+    // of int pairs. `Dedup.duplicatedSpans`/`removeSpans` expose the
+    // same machinery (the real-corpus path, no augmentation).
+    Q(
+      "dd18_dup_spans",
+      s"""WITH aug AS (SELECT doc_id, lower(text) ||
+         |    CASE WHEN doc_id % 4 = 0 THEN ' $esTail' ELSE '' END AS text
+         |  FROM documents),
+         |t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM aug),
+         |w AS (SELECT doc_id, i,
+         |        ${P.duckHash60("'es|' || array_to_string(toks[i+1 : i+16], ' ')")} AS wh
+         |      FROM t CROSS JOIN unnest(range(0, greatest(len(toks) - 15, 0))) r(i)),
+         |d AS (SELECT wh FROM w GROUP BY wh HAVING count(*) > 1),
+         |f AS (SELECT w.doc_id, w.i FROM w JOIN d USING (wh)),
+         |m AS (SELECT doc_id, i,
+         |        CASE WHEN i > coalesce(max(i + 16) OVER (
+         |               PARTITION BY doc_id ORDER BY i
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |             THEN 1 ELSE 0 END AS ns
+         |      FROM f),
+         |s AS (SELECT doc_id, i, sum(ns) OVER (
+         |        PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS sid
+         |      FROM m),
+         |sp AS (SELECT doc_id, sid, min(i) AS s0, max(i) + 16 AS e0, count(*) AS nw
+         |       FROM s GROUP BY doc_id, sid)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(nw) AS BIGINT) AS n_dup_windows,
+         |  CAST(sum(e0 - s0) AS BIGINT) AS n_toks_dup
+         |FROM sp GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val aug = T.documents(s, d).selectExpr("doc_id",
+        s"concat(lower(text), case when doc_id % 4 = 0 then ' $esTail' " +
+          "else '' end) as text")
+      dupWindowSpans(aug)
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).cast("long").as("n_spans"),
+          sum("n_windows").cast("long").as("n_dup_windows"),
+          sum(col("span_end") - col("span_start")).cast("long")
+            .as("n_toks_dup"))
     }
   )
 
@@ -727,5 +797,52 @@ object DedupOps {
     passages.join(boiler, Seq("ph"), "left")
       .select(col("doc_id"), col("i"), col("ntok_p"), col("ph"),
         col("_boiler").isNull.as("keep"))
+  }
+
+  /** Maximal duplicated spans per document: (doc_id, span_start,
+    * span_end, n_windows) where [span_start, span_end) is a token
+    * interval (0-based, end-exclusive) covered by merged `k`-token
+    * windows whose hash occurs at least `minCount` times corpus-wide.
+    * Windows are stride-1 over the lowercased whitespace tokens; docs
+    * shorter than `k` tokens produce no windows. Overlapping AND
+    * contiguous flagged windows merge into one span (gaps-and-islands:
+    * a window opens a new span iff its start exceeds the running max
+    * end of every earlier flagged window in the doc).
+    *
+    * Scale: window text is hashed inside the scan projection and
+    * dropped — only (doc_id, i, hash) longs reach the frequency rollup
+    * (map-side combined) and the flag join (keyed on the hash); span
+    * merging is one doc-sharded window exchange of int pairs. Shared by
+    * the gated dd18 query and `Dedup.duplicatedSpans`/`removeSpans`.
+    */
+  private[graft] def dupWindowSpans(docs: DataFrame, k: Int = 16,
+      minCount: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashFrag = P.hash60(
+      s"concat('es|', array_join(slice(toks, i + 1, $k), ' '))")
+    val windows = docs
+      .selectExpr("doc_id", "split(lower(text), '\\\\s+') as toks")
+      .selectExpr("doc_id",
+        s"explode(case when size(toks) < $k then array() else " +
+          s"transform(sequence(0, size(toks) - $k), " +
+          s"i -> struct(i as i, $hashFrag as wh)) end) as p")
+      .selectExpr("doc_id", "p.i as i", "p.wh as wh")
+    val dups = windows.groupBy("wh")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select("wh")
+    val flagged = windows.join(dups, "wh").select("doc_id", "i")
+    val byDoc = Window.partitionBy("doc_id").orderBy("i")
+    val prevEnd = max(col("i") + k)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    flagged
+      .withColumn("ns",
+        when(col("i") > coalesce(prevEnd, lit(-1)), 1).otherwise(0))
+      .withColumn("sid",
+        sum("ns").over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "sid")
+      .agg(min("i").as("span_start"), (max("i") + k).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
   }
 }

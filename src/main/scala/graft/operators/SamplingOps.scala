@@ -135,6 +135,35 @@ object SamplingOps {
     // signal for resampling a 100 TB crawl toward a trusted domain.
     // All-integer ppm arithmetic (see the API scaladoc); the gate pins
     // the full per-document weight table.
+    // CCNet-style perplexity-bucketed sampling (Sampling.fluencyBuckets,
+    // Wenzek et al. 2020 adapted to the integer-exact gate): per source,
+    // rank documents by tx16's bigram-LM fluency (per-bigram mean — the
+    // perplexity proxy), split into head/middle/tail terciles, keep the
+    // head entirely, the middle at a deterministic 50% hash rate, and
+    // drop the tail. The keep decision is reproducible row-by-row on a
+    // 1000-executor rerun (rank windows + hash-ppm, no RNG state).
+    Q(
+      "sm06_fluency_buckets",
+      s"""WITH ${graft.functions.TextOps.duckFluencyCtes},
+         |     s AS (SELECT d.doc_id, d.source,
+         |       coalesce(fl.fluency_x1e6 // fl.n_bigrams, 0) AS score
+         |       FROM documents d LEFT JOIN fl ON fl.doc_id = d.doc_id),
+         |     r AS (SELECT doc_id, source, score,
+         |       row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rn,
+         |       count(*) OVER (PARTITION BY source) AS n FROM s),
+         |     b AS (SELECT doc_id, source, score,
+         |       CASE WHEN rn * 3 <= n THEN 'head'
+         |            WHEN rn * 3 <= 2 * n THEN 'middle'
+         |            ELSE 'tail' END AS bucket FROM r)
+         |SELECT doc_id, source, CAST(score AS BIGINT) AS score, bucket,
+         |  CASE bucket WHEN 'head' THEN TRUE
+         |       WHEN 'middle' THEN
+         |         ${P.duckHash60("'ppx|' || CAST(doc_id AS VARCHAR)")} % 1000000 < 500000
+         |       ELSE FALSE END AS keep
+         |FROM b""".stripMargin) { (s, d) =>
+      graft.functions.Sampling.fluencyBuckets(T.documents(s, d))
+    },
+
     Q(
       "sm05_dsir_weights",
       s"""WITH t AS (SELECT doc_id, source = 'src0' AS tgt,

@@ -45,7 +45,10 @@ object ShuffleAudit {
     "tx16_bigram_fluency" -> "token-level shuffles (counts + occurrence joins), linear in corpus; text never shuffles",
     "sm05_dsir_weights" -> "bucket tables (≤1024 rows) broadcast back; tokens never shuffle, per-doc sums combine map-side",
     "tx17_pii_redact" -> "pure scan projection (regex count + replace): zero shuffle",
-    "dd17_passage_boilerplate" -> "only (doc_id, i, ntok, hash) longs shuffle; passage text hashed in the scan and dropped")
+    "dd17_passage_boilerplate" -> "only (doc_id, i, ntok, hash) longs shuffle; passage text hashed in the scan and dropped",
+    "dd18_dup_spans" -> "stride-1 window hashes: (doc_id, i, hash) longs shuffle, linear in tokens; span merge is one doc-sharded int window",
+    "cu05_domain_filter" -> "pure scan projection (regex extract + literal IN): zero shuffle",
+    "sm06_fluency_buckets" -> "bigram-LM count aggs + one (id, source, score) tercile window; text never shuffles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

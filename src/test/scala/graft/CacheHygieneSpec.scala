@@ -26,7 +26,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     "ss13_ivfpq_recall",        // scored persist + residual persist
     "dd15_incremental_neardup", // two r1Bands persists (corpus + batch)
     "tx06_top_ngrams",          // token-count persist
-    "tx16_bigram_fluency")      // bigram-occurrence persist (3 consumers)
+    "tx16_bigram_fluency",      // bigram-occurrence persist (3 consumers)
+    "sm06_fluency_buckets")     // rides tx16's bigram persist
 
   /** localCheckpoint blocks release via the ContextCleaner once their
     * RDD is unreachable — nudge GC until the count stops shrinking.

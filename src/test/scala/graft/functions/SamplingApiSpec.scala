@@ -97,6 +97,43 @@ class SamplingApiSpec extends AnyFunSuite {
     assert(repart == api)
   }
 
+  test("fluencyBuckets terciles are balanced per source and keep rules hold") {
+    val docs = Tables.documents(spark, sf)
+    val rows = graft.functions.Sampling.fluencyBuckets(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3),
+        r.getBoolean(4)))
+    assert(rows.length == docs.count())
+    // head is never dropped, tail never kept
+    assert(rows.filter(_._4 == "head").forall(_._5))
+    assert(rows.filter(_._4 == "tail").forall(!_._5))
+    // per source: |head| = floor(n/3), buckets ordered by score
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      val n = g.length
+      assert(g.count(_._4 == "head") == n / 3)
+      assert(g.count(_._4 == "middle") == 2 * n / 3 - n / 3)
+      val headMin = g.filter(_._4 == "head").map(_._3).min
+      val tailMax = g.filter(_._4 == "tail").map(_._3).max
+      assert(headMin >= tailMax)
+    }
+    // middle keeps roughly half (hash-ppm 500k): sanity band, not exact
+    val mid = rows.filter(_._4 == "middle")
+    val kept = mid.count(_._5)
+    assert(kept > mid.length / 4 && kept < 3 * mid.length / 4)
+    spark.catalog.clearCache()
+  }
+
+  test("fluencyBuckets membership is invariant under repartitioning") {
+    val docs = Tables.documents(spark, sf)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.functions.Sampling.fluencyBuckets(df)
+        .collect().map(r => (r.getLong(0), r.getString(3), r.getBoolean(4))).toSet
+    val a = run(docs)
+    val b = run(docs.repartition(7))
+    assert(a == b)
+    spark.catalog.clearCache()
+  }
+
   test("importanceWeights rejects a non-positive bucket count") {
     val docs = Tables.documents(spark, sf)
     val e = intercept[IllegalArgumentException] {

@@ -39,6 +39,62 @@ class CurationSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("qualityKeeper keeps exactly the best-scoring member of every cluster") {
+    val docs = graft.Tables.documents(spark, sf)
+    val rows = graft.functions.Curation.qualityKeeper(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // one row per doc; clusters agree with dd08; exactly one keeper per
+    // cluster, and it's the (max score, min doc_id) member
+    assert(rows.length == docs.count())
+    val dd08 = graft.SparkEntry.queries("dd08_dedup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == dd08)
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      val keepers = members.filter(_._4)
+      assert(keepers.length == 1)
+      val best = members.minBy(m => (-m._3, m._1))
+      assert(keepers.head._1 == best._1)
+    }
+    // at this SF some cluster's best copy is NOT the min-id member —
+    // the query is genuinely different from cu01's representative
+    val minIdDiffers = rows.groupBy(_._2).exists { case (cid, members) =>
+      members.length > 1 && members.filter(_._4).head._1 != cid
+    }
+    assert(minIdDiffers, "expected a cluster whose best copy isn't min-id")
+    spark.catalog.clearCache()
+  }
+
+  test("domainFilter blocks subdomains of blocked registered domains, never unparseable URLs") {
+    import spark.implicits._
+    val rows = graft.functions.Curation.domainFilter(
+      Seq(
+        (1L, "https://spam.bad-site.com/x"),
+        (2L, "https://deep.cdn.bad-site.com/y"),
+        (3L, "https://bad-site.com/z"),
+        (4L, "https://good-site.com/a"),
+        (5L, "not a url"),
+        (6L, "https://localhost/b")) // single-label host: no reg_domain
+        .toDF("doc_id", "url"),
+      blocklist = Seq("bad-site.com"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("host"), r.getAs[String]("reg_domain"),
+          r.getAs[Boolean]("blocked"))).toMap
+    assert(rows(1L) == ("spam.bad-site.com", "bad-site.com", true))
+    assert(rows(2L) == ("deep.cdn.bad-site.com", "bad-site.com", true))
+    assert(rows(3L) == ("bad-site.com", "bad-site.com", true))
+    assert(rows(4L) == ("good-site.com", "good-site.com", false))
+    assert(rows(5L) == ("", "", false))
+    assert(rows(6L) == ("localhost", "", false))
+  }
+
+  test("domainFilter with an empty blocklist blocks nothing") {
+    import spark.implicits._
+    val out = graft.functions.Curation.domainFilter(
+      Seq((1L, "https://spam.bad-site.com/x")).toDF("doc_id", "url"))
+    assert(out.collect().forall(!_.getAs[Boolean]("blocked")))
+  }
+
   test("Curation.ledger accepts renamed id/text/source columns") {
     import org.apache.spark.sql.functions.col
     val renamed = graft.Tables.documents(spark, sf)

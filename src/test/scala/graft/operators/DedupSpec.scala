@@ -153,6 +153,59 @@ class DedupSpec extends AnyFunSuite {
     assert(recon.forall(r => r.getInt(1).toLong == r.getLong(2)))
   }
 
+  test("duplicatedSpans finds the shared tail with full extent; removeSpans keeps the unique prefix") {
+    import spark.implicits._
+    // 20-token tail shared by docs 1 and 2 behind unique 10-token
+    // prefixes; doc 3 is all-unique. k=16: the 5 windows fully inside
+    // the tail (starts 10..14) are flagged and merge to ONE span
+    // [10, 30) — the tail's exact extent; straddling windows mix in
+    // unique prefix text and stay unflagged.
+    val tail = (1 to 20).map(i => s"shared$i").mkString(" ")
+    def prefix(tag: String) = (1 to 10).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${prefix("aa")} $tail"),
+      (2L, s"${prefix("bb")} $tail"),
+      (3L, (1 to 30).map(i => s"cc$i").mkString(" "))).toDF("doc_id", "text")
+    val spans = graft.functions.Dedup.duplicatedSpans(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(spans.toSet == Set((1L, 10, 30, 5L), (2L, 10, 30, 5L)))
+    val pruned = graft.functions.Dedup.removeSpans(docs)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(pruned(1L) == (prefix("aa"), 10L))
+    assert(pruned(2L) == (prefix("bb"), 10L))
+    assert(pruned(3L) == ((1 to 30).map(i => s"cc$i").mkString(" "), 30L))
+  }
+
+  test("duplicatedSpans: whole-doc duplicates collapse to empty; short docs never flag") {
+    import spark.implicits._
+    val dup = (1 to 16).map(i => s"dd$i").mkString(" ") // exactly k tokens
+    val short = (1 to 15).map(i => s"dd$i").mkString(" ") // k-1: no windows
+    val docs = Seq((1L, dup), (2L, dup), (3L, short), (4L, short))
+      .toDF("doc_id", "text")
+    val spans = graft.functions.Dedup.duplicatedSpans(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(spans.toSet == Set((1L, 0, 16), (2L, 0, 16)))
+    val pruned = graft.functions.Dedup.removeSpans(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pruned(1L) == "" && pruned(2L) == "")
+    assert(pruned(3L) == short && pruned(4L) == short)
+  }
+
+  test("duplicatedSpans separates non-contiguous duplicated regions into distinct spans") {
+    import spark.implicits._
+    // doc 1: [dup16] [unique20] [dup16] — two islands, not one
+    val dupA = (1 to 16).map(i => s"xx$i").mkString(" ")
+    val dupB = (1 to 16).map(i => s"yy$i").mkString(" ")
+    val mid = (1 to 20).map(i => s"mm$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$dupA $mid $dupB"),
+      (2L, dupA), (3L, dupB)).toDF("doc_id", "text")
+    val spans = graft.functions.Dedup.duplicatedSpans(docs)
+      .filter(col("doc_id") === 1L)
+      .collect().map(r => (r.getInt(1), r.getInt(2))).toSet
+    assert(spans == Set((0, 16), (36, 52)))
+  }
+
   test("r=2 banding (dd13) admits no more candidates than r=1 (dd04)") {
     // The b×r precision contract: requiring TWO minhash components to
     // agree per band can only shrink the candidate set relative to one.
