@@ -79,7 +79,9 @@ object ScaleSmoke {
       "cu01_curation_ledger" -> "one-plan ledger, signals share a scan",
       "ss10_srp_neardup" -> "sign codes born in scan; capped banding",
       "cu03_full_ledger" -> "full ledger: signal exchanges scale with rows, not text",
-      "dd15_incremental_neardup" -> "anti-join: corpus side stays a distinct-key set")
+      "dd15_incremental_neardup" -> "anti-join: corpus side stays a distinct-key set",
+      "dd18_dup_spans" -> "stride-1 window hashes linear in tokens; no pair stage",
+      "sm06_fluency_buckets" -> "bigram-LM aggs linear; one tercile window of longs")
     val byName = graft.SparkEntry.all.map(q => q.name -> q).toMap
     def fmt(b: Long): String =
       if (b >= (1L << 20)) f"${b / 1048576.0}%.1f MiB"

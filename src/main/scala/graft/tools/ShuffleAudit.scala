@@ -161,7 +161,9 @@ object ShuffleAudit {
       "tx12_winnow_overlap" ->
         "fp bucket cap: 300 identical docs share every fp, all skipped — flood adds ZERO pairs",
       "dd15_incremental_neardup" ->
-        "anti-join: every flood copy matches the template's corpus band key — all rejected, admitted set unchanged")
+        "anti-join: every flood copy matches the template's corpus band key — all rejected, admitted set unchanged",
+      "dd18_dup_spans" ->
+        "frequency rollup, NO pair stage: 300 template copies add ~300 whole-doc span rows at linear window-hash cost — no cap needed")
     floodAudited.foreach { case (name, claim) =>
       val q = byName(name)
       val plainRows = q.fn(spark, sfDir).count()
