@@ -12,6 +12,28 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Johnson-Lindenstrauss random projection: adds `outCol` — the
+    * `outDim`-dim projection of `vecCol` through the deterministic
+    * md5-derived ±1 sign matrix the gated ss14 query inlines (plan
+    * literals, so a rerun anywhere reproduces the same projection
+    * bit-for-bit). One codegen'd scan projection, zero shuffle; pair
+    * with `cosineTopK`-style reranking over the full vectors (ss14
+    * measures the shortlist-rerank recall — ranking in projected space
+    * alone loses near-tie neighbors). `inDim` must match the vector
+    * width (mismatched rows get NULL components from `dot_product`'s
+    * length guard). Callers need `DotProduct.register` — this method
+    * registers it.
+    */
+  def jlProject(df: DataFrame, vecCol: String, inDim: Int = 64,
+      outDim: Int = 16, outCol: String = "projected"): DataFrame = {
+    require(inDim >= 1 && outDim >= 1 && outDim <= inDim,
+      s"need 1 <= outDim <= inDim, got inDim=$inDim outDim=$outDim")
+    DotProduct.register(df.sparkSession)
+    df.withColumn(outCol,
+      org.apache.spark.sql.functions.expr(
+        graft.operators.SimilarityOps.jlProjExpr(vecCol, inDim, outDim)))
+  }
+
   /** Exact cosine top-k: for every row of `queries`, the `k` highest-
     * cosine rows of `corpus` (self-matches by id excluded), ranked.
     * The ss01 plan as a function: queries broadcast, one codegen'd

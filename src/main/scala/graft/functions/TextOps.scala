@@ -577,6 +577,52 @@ object TextOps {
       (s, d) => bigramFluency(T.documents(s, d))
     },
 
+    // Trigram stupid-backoff scoring (TextQuality.backoffScore): score
+    // the held-out test split against an LM trained on the train split
+    // (sm02's content-hash split machinery on both engines) — the
+    // "score incoming data against a trusted corpus" shape where the
+    // backoff chain actually fires, unlike tx16's self-trained LM.
+    // Scale: vocab-bounded count tables, token-key joins, text never
+    // shuffles (see the API scaladoc).
+    Q(
+      "tx18_trigram_backoff",
+      s"""WITH d AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks,
+         |    CASE WHEN ${graft.Portable.duckHash60("'split|' || source")} % 10 < 8 THEN 'train'
+         |         WHEN ${graft.Portable.duckHash60("'split|' || source")} % 10 = 8 THEN 'valid'
+         |         ELSE 'test' END AS split FROM documents),
+         |tr3 AS (SELECT toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3, count(*) AS c3
+         |        FROM d CROSS JOIN unnest(range(1, len(toks)-1)) r(i) WHERE split = 'train'
+         |        GROUP BY 1,2,3),
+         |tr2 AS (SELECT toks[i] AS w1, toks[i+1] AS w2, count(*) AS c2
+         |        FROM d CROSS JOIN unnest(range(1, len(toks))) r(i) WHERE split = 'train'
+         |        GROUP BY 1,2),
+         |tr1 AS (SELECT toks[i] AS w1, count(*) AS c1
+         |        FROM d CROSS JOIN unnest(range(1, len(toks)+1)) r(i) WHERE split = 'train'
+         |        GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM tr1),
+         |ev AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+         |       FROM d CROSS JOIN unnest(range(1, len(toks)-1)) r(i) WHERE split = 'test'),
+         |sc AS (SELECT e.doc_id,
+         |         CASE WHEN t3.c3 IS NOT NULL THEN (1000000 * t3.c3) // t2f.c2
+         |              WHEN t2b.c2 IS NOT NULL THEN (400000 * t2b.c2) // t1b.c1
+         |              WHEN t1c.c1 IS NOT NULL THEN (160000 * t1c.c1) // tot.n
+         |              ELSE 0 END AS s
+         |       FROM ev e
+         |       LEFT JOIN tr3 t3 ON t3.w1 = e.w1 AND t3.w2 = e.w2 AND t3.w3 = e.w3
+         |       LEFT JOIN tr2 t2f ON t2f.w1 = e.w1 AND t2f.w2 = e.w2
+         |       LEFT JOIN tr2 t2b ON t2b.w1 = e.w2 AND t2b.w2 = e.w3
+         |       LEFT JOIN tr1 t1b ON t1b.w1 = e.w2
+         |       LEFT JOIN tr1 t1c ON t1c.w1 = e.w3
+         |       CROSS JOIN tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |  CAST(sum(s) AS BIGINT) AS backoff_x1e6
+         |FROM sc GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val docs = T.documents(s, d).selectExpr("doc_id", "text",
+        s"${graft.operators.SamplingOps.sparkSplitCase} as split")
+      TextQuality.backoffScore(
+        docs.filter("split = 'train'"), docs.filter("split = 'test'"))
+    },
+
     // PII detection + redaction (TextQuality.redactPii): per-document
     // match counts for emails / IPv4 / 555-phones plus the redacted
     // length — the compliance-scrub pass every released corpus needs.

@@ -84,6 +84,40 @@ object TextQuality {
       .selectExpr(idCol, "r_wc", "r_len", "r_stop", "r_dist", "r_rep",
         "r_wc and r_len and r_stop and r_dist and r_rep as pass")
 
+  /** Integer-logit quality classifier features (per-mille normalized)
+    * and the linear score — the classifier-based filtering shape
+    * (fastText/DCLM-style) with plan-literal weights standing in for
+    * imported learned ones: the production path swaps the constants for
+    * trained weights, the plan (feature projection + linear score in
+    * one codegen'd scan, zero shuffle) is identical. Shared by the
+    * gated cu06 query and `classifierScore`.
+    */
+  private[graft] val classifierFeatureExprs: Seq[String] = Seq(
+    "least(_ntok, 1000) as f_wc",
+    "(100 * _nchar) div _ntok as f_len",
+    "(1000 * _nstop) div _ntok as f_stop",
+    "(1000 * _ndist) div _ntok as f_dist",
+    "(1000 * _maxfreq) div _ntok as f_rep")
+  private[graft] val classifierLogitExpr: String =
+    "f_wc + 2 * f_stop + 3 * f_dist - 4 * f_rep - 2 * abs(f_len - 550) - 1000"
+
+  /** Classifier-based quality filtering: one integer logit per document
+    * (f_wc + 2·f_stop + 3·f_dist − 4·f_rep − 2·|f_len − 550| − 1000
+    * over per-mille-normalized gopher signals), `keep` = logit > 0.
+    * Returns (idCol, logit_x1000, keep). Soft additive scoring where
+    * tx13's gopher rules are hard conjunctions — a doc slightly off on
+    * one signal can buy it back on another.
+    */
+  def classifierScore(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    df.selectExpr(idCol,
+        s"$textCol as _text", s"split(lower($textCol), '\\\\s+') as _toks")
+      .selectExpr(idCol +: gopherSignalExprs: _*)
+      .selectExpr(idCol +: classifierFeatureExprs: _*)
+      .selectExpr(idCol,
+        s"cast($classifierLogitExpr as bigint) as logit_x1000")
+      .selectExpr(idCol, "logit_x1000", "logit_x1000 > 0 as keep")
+
   /** PII patterns (Java + RE2 compatible — both engines agree): emails,
     * dotted-quad IPv4, and NANP-style 555-prefixed phone numbers. The
     * pattern set is deliberately conservative/high-precision (the shape
@@ -114,6 +148,72 @@ object TextQuality {
       .withColumn("has_pii",
         piiPatterns.map(p => col(countColFor(p._1)) > 0).reduce(_ || _))
       .withColumn("redacted", redacted)
+  }
+
+  /** Trigram stupid-backoff scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation", adapted to the
+    * integer-exact gate): score every `eval` document against an LM
+    * trained on `train` — per trigram occurrence,
+    * floor(1e6·C₃/C₂) when the trigram was seen in training, else
+    * floor(0.4·1e6·C₂/C₁) over the trailing bigram, else
+    * floor(0.4²·1e6·C₁/N) over the last unigram, else 0 — summed per
+    * document (log-free, all-integer, so engines agree bit-for-bit).
+    * Unlike tx16's self-trained bigram LM, this is the HELD-OUT shape:
+    * score incoming data against a trusted corpus, where the backoff
+    * chain actually fires. Returns (idCol, n_trigrams, backoff_x1e6)
+    * for eval docs with ≥ 3 tokens.
+    *
+    * Scale: n-gram count tables are map-side-combined aggs bounded by
+    * the training vocabulary; the per-occurrence joins hash-partition
+    * on token keys (broadcast when the LM fits); the per-doc sum
+    * partial-aggregates before its exchange — text never shuffles.
+    * Deliberately no persist: the three count aggs re-run the tokenize
+    * scan, a map-only codegen'd pass cheaper than pinning a
+    * corpus-sized cache (same trade as `Sampling.importanceWeights`).
+    */
+  def backoffScore(train: DataFrame, eval: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame, n: Int, cols: Seq[String]): DataFrame = {
+      val struct = cols.zipWithIndex
+        .map { case (c, j) => s"element_at(toks, i + $j) as $c" }
+        .mkString("struct(", ", ", ")")
+      df.selectExpr(s"$idCol as doc_id",
+          s"split(lower($textCol), '\\\\s+') as toks")
+        .selectExpr("doc_id",
+          s"explode(case when size(toks) >= $n then " +
+            s"transform(sequence(1, size(toks) - ${n - 1}), i -> $struct) " +
+            "else array() end) as g")
+        .selectExpr("doc_id" +: cols.map(c => s"g.$c as $c"): _*)
+    }
+    val tr3 = grams(train, 3, Seq("w1", "w2", "w3"))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val tr2 = grams(train, 2, Seq("w1", "w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val tr1 = grams(train, 1, Seq("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val tot = tr1.agg(sum("c1").cast("long").as("n"))
+    val ev = grams(eval, 3, Seq("w1", "w2", "w3"))
+    ev.join(tr3, Seq("w1", "w2", "w3"), "left")
+      .join(tr2.select(col("w1").as("f1"), col("w2").as("f2"),
+        col("c2").as("c2f")),
+        col("w1") === col("f1") && col("w2") === col("f2"), "left")
+      .join(tr2.select(col("w1").as("b1"), col("w2").as("b2"),
+        col("c2").as("c2b")),
+        col("w2") === col("b1") && col("w3") === col("b2"), "left")
+      .join(tr1.select(col("w1").as("u1"), col("c1").as("c1b")),
+        col("w2") === col("u1"), "left")
+      .join(tr1.select(col("w1").as("v1"), col("c1").as("c1c")),
+        col("w3") === col("v1"), "left")
+      .crossJoin(broadcast(tot))
+      .selectExpr("doc_id",
+        "case when c3 is not null then (1000000 * c3) div c2f " +
+          "when c2b is not null then (400000 * c2b) div c1b " +
+          "when c1c is not null then (160000 * c1c) div n " +
+          "else 0L end as s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_trigrams"),
+        sum("s").cast("long").as("backoff_x1e6"))
+      .withColumnRenamed("doc_id", idCol)
   }
 
   private[graft] def countColFor(name: String): String = name match {

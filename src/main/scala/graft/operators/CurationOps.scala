@@ -223,14 +223,47 @@ object CurationOps {
          |SELECT doc_id, host, reg_domain,
          |  reg_domain IN ('bad-site.com', 'adsite.io') AS blocked
          |FROM r""".stripMargin) { (s, d) =>
-      val aug = T.documents(s, d).selectExpr("doc_id",
+      val augUrls = T.documents(s, d).selectExpr("doc_id",
         "concat('https://', case doc_id % 7 " +
           "when 0 then 'www.example.com' when 1 then 'news.example.org' " +
           "when 2 then 'blog.example.net' when 3 then 'spam.bad-site.com' " +
           "when 4 then 'tracker.adsite.io' when 5 then 'docs.example.edu' " +
           "else 'cdn.bad-site.com' end, '/p/', cast(doc_id as string)) as url")
       graft.functions.Curation
-        .domainFilter(aug, blocklist = Seq("bad-site.com", "adsite.io"))
+        .domainFilter(augUrls, blocklist = Seq("bad-site.com", "adsite.io"))
         .select("doc_id", "host", "reg_domain", "blocked")
+    },
+
+    // Classifier-based quality filtering (TextQuality.classifierScore):
+    // an integer logit over per-mille-normalized gopher signals with
+    // plan-literal weights — the fastText/DCLM-style SOFT filter next
+    // to tx13's hard rule conjunction. Swap the literal weights for
+    // trained ones and the plan is the production classifier pass: one
+    // codegen'd scan projection, zero shuffle.
+    Q(
+      "cu06_classifier_filter",
+      s"""WITH t AS (SELECT doc_id, text AS _text,
+         |        regexp_split_to_array(lower(text), '\\s+') AS _toks FROM documents),
+         |s AS (SELECT doc_id,
+         |        len(_toks) AS ntok, length(_text) AS nchar,
+         |        len(list_distinct(_toks)) AS ndist,
+         |        list_max(list_transform(list_distinct(_toks),
+         |          w -> len(list_filter(_toks, x -> x = w)))) AS maxfreq,
+         |        len(list_filter(_toks, w -> w IN (${TextOps.enWords}))) AS nstop
+         |      FROM t),
+         |f AS (SELECT doc_id,
+         |        least(ntok, 1000) AS f_wc,
+         |        (100 * nchar) // ntok AS f_len,
+         |        (1000 * nstop) // ntok AS f_stop,
+         |        (1000 * ndist) // ntok AS f_dist,
+         |        (1000 * maxfreq) // ntok AS f_rep
+         |      FROM s)
+         |SELECT doc_id,
+         |  CAST(f_wc + 2 * f_stop + 3 * f_dist - 4 * f_rep
+         |       - 2 * abs(f_len - 550) - 1000 AS BIGINT) AS logit_x1000,
+         |  (f_wc + 2 * f_stop + 3 * f_dist - 4 * f_rep
+         |   - 2 * abs(f_len - 550) - 1000) > 0 AS keep
+         |FROM f""".stripMargin) { (s, d) =>
+      graft.functions.TextQuality.classifierScore(T.documents(s, d))
     })
 }

@@ -48,7 +48,10 @@ object ShuffleAudit {
     "dd17_passage_boilerplate" -> "only (doc_id, i, ntok, hash) longs shuffle; passage text hashed in the scan and dropped",
     "dd18_dup_spans" -> "stride-1 window hashes: (doc_id, i, hash) longs shuffle, linear in tokens; span merge is one doc-sharded int window",
     "cu05_domain_filter" -> "pure scan projection (regex extract + literal IN): zero shuffle",
-    "sm06_fluency_buckets" -> "bigram-LM count aggs + one (id, source, score) tercile window; text never shuffles")
+    "sm06_fluency_buckets" -> "bigram-LM count aggs + one (id, source, score) tercile window; text never shuffles",
+    "tx18_trigram_backoff" -> "vocab-bounded n-gram count tables, token-key joins; text never shuffles",
+    "ss14_jl_recall" -> "projection born in the scan (16 literal dots); ranking shuffles only (q_id, n_id, score) rows",
+    "cu06_classifier_filter" -> "pure scan projection (integer logit): zero shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

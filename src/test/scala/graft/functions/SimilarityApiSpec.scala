@@ -117,6 +117,35 @@ class SimilarityApiSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("jlProject emits deterministic 16-dim projections preserving dot sign structure") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val out = Similarity.jlProject(e, "embedding")
+    val rows = out.selectExpr("vec_id", "projected").collect()
+    assert(rows.length == e.count())
+    assert(rows.forall(_.getSeq[Double](1).length == 16))
+    // deterministic across reruns and partitionings
+    val again = Similarity.jlProject(e.repartition(7), "embedding")
+      .selectExpr("vec_id", "projected").collect()
+    assert(rows.map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap ==
+      again.map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap)
+    // JL property (statistical): E[‖y‖²] = outDim·‖x‖² for a ±1 sign
+    // matrix — per-vector ratio concentrates near 1, mean within ±30%
+    val ratios = out.selectExpr(
+      "aggregate(projected, cast(0 as double), (a, v) -> a + v * v) as pn",
+      "aggregate(embedding, cast(0 as double), (a, v) -> a + cast(v as double) * cast(v as double)) as en")
+      .collect().map(r => r.getDouble(0) / (16.0 * r.getDouble(1)))
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.7 && mean < 1.3, s"norm-ratio mean $mean outside JL band")
+  }
+
+  test("jlProject rejects a widening projection") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.jlProject(e, "embedding", inDim = 16, outDim = 64)
+    }
+    assert(ex.getMessage.contains("outDim"))
+  }
+
   test("cosineTopK equals the gated ss01 top-5") {
     val e = graft.Tables.embeddings(spark, sf)
     val api = Similarity

@@ -88,6 +88,19 @@ class CurationSpec extends AnyFunSuite {
     assert(rows(6L) == ("localhost", "", false))
   }
 
+  test("classifierScore separates normal text from degenerate repetition") {
+    import spark.implicits._
+    val normal = "the quick brown fox jumps over a lazy dog near the old " +
+      "stone bridge and waits for the evening light to fade away slowly"
+    val degenerate = Seq.fill(30)("spam").mkString(" ")
+    val out = graft.functions.TextQuality.classifierScore(
+      Seq((1L, normal), (2L, degenerate)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L)._2, s"normal doc rejected: logit=${out(1L)._1}")
+    assert(!out(2L)._2, s"degenerate doc kept: logit=${out(2L)._1}")
+    assert(out(1L)._1 > out(2L)._1)
+  }
+
   test("domainFilter with an empty blocklist blocks nothing") {
     import spark.implicits._
     val out = graft.functions.Curation.domainFilter(

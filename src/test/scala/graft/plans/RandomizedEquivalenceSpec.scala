@@ -81,6 +81,49 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicatedSpans match a brute-force reference on random corpora") {
+    val k = 4
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(100 + seed)
+      // small vocab forces organic window collisions within and across docs
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+      val docs = (0 until 12).map { id =>
+        val n = 3 + rnd.nextInt(15)
+        id.toLong -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+
+      // reference: count every k-token window across the corpus, flag
+      // positions whose window repeats, merge overlapping/contiguous
+      val wins = docs.flatMap { case (id, text) =>
+        val t = text.split("\\s+")
+        (0 to t.length - k).map(i => (id, i, t.slice(i, i + k).mkString(" ")))
+      }
+      val freq = wins.groupBy(_._3).view.mapValues(_.size).toMap
+      val expected = docs.flatMap { case (id, _) =>
+        val flagged = wins.filter(w => w._1 == id && freq(w._3) >= 2)
+          .map(_._2).sorted
+        if (flagged.isEmpty) Nil
+        else {
+          val spans = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
+          var (s0, e0, nw) = (flagged.head, flagged.head + k, 1)
+          flagged.tail.foreach { i =>
+            if (i > e0) { spans += ((s0, e0, nw)); s0 = i; e0 = i + k; nw = 1 }
+            else { e0 = math.max(e0, i + k); nw += 1 }
+          }
+          spans += ((s0, e0, nw))
+          spans.map { case (s, e, n) => (id, s, e, n.toLong) }
+        }
+      }.toSet
+
+      val got = graft.functions.Dedup.duplicatedSpans(
+        docs.toDF("doc_id", "text"), k = k)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+        .toSet
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("distributed ordinal is a dense rank on random multiset keys") {
     for (seed <- 1 to 3) {
       val rnd = new scala.util.Random(seed)
