@@ -435,6 +435,40 @@ object HeadlineQueries {
             grouping("l_returnflag").cast("bigint").as("g_rf"),
             grouping("l_linestatus").cast("bigint").as("g_ls"),
             count(lit(1)).as("n"))
+    },
+
+    // Bucketed co-located join: both sides written as 8-bucket tables on
+    // the join key, then joined via the catalog — Spark matches the
+    // bucket specs and plans the join with NO Exchange on either side
+    // (PlanQualitySpec asserts it). THE pre-partitioning lever for a
+    // repeatedly-joined 100 TB fact table: pay the bucketed write once,
+    // skip the join shuffle on every subsequent query. The oracle runs
+    // the plain join over the original parquet, so the gate also proves
+    // the bucketed round-trip is lossless.
+    Q(
+      "q_bucket_join",
+      """SELECT c.c_mktsegment AS segment, count(*) AS n,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_mktsegment""".stripMargin) { (s, d) =>
+      val tag = math.abs(d.hashCode).toString
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucket_$tag"
+      val ordersTbl = s"graft_bkt_orders_$tag"
+      val custTbl = s"graft_bkt_cust_$tag"
+      T.orders(s, d).select(col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").format("parquet")
+        .option("path", s"$base/orders")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable(ordersTbl)
+      T.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+        .write.mode("overwrite").format("parquet")
+        .option("path", s"$base/customer")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable(custTbl)
+      s.table(ordersTbl).join(s.table(custTbl), "o_custkey")
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"), expr(P.dsum("o_totalprice")).as("total"))
     }
   )
 }

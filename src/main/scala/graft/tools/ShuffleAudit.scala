@@ -51,7 +51,8 @@ object ShuffleAudit {
     "sm06_fluency_buckets" -> "bigram-LM count aggs + one (id, source, score) tercile window; text never shuffles",
     "tx18_trigram_backoff" -> "vocab-bounded n-gram count tables, token-key joins; text never shuffles",
     "ss14_jl_recall" -> "projection born in the scan (16 literal dots); ranking shuffles only (q_id, n_id, score) rows",
-    "cu06_classifier_filter" -> "pure scan projection (integer logit): zero shuffle")
+    "cu06_classifier_filter" -> "pure scan projection (integer logit): zero shuffle",
+    "q_bucket_join" -> "bucketed tables co-locate the join: only the final group-by exchanges")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

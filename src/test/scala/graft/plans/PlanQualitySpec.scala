@@ -38,6 +38,36 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("q_bucket_join joins the bucketed tables with no exchange below the join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    // AQE wraps the tree and hides pre-execution join children; plan
+    // without it for the structural assertion (bucketing is a static
+    // planning property, not a runtime one)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // at the test SF the dimension side fits a broadcast, which would
+    // bypass the bucketed path entirely — force the shuffle-family join
+    // the bucketing claim is about (at 100 TB neither side broadcasts)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = graft.SparkEntry.all.find(_.name == "q_bucket_join").get
+      val plan = q.fn(spark, sf).queryExecution.executedPlan
+      val join: Option[SparkPlan] = plan.collectFirst {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+      assert(join.nonEmpty, s"no shuffle-family join planned:\n$plan")
+      val exchangesBelow = join.get.collect { case e: ShuffleExchangeExec => e }
+      assert(exchangesBelow.isEmpty,
+        s"bucketed join still shuffles its inputs:\n${join.get}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("q_partition_prune's scan prunes to the filtered partitions") {
     val q = graft.SparkEntry.all.find(_.name == "q_partition_prune").get
     val df = q.fn(spark, sf)
