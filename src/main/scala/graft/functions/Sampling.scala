@@ -146,4 +146,46 @@ object Sampling {
       .selectExpr(idCol, "n_toks", "w_x1e6",
         "w_x1e6 div n_toks as wavg_x1e6")
   }
+
+  /** Temperature-scaled multinomial mixture over corpus groups (the
+    * multilingual-pretraining rebalance of Conneau & Lample 2019 /
+    * mT5: sample group i with p_i ∝ m_i^α, α = 0.5, where m_i is the
+    * group's character mass — upweights low-resource languages without
+    * flattening the mixture entirely). α is FIXED at 1/2 so the power
+    * is `sqrt`, which IEEE-754 requires correctly rounded — the one
+    * exponent both engines compute bit-identically; other temperatures
+    * need `pow`, whose libm rounding is not portable across engines.
+    *
+    * All downstream arithmetic is integer, staged so no product leaves
+    * bigint range even at exabyte group masses: weights are
+    * floor(1000·sqrt(m_i)) bigints, normalized to parts-per-million of
+    * their exact sum, and the budget is allocated against the ppm
+    * share. (Bounds: 1e6·wgt < 2^63 for m_i < ~8·10^18 chars;
+    * budget·w_ppm < 2^63 for budget < ~9·10^12 — both far past a
+    * 100 TB corpus and a 10T-char draw.) Returns per group: `mass`
+    * (char count), `w_ppm` (temperature share in ppm), `p_bp` (same in
+    * basis points), `draws` (characters allocated from `budget`), and
+    * `epochs_ppm` (draws·1e6/mass — how many times that group's corpus
+    * is repeated; > 1e6 means upsampling).
+    *
+    * Scale: one map-side-combined aggregation to ngroups rows; the
+    * total is a second aggregation over that tiny frame, broadcast
+    * back. The corpus itself never shuffles.
+    */
+  def temperatureWeights(docs: DataFrame, groupCol: String = "lang",
+      massCol: String = "n_chars", budget: Long = 1000000L): DataFrame = {
+    require(budget >= 1 && budget <= 9000000000000L,
+      s"budget must be in [1, 9e12], got $budget")
+    val m = docs.groupBy(groupCol)
+      .agg(sum(massCol).cast("bigint").as("mass"))
+      .selectExpr(groupCol, "mass",
+        "cast(floor(1000 * sqrt(cast(mass as double))) as bigint) as wgt")
+    val t = m.agg(sum("wgt").cast("bigint").as("tw"))
+    m.crossJoin(broadcast(t))
+      .selectExpr(groupCol, "mass", "(1000000 * wgt) div tw as w_ppm")
+      .selectExpr(groupCol, "mass", "w_ppm",
+        "w_ppm div 100 as p_bp",
+        s"($budget * w_ppm) div 1000000 as draws",
+        s"((($budget * w_ppm) div 1000000) * 1000000) div mass as epochs_ppm")
+  }
 }

@@ -139,6 +139,52 @@ object MultimodalOps {
         |FROM s""".stripMargin) { (s, d) =>
       import graft.multimodal.AudioCodec
       AudioCodec.decodeFeatures(s, AudioCodec.payloads(s, d, 64)).toDF()
+    },
+
+    // Video keyframe-seek frame sampling (the dataloader pattern of
+    // frame-subsampled video pretraining): the payload is a fake
+    // elementary stream of 16-byte frames with a keyframe every 8
+    // (GOP=8) and fps from metadata. Four timestamps are sampled
+    // uniformly per clip; each resolves to its target frame, the
+    // nearest PRECEDING keyframe (where a real decoder must seek), and
+    // the decode-ahead distance — the cost model for clip sampling.
+    // The frame digest stands in for the decoded tensor (codec stubbed
+    // per the multimodal contract; the seek/offset plumbing is real and
+    // all-integer). Scan-local projection + explode; nothing shuffles.
+    Q(
+      "mm06_frame_sample",
+      """WITH p AS (SELECT doc_id, text, strlen(text) // 16 AS nframes,
+        |             4 + doc_id % 3 AS fps
+        |           FROM documents WHERE doc_id < 80),
+        |     s AS (SELECT doc_id, text, nframes, fps,
+        |             unnest(range(0, 4)) AS j
+        |           FROM p WHERE nframes > 0),
+        |     f AS (SELECT doc_id, fps, j, (j * nframes) // 4 AS tf, text FROM s)
+        |SELECT doc_id, CAST(j AS BIGINT) AS sample_idx,
+        |  CAST(tf AS BIGINT) AS frame_idx,
+        |  CAST((tf // 8) * 8 AS BIGINT) AS keyframe_idx,
+        |  CAST(tf - (tf // 8) * 8 AS BIGINT) AS decode_ahead,
+        |  CAST((tf * 1000) // fps AS BIGINT) AS ts_ms,
+        |  substr(md5(substr(text, CAST(tf * 16 + 1 AS INT), 16)), 1, 12) AS frame_sig
+        |FROM f""".stripMargin) { (s, d) =>
+      T.documents(s, d)
+        .filter(col("doc_id") < 80)
+        .selectExpr(
+          "doc_id", "text",
+          "octet_length(text) div 16 as nframes",
+          "4 + doc_id % 3 as fps")
+        .filter(col("nframes") > 0)
+        .selectExpr("doc_id", "text", "nframes", "fps",
+          "explode(sequence(0L, 3L)) as j")
+        .selectExpr("doc_id", "fps", "j", "(j * nframes) div 4 as tf", "text")
+        .selectExpr(
+          "doc_id",
+          "cast(j as bigint) as sample_idx",
+          "cast(tf as bigint) as frame_idx",
+          "cast((tf div 8) * 8 as bigint) as keyframe_idx",
+          "cast(tf - (tf div 8) * 8 as bigint) as decode_ahead",
+          "cast((tf * 1000) div fps as bigint) as ts_ms",
+          "substr(md5(substring(text, cast(tf * 16 + 1 as int), 16)), 1, 12) as frame_sig")
     }
   )
 }

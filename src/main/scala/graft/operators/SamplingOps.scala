@@ -180,6 +180,28 @@ object SamplingOps {
          |GROUP BY doc_id""".stripMargin) { (s, d) =>
       graft.functions.Sampling.importanceWeights(
         T.documents(s, d), col("source") === "src0")
+    },
+
+    // Temperature-scaled language mixture (Sampling.temperatureWeights,
+    // the Conneau & Lample 2019 / mT5 rebalance): p_lang ∝ mass^0.5 over
+    // per-language character mass, α fixed at 1/2 so the power is the
+    // one exponent (sqrt) IEEE requires correctly rounded on both
+    // engines; everything after the sqrt is staged bigint arithmetic
+    // (see the API scaladoc for the overflow bounds). The fixture's en
+    // share (~43% of mass) drops to ~30% of draws while the four
+    // low-resource languages get epochs_ppm > 1e6 — genuine upsampling.
+    Q(
+      "sm07_temperature_mix",
+      """WITH m AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS mass FROM documents GROUP BY lang),
+        |     w AS (SELECT lang, mass,
+        |             CAST(floor(1000 * sqrt(CAST(mass AS DOUBLE))) AS BIGINT) AS wgt FROM m),
+        |     t AS (SELECT CAST(sum(wgt) AS BIGINT) AS tw FROM w),
+        |     p AS (SELECT lang, mass, (1000000 * wgt) // (SELECT tw FROM t) AS w_ppm FROM w)
+        |SELECT lang, mass, w_ppm, w_ppm // 100 AS p_bp,
+        |  (1000000 * w_ppm) // 1000000 AS draws,
+        |  (((1000000 * w_ppm) // 1000000) * 1000000) // mass AS epochs_ppm
+        |FROM p""".stripMargin) { (s, d) =>
+      graft.functions.Sampling.temperatureWeights(T.documents(s, d))
     }
   )
 }

@@ -191,6 +191,33 @@ object AnalysisQueries {
           count(lit(1)).as("n"),
           expr("percentile(l_quantity, 0.5)").as("med"),
           expr("percentile(l_quantity, 0.95)").as("p95"))
+    },
+
+    // Exact frequent-items over the token stream: every token with
+    // corpus support > 3.3% (the vocab heavy-hitters a tokenizer build
+    // or stopword audit starts from). Two-phase plan: tokens partial-
+    // aggregate map-side down to ≤ |vocab| rows before their one
+    // exchange; the corpus total is a second aggregation over that tiny
+    // counts frame (NOT a second corpus scan) and broadcasts back into
+    // the threshold filter. At 100 TB the same plan holds — the heavy
+    // cost is the token explode, which stays scan-local; a Misra-Gries
+    // sketch inside mapPartitions is the sublinear-memory alternative
+    // when |vocab| itself explodes, validated against this exact path.
+    Q(
+      "an10_heavy_hitters",
+      """WITH ex AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |            FROM documents),
+        |     c AS (SELECT w, count(*) AS cnt FROM ex GROUP BY w),
+        |     t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
+        |SELECT w AS token, cnt, (10000 * cnt) // (SELECT n FROM t) AS share_bp
+        |FROM c WHERE 10000 * cnt > 330 * (SELECT n FROM t)""".stripMargin) { (s, d) =>
+      val counts = T.documents(s, d)
+        .selectExpr("explode(split(lower(text), '\\\\s+')) as w")
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum("cnt").cast("bigint").as("n"))
+      counts.crossJoin(broadcast(total))
+        .filter(expr("10000 * cnt > 330 * n"))
+        .selectExpr("w as token", "cnt", "(10000 * cnt) div n as share_bp")
     }
   )
 }

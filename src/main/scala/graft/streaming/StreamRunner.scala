@@ -208,6 +208,72 @@ object StreamRunner {
     spark.table(queryName)
   }
 
+  /** Stateful per-event running totals with flatMapGroupsWithState: the
+    * streaming twin of batch st06. Per user, state is (event count,
+    * cumulative value scaled to int-1e-4) carried across two time-split
+    * micro-batches; every input event is emitted exactly once, enriched
+    * with the totals as of that event. The money arithmetic enters the
+    * typed path already quantized (`cast(value as decimal(28,4)) ×
+    * 10000` as a long), so state addition is exact integer math and the
+    * final `/10000.0` double equals the batch DECIMAL window sum's
+    * double cast bit-for-bit. StreamingSpec asserts set equality with
+    * st06 — the per-event exactly-once enrichment contract.
+    */
+  def runningTotalsStream(spark: SparkSession, sfDir: String,
+      queryName: String = "graft_running"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+
+    val ev = graft.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "unix_micros(ts) as ts_us", "event_id",
+        "cast(cast(value as decimal(28,4)) * 10000 as bigint) as v_x1e4")
+    val Array(minTs, maxTs) = ev.selectExpr("min(ts_us)", "max(ts_us)").head() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val mid = minTs + (maxTs - minTs) / 2
+    val stage = java.nio.file.Files.createTempDirectory("graft-running")
+    def emit(name: String, cond: String): Unit = {
+      val tmp = stage.resolve(name + "_tmp").toString
+      ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, stage.resolve(name + ".parquet"))
+      Thread.sleep(1100) // distinct mtimes → deterministic oldest-first order
+    }
+    emit("batch_a", s"ts_us <= $mid")
+    emit("batch_b", s"ts_us > $mid")
+
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+
+    val rows = stream.as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[(Long, Long, Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long)]) => {
+          var (n, vx) = state.getOption.getOrElse((0L, 0L))
+          val out = it.toSeq.sortBy(e => (e._2, e._3)).map { e =>
+            n += 1L; vx += e._4
+            (e._3, uid, e._2, n, vx / 10000.0)
+          }
+          state.update((n, vx))
+          out.iterator
+        })
+      .toDF("event_id", "user_id", "ts_us", "n_so_far", "v_so_far")
+
+    val q = rows.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // each event is emitted exactly once → the sink table IS the result
+    spark.table(queryName)
+  }
+
   /** Genuine stream-stream interval join (the st03 semantics): clicks and
     * purchases read as two watermarked streams, inner-joined on user with
     * a [cts, cts + 30 min] event-time range. The watermarks + range

@@ -116,6 +116,40 @@ object StreamingOps {
             "order by ts_us, event_id) as rn")
         .filter(col("rn") === 1)
         .select("user_id", "event_type", "event_id", "ts_us")
+    },
+
+    // Per-event running totals per user — the batch rendering of a
+    // stateful streaming feature pipeline (each event enriched with the
+    // user's cumulative count and spend at that moment, e.g. for
+    // online-feature backfill). The cumulative money sum runs in
+    // DECIMAL(28,4) so the running value is exact under any partitioning
+    // and hash-matches the oracle; the final cast to double is the one
+    // lossy step, identical on both engines. StreamRunner
+    // .runningTotalsStream emits the same rows from
+    // flatMapGroupsWithState across two micro-batches (integer-scaled
+    // state); StreamingSpec asserts equality.
+    //
+    // Scale notes (100 TB): ONE exchange on user_id feeds the window;
+    // state per user in the streaming twin is two longs, watermark-
+    // bounded. The gated output is per-event (same cardinality as the
+    // input) — downstream consumers would write it straight back to the
+    // feature store, so there is nothing to roll up.
+    Q(
+      "st06_running_total",
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_so_far,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER w AS DOUBLE) AS v_so_far
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin) { (s, d) =>
+      T.events(s, d)
+        .selectExpr("event_id", "user_id", "unix_micros(ts) as ts_us",
+          "cast(value as decimal(28,4)) as v4")
+        .selectExpr("event_id", "user_id", "ts_us",
+          "cast(count(*) over (partition by user_id order by ts_us, event_id " +
+            "rows between unbounded preceding and current row) as bigint) as n_so_far",
+          "cast(sum(v4) over (partition by user_id order by ts_us, event_id " +
+            "rows between unbounded preceding and current row) as double) as v_so_far")
     }
   )
 }

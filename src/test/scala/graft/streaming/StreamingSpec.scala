@@ -27,6 +27,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stateful running totals across micro-batches equal batch st06") {
+    val streamed = StreamRunner.runningTotalsStream(spark, sf, "graft_running_spec")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    val batch = graft.streaming.StreamingOps.queries.find(_.name == "st06_running_total").get
+      .fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup drops the duplicated copy exactly") {
     val deduped = StreamRunner.dedupStream(spark, sf, "graft_dedup_spec")
     val ids = deduped.select("event_id").collect().map(_.getLong(0))
