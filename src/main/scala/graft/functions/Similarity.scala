@@ -168,4 +168,26 @@ object Similarity {
       .agg(count(lit(1)).as("n_merged"))
       .withColumnRenamed("cluster_id", "keep_id")
   }
+
+  /** Lloyd's k-means over an embedding column — the clustering behind
+    * semantic-dedup sharding, IVF codebook training, and topic-balanced
+    * sampling. Deterministic end-to-end: seeds are the `k` lowest-id
+    * vectors (cells renumbered 0..k−1 in id order), assignment
+    * tie-breaks toward the smaller cell, and centroid means are
+    * decimal-exact then float-quantized, so any rerun at any
+    * partitioning reproduces the same clustering. Returns
+    * (cluster_id, n, sse); cells that lose all members drop out rather
+    * than re-seed.
+    *
+    * Scale: centroids live on the driver between passes and enter each
+    * pass as plan literals — assignment never shuffles the corpus; each
+    * iteration costs one scan plus one map-side-combined k-row
+    * exchange (see SimilarityOps.lloydKMeans). The gated ss15 query
+    * calls THIS, so API and oracle can't diverge.
+    */
+  def kmeans(corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", k: Int = 8, iters: Int = 2): DataFrame =
+    graft.operators.SimilarityOps.lloydKMeans(
+      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+      k, iters)
 }

@@ -40,6 +40,91 @@ object SimilarityOps {
   private def sparkCos(a: String, b: String): String =
     s"cosine_similarity($a, $b)"
 
+  /** Squared-L2 distance, both renderings: ascending-index left fold of
+    * per-component (a_i − b_i)², all in double from float inputs — the
+    * same accumulation-order contract as sparkDot/duckDot, so the two
+    * engines agree bit-for-bit.
+    */
+  private[graft] def sparkD2(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> (cast(x as double) - cast(y as double)) * " +
+      s"(cast(x as double) - cast(y as double))), cast(0 as double), (acc, v) -> acc + v)"
+  private def duckD2(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${dim + 1}), " +
+      s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))), " +
+      "(acc, v) -> acc + v)"
+
+  /** Per-cell decimal-exact mean centroids of `(cell, embedding)` rows —
+    * trainedCentroids' aggregation keyed by an explicit cluster column
+    * (see that method's scaladoc for the determinism contract).
+    */
+  private[graft] def centroidsOf(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val aggs = count(lit(1)).as("n") +: (1 to dim).map(i => expr(
+      s"sum(cast(cast(element_at(embedding, $i) as double) as decimal(28,8)))")
+      .as(s"s$i"))
+    val ce = (1 to dim)
+      .map(i => s"cast(cast(s$i as double) / n as float)")
+      .mkString("array(", ", ", ")")
+    df.groupBy("cell")
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr("cell", s"$ce as ce")
+  }
+
+  /** One SQL literal holding the full codebook: `array(struct(cell,
+    * ce))`. Float components are rendered with their shortest
+    * round-trip decimal (Java's Float.toString contract), so
+    * `cast('…' as float)` reconstructs each component bit-exactly —
+    * the ss10 plan-literal-hyperplane pattern applied to a trained
+    * codebook.
+    */
+  private def centLiteral(cent: Seq[(Long, Array[Float])]): String =
+    cent.sortBy(_._1).map { case (cell, ce) =>
+      ce.map(v => s"cast('$v' as float)")
+        .mkString(s"named_struct('cell', ${cell}L, 'ce', array(", ", ", "))")
+    }.mkString("array(", ", ", ")")
+
+  /** Lloyd's k-means, the broadcast-codebook way: centroids live on the
+    * DRIVER between iterations (k·dim floats) and enter each pass as
+    * plan literals, so cluster assignment is a scan-local
+    * `array_min(transform(...))` projection — ZERO shuffle over the
+    * corpus. The only exchanges are the map-side-combined k-row
+    * centroid re-aggregations (decimal-exact means, float-quantized:
+    * the cross-engine determinism contract of trainedCentroids). Ties
+    * in the argmin break toward the smaller cell id via lexicographic
+    * struct ordering — the same (d2, cell) order the oracle's
+    * row_number uses. Seeds are the k lowest-id vectors, renumbered
+    * 0..k−1 in id order; cells that lose all members simply drop out of
+    * the codebook (documented Lloyd behavior, no re-seeding).
+    *
+    * Input: (vec_id, embedding); output: (cluster_id, n, sse) with sse
+    * the decimal-quantized exact sum of member distances. At 100 TB
+    * each iteration is one corpus scan + one k-row exchange — the same
+    * shape MLlib's KMeans uses, minus its RNG.
+    */
+  private[graft] def lloydKMeans(e: org.apache.spark.sql.DataFrame,
+      k: Int, iters: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1 && iters >= 1, s"need k >= 1 and iters >= 1, got k=$k iters=$iters")
+    def assign(centSql: String) = e.selectExpr(
+      "vec_id", "embedding",
+      s"array_min(transform($centSql, " +
+        s"c -> struct(${sparkD2("embedding", "c.ce")} as d2, c.cell as cell))) as a")
+      .selectExpr("vec_id", "embedding", "a.cell as cell", "a.d2 as d2")
+    var cent: Seq[(Long, Array[Float])] =
+      e.orderBy("vec_id").limit(k)
+        .selectExpr("vec_id", "embedding")
+        .collect().toSeq.sortBy(_.getLong(0))
+        .zipWithIndex
+        .map { case (r, i) => (i.toLong, r.getSeq[Float](1).toArray) }
+    for (_ <- 1 until iters)
+      cent = centroidsOf(assign(centLiteral(cent)).select("cell", "embedding"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assign(centLiteral(cent))
+      .groupBy(col("cell").as("cluster_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        expr("cast(sum(cast(d2 as decimal(28,6))) as double)").as("sse"))
+  }
+
   /** Quartile assignment against broadcast cut points — identical text
     * on both engines (ss09's corpus-side coding step).
     */
@@ -147,17 +232,8 @@ object SimilarityOps {
     * the centroid table stays k-ish rows, broadcastable at any corpus
     * size.
     */
-  private[graft] def trainedCentroids(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val aggs = count(lit(1)).as("n") +: (1 to dim).map(i => expr(
-      s"sum(cast(cast(element_at(embedding, $i) as double) as decimal(28,8)))")
-      .as(s"s$i"))
-    val ce = (1 to dim)
-      .map(i => s"cast(cast(s$i as double) / n as float)")
-      .mkString("array(", ", ", ")")
-    e.groupBy("label")
-      .agg(aggs.head, aggs.tail: _*)
-      .selectExpr("label as cell", s"$ce as ce")
-  }
+  private[graft] def trainedCentroids(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    centroidsOf(e.selectExpr("label as cell", "embedding"))
 
   /** DuckDB rendering of one trained-centroid component (kept beside
     * the Spark rendering above so the two can't drift).
@@ -1116,6 +1192,40 @@ object SimilarityOps {
         .agg(
           count(col("hit_id")).as("n_hit"),
           expr("(count(hit_id) * 100) div 3").as("recall_x100"))
+    },
+
+    // Lloyd's k-means (Similarity.kmeans; k=8, 2 iterations): the
+    // clustering step behind semantic dedup sharding, IVF codebook
+    // training, and topic-balanced sampling, run the broadcast-codebook
+    // way — centroids are plan literals each pass, so assignment is a
+    // scan-local projection and the corpus NEVER shuffles (see
+    // lloydKMeans's scaladoc). Seeds are the 8 lowest vec_ids; the gate
+    // pins final cluster sizes and the decimal-exact SSE — the oracle
+    // unrolls both iterations relationally (cross join + row_number),
+    // a deliberately different plan shape computing the identical
+    // arithmetic.
+    Q(
+      "ss15_kmeans_lloyd",
+      s"""WITH c0 AS (
+         |  SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 8),
+         |a1 AS (
+         |  SELECT e.vec_id, e.embedding, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${duckD2("e.embedding", "c.ce")}, c.cell) AS rn
+         |  FROM embeddings e CROSS JOIN c0 c),
+         |m1 AS (SELECT vec_id, embedding, cell FROM a1 WHERE rn = 1),
+         |c1 AS (
+         |  SELECT cell, ${(1 to dim).map(duckCentDim).mkString("[", ", ", "]")} AS ce
+         |  FROM m1 GROUP BY cell),
+         |a2 AS (
+         |  SELECT e.vec_id, c.cell, ${duckD2("e.embedding", "c.ce")} AS d2,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${duckD2("e.embedding", "c.ce")}, c.cell) AS rn
+         |  FROM embeddings e CROSS JOIN c1 c)
+         |SELECT cell AS cluster_id, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(SUM(CAST(d2 AS DECIMAL(28,6))) AS DOUBLE) AS sse
+         |FROM a2 WHERE rn = 1 GROUP BY cell""".stripMargin) { (s, d) =>
+      graft.functions.Similarity.kmeans(T.embeddings(s, d))
     }
   )
 

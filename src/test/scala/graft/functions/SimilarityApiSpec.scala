@@ -146,6 +146,36 @@ class SimilarityApiSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("outDim"))
   }
 
+  test("kmeans separates two exact blobs with zero SSE") {
+    import spark.implicits._
+    val a = Array.tabulate(64)(i => if (i == 0) 2.0f else 0.0f)
+    val b = Array.tabulate(64)(i => if (i == 1) 2.0f else 0.0f)
+    // ids alternate blobs so the two seeds (ids 0, 1) land one per blob
+    val df = (0L until 10L).map(i => (i, if (i % 2 == 0) a else b)).toDF("id", "emb")
+    val out = Similarity.kmeans(df, "id", "emb", k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((0L, 5L, 0.0), (1L, 5L, 0.0)))
+  }
+
+  test("kmeans drops an empty cell instead of re-seeding") {
+    import spark.implicits._
+    // both seeds identical -> every row ties -> the smaller cell takes
+    // all members, the other goes empty and must vanish from the output
+    val v = Array.tabulate(64)(_ => 1.0f)
+    val df = (0L until 8L).map(i => (i, v)).toDF("id", "emb")
+    val out = Similarity.kmeans(df, "id", "emb", k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((0L, 8L, 0.0)))
+  }
+
+  test("kmeans is invariant under repartitioning (plan-literal codebook)") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val base = Similarity.kmeans(e).collect()
+    val repart = Similarity.kmeans(e.repartition(7)).collect()
+    assert(base.nonEmpty)
+    assert(sorted(base) == sorted(repart))
+  }
+
   test("cosineTopK equals the gated ss01 top-5") {
     val e = graft.Tables.embeddings(spark, sf)
     val api = Similarity
