@@ -456,9 +456,13 @@ object Dedup {
     def same(a: (Long, java.math.BigDecimal), b: (Long, java.math.BigDecimal)) =
       a._1 == b._1 && a._2.compareTo(b._2) == 0
     // direct every edge big→small (the small-star orientation; large-star
-    // symmetrizes internally). localCheckpoint (eager) TRUNCATES lineage
-    // each step — without it round k's plan embeds round k−1's several
-    // times over, i.e. exponential plan growth that OOMs the driver.
+    // symmetrizes internally). localCheckpoint TRUNCATES lineage each
+    // step — without it round k's plan embeds round k−1's several times
+    // over, i.e. exponential plan growth that OOMs the driver. LAZY
+    // (eager=false) everywhere: under AQE the exchanges still execute at
+    // build time (toRdd materializes intermediate stages), but the final
+    // stage of each frame is deferred into the fingerprint collect — one
+    // fewer result pass per frame and no standalone count jobs.
     // Executor-local blocks are fine for iterative temp state.
     var edges = pairs
       .select(
@@ -466,7 +470,7 @@ object Dedup {
         least(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint() // also cuts the (expensive) pair-derivation lineage
+      .localCheckpoint(false) // fp() below forces it; cuts pair-derivation lineage
     var prev = fp(edges)
     var converged = prev._1 == 0L
     var rounds = 0
@@ -488,7 +492,7 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(false)
       // small-star: attach every smaller neighbor AND u itself to the
       // smallest neighbor (all of Γ(u) is < u here, so min(Γ(u)) = m).
       val smin = large.groupBy("u").agg(min("v").as("m"))
@@ -497,11 +501,12 @@ object Dedup {
         .union(smin.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(false)
       // Both steps' fingerprints in ONE tagged aggregation over the two
-      // checkpointed edge sets (3 jobs/round instead of 4 — at bench
-      // scale the loop's cost is job overhead, not data). Missing group
-      // ⇒ that edge set is empty.
+      // LAZILY-checkpointed edge sets — the collect is the round's single
+      // job: it materializes large (cached on first use, then read again
+      // by small and the union) and small, truncating both lineages.
+      // Missing group ⇒ that edge set is empty.
       val fpRows = large.select(lit(0).as("t"), col("u"), col("v"))
         .union(small.select(lit(1).as("t"), col("u"), col("v")))
         .groupBy("t")
@@ -533,15 +538,14 @@ object Dedup {
       .union(edges.select(col("v").as("_node"), col("v").as("cluster_id")))
       .distinct()
     // join labels back on the long form of the caller's id (output keeps
-    // the original id column type); singletons label themselves.
+    // the original id column type); singletons miss the join and label
+    // themselves via coalesce — ONE left join instead of inner + anti +
+    // union, i.e. one pass over the node keys at any scale.
     val keyed = nodes.select(
       col(idCol).as("_orig"), col(idCol).cast("long").as("_node"))
-    val labeled = keyed.join(labels, "_node")
-      .select(col("_orig"), col("cluster_id"))
-    val singletons = keyed
-      .join(labels.select("_node"), Seq("_node"), "left_anti")
-      .select(col("_orig"), col("_node").as("cluster_id"))
-    labeled.union(singletons)
+    keyed.join(labels, Seq("_node"), "left")
+      .select(col("_orig"),
+        coalesce(col("cluster_id"), col("_node")).as("cluster_id"))
       .withColumnRenamed("_orig", idCol).select(idCol, "cluster_id")
   }
 }

@@ -231,9 +231,12 @@ object DedupOps {
     * problem; components only need connectivity.
     */
   private[graft] def cappedBandEdges(bands: DataFrame): DataFrame = {
+    // NOT persisted: both consumers (the small filter and the star join)
+    // sit inside the ONE edges plan below, so the grouped aggregation's
+    // exchange is shared via ReusedExchange — a cache would only add a
+    // blocking materialization job and a block to clean up.
     val sized = bands.groupBy("band", "h")
       .agg(count(lit(1)).as("n"), min("doc_id").as("root"))
-      .persist() // consumed by the small filter and the star join
     val small = bands
       .join(sized.filter(col("n") <= bucketCap), Seq("band", "h"))
       .select("doc_id", "band", "h")
@@ -245,8 +248,10 @@ object DedupOps {
       .join(sized.filter(col("n") > bucketCap), Seq("band", "h"))
       .filter(col("doc_id") =!= col("root"))
       .select(col("root").as("a_id"), col("doc_id").as("b_id"))
-    // Materialize eagerly so `sized` can be unpersisted here instead of
-    // leaking a cached RDD to drivers that never call clearCache.
+    // LAZY localCheckpoint: the consumer's first action (connected-
+    // components' init fingerprint, or a pair query's aggregation)
+    // materializes the edge blocks as part of its own job — no separate
+    // count pass over the pair derivation.
     // Fault-tolerance tradeoff: localCheckpoint blocks live only on
     // executors, so a lost executor (preemption, dynamic allocation)
     // makes the edges unrecoverable and fails the job. That is the right
@@ -254,9 +259,7 @@ object DedupOps {
     // survive executor loss should set spark.checkpoint.dir and use
     // reliable Dataset.checkpoint() here instead — same lineage cut,
     // storage-backed blocks.
-    val edges = pairs.union(stars).distinct().localCheckpoint(true)
-    sized.unpersist()
-    edges
+    pairs.union(stars).distinct().localCheckpoint(false)
   }
 
   val queries: Seq[Q] = Seq(
