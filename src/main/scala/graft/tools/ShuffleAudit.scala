@@ -52,7 +52,12 @@ object ShuffleAudit {
     "tx18_trigram_backoff" -> "vocab-bounded n-gram count tables, token-key joins; text never shuffles",
     "ss14_jl_recall" -> "projection born in the scan (16 literal dots); ranking shuffles only (q_id, n_id, score) rows",
     "cu06_classifier_filter" -> "pure scan projection (integer logit): zero shuffle",
-    "q_bucket_join" -> "bucketed tables co-locate the join: only the final group-by exchanges")
+    "q_bucket_join" -> "bucketed tables co-locate the join: only the final group-by exchanges",
+    "ss15_kmeans_lloyd" -> "codebook enters as plan literals: assignment never shuffles the corpus; k-row centroid aggs combine map-side",
+    "an10_heavy_hitters" -> "token counts combine map-side to vocab rows; the total broadcasts back into the threshold filter",
+    "sm07_temperature_mix" -> "two tiny group aggs + broadcast total; the corpus never shuffles",
+    "st06_running_total" -> "one user_id exchange feeds both running windows; money stays decimal-exact",
+    "mm06_frame_sample" -> "pure scan projection + explode (seek arithmetic): zero shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
