@@ -664,6 +664,72 @@ object TextOps {
           "cast(n_ipv4 as bigint) as n_ipv4",
           "cast(n_phones as bigint) as n_phones", "has_pii",
           "cast(length(redacted) as bigint) as n_chars_out")
+    },
+
+    // BM25 retrieval (k1=1.2, b=0.75) for a fixed 4-term query, top-20
+    // docs — the sparse-retrieval side of a RAG/dedup stack next to
+    // ss01's dense side. Transcendental-free portability: the classic
+    // ln-idf is replaced by the rational idf N/df (monotone in the same
+    // df), and the tf-saturation term is cleared of fractions —
+    //   tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))  with avgdl = L/N
+    //   = 22·L·tf / (10·L·tf + 3·L + 9·dl·N)    (×10L, k1=6/5, b=3/4)
+    // so each per-term score is ONE IEEE division of two exact integers
+    // times the exact rational N/df — identical bit patterns on both
+    // engines — then quantized to DECIMAL(28,8) so the per-doc SUM is
+    // order-insensitive (the P.dsum contract).
+    //
+    // Scale notes (100 TB): tf rows exist only for the query's terms
+    // (the IN-filter pushes into the tokenize scan); df and (L, N) are
+    // map-side-combined aggs; both broadcast back. The corpus text never
+    // shuffles, and the top-k is one 20-row sort of per-doc scores.
+    Q(
+      "tx19_bm25",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+        |           FROM documents),
+        |     dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM t),
+        |     tot AS (SELECT SUM(dl)::BIGINT AS l, COUNT(*)::BIGINT AS n FROM dl),
+        |     tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf
+        |            FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+        |            WHERE w IN ('the', 'data', 'model', 'quick') GROUP BY doc_id, w),
+        |     df AS (SELECT w, count(*)::BIGINT AS df
+        |            FROM (SELECT DISTINCT doc_id, w
+        |                  FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+        |                  WHERE w IN ('the', 'data', 'model', 'quick'))
+        |            GROUP BY w),
+        |     sc AS (SELECT tf.doc_id,
+        |              CAST(CAST(22 * tot.l * tf.tf AS DOUBLE)
+        |                     / (10 * tot.l * tf.tf + 3 * tot.l + 9 * dl.dl * tot.n)
+        |                     * tot.n / df.df AS DECIMAL(28,8)) AS s
+        |            FROM tf JOIN df ON df.w = tf.w
+        |                    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot)
+        |SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS bm25,
+        |  CAST(count(*) AS BIGINT) AS n_terms FROM sc GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val t = T.documents(s, d)
+        .selectExpr("doc_id", "split(lower(text), '\\\\s+') as toks")
+      val dl = t.selectExpr("doc_id", "cast(size(toks) as bigint) as dl")
+      val tot = dl.agg(
+        sum("dl").cast("long").as("l"), count(lit(1)).cast("long").as("n"))
+      val terms = "('the', 'data', 'model', 'quick')"
+      val tf = t.selectExpr("doc_id", "explode(toks) as w")
+        .filter(s"w in $terms")
+        .groupBy("doc_id", "w").agg(count(lit(1)).cast("long").as("tf"))
+      val df = t
+        .selectExpr("doc_id",
+          s"explode(filter(array_distinct(toks), w -> w in $terms)) as w")
+        .groupBy("w").agg(count(lit(1)).cast("long").as("df"))
+      tf.join(broadcast(df), "w")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(tot))
+        .selectExpr("doc_id",
+          "cast(cast(22 * l * tf as double) " +
+            "/ (10 * l * tf + 3 * l + 9 * dl * n) " +
+            "* n / df as decimal(28,8)) as s")
+        .groupBy("doc_id")
+        .agg(expr("cast(sum(s) as double)").as("bm25"),
+          count(lit(1)).cast("long").as("n_terms"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
     }
   )
 

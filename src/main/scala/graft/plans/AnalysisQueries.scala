@@ -218,6 +218,104 @@ object AnalysisQueries {
       counts.crossJoin(broadcast(total))
         .filter(expr("10000 * cnt > 330 * n"))
         .selectExpr("w as token", "cnt", "(10000 * cnt) div n as share_bp")
+    },
+
+    // Zipf octave profile: rank tokens by frequency, bucket ranks into
+    // octaves (bucket k = ranks in [2^k, 2^(k+1))), report types/mass per
+    // octave. Under Zipf's law each octave carries roughly constant mass,
+    // so the profile is the standard "is this corpus natural text?"
+    // diagnostic — and it is transcendental-free: floor(log2(rank)) is
+    // length(bin(rank))-1, exact integers on both engines (the repo's
+    // no-ln/exp/pow portability rule; see tx07's scaladoc).
+    //
+    // Scale notes (100 TB): token counts combine map-side to vocab-bounded
+    // rows; the rank window orders the VOCAB table (millions of rows, not
+    // the corpus); octave rollup is a ≤64-row agg. Text never shuffles.
+    Q(
+      "an11_zipf_octaves",
+      """WITH w AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |           FROM documents),
+        |     f AS (SELECT w, count(*)::BIGINT AS freq FROM w GROUP BY w),
+        |     r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, w) AS rank FROM f)
+        |SELECT CAST(length(bin(rank)) - 1 AS BIGINT) AS octave,
+        |  count(*)::BIGINT AS n_types, SUM(freq)::BIGINT AS mass,
+        |  CAST(SUM(freq) AS DOUBLE) / count(*) AS mean_freq
+        |FROM r GROUP BY octave""".stripMargin) { (s, d) =>
+      T.documents(s, d)
+        .selectExpr("explode(split(lower(text), '\\\\s+')) as w")
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .selectExpr("freq",
+          "row_number() over (order by freq desc, w) as rank")
+        .selectExpr("freq", "cast(length(bin(rank)) - 1 as bigint) as octave")
+        .groupBy("octave")
+        .agg(
+          count(lit(1)).cast("long").as("n_types"),
+          sum("freq").cast("long").as("mass"),
+          expr("cast(sum(freq) as double) / count(1)").as("mean_freq"))
+    },
+
+    // Declarative data-quality audit (the Deequ-style constraint check a
+    // 100 TB ingest runs before training): one row per rule with checked/
+    // violation counts — range rules, null rules, a PK-uniqueness rule,
+    // and two referential-integrity rules (orphan foreign keys via outer
+    // joins). A clean corpus legitimately reports zeros; the short-text
+    // and mixed-language rules fire on this corpus so the audit's
+    // discrimination is itself gated.
+    //
+    // Scale notes (100 TB): every per-table rule is one map-side-combined
+    // agg over its scan (all rules for a table share the pass); the RI
+    // rules shuffle only the key columns. Output is O(#rules).
+    Q(
+      "an12_constraint_audit",
+      """SELECT 'documents.min_length_200' AS rule, count(*)::BIGINT AS checked,
+        |  count(CASE WHEN n_chars < 200 THEN 1 END)::BIGINT AS violations FROM documents
+        |UNION ALL
+        |SELECT 'documents.english_only', count(*)::BIGINT,
+        |  count(CASE WHEN lang <> 'en' THEN 1 END)::BIGINT FROM documents
+        |UNION ALL
+        |SELECT 'events.value_nonneg', count(*)::BIGINT,
+        |  count(CASE WHEN value < 0 OR value IS NULL THEN 1 END)::BIGINT FROM events
+        |UNION ALL
+        |SELECT 'lineitem.orphan_orderkey', count(*)::BIGINT,
+        |  count(CASE WHEN o_orderkey IS NULL THEN 1 END)::BIGINT
+        |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |UNION ALL
+        |SELECT 'lineitem.quantity_range_1_50', count(*)::BIGINT,
+        |  count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END)::BIGINT FROM lineitem
+        |UNION ALL
+        |SELECT 'orders.orphan_custkey', count(*)::BIGINT,
+        |  count(CASE WHEN c_custkey IS NULL THEN 1 END)::BIGINT
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |UNION ALL
+        |SELECT 'orders.pk_unique', count(*)::BIGINT,
+        |  (count(*) - count(DISTINCT o_orderkey))::BIGINT FROM orders""".stripMargin) { (s, d) =>
+      def rule(df: org.apache.spark.sql.DataFrame, name: String, violated: String) =
+        df.agg(
+          count(lit(1)).cast("long").as("checked"),
+          count(when(expr(violated), 1)).cast("long").as("violations"))
+          .select(lit(name).as("rule"), col("checked"), col("violations"))
+      val docs = T.documents(s, d)
+      val li = T.lineitem(s, d)
+      val ord = T.orders(s, d)
+      rule(docs, "documents.min_length_200", "n_chars < 200")
+        .unionAll(rule(docs, "documents.english_only", "lang <> 'en'"))
+        .unionAll(rule(T.events(s, d), "events.value_nonneg",
+          "value < 0 or value is null"))
+        .unionAll(rule(
+          li.join(ord.select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"), "left"),
+          "lineitem.orphan_orderkey", "o_orderkey is null"))
+        .unionAll(rule(li, "lineitem.quantity_range_1_50",
+          "l_quantity < 1 or l_quantity > 50"))
+        .unionAll(rule(
+          ord.join(broadcast(T.customer(s, d).select("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left"),
+          "orders.orphan_custkey", "c_custkey is null"))
+        .unionAll(
+          ord.agg(
+            count(lit(1)).cast("long").as("checked"),
+            (count(lit(1)) - countDistinct("o_orderkey")).cast("long").as("violations"))
+            .select(lit("orders.pk_unique").as("rule"), col("checked"), col("violations")))
     }
   )
 }

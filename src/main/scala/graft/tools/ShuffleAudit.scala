@@ -57,7 +57,10 @@ object ShuffleAudit {
     "an10_heavy_hitters" -> "token counts combine map-side to vocab rows; the total broadcasts back into the threshold filter",
     "sm07_temperature_mix" -> "two tiny group aggs + broadcast total; the corpus never shuffles",
     "st06_running_total" -> "one user_id exchange feeds both running windows; money stays decimal-exact",
-    "mm06_frame_sample" -> "pure scan projection + explode (seek arithmetic): zero shuffle")
+    "mm06_frame_sample" -> "pure scan projection + explode (seek arithmetic): zero shuffle",
+    "tx19_bm25" -> "tf rows exist only for query terms (IN pushed into the scan); df + (L,N) broadcast back; top-k is a 20-row sort",
+    "an11_zipf_octaves" -> "vocab-bounded count table; rank window orders vocab rows, octave rollup ≤ 64 rows; text never shuffles",
+    "an12_constraint_audit" -> "per-table rules share one map-side agg pass; RI rules shuffle key columns only")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -176,6 +176,60 @@ class QuerySpec extends AnyFunSuite {
     }
   }
 
+  test("tx19 BM25: scores descend, and every hit really contains a query term") {
+    val rows = SparkEntry.queries("tx19_bm25")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.forall(_ > 0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "not sorted desc")
+    assert(rows.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 4))
+    val hitIds = rows.map(_.getLong(0)).toSet
+    val withTerm = Tables.documents(spark, sf)
+      .filter("exists(split(lower(text), '\\\\s+'), " +
+        "w -> w in ('the', 'data', 'model', 'quick'))")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hitIds.subsetOf(withTerm))
+  }
+
+  test("an11 Zipf octaves: contiguous buckets partitioning the vocabulary") {
+    val rows = SparkEntry.queries("an11_zipf_octaves")(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    val octaves = rows.map(_.getLong(0))
+    assert(octaves.head == 0 && octaves.sameElements(0L until octaves.length))
+    // octave k holds ranks [2^k, 2^(k+1)): at most 2^k types, and every
+    // octave except the last is exactly full
+    rows.init.foreach(r => assert(r.getLong(1) == (1L << r.getLong(0))))
+    assert(rows.last.getLong(1) <= (1L << rows.last.getLong(0)))
+    val vocab = Tables.documents(spark, sf)
+      .selectExpr("explode(array_distinct(split(lower(text), '\\\\s+'))) as w")
+      .distinct().count()
+    assert(rows.map(_.getLong(1)).sum == vocab)
+    val toks = Tables.documents(spark, sf)
+      .selectExpr("size(split(lower(text), '\\\\s+')) as n")
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum == toks)
+  }
+
+  test("an12 constraint audit: checked counts match tables, RI rules are clean") {
+    val rows = SparkEntry.queries("an12_constraint_audit")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.size == 7)
+    val nDocs = Tables.documents(spark, sf).count()
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(rows("documents.min_length_200")._1 == nDocs)
+    assert(rows("orders.pk_unique")._1 == nOrders)
+    // synthetic data is referentially intact and PK-clean
+    assert(rows("lineitem.orphan_orderkey")._2 == 0)
+    assert(rows("orders.orphan_custkey")._2 == 0)
+    assert(rows("orders.pk_unique")._2 == 0)
+    // the mixed-language rule must FIRE (audit discrimination)
+    val nonEn = Tables.documents(spark, sf).filter("lang <> 'en'").count()
+    assert(rows("documents.english_only")._2 == nonEn)
+    rows.values.foreach { case (checked, viol) =>
+      assert(viol >= 0 && viol <= checked)
+    }
+  }
+
   // Registered AFTER the full per-query sweep above (funsuite runs tests
   // in registration order): the persist() sites inside the queries rely
   // on the documented caller contract — bench/verify run
