@@ -172,6 +172,40 @@ object Sampling {
     * total is a second aggregation over that tiny frame, broadcast
     * back. The corpus itself never shuffles.
     */
+  /** Size-proportional Poisson (PPS) sampling with Horvitz–Thompson
+    * accounting: row i is kept with probability p_i = min(1, size_i/cap),
+    * realized deterministically as a hash-ppm threshold on the id (the
+    * sm01/sm04 reproducibility contract — membership is a pure function
+    * of the row). Each kept row carries `p_ppm` and its HT mass
+    * contribution `ht_mass` = size_i·10⁶/p_ppm, so Σ ht_mass over the
+    * KEPT rows is an unbiased estimate of Σ size_i over ALL rows — the
+    * token-accounting identity a downsampled corpus needs to still
+    * report its true token budget.
+    *
+    * Everything is exact bigint arithmetic: 10⁶ is divisible by `cap`
+    * (required), so p_ppm = size·(10⁶/cap) exactly, and ht_mass
+    * collapses to `cap` for size < cap and `size` otherwise — zero
+    * rounding anywhere. (Overflow: size·(10⁶/cap) < 2⁶³ for any
+    * realistic document size.)
+    *
+    * Scale: the keep decision and both carried columns are scan-local
+    * projections — ZERO shuffle; only the caller's rollup exchanges.
+    */
+  def poissonSample(docs: DataFrame, idCol: String = "doc_id",
+      sizeCol: String = "n_chars", cap: Int = 500): DataFrame = {
+    require(cap >= 1 && 1000000 % cap == 0,
+      s"cap must divide 1e6 for exact ppm arithmetic, got $cap")
+    val scale = 1000000 / cap
+    docs
+      .withColumn("p_ppm",
+        expr(s"least(1000000L, cast($sizeCol as bigint) * $scale)"))
+      .filter(
+        expr(s"${P.hash60(s"concat('pps|', cast($idCol as string))")} % 1000000")
+          < col("p_ppm"))
+      .withColumn("ht_mass",
+        expr(s"(cast($sizeCol as bigint) * 1000000) div p_ppm"))
+  }
+
   def temperatureWeights(docs: DataFrame, groupCol: String = "lang",
       massCol: String = "n_chars", budget: Long = 1000000L): DataFrame = {
     require(budget >= 1 && budget <= 9000000000000L,

@@ -190,4 +190,20 @@ object Similarity {
     graft.operators.SimilarityOps.lloydKMeans(
       corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
       k, iters)
+
+  /** EXACT L2 range search — every (query, neighbor) pair within
+    * `radius`, accelerated by triangle-inequality cell pruning with NO
+    * recall loss (see SimilarityOps.rangeSearchL2's scaladoc for the
+    * bound and the scale story). `corpus` needs (vec_id, label,
+    * embedding) columns; cells are the label grouping with the
+    * per-label first vector as centroid (the ss02 fixture codebook —
+    * production swaps in `kmeans` cells). The gated ss16 query calls
+    * THIS, so API and oracle can't diverge. Returns (q_id, n_id, d2).
+    */
+  def rangeSearch(corpus: DataFrame, queryPred: org.apache.spark.sql.Column,
+      radius: Double): DataFrame = {
+    import graft.operators.SimilarityOps
+    SimilarityOps.rangeSearchL2(
+      corpus, SimilarityOps.labelCentroids(corpus), queryPred, radius)
+  }
 }

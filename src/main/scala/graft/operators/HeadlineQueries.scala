@@ -469,6 +469,44 @@ object HeadlineQueries {
       s.table(ordersTbl).join(s.table(custTbl), "o_custkey")
         .groupBy(col("c_mktsegment").as("segment"))
         .agg(count(lit(1)).as("n"), expr(P.dsum("o_totalprice")).as("total"))
+    },
+
+    // Slowly-changing-dimension type-2 history build: collapse each
+    // user's event stream into effective-dated attribute versions — a
+    // new version opens only when `event_type` CHANGES (lag-compare),
+    // closes at the next change (lead), the last version stays open
+    // (eff_to_us NULL, is_current). The warehouse-side MERGE pattern
+    // rendered as two windows over one user_id exchange; timestamps stay
+    // exact microsecond integers on both engines.
+    //
+    // Scale notes (100 TB): ONE exchange on user_id feeds both the
+    // change-detection lag and the close-off lead (same window frame);
+    // version rows (the output) are bounded by the number of attribute
+    // changes, not events.
+    Q(
+      "q_scd2_history",
+      """WITH o AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+        |             lag(event_type) OVER w AS prev_type
+        |           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |     c AS (SELECT user_id, event_type, ts_us,
+        |             row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS version
+        |           FROM o WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type, CAST(version AS BIGINT) AS version,
+        |  ts_us AS eff_from_us,
+        |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY version) AS eff_to_us,
+        |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY version) IS NULL AS is_current
+        |FROM c""".stripMargin) { (s, d) =>
+      T.events(s, d)
+        .selectExpr("user_id", "event_type", "unix_micros(ts) as ts_us", "event_id")
+        .selectExpr("*",
+          "lag(event_type) over (partition by user_id order by ts_us, event_id) as prev_type")
+        .filter("prev_type is null or prev_type <> event_type")
+        .selectExpr("user_id", "event_type", "ts_us",
+          "cast(row_number() over (partition by user_id order by ts_us, event_id) as bigint) as version")
+        .selectExpr("user_id", "event_type", "version",
+          "ts_us as eff_from_us",
+          "lead(ts_us) over (partition by user_id order by version) as eff_to_us",
+          "lead(ts_us) over (partition by user_id order by version) is null as is_current")
     }
   )
 }

@@ -202,6 +202,42 @@ object SamplingOps {
         |  (((1000000 * w_ppm) // 1000000) * 1000000) // mass AS epochs_ppm
         |FROM p""".stripMargin) { (s, d) =>
       graft.functions.Sampling.temperatureWeights(T.documents(s, d))
+    },
+
+    // Size-proportional Poisson sampling + Horvitz–Thompson accounting
+    // (Sampling.poissonSample): keep each doc with p = min(1, n_chars/500)
+    // by id-hash, and estimate the TRUE per-source character mass from
+    // the kept rows alone via HT weights — the unbiased token-budget
+    // accounting a downsampled 100 TB corpus reports. All-integer
+    // arithmetic (see the API scaladoc); err_bp pins how close the
+    // estimate lands on this fixture.
+    Q(
+      "sm08_poisson_ht",
+      s"""WITH k AS (SELECT source, n_chars,
+         |             least(1000000, n_chars::BIGINT * 2000) AS p_ppm,
+         |             ${P.duckHash60("'pps|' || CAST(doc_id AS VARCHAR)")} % 1000000 AS u
+         |           FROM documents),
+         |     t AS (SELECT source, count(*)::BIGINT AS n_docs,
+         |             SUM(n_chars)::BIGINT AS true_chars FROM k GROUP BY source),
+         |     s AS (SELECT source, count(*)::BIGINT AS n_kept,
+         |             SUM((n_chars::BIGINT * 1000000) // p_ppm)::BIGINT AS ht_chars
+         |           FROM k WHERE u < p_ppm GROUP BY source)
+         |SELECT t.source, n_docs, coalesce(n_kept, 0) AS n_kept, true_chars,
+         |  coalesce(ht_chars, 0) AS ht_chars,
+         |  (10000 * (coalesce(ht_chars, 0) - true_chars)) // true_chars AS err_bp
+         |FROM t LEFT JOIN s ON s.source = t.source""".stripMargin) { (s, d) =>
+      val docs = T.documents(s, d)
+      val t = docs.groupBy("source").agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum("n_chars").cast("long").as("true_chars"))
+      val kept = graft.functions.Sampling.poissonSample(docs)
+        .groupBy("source").agg(
+          count(lit(1)).cast("long").as("n_kept"),
+          sum("ht_mass").cast("long").as("ht_chars"))
+      t.join(kept, Seq("source"), "left")
+        .selectExpr("source", "n_docs", "coalesce(n_kept, 0L) as n_kept",
+          "true_chars", "coalesce(ht_chars, 0L) as ht_chars",
+          "(10000 * (coalesce(ht_chars, 0L) - true_chars)) div true_chars as err_bp")
     }
   )
 }

@@ -377,4 +377,98 @@ object StreamRunner {
     q.stop()
     spark.table(queryName)
   }
+
+  /** st07's sliding-window aggregation as a genuine stream: the REAL
+    * window(ts, '1 hour', '15 minutes') generator over the watermarked
+    * event stream, complete mode so every window is visible at the end.
+    * StreamingSpec asserts equality with the batch st07 rendering.
+    */
+  def slidingWindowStream(spark: SparkSession, sfDir: String,
+      queryName: String = "graft_sliding"): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("win"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr(graft.Portable.dsum("value")).as("v"))
+      .select(
+        unix_seconds(col("win.start")).as("win_start_s"),
+        col("event_type"), col("n"), col("v"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
+  /** st08's abandoned-click detection as a genuine watermarked
+    * stream-stream LEFT OUTER interval join: a click's null-purchase
+    * row may only emit once the watermark proves no matching purchase
+    * can still arrive — the streaming-correctness subtlety the batch
+    * anti-join hides. The fixture is staged as two time-split files so
+    * the outer-join state genuinely expires across micro-batches.
+    * Returns the emitted (click_id, user_id, ts_us) null-match rows.
+    * Eviction needs a LATER batch to advance the watermark past
+    * cts + 30 min, so the fixture is staged as THREE time-split files:
+    * null rows whose click predates the second file's max event time
+    * (minus join window, delay, and slack) are PROVABLY expired by the
+    * time the third batch runs — StreamingSpec asserts emitted ≡ batch
+    * st08 below that horizon and ⊆ batch st08 overall (state for the
+    * final batch legitimately never expires at end-of-stream; a real
+    * deployment's next micro-batch would flush it).
+    */
+  def abandonedClicksStream(spark: SparkSession, sfDir: String,
+      queryName: String = "graft_abandoned"): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir)
+      .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) as ts_us")
+    val Array(minTs, maxTs) = ev.selectExpr("min(ts_us)", "max(ts_us)").head() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val t1 = minTs + (maxTs - minTs) / 3
+    val t2 = minTs + 2 * ((maxTs - minTs) / 3)
+    val stage = java.nio.file.Files.createTempDirectory("graft-abandon")
+    def emit(name: String, cond: String): Unit = {
+      val tmp = stage.resolve(name + "_tmp").toString
+      ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, stage.resolve(name + ".parquet"))
+      Thread.sleep(1100) // distinct mtimes → deterministic oldest-first order
+    }
+    emit("batch_a", s"ts_us <= $t1")
+    emit("batch_b", s"ts_us > $t1 and ts_us <= $t2")
+    emit("batch_c", s"ts_us > $t2")
+    def source(): DataFrame = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+    val clicks = source()
+      .where("event_type = 'click'")
+      .selectExpr("event_id as click_id", "user_id as c_uid", "ts as cts")
+      .withWatermark("cts", "1 second")
+    val purchases = source()
+      .where("event_type = 'purchase'")
+      .selectExpr("event_id as purchase_id", "user_id as p_uid", "ts as pts")
+      .withWatermark("pts", "1 second")
+    val joined = clicks.join(
+      purchases,
+      expr("c_uid = p_uid and pts >= cts and pts <= cts + interval 30 minutes"),
+      "left_outer")
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .filter("purchase_id is null")
+      .selectExpr("click_id", "c_uid as user_id", "unix_micros(cts) as ts_us")
+  }
 }

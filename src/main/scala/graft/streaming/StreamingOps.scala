@@ -150,6 +150,80 @@ object StreamingOps {
             "rows between unbounded preceding and current row) as bigint) as n_so_far",
           "cast(sum(v4) over (partition by user_id order by ts_us, event_id " +
             "rows between unbounded preceding and current row) as double) as v_so_far")
+    },
+
+    // Sliding (hopping) event-time windows: 1-hour windows every 15
+    // minutes, counts + exact sums per (window, event_type) — the
+    // trend-smoothing shape tumbling st01 can't express. The Spark side
+    // uses the REAL window(ts, '1 hour', '15 minutes') generator (each
+    // event lands in 4 windows); the oracle unrolls the same epoch-
+    // aligned window arithmetic with exact integer microseconds.
+    // StreamRunner.slidingWindowStream runs the identical agg as a
+    // genuine watermarked stream; StreamingSpec asserts equality.
+    //
+    // Scale notes (100 TB): the 4× row expansion happens map-side
+    // inside the window generator and partial-aggregates BEFORE the
+    // exchange — the shuffle carries (window, type) partial rows, not
+    // 4× the events.
+    Q(
+      "st07_sliding_window",
+      """WITH k AS (SELECT value, event_type, epoch_us(ts) AS t_us,
+        |             unnest([0, 1, 2, 3]) AS off
+        |           FROM events),
+        |     w AS (SELECT event_type, value,
+        |             (t_us // 900000000 - off) * 900 AS win_start_s FROM k
+        |           WHERE t_us < (((t_us // 900000000 - off) * 900) + 3600) * 1000000)
+        |SELECT win_start_s, event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS v
+        |FROM w GROUP BY win_start_s, event_type""".stripMargin) { (s, d) =>
+      T.events(s, d)
+        .groupBy(
+          window(col("ts"), "1 hour", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), expr(P.dsum("value")).as("v"))
+        .selectExpr("unix_seconds(window.start) as win_start_s",
+          "event_type", "n", "v")
+    },
+
+    // Abandoned clicks: clicks with NO purchase by the same user within
+    // 30 minutes — st03's interval join flipped into its anti shape
+    // (cart-abandonment / timeout-alert semantics). Candidates reuse
+    // the bounded time-block probe, matched click ids collapse to a
+    // distinct set, and one left-anti join subtracts them; the oracle
+    // is the direct NOT EXISTS. StreamRunner.abandonedClicksStream runs
+    // the true watermarked stream-stream LEFT OUTER join; StreamingSpec
+    // asserts its emitted rows are exactly the batch result up to the
+    // watermark horizon (outer-join nulls only emit once the watermark
+    // proves no match can arrive — the streaming-correctness subtlety
+    // this pair pins).
+    //
+    // Scale notes (100 TB): both sides shuffle on (user_id, time-block)
+    // — per-user fan-out stays bounded for power users; the anti join
+    // exchanges click ids only.
+    Q(
+      "st08_abandoned_clicks",
+      """SELECT c.event_id AS click_id, c.user_id, epoch_us(c.ts) AS ts_us
+        |FROM events c
+        |WHERE c.event_type = 'click' AND NOT EXISTS (
+        |  SELECT 1 FROM events p
+        |  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)""".stripMargin) {
+      (s, d) =>
+        val ev = T.events(s, d)
+        val c = ev.filter("event_type = 'click'")
+          .selectExpr("event_id as click_id", "user_id", "ts as cts",
+            "unix_micros(ts) div 1800000000 as blk0")
+        val cb = c
+          .withColumn("blk", explode(expr("array(blk0, blk0 + 1)")))
+          .drop("blk0")
+        val p = ev.filter("event_type = 'purchase'")
+          .selectExpr("user_id", "ts as pts",
+            "unix_micros(ts) div 1800000000 as blk")
+        val matched = cb.join(p, Seq("user_id", "blk"))
+          .filter("pts >= cts and pts <= cts + interval 30 minutes")
+          .select("click_id").distinct()
+        c.join(matched, Seq("click_id"), "left_anti")
+          .selectExpr("click_id", "user_id", "unix_micros(cts) as ts_us")
     }
   )
 }

@@ -60,7 +60,12 @@ object ShuffleAudit {
     "mm06_frame_sample" -> "pure scan projection + explode (seek arithmetic): zero shuffle",
     "tx19_bm25" -> "tf rows exist only for query terms (IN pushed into the scan); df + (L,N) broadcast back; top-k is a 20-row sort",
     "an11_zipf_octaves" -> "vocab-bounded count table; rank window orders vocab rows, octave rollup ≤ 64 rows; text never shuffles",
-    "an12_constraint_audit" -> "per-table rules share one map-side agg pass; RI rules shuffle key columns only")
+    "an12_constraint_audit" -> "per-table rules share one map-side agg pass; RI rules shuffle key columns only",
+    "sm08_poisson_ht" -> "keep decision + HT mass are scan-local projections; only the per-source rollup exchanges",
+    "q_scd2_history" -> "ONE user_id exchange feeds change-detection lag, version numbering, and close-off lead",
+    "ss16_range_search" -> "cell stats + query×cell bounds are broadcast-tiny; only survivor cells' members flow into the keyed join",
+    "st07_sliding_window" -> "4x window expansion partial-aggregates map-side; shuffle carries (window, type) partials, not events",
+    "st08_abandoned_clicks" -> "(user, time-block) keyed candidates bound fan-out; anti join exchanges click ids only")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

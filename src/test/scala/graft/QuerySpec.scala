@@ -230,6 +230,58 @@ class QuerySpec extends AnyFunSuite {
     }
   }
 
+  test("sm08 Poisson/HT: kept ≤ docs, HT mass only from kept rows, estimate sane") {
+    val rows = SparkEntry.queries("sm08_poisson_ht")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nDocs, nKept, _, ht) =>
+      assert(nKept <= nDocs, s"$src kept more than it has")
+      assert((nKept == 0) == (ht == 0L), s"$src HT mass without kept rows")
+    }
+    val trueTotal = rows.map(_._4).sum
+    val htTotal = rows.map(_._5).sum
+    // unbiased estimator on a fixed corpus: the realized estimate must
+    // land within ±50% of truth (deterministic for this fixture)
+    assert(math.abs(htTotal - trueTotal) * 2 <= trueTotal,
+      s"HT total $htTotal vs true $trueTotal")
+  }
+
+  test("q_scd2 history: contiguous versions, one open row per user, ranges chain") {
+    val rows = SparkEntry.queries("q_scd2_history")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (uid, vs) =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(1L to sorted.length),
+        s"user $uid versions not contiguous")
+      assert(sorted.count(_._4.isEmpty) == 1, s"user $uid open rows != 1")
+      assert(sorted.last._4.isEmpty, s"user $uid open row is not the latest")
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._4.contains(b._3), s"user $uid ranges don't chain")
+      }
+    }
+  }
+
+  test("ss16 pruned range search equals in-test brute force") {
+    val e = Tables.embeddings(spark, sf)
+    val pruned = SparkEntry.queries("ss16_range_search")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val q = e.filter("vec_id % 20 = 0")
+      .select(org.apache.spark.sql.functions.col("vec_id").as("q_id"),
+        org.apache.spark.sql.functions.col("embedding").as("qe"))
+    val brute = q.crossJoin(e)
+      .filter("vec_id <> q_id")
+      .selectExpr("q_id", "vec_id as n_id",
+        "aggregate(zip_with(qe, embedding, (x, y) -> " +
+          "(cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), " +
+          "cast(0 as double), (acc, v) -> acc + v) as d2")
+      .filter("d2 <= 1.5625")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pruned == brute)
+    assert(pruned.nonEmpty)
+  }
+
   // Registered AFTER the full per-query sweep above (funsuite runs tests
   // in registration order): the persist() sites inside the queries rely
   // on the documented caller contract — bench/verify run

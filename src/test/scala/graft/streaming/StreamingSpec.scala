@@ -82,6 +82,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == expected)
   }
 
+  test("streaming sliding-window agg equals the batch st07 rendering") {
+    val streamed = StreamRunner.slidingWindowStream(spark, sf, "graft_sliding_spec")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = graft.streaming.StreamingOps.queries.find(_.name == "st07_sliding_window").get
+      .fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming outer-join abandoned clicks equal batch st08 up to the watermark horizon") {
+    val streamed = StreamRunner.abandonedClicksStream(spark, sf, "graft_abandoned_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batchRows = graft.streaming.StreamingOps.queries.find(_.name == "st08_abandoned_clicks").get
+      .fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val batch = batchRows.toSet
+    // a null-match row may only emit once the watermark proves no match
+    // can arrive, so the stream can lag the batch — never contradict it
+    assert(streamed.subsetOf(batch),
+      s"stream emitted non-abandoned clicks: ${(streamed -- batch).take(5)}")
+    // expiry is proven only once a LATER batch advances the watermark:
+    // the runner stages thirds, so the watermark the final batch runs
+    // under is the second file's max event time (− 1 s delay). Clicks
+    // whose 30-min window closed before that (with 2 s slack for the
+    // delay + boundary) MUST have emitted.
+    val Array(minTs, maxTs) = graft.Tables.events(spark, sf)
+      .selectExpr("min(unix_micros(ts))", "max(unix_micros(ts))").head() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val t2 = minTs + 2 * ((maxTs - minTs) / 3)
+    val horizon = t2 - 1800000000L - 2000000L
+    val mustEmit = batchRows.filter(_._3 < horizon).toSet
+    assert(mustEmit.subsetOf(streamed),
+      s"watermark-expired clicks never emitted: ${(mustEmit -- streamed).take(5)}")
+    assert(mustEmit.nonEmpty)
+  }
+
   test("stateful sessionization across micro-batches equals batch st02") {
     val streamed = StreamRunner.sessionizeStateful(spark, sf, "graft_sessions_spec")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
