@@ -169,6 +169,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs(0), exprs(1))))
     e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("l2_distance_sq"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[L2DistanceSq].getName, "l2_distance_sq"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        L2DistanceSq(exprs(0), exprs(1))))
+    e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("winnow_fps"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[WinnowFingerprints].getName, "winnow_fps"),

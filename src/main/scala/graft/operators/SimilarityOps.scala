@@ -40,14 +40,15 @@ object SimilarityOps {
   private def sparkCos(a: String, b: String): String =
     s"cosine_similarity($a, $b)"
 
-  /** Squared-L2 distance, both renderings: ascending-index left fold of
-    * per-component (a_i − b_i)², all in double from float inputs — the
-    * same accumulation-order contract as sparkDot/duckDot, so the two
-    * engines agree bit-for-bit.
+  /** Squared-L2 distance, both renderings. Spark side uses the native
+    * codegen expression (graft.functions.L2DistanceSq) — same
+    * ascending-index double accumulation as the SQL zip_with fold, but
+    * allocation-free and inside whole-stage codegen (callers register
+    * it; lloydKMeans and rangeSearchL2 do). DuckDB side stays the
+    * left-fold, so the two engines agree bit-for-bit.
     */
   private[graft] def sparkD2(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> (cast(x as double) - cast(y as double)) * " +
-      s"(cast(x as double) - cast(y as double))), cast(0 as double), (acc, v) -> acc + v)"
+    s"l2_distance_sq($a, $b)"
   private def duckD2(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${dim + 1}), " +
       s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))), " +
@@ -103,6 +104,7 @@ object SimilarityOps {
   private[graft] def lloydKMeans(e: org.apache.spark.sql.DataFrame,
       k: Int, iters: Int): org.apache.spark.sql.DataFrame = {
     require(k >= 1 && iters >= 1, s"need k >= 1 and iters >= 1, got k=$k iters=$iters")
+    graft.functions.L2DistanceSq.register(e.sparkSession)
     def assign(centSql: String) = e.selectExpr(
       "vec_id", "embedding",
       s"array_min(transform($centSql, " +
@@ -316,6 +318,7 @@ object SimilarityOps {
       queryPred: org.apache.spark.sql.Column,
       radius: Double): org.apache.spark.sql.DataFrame = {
     require(radius > 0, s"radius must be positive, got $radius")
+    graft.functions.L2DistanceSq.register(e.sparkSession)
     val dev = e.selectExpr("vec_id", "label as cell", "embedding")
       .join(broadcast(cent), "cell")
       .selectExpr("vec_id", "cell", "embedding",

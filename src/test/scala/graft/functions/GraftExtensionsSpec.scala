@@ -27,6 +27,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val self = ext.sql(
         "select cosine_similarity(embedding, embedding) as c from emb3").collect()
       self.foreach(row => assert(math.abs(row.getDouble(0) - 1.0) < 1e-9))
+      // the whole native-function family rides the same injection
+      val d2 = ext.sql(
+        "select l2_distance_sq(embedding, embedding) as d from emb3").collect()
+      d2.foreach(row => assert(row.getDouble(0) == 0.0))
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
