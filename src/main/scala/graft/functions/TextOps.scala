@@ -730,6 +730,47 @@ object TextOps {
           count(lit(1)).cast("long").as("n_terms"))
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(20)
+    },
+
+    // Mojibake detection + repair (TextQuality.fixMojibake): UTF-8
+    // sequences mis-decoded as cp1252 ('â€™' for ’, 'Ã©' for é, …)
+    // mapped back to the intended characters — the encoding-repair
+    // scrub every web-scrape corpus needs. The corpus is clean ASCII
+    // (probed), so like tx17 the query first AUGMENTS the text with
+    // deterministic doc_id-derived mojibake on BOTH engines (docs
+    // divisible by 3/5 gain corrupted accents/punctuation) so the
+    // detector and repairer hit known positives and negatives.
+    // Counting is a literal-replace length delta and repair a literal
+    // replace chain (longest-first) — no regex engine in the loop, so
+    // Spark and DuckDB agree byte-for-byte. Scale: one codegen'd scan
+    // projection, no shuffle; the real-corpus path is
+    // `TextQuality.fixMojibake(docs)` with no augmentation.
+    Q(
+      "tx20_mojibake_repair",
+      """WITH aug AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' cafÃ© rÃ©sumÃ©' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' donâ€™t â€” naÃ¯ve' ELSE '' END
+        |    AS text FROM documents)
+        |SELECT doc_id,
+        |  (length(text) - length(replace(text, 'â€™', ''))) // 3
+        |    + (length(text) - length(replace(text, 'â€”', ''))) // 3
+        |    + (length(text) - length(replace(text, 'Ã©', ''))) // 2
+        |    + (length(text) - length(replace(text, 'Ã¯', ''))) // 2 AS n_moji,
+        |  ((length(text) - length(replace(text, 'â€™', ''))) // 3
+        |    + (length(text) - length(replace(text, 'â€”', ''))) // 3
+        |    + (length(text) - length(replace(text, 'Ã©', ''))) // 2
+        |    + (length(text) - length(replace(text, 'Ã¯', ''))) // 2) > 0 AS has_moji,
+        |  length(replace(replace(replace(replace(text,
+        |    'â€™', '’'), 'â€”', '—'), 'Ã©', 'é'), 'Ã¯', 'ï')) AS n_chars_out
+        |FROM aug""".stripMargin) { (s, d) =>
+      val aug = T.documents(s, d).selectExpr("doc_id",
+        "concat(text, " +
+          "case when doc_id % 3 = 0 then ' cafÃ© rÃ©sumÃ©' else '' end, " +
+          "case when doc_id % 5 = 0 then ' donâ€™t â€” naÃ¯ve' else '' end" +
+          ") as text")
+      graft.functions.TextQuality.fixMojibake(aug, "text")
+        .selectExpr("doc_id", "n_moji", "has_moji",
+          "cast(length(repaired) as bigint) as n_chars_out")
     }
   )
 

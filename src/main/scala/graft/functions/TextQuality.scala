@@ -150,6 +150,44 @@ object TextQuality {
       .withColumn("redacted", redacted)
   }
 
+  /** Mojibake sequences: UTF-8 bytes of a non-ASCII char mis-decoded as
+    * cp1252/latin-1 (the classic double-encoding corruption in scraped
+    * corpora). Each entry maps the corrupted literal back to the
+    * intended char. LITERAL string pairs, not regexes — `replace` is a
+    * plain codegen'd string scan on both engines. Ordered longest-first
+    * so 3-byte sequences ('â€™') repair before any 2-byte prefix could.
+    * Shared by the gated tx20 query and `fixMojibake` so detection and
+    * repair can't drift.
+    */
+  private[graft] val mojibakePairs: Seq[(String, String)] = Seq(
+    ("â€™", "’"), // â€™ -> ’ (right single quote)
+    ("â€”", "—"), // â€” -> — (em dash)
+    ("Ã©", "é"), // Ã© -> é
+    ("Ã¯", "ï")) // Ã¯ -> ï
+
+  /** Mojibake detection + repair over a text column: adds `n_moji`
+    * (total corrupted-sequence occurrences, counted via the
+    * length-delta of a literal replace — no regex), `has_moji`, and a
+    * `repaired` column with every sequence mapped back to its intended
+    * character (longest-first order, fixed so engines agree). Pure
+    * codegen'd scan projection — no shuffle, no UDF; at 100 TB this
+    * fuses into the ingest scan like `redactPii`.
+    */
+  def fixMojibake(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val counts = mojibakePairs.map { case (bad, _) =>
+      (length(col(textCol)) - length(
+        org.apache.spark.sql.functions.replace(
+          col(textCol), lit(bad), lit("")))) / lit(bad.length)
+    }
+    val repaired = mojibakePairs.foldLeft(col(textCol)) {
+      case (c, (bad, good)) =>
+        org.apache.spark.sql.functions.replace(c, lit(bad), lit(good))
+    }
+    df.withColumn("n_moji", counts.reduce(_ + _).cast("long"))
+      .withColumn("has_moji", col("n_moji") > 0)
+      .withColumn("repaired", repaired)
+  }
+
   /** Trigram stupid-backoff scoring (Brants et al. 2007, "Large
     * Language Models in Machine Translation", adapted to the
     * integer-exact gate): score every `eval` document against an LM
@@ -242,6 +280,38 @@ object Dedup {
     keyed.join(keepers, keyed("_h") === keepers("_h") && col(keepCol) === col("_keep"))
       .drop("_h", "_keep")
   }
+
+  /** URL canonicalization for URL-keyed dedup: adds `canon_url` — the
+    * aggressive normal form corpus dedup keys on. Policy, applied in
+    * this fixed order on both engines: (1) lowercase (scheme and host
+    * are case-insensitive; the aggressive variant folds the whole URL),
+    * (2) strip the `#fragment`, (3) strip a tracking-only query string
+    * (one starting `?utm`), (4) fold `www.` into the bare host,
+    * (5) strip a trailing slash. Literal/anchored string ops only —
+    * a pure codegen'd scan projection, no regex backtracking risk, no
+    * shuffle. Shared by the gated dd19 query so API and oracle agree.
+    */
+  def canonicalizeUrls(df: DataFrame, urlCol: String = "url"): DataFrame =
+    df.withColumn("canon_url", expr(canonUrlFrag(urlCol)))
+
+  /** Spark-side SQL fragment computing the canonical form of `c`
+    * (DuckDB twin: [[duckCanonUrlFrag]] — same ops, same order).
+    */
+  private[graft] def canonUrlFrag(c: String): String =
+    s"""regexp_replace(replace(regexp_replace(regexp_replace(
+       |  lower($c),
+       |  '#.*$$', ''),
+       |  '\\\\?utm[_a-z0-9=&-]*$$', ''),
+       |  '://www.', '://'),
+       |  '/$$', '')""".stripMargin
+
+  private[graft] def duckCanonUrlFrag(c: String): String =
+    s"""regexp_replace(replace(regexp_replace(regexp_replace(
+       |  lower($c),
+       |  '#.*$$', ''),
+       |  '\\?utm[_a-z0-9=&-]*$$', ''),
+       |  '://www.', '://'),
+       |  '/$$', '')""".stripMargin
 
   /** MinHash-LSH near-dup candidate pairs over a text column (the
     * dd03/dd04 plan as a function): returns distinct (a_id, b_id) pairs

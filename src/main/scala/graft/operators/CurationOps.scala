@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Portable => P, Q, Tables => T}
 import graft.functions.TextOps
+import org.apache.spark.sql.functions._
 
 /** The corpus-curation LEDGER: the whole pre-training data-curation pass
   * as ONE Spark plan. Per document it records every keep/drop signal a
@@ -265,5 +266,80 @@ object CurationOps {
          |   - 2 * abs(f_len - 550) - 1000) > 0 AS keep
          |FROM f""".stripMargin) { (s, d) =>
       graft.functions.TextQuality.classifierScore(T.documents(s, d))
+    },
+
+    // Dedup-aware mixture rebalance: the temperature-sampling mixture
+    // (sm07's sqrt weighting, Sampling.temperatureWeights) recomputed
+    // over the mass that SURVIVES exact dedup — the weighting a real
+    // pre-training mix uses, since a source that is 40% duplicates
+    // should be weighted by its unique mass, not its raw crawl size.
+    // The corpus has no exact dups (probed), so like tx17/dd18 the
+    // query first AUGMENTS on BOTH engines: docs with
+    // (doc_id div 20) % 5 <= doc_id % 4 have their text replaced by a
+    // per-source boilerplate template, giving each source a different
+    // dup rate (20%..80%, since source is doc_id-mod-20-aligned).
+    // Per source: raw/kept doc and char counts (one conditional agg
+    // over the dd01-style digest-window keeper flag), the temperature
+    // weight w_ppm over kept chars, and shift_ppm = w_ppm minus the
+    // source's natural (proportional) share of kept chars — positive
+    // shift means temperature up-weights the small-after-dedup source.
+    // All-integer arithmetic (floor-div ppm), so engines agree
+    // bit-for-bit. The real-corpus path is `Dedup.exact` then
+    // `Sampling.temperatureWeights`, no augmentation.
+    //
+    // Scale notes (100 TB): ONE documents scan; the digest window
+    // shuffles 60-bit longs (text never moves); the per-source rollup
+    // partial-aggregates to |sources| rows, and everything after
+    // (weights, totals, shift) runs on that tiny aggregate via
+    // broadcast — reusing Sampling.temperatureWeights unchanged with
+    // the aggregate as its input (its groupBy-sum re-agg is a no-op).
+    Q(
+      "cu07_mixture_rebalance",
+      s"""WITH aug AS (SELECT doc_id, source,
+         |      CASE WHEN (doc_id // 20) % 5 <= doc_id % 4
+         |           THEN 'standard license boilerplate for ' || source
+         |           ELSE text END AS text
+         |    FROM documents),
+         |k AS (SELECT source, length(text)::BIGINT AS n_chars,
+         |      doc_id = min(doc_id) OVER (PARTITION BY ${P.duckHash60("text")}) AS keep
+         |    FROM aug),
+         |a AS (SELECT source,
+         |        CAST(count(*) AS BIGINT) AS raw_docs,
+         |        CAST(sum(n_chars) AS BIGINT) AS raw_chars,
+         |        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+         |        CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+         |      FROM k GROUP BY source),
+         |w AS (SELECT source,
+         |        CAST(floor(1000 * sqrt(CAST(kept_chars AS DOUBLE))) AS BIGINT) AS wgt
+         |      FROM a),
+         |t AS (SELECT CAST(sum(wgt) AS BIGINT) AS tw FROM w),
+         |tk AS (SELECT CAST(sum(kept_chars) AS BIGINT) AS tc FROM a)
+         |SELECT a.source, raw_docs, raw_chars, kept_docs, kept_chars,
+         |  (1000000 * wgt) // (SELECT tw FROM t) AS w_ppm,
+         |  (1000000 * wgt) // (SELECT tw FROM t)
+         |    - (1000000 * kept_chars) // (SELECT tc FROM tk) AS shift_ppm
+         |FROM a JOIN w ON w.source = a.source""".stripMargin) { (s, d) =>
+      val aug = T.documents(s, d).selectExpr("doc_id", "source",
+        "case when (doc_id div 20) % 5 <= doc_id % 4 " +
+          "then 'standard license boilerplate for ' || source " +
+          "else text end as text")
+      val keyed = aug.selectExpr("source",
+        "cast(length(text) as bigint) as n_chars",
+        s"doc_id = min(doc_id) over (partition by ${P.hash60("text")}) as keep")
+      val agg = keyed.groupBy("source").agg(
+        count(lit(1)).cast("long").as("raw_docs"),
+        sum("n_chars").cast("long").as("raw_chars"),
+        sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("kept_docs"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L)).cast("long")
+          .as("kept_chars"))
+      val weighted = graft.functions.Sampling
+        .temperatureWeights(agg, "source", "kept_chars")
+        .select("source", "w_ppm")
+      val totKept = agg.agg(sum("kept_chars").cast("long").as("tc"))
+      agg.join(weighted, "source")
+        .crossJoin(broadcast(totKept))
+        .selectExpr("source", "raw_docs", "raw_chars", "kept_docs",
+          "kept_chars", "w_ppm",
+          "w_ppm - (1000000 * kept_chars) div tc as shift_ppm")
     })
 }

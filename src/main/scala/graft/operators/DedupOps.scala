@@ -771,6 +771,53 @@ object DedupOps {
           sum("n_windows").cast("long").as("n_dup_windows"),
           sum(col("span_end") - col("span_start")).cast("long")
             .as("n_toks_dup"))
+    },
+
+    // URL-keyed dedup under canonicalization (Dedup.canonicalizeUrls):
+    // the same page crawled as http/https, with/without `www.`, with a
+    // trailing slash, a `#fragment`, or `utm_*` tracking params must
+    // dedup to ONE keeper — the crawl-frontier dedup every web corpus
+    // runs before any content hash is computed. The corpus has no URL
+    // column, so the query derives a deterministic messy URL per doc
+    // on BOTH engines — page identity is (source, (doc_id div 20) % 5)
+    // and the corruption arm is (doc_id div 20) % 4 (clean / www+slash
+    // / uppercase+utm query / fragment), chosen so every canonical
+    // group holds several docs spanning several raw spellings (the
+    // corpus's source column is doc_id-mod-20-aligned, so doc_id-mod
+    // formulas would make every group a singleton) — then canonicalizes
+    // with the shared fragment and groups: (canon_url, keeper, n_docs,
+    // n_variants). Scale: URL synthesis + canonicalization are one
+    // codegen'd scan projection; only short canonical-URL strings and
+    // ids reach the exchange (text never shuffles), and the distinct-
+    // variant count partial-aggregates on (canon_url, url) pairs.
+    Q(
+      "dd19_url_dedup",
+      s"""WITH u AS (SELECT doc_id,
+         |    CASE (doc_id // 20) % 4
+         |      WHEN 0 THEN 'https://' || source || '.example.com/p/' || CAST((doc_id // 20) % 5 AS VARCHAR)
+         |      WHEN 1 THEN 'https://www.' || source || '.example.com/p/' || CAST((doc_id // 20) % 5 AS VARCHAR) || '/'
+         |      WHEN 2 THEN upper('https://' || source || '.example.com/p/' || CAST((doc_id // 20) % 5 AS VARCHAR)) || '?utm_source=feed&utm_medium=rss'
+         |      ELSE 'https://' || source || '.example.com/p/' || CAST((doc_id // 20) % 5 AS VARCHAR) || '#sec-' || CAST(doc_id % 7 AS VARCHAR)
+         |    END AS url FROM documents),
+         |c AS (SELECT doc_id, url,
+         |        ${graft.functions.Dedup.duckCanonUrlFrag("url")} AS canon_url
+         |      FROM u)
+         |SELECT canon_url, min(doc_id) AS keeper,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants
+         |FROM c GROUP BY canon_url""".stripMargin) { (s, d) =>
+      val urls = T.documents(s, d).selectExpr("doc_id",
+        """case cast((doc_id div 20) % 4 as int)
+          |  when 0 then 'https://' || source || '.example.com/p/' || cast((doc_id div 20) % 5 as string)
+          |  when 1 then 'https://www.' || source || '.example.com/p/' || cast((doc_id div 20) % 5 as string) || '/'
+          |  when 2 then upper('https://' || source || '.example.com/p/' || cast((doc_id div 20) % 5 as string)) || '?utm_source=feed&utm_medium=rss'
+          |  else 'https://' || source || '.example.com/p/' || cast((doc_id div 20) % 5 as string) || '#sec-' || cast(doc_id % 7 as string)
+          |end as url""".stripMargin)
+      graft.functions.Dedup.canonicalizeUrls(urls, "url")
+        .groupBy("canon_url")
+        .agg(min("doc_id").as("keeper"),
+          count(lit(1)).cast("long").as("n_docs"),
+          countDistinct("url").cast("long").as("n_variants"))
     }
   )
 

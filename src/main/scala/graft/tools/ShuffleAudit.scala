@@ -65,7 +65,10 @@ object ShuffleAudit {
     "q_scd2_history" -> "ONE user_id exchange feeds change-detection lag, version numbering, and close-off lead",
     "ss16_range_search" -> "cell stats + query×cell bounds are broadcast-tiny; only survivor cells' members flow into the keyed join",
     "st07_sliding_window" -> "4x window expansion partial-aggregates map-side; shuffle carries (window, type) partials, not events",
-    "st08_abandoned_clicks" -> "(user, time-block) keyed candidates bound fan-out; anti join exchanges click ids only")
+    "st08_abandoned_clicks" -> "(user, time-block) keyed candidates bound fan-out; anti join exchanges click ids only",
+    "tx20_mojibake_repair" -> "pure scan projection (literal replace chain): zero shuffle",
+    "dd19_url_dedup" -> "canonicalization fuses into the scan; only short canonical-URL strings + ids exchange, text never moves",
+    "cu07_mixture_rebalance" -> "digest window shuffles 60-bit longs; per-source rollup partial-aggregates to |sources| rows, weights broadcast")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
