@@ -68,7 +68,7 @@ object ShuffleAudit {
     "st08_abandoned_clicks" -> "(user, time-block) keyed candidates bound fan-out; anti join exchanges click ids only",
     "tx20_mojibake_repair" -> "pure scan projection (literal replace chain): zero shuffle",
     "dd19_url_dedup" -> "canonicalization fuses into the scan; only short canonical-URL strings + ids exchange, text never moves",
-    "cu07_mixture_rebalance" -> "digest window shuffles 60-bit longs; per-source rollup partial-aggregates to |sources| rows, weights broadcast")
+    "cu07_mixture_rebalance" -> "digest window shuffles 60-bit longs; per-source rollup partial-aggregates to one row per source, weights broadcast")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
