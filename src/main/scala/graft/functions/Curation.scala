@@ -180,4 +180,36 @@ object Curation {
       .select(col("doc_id").as(idCol), col("source").as(sourceCol),
         col("score"), col("med"))
   }
+
+  /** Dedup-aware mixture rebalance (the cu07 plan as a function — the
+    * gated query calls THIS): per group, raw/kept doc and char counts
+    * under exact dedup (dd01's digest-window keeper), the sqrt
+    * temperature weight `w_ppm` over KEPT chars (delegating to
+    * [[Sampling.temperatureWeights]] on the per-group aggregate, where
+    * its groupBy-sum re-agg is a no-op), and `shift_ppm` = w_ppm minus
+    * the group's natural share of kept chars. One scan; the digest
+    * window shuffles 60-bit longs (text never moves); everything after
+    * the per-group rollup runs on one row per group via broadcast.
+    */
+  def mixtureRebalance(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val keyed = docs.selectExpr(s"$groupCol as source",
+      s"cast(length($textCol) as bigint) as n_chars",
+      s"$idCol = min($idCol) over (partition by ${P.hash60(textCol)}) as keep")
+    val agg = keyed.groupBy("source").agg(
+      count(lit(1)).cast("long").as("raw_docs"),
+      sum("n_chars").cast("long").as("raw_chars"),
+      sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("kept_docs"),
+      sum(when(col("keep"), col("n_chars")).otherwise(0L)).cast("long")
+        .as("kept_chars"))
+    val weighted = Sampling.temperatureWeights(agg, "source", "kept_chars")
+      .select("source", "w_ppm")
+    val totKept = agg.agg(sum("kept_chars").cast("long").as("tc"))
+    agg.join(weighted, "source")
+      .crossJoin(broadcast(totKept))
+      .selectExpr("source", "raw_docs", "raw_chars", "kept_docs",
+        "kept_chars", "w_ppm",
+        "w_ppm - (1000000 * kept_chars) div tc as shift_ppm")
+      .withColumnRenamed("source", groupCol)
+  }
 }

@@ -323,23 +323,6 @@ object CurationOps {
         "case when (doc_id div 20) % 5 <= doc_id % 4 " +
           "then 'standard license boilerplate for ' || source " +
           "else text end as text")
-      val keyed = aug.selectExpr("source",
-        "cast(length(text) as bigint) as n_chars",
-        s"doc_id = min(doc_id) over (partition by ${P.hash60("text")}) as keep")
-      val agg = keyed.groupBy("source").agg(
-        count(lit(1)).cast("long").as("raw_docs"),
-        sum("n_chars").cast("long").as("raw_chars"),
-        sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("kept_docs"),
-        sum(when(col("keep"), col("n_chars")).otherwise(0L)).cast("long")
-          .as("kept_chars"))
-      val weighted = graft.functions.Sampling
-        .temperatureWeights(agg, "source", "kept_chars")
-        .select("source", "w_ppm")
-      val totKept = agg.agg(sum("kept_chars").cast("long").as("tc"))
-      agg.join(weighted, "source")
-        .crossJoin(broadcast(totKept))
-        .selectExpr("source", "raw_docs", "raw_chars", "kept_docs",
-          "kept_chars", "w_ppm",
-          "w_ppm - (1000000 * kept_chars) div tc as shift_ppm")
+      graft.functions.Curation.mixtureRebalance(aug)
     })
 }
