@@ -19,22 +19,36 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 only
-    * reads with `spark.sql.legacy.parquet.nanosAsLong=true` (as INT64
-    * nanos). Convert back to a microsecond timestamp with exact integer
-    * division (`div`, not `/` — 1.7e18 ns overflows double precision).
+  /** events.parquet's `ts` column has shipped in two physical forms
+    * across fixture generations: TIMESTAMP(NANOS) (readable only as
+    * INT64 nanos under `spark.sql.legacy.parquet.nanosAsLong=true`) and
+    * plain TIMESTAMP(MICROS) with isAdjustedToUTC=false (which Spark 4
+    * surfaces as TIMESTAMP_NTZ). Normalize every arrival to a session-tz
+    * TIMESTAMP so downstream `unix_micros`/`window()` calls type-check:
+    * nanos convert with exact integer division (`div`, not `/` —
+    * 1.7e18 ns overflows double precision); NTZ casts to LTZ under the
+    * pinned UTC session timezone (same wall-clock = same instant).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // self-healing: the flag is a runtime-settable SQLConf, so sessions
     // built without it (e.g. a driver-owned session) still read events
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = t(s, d, "events")
+    normalizeTs(t(s, d, "events"))
+  }
+
+  /** Normalize a `ts` column to TIMESTAMP (LTZ) per the events contract
+    * above. Shared with the streaming file source, which reads the same
+    * fixture through an explicit schema.
+    */
+  private[graft] def normalizeTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
-  }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -101,6 +101,24 @@ object Curation {
       .withColumnRenamed("doc_id", idCol)
   }
 
+  /** LEAKAGE-SAFE train/valid/test split: assign each near-dup CLUSTER
+    * — not each document — to a split by hashing its cluster label, so
+    * two near-duplicate documents can never land on opposite sides of a
+    * train/eval boundary (the contamination path a per-document hash
+    * split like sm02 leaves open). Buckets hash60('csplit|' ||
+    * cluster_id) mod 10: 0-7 train, 8 valid, 9 test. Returns
+    * (idCol, cluster_id, split). Rides dd08's exact clustering
+    * machinery; the split itself is a scan-local projection of the
+    * label — no exchange beyond the CC rounds' (id, label) longs.
+    */
+  def leakageSafeSplit(docs0: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    graft.operators.DedupOps.clusterLabels(docs0, idCol, textCol)
+      .selectExpr(idCol, "cluster_id",
+        s"""case when ${P.hash60("concat('csplit|', cast(cluster_id as string))")} % 10 < 8 then 'train'
+           |     when ${P.hash60("concat('csplit|', cast(cluster_id as string))")} % 10 = 8 then 'valid'
+           |     else 'test' end as split""".stripMargin)
+
   /** Quality-aware near-dup cluster keeper: per dd08 cluster, flag the
     * member with the highest tx02 quality score (doc_id tiebreak) as
     * the keeper, instead of cu01's min-id representative — "keep the

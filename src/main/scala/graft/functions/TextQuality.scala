@@ -380,6 +380,26 @@ object Dedup {
   def clusters(df: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.operators.DedupOps.clusterLabels(df, idCol, textCol)
 
+  /** SOFT dedup: per-document sampling weights that down-weight
+    * near-duplicate clusters instead of dropping members — weight_ppm =
+    * 10⁶ div cluster_size, so each cluster contributes ~one document's
+    * worth of sampling mass however many copies exist (the "keep
+    * everything, reweight the sampler" alternative to hard keeper
+    * selection; preserves benign variation that min-id dropping loses).
+    * Returns (idCol, cluster_id, cluster_size, weight_ppm). Rides dd08's
+    * exact clustering machinery; the only added exchange is the
+    * per-cluster count window over (id, label) longs.
+    */
+  def softWeights(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    graft.operators.DedupOps.clusterLabels(df, idCol, textCol)
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id")))
+      .selectExpr(idCol, "cluster_id",
+        "cast(cluster_size as bigint) as cluster_size",
+        "1000000 div cluster_size as weight_ppm")
+
   /** Winnowing-overlap contamination candidates over a text column —
     * the tx12 plan as a function: native `winnow_fps` selection (MOSS
     * rolling-hash fingerprints, zero shuffle), then pairs sharing

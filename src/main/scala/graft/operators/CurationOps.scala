@@ -324,5 +324,29 @@ object CurationOps {
           "then 'standard license boilerplate for ' || source " +
           "else text end as text")
       graft.functions.Curation.mixtureRebalance(aug)
+    },
+
+    // Leakage-safe train/valid/test split (Curation.leakageSafeSplit):
+    // assign each near-dup CLUSTER — not each document — to a split by
+    // hashing its dd08 cluster label, so near-duplicate documents can
+    // never straddle a train/eval boundary. A per-document hash split
+    // (sm02) leaves exactly that contamination path open: two 95%-
+    // identical documents hash independently and land in train AND
+    // test. Buckets hash60('csplit|' || cluster_id) mod 10 → 0-7 train,
+    // 8 valid, 9 test. Rides dd08's exact clustering machinery (the
+    // oracle reuses the SAME recursive CTE chain); the split itself is
+    // a scan-local projection of the label — beyond the CC rounds'
+    // (id, label) longs nothing new shuffles, and at 100 TB the split
+    // column joins back to the corpus co-partitioned on doc_id.
+    Q(
+      "cu08_cluster_split",
+      s"""WITH RECURSIVE
+         |     ${graft.operators.DedupOps.duckClusterCtes}
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN ${P.duckHash60("'csplit|' || CAST(cluster_id AS VARCHAR)")} % 10 < 8 THEN 'train'
+         |       WHEN ${P.duckHash60("'csplit|' || CAST(cluster_id AS VARCHAR)")} % 10 = 8 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM comp""".stripMargin) { (s, d) =>
+      graft.functions.Curation.leakageSafeSplit(T.documents(s, d))
     })
 }

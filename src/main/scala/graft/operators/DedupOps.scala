@@ -818,6 +818,31 @@ object DedupOps {
         .agg(min("doc_id").as("keeper"),
           count(lit(1)).cast("long").as("n_docs"),
           countDistinct("url").cast("long").as("n_variants"))
+    },
+
+    // SOFT dedup (Dedup.softWeights): instead of dropping near-dup
+    // cluster members, weight each document by 10⁶ div cluster_size so
+    // every cluster contributes ~one document of sampling mass — the
+    // "reweight, don't delete" dedup policy (keeps benign variation a
+    // min-id keeper discards; the sampler sees a deduplicated
+    // distribution either way). Rides dd08's exact clustering machinery
+    // — same shingle → minhash → capped-band/star edges → CC chain the
+    // dd08 oracle pins — plus ONE per-cluster count window over
+    // (id, label) longs. At 100 TB the weights join back to the corpus
+    // on doc_id (co-partitioned with any downstream sampling pass);
+    // text never shuffles.
+    Q(
+      "dd20_soft_weights",
+      s"""WITH RECURSIVE
+         |     $duckClusterCtes,
+         |     cs AS (SELECT doc_id, cluster_id,
+         |              count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |            FROM comp)
+         |SELECT doc_id, cluster_id,
+         |  CAST(cluster_size AS BIGINT) AS cluster_size,
+         |  1000000 // cluster_size AS weight_ppm
+         |FROM cs""".stripMargin) { (s, d) =>
+      graft.functions.Dedup.softWeights(T.documents(s, d))
     }
   )
 

@@ -34,9 +34,7 @@ object StreamRunner {
         d.toString
       }
     val s0 = spark.readStream.schema(schema).format("parquet").load(streamDir)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      s0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else s0
+    graft.Tables.normalizeTs(s0)
   }
 
   /** Stateful sessionization with flatMapGroupsWithState: the events table
