@@ -206,4 +206,21 @@ object Similarity {
     SimilarityOps.rangeSearchL2(
       corpus, SimilarityOps.labelCentroids(corpus), queryPred, radius)
   }
+
+  /** HYBRID sparse+dense retrieval fused by Reciprocal Rank Fusion:
+    * rank the corpus by BM25 over `terms` (tx19's machinery) and by
+    * exact cosine against document `qId`'s embedding (ss01's kernel),
+    * then fuse rrf = Σ 10⁶ div (60 + rank) — rank-based, so the
+    * incomparable score scales never need normalizing. Returns the
+    * top-`k` (doc_id, rank_lex, rank_dense, rrf_x1e6); rank_lex is 0
+    * for docs matching no query term. `docs` needs (doc_id, text),
+    * `embeddings` (vec_id, embedding) aligned on id. The gated ss17
+    * query calls THIS, so API and oracle can't diverge.
+    */
+  def hybridTopK(docs: DataFrame, embeddings: DataFrame,
+      terms: Seq[String] = TextOps.bm25DefaultTerms,
+      qId: Long = 0L, k: Int = 20): DataFrame = {
+    CosineSimilarity.register(docs.sparkSession)
+    graft.operators.SimilarityOps.rrfHybrid(docs, embeddings, terms, qId, k)
+  }
 }

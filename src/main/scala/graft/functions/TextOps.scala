@@ -12,6 +12,12 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Default BM25 query-term set shared by the gated tx19/ss17 queries.
+    * Declared BEFORE `queries` — the oracle strings interpolate it at
+    * object init, so a later declaration would still be null then.
+    */
+  private[graft] val bm25DefaultTerms = Seq("the", "data", "model", "quick")
+
   private[graft] val enWords = "'the','a','of','and','to'"
   private[graft] val deWords = "'der','die','das','und','ist'"
   private[graft] val frWords = "'le','la','les','et','est'"
@@ -684,50 +690,10 @@ object TextOps {
     // shuffles, and the top-k is one 20-row sort of per-doc scores.
     Q(
       "tx19_bm25",
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
-        |           FROM documents),
-        |     dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM t),
-        |     tot AS (SELECT SUM(dl)::BIGINT AS l, COUNT(*)::BIGINT AS n FROM dl),
-        |     tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf
-        |            FROM (SELECT doc_id, unnest(toks) AS w FROM t)
-        |            WHERE w IN ('the', 'data', 'model', 'quick') GROUP BY doc_id, w),
-        |     df AS (SELECT w, count(*)::BIGINT AS df
-        |            FROM (SELECT DISTINCT doc_id, w
-        |                  FROM (SELECT doc_id, unnest(toks) AS w FROM t)
-        |                  WHERE w IN ('the', 'data', 'model', 'quick'))
-        |            GROUP BY w),
-        |     sc AS (SELECT tf.doc_id,
-        |              CAST(CAST(22 * tot.l * tf.tf AS DOUBLE)
-        |                     / (10 * tot.l * tf.tf + 3 * tot.l + 9 * dl.dl * tot.n)
-        |                     * tot.n / df.df AS DECIMAL(28,8)) AS s
-        |            FROM tf JOIN df ON df.w = tf.w
-        |                    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot)
-        |SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS bm25,
-        |  CAST(count(*) AS BIGINT) AS n_terms FROM sc GROUP BY doc_id
+      s"""WITH ${duckBm25Ctes()}
+        |SELECT doc_id, bm25, n_terms FROM bm
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
-      val t = T.documents(s, d)
-        .selectExpr("doc_id", "split(lower(text), '\\\\s+') as toks")
-      val dl = t.selectExpr("doc_id", "cast(size(toks) as bigint) as dl")
-      val tot = dl.agg(
-        sum("dl").cast("long").as("l"), count(lit(1)).cast("long").as("n"))
-      val terms = "('the', 'data', 'model', 'quick')"
-      val tf = t.selectExpr("doc_id", "explode(toks) as w")
-        .filter(s"w in $terms")
-        .groupBy("doc_id", "w").agg(count(lit(1)).cast("long").as("tf"))
-      val df = t
-        .selectExpr("doc_id",
-          s"explode(filter(array_distinct(toks), w -> w in $terms)) as w")
-        .groupBy("w").agg(count(lit(1)).cast("long").as("df"))
-      tf.join(broadcast(df), "w")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(tot))
-        .selectExpr("doc_id",
-          "cast(cast(22 * l * tf as double) " +
-            "/ (10 * l * tf + 3 * l + 9 * dl * n) " +
-            "* n / df as decimal(28,8)) as s")
-        .groupBy("doc_id")
-        .agg(expr("cast(sum(s) as double)").as("bm25"),
-          count(lit(1)).cast("long").as("n_terms"))
+      bm25Scores(T.documents(s, d))
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(20)
     },
@@ -773,6 +739,73 @@ object TextOps {
           "cast(length(repaired) as bigint) as n_chars_out")
     }
   )
+
+  /** Per-document BM25 scores (k1=1.2, b=0.75) for a fixed query-term
+    * set: (doc_id, bm25, n_terms), one row per document matching ≥ 1
+    * term. Transcendental-free portability — rational idf N/df and a
+    * fraction-cleared tf-saturation term (see the gated tx19 query's
+    * derivation comment), each per-term score ONE IEEE division of
+    * exact integers quantized to DECIMAL(28,8) so the per-doc sum is
+    * order-insensitive. Shared by the gated tx19 query, the ss17 hybrid
+    * fusion, and `Similarity.hybridTopK`.
+    *
+    * Scale: tf rows exist only for the query's terms (the IN-filter
+    * pushes into the tokenize scan); df and (L, N) are map-side-combined
+    * aggs broadcast back; corpus text never shuffles.
+    */
+  private[graft] def bm25Scores(docs: org.apache.spark.sql.DataFrame,
+      terms: Seq[String] = bm25DefaultTerms): org.apache.spark.sql.DataFrame = {
+    val t = docs.selectExpr("doc_id", "split(lower(text), '\\\\s+') as toks")
+    val dl = t.selectExpr("doc_id", "cast(size(toks) as bigint) as dl")
+    val tot = dl.agg(
+      sum("dl").cast("long").as("l"), count(lit(1)).cast("long").as("n"))
+    val inList = terms.map(w => s"'$w'").mkString("(", ", ", ")")
+    val tf = t.selectExpr("doc_id", "explode(toks) as w")
+      .filter(s"w in $inList")
+      .groupBy("doc_id", "w").agg(count(lit(1)).cast("long").as("tf"))
+    val df = t
+      .selectExpr("doc_id",
+        s"explode(filter(array_distinct(toks), w -> w in $inList)) as w")
+      .groupBy("w").agg(count(lit(1)).cast("long").as("df"))
+    tf.join(broadcast(df), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .selectExpr("doc_id",
+        "cast(cast(22 * l * tf as double) " +
+          "/ (10 * l * tf + 3 * l + 9 * dl * n) " +
+          "* n / df as decimal(28,8)) as s")
+      .groupBy("doc_id")
+      .agg(expr("cast(sum(s) as double)").as("bm25"),
+        count(lit(1)).cast("long").as("n_terms"))
+  }
+
+  /** DuckDB rendering of the same BM25 chain, ending in
+    * `bm(doc_id, bm25, n_terms)` — kept beside the Spark rendering so
+    * the two can't drift. Caller supplies `WITH `.
+    */
+  private[graft] def duckBm25Ctes(terms: Seq[String] = bm25DefaultTerms): String = {
+    val inList = terms.map(w => s"'$w'").mkString("(", ", ", ")")
+    s"""t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+       |           FROM documents),
+       |     dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM t),
+       |     tot AS (SELECT SUM(dl)::BIGINT AS l, COUNT(*)::BIGINT AS n FROM dl),
+       |     tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf
+       |            FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+       |            WHERE w IN $inList GROUP BY doc_id, w),
+       |     df AS (SELECT w, count(*)::BIGINT AS df
+       |            FROM (SELECT DISTINCT doc_id, w
+       |                  FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+       |                  WHERE w IN $inList)
+       |            GROUP BY w),
+       |     sc AS (SELECT tf.doc_id,
+       |              CAST(CAST(22 * tot.l * tf.tf AS DOUBLE)
+       |                     / (10 * tot.l * tf.tf + 3 * tot.l + 9 * dl.dl * tot.n)
+       |                     * tot.n / df.df AS DECIMAL(28,8)) AS s
+       |            FROM tf JOIN df ON df.w = tf.w
+       |                    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot),
+       |     bm AS (SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS bm25,
+       |              CAST(count(*) AS BIGINT) AS n_terms FROM sc GROUP BY doc_id)""".stripMargin
+  }
 
   /** Overlap pairs from a winnowed (doc_id, fp) set: pairs sharing
     * ≥ `minShared` fingerprints, buckets past `cap` docs skipped as

@@ -1298,8 +1298,75 @@ object SimilarityOps {
       (s, d) =>
         graft.functions.Similarity.rangeSearch(
           T.embeddings(s, d), expr("vec_id % 20 = 0"), 1.25)
+    },
+
+    // HYBRID retrieval via Reciprocal Rank Fusion (Cormack et al. 2009;
+    // Similarity.hybridTopK): fuse the sparse arm (tx19's BM25 over the
+    // shared term set — the EXACT bm25Scores machinery tx19 gates) with
+    // the dense arm (exact cosine against query doc 0's embedding,
+    // ss01's kernel) by rank, not score: rrf = Σ 1e6 div (60 + rank),
+    // the standard k=60 fusion that needs no score normalization across
+    // arms — which is the point: BM25 and cosine live on incomparable
+    // scales. All-integer fusion arithmetic, so engines agree
+    // bit-for-bit given the rank orders, and both rank orders are
+    // deterministic (score bits identical cross-engine per the
+    // tx19/ss01 contracts, doc_id tiebreak). Docs matching no query
+    // term contribute only their dense rank (rank_lex surfaces as 0).
+    //
+    // Scale notes (100 TB): each arm reduces the corpus to (id, score)
+    // longs before ranking — text and vectors never shuffle past their
+    // scans. The global row_number window is the single-query case; a
+    // query BATCH partitions both windows by q_id (ss01's shape) and
+    // nothing else changes. The fusion join keys on doc_id and the
+    // top-k is one k-row sort.
+    Q(
+      "ss17_rrf_hybrid",
+      s"""WITH ${graft.functions.TextOps.duckBm25Ctes()},
+         |  lex AS (SELECT doc_id,
+         |      CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank_lex
+         |    FROM bm WHERE doc_id <> 0),
+         |  q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |  dense AS (SELECT vec_id AS doc_id,
+         |      CAST(row_number() OVER (ORDER BY ${duckCos("embedding", "qe")} DESC, vec_id) AS BIGINT) AS rank_dense
+         |    FROM embeddings CROSS JOIN q WHERE vec_id <> 0)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(l.rank_lex, 0) AS BIGINT) AS rank_lex,
+         |  d.rank_dense,
+         |  CAST((CASE WHEN l.rank_lex IS NOT NULL THEN 1000000 // (60 + l.rank_lex) ELSE 0 END)
+         |    + 1000000 // (60 + d.rank_dense) AS BIGINT) AS rrf_x1e6
+         |FROM dense d LEFT JOIN lex l ON l.doc_id = d.doc_id
+         |ORDER BY rrf_x1e6 DESC, d.doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      graft.functions.Similarity.hybridTopK(
+        T.documents(s, d), T.embeddings(s, d))
     }
   )
+
+  /** RRF hybrid fusion machinery shared by the gated ss17 query and
+    * `Similarity.hybridTopK` (the API delegates HERE so the two can't
+    * diverge). Callers must have run `CosineSimilarity.register`.
+    */
+  private[graft] def rrfHybrid(docs: org.apache.spark.sql.DataFrame,
+      e: org.apache.spark.sql.DataFrame, terms: Seq[String],
+      qId: Long, k: Int): org.apache.spark.sql.DataFrame = {
+    val lex = graft.functions.TextOps.bm25Scores(docs, terms)
+      .filter(col("doc_id") =!= qId)
+      .selectExpr("doc_id",
+        "cast(row_number() over (order by bm25 desc, doc_id) as bigint) as rank_lex")
+    val qe = e.filter(col("vec_id") === qId).select(col("embedding").as("qe"))
+    val dense = e.filter(col("vec_id") =!= qId)
+      .crossJoin(broadcast(qe))
+      .selectExpr("vec_id as doc_id", s"${sparkCos("embedding", "qe")} as cs")
+      .selectExpr("doc_id",
+        "cast(row_number() over (order by cs desc, doc_id) as bigint) as rank_dense")
+    dense.join(lex, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "cast(coalesce(rank_lex, 0) as bigint) as rank_lex",
+        "rank_dense",
+        "cast((case when rank_lex is not null then 1000000 div (60 + rank_lex) else 0 end) " +
+          "+ 1000000 div (60 + rank_dense) as bigint) as rrf_x1e6")
+      .orderBy(col("rrf_x1e6").desc, col("doc_id"))
+      .limit(k)
+  }
 
   /** JL sign (±1.0) for projected component j, input dimension i —
     * md5-derived like srpPlane but sign-only under a 'jl|' salt. The
