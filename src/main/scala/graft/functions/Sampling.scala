@@ -206,6 +206,33 @@ object Sampling {
         expr(s"(cast($sizeCol as bigint) * 1000000) div p_ppm"))
   }
 
+  /** The universe-membership predicate (SQL text): key ∈ sampled
+    * universe iff hash60('univ|' || key) mod 100 < pct. Shared by
+    * `universeSample` and the gated sm09 accounting so the API and the
+    * oracle-checked query can't diverge.
+    */
+  private[graft] def universeFlagExpr(keyCol: String, pct: Int = 10): String = {
+    require(pct >= 1 && pct <= 100, s"pct must be in [1,100], got $pct")
+    s"${P.hash60(s"concat('univ|', cast($keyCol as string))")} % 100 < $pct"
+  }
+
+  /** UNIVERSE (join-consistent) sampling: keep rows whose JOIN KEY falls
+    * in a pct% hash-sampled key universe. Applying the same call (same
+    * key domain, same pct) to every table sharing the key samples them
+    * CONSISTENTLY — a sampled fact row's dimension/sibling rows are
+    * always present, and the key-equi-join of two universe-sampled
+    * tables is itself a pct% universe sample of the full join.
+    * Independent per-table Bernoulli sampling destroys both properties:
+    * the join of two 10% Bernoulli samples keeps ~1% of join rows and
+    * orphans the rest. This is the BlinkDB/Quickr-style correlated
+    * sampling an approximate 100 TB join pipeline needs; estimates
+    * scale by 100/pct (Horvitz–Thompson on the key universe).
+    * The keep decision is a scan-local hash of the key — zero shuffle,
+    * no coordination between tables.
+    */
+  def universeSample(df: DataFrame, keyCol: String, pct: Int = 10): DataFrame =
+    df.filter(expr(universeFlagExpr(keyCol, pct)))
+
   def temperatureWeights(docs: DataFrame, groupCol: String = "lang",
       massCol: String = "n_chars", budget: Long = 1000000L): DataFrame = {
     require(budget >= 1 && budget <= 9000000000000L,

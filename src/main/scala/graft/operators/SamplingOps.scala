@@ -238,6 +238,65 @@ object SamplingOps {
         .selectExpr("source", "n_docs", "coalesce(n_kept, 0L) as n_kept",
           "true_chars", "coalesce(ht_chars, 0L) as ht_chars",
           "(10000 * (coalesce(ht_chars, 0L) - true_chars)) div true_chars as err_bp")
+    },
+
+    // UNIVERSE (join-consistent) sampling + accounting
+    // (Sampling.universeSample): sample the CUSTKEY universe at 10% and
+    // keep an orders⋈customer join row iff its key is in the universe —
+    // both tables agree on membership by construction (same key, same
+    // hash), so the sampled join is a true 10% sample of the full join,
+    // where independent per-table Bernoulli would keep ~1% and orphan
+    // fact rows. Per segment: true vs estimated (×10 Horvitz–Thompson)
+    // revenue and the error in basis points — the accounting that tells
+    // you whether the sample is usable before pointing a dashboard at
+    // it. Money stays ×1e4 BIGINT end-to-end (decimal-quantized in the
+    // scan), so engines agree bit-for-bit.
+    //
+    // Scale notes (100 TB): membership is a scan-local hash on the join
+    // key of EACH side — no coordination, no shuffle for the sampling
+    // itself; truth and estimate share one join pass (the keep flag is
+    // a conditional agg, not a second scan); the dimension broadcasts;
+    // the per-segment rollup partial-aggregates map-side.
+    Q(
+      "sm09_universe_sample",
+      s"""WITH o AS (SELECT o_custkey,
+         |        CAST(CAST(o_totalprice AS DECIMAL(28,4)) * 10000 AS BIGINT) AS p_x4,
+         |        ${P.duckHash60("'univ|' || CAST(o_custkey AS VARCHAR)")} % 100 < 10 AS in_o
+         |      FROM orders),
+         |  c AS (SELECT c_custkey, c_mktsegment AS segment,
+         |        ${P.duckHash60("'univ|' || CAST(c_custkey AS VARCHAR)")} % 100 < 10 AS in_c
+         |      FROM customer),
+         |  j AS (SELECT segment, p_x4, in_o AND in_c AS keep
+         |        FROM o JOIN c ON o_custkey = c_custkey),
+         |  t AS (SELECT segment, count(*)::BIGINT AS n_true,
+         |          SUM(p_x4)::BIGINT AS rev_true_x1e4,
+         |          coalesce(SUM(CASE WHEN keep THEN 1 END), 0)::BIGINT AS n_samp,
+         |          coalesce(SUM(CASE WHEN keep THEN p_x4 END), 0)::BIGINT AS samp_x4
+         |        FROM j GROUP BY segment)
+         |SELECT segment, n_true, n_samp, rev_true_x1e4,
+         |  10 * samp_x4 AS rev_est_x1e4,
+         |  ((10 * samp_x4 - rev_true_x1e4) * 10000) // rev_true_x1e4 AS err_bp
+         |FROM t""".stripMargin) { (s, d) =>
+      // the SAME predicate universeSample filters by (shared machinery);
+      // carried as a flag so truth + estimate share one join pass
+      val inO = graft.functions.Sampling.universeFlagExpr("o_custkey")
+      val inC = graft.functions.Sampling.universeFlagExpr("c_custkey")
+      val o = T.orders(s, d).selectExpr("o_custkey",
+        "cast(cast(o_totalprice as decimal(28,4)) * 10000 as bigint) as p_x4",
+        s"$inO as in_o")
+      val c = T.customer(s, d).selectExpr("c_custkey",
+        "c_mktsegment as segment", s"$inC as in_c")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .selectExpr("segment", "p_x4", "in_o and in_c as keep")
+        .groupBy("segment")
+        .agg(
+          count(lit(1)).cast("long").as("n_true"),
+          sum("p_x4").cast("long").as("rev_true_x1e4"),
+          coalesce(sum(when(col("keep"), 1L)), lit(0L)).cast("long").as("n_samp"),
+          coalesce(sum(when(col("keep"), col("p_x4"))), lit(0L)).cast("long").as("samp_x4"))
+        .selectExpr("segment", "n_true", "n_samp", "rev_true_x1e4",
+          "10 * samp_x4 as rev_est_x1e4",
+          "((10 * samp_x4 - rev_true_x1e4) * 10000) div rev_true_x1e4 as err_bp")
     }
   )
 }

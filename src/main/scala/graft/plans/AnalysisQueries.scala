@@ -316,6 +316,67 @@ object AnalysisQueries {
             count(lit(1)).cast("long").as("checked"),
             (count(lit(1)) - countDistinct("o_orderkey")).cast("long").as("violations"))
             .select(lit("orders.pk_unique").as("rule"), col("checked"), col("violations")))
+    },
+
+    // Two-sample distribution drift (the data-drift monitor a 100 TB
+    // ingest runs between snapshots): split events by event-time halves,
+    // bin `value` into 10 equal-width bins sized on the REFERENCE half's
+    // [min, max] (cur rows outside clamp to the edge bins), and report
+    // per-bin counts, ppm shares, and the χ² drift term
+    // (n_ref − n_cur)²/(n_ref + n_cur) — the transcendental-free drift
+    // statistic (PSI's ln(p/q) is not bit-portable across engines; χ²
+    // orders drifts identically). Each term is ONE IEEE division of
+    // exact integers quantized to DECIMAL(28,8), so engines agree
+    // bit-for-bit.
+    //
+    // Scale notes (100 TB): the time midpoint and the reference extrema
+    // are map-side-combined scalar aggs broadcast back; bin assignment
+    // is then a scan-local projection, and the 10-bin rollup partial-
+    // aggregates map-side. Equal-width (not quantile) bins are the
+    // deliberate scale choice: boundaries need O(1) state, no global
+    // rank — a quantile-binned variant plugs an09's exact-quantile
+    // machinery into the same rollup.
+    Q(
+      "an13_value_drift",
+      """WITH e AS (SELECT epoch_us(ts) AS ts_us, value FROM events),
+        |     m AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS mid FROM e),
+        |     tg AS (SELECT value,
+        |              CASE WHEN ts_us <= (SELECT mid FROM m) THEN 0 ELSE 1 END AS side
+        |            FROM e),
+        |     g AS (SELECT min(value) AS vmin, max(value) AS vmax
+        |           FROM tg WHERE side = 0),
+        |     b AS (SELECT side,
+        |             least(9, greatest(0, CAST(floor((value - (SELECT vmin FROM g)) * 10
+        |               / ((SELECT vmax FROM g) - (SELECT vmin FROM g))) AS BIGINT))) AS bin
+        |           FROM tg),
+        |     t AS (SELECT bin,
+        |             coalesce(SUM(CASE WHEN side = 0 THEN 1 END), 0)::BIGINT AS n_ref,
+        |             coalesce(SUM(CASE WHEN side = 1 THEN 1 END), 0)::BIGINT AS n_cur
+        |           FROM b GROUP BY bin)
+        |SELECT bin, n_ref, n_cur,
+        |  CAST((1000000 * n_ref) // (SUM(n_ref) OVER ()) AS BIGINT) AS share_ref_ppm,
+        |  CAST((1000000 * n_cur) // (SUM(n_cur) OVER ()) AS BIGINT) AS share_cur_ppm,
+        |  CAST(CAST(CAST((n_ref - n_cur) * (n_ref - n_cur) AS DOUBLE)
+        |    / (n_ref + n_cur) AS DECIMAL(28,8)) AS DOUBLE) AS chi2_term
+        |FROM t""".stripMargin) { (s, d) =>
+      val e = T.events(s, d).selectExpr("unix_micros(ts) as ts_us", "value")
+      val mid = e.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("mid"))
+      val tagged = e.crossJoin(broadcast(mid))
+        .selectExpr("value", "case when ts_us <= mid then 0 else 1 end as side")
+      val g = tagged.filter(col("side") === 0)
+        .agg(min("value").as("vmin"), max("value").as("vmax"))
+      tagged.crossJoin(broadcast(g))
+        .selectExpr("side",
+          "least(9, greatest(0, cast(floor((value - vmin) * 10 / (vmax - vmin)) as bigint))) as bin")
+        .groupBy("bin")
+        .agg(
+          coalesce(sum(when(col("side") === 0, 1L)), lit(0L)).cast("long").as("n_ref"),
+          coalesce(sum(when(col("side") === 1, 1L)), lit(0L)).cast("long").as("n_cur"))
+        .selectExpr("bin", "n_ref", "n_cur",
+          "(1000000 * n_ref) div (sum(n_ref) over ()) as share_ref_ppm",
+          "(1000000 * n_cur) div (sum(n_cur) over ()) as share_cur_ppm",
+          "cast(cast(cast((n_ref - n_cur) * (n_ref - n_cur) as double) " +
+            "/ (n_ref + n_cur) as decimal(28,8)) as double) as chi2_term")
     }
   )
 }
