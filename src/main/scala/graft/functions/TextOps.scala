@@ -737,6 +737,41 @@ object TextOps {
       graft.functions.TextQuality.fixMojibake(aug, "text")
         .selectExpr("doc_id", "n_moji", "has_moji",
           "cast(length(repaired) as bigint) as n_chars_out")
+    },
+
+    // Code-vs-prose detection (TextQuality.codeSignals): symbol-density
+    // signals — `{}();=` count via translate-delta, comment-marker
+    // count, symbol ppm — and the is_code verdict, the mixture-routing
+    // signal a pre-training corpus needs (code routed to a code
+    // pipeline, prose to dedup/quality). The fixture is symbol-free
+    // word salad (probed), so like tx17/tx20 the query AUGMENTS docs on
+    // BOTH engines: doc_id % 4 == 0 gains a code snippet (known
+    // positives whose sym_ppm varies with doc length — near-threshold
+    // diversity for free), % 4 != 0 stays prose (known negatives).
+    // All-integer arithmetic; translate and length agree byte-for-byte
+    // on ASCII. The real-corpus path is `TextQuality.codeSignals(docs)`
+    // with no augmentation. Scale: one codegen'd scan projection, zero
+    // shuffle.
+    Q(
+      "tx21_code_detect",
+      """WITH aug AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN ' if (x > 0) { return f(x); } int y = g(x); // fast path'
+        |      ELSE '' END AS text FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) - length(translate(text, '{}();=', '')) AS BIGINT) AS n_sym,
+        |  CAST((length(text) - length(replace(text, '//', ''))) // 2 AS BIGINT) AS n_comment,
+        |  CAST((1000000 * (length(text) - length(translate(text, '{}();=', ''))))
+        |    // length(text) AS BIGINT) AS sym_ppm,
+        |  ((1000000 * (length(text) - length(translate(text, '{}();=', ''))))
+        |    // length(text)) > 15000 AS is_code
+        |FROM aug""".stripMargin) { (s, d) =>
+      val aug = T.documents(s, d).selectExpr("doc_id",
+        "concat(text, case when doc_id % 4 = 0 " +
+          "then ' if (x > 0) { return f(x); } int y = g(x); // fast path' " +
+          "else '' end) as text")
+      TextQuality.codeSignals(aug, "text")
+        .select("doc_id", "n_sym", "n_comment", "sym_ppm", "is_code")
     }
   )
 

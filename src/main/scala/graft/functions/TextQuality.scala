@@ -137,6 +137,26 @@ object TextQuality {
     * Pure codegen'd scan projection — no shuffle, no UDF; at 100 TB
     * this is a map-only pass the scrub step fuses into the scan.
     */
+  /** Code-vs-prose signals: `{}();=` symbol count (translate-delta, no
+    * regex engine in the loop), `//` comment-marker count, symbol
+    * density in ppm, and the `is_code` verdict (sym_ppm > `thresholdPpm`
+    * — 1.5% symbol mass by default; prose sits near zero, real code
+    * 3-10%). The mixture-routing signal that sends code to a code
+    * pipeline and prose to dedup/quality scoring. All-integer
+    * arithmetic; one codegen'd scan projection, zero shuffle. The gated
+    * tx21 query IS this function over augmented text.
+    */
+  def codeSignals(df: DataFrame, textCol: String = "text",
+      thresholdPpm: Long = 15000L): DataFrame =
+    df
+      .withColumn("n_sym", expr(
+        s"cast(length($textCol) - length(translate($textCol, '{}();=', '')) as bigint)"))
+      .withColumn("n_comment", expr(
+        s"cast((length($textCol) - length(replace($textCol, '//', ''))) div 2 as bigint)"))
+      .withColumn("sym_ppm",
+        expr(s"(1000000 * n_sym) div length($textCol)"))
+      .withColumn("is_code", col("sym_ppm") > thresholdPpm)
+
   def redactPii(df: DataFrame, textCol: String = "text"): DataFrame = {
     val counted = piiPatterns.foldLeft(df) { case (acc, (name, pat, _)) =>
       acc.withColumn(countColFor(name), regexp_count(col(textCol), lit(pat)))

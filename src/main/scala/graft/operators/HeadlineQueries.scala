@@ -507,6 +507,91 @@ object HeadlineQueries {
           "ts_us as eff_from_us",
           "lead(ts_us) over (partition by user_id order by version) as eff_to_us",
           "lead(ts_us) over (partition by user_id order by version) is null as is_current")
+    },
+
+    // Z-ORDER data layout (the Delta/Iceberg OPTIMIZE ZORDER BY move,
+    // measured): bucket orders into a 256×256 (custkey, totalprice)
+    // grid, interleave the bucket bits into a 16-bit Z-value, and cut
+    // the Z-order into 32 equal files; the LINEAR arm cuts the same
+    // rows into 32 files by custkey order alone. Per (layout, file):
+    // row count and the file's span in each dimension — the min/max
+    // stats a format's file-skipping consults. Z-order bounds BOTH
+    // dims (measured at sf0.01: mean spans ~53×82 of 256 — row-count
+    // cuts across a non-uniform grid, not perfect squares), so a
+    // predicate on EITHER column skips most files; linear pins x only
+    // and spans the FULL price range (mean span_y ~255 — price
+    // predicates prune nothing). The gate pins exactly that contrast.
+    // All-integer arithmetic: prices quantize to ×1e4 BIGINT before
+    // bucketing, bit extraction is div/mod — engines agree bit-for-bit.
+    //
+    // Scale notes (100 TB): grid extrema are map-side-combined scalar
+    // aggs broadcast back; Z-value assignment is a scan-local
+    // projection (at scale the file cut is range-partitioning on zval
+    // — the same exchange any sorted write pays); the per-file stats
+    // rollup partial-aggregates to 64 rows.
+    Q(
+      "q_zorder_layout",
+      s"""WITH o AS (SELECT o_custkey AS ck,
+         |        CAST(CAST(o_totalprice AS DECIMAL(28,4)) * 10000 AS BIGINT) AS p_x4,
+         |        row_number() OVER (ORDER BY o_orderkey) AS rn,
+         |        count(*) OVER () AS n FROM orders),
+         |  m AS (SELECT max(ck) AS max_ck, min(p_x4) AS min_p, max(p_x4) AS max_p FROM o),
+         |  b AS (SELECT rn, n,
+         |          (ck * 256) // ((SELECT max_ck FROM m) + 1) AS bx,
+         |          ((p_x4 - (SELECT min_p FROM m)) * 256)
+         |            // ((SELECT max_p FROM m) - (SELECT min_p FROM m) + 1) AS by
+         |        FROM o),
+         |  z AS (SELECT bx, by, $duckZ16 AS zval,
+         |          row_number() OVER (ORDER BY $duckZ16, bx, by, rn) AS zrn, n
+         |        FROM b),
+         |  f AS (SELECT 'zorder' AS layout, ((zrn - 1) * 32) // n AS file_id, bx, by FROM z
+         |        UNION ALL
+         |        SELECT 'linear', ((zrn2 - 1) * 32) // n, bx, by FROM (
+         |          SELECT bx, by, n, row_number() OVER (ORDER BY bx, by, rn) AS zrn2 FROM b))
+         |SELECT layout, CAST(file_id AS BIGINT) AS file_id,
+         |  count(*)::BIGINT AS n_rows,
+         |  CAST(max(bx) - min(bx) AS BIGINT) AS span_x,
+         |  CAST(max(by) - min(by) AS BIGINT) AS span_y
+         |FROM f GROUP BY layout, file_id""".stripMargin) { (s, d) =>
+      val o = T.orders(s, d).selectExpr("o_custkey as ck",
+        "cast(cast(o_totalprice as decimal(28,4)) * 10000 as bigint) as p_x4",
+        "row_number() over (order by o_orderkey) as rn",
+        "count(1) over () as n")
+      val m = o.agg(max("ck").as("max_ck"), min("p_x4").as("min_p"),
+        max("p_x4").as("max_p"))
+      val b = o.crossJoin(broadcast(m))
+        .selectExpr("rn", "n",
+          "(ck * 256) div (max_ck + 1) as bx",
+          "((p_x4 - min_p) * 256) div (max_p - min_p + 1) as by")
+      val z = b.selectExpr("bx", "by", "n",
+        s"row_number() over (order by $sparkZ16, bx, by, rn) as zrn")
+        .selectExpr("'zorder' as layout", "((zrn - 1) * 32) div n as file_id",
+          "bx", "by")
+      val lin = b.selectExpr("bx", "by", "n",
+        "row_number() over (order by bx, by, rn) as zrn2")
+        .selectExpr("'linear' as layout", "((zrn2 - 1) * 32) div n as file_id",
+          "bx", "by")
+      z.unionAll(lin)
+        .groupBy("layout", "file_id")
+        .agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          (max("bx") - min("bx")).cast("long").as("span_x"),
+          (max("by") - min("by")).cast("long").as("span_y"))
+        .selectExpr("layout", "cast(file_id as bigint) as file_id",
+          "n_rows", "span_x", "span_y")
     }
   )
+
+  /** 16-bit Morton/Z-value of two 8-bit bucket columns `bx`, `by` —
+    * bit i of bx lands at position 2i+1, bit i of by at 2i. Pure
+    * div/mod integer arithmetic so the SAME formula renders on both
+    * engines (only the integer-division operator differs).
+    */
+  private def z16(divOp: String): String =
+    (0 until 8).map { i =>
+      s"(((bx $divOp ${1 << i}) % 2) * ${1L << (2 * i + 1)} + " +
+        s"((by $divOp ${1 << i}) % 2) * ${1L << (2 * i)})"
+    }.mkString("(", " + ", ")")
+  private def sparkZ16: String = z16("div")
+  private def duckZ16: String = z16("//")
 }
