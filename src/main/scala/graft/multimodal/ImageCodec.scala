@@ -91,6 +91,46 @@ object ImageCodec {
     ImageFeatures(id, w.toLong, h.toLong, s, nearestResize(img, 4, 4).map(_.toLong).sum)
   }
 
+  final case class AHashFeatures(
+      doc_id: Long,
+      width: Long,
+      height: Long,
+      ahash_lo: Long,  // aHash bits 0..31 (flat 8×8 index j*8+i)
+      ahash_hi: Long)  // aHash bits 32..63
+
+  /** Average-hash (aHash) of one payload: REAL decode → deterministic
+    * 8×8 nearest-neighbor resample → bit k set iff pixel_k·64 > Σpixels
+    * (strict integer compare — no float mean, so bit-stable on every
+    * JVM and expressible in SQL). The 64 bits ship as two BIGINT words
+    * so neither engine touches the sign bit. Near-duplicate images
+    * differ in a few bits (Hamming ≤ ~10); the perceptual-dedup
+    * primitive for image corpora.
+    */
+  def ahash(id: Long, bytes: Array[Byte]): AHashFeatures = {
+    val img = decodeImage(bytes)
+    val px = nearestResize(img, 8, 8)
+    val sum = px.map(_.toLong).sum
+    var lo = 0L; var hi = 0L
+    var k = 0
+    while (k < 64) {
+      if (px(k).toLong * 64L > sum) {
+        if (k < 32) lo |= (1L << k) else hi |= (1L << (k - 32))
+      }
+      k += 1
+    }
+    AHashFeatures(id, img.getWidth.toLong, img.getHeight.toLong, lo, hi)
+  }
+
+  /** Partition-local decode + aHash over (doc_id, payload) rows — same
+    * streaming mapPartitions shape as `decodeFeatures`.
+    */
+  def ahashFeatures(spark: SparkSession, in: DataFrame,
+      idCol: String = "doc_id", payloadCol: String = "payload"): Dataset[AHashFeatures] = {
+    import spark.implicits._
+    in.select(idCol, payloadCol).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => ahash(id, bytes) })
+  }
+
   /** (doc_id, payload BINARY) view: synthetic PNGs for doc_id < n,
     * generated partition-local (the encode stage of the fixture).
     */

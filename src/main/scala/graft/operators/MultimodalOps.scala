@@ -185,6 +185,50 @@ object MultimodalOps {
           "cast(tf - (tf div 8) * 8 as bigint) as decode_ahead",
           "cast((tf * 1000) div fps as bigint) as ts_ms",
           "substr(md5(substring(text, cast(tf * 16 + 1 as int), 16)), 1, 12) as frame_sig")
+    },
+
+    // Perceptual image hash (ImageCodec.ahash): REAL decode
+    // (javax.imageio, mm03's codec round-trip) → deterministic 8×8
+    // nearest-neighbor resample → average-hash bits (pixel·64 > Σpixels,
+    // strict integer compare, no float mean) shipped as two BIGINT
+    // words, plus the Hamming distance to the previous doc's hash (−1
+    // for the first) — the near-duplicate-image dedup primitive. PNG is
+    // lossless, so DuckDB reproduces the identical bits from the
+    // closed-form pixels: a hash-match oracle over a real codec path.
+    // Scale: decode + hash run partition-local in mapPartitions (no
+    // shuffle, payload dropped at the boundary); only fixed-width hash
+    // rows flow into the tiny ordering window — a production pairing
+    // pass bands on hash prefixes exactly like dd10's SimHash family.
+    Q(
+      "mm07_image_ahash",
+      """WITH p AS (SELECT doc_id, 16 + doc_id % 5 AS w, 12 + doc_id % 7 AS h
+        |           FROM documents WHERE doc_id < 64),
+        |  a AS (SELECT doc_id, w, h,
+        |          list_transform(range(0, 64),
+        |            j -> (doc_id * 31 + 7 * (((j % 8) * w) // 8)
+        |                  + 13 * (((j // 8) * h) // 8)) % 256) AS px
+        |        FROM p),
+        |  s AS (SELECT doc_id, w, h, px,
+        |          list_reduce(list_prepend(0, px), (x, y) -> x + y) AS psum
+        |        FROM a),
+        |  hsh AS (SELECT doc_id, w, h,
+        |          list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 32),
+        |            i -> CASE WHEN px[i + 1] * 64 > psum THEN (1::BIGINT << i) ELSE 0::BIGINT END)),
+        |            (x, y) -> x + y) AS ahash_lo,
+        |          list_reduce(list_prepend(0::BIGINT, list_transform(range(32, 64),
+        |            i -> CASE WHEN px[i + 1] * 64 > psum THEN (1::BIGINT << (i - 32)) ELSE 0::BIGINT END)),
+        |            (x, y) -> x + y) AS ahash_hi
+        |        FROM s)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  ahash_lo, ahash_hi,
+        |  coalesce(CAST(bit_count(xor(ahash_lo, lag(ahash_lo) OVER win))
+        |    + bit_count(xor(ahash_hi, lag(ahash_hi) OVER win)) AS BIGINT), -1) AS ham_prev
+        |FROM hsh WINDOW win AS (ORDER BY doc_id)""".stripMargin) { (s, d) =>
+      import graft.multimodal.ImageCodec
+      ImageCodec.ahashFeatures(s, ImageCodec.payloads(s, d, 64)).toDF()
+        .selectExpr("doc_id", "width", "height", "ahash_lo", "ahash_hi",
+          "coalesce(cast(bit_count(ahash_lo ^ lag(ahash_lo) over (order by doc_id)) " +
+            "+ bit_count(ahash_hi ^ lag(ahash_hi) over (order by doc_id)) as bigint), -1L) as ham_prev")
     }
   )
 }
