@@ -282,6 +282,47 @@ class QuerySpec extends AnyFunSuite {
     assert(pruned.nonEmpty)
   }
 
+  test("an13 drift: χ² term is zero exactly when the halves agree") {
+    val rows = SparkEntry.queries("an13_value_drift")(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (nRef, nCur, t) = (r.getLong(1), r.getLong(2), r.getDouble(5))
+      assert(t >= 0.0)
+      assert((t == 0.0) == (nRef == nCur))
+    }
+    // floor-div ppm shares sum to ≤ 1e6 and within rounding of it
+    val s = rows.map(_.getLong(3)).sum
+    assert(s <= 1000000L && s > 999000L, s"ref shares sum $s")
+  }
+
+  test("q_zorder: z-order bounds both dimensions, linear leaves price unbounded") {
+    val rows = SparkEntry.queries("q_zorder_layout")(spark, sf).collect()
+    val z = rows.filter(_.getString(0) == "zorder")
+    val l = rows.filter(_.getString(0) == "linear")
+    assert(z.length == 32 && l.length == 32)
+    assert(rows.forall(_.getLong(2) > 0), "empty layout file")
+    def meanSpanY(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getLong(4)).sum.toDouble / rs.length
+    assert(meanSpanY(z) < meanSpanY(l) / 2,
+      f"z-order mean price span ${meanSpanY(z)}%.1f not < half of linear ${meanSpanY(l)}%.1f")
+  }
+
+  test("tx21: code verdict fires exactly on the augmented docs") {
+    val rows = SparkEntry.queries("tx21_code_detect")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getBoolean(4) == (r.getLong(0) % 4 == 0)))
+  }
+
+  test("mm07: aHash is decode-deterministic with a -1-rooted Hamming chain") {
+    import graft.multimodal.ImageCodec
+    val a = ImageCodec.ahash(7L, ImageCodec.syntheticPng(7L))
+    val b = ImageCodec.ahash(7L, ImageCodec.syntheticPng(7L))
+    assert(a == b, "aHash not deterministic across decode runs")
+    val rows = SparkEntry.queries("mm07_image_ahash")(spark, sf).collect()
+    assert(rows.count(_.getLong(5) == -1L) == 1, "exactly one chain root")
+    assert(rows.forall(r => r.getLong(5) >= -1L && r.getLong(5) <= 64L))
+  }
+
   // Registered AFTER the full per-query sweep above (funsuite runs tests
   // in registration order): the persist() sites inside the queries rely
   // on the documented caller contract — bench/verify run

@@ -141,4 +141,29 @@ class SamplingApiSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("buckets"))
   }
+
+  test("universeSample is join-consistent: no sampled fact row is orphaned") {
+    val o = Tables.orders(spark, sf)
+    val c = Tables.customer(spark, sf)
+    val so = Sampling.universeSample(o, "o_custkey").select("o_custkey").distinct()
+    val sc = Sampling.universeSample(c, "c_custkey")
+      .select(col("c_custkey").as("o_custkey")).distinct()
+    // every sampled order's customer row survives sampling too (the
+    // property independent per-table Bernoulli destroys)
+    assert(so.join(sc, Seq("o_custkey"), "left_anti").count() == 0)
+    // the key universe is ~10%: deterministic hash, loose band
+    val kept = sc.count().toDouble
+    val all = c.count().toDouble
+    assert(kept / all > 0.03 && kept / all < 0.25,
+      s"universe kept ${kept / all} of keys, expected ~0.10")
+    // gated sm09 accounting is internally consistent with its own flags
+    val rows = SparkEntry.queries("sm09_universe_sample")(spark, sf).collect()
+    rows.foreach { r =>
+      val (nTrue, nSamp) = (r.getLong(1), r.getLong(2))
+      assert(nSamp <= nTrue)
+      val (tru, est, err) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(err == ((est - tru) * 10000L) / tru ||
+        err == Math.floorDiv((est - tru) * 10000L, tru))
+    }
+  }
 }

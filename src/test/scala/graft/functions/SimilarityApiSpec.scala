@@ -186,4 +186,23 @@ class SimilarityApiSpec extends AnyFunSuite {
     assert(sorted(api) == sorted(gated))
     spark.catalog.clearCache()
   }
+
+  test("hybridTopK: RRF fusion arithmetic holds row-by-row and API ≡ gated ss17") {
+    val docs = graft.Tables.documents(spark, sf)
+    val e = graft.Tables.embeddings(spark, sf)
+    val api = graft.functions.Similarity.hybridTopK(docs, e).collect()
+    assert(api.length == 20)
+    api.foreach { r =>
+      val (lex, den, rrf) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(den >= 1, "dense arm ranks every candidate")
+      val expect = (if (lex > 0) 1000000L / (60L + lex) else 0L) +
+        1000000L / (60L + den)
+      assert(rrf == expect, s"rrf mismatch for doc ${r.getLong(0)}")
+    }
+    // a doc present in both arms at equal rank dominates one ranked the
+    // same dense-only — fusion actually fuses
+    assert(api.exists(_.getLong(1) > 0), "no doc matched any query term")
+    val gated = graft.SparkEntry.queries("ss17_rrf_hybrid")(spark, sf).collect()
+    assert(sorted(api) == sorted(gated))
+  }
 }

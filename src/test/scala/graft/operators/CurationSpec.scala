@@ -119,4 +119,23 @@ class CurationSpec extends AnyFunSuite {
     assert(out.count() == graft.Tables.documents(spark, sf).count())
     spark.catalog.clearCache()
   }
+
+  test("cu08 split is cluster-atomic: near-dups never straddle a boundary") {
+    val rows = graft.SparkEntry.queries("cu08_cluster_split")(spark, sf).collect()
+    val dd08 = graft.SparkEntry.queries("dd08_dedup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap == dd08,
+      "cu08 clusters diverged from dd08")
+    // the leakage-safety property itself: one split per cluster
+    rows.groupBy(_.getLong(1)).foreach { case (cid, rs) =>
+      assert(rs.map(_.getString(2)).toSet.size == 1,
+        s"cluster $cid straddles splits")
+    }
+    val bySplit = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "valid", "test"),
+      s"missing split bucket: $bySplit")
+    assert(bySplit("train") > bySplit("valid") && bySplit("train") > bySplit("test"),
+      s"train should dominate: $bySplit")
+    spark.catalog.clearCache()
+  }
 }

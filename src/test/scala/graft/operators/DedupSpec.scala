@@ -217,4 +217,22 @@ class DedupSpec extends AnyFunSuite {
     assert(n13 <= n04, s"r=2 produced $n13 > r=1's $n04")
     assert(dd13.filter(col("a_id") >= col("b_id")).isEmpty)
   }
+
+  test("dd20 soft weights: each cluster carries ~one doc of sampling mass") {
+    val rows = graft.SparkEntry.queries("dd20_soft_weights")(spark, sf).collect()
+    val dd08 = graft.SparkEntry.queries("dd08_dedup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap == dd08,
+      "soft-weight clusters diverged from dd08")
+    rows.groupBy(_.getLong(1)).foreach { case (cid, rs) =>
+      val n = rs.length.toLong
+      assert(rs.forall(_.getLong(2) == n), s"cluster_size wrong in cluster $cid")
+      assert(rs.forall(_.getLong(3) == 1000000L / n), s"weight wrong in cluster $cid")
+      // cluster mass: n * (1e6 div n) ∈ (1e6 - n, 1e6] — one doc's worth
+      val mass = rs.map(_.getLong(3)).sum
+      assert(mass <= 1000000L && mass > 1000000L - n)
+    }
+    assert(rows.filter(_.getLong(2) == 1L).forall(_.getLong(3) == 1000000L))
+    spark.catalog.clearCache()
+  }
 }
