@@ -68,7 +68,15 @@ object ShuffleAudit {
     "st08_abandoned_clicks" -> "(user, time-block) keyed candidates bound fan-out; anti join exchanges click ids only",
     "tx20_mojibake_repair" -> "pure scan projection (literal replace chain): zero shuffle",
     "dd19_url_dedup" -> "canonicalization fuses into the scan; only short canonical-URL strings + ids exchange, text never moves",
-    "cu07_mixture_rebalance" -> "digest window shuffles 60-bit longs; per-source rollup partial-aggregates to one row per source, weights broadcast")
+    "cu07_mixture_rebalance" -> "digest window shuffles 60-bit longs; per-source rollup partial-aggregates to one row per source, weights broadcast",
+    "dd20_soft_weights" -> "dd08's (id, label)-long CC exchanges plus ONE per-cluster count window; text never shuffles",
+    "cu08_cluster_split" -> "split is a scan-local hash of the CC label; nothing beyond dd08's (id, label) longs shuffles",
+    "ss17_rrf_hybrid" -> "each arm reduces to (id, score) longs before its rank window; fusion joins ids, top-k is a 20-row sort",
+    "sm09_universe_sample" -> "membership is a scan-local key hash on both sides; truth + estimate share one broadcast join pass",
+    "an13_value_drift" -> "extrema broadcast back; bin assignment scan-local; 10-bin rollup combines map-side",
+    "q_zorder_layout" -> "Z-values born in the scan; the file cut is the range exchange any sorted write pays",
+    "tx21_code_detect" -> "pure scan projection (translate-delta counting): zero shuffle",
+    "mm07_image_ahash" -> "decode + hash partition-local; only fixed-width hash rows reach the ordering window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
