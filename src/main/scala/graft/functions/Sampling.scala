@@ -233,6 +233,43 @@ object Sampling {
   def universeSample(df: DataFrame, keyCol: String, pct: Int = 10): DataFrame =
     df.filter(expr(universeFlagExpr(keyCol, pct)))
 
+  /** NEYMAN (optimal) stratified allocation: split a sampling budget
+    * across strata proportionally to N_h·σ_h — high-variance strata get
+    * more of the budget than proportional allocation gives them, which
+    * minimizes the estimator's variance at fixed cost (the classical
+    * survey-sampling result; the "where to spend the labeling/eval
+    * budget" decision for a grouped corpus). σ is computed from EXACT
+    * integer moments (n·Σx² − (Σx)², BIGINT — no decimal needed since
+    * sizes are integers), so N_h·σ_h = √varnum costs exactly one
+    * correctly-rounded sqrt; weights are decimal-quantized before the
+    * cross-stratum sum so the total is order-insensitive. Returns
+    * (groupCol, n_docs, sd_x100, alloc_neyman, alloc_prop, shift) —
+    * shift > 0 means Neyman up-weights the stratum vs proportional.
+    * Scale: one map-side-combined moment agg per stratum; everything
+    * after runs on the |strata|-row aggregate via broadcast.
+    */
+  def neymanAllocation(docs: DataFrame, groupCol: String = "source",
+      sizeCol: String = "n_chars", budget: Long = 1000L): DataFrame = {
+    require(budget >= 1, s"budget must be positive, got $budget")
+    val a = docs.groupBy(groupCol).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col(sizeCol)).cast("long").as("sx"),
+      sum(col(sizeCol) * col(sizeCol)).cast("long").as("sxx"))
+      .selectExpr(groupCol, "n", "n * sxx - sx * sx as var_num")
+      .selectExpr(groupCol, "n",
+        "cast(sqrt(cast(var_num as double)) as decimal(28,8)) as wq")
+    val tot = a.agg(
+      expr("cast(sum(wq) as double)").as("tw"),
+      sum("n").cast("long").as("tn"))
+    a.crossJoin(broadcast(tot))
+      .selectExpr(groupCol, "n as n_docs",
+        "cast(floor(100 * cast(wq as double) / n) as bigint) as sd_x100",
+        s"cast(floor($budget * cast(wq as double) / tw) as bigint) as alloc_neyman",
+        s"($budget * n) div tn as alloc_prop")
+      .selectExpr(groupCol, "n_docs", "sd_x100", "alloc_neyman", "alloc_prop",
+        "alloc_neyman - alloc_prop as shift")
+  }
+
   def temperatureWeights(docs: DataFrame, groupCol: String = "lang",
       massCol: String = "n_chars", budget: Long = 1000000L): DataFrame = {
     require(budget >= 1 && budget <= 9000000000000L,

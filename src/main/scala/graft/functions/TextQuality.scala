@@ -400,6 +400,21 @@ object Dedup {
   def clusters(df: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.operators.DedupOps.clusterLabels(df, idCol, textCol)
 
+  /** Asymmetric containment verification of LSH candidate pairs —
+    * c(A→B) = |A∩B|/|A| over distinct 3-shingle hashes, both directions
+    * plus a verdict ('a_in_b'/'b_in_a' for ≥80%-contained sides leading
+    * by ≥20 points, else 'mutual'). Catches quote/subset duplication
+    * that symmetric Jaccard misses (a doc fully contained in a longer
+    * one has low Jaccard but containment 1). Returns (a_id, b_id,
+    * c_ab_x10000, c_ba_x10000, verdict). Delegates to the exact
+    * machinery the gated dd21 query runs; caller clearCache releases
+    * the shingle persists (bench/verify contract).
+    */
+  def containment(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    graft.operators.DedupOps.containmentPairs(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+
   /** SOFT dedup: per-document sampling weights that down-weight
     * near-duplicate clusters instead of dropping members — weight_ppm =
     * 10⁶ div cluster_size, so each cluster contributes ~one document's

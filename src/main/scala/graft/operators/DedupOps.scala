@@ -820,6 +820,63 @@ object DedupOps {
           countDistinct("url").cast("long").as("n_variants"))
     },
 
+    // Asymmetric CONTAINMENT verification (Dedup.containment): for each
+    // LSH candidate pair, the DIRECTIONAL overlap c(A→B) = |A∩B|/|A| —
+    // Jaccard is symmetric and misses quote/subset duplication (a short
+    // doc fully contained in a long one has low Jaccard but c = 1), the
+    // forum-quote / excerpt case document dedup actually meets. Output
+    // adds a verdict: 'a_in_b' / 'b_in_a' when one side is ≥ 80%
+    // contained and leads the other by ≥ 20 points, else 'mutual'. The
+    // corpus has no organic subset docs (word salad), so the query
+    // AUGMENTS on BOTH engines: docs with doc_id % 50 = 1 become the
+    // 40-token PREFIX of their predecessor — true containments whose
+    // pairs still band-collide (shared prefix dominates the minhash).
+    // All-integer ppm-style arithmetic ((10000·i) div |A|). Scale: same
+    // shape as dd06 — the overlap join runs on 60-bit shingle hashes,
+    // text never crosses an exchange, candidates stay capped.
+    Q(
+      "dd21_containment",
+      s"""WITH aug AS (SELECT d.doc_id,
+         |        CASE WHEN d.doc_id % 50 = 1 AND p.text IS NOT NULL
+         |             THEN array_to_string((regexp_split_to_array(p.text, '\\s+'))[1:40], ' ')
+         |             ELSE d.text END AS text
+         |      FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1),
+         |     t AS (SELECT doc_id, $duckToks AS toks FROM aug),
+         |     sh AS (SELECT doc_id, $duckShingles AS shingles FROM t),
+         |     hh AS (SELECT doc_id, $duckHs AS hs FROM sh),
+         |     sig AS (SELECT doc_id, ${duckMh(0)}, ${duckMh(1)}, ${duckMh(2)}, ${duckMh(3)} FROM hh),
+         |     bands AS (
+         |       SELECT doc_id, 0 AS band, mh0 AS h FROM sig
+         |       UNION ALL SELECT doc_id, 1, mh1 FROM sig
+         |       UNION ALL SELECT doc_id, 2, mh2 FROM sig
+         |       UNION ALL SELECT doc_id, 3, mh3 FROM sig),
+         |     $duckCapPairs,
+         |     ex AS (SELECT doc_id, unnest(list_distinct(hs)) AS sng FROM hh),
+         |     sizes AS (SELECT doc_id, count(*) AS c FROM ex GROUP BY doc_id),
+         |     inter AS (SELECT p.a_id, p.b_id, count(*) AS i
+         |               FROM pairs p JOIN ex ea ON ea.doc_id = p.a_id
+         |                            JOIN ex eb ON eb.doc_id = p.b_id AND eb.sng = ea.sng
+         |               GROUP BY p.a_id, p.b_id),
+         |     ct AS (SELECT i.a_id, i.b_id,
+         |              (10000 * i.i) // sa.c AS c_ab_x10000,
+         |              (10000 * i.i) // sb.c AS c_ba_x10000
+         |            FROM inter i JOIN sizes sa ON sa.doc_id = i.a_id
+         |                         JOIN sizes sb ON sb.doc_id = i.b_id)
+         |SELECT a_id, b_id, c_ab_x10000, c_ba_x10000,
+         |  CASE WHEN c_ab_x10000 >= 8000 AND c_ab_x10000 >= c_ba_x10000 + 2000 THEN 'a_in_b'
+         |       WHEN c_ba_x10000 >= 8000 AND c_ba_x10000 >= c_ab_x10000 + 2000 THEN 'b_in_a'
+         |       ELSE 'mutual' END AS verdict
+         |FROM ct""".stripMargin) { (s, d) =>
+      val docs = T.documents(s, d)
+      val prev = docs.selectExpr("doc_id + 1 as doc_id", "text as ptext")
+      val aug = docs.join(prev, Seq("doc_id"), "left")
+        .selectExpr("doc_id",
+          "case when doc_id % 50 = 1 and ptext is not null " +
+            "then array_join(slice(split(ptext, '\\\\s+'), 1, 40), ' ') " +
+            "else text end as text")
+      graft.functions.Dedup.containment(aug, "doc_id", "text")
+    },
+
     // SOFT dedup (Dedup.softWeights): instead of dropping near-dup
     // cluster members, weight each document by 10⁶ div cluster_size so
     // every cluster contributes ~one document of sampling mass — the
@@ -845,6 +902,44 @@ object DedupOps {
       graft.functions.Dedup.softWeights(T.documents(s, d))
     }
   )
+
+  /** Directional containment over LSH candidate pairs: (a_id, b_id,
+    * c_ab_x10000, c_ba_x10000, verdict) where c(A→B) = |A∩B|/|A| over
+    * distinct shingle hashes and the verdict labels ≥80%-contained
+    * sides leading by ≥20 points ('a_in_b'/'b_in_a', else 'mutual').
+    * Same plan shape as dd06's Jaccard verify — candidates from the
+    * shared capped banding, overlap join on 60-bit hashes, text never
+    * shuffles. Shared by the gated dd21 query and `Dedup.containment`.
+    */
+  private[graft] def containmentPairs(docs: DataFrame): DataFrame = {
+    val hh = docs
+      .selectExpr("doc_id", s"$sparkToks as toks")
+      .selectExpr("doc_id", s"$sparkShingles as shingles")
+      .selectExpr("doc_id", s"$sparkHs as hs")
+      .persist()
+    val bands = hh
+      .selectExpr("doc_id", sparkMh(0), sparkMh(1), sparkMh(2), sparkMh(3))
+      .selectExpr("doc_id", "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) as (band, h)")
+      .persist()
+    val pairs = cappedBandPairs(bands)
+    val ex = hh.selectExpr("doc_id", "explode(array_distinct(hs)) as sng")
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val inter = pairs
+      .join(ex.withColumnRenamed("doc_id", "a_id"), Seq("a_id"))
+      .join(ex.withColumnRenamed("doc_id", "b_id"), Seq("b_id", "sng"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("c", "ca"), Seq("a_id"))
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("c", "cb"), Seq("b_id"))
+      .selectExpr("a_id", "b_id",
+        "(10000 * i) div ca as c_ab_x10000",
+        "(10000 * i) div cb as c_ba_x10000")
+      .selectExpr("a_id", "b_id", "c_ab_x10000", "c_ba_x10000",
+        "case when c_ab_x10000 >= 8000 and c_ab_x10000 >= c_ba_x10000 + 2000 then 'a_in_b' " +
+          "when c_ba_x10000 >= 8000 and c_ba_x10000 >= c_ab_x10000 + 2000 then 'b_in_a' " +
+          "else 'mutual' end as verdict")
+  }
 
   /** Per-passage boilerplate flags: (doc_id, i, ntok_p, ph, keep) for
     * consecutive `chunk`-token passages of lowercased text; `keep` is

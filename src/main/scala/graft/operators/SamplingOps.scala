@@ -297,6 +297,40 @@ object SamplingOps {
         .selectExpr("segment", "n_true", "n_samp", "rev_true_x1e4",
           "10 * samp_x4 as rev_est_x1e4",
           "((10 * samp_x4 - rev_true_x1e4) * 10000) div rev_true_x1e4 as err_bp")
+    },
+
+    // NEYMAN optimal stratified allocation (Sampling.neymanAllocation):
+    // a 1000-draw budget split across sources ∝ N_h·σ_h of document
+    // length — the variance-minimizing allocation at fixed cost, vs the
+    // proportional split. σ comes from EXACT integer moments
+    // (n·Σx² − (Σx)² in BIGINT), so the only float ops are one
+    // correctly-rounded sqrt per stratum, the decimal-quantized weight
+    // sum, and one multiply+divide+floor per allocation — engines agree
+    // bit-for-bit. `shift` > 0 marks strata whose length variance earns
+    // them more than their headcount share.
+    //
+    // Scale notes (100 TB): one map-side-combined (n, Σx, Σx²) agg per
+    // stratum; the allocation arithmetic runs on the |strata|-row
+    // aggregate with the totals broadcast back. Nothing but the moment
+    // partials ever shuffles.
+    Q(
+      "sm10_neyman_allocation",
+      """WITH a AS (SELECT source, count(*)::BIGINT AS n,
+        |        SUM(n_chars)::BIGINT AS sx,
+        |        SUM(n_chars * n_chars)::BIGINT AS sxx
+        |      FROM documents GROUP BY source),
+        |  w AS (SELECT source, n,
+        |        CAST(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) AS DECIMAL(28,8)) AS wq
+        |      FROM a),
+        |  t AS (SELECT CAST(SUM(wq) AS DOUBLE) AS tw, SUM(n)::BIGINT AS tn FROM w)
+        |SELECT source, n AS n_docs,
+        |  CAST(floor(100 * CAST(wq AS DOUBLE) / n) AS BIGINT) AS sd_x100,
+        |  CAST(floor(1000 * CAST(wq AS DOUBLE) / tw) AS BIGINT) AS alloc_neyman,
+        |  (1000 * n) // tn AS alloc_prop,
+        |  CAST(floor(1000 * CAST(wq AS DOUBLE) / tw) AS BIGINT)
+        |    - (1000 * n) // tn AS shift
+        |FROM w CROSS JOIN t""".stripMargin) { (s, d) =>
+      graft.functions.Sampling.neymanAllocation(T.documents(s, d))
     }
   )
 }

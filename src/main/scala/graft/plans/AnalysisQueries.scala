@@ -377,6 +377,56 @@ object AnalysisQueries {
           "(1000000 * n_cur) div (sum(n_cur) over ()) as share_cur_ppm",
           "cast(cast(cast((n_ref - n_cur) * (n_ref - n_cur) as double) " +
             "/ (n_ref + n_cur) as decimal(28,8)) as double) as chi2_term")
+    },
+
+    // Ordered conversion funnel: users reaching view → click-after-view
+    // → purchase-after-click, with conversion ppm vs the funnel top —
+    // the product-analytics staple, built as three keyed min-aggs (each
+    // stage = min event time STRICTLY after the previous stage's entry
+    // time, so ordering is enforced, not just co-occurrence).
+    //
+    // Scale notes (100 TB): each stage is a map-side-combined per-user
+    // min + one user-keyed join — (user_id, ts) longs only; the three
+    // stage counts are scalar aggs; output is O(#stages).
+    Q(
+      "an14_funnel",
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |  c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        |        FROM events e JOIN v ON v.user_id = e.user_id
+        |        WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+        |        GROUP BY e.user_id),
+        |  p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+        |        FROM events e JOIN c ON c.user_id = e.user_id
+        |        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+        |        GROUP BY e.user_id),
+        |  n AS (SELECT (SELECT count(*) FROM v)::BIGINT AS nv,
+        |               (SELECT count(*) FROM c)::BIGINT AS nc,
+        |               (SELECT count(*) FROM p)::BIGINT AS np)
+        |SELECT 1::BIGINT AS stage, 'view' AS event_type, nv AS n_users,
+        |       1000000::BIGINT AS conv_ppm FROM n
+        |UNION ALL SELECT 2, 'click', nc, (1000000 * nc) // nv FROM n
+        |UNION ALL SELECT 3, 'purchase', np, (1000000 * np) // nv FROM n""".stripMargin) {
+      (s, d) =>
+        val e = T.events(s, d).selectExpr("user_id", "event_type",
+          "unix_micros(ts) as ts_us")
+        val v = e.filter("event_type = 'view'")
+          .groupBy("user_id").agg(min("ts_us").as("t1"))
+        val c = e.filter("event_type = 'click'")
+          .join(v, "user_id").filter(col("ts_us") > col("t1"))
+          .groupBy("user_id").agg(min("ts_us").as("t2"))
+        val p = e.filter("event_type = 'purchase'")
+          .join(c, "user_id").filter(col("ts_us") > col("t2"))
+          .groupBy("user_id").agg(min("ts_us").as("t3"))
+        val n = v.agg(count(lit(1)).cast("long").as("nv"))
+          .crossJoin(c.agg(count(lit(1)).cast("long").as("nc")))
+          .crossJoin(p.agg(count(lit(1)).cast("long").as("np")))
+        n.selectExpr("cast(1 as bigint) as stage", "'view' as event_type",
+          "nv as n_users", "cast(1000000 as bigint) as conv_ppm")
+          .unionAll(n.selectExpr("cast(2 as bigint)", "'click'", "nc",
+            "(1000000 * nc) div nv"))
+          .unionAll(n.selectExpr("cast(3 as bigint)", "'purchase'", "np",
+            "(1000000 * np) div nv"))
     }
   )
 }

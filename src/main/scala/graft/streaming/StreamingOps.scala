@@ -224,6 +224,43 @@ object StreamingOps {
           .select("click_id").distinct()
         c.join(matched, Seq("click_id"), "left_anti")
           .selectExpr("click_id", "user_id", "unix_micros(cts) as ts_us")
+    },
+
+    // Late-event / disorder audit: per user, how out-of-order the event
+    // stream arrives (arrival order = event_id within the user's key) —
+    // an event is LATE when its event time trails the running max of
+    // every earlier-arriving event by > 30 min, and max_disorder_us is
+    // the worst such lag. This is the measurement you take BEFORE
+    // choosing a watermark delay: a watermark shorter than the observed
+    // disorder silently drops those events in every windowed agg, and
+    // keyed state (flatMapGroupsWithState) sees exactly this per-key
+    // arrival view. Scale: one user-keyed exchange of (id, ts) longs;
+    // the running max is a per-key window, partial counts combine
+    // map-side.
+    Q(
+      "st09_late_events",
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |  r AS (SELECT user_id, event_id, ts_us,
+        |          max(ts_us) OVER (PARTITION BY user_id ORDER BY event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+        |        FROM o)
+        |SELECT user_id, count(*)::BIGINT AS n_events,
+        |  coalesce(SUM(CASE WHEN ts_us < runmax - 1800000000 THEN 1 END), 0)::BIGINT AS n_late,
+        |  coalesce(CAST(max(CASE WHEN runmax > ts_us THEN runmax - ts_us END) AS BIGINT), 0) AS max_disorder_us
+        |FROM r GROUP BY user_id""".stripMargin) { (s, d) =>
+      T.events(s, d)
+        .selectExpr("user_id", "event_id", "unix_micros(ts) as ts_us")
+        .selectExpr("user_id", "event_id", "ts_us",
+          "max(ts_us) over (partition by user_id order by event_id " +
+            "rows between unbounded preceding and 1 preceding) as runmax")
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).cast("long").as("n_events"),
+          coalesce(sum(when(col("ts_us") < col("runmax") - 1800000000L, 1L)),
+            lit(0L)).cast("long").as("n_late"),
+          coalesce(max(when(col("runmax") > col("ts_us"),
+            col("runmax") - col("ts_us"))), lit(0L)).cast("long")
+            .as("max_disorder_us"))
     }
   )
 }

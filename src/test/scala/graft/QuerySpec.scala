@@ -323,6 +323,57 @@ class QuerySpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(5) >= -1L && r.getLong(5) <= 64L))
   }
 
+  test("dd21: containment verdicts honor their own thresholds") {
+    val rows = SparkEntry.queries("dd21_containment")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, cab, cba, v) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      assert(a < b)
+      assert(cab >= 0 && cab <= 10000 && cba >= 0 && cba <= 10000)
+      val expect =
+        if (cab >= 8000 && cab >= cba + 2000) "a_in_b"
+        else if (cba >= 8000 && cba >= cab + 2000) "b_in_a"
+        else "mutual"
+      assert(v == expect, s"pair ($a,$b) verdict $v, expected $expect")
+    }
+    // the prefix augmentation must surface at least one true containment
+    assert(rows.exists(_.getString(4) != "mutual"), "no directional verdicts")
+    spark.catalog.clearCache()
+  }
+
+  test("sm10: Neyman allocation spends within budget and shifts sum ~0") {
+    val rows = SparkEntry.queries("sm10_neyman_allocation")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val neyman = rows.map(_.getLong(3)).sum
+    val prop = rows.map(_.getLong(4)).sum
+    assert(neyman <= 1000L && neyman > 1000L - rows.length, s"neyman total $neyman")
+    assert(prop <= 1000L && prop > 1000L - rows.length, s"prop total $prop")
+    assert(rows.map(_.getLong(5)).sum == neyman - prop)
+    assert(rows.forall(_.getLong(2) >= 0L))
+  }
+
+  test("an14: funnel stages are ordered and monotone") {
+    val rows = SparkEntry.queries("an14_funnel")(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getString(1)).toSeq == Seq("view", "click", "purchase"))
+    val n = rows.map(_.getLong(2))
+    assert(n(0) >= n(1) && n(1) >= n(2), s"funnel not monotone: ${n.toSeq}")
+    assert(rows(0).getLong(3) == 1000000L)
+    rows.foreach(r => assert(r.getLong(3) == 1000000L * r.getLong(2) / n(0)))
+  }
+
+  test("st09: lateness accounting is internally consistent") {
+    val rows = SparkEntry.queries("st09_late_events")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, late, dis) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(late <= n)
+      if (dis == 0L) assert(late == 0L, "late events without any disorder")
+      if (late > 0L) assert(dis > 1800000000L, "late implies >30min disorder")
+    }
+  }
+
   // Registered AFTER the full per-query sweep above (funsuite runs tests
   // in registration order): the persist() sites inside the queries rely
   // on the documented caller contract — bench/verify run
