@@ -348,5 +348,37 @@ object CurationOps {
          |       ELSE 'test' END AS split
          |FROM comp""".stripMargin) { (s, d) =>
       graft.functions.Curation.leakageSafeSplit(T.documents(s, d))
+    },
+
+    // Dedup PROVENANCE: per surviving keeper, WHAT was dropped — member
+    // count, dropped count, and the first 16 dropped doc_ids in order —
+    // the audit artifact a compliance/debugging pass needs after any
+    // destructive dedup ("show me what this keeper absorbed"). Only
+    // multi-member clusters emit a row. Rides dd08's exact clustering
+    // (keeper = cluster label = min id, the cu01 convention); the list
+    // is capped so a pathological mega-cluster ships 16 ids + a count,
+    // not a gigabyte array. Scale: one (id, label) rollup past the CC
+    // rounds; the capped sorted list is per-cluster bounded state.
+    Q(
+      "cu09_dedup_provenance",
+      s"""WITH RECURSIVE
+         |     ${graft.operators.DedupOps.duckClusterCtes},
+         |     g AS (SELECT cluster_id,
+         |             count(*)::BIGINT AS n_members,
+         |             (count(*) - 1)::BIGINT AS n_dropped,
+         |             (list_sort(list(doc_id) FILTER (WHERE doc_id <> cluster_id)))[1:16] AS dropped_ids
+         |           FROM comp GROUP BY cluster_id)
+         |SELECT cluster_id AS keeper, n_members, n_dropped, dropped_ids
+         |FROM g WHERE n_dropped > 0""".stripMargin) { (s, d) =>
+      graft.operators.DedupOps.clusterLabels(T.documents(s, d))
+        .groupBy("cluster_id")
+        .agg(
+          count(lit(1)).cast("long").as("n_members"),
+          (count(lit(1)) - 1).cast("long").as("n_dropped"),
+          expr("slice(array_sort(collect_list(case when doc_id <> cluster_id " +
+            "then doc_id end)), 1, 16) as dropped_ids"))
+        .filter(col("n_dropped") > 0)
+        .selectExpr("cluster_id as keeper", "n_members", "n_dropped",
+          "dropped_ids")
     })
 }

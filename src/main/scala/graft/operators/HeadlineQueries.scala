@@ -579,8 +579,64 @@ object HeadlineQueries {
           (max("by") - min("by")).cast("long").as("span_y"))
         .selectExpr("layout", "cast(file_id as bigint) as file_id",
           "n_rows", "span_x", "span_y")
-    }
+    },
+
+    incrMergeQ
   )
+
+  /** Incremental aggregate maintenance (the MERGE-refresh move every
+    * incremental 100 TB pipeline runs instead of full recompute):
+    * per-priority order counts + decimal-exact revenue kept as mergeable
+    * STATE over the base slice (orderkey % 10 < 8), combined with the
+    * delta batch's partial agg by key-outer-join + state addition —
+    * counts add, decimal sums add exactly (that exactness is WHY the
+    * state carries decimals, not doubles: double partials would drift
+    * from the recompute under different add orders). `matches_full`
+    * compares the merged state against a from-scratch recompute inside
+    * the same plan, so the gate pins merge ≡ recompute row-by-row.
+    * Scale: base and delta each one map-side-combined agg; the merge
+    * joins |keys| rows; the recompute arm exists only for the audit.
+    */
+  private def incrMergeQ: Q =
+    Q(
+      "q_incr_merge",
+      """WITH base AS (SELECT o_orderpriority AS priority, count(*)::BIGINT AS n,
+        |         SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS s
+        |       FROM orders WHERE o_orderkey % 10 < 8 GROUP BY 1),
+        |  delta AS (SELECT o_orderpriority AS priority, count(*)::BIGINT AS n,
+        |         SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS s
+        |       FROM orders WHERE o_orderkey % 10 >= 8 GROUP BY 1),
+        |  merged AS (SELECT coalesce(b.priority, d.priority) AS priority,
+        |         coalesce(b.n, 0) + coalesce(d.n, 0) AS n,
+        |         coalesce(b.s, 0) + coalesce(d.s, 0) AS s
+        |       FROM base b FULL OUTER JOIN delta d ON d.priority = b.priority),
+        |  full_r AS (SELECT o_orderpriority AS priority, count(*)::BIGINT AS n,
+        |         SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS s
+        |       FROM orders GROUP BY 1)
+        |SELECT m.priority, m.n AS n_orders, CAST(m.s AS DOUBLE) AS revenue,
+        |  (m.n = f.n AND m.s = f.s) AS matches_full
+        |FROM merged m JOIN full_r f ON f.priority = m.priority""".stripMargin) {
+      (s, d) =>
+        val o = T.orders(s, d)
+        def agg(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(expr("cast(o_totalprice as decimal(28,4))")).as("s"))
+        val base = agg(o.filter("o_orderkey % 10 < 8"))
+        val delta = agg(o.filter("o_orderkey % 10 >= 8"))
+          .withColumnRenamed("priority", "dpriority")
+          .withColumnRenamed("n", "dn").withColumnRenamed("s", "ds")
+        val merged = base.join(delta,
+          col("priority") === col("dpriority"), "full_outer")
+          .selectExpr("coalesce(priority, dpriority) as priority",
+            "coalesce(n, 0L) + coalesce(dn, 0L) as n",
+            "coalesce(s, cast(0 as decimal(28,4))) + coalesce(ds, cast(0 as decimal(28,4))) as s")
+        val full = agg(o).withColumnRenamed("priority", "fpriority")
+          .withColumnRenamed("n", "fn").withColumnRenamed("s", "fs")
+        merged.join(full, col("priority") === col("fpriority"))
+          .selectExpr("priority", "n as n_orders", "cast(s as double) as revenue",
+            "n = fn and s = fs as matches_full")
+    }
 
   /** 16-bit Morton/Z-value of two 8-bit bucket columns `bx`, `by` —
     * bit i of bx lands at position 2i+1, bit i of by at 2i. Pure

@@ -1338,6 +1338,103 @@ object SimilarityOps {
          |ORDER BY rrf_x1e6 DESC, d.doc_id LIMIT 20""".stripMargin) { (s, d) =>
       graft.functions.Similarity.hybridTopK(
         T.documents(s, d), T.embeddings(s, d))
+    },
+
+    // IVF nprobe TUNING SWEEP: recall@3 and probe cost for
+    // nprobe ∈ {1,2,3} from ONE scored pass — the recall-vs-cost curve
+    // an ANN deployment reads before fixing nprobe (ss08/ss05 pin
+    // single points; this is the table they come from). The shared
+    // scored frame (vector × broadcast centroids, ranked per vector)
+    // feeds the cell assignment AND all three probe lists, so widening
+    // the sweep costs rank-filters, not rescans. n_cand is the number
+    // of exact-cosine candidates each query pays at that nprobe — the
+    // cost axis. Scale: the ONE persisted scored frame holds N×3 rows;
+    // each arm's candidate join keys on cell; recall joins are
+    // per-query 3-row sets.
+    Q(
+      "ss18_nprobe_sweep", {
+        val armCtes = (1 to 3).map { k =>
+          s"""ivf$k AS (SELECT q_id, n_id, rn, cnt FROM (
+             |    SELECT q.q_id, e.vec_id AS n_id,
+             |      row_number() OVER (PARTITION BY q.q_id
+             |        ORDER BY ${duckCos("q.qe", "e.embedding")} DESC, e.vec_id) AS rn,
+             |      count(*) OVER (PARTITION BY q.q_id) AS cnt
+             |    FROM q JOIN probes p ON p.q_id = q.q_id AND p.rn <= $k
+             |           JOIN assign a ON a.cell = p.cell
+             |           JOIN embeddings e ON e.vec_id = a.vec_id
+             |    WHERE e.vec_id <> q.q_id)),""".stripMargin
+        }.mkString("\n")
+        val armSelects = (1 to 3).map { k =>
+          s"""SELECT $k::BIGINT AS nprobe, x.q_id,
+             |  (SELECT max(cnt) FROM ivf$k i2 WHERE i2.q_id = x.q_id)::BIGINT AS n_cand,
+             |  count(CASE WHEN i.rn <= 3 THEN i.n_id END)::BIGINT AS n_hit,
+             |  (count(CASE WHEN i.rn <= 3 THEN i.n_id END) * 100) // 3 AS recall_x100
+             |FROM exact x LEFT JOIN ivf$k i ON i.q_id = x.q_id AND i.n_id = x.n_id
+             |GROUP BY x.q_id""".stripMargin
+        }.mkString("\nUNION ALL ")
+        s"""WITH cent AS (
+           |  SELECT label AS cell, embedding AS ce FROM (
+           |    SELECT label, embedding,
+           |      row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+           |    FROM embeddings) WHERE rn = 1),
+           |  scored AS (
+           |    SELECT e.vec_id, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${duckCos("e.embedding", "c.ce")} DESC, c.cell) AS rn
+           |    FROM embeddings e CROSS JOIN cent c),
+           |  assign AS (SELECT vec_id, cell FROM scored WHERE rn = 1),
+           |  q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+           |        WHERE vec_id < 5),
+           |  probes AS (SELECT s.vec_id AS q_id, s.cell, s.rn FROM scored s
+           |             WHERE s.vec_id < 5 AND s.rn <= 3),
+           |$armCtes
+           |  exact AS (SELECT q_id, n_id FROM (
+           |    SELECT q.q_id, e.vec_id AS n_id,
+           |      row_number() OVER (PARTITION BY q.q_id
+           |        ORDER BY ${duckCos("q.qe", "e.embedding")} DESC, e.vec_id) AS rn
+           |    FROM q CROSS JOIN embeddings e
+           |    WHERE e.vec_id <> q.q_id) WHERE rn <= 3)
+           |$armSelects""".stripMargin
+      }) { (s, d) =>
+      graft.functions.CosineSimilarity.register(s)
+      val e = T.embeddings(s, d)
+      val scored = e.crossJoin(broadcast(labelCentroids(e)))
+        .selectExpr("vec_id", "cell",
+          s"row_number() over (partition by vec_id order by ${sparkCos("embedding", "ce")} desc, cell) as rn")
+        .filter(col("rn") <= 3)
+        .persist() // feeds assignment + all three probe lists; caller clearCache releases
+      val assign = scored.filter(col("rn") === 1).select("vec_id", "cell")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val exact = broadcast(q)
+        .crossJoin(e.select(col("vec_id").as("n_id"), col("embedding").as("ne")))
+        .filter(col("n_id") =!= col("q_id"))
+        .selectExpr("q_id", "n_id",
+          s"row_number() over (partition by q_id order by ${sparkCos("qe", "ne")} desc, n_id) as rn")
+        .filter(col("rn") <= 3)
+        .select("q_id", "n_id")
+      val arms = (1 to 3).map { k =>
+        val probes = scored.filter(col("vec_id") < 5 && col("rn") <= k)
+          .select(col("vec_id").as("q_id"), col("cell"))
+        val cand = broadcast(q.join(probes, "q_id"))
+          .join(assign.withColumnRenamed("vec_id", "n_id"), "cell")
+          .filter(col("n_id") =!= col("q_id"))
+          .join(e.select(col("vec_id").as("n_id"), col("embedding").as("ne")), "n_id")
+        val ranked = cand
+          .selectExpr("q_id", "n_id",
+            s"row_number() over (partition by q_id order by ${sparkCos("qe", "ne")} desc, n_id) as rn",
+            "count(1) over (partition by q_id) as cnt")
+        exact.join(ranked.withColumnRenamed("q_id", "iq_id")
+            .withColumnRenamed("n_id", "in_id"),
+            col("q_id") === col("iq_id") && col("n_id") === col("in_id") &&
+              col("rn") <= 3, "left")
+          .groupBy("q_id")
+          .agg(count(col("in_id")).cast("long").as("n_hit"))
+          .join(ranked.groupBy("q_id").agg(max("cnt").cast("long").as("n_cand")), "q_id")
+          .selectExpr(s"cast($k as bigint) as nprobe", "q_id", "n_cand",
+            "n_hit", "(n_hit * 100) div 3 as recall_x100")
+      }
+      arms.reduce(_ unionAll _)
     }
   )
 

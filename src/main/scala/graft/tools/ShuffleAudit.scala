@@ -76,7 +76,14 @@ object ShuffleAudit {
     "an13_value_drift" -> "extrema broadcast back; bin assignment scan-local; 10-bin rollup combines map-side",
     "q_zorder_layout" -> "Z-values born in the scan; the file cut is the range exchange any sorted write pays",
     "tx21_code_detect" -> "pure scan projection (translate-delta counting): zero shuffle",
-    "mm07_image_ahash" -> "decode + hash partition-local; only fixed-width hash rows reach the ordering window")
+    "mm07_image_ahash" -> "decode + hash partition-local; only fixed-width hash rows reach the ordering window",
+    "dd21_containment" -> "dd06's shape: overlap join on 60-bit shingle hashes, capped candidates, text never shuffles",
+    "sm10_neyman_allocation" -> "one map-side moment agg per stratum; allocation runs on the tiny aggregate, totals broadcast",
+    "an14_funnel" -> "three keyed min-aggs + user-keyed joins of (id, ts) longs; output is O(#stages)",
+    "st09_late_events" -> "one user-keyed exchange of (id, ts) longs; running max is a per-key window",
+    "ss18_nprobe_sweep" -> "ONE persisted scored frame (N×3 rows) feeds assignment and all three probe arms",
+    "cu09_dedup_provenance" -> "one (id, label) rollup past the CC rounds; dropped lists capped at 16 ids",
+    "q_incr_merge" -> "base + delta each map-side combine; the merge joins |keys| rows of decimal state")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -363,6 +363,47 @@ class QuerySpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(3) == 1000000L * r.getLong(2) / n(0)))
   }
 
+  test("ss18: sweep recall is non-decreasing and probe cost strictly grows") {
+    val rows = SparkEntry.queries("ss18_nprobe_sweep")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(1))
+    byQ.foreach { case (qid, rs) =>
+      val ord = rs.sortBy(_.getLong(0))
+      assert(ord.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+      val rec = ord.map(_.getLong(4))
+      assert(rec(0) <= rec(1) && rec(1) <= rec(2),
+        s"recall not monotone for q$qid: ${rec.toSeq}")
+      val cost = ord.map(_.getLong(2))
+      assert(cost(0) <= cost(1) && cost(1) <= cost(2),
+        s"probe cost not monotone for q$qid: ${cost.toSeq}")
+      assert(ord.forall(r => r.getLong(3) <= 3))
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("cu09: provenance rows reconcile with dd08 cluster membership") {
+    val prov = SparkEntry.queries("cu09_dedup_provenance")(spark, sf).collect()
+    val dd08 = SparkEntry.queries("dd08_dedup_clusters")(spark, sf)
+      .collect().groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    prov.foreach { r =>
+      val (keeper, nm, nd) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val dropped = r.getSeq[Long](3)
+      val members = dd08(keeper)
+      assert(nm == members.size && nd == nm - 1)
+      assert(dropped.length == math.min(16, nd))
+      assert(dropped.forall(id => members.contains(id) && id != keeper))
+      assert(dropped == dropped.sorted)
+    }
+    // every multi-member dd08 cluster has a provenance row
+    assert(prov.length == dd08.count(_._2.size > 1))
+    spark.catalog.clearCache()
+  }
+
+  test("q_incr_merge: merged state equals the from-scratch recompute") {
+    val rows = SparkEntry.queries("q_incr_merge")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(3)), "incremental merge diverged from recompute")
+  }
+
   test("st09: lateness accounting is internally consistent") {
     val rows = SparkEntry.queries("st09_late_events")(spark, sf).collect()
     assert(rows.nonEmpty)
