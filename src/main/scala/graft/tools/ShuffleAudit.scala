@@ -83,7 +83,7 @@ object ShuffleAudit {
     "st09_late_events" -> "one user-keyed exchange of (id, ts) longs; running max is a per-key window",
     "ss18_nprobe_sweep" -> "ONE persisted scored frame (N×3 rows) feeds assignment and all three probe arms",
     "cu09_dedup_provenance" -> "one (id, label) rollup past the CC rounds; dropped lists capped at 16 ids",
-    "q_incr_merge" -> "base + delta each map-side combine; the merge joins |keys| rows of decimal state")
+    "q_incr_merge" -> "base + delta each map-side combine; the merge joins key-count rows of decimal state")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
