@@ -198,7 +198,11 @@ object ShuffleAudit {
       "dd15_incremental_neardup" ->
         "anti-join: every flood copy matches the template's corpus band key — all rejected, admitted set unchanged",
       "dd18_dup_spans" ->
-        "frequency rollup, NO pair stage: 300 template copies add ~300 whole-doc span rows at linear window-hash cost — no cap needed")
+        "frequency rollup, NO pair stage: 300 template copies add ~300 whole-doc span rows at linear window-hash cost — no cap needed",
+      "dd21_containment" ->
+        "containment rides the same capped banding: flooded buckets skipped, verdicts stay organic",
+      "dd20_soft_weights" ->
+        "star edges cluster the flood as ONE group: +300 rows of weight 1e6/(n+300)-ish, no pair blowup")
     floodAudited.foreach { case (name, claim) =>
       val q = byName(name)
       val plainRows = q.fn(spark, sfDir).count()

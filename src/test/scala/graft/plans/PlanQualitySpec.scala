@@ -14,28 +14,66 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PlanQualitySpec extends AnyFunSuite {
 
-  private def hasAggregateBelow(p: SparkPlan): Boolean =
-    p.collectFirst {
-      case a if a.nodeName.toLowerCase.contains("aggregate") => a
-    }.nonEmpty
+  /** True when the window's input is bounded: an aggregation or a
+    * limit/TakeOrdered below it. Traverses INTO InMemoryTableScan's
+    * cached plan — a persist() in an earlier-planned query swaps a
+    * plan-identical aggregate subtree for a cache scan, which would
+    * otherwise hide the aggregation and false-positive the rail.
+    */
+  private def hasAggregateBelow(p: SparkPlan): Boolean = {
+    def nodes(x: SparkPlan): Iterator[SparkPlan] =
+      Iterator(x) ++ x.children.iterator.flatMap(nodes) ++ (x match {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          nodes(s.relation.cachedPlan)
+        case _ => Iterator.empty
+      })
+    nodes(p).exists { n =>
+      val nm = n.nodeName.toLowerCase
+      nm.contains("aggregate") || nm.contains("takeordered") || nm.contains("limit")
+    }
+  }
+
+  // Documented exceptions: global windows whose input is bounded or
+  // whose semantics ARE a global order, each with the scale story in the
+  // query's own comment.
+  //   mm07_image_ahash   — Hamming chain over the 64-row decoded slice
+  //                        (fixture-bounded; a corpus pairing pass bands
+  //                        on hash prefixes instead, per its comment)
+  //   ss17_rrf_hybrid    — single-query retrieval: each arm is ranked
+  //                        once globally; a query BATCH partitions both
+  //                        windows by q_id (ss01's shape)
+  //   q_zorder_layout    — the equal-count file cut IS a global sorted
+  //                        write (repartitionByRange at scale); rank is
+  //                        the oracle-deterministic rendering
+  private val globalWindowAllowed = Set(
+    "mm07_image_ahash", "ss17_rrf_hybrid", "q_zorder_layout")
 
   test("no gated query plans a global window over unaggregated input") {
-    val offenders = graft.SparkEntry.all
-      // dd08 drives an iterative loop whose returned plan is a checkpoint
-      // scan; building it executes the whole algorithm — covered by its
-      // own gate + spec, skip the (expensive) plan build here
-      .filterNot(_.name == "dd08_dedup_clusters")
-      .flatMap { q =>
-        val plan =
-          try q.fn(spark, sf).queryExecution.executedPlan
-          catch { case e: Throwable => fail(s"${q.name} failed to plan: $e") }
-        plan.collect {
-          case w: WindowExec
-              if w.partitionSpec.isEmpty && !hasAggregateBelow(w.child) =>
-            s"${q.name}: global Window over unaggregated input"
+    // AdaptiveSparkPlanExec is a leaf until execution, so collecting over
+    // the AQE-wrapped executedPlan inspects NOTHING — disable AQE while
+    // planning (the window shape is a static property) or the rail is
+    // blind. (This bit: the rail passed vacuously for two rounds.)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val offenders = graft.SparkEntry.all
+        // dd08 drives an iterative loop whose returned plan is a checkpoint
+        // scan; building it executes the whole algorithm — covered by its
+        // own gate + spec, skip the (expensive) plan build here
+        .filterNot(_.name == "dd08_dedup_clusters")
+        .filterNot(q => globalWindowAllowed(q.name))
+        .flatMap { q =>
+          val plan =
+            try q.fn(spark, sf).queryExecution.executedPlan
+            catch { case e: Throwable => fail(s"${q.name} failed to plan: $e") }
+          plan.collect {
+            case w: WindowExec
+                if w.partitionSpec.isEmpty && !hasAggregateBelow(w.child) =>
+              s"${q.name}: global Window over unaggregated input"
+          }
         }
-      }
-    assert(offenders.isEmpty, offenders.mkString("\n"))
+      assert(offenders.isEmpty, offenders.mkString("\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("q_bucket_join joins the bucketed tables with no exchange below the join") {
