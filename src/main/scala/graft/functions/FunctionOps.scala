@@ -225,6 +225,45 @@ object FunctionOps {
           "explode(sequence(0, 15)) as bucket", "toks")
         .selectExpr("doc_id", "cast(bucket as bigint) as bucket",
           s"cast(size(filter(toks, w -> ${graft.Portable.hash60("w")} % 16 = bucket)) as bigint) as cnt")
+    },
+
+    // Vocabulary count-vectorizer: each document as a dense 16-slot
+    // count vector over the corpus top-16 vocabulary (tx09's vocab
+    // build) — fn10's hashing-trick twin with a REAL vocabulary, the
+    // bag-of-words featurizer behind linear quality classifiers. The
+    // vocab is a 16-row broadcast, so vectorization is corpus-scan ×
+    // tiny-table work; the vector assembles from per-(doc, slot) counts
+    // with zeros preserved (a dense vector needs every slot, which the
+    // count rollup alone can't give). Scale: the only corpus exchange
+    // is the per-(doc, slot) count rollup — (doc_id, slot, cnt) longs.
+    Q(
+      "fn11_count_vector",
+      s"""WITH t AS (SELECT doc_id,
+         |      regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
+         |  cnt AS (SELECT w, count(*)::BIGINT AS n
+         |          FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+         |  vocab AS (SELECT w, n FROM cnt ORDER BY n DESC, w LIMIT 16),
+         |  vl AS (SELECT list(w ORDER BY n DESC, w) AS vw FROM vocab)
+         |SELECT doc_id,
+         |  list_transform(range(1, 17),
+         |    i -> CAST(len(list_filter(toks, x -> x = vw[i])) AS BIGINT)) AS vec,
+         |  CAST(len(list_filter(toks, x -> list_contains(vw, x))) AS BIGINT) AS n_invocab,
+         |  CAST(len(toks) AS BIGINT) AS n_toks
+         |FROM t CROSS JOIN vl""".stripMargin) { (s, d) =>
+      val t = graft.Tables.documents(s, d)
+        .selectExpr("doc_id", "split(lower(text), '\\\\s+') as toks")
+      val vocab = t.selectExpr("explode(toks) as w")
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(16)
+        .selectExpr("w", "cast(row_number() over (order by n desc, w) as int) as slot")
+      // slot counts with zeros: every (doc, slot) pair exists via the
+      // broadcast vocab cross join; counts fold per-doc locally
+      t.crossJoin(broadcast(vocab.agg(
+          expr("array_sort(collect_list(struct(slot, w)))").as("vs"))))
+        .selectExpr("doc_id",
+          "transform(vs, v -> cast(size(filter(toks, x -> x = v.w)) as bigint)) as vec",
+          "cast(size(filter(toks, x -> array_contains(transform(vs, v -> v.w), x))) as bigint) as n_invocab",
+          "cast(size(toks) as bigint) as n_toks")
     }
   )
 }

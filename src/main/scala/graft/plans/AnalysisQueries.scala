@@ -427,6 +427,62 @@ object AnalysisQueries {
             "(1000000 * nc) div nv"))
           .unionAll(n.selectExpr("cast(3 as bigint)", "'purchase'", "np",
             "(1000000 * np) div nv"))
+    },
+
+    // Join-cardinality probe: PREDICT an equi-join's output size from
+    // per-side key histograms (Σ_k n_left(k)·n_right(k)) before paying
+    // for the join — the should-I-broadcast/salt decision sm03's skew
+    // profile feeds, made quantitative. Output: the top-5 contributing
+    // keys with their share of the predicted output (the skew story: a
+    // key with share_ppm ≫ 1/|keys| is the salting candidate), a
+    // 'total' row with the prediction, and an 'actual' row from running
+    // the join — for an inner equi-join the histogram prediction is
+    // EXACT, so the gate pins predicted ≡ actual. Scale: the probe costs
+    // two map-side-combined key-count aggs + a |keys|-row join — orders
+    // of magnitude cheaper than the join it sizes; the actual-join arm
+    // exists only for the audit.
+    Q(
+      "an15_join_cardinality",
+      """WITH o AS (SELECT o_custkey AS key, count(*)::BIGINT AS n_left
+        |           FROM orders GROUP BY 1),
+        |  e AS (SELECT user_id AS key, count(*)::BIGINT AS n_right
+        |        FROM events GROUP BY 1),
+        |  c AS (SELECT o.key, n_left, n_right, n_left * n_right AS predicted
+        |        FROM o JOIN e ON e.key = o.key),
+        |  t AS (SELECT CAST(SUM(predicted) AS BIGINT) AS tp FROM c),
+        |  a AS (SELECT count(*)::BIGINT AS n
+        |        FROM orders JOIN events ON user_id = o_custkey),
+        |  top5 AS (SELECT key, n_left, n_right, predicted
+        |           FROM c ORDER BY predicted DESC, key LIMIT 5)
+        |SELECT 'key' AS part, key, n_left, n_right, predicted,
+        |  (1000000 * predicted) // (SELECT tp FROM t) AS share_ppm FROM top5
+        |UNION ALL
+        |SELECT 'total', -1::BIGINT, 0::BIGINT, 0::BIGINT, tp, 1000000::BIGINT FROM t
+        |UNION ALL
+        |SELECT 'actual', -1::BIGINT, 0::BIGINT, 0::BIGINT, n, 1000000::BIGINT FROM a""".stripMargin) {
+      (s, d) =>
+        val o = T.orders(s, d).groupBy(col("o_custkey").as("key"))
+          .agg(count(lit(1)).cast("long").as("n_left"))
+        val e = T.events(s, d).groupBy(col("user_id").as("key"))
+          .agg(count(lit(1)).cast("long").as("n_right"))
+        val c = o.join(e, "key")
+          .selectExpr("key", "n_left", "n_right",
+            "n_left * n_right as predicted")
+        val t = c.agg(sum("predicted").cast("long").as("tp"))
+        val actual = T.orders(s, d).select(col("o_custkey").as("key"))
+          .join(T.events(s, d).select(col("user_id").as("key")), "key")
+          .agg(count(lit(1)).cast("long").as("n"))
+        val top5 = c.orderBy(col("predicted").desc, col("key")).limit(5)
+          .crossJoin(broadcast(t))
+          .selectExpr("'key' as part", "key", "n_left", "n_right",
+            "predicted", "(1000000 * predicted) div tp as share_ppm")
+        top5
+          .unionAll(t.selectExpr("'total' as part", "cast(-1 as bigint) as key",
+            "cast(0 as bigint)", "cast(0 as bigint)", "tp",
+            "cast(1000000 as bigint)"))
+          .unionAll(actual.selectExpr("'actual' as part", "cast(-1 as bigint) as key",
+            "cast(0 as bigint)", "cast(0 as bigint)", "n",
+            "cast(1000000 as bigint)"))
     }
   )
 }

@@ -83,7 +83,9 @@ object ShuffleAudit {
     "st09_late_events" -> "one user-keyed exchange of (id, ts) longs; running max is a per-key window",
     "ss18_nprobe_sweep" -> "ONE persisted scored frame (N×3 rows) feeds assignment and all three probe arms",
     "cu09_dedup_provenance" -> "one (id, label) rollup past the CC rounds; dropped lists capped at 16 ids",
-    "q_incr_merge" -> "base + delta each map-side combine; the merge joins key-count rows of decimal state")
+    "q_incr_merge" -> "base + delta each map-side combine; the merge joins key-count rows of decimal state",
+    "fn11_count_vector" -> "vocab is a 16-row broadcast; vectors assemble in the scan projection",
+    "an15_join_cardinality" -> "the probe costs two key-count aggs + a key-row join — far below the join it sizes")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -27,7 +27,9 @@ class CacheHygieneSpec extends AnyFunSuite {
     "dd15_incremental_neardup", // two r1Bands persists (corpus + batch)
     "tx06_top_ngrams",          // token-count persist
     "tx16_bigram_fluency",      // bigram-occurrence persist (3 consumers)
-    "sm06_fluency_buckets")     // rides tx16's bigram persist
+    "sm06_fluency_buckets",     // rides tx16's bigram persist
+    "dd21_containment",         // containmentPairs hh + bands persists
+    "ss18_nprobe_sweep")        // sweep's shared scored persist (3 arms)
 
   /** localCheckpoint blocks release via the ContextCleaner once their
     * RDD is unreachable — nudge GC until the count stops shrinking.

@@ -404,6 +404,29 @@ class QuerySpec extends AnyFunSuite {
     assert(rows.forall(_.getBoolean(3)), "incremental merge diverged from recompute")
   }
 
+  test("an15: histogram prediction equals the executed join's cardinality") {
+    val rows = SparkEntry.queries("an15_join_cardinality")(spark, sf).collect()
+    val byPart = rows.groupBy(_.getString(0))
+    val predicted = byPart("total").head.getLong(4)
+    val actual = byPart("actual").head.getLong(4)
+    assert(predicted == actual, s"predicted $predicted != actual $actual")
+    assert(byPart("key").forall(r => r.getLong(4) == r.getLong(2) * r.getLong(3)))
+    assert(byPart("key").map(_.getLong(4)).sum <= predicted)
+  }
+
+  test("fn11: count vectors reconcile with token counts") {
+    val rows = SparkEntry.queries("fn11_count_vector")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val vec = r.getSeq[Long](1)
+      assert(vec.length == 16)
+      // every vocab slot count is bounded by in-vocab tokens, which are
+      // bounded by all tokens; the vector sums to exactly n_invocab
+      assert(vec.sum == r.getLong(2), s"doc ${r.getLong(0)} vector sum mismatch")
+      assert(r.getLong(2) <= r.getLong(3))
+    }
+  }
+
   test("st09: lateness accounting is internally consistent") {
     val rows = SparkEntry.queries("st09_late_events")(spark, sf).collect()
     assert(rows.nonEmpty)
