@@ -270,6 +270,30 @@ object Sampling {
         "alloc_neyman - alloc_prop as shift")
   }
 
+  /** Draw the [[neymanAllocation]] design without replacement: within
+    * each stratum, keep the `alloc_neyman` lowest rows under a
+    * deterministic id-hash order — rerun-stable (a pure function of the
+    * ids), coordination-free, and exactly the allocated count unless
+    * the stratum is smaller than its allocation. Returns the kept rows
+    * with their original columns. The gated sm11 query rolls THIS up,
+    * so design and execution share one allocation machinery. Scale: the
+    * allocation is a broadcast |strata|-row table; ranking is one
+    * window over (id, group, hash) longs per stratum.
+    */
+  def neymanSample(docs: DataFrame, groupCol: String = "source",
+      sizeCol: String = "n_chars", idCol: String = "doc_id",
+      budget: Long = 1000L): DataFrame = {
+    val alloc = neymanAllocation(docs, groupCol, sizeCol, budget)
+      .select(col(groupCol), col("alloc_neyman"))
+    docs
+      .withColumn("_rn", expr(
+        s"row_number() over (partition by $groupCol order by " +
+          s"${P.hash60(s"concat('ney|', cast($idCol as string))")}, $idCol)"))
+      .join(broadcast(alloc), groupCol)
+      .filter(col("_rn") <= col("alloc_neyman"))
+      .drop("_rn", "alloc_neyman")
+  }
+
   def temperatureWeights(docs: DataFrame, groupCol: String = "lang",
       massCol: String = "n_chars", budget: Long = 1000000L): DataFrame = {
     require(budget >= 1 && budget <= 9000000000000L,

@@ -21,10 +21,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 object ImageCodec {
 
-  /** Deterministic synthetic image: gray value (id·31 + 7x + 13y) % 256,
-    * width 16 + id%5, height 12 + id%7.
+  /** Deterministic synthetic image: gray value (seed·31 + 7x + 13y) % 256,
+    * width 16 + id%5, height 12 + id%7. `seed` defaults to the id;
+    * passing a SHARED seed for several ids produces near-duplicate
+    * images (same pattern, different dimensions → slightly different
+    * 8×8 resamples), the fixture mm08's perceptual pairing needs.
     */
-  def syntheticPng(id: Long): Array[Byte] = {
+  def syntheticPng(id: Long, seed: Long = -1L): Array[Byte] = {
+    val s = if (seed < 0) id else seed
     val w = 16 + (id % 5).toInt
     val h = 12 + (id % 7).toInt
     val img = new java.awt.image.BufferedImage(
@@ -33,7 +37,7 @@ object ImageCodec {
     while (y < h) {
       var x = 0
       while (x < w) {
-        val g = ((id * 31 + 7L * x + 13L * y) % 256).toInt
+        val g = ((s * 31 + 7L * x + 13L * y) % 256).toInt
         img.setRGB(x, y, (g << 16) | (g << 8) | g)
         x += 1
       }
@@ -140,6 +144,24 @@ object ImageCodec {
       .filter(s"doc_id < $n")
       .select("doc_id").as[Long]
       .mapPartitions(_.map(id => (id, syntheticPng(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** mm08's near-dup image fixture: ids in the same group of 5 whose
+    * id % 5 ≤ 1 SHARE a pixel seed (group base), so (5k, 5k+1) are
+    * near-duplicate images — same pattern rendered at different
+    * dimensions; everything else keeps its own seed. The seed function
+    * is closed-form, so the DuckDB oracle reproduces the same hashes.
+    */
+  def neardupSeed(id: Long): Long =
+    if (id % 5 <= 1) (id / 5) * 5 else id
+
+  def neardupPayloads(spark: SparkSession, sfDir: String, n: Long): DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .filter(s"doc_id < $n")
+      .select("doc_id").as[Long]
+      .mapPartitions(_.map(id => (id, syntheticPng(id, neardupSeed(id)))))
       .toDF("doc_id", "payload")
   }
 

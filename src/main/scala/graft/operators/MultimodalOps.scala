@@ -229,6 +229,86 @@ object MultimodalOps {
         .selectExpr("doc_id", "width", "height", "ahash_lo", "ahash_hi",
           "coalesce(cast(bit_count(ahash_lo ^ lag(ahash_lo) over (order by doc_id)) " +
             "+ bit_count(ahash_hi ^ lag(ahash_hi) over (order by doc_id)) as bigint), -1L) as ham_prev")
+    },
+
+    // Perceptual near-dup image pairing: mm07's aHash run through
+    // dd10's SimHash pairing machinery — 4×16-bit bands of the 64-bit
+    // hash, bucket join with the standard 64 cap, exact Hamming verify
+    // (≤ 10 bits) reading two longs per side. The fixture makes ids
+    // 5k/5k+1 share a pixel seed (same pattern, different dimensions →
+    // near-identical 8×8 resamples): those seeded pairs land at the
+    // BOTTOM of the Hamming range (0-5 bits at sf0.01) through the REAL
+    // decode path. Other synthetic gradients also pair at moderate
+    // distances — correct behavior, not noise: linear-ramp images ARE
+    // perceptually alike, which is exactly what aHash measures.
+    // Closed-form pixels keep the whole chain (decode → resample →
+    // hash → band → verify) hash-match oracle-checkable. Scale: decode
+    // partition-local; only (doc_id, band, key) and two hash longs per
+    // doc ever shuffle — the dd10 scale shape on image content.
+    Q(
+      "mm08_ahash_neardup",
+      """WITH p AS (SELECT doc_id, 16 + doc_id % 5 AS w, 12 + doc_id % 7 AS h,
+        |             CASE WHEN doc_id % 5 <= 1 THEN (doc_id // 5) * 5
+        |                  ELSE doc_id END AS seed
+        |           FROM documents WHERE doc_id < 64),
+        |  a AS (SELECT doc_id, w, h,
+        |          list_transform(range(0, 64),
+        |            j -> (seed * 31 + 7 * (((j % 8) * w) // 8)
+        |                  + 13 * (((j // 8) * h) // 8)) % 256) AS px
+        |        FROM p),
+        |  s AS (SELECT doc_id, px,
+        |          list_reduce(list_prepend(0, px), (x, y) -> x + y) AS psum
+        |        FROM a),
+        |  hsh AS (SELECT doc_id,
+        |          list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 32),
+        |            i -> CASE WHEN px[i + 1] * 64 > psum THEN (1::BIGINT << i) ELSE 0::BIGINT END)),
+        |            (x, y) -> x + y) AS lo,
+        |          list_reduce(list_prepend(0::BIGINT, list_transform(range(32, 64),
+        |            i -> CASE WHEN px[i + 1] * 64 > psum THEN (1::BIGINT << (i - 32)) ELSE 0::BIGINT END)),
+        |            (x, y) -> x + y) AS hi
+        |        FROM s),
+        |  bands AS (
+        |    SELECT doc_id, 0 AS band, lo % 65536 AS k FROM hsh
+        |    UNION ALL SELECT doc_id, 1, (lo // 65536) % 65536 FROM hsh
+        |    UNION ALL SELECT doc_id, 2, hi % 65536 FROM hsh
+        |    UNION ALL SELECT doc_id, 3, (hi // 65536) % 65536 FROM hsh),
+        |  sized AS (SELECT band, k, count(*) AS n FROM bands GROUP BY band, k),
+        |  small AS (SELECT b.doc_id, b.band, b.k FROM bands b
+        |            JOIN sized z ON z.band = b.band AND z.k = b.k AND z.n <= 64),
+        |  pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |            FROM small a JOIN small b
+        |              ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id)
+        |SELECT p.a_id, p.b_id,
+        |  CAST(bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi)) AS BIGINT) AS hamming
+        |FROM pairs p JOIN hsh ha ON ha.doc_id = p.a_id
+        |             JOIN hsh hb ON hb.doc_id = p.b_id
+        |WHERE bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi)) <= 10""".stripMargin) {
+      (s, d) =>
+        import graft.multimodal.ImageCodec
+        val h = ImageCodec
+          .ahashFeatures(s, ImageCodec.neardupPayloads(s, d, 64)).toDF()
+          .select(col("doc_id"), col("ahash_lo").as("lo"), col("ahash_hi").as("hi"))
+          .persist() // bands + both verify sides; caller clearCache releases
+        val bands = h.selectExpr("doc_id",
+          "stack(4, 0, lo % 65536, 1, (lo div 65536) % 65536, " +
+            "2, hi % 65536, 3, (hi div 65536) % 65536) as (band, k)")
+        val sized = bands.groupBy("band", "k").agg(count(lit(1)).as("n"))
+        val small = bands
+          .join(sized.filter(col("n") <= 64), Seq("band", "k"))
+          .select("doc_id", "band", "k")
+        val pairs = small.select(col("doc_id").as("a_id"), col("band"), col("k"))
+          .join(small.select(col("doc_id").as("b_id"), col("band"), col("k")),
+            Seq("band", "k"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+        pairs
+          .join(h.select(col("doc_id").as("a_id"), col("lo").as("alo"),
+            col("hi").as("ahi")), "a_id")
+          .join(h.select(col("doc_id").as("b_id"), col("lo").as("blo"),
+            col("hi").as("bhi")), "b_id")
+          .selectExpr("a_id", "b_id",
+            "cast(bit_count(alo ^ blo) + bit_count(ahi ^ bhi) as bigint) as hamming")
+          .filter(col("hamming") <= 10)
     }
   )
 }

@@ -315,22 +315,72 @@ object SamplingOps {
     // partials ever shuffles.
     Q(
       "sm10_neyman_allocation",
-      """WITH a AS (SELECT source, count(*)::BIGINT AS n,
-        |        SUM(n_chars)::BIGINT AS sx,
-        |        SUM(n_chars * n_chars)::BIGINT AS sxx
-        |      FROM documents GROUP BY source),
-        |  w AS (SELECT source, n,
-        |        CAST(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) AS DECIMAL(28,8)) AS wq
-        |      FROM a),
-        |  t AS (SELECT CAST(SUM(wq) AS DOUBLE) AS tw, SUM(n)::BIGINT AS tn FROM w)
-        |SELECT source, n AS n_docs,
-        |  CAST(floor(100 * CAST(wq AS DOUBLE) / n) AS BIGINT) AS sd_x100,
-        |  CAST(floor(1000 * CAST(wq AS DOUBLE) / tw) AS BIGINT) AS alloc_neyman,
-        |  (1000 * n) // tn AS alloc_prop,
-        |  CAST(floor(1000 * CAST(wq AS DOUBLE) / tw) AS BIGINT)
-        |    - (1000 * n) // tn AS shift
-        |FROM w CROSS JOIN t""".stripMargin) { (s, d) =>
+      s"""WITH $duckNeymanCtes
+         |SELECT source, n_docs, sd_x100, alloc_neyman, alloc_prop, shift
+         |FROM alloc""".stripMargin) { (s, d) =>
       graft.functions.Sampling.neymanAllocation(T.documents(s, d))
+    },
+
+    // EXECUTE the Neyman design (Sampling.neymanSample): draw each
+    // stratum's sm10 allocation without replacement by deterministic
+    // hash rank within the stratum — design (sm10) and execution (sm11)
+    // share the allocation machinery, so the plan a statistician signs
+    // off is the plan that runs. Gate: per-source allocated vs achieved
+    // counts and the achieved character mass (achieved < allocated only
+    // when a stratum is smaller than its allocation). Rerun-stable: the
+    // hash ranking is a pure function of doc_id, so the same corpus
+    // always yields the same sample. Scale: the allocation rides sm10's
+    // tiny aggregate; ranking is one window over (id, source, hash)
+    // longs per stratum; the allocation broadcast-joins back.
+    Q(
+      "sm11_neyman_execute",
+      s"""WITH $duckNeymanCtes,
+         |  ranked AS (SELECT doc_id, source, n_chars,
+         |      row_number() OVER (PARTITION BY source
+         |        ORDER BY ${P.duckHash60("'ney|' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+         |    FROM documents),
+         |  kept AS (SELECT r.source, r.n_chars FROM ranked r
+         |           JOIN alloc a ON a.source = r.source AND r.rn <= a.alloc_neyman)
+         |SELECT a.source, a.alloc_neyman,
+         |  coalesce(k.achieved, 0) AS achieved,
+         |  coalesce(k.mass_kept, 0) AS mass_kept
+         |FROM alloc a LEFT JOIN (
+         |  SELECT source, count(*)::BIGINT AS achieved,
+         |         SUM(n_chars)::BIGINT AS mass_kept
+         |  FROM kept GROUP BY source) k ON k.source = a.source""".stripMargin) { (s, d) =>
+      val docs = T.documents(s, d)
+      val alloc = graft.functions.Sampling.neymanAllocation(docs)
+        .select("source", "alloc_neyman")
+      val kept = graft.functions.Sampling.neymanSample(docs)
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("achieved"),
+          sum("n_chars").cast("long").as("mass_kept"))
+      alloc.join(kept, Seq("source"), "left")
+        .selectExpr("source", "alloc_neyman",
+          "coalesce(achieved, 0L) as achieved",
+          "coalesce(mass_kept, 0L) as mass_kept")
     }
   )
+
+  /** sm10's allocation chain as DuckDB CTEs ending in
+    * `alloc(source, n_docs, sd_x100, alloc_neyman, alloc_prop, shift)` —
+    * shared by the sm10 and sm11 oracles so design and execution can't
+    * drift. Caller supplies `WITH `.
+    */
+  private def duckNeymanCtes: String =
+    """a AS (SELECT source, count(*)::BIGINT AS n,
+      |        SUM(n_chars)::BIGINT AS sx,
+      |        SUM(n_chars * n_chars)::BIGINT AS sxx
+      |      FROM documents GROUP BY source),
+      |  w AS (SELECT source, n,
+      |        CAST(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) AS DECIMAL(28,8)) AS wq
+      |      FROM a),
+      |  t AS (SELECT CAST(SUM(wq) AS DOUBLE) AS tw, SUM(n)::BIGINT AS tn FROM w),
+      |  alloc AS (SELECT source, n AS n_docs,
+      |    CAST(floor(100 * CAST(wq AS DOUBLE) / n) AS BIGINT) AS sd_x100,
+      |    CAST(floor(1000 * CAST(wq AS DOUBLE) / tw) AS BIGINT) AS alloc_neyman,
+      |    (1000 * n) // tn AS alloc_prop,
+      |    CAST(floor(1000 * CAST(wq AS DOUBLE) / tw) AS BIGINT)
+      |      - (1000 * n) // tn AS shift
+      |  FROM w CROSS JOIN t)""".stripMargin
 }

@@ -85,7 +85,9 @@ object ShuffleAudit {
     "cu09_dedup_provenance" -> "one (id, label) rollup past the CC rounds; dropped lists capped at 16 ids",
     "q_incr_merge" -> "base + delta each map-side combine; the merge joins key-count rows of decimal state",
     "fn11_count_vector" -> "vocab is a 16-row broadcast; vectors assemble in the scan projection",
-    "an15_join_cardinality" -> "the probe costs two key-count aggs + a key-row join — far below the join it sizes")
+    "an15_join_cardinality" -> "the probe costs two key-count aggs + a key-row join — far below the join it sizes",
+    "mm08_ahash_neardup" -> "decode partition-local; only (doc_id, band, key) and two hash longs per doc shuffle",
+    "sm11_neyman_execute" -> "allocation broadcast back; one per-stratum rank window of (id, hash) longs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -427,6 +427,36 @@ class QuerySpec extends AnyFunSuite {
     }
   }
 
+  test("mm08: seeded near-dup images pair at the bottom of the Hamming range") {
+    val rows = SparkEntry.queries("mm08_ahash_neardup")(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(r => r.getLong(2) >= 0L && r.getLong(2) <= 10L))
+    // the shared-seed pairs (5k, 5k+1) that band-collide must verify
+    val seeded = rows.filter(r =>
+      r.getLong(0) % 5 == 0 && r.getLong(1) == r.getLong(0) + 1)
+    assert(seeded.nonEmpty, "no seeded perceptual pair surfaced")
+    assert(seeded.forall(_.getLong(2) <= 5L),
+      "a seeded near-dup pair verified above 5 bits")
+    spark.catalog.clearCache()
+  }
+
+  test("sm11: execution achieves the sm10 design exactly where strata allow") {
+    val alloc = SparkEntry.queries("sm10_neyman_allocation")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val exec = SparkEntry.queries("sm11_neyman_execute")(spark, sf).collect()
+    assert(exec.length == alloc.size)
+    exec.foreach { r =>
+      val (src, allocN, achieved) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val (nDocs, design) = alloc(src)
+      assert(allocN == design, s"$src: execution disagrees with the design")
+      assert(achieved == math.min(allocN, nDocs),
+        s"$src: achieved $achieved != min(alloc $allocN, n $nDocs)")
+    }
+    // rerun stability: the deterministic hash draw yields identical rollups
+    val again = SparkEntry.queries("sm11_neyman_execute")(spark, sf).collect()
+    assert(exec.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
   test("st09: lateness accounting is internally consistent") {
     val rows = SparkEntry.queries("st09_late_events")(spark, sf).collect()
     assert(rows.nonEmpty)
