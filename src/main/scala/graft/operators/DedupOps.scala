@@ -877,6 +877,75 @@ object DedupOps {
       graft.functions.Dedup.containment(aug, "doc_id", "text")
     },
 
+    // LSH banding S-CURVE tuning table: for the observed candidate
+    // pairs, the retention probability each alternative banding config
+    // would give them — p(b, r | J) = 1 − (1 − Jʳ)ᵇ evaluated at the
+    // signature-estimated J = m/8 (m = agreeing components of the
+    // 8-component dd13 signature), for (b,r) ∈ {(8,1), (4,2), (2,4)}
+    // (all with b·r = 8, so the comparison is at EQUAL signature cost).
+    // This is the table you read before choosing a banding: r=1 keeps
+    // everything J ≥ ~0.1 (recall-heavy), r=4 suppresses everything
+    // below J ≈ 0.6 (precision-heavy) — the S-curve knee per config,
+    // weighted by how many observed pairs sit at each agreement level.
+    // All-integer arithmetic: with J = m/8 and b·r = 8, p_ppm =
+    // (10⁶·(8⁸ − (8ʳ − mʳ)ᵇ)) div 8⁸ — exact rationals, no floats.
+    // Scale: rides dd04's capped candidates; the m-histogram reads 8
+    // longs per pair side and rolls up to ≤ 9 rows before the 3-config
+    // expansion.
+    Q(
+      "dd22_lsh_scurve", {
+        val duckBandRows = (0 until 4)
+          .map(k => s"SELECT doc_id, $k AS band, mh$k AS h FROM sig")
+          .mkString("\n           UNION ALL ")
+        val m8 = (0 until 8)
+          .map(k => s"(CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        val arms = scurveConfigs.map { case (b, r) =>
+          s"""SELECT CAST($b AS BIGINT) AS b, CAST($r AS BIGINT) AS r, m,
+             |  (1000 * m) // 8 AS est_j_x1000,
+             |  (1000000 * (16777216 - ${scurveComplement(b, r)})) // 16777216 AS p_ppm,
+             |  n_pairs FROM hist""".stripMargin
+        }.mkString("\nUNION ALL ")
+        s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+           |     sh AS (SELECT doc_id, $duckShingles AS shingles FROM t),
+           |     hh AS (SELECT doc_id, $duckHs AS hs FROM sh),
+           |     sig AS (SELECT doc_id, ${(0 until 8).map(duckMh).mkString(", ")} FROM hh),
+           |     bands AS (
+           |       $duckBandRows),
+           |     $duckCapPairs,
+           |     hist AS (SELECT CAST($m8 AS BIGINT) AS m, count(*)::BIGINT AS n_pairs
+           |              FROM pairs p JOIN sig sa ON sa.doc_id = p.a_id
+           |                           JOIN sig sb ON sb.doc_id = p.b_id
+           |              GROUP BY 1)
+           |$arms""".stripMargin
+      }) { (s, d) =>
+      val sig = T.documents(s, d)
+        .selectExpr("doc_id", s"$sparkToks as toks")
+        .selectExpr("doc_id", s"$sparkShingles as shingles")
+        .selectExpr("doc_id", s"$sparkHs as hs")
+        .selectExpr("doc_id" +: (0 until 8).map(sparkMh): _*)
+        .persist() // bands + both m-histogram sides; caller clearCache releases
+      val bands = sig.selectExpr("doc_id",
+        "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) as (band, h)")
+      val m8 = (0 until 8)
+        .map(k => s"(case when amh$k = bmh$k then 1 else 0 end)")
+        .mkString(" + ")
+      val aSide = sig.select(col("doc_id").as("a_id") +:
+        (0 until 8).map(k => col(s"mh$k").as(s"amh$k")): _*)
+      val bSide = sig.select(col("doc_id").as("b_id") +:
+        (0 until 8).map(k => col(s"mh$k").as(s"bmh$k")): _*)
+      val hist = cappedBandPairs(bands)
+        .join(aSide, "a_id").join(bSide, "b_id")
+        .selectExpr(s"cast($m8 as bigint) as m")
+        .groupBy("m").agg(count(lit(1)).cast("long").as("n_pairs"))
+      scurveConfigs.map { case (b, r) =>
+        hist.selectExpr(s"cast($b as bigint) as b", s"cast($r as bigint) as r",
+          "m", "(1000 * m) div 8 as est_j_x1000",
+          s"(1000000 * (16777216 - ${scurveComplement(b, r)})) div 16777216 as p_ppm",
+          "n_pairs")
+      }.reduce(_ unionAll _)
+    },
+
     // SOFT dedup (Dedup.softWeights): instead of dropping near-dup
     // cluster members, weight each document by 10⁶ div cluster_size so
     // every cluster contributes ~one document of sampling mass — the
@@ -902,6 +971,21 @@ object DedupOps {
       graft.functions.Dedup.softWeights(T.documents(s, d))
     }
   )
+
+  /** dd22's banding configs — all at signature cost b·r = 8. (A `def`,
+    * not a `val`: the oracle string interpolates it during `queries`
+    * init, which runs before any val declared below it.)
+    */
+  private def scurveConfigs = Seq((8, 1), (4, 2), (2, 4))
+
+  /** SQL for (8ʳ − mʳ)ᵇ over an integer column `m` using only `*` and
+    * `-` — identical text on both engines (no pow(), which is float).
+    */
+  private def scurveComplement(b: Int, r: Int): String = {
+    val mr = Seq.fill(r)("m").mkString(" * ")
+    val base = s"(${math.pow(8, r).toLong} - ($mr))"
+    Seq.fill(b)(base).mkString(" * ")
+  }
 
   /** Directional containment over LSH candidate pairs: (a_id, b_id,
     * c_ab_x10000, c_ba_x10000, verdict) where c(A→B) = |A∩B|/|A| over

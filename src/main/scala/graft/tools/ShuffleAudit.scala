@@ -87,7 +87,8 @@ object ShuffleAudit {
     "fn11_count_vector" -> "vocab is a 16-row broadcast; vectors assemble in the scan projection",
     "an15_join_cardinality" -> "the probe costs two key-count aggs + a key-row join — far below the join it sizes",
     "mm08_ahash_neardup" -> "decode partition-local; only (doc_id, band, key) and two hash longs per doc shuffle",
-    "sm11_neyman_execute" -> "allocation broadcast back; one per-stratum rank window of (id, hash) longs")
+    "sm11_neyman_execute" -> "allocation broadcast back; one per-stratum rank window of (id, hash) longs",
+    "dd22_lsh_scurve" -> "rides dd04's capped candidates; the m-histogram reads 8 longs/side, rolls to ≤ 9 rows")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

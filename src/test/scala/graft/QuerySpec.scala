@@ -457,6 +457,27 @@ class QuerySpec extends AnyFunSuite {
     assert(exec.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
+  test("dd22: S-curve retention is monotone in J and ordered by r") {
+    val rows = SparkEntry.queries("dd22_lsh_scurve")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getLong(4)))
+    val byCfg = rows.groupBy(_._1)
+    assert(byCfg.keySet == Set((8L, 1L), (4L, 2L), (2L, 4L)))
+    byCfg.foreach { case (cfg, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // retention grows with agreement, and full agreement retains all
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq,
+        s"$cfg: p_ppm not monotone in m")
+      sorted.find(_._2 == 8L).foreach(r => assert(r._3 == 1000000L))
+    }
+    // at every observed m: higher r = stricter (r=1 ≥ r=2 ≥ r=4)
+    rows.groupBy(_._2).foreach { case (m, rs) =>
+      val p = rs.map(r => r._1 -> r._3).toMap
+      assert(p((8L, 1L)) >= p((4L, 2L)) && p((4L, 2L)) >= p((2L, 4L)),
+        s"m=$m: configs not precision-ordered")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("st09: lateness accounting is internally consistent") {
     val rows = SparkEntry.queries("st09_late_events")(spark, sf).collect()
     assert(rows.nonEmpty)
