@@ -581,7 +581,36 @@ object HeadlineQueries {
           "n_rows", "span_x", "span_y")
     },
 
-    incrMergeQ
+    incrMergeQ,
+
+    // CDC latest-wins compaction (the lakehouse MERGE-upsert read
+    // path): treat events as a changelog keyed by (user_id, event_type)
+    // and keep each key's LATEST record by event time (event_id breaks
+    // ts ties — a total order, so replays compact identically). The
+    // dual of st05's first-touch; with q_scd2 (full history) and
+    // q_incr_merge (agg maintenance) it completes the incremental-
+    // pipeline trio. Scale: one key-partitioned rank window over
+    // (key, ts, id) longs — the same exchange the upsert write itself
+    // pays; values ride along, never shuffle twice.
+    Q(
+      "q_cdc_compact",
+      """WITH o AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value,
+        |        row_number() OVER (PARTITION BY user_id, event_type
+        |          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |      FROM events)
+        |SELECT user_id, event_type, event_id AS last_event_id,
+        |  ts_us AS last_ts_us, value AS last_value
+        |FROM o WHERE rn = 1""".stripMargin) { (s, d) =>
+      T.events(s, d)
+        .selectExpr("user_id", "event_type", "event_id",
+          "unix_micros(ts) as ts_us", "value")
+        .selectExpr("*",
+          "row_number() over (partition by user_id, event_type " +
+            "order by ts_us desc, event_id desc) as rn")
+        .filter(col("rn") === 1)
+        .selectExpr("user_id", "event_type", "event_id as last_event_id",
+          "ts_us as last_ts_us", "value as last_value")
+    }
   )
 
   /** Incremental aggregate maintenance (the MERGE-refresh move every

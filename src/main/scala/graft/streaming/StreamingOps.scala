@@ -234,12 +234,17 @@ object StreamingOps {
     // choosing a watermark delay: a watermark shorter than the observed
     // disorder silently drops those events in every windowed agg, and
     // keyed state (flatMapGroupsWithState) sees exactly this per-key
-    // arrival view. Scale: one user-keyed exchange of (id, ts) longs;
+    // arrival view. The fixture's stream is perfectly ordered (probed:
+    // zero organic disorder), so like tx17/dd18 the query AUGMENTS on
+    // BOTH engines: every 97th event carries a 2-hour-old timestamp —
+    // known late arrivals; the real-corpus path drops the shift. Scale: one user-keyed exchange of (id, ts) longs;
     // the running max is a per-key window, partial counts combine
     // map-side.
     Q(
       "st09_late_events",
-      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      """WITH o AS (SELECT user_id, event_id,
+        |        epoch_us(ts) - CASE WHEN event_id % 97 = 0 THEN 7200000000 ELSE 0 END AS ts_us
+        |      FROM events),
         |  r AS (SELECT user_id, event_id, ts_us,
         |          max(ts_us) OVER (PARTITION BY user_id ORDER BY event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
@@ -249,7 +254,9 @@ object StreamingOps {
         |  coalesce(CAST(max(CASE WHEN runmax > ts_us THEN runmax - ts_us END) AS BIGINT), 0) AS max_disorder_us
         |FROM r GROUP BY user_id""".stripMargin) { (s, d) =>
       T.events(s, d)
-        .selectExpr("user_id", "event_id", "unix_micros(ts) as ts_us")
+        .selectExpr("user_id", "event_id",
+          "unix_micros(ts) - case when event_id % 97 = 0 " +
+            "then 7200000000L else 0L end as ts_us")
         .selectExpr("user_id", "event_id", "ts_us",
           "max(ts_us) over (partition by user_id order by event_id " +
             "rows between unbounded preceding and 1 preceding) as runmax")
@@ -261,6 +268,52 @@ object StreamingOps {
           coalesce(max(when(col("runmax") > col("ts_us"),
             col("runmax") - col("ts_us"))), lit(0L)).cast("long")
             .as("max_disorder_us"))
+    },
+
+    // Watermark SIZING curve: st09's per-event disorder rolled into the
+    // delay → data-loss tradeoff — for candidate watermark delays, how
+    // many events a windowed agg would silently drop (their event time
+    // trails the per-key running max by more than the delay) and the
+    // loss rate in ppm. You read this table once and pick the smallest
+    // delay with acceptable loss; st09 gives the per-user forensics,
+    // this gives the knob's value. Shares st09's augmented fixture
+    // (every 97th event 2 h late), so delays below 2 h drop exactly
+    // those events and the 2 h delay drops none — the knee is visible. Scale: the same single user-keyed
+    // exchange as st09; all four thresholds share the one running-max
+    // window, the rollup is a 4-row conditional agg.
+    Q(
+      "st10_watermark_curve",
+      """WITH o AS (SELECT user_id, event_id,
+        |        epoch_us(ts) - CASE WHEN event_id % 97 = 0 THEN 7200000000 ELSE 0 END AS ts_us
+        |      FROM events),
+        |  r AS (SELECT ts_us,
+        |          max(ts_us) OVER (PARTITION BY user_id ORDER BY event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+        |        FROM o),
+        |  d AS (SELECT delay_s FROM (VALUES (60), (300), (1800), (7200)) v(delay_s)),
+        |  t AS (SELECT count(*)::BIGINT AS n FROM r)
+        |SELECT CAST(delay_s AS BIGINT) AS delay_s,
+        |  coalesce(SUM(CASE WHEN runmax - ts_us > CAST(delay_s AS BIGINT) * 1000000 THEN 1 END), 0)::BIGINT AS n_dropped,
+        |  CAST((1000000 * coalesce(SUM(CASE WHEN runmax - ts_us > CAST(delay_s AS BIGINT) * 1000000 THEN 1 END), 0))
+        |    // (SELECT n FROM t) AS BIGINT) AS loss_ppm
+        |FROM r CROSS JOIN d GROUP BY delay_s""".stripMargin) { (s, d) =>
+      val r = T.events(s, d)
+        .selectExpr("user_id", "event_id",
+          "unix_micros(ts) - case when event_id % 97 = 0 " +
+            "then 7200000000L else 0L end as ts_us")
+        .selectExpr("ts_us",
+          "max(ts_us) over (partition by user_id order by event_id " +
+            "rows between unbounded preceding and 1 preceding) as runmax")
+      val t = r.agg(count(lit(1)).cast("long").as("n"))
+      r.selectExpr("ts_us", "runmax",
+        "explode(array(60, 300, 1800, 7200)) as delay_s")
+        .groupBy("delay_s")
+        .agg(coalesce(sum(when(
+          col("runmax") - col("ts_us") > col("delay_s").cast("long") * 1000000L,
+          1L)), lit(0L)).cast("long").as("n_dropped"))
+        .crossJoin(broadcast(t))
+        .selectExpr("cast(delay_s as bigint) as delay_s", "n_dropped",
+          "(1000000 * n_dropped) div n as loss_ppm")
     }
   )
 }

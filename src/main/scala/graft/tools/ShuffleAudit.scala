@@ -88,7 +88,9 @@ object ShuffleAudit {
     "an15_join_cardinality" -> "the probe costs two key-count aggs + a key-row join — far below the join it sizes",
     "mm08_ahash_neardup" -> "decode partition-local; only (doc_id, band, key) and two hash longs per doc shuffle",
     "sm11_neyman_execute" -> "allocation broadcast back; one per-stratum rank window of (id, hash) longs",
-    "dd22_lsh_scurve" -> "rides dd04's capped candidates; the m-histogram reads 8 longs/side, rolls to ≤ 9 rows")
+    "dd22_lsh_scurve" -> "rides dd04's capped candidates; the m-histogram reads 8 longs/side, rolls to ≤ 9 rows",
+    "st10_watermark_curve" -> "four delays share ONE user-keyed running-max window; rollup is a 4-row conditional agg",
+    "q_cdc_compact" -> "one key-partitioned rank window — the same exchange the upsert write itself pays")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

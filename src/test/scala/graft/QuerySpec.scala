@@ -489,6 +489,27 @@ class QuerySpec extends AnyFunSuite {
     }
   }
 
+  test("st10: loss is non-increasing in watermark delay and vanishes at 2h") {
+    val rows = SparkEntry.queries("st10_watermark_curve")(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(60L, 300L, 1800L, 7200L))
+    val drops = rows.map(_.getLong(1))
+    assert(drops.sliding(2).forall(p => p(0) >= p(1)),
+      s"loss curve not monotone: ${drops.toSeq}")
+    // the augmentation shifts events exactly 2h, so a 2h delay loses none
+    assert(drops.last == 0L)
+    assert(drops.head > 0L, "augmented late events not visible at 60s delay")
+  }
+
+  test("q_cdc_compact: exactly one surviving record per changelog key") {
+    val rows = SparkEntry.queries("q_cdc_compact")(spark, sf).collect()
+    val keys = rows.map(r => (r.getLong(0), r.getString(1)))
+    assert(keys.distinct.length == keys.length, "duplicate key survived compaction")
+    val distinctKeys = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type").distinct().count()
+    assert(rows.length == distinctKeys)
+  }
+
   // Registered AFTER the full per-query sweep above (funsuite runs tests
   // in registration order): the persist() sites inside the queries rely
   // on the documented caller contract — bench/verify run
