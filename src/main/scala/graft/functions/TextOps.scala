@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.{Q, Tables => T}
+import graft.{Portable => P, Q, Tables => T}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -772,6 +772,47 @@ object TextOps {
           "else '' end) as text")
       TextQuality.codeSignals(aug, "text")
         .select("doc_id", "n_sym", "n_comment", "sym_ppm", "is_code")
+    },
+
+    // Per-document n-gram novelty (data-pruning/curriculum signal): the
+    // fraction of a doc's distinct 8-gram window hashes that FIRST appear
+    // in this doc (first = lowest doc_id containing the hash — the
+    // deterministic stand-in for ingestion order). Docs that mostly
+    // re-state earlier corpus content score near 0 and are the first cut
+    // for novelty-weighted selection; docs shorter than 8 tokens have no
+    // windows and drop out. Scale: window text is hashed inside the scan
+    // projection and dropped — the first-seen rollup (min(doc_id) per
+    // hash, map-side combined) and the flag join ship ONLY (hash, id)
+    // longs; text never crosses an exchange (the dd18 discipline).
+    Q(
+      "tx22_ngram_novelty",
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+         |           FROM documents),
+         |  w AS (SELECT DISTINCT doc_id,
+         |          unnest(list_transform(range(0, greatest(0, len(toks) - 7)),
+         |            i -> ${P.duckHash60("'nv|' || list_aggregate(list_slice(toks, i + 1, i + 8), 'string_agg', ' ')")})) AS wh
+         |        FROM t),
+         |  f AS (SELECT wh, min(doc_id) AS first_doc FROM w GROUP BY wh)
+         |SELECT w.doc_id,
+         |  CAST(count(*) AS BIGINT) AS d_hashes,
+         |  CAST(count(CASE WHEN f.first_doc = w.doc_id THEN 1 END) AS BIGINT) AS d_novel,
+         |  (1000000 * count(CASE WHEN f.first_doc = w.doc_id THEN 1 END)) // count(*) AS novelty_ppm
+         |FROM w JOIN f ON f.wh = w.wh
+         |GROUP BY w.doc_id""".stripMargin) { (s, d) =>
+      val wh = P.hash60("concat('nv|', array_join(slice(toks, i + 1, 8), ' '))")
+      val w = T.documents(s, d)
+        .selectExpr("doc_id", "split(lower(text), '\\\\s+') as toks")
+        .selectExpr("doc_id",
+          "explode(case when size(toks) < 8 then array() else " +
+            s"array_distinct(transform(sequence(0, size(toks) - 8), i -> $wh)) end) as wh")
+      val f = w.groupBy("wh").agg(min("doc_id").as("first_doc"))
+      w.join(f, "wh")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).cast("long").as("d_hashes"),
+          count(when(col("first_doc") === col("doc_id"), 1)).cast("long").as("d_novel"))
+        .selectExpr("doc_id", "d_hashes", "d_novel",
+          "(1000000 * d_novel) div d_hashes as novelty_ppm")
     }
   )
 

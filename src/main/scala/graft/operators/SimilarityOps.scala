@@ -165,6 +165,23 @@ object SimilarityOps {
       s"(case when ${sparkDot(vecCol, arr)} > 0 then ${1L << p}L else 0L end)"
     }.mkString("", " + ", "")
 
+  /** One 32-bit word of the RAW sign-bit code of `vecCol` (ss19): bit j
+    * set iff component `base+j+1` is strictly positive. Unlike the SRP
+    * code (random projections — dim-independent similarity structure),
+    // this is plain per-component binarization: the standard binary-
+    // quantization layout whose Hamming distance approximates angular
+    // distance for zero-centered embeddings. Two words cover dim 64.
+    */
+  private def signWord(vec: String, base: Int): String =
+    (0 until 32).map(j =>
+      s"(case when element_at($vec, ${base + j + 1}) > cast(0 as float) " +
+        s"then ${1L << j}L else 0L end)")
+      .mkString("(", " + ", ")")
+  private def duckSignWord(vec: String, base: Int): String =
+    (0 until 32).map(j =>
+      s"(CASE WHEN $vec[${base + j + 1}] > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
   /** Band a (vec_id, code) frame 4×8 bits and emit distinct same-bucket
     * candidate pairs (a_id < b_id), each bucket capped at `cap` members
     * by vec_id order (dd04's flood guard: a template flood yields
@@ -1435,6 +1452,92 @@ object SimilarityOps {
             "n_hit", "(n_hit * 100) div 3 as recall_x100")
       }
       arms.reduce(_ unionAll _)
+    },
+
+    // Binary (sign-bit) quantization ANN + Hamming-shortlist rerank: each
+    // 64-float embedding compresses to TWO BIGINT words of sign bits
+    // (8 B/vector — a 32x memory cut vs float32, the layout that lets a
+    // 100 TB corpus's code table sit in executor RAM); the per-query
+    // shortlist is the 50 lowest-Hamming codes, found by a scan that
+    // touches ONLY integer words (bit_count of two XORs, fully codegen'd
+    // — no float math until rerank), and exact cosine runs over just
+    // those 50. Output: per-query recall of the reranked top-3 vs the
+    // exact top-3 plus the shortlist's Hamming spread — the
+    // shortlist-size-vs-recall trade a production BQ deployment tunes.
+    // Sign codes are born in the scan projection (the ss10 pattern), so
+    // the only corpus-wide exchange ships (id, 2 longs).
+    Q(
+      "ss19_hamming_rerank",
+      s"""WITH c AS (SELECT vec_id, ${duckSignWord("embedding", 0)} AS w0,
+         |             ${duckSignWord("embedding", 32)} AS w1, embedding FROM embeddings),
+         |  q AS (SELECT vec_id AS q_id, w0 AS qw0, w1 AS qw1, embedding AS qe
+         |        FROM c WHERE vec_id < 5),
+         |  sl AS (SELECT q_id, n_id, ham, qe, ne FROM (
+         |    SELECT q_id, n_id, ham, qe, ne,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY ham, n_id) AS rn
+         |    FROM (SELECT q.q_id, c.vec_id AS n_id,
+         |            bit_count(xor(c.w0, q.qw0)) + bit_count(xor(c.w1, q.qw1)) AS ham,
+         |            q.qe AS qe, c.embedding AS ne
+         |          FROM q CROSS JOIN c WHERE c.vec_id <> q.q_id)) WHERE rn <= 50),
+         |  rr AS (SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY ${duckCos("qe", "ne")} DESC, n_id) AS rn
+         |    FROM sl) WHERE rn <= 3),
+         |  exact AS (SELECT q_id, n_id FROM (
+         |    SELECT q.q_id, e.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${duckCos("q.qe", "e.embedding")} DESC, e.vec_id) AS rn
+         |    FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id) WHERE rn <= 3),
+         |  hs AS (SELECT q_id, CAST(min(ham) AS BIGINT) AS ham_min,
+         |           CAST(max(ham) AS BIGINT) AS ham_max,
+         |           CAST(count(*) AS BIGINT) AS n_cand FROM sl GROUP BY q_id)
+         |SELECT x.q_id, h.n_cand, h.ham_min, h.ham_max,
+         |  count(r.n_id) AS n_hit, (count(r.n_id) * 100) // 3 AS recall_x100
+         |FROM exact x JOIN hs h ON h.q_id = x.q_id
+         |  LEFT JOIN rr r ON r.q_id = x.q_id AND r.n_id = x.n_id
+         |GROUP BY x.q_id, h.n_cand, h.ham_min, h.ham_max""".stripMargin) { (s, d) =>
+      graft.functions.CosineSimilarity.register(s)
+      val e = T.embeddings(s, d)
+      val c = e.selectExpr(
+        "vec_id",
+        s"${signWord("embedding", 0)} as w0",
+        s"${signWord("embedding", 32)} as w1",
+        "embedding")
+      val q = c.filter(col("vec_id") < 5)
+        .selectExpr("vec_id as q_id", "w0 as qw0", "w1 as qw1", "embedding as qe")
+      val sl = broadcast(q)
+        .crossJoin(c.selectExpr("vec_id as n_id", "w0", "w1", "embedding as ne"))
+        .filter(col("n_id") =!= col("q_id"))
+        .selectExpr("q_id", "n_id",
+          "bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1) as ham", "qe", "ne")
+        .selectExpr("q_id", "n_id", "ham", "qe", "ne",
+          "row_number() over (partition by q_id order by ham, n_id) as rn")
+        .filter(col("rn") <= 50)
+        .persist() // feeds rerank + spread; caller clearCache releases
+      val rr = sl
+        .selectExpr("q_id", "n_id",
+          s"row_number() over (partition by q_id order by ${sparkCos("qe", "ne")} desc, n_id) as rn")
+        .filter(col("rn") <= 3)
+        .select("q_id", "n_id")
+      val exact = broadcast(q.select("q_id", "qe"))
+        .crossJoin(e.selectExpr("vec_id as n_id", "embedding as ne"))
+        .filter(col("n_id") =!= col("q_id"))
+        .selectExpr("q_id", "n_id",
+          s"row_number() over (partition by q_id order by ${sparkCos("qe", "ne")} desc, n_id) as rn")
+        .filter(col("rn") <= 3)
+        .select("q_id", "n_id")
+      val hs = sl.groupBy("q_id").agg(
+        min("ham").cast("long").as("ham_min"),
+        max("ham").cast("long").as("ham_max"),
+        count(lit(1)).cast("long").as("n_cand"))
+      exact.join(hs, "q_id")
+        .join(rr.withColumnRenamed("q_id", "rq_id").withColumnRenamed("n_id", "rn_id"),
+          col("q_id") === col("rq_id") && col("n_id") === col("rn_id"), "left")
+        .groupBy("q_id", "n_cand", "ham_min", "ham_max")
+        .agg(count(col("rn_id")).as("n_hit"))
+        .selectExpr("q_id", "n_cand", "ham_min", "ham_max", "n_hit",
+          "(n_hit * 100) div 3 as recall_x100")
     }
   )
 

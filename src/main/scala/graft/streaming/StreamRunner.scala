@@ -469,4 +469,99 @@ object StreamRunner {
       .filter("purchase_id is null")
       .selectExpr("click_id", "c_uid as user_id", "unix_micros(cts) as ts_us")
   }
+
+  /** st11's at-least-once transport as a REAL stream: batch A is the
+    * full event file, batch B the redelivery of every 50th event (same
+    * event_id — the retry), admitted through the genuine watermarked
+    * `dropDuplicatesWithinWatermark("event_id")`. Returns the admitted
+    * rows; StreamingSpec asserts they are exactly st11's ledger keys
+    * with first-delivery timestamps (the exactly-once ingest contract).
+    */
+  def dedupLedgerStream(spark: SparkSession, sfDir: String,
+      queryName: String = "graft_dedup_ledger"): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir)
+      .selectExpr("event_id", "user_id", "ts")
+    val stage = java.nio.file.Files.createTempDirectory("graft-dedup-ledger")
+    def emit(name: String, df: DataFrame): Unit = {
+      val tmp = stage.resolve(name + "_tmp").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, stage.resolve(name + ".parquet"))
+      Thread.sleep(1100) // distinct mtimes → deterministic oldest-first order
+    }
+    emit("batch_a", ev)
+    emit("batch_b", ev.filter("event_id % 50 = 0"))
+    val admitted = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+      .withWatermark("ts", "24 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = admitted.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .selectExpr("event_id", "user_id", "unix_micros(ts) as ts_us")
+  }
+
+  /** st12's native session windows as a genuine streaming agg: the
+    * identical `session_window(ts, '30 minutes')` plan over two
+    * time-split micro-batches in APPEND mode (the only output mode
+    * Spark supports for streaming session windows) — a session row
+    * emits exactly once, when the watermark proves it can no longer
+    * merge or extend. End-of-stream would strand every session still
+    * inside the 30-minute horizon, so a third batch carries ONE
+    * sentinel event 3 hours past the stream's end (user −1, the
+    * operational "flush tick" a real deployment gets for free from the
+    * next day's traffic); the sentinel's own never-finalized session is
+    * dropped from the returned frame. StreamingSpec asserts equality
+    * with batch st12.
+    */
+  def sessionWindowStream(spark: SparkSession, sfDir: String,
+      queryName: String = "graft_session_window"): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "value", "ts", "unix_micros(ts) as ts_us")
+    val Array(minTs, maxTs) = ev.selectExpr("min(ts_us)", "max(ts_us)").head() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val mid = minTs + (maxTs - minTs) / 2
+    val stage = java.nio.file.Files.createTempDirectory("graft-sesswin")
+    def emit(name: String, df: DataFrame): Unit = {
+      val tmp = stage.resolve(name + "_tmp").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, stage.resolve(name + ".parquet"))
+      Thread.sleep(1100) // distinct mtimes → deterministic oldest-first order
+    }
+    emit("batch_a", ev.filter(s"ts_us <= $mid"))
+    emit("batch_b", ev.filter(s"ts_us > $mid"))
+    emit("batch_c", ev.limit(1).selectExpr("cast(-1 as bigint) as user_id",
+      "cast(-1 as bigint) as event_id", "cast(0.0 as double) as value",
+      s"timestamp_micros(${maxTs + 3L * 3600000000L}) as ts",
+      s"cast(${maxTs + 3L * 3600000000L} as bigint) as ts_us"))
+    val agg = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+      .withWatermark("ts", "1 second")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"), expr(graft.Portable.dsum("value")).as("v"))
+      .selectExpr("user_id",
+        "unix_seconds(sw.start) as sess_start_s",
+        "unix_seconds(sw.end) as sess_end_s", "n", "v")
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName).filter("user_id >= 0")
+  }
 }

@@ -314,6 +314,78 @@ object StreamingOps {
         .crossJoin(broadcast(t))
         .selectExpr("cast(delay_s as bigint) as delay_s", "n_dropped",
           "(1000000 * n_dropped) div n as loss_ppm")
+    },
+
+    // At-least-once ingest dedup ledger: the batch rendering of streaming
+    // idempotency-key dedup (dropDuplicatesWithinWatermark). The fixture
+    // stream is perfectly exactly-once, so like st09 the query AUGMENTS
+    // on BOTH engines: every 50th event is redelivered (same event_id —
+    // the transport retry), and the ledger rolls each key up to its
+    // admitted row plus the delivery count an ingest monitor alerts on.
+    // StreamRunner.dedupLedgerStream admits through the REAL watermarked
+    // dropDuplicatesWithinWatermark over the redelivered two-batch
+    // stream; StreamingSpec asserts the admitted set ≡ this ledger.
+    // Scale: one exchange of (id, longs) with map-side combine; dedup
+    // state in the streaming twin is one key per event inside the
+    // watermark horizon — the bound that makes exactly-once ingest
+    // affordable at firehose rates.
+    Q(
+      "st11_stream_dedup",
+      """WITH a AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |  UNION ALL
+        |  SELECT event_id, user_id, epoch_us(ts) FROM events WHERE event_id % 50 = 0)
+        |SELECT event_id, min(user_id) AS user_id, CAST(min(ts_us) AS BIGINT) AS ts_us,
+        |  CAST(count(*) AS BIGINT) AS n_deliveries
+        |FROM a GROUP BY event_id""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d)
+        .selectExpr("event_id", "user_id", "unix_micros(ts) as ts_us")
+      ev.unionAll(ev.filter("event_id % 50 = 0"))
+        .groupBy("event_id")
+        .agg(
+          min("user_id").as("user_id"),
+          min("ts_us").cast("long").as("ts_us"),
+          count(lit(1)).cast("long").as("n_deliveries"))
+    },
+
+    // Native session windows: Spark's session_window(ts, gap) — the
+    // operator Structured Streaming uses for merging-session state —
+    // run over the events table (batch mode executes the same plan),
+    // per-user 30-minute-gap sessions with count + exact spend.
+    // Complements st02 (which pins the LAG-based rendering): here the
+    // session extent itself is first-class (start, end = last + gap).
+    // The oracle is the gaps-and-islands unroll with Spark's exact
+    // boundary rule (a new session starts when the gap is ≥ 30 min —
+    // session intervals are end-exclusive, touching intervals do NOT
+    // merge). StreamRunner.sessionWindowStream runs the identical agg
+    // as a genuine watermarked streaming query across two time-split
+    // micro-batches; StreamingSpec asserts equality. Scale: one
+    // user-keyed exchange; streaming state is one (start, last, agg)
+    // tuple per OPEN session, watermark-evicted.
+    Q(
+      "st12_session_window",
+      s"""WITH o AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events),
+         |  g AS (SELECT user_id, value, ts_us,
+         |          CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id
+         |                 ORDER BY ts_us, event_id) >= 1800000000 THEN 1
+         |               WHEN lag(ts_us) OVER (PARTITION BY user_id
+         |                 ORDER BY ts_us, event_id) IS NULL THEN 1 ELSE 0 END AS ns,
+         |          event_id
+         |        FROM o),
+         |  s AS (SELECT user_id, value, ts_us,
+         |          SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |        FROM g)
+         |SELECT user_id, min(ts_us) // 1000000 AS sess_start_s,
+         |  (max(ts_us) + 1800000000) // 1000000 AS sess_end_s,
+         |  count(*) AS n, ${P.duckDsum("value")} AS v
+         |FROM s GROUP BY user_id, sid""".stripMargin) { (s, d) =>
+      T.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n"), expr(P.dsum("value")).as("v"))
+        .selectExpr("user_id",
+          "unix_seconds(sw.start) as sess_start_s",
+          "unix_seconds(sw.end) as sess_end_s", "n", "v")
     }
   )
 }

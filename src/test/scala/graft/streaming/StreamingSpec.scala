@@ -134,4 +134,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("watermarked dedup admits exactly st11's ledger keys at first delivery") {
+    val admitted = StreamRunner.dedupLedgerStream(spark, sf, "graft_dedup_ledger_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ledger = graft.streaming.StreamingOps.queries.find(_.name == "st11_stream_dedup").get
+      .fn(spark, sf).collect()
+    val batch = ledger.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(admitted == batch) // one admitted row per key, first-delivery ts
+    // the augmentation really produced redeliveries, and only for % 50 keys
+    assert(ledger.forall(r => r.getLong(3) == (if (r.getLong(0) % 50 == 0) 2L else 1L)))
+    assert(ledger.exists(_.getLong(3) == 2L))
+  }
+
+  test("streaming session_window across micro-batches equals batch st12") {
+    val streamed = StreamRunner.sessionWindowStream(spark, sf, "graft_sesswin_spec")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    val batch = graft.streaming.StreamingOps.queries.find(_.name == "st12_session_window").get
+      .fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
