@@ -230,4 +230,35 @@ object Curation {
         "w_ppm - (1000000 * kept_chars) div tc as shift_ppm")
       .withColumnRenamed("source", groupCol)
   }
+
+  /** Largest-remainder token-budget apportionment (epoch planning):
+    * (groupCol, n_docs, tokens, alloc_tokens, alloc_ppm) where
+    * alloc_tokens = floor(budget · tokens / total) plus one leftover
+    * unit to the largest fractional remainders (ties to the smaller
+    * group), so Σ alloc_tokens = budget EXACTLY — integer arithmetic
+    * throughout (remainders compare as (budget·tokens) mod total).
+    * Shared by the gated cu10 query; the rollup is map-side combined,
+    * the apportionment windows run on the group-cardinality frame.
+    */
+  def tokenBudget(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text", budget: Long = 100000L): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    docs
+      .selectExpr(s"$groupCol as source", s"size(split($textCol, '\\\\s+')) as ntok")
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("ntok").cast("long").as("tokens"))
+      .selectExpr("source", "n_docs", "tokens",
+        "sum(tokens) over () as total")
+      .selectExpr("source", "n_docs", "tokens",
+        s"($budget * tokens) div total as base",
+        s"($budget * tokens) % total as frac")
+      .selectExpr("source", "n_docs", "tokens", "base",
+        "row_number() over (order by frac desc, source) as rk",
+        s"$budget - sum(base) over () as rem")
+      .selectExpr("source", "n_docs", "tokens",
+        "cast(base + case when rk <= rem then 1 else 0 end as bigint) as alloc_tokens",
+        s"cast((1000000 * (base + case when rk <= rem then 1 else 0 end)) div $budget as bigint) as alloc_ppm")
+      .withColumnRenamed("source", groupCol)
+  }
 }

@@ -56,6 +56,29 @@ object Similarity {
       .select("q_id", "rank", "n_id", "cs")
   }
 
+  /** Binary-quantization top-k: sign-bit codes ((dim+31)/32 longs per
+    * vector — 8 B at dim 64, a 32× cut vs float32), a per-query
+    * `shortlist` of lowest-Hamming candidates found by an int-only
+    * codegen'd scan, then exact cosine over just the shortlist.
+    * Returns (q_id, rank, n_id, ham) with rank by (cosine desc, id).
+    * `dim` must match the embedding width (the srpNearDup contract).
+    * Delegates to SimilarityOps.hammingShortlist — the exact machinery
+    * the gated ss19 query runs.
+    */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, shortlist: Int = 50, dim: Int = 64): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"need 1 <= k <= shortlist, got k=$k shortlist=$shortlist")
+    CosineSimilarity.register(corpus.sparkSession)
+    graft.operators.SimilarityOps
+      .hammingShortlist(corpus, queries, idCol, vecCol, shortlist, dim)
+      .selectExpr("q_id", "n_id", "ham",
+        "cast(row_number() over (partition by q_id " +
+          "order by cosine_similarity(qe, ne) desc, n_id) as bigint) as rank")
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "ham")
+  }
+
   /** SRP-LSH (Charikar cosine LSH) near-duplicate pairs over an
     * embedding column — the ss10 plan as a function: 64-bit sign code
     * from 32 inlined deterministic hyperplanes (one codegen'd

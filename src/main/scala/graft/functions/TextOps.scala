@@ -799,22 +799,34 @@ object TextOps {
          |  (1000000 * count(CASE WHEN f.first_doc = w.doc_id THEN 1 END)) // count(*) AS novelty_ppm
          |FROM w JOIN f ON f.wh = w.wh
          |GROUP BY w.doc_id""".stripMargin) { (s, d) =>
-      val wh = P.hash60("concat('nv|', array_join(slice(toks, i + 1, 8), ' '))")
-      val w = T.documents(s, d)
-        .selectExpr("doc_id", "split(lower(text), '\\\\s+') as toks")
-        .selectExpr("doc_id",
-          "explode(case when size(toks) < 8 then array() else " +
-            s"array_distinct(transform(sequence(0, size(toks) - 8), i -> $wh)) end) as wh")
-      val f = w.groupBy("wh").agg(min("doc_id").as("first_doc"))
-      w.join(f, "wh")
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).cast("long").as("d_hashes"),
-          count(when(col("first_doc") === col("doc_id"), 1)).cast("long").as("d_novel"))
-        .selectExpr("doc_id", "d_hashes", "d_novel",
-          "(1000000 * d_novel) div d_hashes as novelty_ppm")
+      noveltyScores(T.documents(s, d))
     }
   )
+
+  /** Per-document n-gram novelty scores: (id, d_hashes, d_novel,
+    * novelty_ppm) over distinct `k`-gram window hashes, where a hash is
+    * novel to the document with the lowest id containing it. Shared by
+    * the gated tx22 query and `Dedup.novelty` (same machinery, can't
+    * diverge). Docs with fewer than `k` tokens produce no row.
+    */
+  private[graft] def noveltyScores(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 8): org.apache.spark.sql.DataFrame = {
+    val wh = P.hash60(s"concat('nv|', array_join(slice(toks, i + 1, $k), ' '))")
+    val w = docs
+      .selectExpr(s"$idCol as doc_id", s"split(lower($textCol), '\\\\s+') as toks")
+      .selectExpr("doc_id",
+        s"explode(case when size(toks) < $k then array() else " +
+          s"array_distinct(transform(sequence(0, size(toks) - $k), i -> $wh)) end) as wh")
+    val f = w.groupBy("wh").agg(min("doc_id").as("first_doc"))
+    w.join(f, "wh")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("d_hashes"),
+        count(when(col("first_doc") === col("doc_id"), 1)).cast("long").as("d_novel"))
+      .selectExpr("doc_id", "d_hashes", "d_novel",
+        "(1000000 * d_novel) div d_hashes as novelty_ppm")
+  }
 
   /** Per-document BM25 scores (k1=1.2, b=0.75) for a fixed query-term
     * set: (doc_id, bm25, n_terms), one row per document matching ≥ 1

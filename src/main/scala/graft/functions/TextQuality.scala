@@ -529,6 +529,20 @@ object Dedup {
       .withColumnRenamed("doc_id", idCol)
   }
 
+  /** Per-document n-gram novelty (the data-pruning selection signal):
+    * (idCol, d_hashes, d_novel, novelty_ppm) — the share of the doc's
+    * distinct `k`-gram hashes that first appear in it (first = lowest
+    * id, the deterministic ingestion-order stand-in). Delegates to the
+    * gated tx22 machinery so the API and the oracle-checked query can
+    * never diverge.
+    */
+  def novelty(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    graft.functions.TextOps.noveltyScores(df, idCol, textCol, k)
+      .withColumnRenamed("doc_id", idCol)
+  }
+
   /** Connected components over an undirected pair graph: every node gets
     * `cluster_id` = min node id in its component (nodes absent from
     * `pairs` are singletons labeling themselves; `pairs` endpoints are

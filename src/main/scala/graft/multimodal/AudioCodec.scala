@@ -98,4 +98,70 @@ object AudioCodec {
     in.select(idCol, payloadCol).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => features(id, bytes) })
   }
+
+  final case class AudioSamples(doc_id: Long, smp: Array[Int])
+
+  /** Partition-local decode to the raw signed-16-bit sample array (the
+    * input shape frame-level DSP like VAD needs). Same real-codec
+    * contract as decodeFeatures: WAV bytes → little-endian PCM frames;
+    * payload dropped at this boundary, only (id, samples) flows on.
+    */
+  def decodeSamples(spark: SparkSession, in: DataFrame,
+      idCol: String = "doc_id", payloadCol: String = "payload"): Dataset[AudioSamples] = {
+    import spark.implicits._
+    in.select(idCol, payloadCol).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        require(
+          fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+          s"unexpected WAV format: $fmt")
+        val data = ais.readAllBytes()
+        val n = data.length / 2
+        val smp = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          smp(i) = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toInt
+          i += 1
+        }
+        AudioSamples(id, smp)
+      })
+  }
+
+  /** Energy-threshold VAD segments over a (doc_id, payload) WAV frame:
+    * real decode (decodeSamples), tumbling `frame`-sample windows
+    * scoring Σs² energy, frames above `threshold` merged into maximal
+    * active segments (gaps-and-islands). Output: (doc_id, seg_id,
+    * start_win, end_win, n_win), end exclusive. Shared by the gated
+    * mm09 query — same machinery, can't diverge. Decode + framing +
+    * energy are scan-local; only (doc_id, frame) longs reach the
+    * per-doc island window.
+    */
+  def vadSegments(spark: SparkSession, payloads: DataFrame,
+      frame: Int = 25, threshold: Long = 9000000000L): DataFrame = {
+    require(frame >= 1, s"frame must be >= 1, got $frame")
+    import org.apache.spark.sql.functions._
+    decodeSamples(spark, payloads).toDF()
+      .selectExpr("doc_id",
+        s"explode(transform(sequence(0, size(smp) div $frame - 1), " +
+          s"w -> struct(w as win, aggregate(transform(slice(smp, w*$frame + 1, $frame), " +
+          "v -> cast(v as bigint) * v), cast(0 as bigint), (a, b) -> a + b) as energy))) as p")
+      .selectExpr("doc_id", "cast(p.win as bigint) as win", "p.energy as energy")
+      .filter(s"energy > $threshold")
+      .selectExpr("doc_id", "win",
+        "case when lag(win) over (partition by doc_id order by win) is null " +
+          "or win > lag(win) over (partition by doc_id order by win) + 1 " +
+          "then 1 else 0 end as ns")
+      .selectExpr("doc_id", "win",
+        "sum(ns) over (partition by doc_id order by win " +
+          "rows between unbounded preceding and current row) as sid")
+      .groupBy("doc_id", "sid")
+      .agg(
+        min("win").cast("long").as("start_win"),
+        (max("win") + 1).cast("long").as("end_win"),
+        count(lit(1)).cast("long").as("n_win"))
+      .selectExpr("doc_id", "cast(sid as bigint) as seg_id", "start_win",
+        "end_win", "n_win")
+  }
 }

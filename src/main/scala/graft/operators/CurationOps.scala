@@ -380,5 +380,36 @@ object CurationOps {
         .filter(col("n_dropped") > 0)
         .selectExpr("cluster_id as keeper", "n_members", "n_dropped",
           "dropped_ids")
+    },
+
+    // Token-budget allocation (epoch planning): turn per-source token
+    // inventories into an exact 100k-token training-mix allocation by
+    // LARGEST-REMAINDER apportionment — each source gets
+    // floor(budget · tokens/total), and the leftover units go to the
+    // largest fractional remainders (ties to the lexicographically
+    // smaller source), so the allocations sum to the budget EXACTLY
+    // (naive per-source rounding over- or under-shoots; at real budgets
+    // of 10^12 tokens the drift is billions of tokens). All integer
+    // arithmetic — fractional remainders compare as (budget·tokens) mod
+    // total, never as floats. Scale: one map-side-combined rollup to a
+    // handful of source rows; the apportionment windows run on that tiny
+    // frame.
+    Q(
+      "cu10_token_budget",
+      """WITH inv AS (SELECT source,
+        |    count(*)::BIGINT AS n_docs,
+        |    SUM(len(regexp_split_to_array(text, '\s+')))::BIGINT AS tokens
+        |  FROM documents GROUP BY source),
+        |  t AS (SELECT *, SUM(tokens) OVER () AS total FROM inv),
+        |  b AS (SELECT *, (100000 * tokens) // total AS base,
+        |          (100000 * tokens) % total AS frac FROM t),
+        |  r AS (SELECT *,
+        |          row_number() OVER (ORDER BY frac DESC, source) AS rk,
+        |          100000 - SUM(base) OVER () AS rem FROM b)
+        |SELECT source, n_docs, tokens,
+        |  CAST(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens,
+        |  CAST((1000000 * (base + CASE WHEN rk <= rem THEN 1 ELSE 0 END)) // 100000 AS BIGINT) AS alloc_ppm
+        |FROM r""".stripMargin) { (s, d) =>
+      graft.functions.Curation.tokenBudget(T.documents(s, d))
     })
 }

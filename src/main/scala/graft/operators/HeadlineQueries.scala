@@ -610,6 +610,48 @@ object HeadlineQueries {
         .filter(col("rn") === 1)
         .selectExpr("user_id", "event_type", "event_id as last_event_id",
           "ts_us as last_ts_us", "value as last_value")
+    },
+
+    // Small-file compaction planner (the lakehouse OPTIMIZE step): from
+    // per-file size metadata, assign files to target-sized output bins
+    // by sorted sequential packing — files ordered largest-first, a file
+    // opens a new bin whenever the running total crosses the 1 MiB
+    // target (bin = floor(cumulative-before / target)). The plan is a
+    // METADATA-ONLY query: at 100 TB it reads the table's file manifest
+    // (here derived: lineitem rows bucketed into 997 pseudo-files with
+    // an integer size model), never the data, and emits the rewrite
+    // job list. Largest-first keeps every bin within one file of
+    // target, the classic sorted first-fit bound. Scale: one rollup to
+    // the manifest's cardinality, then driver-scale windows.
+    Q(
+      "q_file_compaction",
+      """WITH f AS (SELECT l_orderkey % 997 AS file_id,
+        |    (count(*) * 64 + SUM(CAST(l_quantity AS BIGINT)))::BIGINT AS bytes
+        |  FROM lineitem GROUP BY file_id),
+        |  o AS (SELECT file_id, bytes,
+        |          CAST(coalesce(SUM(bytes) OVER (ORDER BY bytes DESC, file_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |        FROM f),
+        |  b AS (SELECT file_id, bytes, CAST(cum_before // 1048576 AS BIGINT) AS bin_id FROM o)
+        |SELECT bin_id, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(bytes) AS BIGINT) AS bytes,
+        |  CAST((1000000 * SUM(bytes)) // 1048576 AS BIGINT) AS fill_ppm
+        |FROM b GROUP BY bin_id""".stripMargin) { (s, d) =>
+      T.lineitem(s, d)
+        .selectExpr("l_orderkey % 997 as file_id",
+          "cast(l_quantity as bigint) as q")
+        .groupBy("file_id")
+        .agg((count(lit(1)) * 64 + sum("q")).cast("long").as("bytes"))
+        .selectExpr("file_id", "bytes",
+          "coalesce(sum(bytes) over (order by bytes desc, file_id " +
+            "rows between unbounded preceding and 1 preceding), 0) as cum_before")
+        .selectExpr("file_id", "bytes", "cum_before div 1048576 as bin_id")
+        .groupBy("bin_id")
+        .agg(
+          count(lit(1)).cast("long").as("n_files"),
+          sum("bytes").cast("long").as("bytes"))
+        .selectExpr("bin_id", "n_files", "bytes",
+          "cast((1000000 * bytes) div 1048576 as bigint) as fill_ppm")
     }
   )
 

@@ -309,6 +309,50 @@ object MultimodalOps {
           .selectExpr("a_id", "b_id",
             "cast(bit_count(alo ^ blo) + bit_count(ahi ^ bhi) as bigint) as hamming")
           .filter(col("hamming") <= 10)
+    },
+
+    // Energy-threshold voice-activity segments over REAL-decoded PCM
+    // (the speech-data curation primitive that decides which audio spans
+    // are worth transcribing/training on): mm05's WAV round-trip feeds
+    // AudioCodec.decodeSamples (real javax.sound decode, partition-local,
+    // payload dropped at the mapPartitions boundary), tumbling 25-sample
+    // frames score Σs² energy, frames above threshold merge into maximal
+    // active segments via the dd18 gaps-and-islands discipline. WAV PCM
+    // is lossless so DuckDB reproduces identical segments from the
+    // closed-form samples — a hash-match oracle over a real codec + DSP
+    // chain. Scale: decode + framing + energy are scan-local; only
+    // (doc_id, frame) longs reach the per-doc island window.
+    Q(
+      "mm09_vad_segments",
+      """WITH p AS (SELECT doc_id, 200 + doc_id % 50 AS n
+        |           FROM documents WHERE doc_id < 64),
+        |  s AS (SELECT doc_id, n,
+        |          list_transform(range(0, n),
+        |            i -> (doc_id * 37 + 11 * i) % 65536 - 32768) AS smp
+        |        FROM p),
+        |  w AS (SELECT doc_id, unnest(range(0, n // 25)) AS win, smp FROM s),
+        |  e AS (SELECT doc_id, win,
+        |          list_reduce(list_prepend(0::BIGINT,
+        |            list_transform(list_slice(smp, win*25 + 1, win*25 + 25),
+        |              v -> (v::BIGINT * v))), (a, b) -> a + b) AS energy
+        |        FROM w),
+        |  a AS (SELECT doc_id, win FROM e WHERE energy > 9000000000),
+        |  g AS (SELECT doc_id, win,
+        |          CASE WHEN lag(win) OVER (PARTITION BY doc_id ORDER BY win) IS NULL
+        |                 OR win > lag(win) OVER (PARTITION BY doc_id ORDER BY win) + 1
+        |               THEN 1 ELSE 0 END AS ns
+        |        FROM a),
+        |  t AS (SELECT doc_id, win,
+        |          SUM(ns) OVER (PARTITION BY doc_id ORDER BY win
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |        FROM g)
+        |SELECT doc_id, CAST(sid AS BIGINT) AS seg_id,
+        |  CAST(min(win) AS BIGINT) AS start_win,
+        |  CAST(max(win) + 1 AS BIGINT) AS end_win,
+        |  CAST(count(*) AS BIGINT) AS n_win
+        |FROM t GROUP BY doc_id, sid""".stripMargin) { (s, d) =>
+      import graft.multimodal.AudioCodec
+      AudioCodec.vadSegments(s, AudioCodec.payloads(s, d, 64))
     }
   )
 }

@@ -165,22 +165,55 @@ object SimilarityOps {
       s"(case when ${sparkDot(vecCol, arr)} > 0 then ${1L << p}L else 0L end)"
     }.mkString("", " + ", "")
 
-  /** One 32-bit word of the RAW sign-bit code of `vecCol` (ss19): bit j
-    * set iff component `base+j+1` is strictly positive. Unlike the SRP
-    * code (random projections — dim-independent similarity structure),
-    // this is plain per-component binarization: the standard binary-
-    // quantization layout whose Hamming distance approximates angular
-    // distance for zero-centered embeddings. Two words cover dim 64.
+  /** 32-bit words of the RAW sign-bit code of `vecCol` (ss19): word wi's
+    * bit j is set iff component `wi·32 + j + 1` is strictly positive.
+    * Unlike the SRP code (random projections — dim-independent
+    * similarity structure), this is plain per-component binarization:
+    * the standard binary-quantization layout whose Hamming distance
+    * approximates angular distance for zero-centered embeddings.
+    * `(d + 31) / 32` words cover dimension d (two for the fixture's 64).
     */
-  private def signWord(vec: String, base: Int): String =
-    (0 until 32).map(j =>
-      s"(case when element_at($vec, ${base + j + 1}) > cast(0 as float) " +
-        s"then ${1L << j}L else 0L end)")
-      .mkString("(", " + ", ")")
+  private[graft] def signWords(vec: String, d: Int = dim): Seq[String] =
+    (0 until (d + 31) / 32).map { wi =>
+      (0 until math.min(32, d - wi * 32)).map(j =>
+        s"(case when element_at($vec, ${wi * 32 + j + 1}) > cast(0 as float) " +
+          s"then ${1L << j}L else 0L end)")
+        .mkString("(", " + ", ")")
+    }
   private def duckSignWord(vec: String, base: Int): String =
     (0 until 32).map(j =>
       s"(CASE WHEN $vec[${base + j + 1}] > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString("(", " + ", ")")
+
+  /** Per-query Hamming shortlist over sign-bit codes: the `shortlist`
+    * lowest-Hamming corpus rows per query (ties to the smaller id),
+    * with the query/neighbor vectors carried for the rerank stage.
+    * Output: (q_id, n_id, ham, qe, ne). Codes are born in the scan
+    * projections; queries broadcast, so the int-only Hamming pass is
+    * scan-local. Shared by the gated ss19 query and
+    * `Similarity.hammingTopK` — same machinery, can't diverge.
+    */
+  private[graft] def hammingShortlist(corpus: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, idCol: String, vecCol: String,
+      shortlist: Int, d: Int = dim): org.apache.spark.sql.DataFrame = {
+    require(shortlist >= 1, s"shortlist must be >= 1, got $shortlist")
+    val words = signWords(vecCol, d)
+    val wCols = words.zipWithIndex.map { case (w, i) => s"$w as w$i" }
+    val qCols = words.indices.map(i => s"w$i as qw$i")
+    val ham = words.indices
+      .map(i => s"bit_count(w$i ^ qw$i)").mkString(" + ")
+    val c = corpus.selectExpr(Seq(s"$idCol as n_id", s"$vecCol as ne") ++ wCols: _*)
+    val q = queries
+      .selectExpr(Seq(s"$idCol as q_id", s"$vecCol as qe") ++ wCols: _*)
+      .selectExpr(Seq("q_id", "qe") ++ qCols: _*)
+    broadcast(q).crossJoin(c)
+      .filter(col("n_id") =!= col("q_id"))
+      .selectExpr("q_id", "n_id", s"$ham as ham", "qe", "ne")
+      .selectExpr("q_id", "n_id", "ham", "qe", "ne",
+        "row_number() over (partition by q_id order by ham, n_id) as rn")
+      .filter(col("rn") <= shortlist)
+      .drop("rn")
+  }
 
   /** Band a (vec_id, code) frame 4×8 bits and emit distinct same-bucket
     * candidate pairs (a_id < b_id), each bucket capped at `cap` members
@@ -1499,28 +1532,16 @@ object SimilarityOps {
          |GROUP BY x.q_id, h.n_cand, h.ham_min, h.ham_max""".stripMargin) { (s, d) =>
       graft.functions.CosineSimilarity.register(s)
       val e = T.embeddings(s, d)
-      val c = e.selectExpr(
-        "vec_id",
-        s"${signWord("embedding", 0)} as w0",
-        s"${signWord("embedding", 32)} as w1",
-        "embedding")
-      val q = c.filter(col("vec_id") < 5)
-        .selectExpr("vec_id as q_id", "w0 as qw0", "w1 as qw1", "embedding as qe")
-      val sl = broadcast(q)
-        .crossJoin(c.selectExpr("vec_id as n_id", "w0", "w1", "embedding as ne"))
-        .filter(col("n_id") =!= col("q_id"))
-        .selectExpr("q_id", "n_id",
-          "bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1) as ham", "qe", "ne")
-        .selectExpr("q_id", "n_id", "ham", "qe", "ne",
-          "row_number() over (partition by q_id order by ham, n_id) as rn")
-        .filter(col("rn") <= 50)
+      val sl = hammingShortlist(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", shortlist = 50)
         .persist() // feeds rerank + spread; caller clearCache releases
       val rr = sl
         .selectExpr("q_id", "n_id",
           s"row_number() over (partition by q_id order by ${sparkCos("qe", "ne")} desc, n_id) as rn")
         .filter(col("rn") <= 3)
         .select("q_id", "n_id")
-      val exact = broadcast(q.select("q_id", "qe"))
+      val exact = broadcast(e.filter(col("vec_id") < 5)
+          .selectExpr("vec_id as q_id", "embedding as qe"))
         .crossJoin(e.selectExpr("vec_id as n_id", "embedding as ne"))
         .filter(col("n_id") =!= col("q_id"))
         .selectExpr("q_id", "n_id",

@@ -483,6 +483,46 @@ object AnalysisQueries {
           .unionAll(actual.selectExpr("'actual' as part", "cast(-1 as bigint) as key",
             "cast(0 as bigint)", "cast(0 as bigint)", "n",
             "cast(1000000 as bigint)"))
+    },
+
+    // Token-distribution drift between two corpus slices (en vs the
+    // rest): per top-40 global token, the total-variation contribution
+    // |p_en − p_rest| / 2 in ppm — the mixture-shift audit you run when
+    // a new crawl snapshot lands (an13 covers numeric columns; this is
+    // the text twin). ALL-INTEGER cross-multiplication: the contribution
+    // is |c_en·T_rest − c_rest·T_en| scaled against 2·T_en·T_rest, so
+    // there is no float division to flake the hash gate (counts ~10^5 ×
+    // totals ~10^6 stay far under 2^63). Scale: one tokenize scan feeds
+    // both slice rollups (map-side combined, (token, 2 longs) rows);
+    // the top-40 is TakeOrderedAndProject; totals broadcast back.
+    Q(
+      "an16_token_tv_drift",
+      """WITH tok AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |  c AS (SELECT w, SUM(is_en)::BIGINT AS c_en,
+        |          SUM(1 - is_en)::BIGINT AS c_rest FROM tok GROUP BY w),
+        |  tot AS (SELECT SUM(c_en) AS t_en, SUM(c_rest) AS t_rest FROM c),
+        |  top AS (SELECT w, c_en, c_rest FROM c
+        |          ORDER BY c_en + c_rest DESC, w LIMIT 40)
+        |SELECT w AS token, c_en, c_rest,
+        |  CAST((1000000 * abs(c_en * t_rest - c_rest * t_en))
+        |    // (2 * t_en * t_rest) AS BIGINT) AS drift_ppm
+        |FROM top CROSS JOIN tot""".stripMargin) { (s, d) =>
+      val tok = T.documents(s, d)
+        .selectExpr("case when lang = 'en' then 1 else 0 end as is_en",
+          "explode(split(lower(text), '\\\\s+')) as w")
+      val c = tok.groupBy("w")
+        .agg(sum("is_en").cast("long").as("c_en"),
+          sum(expr("1 - is_en")).cast("long").as("c_rest"))
+        .persist() // feeds totals + top-40; caller clearCache releases
+      val tot = c.agg(sum("c_en").as("t_en"), sum("c_rest").as("t_rest"))
+      c.orderBy((col("c_en") + col("c_rest")).desc, col("w"))
+        .limit(40)
+        .crossJoin(broadcast(tot))
+        .selectExpr("w as token", "c_en", "c_rest",
+          "cast((1000000 * abs(c_en * t_rest - c_rest * t_en)) " +
+            "div (2 * t_en * t_rest) as bigint) as drift_ppm")
     }
   )
 }

@@ -510,6 +510,67 @@ class QuerySpec extends AnyFunSuite {
     assert(rows.length == distinctKeys)
   }
 
+  test("ss19: Hamming shortlist + rerank rows are well-formed") {
+    val rows = SparkEntry.queries("ss19_hamming_rerank")(spark, sf).collect()
+    assert(rows.length == 5) // one row per query vector (vec_id < 5)
+    assert(rows.forall { r =>
+      val (nCand, hMin, hMax, nHit) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      nCand >= 1 && nCand <= 50 && hMin <= hMax && hMax <= 64 &&
+        nHit >= 0 && nHit <= 3 && r.getLong(5) == nHit * 100 / 3
+    })
+  }
+
+  test("tx22: the lowest doc_id is fully novel; ppm stays in range") {
+    val rows = SparkEntry.queries("tx22_ngram_novelty")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(3) >= 0 && r.getLong(3) <= 1000000 &&
+      r.getLong(2) <= r.getLong(1)))
+    val first = rows.minBy(_.getLong(0))
+    assert(first.getLong(3) == 1000000) // every hash first appears there
+  }
+
+  test("cu10: largest-remainder allocations sum to the budget exactly") {
+    val rows = SparkEntry.queries("cu10_token_budget")(spark, sf).collect()
+    assert(rows.map(_.getLong(3)).sum == 100000L)
+    assert(rows.forall(r => r.getLong(3) >= 0))
+  }
+
+  test("q_file_compaction: bins conserve bytes and respect the sorted-fit bound") {
+    val files = Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey % 997 as file_id", "cast(l_quantity as bigint) as q")
+      .groupBy("file_id")
+      .agg(org.apache.spark.sql.functions.expr("count(1) * 64 + sum(q)").as("bytes"))
+      .collect()
+    val bins = SparkEntry.queries("q_file_compaction")(spark, sf).collect()
+    assert(bins.map(_.getLong(2)).sum == files.map(_.getLong(1)).sum)
+    assert(bins.map(_.getLong(1)).sum == files.length)
+    val maxFile = files.map(_.getLong(1)).max
+    assert(bins.forall(_.getLong(2) <= 1048576L + maxFile)) // ≤ one file over target
+  }
+
+  test("mm09: VAD segments are disjoint, ordered, and count their frames") {
+    val rows = SparkEntry.queries("mm09_vad_segments")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, segs) =>
+      val ordered = segs.sortBy(_._2)
+      ordered.foreach { case (_, _, s, e, n) =>
+        assert(s < e && n <= e - s && n >= 1)
+      }
+      ordered.sliding(2).foreach {
+        case Array((_, _, _, e1, _), (_, _, s2, _, _)) => assert(e1 < s2)
+        case _ => ()
+      } // gap of ≥ 1 inactive frame between segments (else they'd merge)
+    }
+  }
+
+  test("an16: drift contributions stay within total-variation bounds") {
+    val rows = SparkEntry.queries("an16_token_tv_drift")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 40)
+    assert(rows.forall(r => r.getLong(3) >= 0 && r.getLong(3) <= 500000))
+  }
+
   // Registered AFTER the full per-query sweep above (funsuite runs tests
   // in registration order): the persist() sites inside the queries rely
   // on the documented caller contract — bench/verify run

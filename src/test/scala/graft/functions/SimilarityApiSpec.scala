@@ -205,4 +205,52 @@ class SimilarityApiSpec extends AnyFunSuite {
     val gated = graft.SparkEntry.queries("ss17_rrf_hybrid")(spark, sf).collect()
     assert(sorted(api) == sorted(gated))
   }
+
+  test("hammingTopK with a full-corpus shortlist equals exact cosineTopK") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val n = e.count().toInt
+    val q = e.filter(col("vec_id") < 5)
+    // shortlist covers the whole corpus -> the Hamming stage filters
+    // nothing and the rerank IS brute-force cosine
+    val bq = Similarity.hammingTopK(e, q, "vec_id", "embedding",
+        k = 3, shortlist = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = Similarity.cosineTopK(e, q, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bq == exact)
+    assert(bq.nonEmpty)
+  }
+
+  test("hammingTopK is dimension-parametric: 32-dim vectors, one code word") {
+    import spark.implicits._
+    // group A all-positive, group B sign-flipped on odd dims: Hamming
+    // separates the groups perfectly, so with shortlist < group size the
+    // shortlist stays within the query's own group
+    val a = Array.tabulate(32)(i => 0.1f + i * 0.01f)
+    val b = Array.tabulate(32)(i => if (i % 2 == 1) -0.1f - i * 0.01f else 0.1f + i * 0.01f)
+    val df = ((0L until 6L).map(i => (i, a)) ++ (6L until 12L).map(i => (i, b)))
+      .toDF("id", "emb")
+    val res = Similarity.hammingTopK(df, df.filter(col("id") === 0), "id", "emb",
+        k = 5, shortlist = 5, dim = 32)
+      .collect().map(_.getLong(2)).toSet
+    assert(res == Set(1L, 2L, 3L, 4L, 5L)) // group A only, never group B
+  }
+
+  test("novelty API equals the gated tx22 query") {
+    val docs = graft.Tables.documents(spark, sf)
+    val api = Dedup.novelty(docs).collect()
+    val gated = graft.SparkEntry.queries("tx22_ngram_novelty")(spark, sf).collect()
+    assert(api.nonEmpty)
+    assert(sorted(api) == sorted(gated))
+  }
+
+  test("tokenBudget API equals the gated cu10 query and is budget-exact at odd budgets") {
+    val docs = graft.Tables.documents(spark, sf)
+    val api = Curation.tokenBudget(docs).collect()
+    val gated = graft.SparkEntry.queries("cu10_token_budget")(spark, sf).collect()
+    assert(sorted(api) == sorted(gated))
+    // a budget that forces remainder distribution still sums exactly
+    val odd = Curation.tokenBudget(docs, budget = 99991L).collect()
+    assert(odd.map(_.getLong(3)).sum == 99991L)
+  }
 }
