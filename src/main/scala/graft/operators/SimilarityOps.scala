@@ -1559,6 +1559,80 @@ object SimilarityOps {
         .agg(count(col("rn_id")).as("n_hit"))
         .selectExpr("q_id", "n_cand", "ham_min", "ham_max", "n_hit",
           "(n_hit * 100) div 3 as recall_x100")
+    },
+
+    // Shortlist-size tuning curve for binary-quantization ANN (the dd22/
+    // ss18/st10 pattern applied to ss19): recall@3 per query at Hamming
+    // shortlists of 10, 25, and 50 candidates, all three arms carved from
+    // ONE 50-deep shortlist pass (a smaller shortlist is a rank prefix of
+    // a larger one — the corpus is scanned once, not per arm). You read
+    // this table to pick the smallest shortlist with acceptable recall;
+    // rerank cost scales linearly with the knob.
+    Q(
+      "ss20_shortlist_sweep", {
+        val armCtes = Seq(10, 25, 50).map { c =>
+          s"""rr$c AS (SELECT q_id, n_id FROM (
+             |    SELECT q_id, n_id,
+             |      row_number() OVER (PARTITION BY q_id
+             |        ORDER BY ${duckCos("qe", "ne")} DESC, n_id) AS rn
+             |    FROM sl WHERE hrn <= $c) WHERE rn <= 3),""".stripMargin
+        }.mkString("\n")
+        val armSelects = Seq(10, 25, 50).map { c =>
+          s"""SELECT $c::BIGINT AS shortlist, x.q_id,
+             |  count(r.n_id)::BIGINT AS n_hit,
+             |  (count(r.n_id) * 100) // 3 AS recall_x100
+             |FROM exact x LEFT JOIN rr$c r ON r.q_id = x.q_id AND r.n_id = x.n_id
+             |GROUP BY x.q_id""".stripMargin
+        }.mkString("\nUNION ALL ")
+        s"""WITH c AS (SELECT vec_id, ${duckSignWord("embedding", 0)} AS w0,
+           |             ${duckSignWord("embedding", 32)} AS w1, embedding FROM embeddings),
+           |  q AS (SELECT vec_id AS q_id, w0 AS qw0, w1 AS qw1, embedding AS qe
+           |        FROM c WHERE vec_id < 5),
+           |  sl AS (SELECT q_id, n_id, qe, ne, hrn FROM (
+           |    SELECT q_id, n_id, qe, ne,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY ham, n_id) AS hrn
+           |    FROM (SELECT q.q_id, c.vec_id AS n_id,
+           |            bit_count(xor(c.w0, q.qw0)) + bit_count(xor(c.w1, q.qw1)) AS ham,
+           |            q.qe AS qe, c.embedding AS ne
+           |          FROM q CROSS JOIN c WHERE c.vec_id <> q.q_id)) WHERE hrn <= 50),
+           |$armCtes
+           |  exact AS (SELECT q_id, n_id FROM (
+           |    SELECT q.q_id, e.vec_id AS n_id,
+           |      row_number() OVER (PARTITION BY q.q_id
+           |        ORDER BY ${duckCos("q.qe", "e.embedding")} DESC, e.vec_id) AS rn
+           |    FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id) WHERE rn <= 3)
+           |$armSelects""".stripMargin
+      }) { (s, d) =>
+      graft.functions.CosineSimilarity.register(s)
+      val e = T.embeddings(s, d)
+      val sl = hammingShortlist(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", shortlist = 50)
+        .selectExpr("q_id", "n_id", "qe", "ne",
+          "row_number() over (partition by q_id order by ham, n_id) as hrn")
+        .persist() // three arms share the one shortlist pass
+      val exact = broadcast(e.filter(col("vec_id") < 5)
+          .selectExpr("vec_id as q_id", "embedding as qe"))
+        .crossJoin(e.selectExpr("vec_id as n_id", "embedding as ne"))
+        .filter(col("n_id") =!= col("q_id"))
+        .selectExpr("q_id", "n_id",
+          s"row_number() over (partition by q_id order by ${sparkCos("qe", "ne")} desc, n_id) as rn")
+        .filter(col("rn") <= 3)
+        .select("q_id", "n_id")
+      val arms = Seq(10, 25, 50).map { c =>
+        val rr = sl.filter(col("hrn") <= c)
+          .selectExpr("q_id", "n_id",
+            s"row_number() over (partition by q_id order by ${sparkCos("qe", "ne")} desc, n_id) as rn")
+          .filter(col("rn") <= 3)
+          .select("q_id", "n_id")
+        exact
+          .join(rr.withColumnRenamed("q_id", "rq_id").withColumnRenamed("n_id", "rn_id"),
+            col("q_id") === col("rq_id") && col("n_id") === col("rn_id"), "left")
+          .groupBy("q_id")
+          .agg(count(col("rn_id")).cast("long").as("n_hit"))
+          .selectExpr(s"cast($c as bigint) as shortlist", "q_id", "n_hit",
+            "(n_hit * 100) div 3 as recall_x100")
+      }
+      arms.reduce(_ unionAll _)
     }
   )
 

@@ -564,4 +564,77 @@ object StreamRunner {
     q.stop()
     spark.table(queryName).filter("user_id >= 0")
   }
+
+  /** q_cdc_compact's latest-wins changelog compaction as a stateful
+    * stream: per (user_id, event_type), keep the record with the MAX
+    * (event time, id) across micro-batches via mapGroupsWithState —
+    * the streaming materialized-view maintenance a MERGE-upsert sink
+    * performs. Staged NEWER half first (firstTouchStream's reversed-
+    * arrival trick), so the spec's equality with the batch rendering
+    * proves event-time wins over arrival order. StreamingSpec asserts
+    * equality with the gated q_cdc_compact.
+    */
+  def cdcCompactStream(spark: SparkSession, sfDir: String,
+      queryName: String = "graft_cdc_compact"): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import spark.implicits._
+
+    val ev = graft.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_type", "event_id",
+        "unix_micros(ts) as ts_us", "value")
+    val Array(minTs, maxTs) = ev.selectExpr("min(ts_us)", "max(ts_us)").head() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val mid = minTs + (maxTs - minTs) / 2
+    val stage = java.nio.file.Files.createTempDirectory("graft-cdc")
+    def emit(name: String, cond: String): Unit = {
+      val tmp = stage.resolve(name + "_tmp").toString
+      ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, stage.resolve(name + ".parquet"))
+      Thread.sleep(1100) // distinct mtimes → deterministic oldest-first order
+    }
+    // LATER half first: equality with batch proves event-time wins
+    emit("batch_b", s"ts_us > $mid")
+    emit("batch_a", s"ts_us <= $mid")
+
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+
+    val updates = stream.as[(Long, String, Long, Long, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (key: (Long, String), it: Iterator[(Long, String, Long, Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long, Double)]) => {
+          // latest = max (ts_us, event_id); value rides along
+          val batchBest = it.map(r => (r._4, r._3, r._5)).maxBy(r => (r._1, r._2))
+          val best = state.getOption.fold(batchBest) { s =>
+            if (Ordering[(Long, Long)].gteq((s._1, s._2), (batchBest._1, batchBest._2)))
+              s
+            else batchBest
+          }
+          state.update(best)
+          (key._1, key._2, best._2, best._1, best._3)
+        })
+      .toDF("user_id", "event_type", "last_event_id", "last_ts_us", "last_value")
+
+    val q = updates.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // update-mode rows only improve per key → per-key max is final state
+    spark.table(queryName)
+      .groupBy("user_id", "event_type")
+      .agg(max(struct(col("last_ts_us"), col("last_event_id"),
+        col("last_value"))).as("s"))
+      .selectExpr("user_id", "event_type", "s.last_event_id as last_event_id",
+        "s.last_ts_us as last_ts_us", "s.last_value as last_value")
+  }
 }

@@ -565,6 +565,17 @@ class QuerySpec extends AnyFunSuite {
     }
   }
 
+  test("ss20: recall is non-decreasing in shortlist size per query") {
+    val rows = SparkEntry.queries("ss20_shortlist_sweep")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(2))) // (q, shortlist, hits)
+    assert(rows.length == 15) // 3 arms × 5 queries
+    rows.groupBy(_._1).foreach { case (_, arms) =>
+      val byC = arms.sortBy(_._2).map(_._3)
+      assert(byC.zip(byC.tail).forall { case (a, b) => a <= b },
+        s"recall not monotone in shortlist: ${arms.toSeq}")
+    }
+  }
+
   test("an16: drift contributions stay within total-variation bounds") {
     val rows = SparkEntry.queries("an16_token_tv_drift")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 40)

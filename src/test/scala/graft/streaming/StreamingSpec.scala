@@ -147,6 +147,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(ledger.exists(_.getLong(3) == 2L))
   }
 
+  test("stateful CDC compaction equals batch q_cdc_compact despite reversed arrival") {
+    val streamed = StreamRunner.cdcCompactStream(spark, sf, "graft_cdc_spec")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    val batch = graft.operators.HeadlineQueries.queries.find(_.name == "q_cdc_compact").get
+      .fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming session_window across micro-batches equals batch st12") {
     val streamed = StreamRunner.sessionWindowStream(spark, sf, "graft_sesswin_spec")
       .collect()
