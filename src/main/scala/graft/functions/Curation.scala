@@ -261,4 +261,63 @@ object Curation {
         s"cast((1000000 * (base + case when rk <= rem then 1 else 0 end)) div $budget as bigint) as alloc_ppm")
       .withColumnRenamed("source", groupCol)
   }
+
+  /** Curriculum ordering: split each source into `phases` contiguous
+    * complexity tiers (ntile over the cu02 complexity score — mean
+    * token length ×100 — ascending, doc_id tiebreak) and give every
+    * document a deterministic within-phase position by salted content
+    * hash (the reproducible stand-in for an in-phase shuffle). Training
+    * walks phase 1 → N, `ord` within each — rerun-identical on any
+    * cluster. Shared by the gated cu11 query. Scale: one source-keyed
+    * exchange carries both windows ((source) then (source, phase) — the
+    * second partitioning refines the first); text never shuffles, only
+    * (id, score, ntok) longs.
+    */
+  def curriculum(docs0: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", sourceCol: String = "source",
+      phases: Int = 4): DataFrame = {
+    require(phases >= 1, s"phases must be >= 1, got $phases")
+    import org.apache.spark.sql.expressions.Window
+    docs0.selectExpr(
+        s"$idCol as doc_id", s"$sourceCol as source",
+        s"cast(floor(cast(100 as double) * length($textCol) / " +
+          s"size(split(lower($textCol), '\\\\s+'))) as bigint) as score",
+        s"cast(size(split($textCol, '\\\\s+')) as bigint) as ntok")
+      .withColumn("phase", ntile(phases)
+        .over(Window.partitionBy("source")
+          .orderBy(col("score"), col("doc_id"))).cast("long"))
+      .withColumn("ord", row_number()
+        .over(Window.partitionBy("source", "phase")
+          .orderBy(expr(graft.Portable.hash60(
+            "concat('cur|', cast(doc_id as string))")), col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id").as(idCol), col("source").as(sourceCol),
+        col("score"), col("ntok"), col("phase"), col("ord"))
+  }
+
+  /** Stage-by-stage curation funnel over `ledger`: rows entering,
+    * surviving, and dropped by each stage (quality → exact dedup →
+    * near-dup keeper). Every count is a conditional over the SAME
+    * ledger pass, so conservation (rows_in = rows_out + dropped,
+    * stage N rows_out = stage N+1 rows_in) holds by construction —
+    * never by reconciling independent recounts. Shared by the gated
+    * cu12 query. Scale: the ledger's plan plus one map-side-combined
+    * conditional aggregate to a single row, unpivoted to 3.
+    */
+  def funnel(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", sourceCol: String = "source"): DataFrame =
+    ledger(docs, idCol, textCol, sourceCol)
+      .agg(
+        count(lit(1)).cast("long").as("n0"),
+        count(when(col("is_quality"), 1)).cast("long").as("n1"),
+        count(when(col("is_quality") && col("exact_keep"), 1)).cast("long").as("n2"),
+        count(when(col("kept"), 1)).cast("long").as("n3"))
+      .selectExpr(
+        "stack(3, " +
+          "cast(1 as bigint), 'quality', n0, n1, " +
+          "cast(2 as bigint), 'exact_dedup', n1, n2, " +
+          "cast(3 as bigint), 'near_dup', n2, n3) " +
+          "as (stage_ord, stage, rows_in, rows_out)")
+      .selectExpr("stage_ord", "stage", "rows_in", "rows_out",
+        "rows_in - rows_out as dropped")
 }

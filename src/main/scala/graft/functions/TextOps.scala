@@ -800,6 +800,51 @@ object TextOps {
          |FROM w JOIN f ON f.wh = w.wh
          |GROUP BY w.doc_id""".stripMargin) { (s, d) =>
       noveltyScores(T.documents(s, d))
+    },
+
+    // Readability scoring (TextQuality.readability): integer-exact
+    // Flesch-reading-ease proxy — words (whitespace tokens), sentences
+    // (`.!?` via translate-delta, floored at 1), syllables approximated
+    // as maximal vowel runs (regexp_extract_all('[aeiou]+') — greedy
+    // non-overlapping matches count identically in Java and RE2), each
+    // word floored at one syllable. score_x1000 = 206835 −
+    // (1015·words) div sentences − (84600·syllables) div words, the
+    // Flesch constants ×1000 with integer div so both engines agree
+    // bit-for-bit (no IEEE division anywhere). The fixture is
+    // punctuation-light word salad, so the query AUGMENTS on BOTH
+    // engines: doc_id % 3 == 0 gains short easy sentences, % 7 == 0 a
+    // polysyllabic one — known spread across the easy/standard/
+    // difficult bands. Real-corpus path: TextQuality.readability(docs).
+    // Scale: one codegen'd scan projection, zero shuffle.
+    Q(
+      "tx23_readability",
+      """WITH aug AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' It is short. It reads well. We like it.' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN ' Nevertheless, comprehensive organizational deliberation persevered unconditionally.'
+        |      ELSE '' END AS text FROM documents),
+        |  m AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT) AS n_words,
+        |    CAST(greatest(1, length(text) - length(translate(text, '.!?', ''))) AS BIGINT) AS n_sents,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT) AS n_syll
+        |  FROM aug)
+        |SELECT doc_id, n_words, n_sents, n_syll,
+        |  206835 - (1015 * n_words) // n_sents
+        |         - (84600 * greatest(n_syll, n_words)) // n_words AS score_x1000,
+        |  CASE WHEN 206835 - (1015 * n_words) // n_sents
+        |         - (84600 * greatest(n_syll, n_words)) // n_words >= 60000 THEN 'easy'
+        |       WHEN 206835 - (1015 * n_words) // n_sents
+        |         - (84600 * greatest(n_syll, n_words)) // n_words >= 30000 THEN 'standard'
+        |       ELSE 'difficult' END AS band
+        |FROM m""".stripMargin) { (s, d) =>
+      val aug = T.documents(s, d).selectExpr("doc_id",
+        "concat(text, " +
+          "case when doc_id % 3 = 0 then ' It is short. It reads well. We like it.' else '' end, " +
+          "case when doc_id % 7 = 0 then ' Nevertheless, comprehensive organizational deliberation persevered unconditionally.' else '' end" +
+          ") as text")
+      TextQuality.readability(aug)
+        .select("doc_id", "n_words", "n_sents", "n_syll", "score_x1000", "band")
     }
   )
 

@@ -157,6 +157,33 @@ object TextQuality {
         expr(s"(1000000 * n_sym) div length($textCol)"))
       .withColumn("is_code", col("sym_ppm") > thresholdPpm)
 
+  /** Integer-exact Flesch-reading-ease proxy: whitespace word count,
+    * sentence count (`.!?` translate-delta, floored at 1 so fragments
+    * still score), and a syllable proxy — maximal vowel runs
+    * (`[aeiou]+`), floored at one per word as Flesch counting does.
+    * score_x1000 carries the Flesch constants ×1000 with integer `div`
+    * only, so the score is bit-identical on any engine (the standard
+    * formula's IEEE divisions are not). Bands at the conventional 60/30
+    * cut-points. The gated tx23 query IS this function over augmented
+    * text. Scale: one codegen'd scan projection, zero shuffle.
+    */
+  def readability(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val score = "206835 - (1015 * n_words) div n_sents" +
+      " - (84600 * greatest(n_syll, n_words)) div n_words"
+    df
+      .withColumn("n_words", expr(
+        s"cast(size(split(lower($textCol), '\\\\s+')) as bigint)"))
+      .withColumn("n_sents", expr(
+        s"cast(greatest(1, length($textCol) - length(translate($textCol, '.!?', ''))) as bigint)"))
+      .withColumn("n_syll", expr(
+        s"cast(size(regexp_extract_all(lower($textCol), '[aeiou]+', 0)) as bigint)"))
+      .withColumn("score_x1000", expr(score))
+      .withColumn("band", expr(
+        s"case when score_x1000 >= 60000 then 'easy' " +
+          "when score_x1000 >= 30000 then 'standard' " +
+          "else 'difficult' end"))
+  }
+
   def redactPii(df: DataFrame, textCol: String = "text"): DataFrame = {
     val counted = piiPatterns.foldLeft(df) { case (acc, (name, pat, _)) =>
       acc.withColumn(countColFor(name), regexp_count(col(textCol), lit(pat)))

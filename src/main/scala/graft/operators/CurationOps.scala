@@ -31,42 +31,54 @@ import org.apache.spark.sql.functions._
   */
 object CurationOps {
 
+  /** cu01's oracle, split into CTE block + final SELECT so cu12's funnel
+    * oracle can wrap the IDENTICAL ledger SQL (one definition, two
+    * gates — the same no-drift rule the Scala side gets from both
+    * queries calling `Curation.ledger`). Defined before `queries` —
+    * object init order: later vals interpolate as null.
+    */
+  private val ledgerCtes: String =
+    s"""${DedupOps.duckClusterCtes},
+       |     lt AS (SELECT doc_id, text,
+       |            regexp_split_to_array(lower(text), '\\s+') AS ltoks FROM documents),
+       |     sc AS (SELECT doc_id,
+       |       len(list_filter(ltoks, w -> w IN (${TextOps.enWords}))) AS s_en,
+       |       len(list_filter(ltoks, w -> w IN (${TextOps.deWords}))) AS s_de,
+       |       len(list_filter(ltoks, w -> w IN (${TextOps.frWords}))) AS s_fr
+       |       FROM lt),
+       |     lang AS (SELECT doc_id,
+       |       CASE WHEN s_de > s_en AND s_de > s_fr THEN 'de'
+       |            WHEN s_fr > s_en AND s_fr >= s_de THEN 'fr'
+       |            ELSE 'en' END AS pred_lang FROM sc),
+       |     qual AS (SELECT doc_id,
+       |       (len(ltoks) BETWEEN 10 AND 100000
+       |        AND (length(text)::DOUBLE / len(ltoks)) BETWEEN 2.0 AND 12.0
+       |        AND ((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+       |             / length(text)) <= 0.2
+       |        AND (len(list_filter(ltoks, w -> w IN (${TextOps.enWords})))::DOUBLE
+       |             / len(ltoks)) >= 0.0) AS is_quality
+       |       FROM lt),
+       |     ek AS (SELECT doc_id,
+       |       doc_id = min(doc_id) OVER (PARTITION BY ${P.duckHash60("text")}) AS exact_keep
+       |       FROM documents),
+       |     sp AS (SELECT doc_id,
+       |       CASE WHEN ${P.duckHash60("'split|' || source")} % 10 < 8 THEN 'train'
+       |            WHEN ${P.duckHash60("'split|' || source")} % 10 = 8 THEN 'valid'
+       |            ELSE 'test' END AS split FROM documents)""".stripMargin
+
+  private val ledgerSelect: String =
+    """SELECT l.doc_id, l.pred_lang, q.is_quality, e.exact_keep, c.cluster_id,
+      |  c.cluster_id = l.doc_id AS near_keep, s.split,
+      |  (q.is_quality AND e.exact_keep AND c.cluster_id = l.doc_id) AS kept
+      |FROM lang l JOIN qual q USING (doc_id) JOIN ek e USING (doc_id)
+      |  JOIN comp c USING (doc_id) JOIN sp s USING (doc_id)""".stripMargin
+
   val queries: Seq[Q] = Seq(
     Q(
       "cu01_curation_ledger",
       s"""WITH RECURSIVE
-         |     ${DedupOps.duckClusterCtes},
-         |     lt AS (SELECT doc_id, text,
-         |            regexp_split_to_array(lower(text), '\\s+') AS ltoks FROM documents),
-         |     sc AS (SELECT doc_id,
-         |       len(list_filter(ltoks, w -> w IN (${TextOps.enWords}))) AS s_en,
-         |       len(list_filter(ltoks, w -> w IN (${TextOps.deWords}))) AS s_de,
-         |       len(list_filter(ltoks, w -> w IN (${TextOps.frWords}))) AS s_fr
-         |       FROM lt),
-         |     lang AS (SELECT doc_id,
-         |       CASE WHEN s_de > s_en AND s_de > s_fr THEN 'de'
-         |            WHEN s_fr > s_en AND s_fr >= s_de THEN 'fr'
-         |            ELSE 'en' END AS pred_lang FROM sc),
-         |     qual AS (SELECT doc_id,
-         |       (len(ltoks) BETWEEN 10 AND 100000
-         |        AND (length(text)::DOUBLE / len(ltoks)) BETWEEN 2.0 AND 12.0
-         |        AND ((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
-         |             / length(text)) <= 0.2
-         |        AND (len(list_filter(ltoks, w -> w IN (${TextOps.enWords})))::DOUBLE
-         |             / len(ltoks)) >= 0.0) AS is_quality
-         |       FROM lt),
-         |     ek AS (SELECT doc_id,
-         |       doc_id = min(doc_id) OVER (PARTITION BY ${P.duckHash60("text")}) AS exact_keep
-         |       FROM documents),
-         |     sp AS (SELECT doc_id,
-         |       CASE WHEN ${P.duckHash60("'split|' || source")} % 10 < 8 THEN 'train'
-         |            WHEN ${P.duckHash60("'split|' || source")} % 10 = 8 THEN 'valid'
-         |            ELSE 'test' END AS split FROM documents)
-         |SELECT l.doc_id, l.pred_lang, q.is_quality, e.exact_keep, c.cluster_id,
-         |  c.cluster_id = l.doc_id AS near_keep, s.split,
-         |  (q.is_quality AND e.exact_keep AND c.cluster_id = l.doc_id) AS kept
-         |FROM lang l JOIN qual q USING (doc_id) JOIN ek e USING (doc_id)
-         |  JOIN comp c USING (doc_id) JOIN sp s USING (doc_id)""".stripMargin) { (s, d) =>
+         |     $ledgerCtes
+         |$ledgerSelect""".stripMargin) { (s, d) =>
       graft.functions.Curation.ledger(T.documents(s, d))
     },
 
@@ -411,5 +423,62 @@ object CurationOps {
         |  CAST((1000000 * (base + CASE WHEN rk <= rem THEN 1 ELSE 0 END)) // 100000 AS BIGINT) AS alloc_ppm
         |FROM r""".stripMargin) { (s, d) =>
       graft.functions.Curation.tokenBudget(T.documents(s, d))
+    },
+
+    // Curriculum ordering (Curation.curriculum): each source split
+    // into 4 complexity tiers (ntile over the cu02 mean-token-length
+    // score, ascending — both engines hand the first n_mod_k tiles the
+    // extra row, the standard SQL rule), then a deterministic
+    // within-phase position by salted content hash — the reproducible
+    // stand-in for an in-phase shuffle. Training walks phase 1 → 4,
+    // `ord` within each; a rerun on any cluster yields the identical
+    // curriculum (epoch ordering is an experiment variable you must be
+    // able to replay). Scale: one source-keyed exchange carries both
+    // windows (the (source, phase) partitioning refines (source));
+    // only (id, score, ntok) longs shuffle, text never does.
+    Q(
+      "cu11_curriculum",
+      s"""WITH s AS (SELECT doc_id, source,
+         |    CAST(FLOOR(CAST(100 AS DOUBLE) * length(text)
+         |         / len(regexp_split_to_array(lower(text), '\\s+'))) AS BIGINT) AS score,
+         |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS ntok
+         |  FROM documents),
+         |  p AS (SELECT *, ntile(4) OVER (PARTITION BY source
+         |          ORDER BY score, doc_id) AS phase FROM s)
+         |SELECT doc_id, source, score, ntok, CAST(phase AS BIGINT) AS phase,
+         |  CAST(row_number() OVER (PARTITION BY source, phase
+         |    ORDER BY ${P.duckHash60("'cur|' || doc_id::VARCHAR")}, doc_id) AS BIGINT) AS ord
+         |FROM p""".stripMargin) { (s, d) =>
+      graft.functions.Curation.curriculum(T.documents(s, d))
+    },
+
+    // Curation funnel (Curation.funnel): the stage-by-stage row
+    // accounting every data-governance review asks for — rows entering
+    // each curation stage, rows surviving it, rows it dropped, with
+    // conservation (rows_in = rows_out + dropped, and stage N's
+    // rows_out = stage N+1's rows_in) guaranteed BY CONSTRUCTION
+    // because every count is a conditional over the SAME cu01 ledger
+    // (independent per-stage recounts drift the moment a stage
+    // definition changes — the classic reconciliation bug). Stage
+    // order matches the production pass: quality filter → exact dedup
+    // → near-dup cluster keeper. The oracle wraps the IDENTICAL ledger
+    // SQL cu01 gates. Scale: cu01's plan plus ONE map-side-combined
+    // conditional aggregate to a single row, unpivoted to 3 — the
+    // funnel costs nothing beyond the ledger it audits.
+    Q(
+      "cu12_curation_funnel",
+      s"""WITH RECURSIVE
+         |     $ledgerCtes,
+         |  led AS ($ledgerSelect),
+         |  a AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+         |          CAST(count(CASE WHEN is_quality THEN 1 END) AS BIGINT) AS n1,
+         |          CAST(count(CASE WHEN is_quality AND exact_keep THEN 1 END) AS BIGINT) AS n2,
+         |          CAST(count(CASE WHEN kept THEN 1 END) AS BIGINT) AS n3
+         |        FROM led)
+         |SELECT CAST(1 AS BIGINT) AS stage_ord, 'quality' AS stage,
+         |       n0 AS rows_in, n1 AS rows_out, n0 - n1 AS dropped FROM a
+         |UNION ALL SELECT CAST(2 AS BIGINT), 'exact_dedup', n1, n2, n1 - n2 FROM a
+         |UNION ALL SELECT CAST(3 AS BIGINT), 'near_dup', n2, n3, n2 - n3 FROM a""".stripMargin) {
+      (s, d) => graft.functions.Curation.funnel(T.documents(s, d))
     })
 }

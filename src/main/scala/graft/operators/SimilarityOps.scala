@@ -1633,6 +1633,73 @@ object SimilarityOps {
             "(n_hit * 100) div 3 as recall_x100")
       }
       arms.reduce(_ unionAll _)
+    },
+
+    // Matryoshka (MRL) truncated-dimension recall sweep: rank neighbors
+    // by cosine over only the FIRST d dims (d = 8, 16, 32, 64) and
+    // measure top-3 recall against the full-width exact top-3 — the
+    // accuracy-vs-cost curve behind Matryoshka-style embeddings, where
+    // serving reads a prefix of each stored vector (¼ the bytes at
+    // d=16) and the index answers from truncated vectors. Same
+    // prefix-fold arithmetic on both engines (ascending left fold,
+    // per-element double cast — the fn05/ss14-proven rendering).
+    // Scale: ONE corpus scan; the 4 truncation arms ride a single
+    // exploded (d, cosine) pass against the broadcast 5-query table,
+    // so adding arms adds projection work, not scans; per-(d, query)
+    // rank windows shuffle (d, q_id, n_id, cos) rows only. A real MRL
+    // deployment stores the prefix contiguously so the d=16 arm also
+    // cuts scan bytes 4× — parquet's array layout can't, noted.
+    Q(
+      "ss21_mrl_recall", {
+        val ds = Seq(8, 16, 32, 64)
+        val armCase = ds.init.map(n =>
+          s"WHEN ${n} THEN ${duckCosN("q.qe", "e.embedding", n)}")
+          .mkString(" ")
+        s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+           |           WHERE vec_id < 5),
+           |  dt AS (SELECT unnest([${ds.mkString(", ")}]) AS d),
+           |  pr AS (SELECT dt.d, q.q_id, e.vec_id AS n_id,
+           |      CASE dt.d $armCase
+           |           ELSE ${duckCosN("q.qe", "e.embedding", 64)} END AS cs
+           |    FROM q CROSS JOIN embeddings e CROSS JOIN dt
+           |    WHERE e.vec_id <> q.q_id),
+           |  top AS (SELECT d, q_id, n_id FROM (
+           |    SELECT d, q_id, n_id,
+           |      row_number() OVER (PARTITION BY d, q_id ORDER BY cs DESC, n_id) AS rn
+           |    FROM pr) WHERE rn <= 3),
+           |  truth AS (SELECT q_id, n_id FROM top WHERE d = 64)
+           |SELECT CAST(t.d AS BIGINT) AS d,
+           |  CAST(count(x.n_id) AS BIGINT) AS n_hit,
+           |  (100 * count(x.n_id)) // 15 AS recall_x100
+           |FROM top t LEFT JOIN truth x ON x.q_id = t.q_id AND x.n_id = t.n_id
+           |GROUP BY t.d""".stripMargin
+      }) { (s, d) =>
+      val e = T.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val ds = Seq(8, 16, 32, 64)
+      val structArr = ds.map(n =>
+        s"struct(cast($n as bigint) as d, " +
+          s"${sparkCosN(s"slice(qe, 1, $n)", s"slice(ne, 1, $n)")} as cs)")
+        .mkString("array(", ", ", ")")
+      val top = broadcast(q)
+        .crossJoin(e.select(col("vec_id").as("n_id"), col("embedding").as("ne")))
+        .filter(col("n_id") =!= col("q_id"))
+        .selectExpr("q_id", "n_id", s"explode($structArr) as dc")
+        .selectExpr("dc.d as d", "q_id", "n_id", "dc.cs as cs")
+        .selectExpr("d", "q_id", "n_id",
+          "row_number() over (partition by d, q_id order by cs desc, n_id) as rn")
+        .filter(col("rn") <= 3)
+        .select("d", "q_id", "n_id")
+        .persist() // truth arm re-reads it; caller clearCache releases
+      val truth = top.filter(col("d") === 64)
+        .select(col("q_id").as("tq_id"), col("n_id").as("tn_id"))
+      top.join(truth,
+          col("q_id") === col("tq_id") && col("n_id") === col("tn_id"), "left")
+        .groupBy("d")
+        .agg(
+          count(col("tn_id")).cast("long").as("n_hit"),
+          expr("(100 * count(tn_id)) div 15").as("recall_x100"))
     }
   )
 

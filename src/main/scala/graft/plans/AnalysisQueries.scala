@@ -523,6 +523,57 @@ object AnalysisQueries {
         .selectExpr("w as token", "c_en", "c_rest",
           "cast((1000000 * abs(c_en * t_rest - c_rest * t_en)) " +
             "div (2 * t_en * t_rest) as bigint) as drift_ppm")
+    },
+
+    // KMV (k-minimum-values) distinct-cardinality estimation, per
+    // source: the k=32 smallest 60-bit token hashes give the classic
+    // unbiased estimator (k−1)·2⁶⁰/h₍ₖ₎ — distinct-count sketching with
+    // the SAME md5 hash machinery the dedup family already rides, and
+    // (unlike HLL's approx_count_distinct) bit-portable across engines,
+    // so the gate pins estimate AND error against the exact count.
+    // The division computes in two exact integer halves (quot/rem of
+    // 2⁶⁰ by h₍ₖ₎) — (k−1)·2⁶⁰ would overflow BIGINT. Sources with
+    // fewer than k distinct hashes fall back to the exact count (the
+    // estimator is undefined there). Scale: the distinct (source, hash)
+    // frame partial-aggregates map-side to vocabulary size before the
+    // one exchange; the rank window orders that vocab-bound frame, never
+    // the corpus — and at extreme scale the same estimator composes as
+    // per-partition top-k then merge, which this plan's AQE-coalesced
+    // window already approximates.
+    Q(
+      "an17_kmv_cardinality",
+      s"""WITH tok AS (SELECT source, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+         |             FROM documents),
+         |  t AS (SELECT DISTINCT source, ${P.duckHash60("'kmv|' || w")} AS h FROM tok),
+         |  r AS (SELECT source, h,
+         |          row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM t),
+         |  a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact,
+         |          max(CASE WHEN rn = 32 THEN h END) AS kth
+         |        FROM r GROUP BY source),
+         |  e AS (SELECT source, n_exact,
+         |          CASE WHEN n_exact < 32 THEN n_exact
+         |               ELSE 31 * (1152921504606846976 // kth)
+         |                    + (31 * (1152921504606846976 % kth)) // kth END AS n_est
+         |        FROM a)
+         |SELECT source, CAST(32 AS BIGINT) AS k, n_exact, n_est,
+         |  (abs(n_est - n_exact) * 10000) // n_exact AS err_bp
+         |FROM e""".stripMargin) { (s, d) =>
+      val t = T.documents(s, d)
+        .selectExpr("source", "explode(split(lower(text), '\\\\s+')) as w")
+        .selectExpr("source", s"${P.hash60("concat('kmv|', w)")} as h")
+        .distinct()
+      t.withColumn("rn",
+          row_number().over(Window.partitionBy("source").orderBy("h")))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).cast("long").as("n_exact"),
+          max(when(col("rn") === 32, col("h"))).as("kth"))
+        .selectExpr("source", "cast(32 as bigint) as k", "n_exact",
+          "case when n_exact < 32 then n_exact " +
+            "else 31 * (1152921504606846976 div kth) " +
+            "+ (31 * (1152921504606846976 % kth)) div kth end as n_est")
+        .selectExpr("source", "k", "n_exact", "n_est",
+          "(abs(n_est - n_exact) * 10000) div n_exact as err_bp")
     }
   )
 }

@@ -637,4 +637,36 @@ object StreamRunner {
       .selectExpr("user_id", "event_type", "s.last_event_id as last_event_id",
         "s.last_ts_us as last_ts_us", "s.last_value as last_value")
   }
+
+  /** st13's windowed top-k as a genuine stream: the watermarked
+    * tumbling-window count/value agg runs INSIDE Structured Streaming
+    * (complete mode — window state is the streaming part); the top-3
+    * rank is applied to the result table per trigger, the standard
+    * top-k-over-streams shape (rank is not an incremental aggregate —
+    * it's a view over the maintained counts). StreamingSpec asserts
+    * equality with the gated st13 batch rendering.
+    */
+  def topKStream(spark: SparkSession, sfDir: String,
+      queryName: String = "graft_topk"): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), expr(graft.Portable.dsum("value")).as("v"))
+      .select(
+        unix_seconds(col("win.start")).as("win_start_s"),
+        col("event_type"), col("n"), col("v"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .selectExpr("win_start_s", "event_type", "n", "v",
+        "cast(row_number() over (partition by win_start_s " +
+          "order by n desc, event_type) as bigint) as rnk")
+      .filter(col("rnk") <= 3)
+  }
 }

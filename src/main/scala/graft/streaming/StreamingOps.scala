@@ -386,6 +386,37 @@ object StreamingOps {
         .selectExpr("user_id",
           "unix_seconds(sw.start) as sess_start_s",
           "unix_seconds(sw.end) as sess_end_s", "n", "v")
+    },
+
+    // Windowed heavy hitters: per tumbling 1-hour window, the top-3
+    // event types by count (count desc, type tiebreak) with their
+    // exact-decimal value mass — the what's-trending-now panel every
+    // event pipeline serves. StreamRunner.topKStream runs the SAME
+    // windowed count as a genuine watermarked streaming agg and ranks
+    // the result table per trigger (rank is a view over streaming
+    // state — the standard top-k-over-streams shape, since rank itself
+    // isn't an incremental agg); StreamingSpec asserts equality.
+    // Scale: counts partial-aggregate map-side to (window × type)
+    // rows, so the rank window orders type-cardinality rows per
+    // window, never events.
+    Q(
+      "st13_window_topk",
+      s"""WITH c AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start_s,
+         |    event_type, count(*) AS n, ${P.duckDsum("value")} AS v
+         |  FROM events GROUP BY win_start_s, event_type)
+         |SELECT win_start_s, event_type, n, v, CAST(rnk AS BIGINT) AS rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY win_start_s
+         |    ORDER BY n DESC, event_type) AS rnk FROM c)
+         |WHERE rnk <= 3""".stripMargin) { (s, d) =>
+      T.events(s, d)
+        .groupBy(
+          unix_seconds(date_trunc("hour", col("ts"))).as("win_start_s"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), expr(P.dsum("value")).as("v"))
+        .selectExpr("win_start_s", "event_type", "n", "v",
+          "cast(row_number() over (partition by win_start_s " +
+            "order by n desc, event_type) as bigint) as rnk")
+        .filter(col("rnk") <= 3)
     }
   )
 }

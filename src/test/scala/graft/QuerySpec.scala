@@ -610,4 +610,88 @@ class QuerySpec extends AnyFunSuite {
     assert(missing == Set("op03_list_files", "q_approx_distinct", "an07_approx_profile",
       "dd07_mllib_minhash_lsh", "op11b_reservoir_shuffle"))
   }
+
+  test("tx23: readability bands follow the score; augmented docs gain sentences") {
+    val rows = SparkEntry.queries("tx23_readability")(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    assert(rows.forall { r =>
+      val (w, s, syl, score, band) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))
+      val expected = 206835 - (1015 * w) / s - (84600 * math.max(syl, w)) / w
+      score == expected &&
+        band == (if (score >= 60000) "easy"
+                 else if (score >= 30000) "standard" else "difficult") &&
+        s >= 1 && syl >= 0 && w >= 1
+    })
+    // doc_id % 3 == 0 gains ' It is short. It reads well. We like it.' → ≥3 sentences
+    assert(rows.filter(_.getLong(0) % 3 == 0).forall(_.getLong(2) >= 3))
+  }
+
+  test("an17: KMV estimate is exact under k and within 50% above it") {
+    val rows = SparkEntry.queries("an17_kmv_cardinality")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(1) == 32L))
+    rows.foreach { r =>
+      val (exact, est, errBp) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      if (exact < 32) assert(est == exact, s"sub-k source must fall back: $r")
+      // k=32 ⇒ relative stderr ~ 1/√30 ≈ 18%; 50% is a loose 2.7σ bound
+      else assert(errBp < 5000, s"KMV est off by ${errBp}bp: $r")
+      assert(errBp == math.abs(est - exact) * 10000 / exact)
+    }
+  }
+
+  test("ss21: full-width arm recalls 100%; truncated arms stay in range") {
+    val rows = SparkEntry.queries("ss21_mrl_recall")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(8L, 16L, 32L, 64L))
+    val full = rows.find(_.getLong(0) == 64L).get
+    assert(full.getLong(1) == 15L && full.getLong(2) == 100L)
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 15 &&
+      r.getLong(2) == r.getLong(1) * 100 / 15))
+    spark.catalog.clearCache()
+  }
+
+  test("cu11: phases tile each source evenly; ord is a within-phase permutation") {
+    val rows = SparkEntry.queries("cu11_curriculum")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.groupBy(_._2).foreach { case (src, docs) =>
+      val byPhase = docs.groupBy(_._4)
+      assert(byPhase.keySet.forall(p => p >= 1 && p <= 4))
+      // ntile: phase sizes differ by at most 1
+      val sizes = byPhase.values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, s"$src phase sizes $sizes")
+      // ord is 1..n within each phase
+      byPhase.foreach { case (_, members) =>
+        assert(members.map(_._5).sorted.toSeq == (1L to members.size).toSeq)
+      }
+      // phases are contiguous score tiers under (score, doc_id) order
+      val ordered = byPhase.toSeq.sortBy(_._1)
+      val ord = Ordering.Tuple2[Long, Long]
+      ordered.sliding(2).foreach {
+        case Seq((_, lo), (_, hi)) =>
+          assert(ord.lteq(lo.map(d => (d._3, d._1)).max(ord),
+            hi.map(d => (d._3, d._1)).min(ord)))
+        case _ => ()
+      }
+    }
+  }
+
+  test("cu12: funnel conserves rows and chains stage outputs") {
+    val rows = SparkEntry.queries("cu12_curation_funnel")(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.length == 3)
+    assert(rows.map(_.getString(1)).toSeq == Seq("quality", "exact_dedup", "near_dup"))
+    rows.foreach(r =>
+      assert(r.getLong(2) == r.getLong(3) + r.getLong(4), s"conservation: $r"))
+    rows.toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a.getLong(3) == b.getLong(2), "stage chain broken")
+      case _ => ()
+    }
+    // stage 1 rows_in = corpus size; final rows_out = cu01's kept count
+    assert(rows.head.getLong(2) == Tables.documents(spark, sf).count())
+    val kept = SparkEntry.queries("cu01_curation_ledger")(spark, sf)
+      .filter("kept").count()
+    assert(rows.last.getLong(3) == kept)
+    spark.catalog.clearCache()
+  }
 }

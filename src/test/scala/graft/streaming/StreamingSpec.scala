@@ -174,4 +174,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming windowed top-k equals batch st13") {
+    val streamed = StreamRunner.topKStream(spark, sf, "graft_topk_spec")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toSet
+    val batch = graft.streaming.StreamingOps.queries.find(_.name == "st13_window_topk").get
+      .fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // every window carries at most 3 ranked rows, ranks are 1..3
+    streamed.groupBy(_._1).foreach { case (_, rows) =>
+      val ranks = rows.map(_._5).toSeq.sorted
+      assert(ranks == (1L to ranks.size).toSeq)
+      assert(ranks.size <= 3)
+    }
+  }
 }
