@@ -310,4 +310,53 @@ object Sampling {
         s"($budget * w_ppm) div 1000000 as draws",
         s"((($budget * w_ppm) div 1000000) * 1000000) div mass as epochs_ppm")
   }
+
+  /** Deterministic Poisson-bootstrap confidence interval for the
+    * per-group mean of `valueCol`: B=32 bootstrap replicas, each row's
+    * replica multiplicity drawn from a Poisson(1) pmf approximated in
+    * per-mille (0:368, 1:368, 2:184, 3:61, 4:19) by a salted content
+    * hash — the online-bootstrap trick (Poisson counts ≈ multinomial
+    * resampling without materializing N draws), made hash-deterministic
+    * so reruns and engines agree bit-for-bit where true RNG bootstraps
+    * can't be gated at all. Replica means are integer ×100; the CI is
+    * the 2nd-smallest..2nd-largest replica mean (~94% coverage at
+    * B=32). A replica that draws zero total weight (probability
+    * .368^n — only microscopic groups) reports mean 0, the documented
+    * degenerate. Shared by the gated sm12 query. Scale: the B-fold
+    * expansion partial-aggregates map-side to (group × B) rows before
+    * the one exchange; the rank windows order 32-row frames per group —
+    * error bars on corpus stats for B× map work and no extra scan.
+    */
+  def bootstrapCI(docs: DataFrame, groupCol: String = "source",
+      valueCol: String = "n_chars", idCol: String = "doc_id",
+      b: Int = 32): DataFrame = {
+    require(b >= 4 && b <= 256, s"replica count must be in [4, 256], got $b")
+    val reps = docs
+      .selectExpr(s"$groupCol as _g", s"$idCol as _id",
+        s"cast($valueCol as bigint) as _x",
+        s"explode(sequence(0, ${b - 1})) as _b")
+      .selectExpr("_g", "_b", "_x",
+        s"${P.hash60("concat('bs|', cast(_b as string), '|', cast(_id as string))")} % 1000 as _u")
+      .selectExpr("_g", "_b", "_x",
+        "case when _u < 368 then 0 when _u < 736 then 1 " +
+          "when _u < 920 then 2 when _u < 981 then 3 else 4 end as _w")
+      .groupBy("_g", "_b")
+      .agg(sum(expr("_w * _x")).cast("long").as("_swx"),
+        sum("_w").cast("long").as("_sw"))
+      .selectExpr("_g", "_b",
+        "case when _sw = 0 then 0 else (100 * _swx) div _sw end as _m")
+      .selectExpr("_g", "_m",
+        "row_number() over (partition by _g order by _m asc, _b asc) as _ra",
+        "row_number() over (partition by _g order by _m desc, _b desc) as _rd")
+    val bounds = reps.groupBy("_g")
+      .agg(max(when(col("_ra") === 2, col("_m"))).as("lo_x100"),
+        max(when(col("_rd") === 2, col("_m"))).as("hi_x100"))
+    docs.selectExpr(s"$groupCol as _g", s"cast($valueCol as bigint) as _x")
+      .groupBy("_g")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        expr("(100 * sum(_x)) div count(1)").as("mean_x100"))
+      .join(bounds, "_g")
+      .selectExpr(s"_g as $groupCol", "n_docs", "mean_x100",
+        "lo_x100", "hi_x100", "hi_x100 - lo_x100 as width_x100")
+  }
 }

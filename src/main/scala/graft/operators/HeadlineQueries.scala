@@ -652,6 +652,51 @@ object HeadlineQueries {
           sum("bytes").cast("long").as("bytes"))
         .selectExpr("bin_id", "n_files", "bytes",
           "cast((1000000 * bytes) div 1048576 as bigint) as fill_ppm")
+    },
+
+    // Merge-on-read delete vectors (the Iceberg/Delta deletion-vector
+    // read path): the live view of a table = base files ⟕ delete
+    // entries, with a per-file maintenance audit — live/deleted counts,
+    // live_ppm, and the needs_rewrite verdict (deleted share > 10%)
+    // that drives purge compaction, completing the lakehouse-
+    // maintenance family (q_file_compaction sizes, q_zorder_layout
+    // orders, q_cdc_compact upserts, THIS reclaims). Deletes are a
+    // deterministic 15%-ish hash sample of keys standing in for the
+    // accumulated DELETE commits. Scale: the delete table joins the
+    // base on its key (broadcast while vectors are small, keyed
+    // equi-join after — never a scan-side rewrite), and the audit
+    // rolls up map-side to manifest cardinality; rewriting only files
+    // past the threshold is the point — the read path pays one join,
+    // the write path touches 10%-dead files only.
+    Q(
+      "q_mor_deletes",
+      s"""WITH del AS (SELECT o_orderkey AS d_key FROM orders
+         |             WHERE ${P.duckHash60("'del|' || o_orderkey::VARCHAR")} % 20 < 3),
+         |  f AS (SELECT o.o_orderkey % 499 AS file_id,
+         |          CASE WHEN d.d_key IS NOT NULL THEN 1 ELSE 0 END AS is_del
+         |        FROM orders o LEFT JOIN del d ON d.d_key = o.o_orderkey)
+         |SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(is_del) AS BIGINT) AS n_deleted,
+         |  CAST(count(*) - SUM(is_del) AS BIGINT) AS n_live,
+         |  CAST((1000000 * (count(*) - SUM(is_del))) // count(*) AS BIGINT) AS live_ppm,
+         |  (1000000 * SUM(is_del)) // count(*) > 100000 AS needs_rewrite
+         |FROM f GROUP BY file_id""".stripMargin) { (s, d) =>
+      val o = T.orders(s, d).select("o_orderkey")
+      val del = o
+        .filter(expr(
+          s"${P.hash60("concat('del|', cast(o_orderkey as string))")} % 20 < 3"))
+        .select(col("o_orderkey").as("d_key"))
+      o.join(broadcast(del), col("o_orderkey") === col("d_key"), "left")
+        .selectExpr("o_orderkey % 499 as file_id",
+          "case when d_key is not null then 1 else 0 end as is_del")
+        .groupBy("file_id")
+        .agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          sum("is_del").cast("long").as("n_deleted"))
+        .selectExpr("file_id", "n_rows", "n_deleted",
+          "n_rows - n_deleted as n_live",
+          "(1000000 * (n_rows - n_deleted)) div n_rows as live_ppm",
+          "(1000000 * n_deleted) div n_rows > 100000 as needs_rewrite")
     }
   )
 

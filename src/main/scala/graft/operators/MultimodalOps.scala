@@ -353,6 +353,45 @@ object MultimodalOps {
         |FROM t GROUP BY doc_id, sid""".stripMargin) { (s, d) =>
       import graft.multimodal.AudioCodec
       AudioCodec.vadSegments(s, AudioCodec.payloads(s, d, 64))
+    },
+
+    // Stereo→mono downmix + normalization plan: interleaved L/R frames
+    // (closed-form 8-bit samples — the mm04/mm05 synthetic-payload
+    // convention) downmixed M = (L+R) div 2 per frame, with per-doc
+    // peak, total energy, and the peak-normalization gain_ppm a
+    // loudness-leveling pass would apply — the channel-layout plumbing
+    // (frame interleave arithmetic, per-channel closed forms, integer
+    // downmix) of an audio ingest pipeline with the codec swapped for
+    // deterministic synthesis, per the multimodal stub contract.
+    // Samples stay in 0..255 so `div 2` agrees across engines (floor
+    // vs truncation differ on negatives). Scale: pure scan projection —
+    // the whole per-doc chain is two HOF folds inside one codegen'd
+    // stage, zero shuffle.
+    Q(
+      "mm10_stereo_downmix",
+      """WITH p AS (SELECT doc_id, 100 + doc_id % 32 AS n
+        |           FROM documents WHERE doc_id < 64),
+        |  m AS (SELECT doc_id, n,
+        |          list_transform(range(0, n),
+        |            i -> ((doc_id * 7 + 13 * i) % 256 + (doc_id * 11 + 17 * i) % 256) // 2) AS mono
+        |        FROM p)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_frames,
+        |  CAST(list_max(mono) AS BIGINT) AS peak,
+        |  CAST(list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(mono, v -> v::BIGINT * v)), (a, b) -> a + b) AS BIGINT) AS energy,
+        |  CAST((1000000 * 255) // list_max(mono) AS BIGINT) AS gain_ppm
+        |FROM m""".stripMargin) { (s, d) =>
+      T.documents(s, d)
+        .filter(col("doc_id") < 64)
+        .selectExpr("doc_id", "cast(100 + doc_id % 32 as int) as n")
+        .selectExpr("doc_id", "n",
+          "transform(sequence(0, n - 1), " +
+            "i -> ((doc_id * 7 + 13 * i) % 256 + (doc_id * 11 + 17 * i) % 256) div 2) as mono")
+        .selectExpr("doc_id", "cast(n as bigint) as n_frames",
+          "cast(array_max(mono) as bigint) as peak",
+          "cast(aggregate(transform(mono, v -> cast(v as bigint) * v), " +
+            "cast(0 as bigint), (a, b) -> a + b) as bigint) as energy",
+          "cast((1000000 * 255) div array_max(mono) as bigint) as gain_ppm")
     }
   )
 }

@@ -359,6 +359,47 @@ object SamplingOps {
         .selectExpr("source", "alloc_neyman",
           "coalesce(achieved, 0L) as achieved",
           "coalesce(mass_kept, 0L) as mass_kept")
+    },
+
+    // Deterministic Poisson-bootstrap CI (Sampling.bootstrapCI): error
+    // bars on the per-source mean doc size from 32 hash-deterministic
+    // bootstrap replicas — the uncertainty quantification corpus
+    // dashboards need next to every point estimate, in a form a
+    // hash-compare gate can actually pin (a true RNG bootstrap can't
+    // be gated and can't be reproduced across reruns either). Replica
+    // multiplicities approximate Poisson(1) in per-mille via the salted
+    // content hash; CI = 2nd..31st ranked replica mean (~94%). Scale:
+    // the 32× expansion combines map-side to (source × 32) partials;
+    // the rank windows order 32-row frames per source.
+    Q(
+      "sm12_bootstrap_ci",
+      s"""WITH r AS (SELECT source, doc_id, n_chars, unnest(range(0, 32)) AS b
+         |           FROM documents),
+         |  w AS (SELECT source, b, n_chars,
+         |          CASE WHEN u < 368 THEN 0 WHEN u < 736 THEN 1
+         |               WHEN u < 920 THEN 2 WHEN u < 981 THEN 3 ELSE 4 END AS w
+         |        FROM (SELECT *,
+         |          ${P.duckHash60("'bs|' || b::VARCHAR || '|' || doc_id::VARCHAR")} % 1000 AS u
+         |          FROM r)),
+         |  m AS (SELECT source, b,
+         |          CAST(CASE WHEN SUM(w) = 0 THEN 0
+         |               ELSE (100 * SUM(w * n_chars)) // SUM(w) END AS BIGINT) AS m
+         |        FROM w GROUP BY source, b),
+         |  rk AS (SELECT source, m,
+         |          row_number() OVER (PARTITION BY source ORDER BY m ASC, b ASC) AS ra,
+         |          row_number() OVER (PARTITION BY source ORDER BY m DESC, b DESC) AS rd
+         |        FROM m),
+         |  ci AS (SELECT source,
+         |          max(CASE WHEN ra = 2 THEN m END) AS lo_x100,
+         |          max(CASE WHEN rd = 2 THEN m END) AS hi_x100
+         |        FROM rk GROUP BY source),
+         |  base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |          CAST((100 * SUM(n_chars)) // count(*) AS BIGINT) AS mean_x100
+         |        FROM documents GROUP BY source)
+         |SELECT base.source, n_docs, mean_x100, lo_x100, hi_x100,
+         |  hi_x100 - lo_x100 AS width_x100
+         |FROM base JOIN ci ON ci.source = base.source""".stripMargin) { (s, d) =>
+      graft.functions.Sampling.bootstrapCI(T.documents(s, d))
     }
   )
 

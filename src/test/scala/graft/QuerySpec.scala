@@ -676,6 +676,50 @@ class QuerySpec extends AnyFunSuite {
     }
   }
 
+  test("q_mor_deletes: per-file counts conserve; verdict follows the threshold") {
+    val rows = SparkEntry.queries("q_mor_deletes")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val (n, del, live, ppm, rewrite) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))
+      n == del + live && ppm == 1000000L * live / n &&
+        rewrite == (1000000L * del / n > 100000L)
+    })
+    // totals reconcile with the corpus and the 15%-ish delete rate
+    val total = rows.map(_.getLong(1)).sum
+    val deleted = rows.map(_.getLong(2)).sum
+    assert(total == Tables.orders(spark, sf).count())
+    assert(deleted > total / 10 && deleted < total / 5)
+  }
+
+  test("sm12: bootstrap CI brackets the sample mean with sane widths") {
+    val rows = SparkEntry.queries("sm12_bootstrap_ci")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, mean, lo, hi, w) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(lo <= hi && w == hi - lo, s"CI malformed: $r")
+      // the point estimate lies inside (or at) the 94% interval
+      assert(mean >= lo && mean <= hi, s"mean outside CI: $r")
+      assert(n > 0 && w >= 0)
+    }
+  }
+
+  test("mm10: downmix stats match the closed form recomputed in Scala") {
+    val rows = SparkEntry.queries("mm10_stereo_downmix")(spark, sf).collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val n = 100 + (id % 32).toInt
+      val mono = (0 until n).map(i =>
+        ((id * 7 + 13 * i) % 256 + (id * 11 + 17 * i) % 256) / 2)
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == mono.max)
+      assert(r.getLong(3) == mono.map(v => v * v).sum)
+      assert(r.getLong(4) == 1000000L * 255 / mono.max)
+    }
+  }
+
   test("cu12: funnel conserves rows and chains stage outputs") {
     val rows = SparkEntry.queries("cu12_curation_funnel")(spark, sf).collect()
       .sortBy(_.getLong(0))
