@@ -969,6 +969,106 @@ object DedupOps {
          |  1000000 // cluster_size AS weight_ppm
          |FROM cs""".stripMargin) { (s, d) =>
       graft.functions.Dedup.softWeights(T.documents(s, d))
+    },
+
+    // Passage-level NEAR-dup detection: dd17 finds passages repeated
+    // EXACTLY; this catches lightly-edited boilerplate (one token
+    // swapped per instance — dates, names, version strings) by running
+    // dd10's SimHash machinery at passage granularity. Each aligned
+    // 8-token passage gets a 24-bit token-majority SimHash, banded
+    // 4×6 bits (pigeonhole: Hamming ≤ 3 agrees on some band), capped
+    // buckets, exact Hamming verify on two longs. The fixture's word
+    // salad has no organic near-dup passages, so the query AUGMENTS on
+    // BOTH engines: doc_id % 5 == 0 docs are padded to the 8-token
+    // passage grid and gain a boilerplate passage whose LAST token
+    // varies by doc_id % 7 — same-variant docs pair at Hamming 0,
+    // cross-variant at small distances, organic whole-doc duplicates
+    // pair passage-by-passage. Scale: passage text is hashed in the
+    // scan projection and dropped; only (doc_id, idx, band, key) longs
+    // and two sig longs per verify shuffle — dd10's discipline one
+    // level down the granularity ladder.
+    Q(
+      "dd23_passage_neardup", {
+        val simBits = (0 until 24).map { b =>
+          s"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> $b) & 1 = 1)) >= len(hs) " +
+            s"THEN ${1L << b} ELSE 0 END)"
+        }.mkString(" + ")
+        val bandSel = (0 until 4)
+          .map(k => s"SELECT doc_id, idx, $k AS band, (sh >> ${k * 6}) & 63 AS v FROM s")
+          .mkString("\n           UNION ALL ")
+        s"""WITH aug AS (SELECT doc_id, lower(text)
+           |      || repeat(' pad', (8 - len(regexp_split_to_array(lower(text), '\\s+')) % 8) % 8)
+           |      || ' shared boilerplate sentence about usual terms conditions v'
+           |      || (doc_id % 7)::VARCHAR AS text
+           |    FROM documents WHERE doc_id % 5 = 0
+           |    UNION ALL
+           |    SELECT doc_id, lower(text) FROM documents WHERE doc_id % 5 <> 0),
+           |  t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM aug),
+           |  p AS (SELECT doc_id, i AS idx,
+           |          list_transform(toks[i*8+1 : i*8+8], w -> ${P.duckHash60("w")}) AS hs
+           |        FROM t CROSS JOIN unnest(range(0, (len(toks) + 7) // 8)) r(i)),
+           |  s AS (SELECT doc_id, idx, CAST($simBits AS BIGINT) AS sh FROM p),
+           |  bands AS (
+           |       $bandSel),
+           |  sized AS (SELECT band, v, count(*) AS n FROM bands GROUP BY band, v),
+           |  small AS (SELECT b.doc_id, b.idx, b.band, b.v FROM bands b
+           |            JOIN sized z ON z.band = b.band AND z.v = b.v AND z.n <= 64),
+           |  pairs AS (SELECT DISTINCT a.doc_id AS a_id, a.idx AS a_idx,
+           |                   b.doc_id AS b_id, b.idx AS b_idx
+           |            FROM small a JOIN small b
+           |              ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)
+           |SELECT p.a_id, p.a_idx, p.b_id, p.b_idx,
+           |  CAST(bit_count(xor(sa.sh, sb.sh)) AS BIGINT) AS hamming
+           |FROM pairs p
+           |JOIN s sa ON sa.doc_id = p.a_id AND sa.idx = p.a_idx
+           |JOIN s sb ON sb.doc_id = p.b_id AND sb.idx = p.b_idx
+           |WHERE bit_count(xor(sa.sh, sb.sh)) <= 3""".stripMargin
+      }) { (s, d) =>
+      val simBits = (0 until 24).map { b =>
+        s"(case when 2 * size(filter(hs, h -> (shiftright(h, $b) & 1) = 1)) >= size(hs) " +
+          s"then ${1L << b}L else 0L end)"
+      }.mkString(" + ")
+      val docs = T.documents(s, d)
+      val aug = docs.filter(col("doc_id") % 5 === 0)
+        .selectExpr("doc_id",
+          "concat(lower(text), " +
+            "repeat(' pad', (8 - size(split(lower(text), '\\\\s+')) % 8) % 8), " +
+            "' shared boilerplate sentence about usual terms conditions v', " +
+            "cast(doc_id % 7 as string)) as text")
+        .unionAll(docs.filter(col("doc_id") % 5 =!= 0)
+          .selectExpr("doc_id", "lower(text) as text"))
+      val sig = aug
+        .selectExpr("doc_id", "split(text, '\\\\s+') as toks")
+        .selectExpr("doc_id",
+          "explode(transform(sequence(0, cast((size(toks) + 7) div 8 as int) - 1), " +
+            "i -> struct(i as idx, slice(toks, i*8 + 1, 8) as pt))) as ps")
+        .selectExpr("doc_id", "ps.idx as idx",
+          s"transform(ps.pt, w -> ${P.hash60("w")}) as hs")
+        .selectExpr("doc_id", "idx", s"cast($simBits as bigint) as sh")
+        .persist() // bands + both verify sides; caller clearCache releases
+      val bandVals = (0 until 4)
+        .map(k => s"$k, shiftright(sh, ${k * 6}) & 63")
+        .mkString(", ")
+      val bands = sig
+        .selectExpr("doc_id", "idx", s"stack(4, $bandVals) as (band, v)")
+        .persist() // sized + both pair sides
+      val sized = bands.groupBy("band", "v").agg(count(lit(1)).as("n"))
+      val small = bands.join(sized.filter(col("n") <= 64), Seq("band", "v"))
+      val pairs = small
+        .select(col("doc_id").as("a_id"), col("idx").as("a_idx"),
+          col("band"), col("v"))
+        .join(small.select(col("doc_id").as("b_id"), col("idx").as("b_idx"),
+          col("band"), col("v")), Seq("band", "v"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "a_idx", "b_id", "b_idx")
+        .distinct()
+      pairs
+        .join(sig.toDF("a_id", "a_idx", "sha"), Seq("a_id", "a_idx"))
+        .join(sig.toDF("b_id", "b_idx", "shb"), Seq("b_id", "b_idx"))
+        .selectExpr("a_id", "cast(a_idx as bigint) as a_idx",
+          "b_id", "cast(b_idx as bigint) as b_idx",
+          "cast(bit_count(sha ^ shb) as bigint) as hamming")
+        .filter(col("hamming") <= 3)
     }
   )
 

@@ -574,6 +574,69 @@ object AnalysisQueries {
             "+ (31 * (1152921504606846976 % kth)) div kth end as n_est")
         .selectExpr("source", "k", "n_exact", "n_est",
           "(abs(n_est - n_exact) * 10000) div n_exact as err_bp")
+    },
+
+    // Exact two-sample Kolmogorov–Smirnov drift, each source vs the
+    // REST of the corpus over the doc-size distribution: the
+    // which-source-looks-different audit that complements an13's
+    // binned χ² (KS needs no binning choice and catches shape drift χ²
+    // bins can blur). The statistic is computed EXACTLY in integers —
+    // D's numerator |F₁·n₂ − F₂·n₁| maxes over the merged value grid,
+    // then one division to ppm — never IEEE CDF subtraction, so both
+    // engines agree bit-for-bit. Scale: per-(source, value) counts
+    // partial-aggregate map-side; the evaluation grid is sources ×
+    // distinct values (values quantize to a bounded grid at real scale
+    // — n_chars here is already integral), and the running-sum windows
+    // order that grid, never the corpus.
+    Q(
+      "an18_ks_drift",
+      """WITH cnt AS (SELECT source, n_chars AS v, count(*) AS c
+        |             FROM documents GROUP BY source, v),
+        |  tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n1
+        |          FROM documents GROUP BY source),
+        |  n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+        |  vals AS (SELECT DISTINCT n_chars AS v FROM documents),
+        |  allc AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY v),
+        |  grid AS (SELECT s.source, a.v, coalesce(c.c, 0) AS cs
+        |           FROM (SELECT DISTINCT source FROM documents) s
+        |           CROSS JOIN vals a
+        |           LEFT JOIN cnt c ON c.source = s.source AND c.v = a.v),
+        |  cum AS (SELECT source, v,
+        |            SUM(cs) OVER (PARTITION BY source ORDER BY v) AS f1
+        |          FROM grid),
+        |  acum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS fa FROM allc),
+        |  d AS (SELECT c.source,
+        |          max(abs(c.f1 * (n.nn - t.n1) - (a.fa - c.f1) * t.n1)) AS dnum
+        |        FROM cum c JOIN acum a ON a.v = c.v
+        |        JOIN tot t ON t.source = c.source CROSS JOIN n
+        |        GROUP BY c.source)
+        |SELECT d.source, t.n1 AS n_docs,
+        |  CAST((1000000 * d.dnum) // (t.n1 * (n.nn - t.n1)) AS BIGINT) AS ks_ppm
+        |FROM d JOIN tot t ON t.source = d.source CROSS JOIN n""".stripMargin) { (s, d) =>
+      val docs = T.documents(s, d).select("source", "n_chars")
+      val cnt = docs.groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val tot = docs.groupBy("source").agg(count(lit(1)).cast("long").as("n1"))
+      val nn = docs.agg(count(lit(1)).cast("long").as("nn"))
+      val vals = docs.select(col("n_chars").as("v")).distinct()
+      val grid = docs.select("source").distinct()
+        .crossJoin(vals)
+        .join(cnt, Seq("source", "v"), "left")
+        .selectExpr("source", "v", "coalesce(c, 0L) as cs")
+      val cum = grid.selectExpr("source", "v",
+        "sum(cs) over (partition by source order by v) as f1")
+      val acum = docs.groupBy(col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .selectExpr("v", "sum(c) over (order by v) as fa")
+      cum.join(acum, "v")
+        .join(broadcast(tot), "source")
+        .crossJoin(broadcast(nn))
+        .groupBy("source")
+        .agg(max(expr("abs(f1 * (nn - n1) - (fa - f1) * n1)")).as("dnum"))
+        .join(broadcast(tot), "source")
+        .crossJoin(broadcast(nn))
+        .selectExpr("source", "n1 as n_docs",
+          "cast((1000000 * dnum) div (n1 * (nn - n1)) as bigint) as ks_ppm")
     }
   )
 }

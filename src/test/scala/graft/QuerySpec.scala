@@ -720,6 +720,33 @@ class QuerySpec extends AnyFunSuite {
     }
   }
 
+  test("dd23: same-variant augmented docs pair at Hamming 0; all pairs verified") {
+    val rows = SparkEntry.queries("dd23_passage_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.forall(r => r._1 < r._3 && r._5 >= 0 && r._5 <= 3))
+    // sf0.001 augmented docs: ids 0,5,...,45; same doc_id % 7 ⇒ identical
+    // appended passage ⇒ a Hamming-0 pair (buckets are far below the cap)
+    val augmented = (0L until 50L by 5).toSeq
+    val expectPairs = for {
+      a <- augmented; b <- augmented
+      if a < b && a % 7 == b % 7
+    } yield (a, b)
+    expectPairs.foreach { case (a, b) =>
+      assert(rows.exists(r => r._1 == a && r._3 == b && r._5 == 0),
+        s"missing Hamming-0 passage pair ($a, $b)")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("an18: KS statistic is a valid ppm; every source is audited") {
+    val rows = SparkEntry.queries("an18_ks_drift")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+    assert(rows.map(_.getLong(1)).sum == Tables.documents(spark, sf).count())
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 1000000))
+    // finite corpora always separate somewhere: max D > 0 for some source
+    assert(rows.exists(_.getLong(2) > 0))
+  }
+
   test("cu12: funnel conserves rows and chains stage outputs") {
     val rows = SparkEntry.queries("cu12_curation_funnel")(spark, sf).collect()
       .sortBy(_.getLong(0))
