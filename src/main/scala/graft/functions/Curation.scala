@@ -295,6 +295,54 @@ object Curation {
         col("score"), col("ntok"), col("phase"), col("ord"))
   }
 
+  /** The DATASET CARD: the one-page corpus summary every data release
+    * ships — size (docs/tokens/chars), language share, quality rate,
+    * exact-duplicate rate, PII incidence, and code share, as
+    * (metric, value) rows. Every signal is the SHARED expression its
+    * standalone gated query pins (tx01 language case, tx05 quality,
+    * dd01 digest, tx17 PII patterns, tx21 code threshold) — the card
+    * assembles, never re-derives, so it can't drift from the per-signal
+    * oracles. Shared by the gated cu13 query. Scale: ONE codegen'd scan
+    * projection computes every per-doc signal; the single global
+    * aggregate (count-distinct digest included) partial-aggregates
+    * map-side — the whole card costs one pass at any corpus size.
+    */
+  def datasetCard(docs0: DataFrame, textCol: String = "text"): DataFrame = {
+    val scored = docs0.selectExpr(s"$textCol as _text",
+        s"split(lower($textCol), '\\\\s+') as ltoks")
+      .selectExpr(Seq("_text", "ltoks") ++ TextOps.sparkLangScores: _*)
+      .withColumn("pred_lang", expr(TextOps.sparkLangCase))
+      .withColumn("is_quality", TextQuality.isQuality("_text"))
+      .withColumn("n_pii", TextQuality.piiPatterns
+        .map { case (_, p, _) => regexp_count(col("_text"), lit(p)) }
+        .reduce(_ + _))
+      .selectExpr(
+        "cast(size(ltoks) as bigint) as ntok",
+        "cast(length(_text) as bigint) as nchr",
+        "pred_lang", "is_quality", "n_pii > 0 as has_pii",
+        s"${graft.Portable.hash60("_text")} as digest",
+        "(1000000 * (length(_text) - length(translate(_text, '{}();=', '')))) " +
+          "div length(_text) > 15000 as is_code")
+    scored.agg(
+        count(lit(1)).cast("long").as("n"),
+        sum("ntok").cast("long").as("ntok"),
+        sum("nchr").cast("long").as("nchr"),
+        count(when(col("pred_lang") === "en", 1)).cast("long").as("nen"),
+        count(when(col("is_quality"), 1)).cast("long").as("nq"),
+        countDistinct(col("digest")).cast("long").as("nd"),
+        count(when(col("has_pii"), 1)).cast("long").as("npii"),
+        count(when(col("is_code"), 1)).cast("long").as("ncode"))
+      .selectExpr("stack(8, " +
+        "'n_docs', n, " +
+        "'n_tokens', ntok, " +
+        "'n_chars', nchr, " +
+        "'lang_en_ppm', (1000000 * nen) div n, " +
+        "'quality_ppm', (1000000 * nq) div n, " +
+        "'exact_dup_ppm', (1000000 * (n - nd)) div n, " +
+        "'pii_ppm', (1000000 * npii) div n, " +
+        "'code_ppm', (1000000 * ncode) div n) as (metric, value)")
+  }
+
   /** Stage-by-stage curation funnel over `ledger`: rows entering,
     * surviving, and dropped by each stage (quality → exact dedup →
     * near-dup keeper). Every count is a conditional over the SAME

@@ -480,5 +480,61 @@ object CurationOps {
          |UNION ALL SELECT CAST(2 AS BIGINT), 'exact_dedup', n1, n2, n1 - n2 FROM a
          |UNION ALL SELECT CAST(3 AS BIGINT), 'near_dup', n2, n3, n2 - n3 FROM a""".stripMargin) {
       (s, d) => graft.functions.Curation.funnel(T.documents(s, d))
+    },
+
+    // The dataset card (Curation.datasetCard): the one-page summary a
+    // data release ships — corpus size, language share, quality rate,
+    // exact-dup rate, PII incidence, code share — as (metric, value)
+    // rows. Every signal is the SHARED expression its standalone gated
+    // query pins (tx01/tx05/dd01/tx17/tx21), assembled into ONE scan
+    // projection + ONE global aggregate (count-distinct digest
+    // included), all map-side combined: the whole card costs one pass
+    // over the corpus at any scale.
+    Q(
+      "cu13_dataset_card",
+      s"""WITH lt AS (SELECT doc_id, text,
+         |       regexp_split_to_array(lower(text), '\\s+') AS ltoks FROM documents),
+         |  sig AS (SELECT
+         |    CAST(len(ltoks) AS BIGINT) AS ntok,
+         |    CAST(length(text) AS BIGINT) AS nchr,
+         |    CASE WHEN len(list_filter(ltoks, w -> w IN (${TextOps.deWords})))
+         |           > len(list_filter(ltoks, w -> w IN (${TextOps.enWords})))
+         |         AND len(list_filter(ltoks, w -> w IN (${TextOps.deWords})))
+         |           > len(list_filter(ltoks, w -> w IN (${TextOps.frWords}))) THEN 'de'
+         |         WHEN len(list_filter(ltoks, w -> w IN (${TextOps.frWords})))
+         |           > len(list_filter(ltoks, w -> w IN (${TextOps.enWords})))
+         |         AND len(list_filter(ltoks, w -> w IN (${TextOps.frWords})))
+         |           >= len(list_filter(ltoks, w -> w IN (${TextOps.deWords}))) THEN 'fr'
+         |         ELSE 'en' END AS pred_lang,
+         |    (len(ltoks) BETWEEN 10 AND 100000
+         |     AND (length(text)::DOUBLE / len(ltoks)) BETWEEN 2.0 AND 12.0
+         |     AND ((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+         |          / length(text)) <= 0.2
+         |     AND (len(list_filter(ltoks, w -> w IN (${TextOps.enWords})))::DOUBLE
+         |          / len(ltoks)) >= 0.0) AS is_quality,
+         |    ${P.duckHash60("text")} AS digest,
+         |    len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+         |      + len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+         |      + len(regexp_extract_all(text, '\\b555-\\d{4}\\b')) > 0 AS has_pii,
+         |    (1000000 * (length(text) - length(translate(text, '{}();=', ''))))
+         |      // length(text) > 15000 AS is_code
+         |  FROM lt),
+         |  a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(ntok) AS BIGINT) AS ntok, CAST(SUM(nchr) AS BIGINT) AS nchr,
+         |    CAST(count(CASE WHEN pred_lang = 'en' THEN 1 END) AS BIGINT) AS nen,
+         |    CAST(count(CASE WHEN is_quality THEN 1 END) AS BIGINT) AS nq,
+         |    CAST(count(DISTINCT digest) AS BIGINT) AS nd,
+         |    CAST(count(CASE WHEN has_pii THEN 1 END) AS BIGINT) AS npii,
+         |    CAST(count(CASE WHEN is_code THEN 1 END) AS BIGINT) AS ncode
+         |  FROM sig)
+         |SELECT 'n_docs' AS metric, n AS value FROM a
+         |UNION ALL SELECT 'n_tokens', ntok FROM a
+         |UNION ALL SELECT 'n_chars', nchr FROM a
+         |UNION ALL SELECT 'lang_en_ppm', (1000000 * nen) // n FROM a
+         |UNION ALL SELECT 'quality_ppm', (1000000 * nq) // n FROM a
+         |UNION ALL SELECT 'exact_dup_ppm', (1000000 * (n - nd)) // n FROM a
+         |UNION ALL SELECT 'pii_ppm', (1000000 * npii) // n FROM a
+         |UNION ALL SELECT 'code_ppm', (1000000 * ncode) // n FROM a""".stripMargin) {
+      (s, d) => graft.functions.Curation.datasetCard(T.documents(s, d))
     })
 }

@@ -1069,6 +1069,63 @@ object DedupOps {
           "b_id", "cast(b_idx as bigint) as b_idx",
           "cast(bit_count(sha ^ shb) as bigint) as hamming")
         .filter(col("hamming") <= 3)
+    },
+
+    // Content-defined chunking (the rsync/LBFS/restic boundary rule,
+    // applied to corpus storage dedup): a chunk boundary falls after
+    // every position whose 8-char window hash ≡ 0 (mod 64) — expected
+    // ~64-char chunks whose cut points depend only on CONTENT, so an
+    // insertion shifts one chunk instead of re-slicing the whole
+    // document the way fixed-width blocks (tx08) do. Emitted per chunk:
+    // ordinal, offset, length, and the 60-bit chunk hash — the unit of
+    // a dedup store or an incremental dataset diff. Fixed-window edge:
+    // docs shorter than the window produce one whole-doc chunk;
+    // boundaries at the last char drop their empty tail. Scale: the
+    // entire boundary scan + chunk slicing is HOFs inside ONE codegen'd
+    // scan projection — per-char hash work, zero shuffle; only the
+    // emitted (doc_id, idx, pos, len, hash) rows leave the scan.
+    Q(
+      "dd24_cdc_chunks",
+      s"""WITH t AS (SELECT doc_id, lower(text) AS t, length(lower(text)) AS n
+         |           FROM documents),
+         |  b AS (SELECT doc_id, t, n,
+         |          list_filter(list_transform(range(8, n + 1),
+         |            p -> CASE WHEN ${P.duckHash60("substr(t, p - 7, 8)")} % 64 = 0
+         |                 THEN p END), x -> x IS NOT NULL) AS bnd
+         |        FROM t),
+         |  c AS (SELECT doc_id, t,
+         |          list_prepend(1::BIGINT, list_transform(bnd, b -> b + 1)) AS starts,
+         |          list_append(bnd, n) AS ends
+         |        FROM b),
+         |  e AS (SELECT doc_id, t, i AS chunk_idx,
+         |          starts[i + 1] AS pos, ends[i + 1] - starts[i + 1] + 1 AS clen
+         |        FROM c CROSS JOIN unnest(range(0, len(starts))) r(i))
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(pos AS BIGINT) AS pos, CAST(clen AS BIGINT) AS clen,
+         |  ${P.duckHash60("substr(t, pos, clen)")} AS chunk_hash
+         |FROM e WHERE clen >= 1""".stripMargin) { (s, d) =>
+      T.documents(s, d)
+        .selectExpr("doc_id", "lower(text) as t")
+        .selectExpr("doc_id", "t", "length(t) as n")
+        // n >= 8 guard: Spark's sequence(8, n) DESCENDS for n < 8
+        // instead of returning empty (the mm04 gotcha)
+        .selectExpr("doc_id", "t", "n",
+          s"filter(transform(case when n >= 8 then sequence(8, n) else array() end, " +
+            s"p -> case when ${P.hash60("substring(t, p - 7, 8)")} % 64 = 0 then p end), " +
+            "x -> x is not null) as bnd")
+        .selectExpr("doc_id", "t",
+          "concat(array(1), transform(bnd, b -> b + 1)) as starts",
+          "concat(bnd, array(n)) as ends")
+        .selectExpr("doc_id", "t",
+          "explode(transform(sequence(0, size(starts) - 1), " +
+            "i -> struct(i as ci, element_at(starts, i + 1) as st, " +
+            "element_at(ends, i + 1) as en))) as ch")
+        .selectExpr("doc_id",
+          "cast(ch.ci as bigint) as chunk_idx",
+          "cast(ch.st as bigint) as pos",
+          "cast(ch.en - ch.st + 1 as bigint) as clen",
+          s"${P.hash60("substring(t, ch.st, ch.en - ch.st + 1)")} as chunk_hash")
+        .filter(col("clen") >= 1)
     }
   )
 

@@ -400,6 +400,60 @@ object SamplingOps {
          |  hi_x100 - lo_x100 AS width_x100
          |FROM base JOIN ci ON ci.source = base.source""".stripMargin) { (s, d) =>
       graft.functions.Sampling.bootstrapCI(T.documents(s, d))
+    },
+
+    // Temporal leakage-safe split: assign each USER (not each event) to
+    // train/test by cohort entry — their FIRST event time against the
+    // deterministic lower-median first-event time (cu02's median idiom;
+    // a wall-clock midpoint degenerates when every entity's history
+    // starts early, as any always-on user base does). The entity-atomic
+    // cut keeps one user's history from straddling the boundary — the
+    // time-axis twin of cu08's cluster-atomic split. n_cross_events
+    // counts train-user events AFTER the cutoff: exactly the future
+    // data a naive event-level time cut would move into test (the
+    // classic temporal leak); here it stays with its user and the
+    // count REPORTS the leak the atomic split prevented (test-side
+    // cross is 0 by construction — a test user's entry follows the
+    // cutoff). Scale: one user-keyed min-agg; the median runs on the
+    // per-user frame (entity-cardinality, not events); the cutoff
+    // broadcasts back onto one user-keyed join of (id, ts) longs.
+    Q(
+      "sm13_temporal_split",
+      """WITH o AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+        |  f AS (SELECT user_id, min(ts_us) AS first_us FROM o GROUP BY user_id),
+        |  r AS (SELECT *, row_number() OVER (ORDER BY first_us, user_id) AS rn,
+        |          count(*) OVER () AS nu FROM f),
+        |  m AS (SELECT first_us AS cut FROM r WHERE rn = (nu + 1) // 2),
+        |  t AS (SELECT o.user_id, o.ts_us, m.cut,
+        |          CASE WHEN f.first_us <= m.cut THEN 'train' ELSE 'test' END AS split
+        |        FROM o JOIN f USING (user_id) CROSS JOIN m)
+        |SELECT split, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(CASE WHEN split = 'train' AND ts_us > cut THEN 1 END) AS BIGINT)
+        |    AS n_cross_events
+        |FROM t GROUP BY split""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d)
+        .selectExpr("event_id", "user_id", "unix_micros(ts) as ts_us")
+      val firsts = ev.groupBy("user_id").agg(min("ts_us").as("first_us"))
+        // per-user frame feeds the median AND the split join; caller
+        // clearCache releases
+        .persist()
+      val cut = firsts
+        .selectExpr("first_us",
+          "row_number() over (order by first_us, user_id) as rn",
+          "count(1) over () as nu")
+        .filter(expr("rn = (nu + 1) div 2"))
+        .select(col("first_us").as("cut"))
+      ev.join(firsts, "user_id")
+        .crossJoin(broadcast(cut))
+        .selectExpr("user_id", "ts_us", "cut",
+          "case when first_us <= cut then 'train' else 'test' end as split")
+        .groupBy("split")
+        .agg(
+          countDistinct("user_id").cast("long").as("n_users"),
+          count(lit(1)).cast("long").as("n_events"),
+          count(when(col("split") === "train" && col("ts_us") > col("cut"), 1))
+            .cast("long").as("n_cross_events"))
     }
   )
 

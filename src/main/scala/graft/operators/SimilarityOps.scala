@@ -1700,6 +1700,64 @@ object SimilarityOps {
         .agg(
           count(col("tn_id")).cast("long").as("n_hit"),
           expr("(100 * count(tn_id)) div 15").as("recall_x100"))
+    },
+
+    // ANN index staleness audit (the when-to-rebuild signal): freeze a
+    // codebook trained on the FIRST data era (even vec_ids — the
+    // decimal-exact per-label means ss11 gates), assign BOTH eras to
+    // it, and compare per-cell occupancy shares across eras. A cell
+    // whose share shifts > 2% (cross-multiplied integer ppm — no IEEE
+    // share subtraction) is flagged stale: new data has drifted away
+    // from the frozen centroids, probe lists are going unbalanced, and
+    // recall decays silently until retrain — this query is the
+    // scheduled audit that catches it. Scale: centroids broadcast, the
+    // one scored pass is scan-local per vector, the per-cell rollup
+    // combines map-side to codebook cardinality; era totals broadcast
+    // back.
+    Q(
+      "ss22_index_staleness",
+      s"""WITH cent AS (
+         |  SELECT label AS cell,
+         |    ${(1 to dim).map(duckCentDim).mkString("[", ", ", "]")} AS ce
+         |  FROM embeddings WHERE vec_id % 2 = 0 GROUP BY label),
+         |  a AS (SELECT e.vec_id, e.vec_id % 2 AS era, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.embedding", "c.ce")} DESC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN cent c),
+         |  cnt AS (SELECT cell,
+         |      CAST(count(CASE WHEN era = 0 THEN 1 END) AS BIGINT) AS n0,
+         |      CAST(count(CASE WHEN era = 1 THEN 1 END) AS BIGINT) AS n1
+         |    FROM a WHERE rn = 1 GROUP BY cell),
+         |  t AS (SELECT CAST(SUM(n0) AS BIGINT) AS t0,
+         |          CAST(SUM(n1) AS BIGINT) AS t1 FROM cnt)
+         |SELECT CAST(cell AS BIGINT) AS cell, n0, n1,
+         |  CAST((1000000 * abs(n1 * t0 - n0 * t1)) // (t0 * t1) AS BIGINT) AS shift_ppm,
+         |  (1000000 * abs(n1 * t0 - n0 * t1)) // (t0 * t1) > 20000 AS stale
+         |FROM cnt CROSS JOIN t""".stripMargin) { (s, d) =>
+      graft.functions.CosineSimilarity.register(s)
+      val e = T.embeddings(s, d).select("vec_id", "label", "embedding")
+      val cent = centroidsOf(e.filter(col("vec_id") % 2 === 0)
+        .selectExpr("label as cell", "embedding"))
+      val counts = e.withColumn("era", col("vec_id") % 2)
+        .crossJoin(broadcast(cent))
+        .selectExpr("vec_id", "era", "cell",
+          s"row_number() over (partition by vec_id order by " +
+            s"${sparkCos("embedding", "ce")} desc, cell) as rn")
+        .filter(col("rn") === 1)
+        .groupBy("cell")
+        .agg(
+          count(when(col("era") === 0, 1)).cast("long").as("n0"),
+          count(when(col("era") === 1, 1)).cast("long").as("n1"))
+        // codebook-cardinality rows, consumed by the totals agg AND the
+        // final projection — persist so the scored pass runs once;
+        // caller clearCache releases
+        .persist()
+      val tots = counts.agg(sum("n0").cast("long").as("t0"),
+        sum("n1").cast("long").as("t1"))
+      counts.crossJoin(broadcast(tots))
+        .selectExpr("cast(cell as bigint) as cell", "n0", "n1",
+          "cast((1000000 * abs(n1 * t0 - n0 * t1)) div (t0 * t1) as bigint) as shift_ppm",
+          "(1000000 * abs(n1 * t0 - n0 * t1)) div (t0 * t1) > 20000 as stale")
     }
   )
 

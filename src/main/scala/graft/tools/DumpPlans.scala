@@ -71,7 +71,20 @@ object DumpPlans {
     "ss18_nprobe_sweep", "cu09_dedup_provenance", "q_incr_merge",
     "fn11_count_vector", "an15_join_cardinality", "mm08_ahash_neardup",
     "sm11_neyman_execute", "dd22_lsh_scurve", "st10_watermark_curve",
-    "q_cdc_compact")
+    "q_cdc_compact",
+    // binary-quantization ANN + shortlist sweep, n-gram novelty,
+    // streaming dedup ledger, native session windows, VAD segments,
+    // token-budget apportionment, compaction planner, token drift
+    "ss19_hamming_rerank", "ss20_shortlist_sweep", "tx22_ngram_novelty",
+    "st11_stream_dedup", "st12_session_window", "mm09_vad_segments",
+    "cu10_token_budget", "q_file_compaction", "an16_token_tv_drift",
+    // MRL truncation recall, KMV cardinality, KS source drift,
+    // readability, curriculum, curation funnel, bootstrap CI,
+    // MoR delete audit, stereo downmix, passage near-dup, windowed top-k
+    "ss21_mrl_recall", "an17_kmv_cardinality", "an18_ks_drift",
+    "tx23_readability", "cu11_curriculum", "cu12_curation_funnel",
+    "sm12_bootstrap_ci", "q_mor_deletes", "mm10_stereo_downmix",
+    "dd23_passage_neardup", "st13_window_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -90,7 +90,27 @@ object ShuffleAudit {
     "sm11_neyman_execute" -> "allocation broadcast back; one per-stratum rank window of (id, hash) longs",
     "dd22_lsh_scurve" -> "rides dd04's capped candidates; the m-histogram reads 8 longs/side, rolls to ≤ 9 rows",
     "st10_watermark_curve" -> "four delays share ONE user-keyed running-max window; rollup is a 4-row conditional agg",
-    "q_cdc_compact" -> "one key-partitioned rank window — the same exchange the upsert write itself pays")
+    "q_cdc_compact" -> "one key-partitioned rank window — the same exchange the upsert write itself pays",
+    "ss19_hamming_rerank" -> "BQ sign codes born in the scan; shortlist ships (q_id, n_id, ham) rows, exact rerank reads 50 vectors/query",
+    "ss20_shortlist_sweep" -> "ONE persisted Hamming shortlist feeds all three rerank arms",
+    "tx22_ngram_novelty" -> "window hashes born in the scan; first-seen rollup + flag join ship (hash, id) longs only",
+    "mm09_vad_segments" -> "windowed energy is a per-doc projection; segment merge is one doc-sharded int window",
+    "cu10_token_budget" -> "map-side rollup to source rows; apportionment windows run on the tiny frame",
+    "an16_token_tv_drift" -> "vocab-bounded count table; totals broadcast back; top-40 is a vocab-row sort",
+    "st11_stream_dedup" -> "one (id, longs) exchange with map-side combine; dedup state bounded by the watermark horizon",
+    "st12_session_window" -> "one user-keyed exchange; open-session state exists only in the streaming twin",
+    "q_file_compaction" -> "metadata-only: one rollup to manifest cardinality, then driver-scale windows",
+    "st13_window_topk" -> "counts partial-aggregate to (window × type) rows; rank orders type-cardinality frames",
+    "ss21_mrl_recall" -> "4 truncation arms ride one exploded pass against broadcast queries — one corpus scan",
+    "an17_kmv_cardinality" -> "distinct (source, hash) combines map-side to vocab rows; rank window orders the vocab frame",
+    "an18_ks_drift" -> "per-(source, value) counts combine map-side; windows order the sources × values grid, never the corpus",
+    "tx23_readability" -> "pure scan projection (counts + integer Flesch): zero shuffle",
+    "cu11_curriculum" -> "one source-keyed exchange carries both windows; only (id, score, ntok) longs",
+    "cu12_curation_funnel" -> "cu01's exchanges plus ONE map-side conditional agg to a single row",
+    "sm12_bootstrap_ci" -> "32× replica expansion combines map-side to (source × B) partials; rank windows order 32-row frames",
+    "q_mor_deletes" -> "delete keys broadcast against the base; the audit rolls up map-side to manifest cardinality",
+    "mm10_stereo_downmix" -> "pure scan projection (two HOF folds): zero shuffle",
+    "dd23_passage_neardup" -> "passage text hashed in the scan; (doc_id, idx, band, key) longs + two sig longs per verify shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -747,6 +747,66 @@ class QuerySpec extends AnyFunSuite {
     assert(rows.exists(_.getLong(2) > 0))
   }
 
+  test("cu13: dataset card metrics are complete, bounded, and dd01-consistent") {
+    val rows = SparkEntry.queries("cu13_dataset_card")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("n_docs", "n_tokens", "n_chars", "lang_en_ppm",
+      "quality_ppm", "exact_dup_ppm", "pii_ppm", "code_ppm"))
+    val n = Tables.documents(spark, sf).count()
+    assert(rows("n_docs") == n)
+    assert(rows("n_tokens") > 0 && rows("n_chars") > rows("n_tokens"))
+    Seq("lang_en_ppm", "quality_ppm", "exact_dup_ppm", "pii_ppm", "code_ppm")
+      .foreach(m => assert(rows(m) >= 0 && rows(m) <= 1000000, m))
+    // exact_dup_ppm agrees with dd01 (one row per digest keeper)
+    val keepers = SparkEntry.queries("dd01_exact_dedup")(spark, sf).count()
+    assert(rows("exact_dup_ppm") == 1000000L * (n - keepers) / n)
+  }
+
+  test("sm13: user-atomic split partitions users; test side never crosses") {
+    val rows = SparkEntry.queries("sm13_temporal_split")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set("train", "test"))
+    val ev = Tables.events(spark, sf)
+    assert(rows("train")._1 + rows("test")._1 ==
+      ev.select("user_id").distinct().count())
+    assert(rows("train")._2 + rows("test")._2 == ev.count())
+    assert(rows("test")._3 == 0, "test users predate the cutoff?")
+    assert(rows("train")._3 > 0, "no future events reported for train users")
+  }
+
+  test("ss22: staleness audit covers both eras; verdict follows the threshold") {
+    val rows = SparkEntry.queries("ss22_index_staleness")(spark, sf).collect()
+    val e = Tables.embeddings(spark, sf)
+    assert(rows.map(_.getLong(1)).sum == e.filter("vec_id % 2 = 0").count())
+    assert(rows.map(_.getLong(2)).sum == e.filter("vec_id % 2 = 1").count())
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000)
+      assert(r.getBoolean(4) == (r.getLong(3) > 20000), s"verdict drift: $r")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("dd24: CDC chunks tile every document contiguously") {
+    val rows = SparkEntry.queries("dd24_cdc_chunks")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val lens = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "cast(length(text) as bigint) as n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.keySet == lens.keySet, "every doc chunks")
+    byDoc.foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._3 == 1, s"doc $id first chunk not at pos 1")
+      assert(sorted.map(_._2).toSeq == (0L until sorted.size).toSeq ||
+        sorted.map(_._2).max >= sorted.size - 1) // ordinals may skip only for dropped empty tails
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a._3 + a._4 == b._3, s"doc $id gap at chunk ${b._2}")
+        case _ => ()
+      }
+      assert(sorted.map(_._4).sum == lens(id), s"doc $id chunks don't cover text")
+    }
+  }
+
   test("cu12: funnel conserves rows and chains stage outputs") {
     val rows = SparkEntry.queries("cu12_curation_funnel")(spark, sf).collect()
       .sortBy(_.getLong(0))
