@@ -308,6 +308,40 @@ object HeadlineQueries {
         .agg(count(lit(1)).as("n"), expr(P.dsum("o_totalprice")).as("total"))
     },
 
+    // CSV sink → source round-trip (the interchange format everything
+    // still speaks): events written with RFC 4180 quoting (escape = '"'
+    // so the embedded JSON quotes double instead of backslash-escaping)
+    // and read back under the EXPLICIT schema (inference is a second
+    // scan and a determinism hazard), then aggregated. The oracle runs
+    // the same aggregate over the original parquet, so the gate proves
+    // the text round-trip is lossless — including doubles, whose
+    // shortest-repr printing is read back bit-identical, and the
+    // quoted JSON props column. Scale: CSV carries no column pruning or
+    // predicate pushdown (note the contrast with op01's parquet scan) —
+    // it's the ingest/egress edge format, converted to parquet at the
+    // boundary; this query pins the conversion is faithful.
+    Q(
+      "q_csv_roundtrip",
+      s"""SELECT event_type, count(*) AS n,
+         |  ${P.duckDsum("value")} AS v,
+         |  CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+         |  CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+         |  CAST(SUM(length(props)) AS BIGINT) AS props_chars
+         |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d).selectExpr("event_id", "user_id", "event_type",
+        "value", "unix_micros(ts) as ts_us", "props")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_events_${math.abs(d.hashCode)}"
+      ev.write.mode("overwrite")
+        .option("header", "true").option("escape", "\"").csv(path)
+      s.read.option("header", "true").option("escape", "\"")
+        .schema(ev.schema).csv(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), expr(P.dsum("value")).as("v"),
+          min("ts_us").cast("long").as("first_us"),
+          max("ts_us").cast("long").as("last_us"),
+          sum(length(col("props"))).cast("long").as("props_chars"))
+    },
+
     // CUBE aggregation with GROUPING() disambiguation (rollup's sibling;
     // grouping flags distinguish "NULL value" from "subtotal row").
     Q(

@@ -1758,6 +1758,62 @@ object SimilarityOps {
         .selectExpr("cast(cell as bigint) as cell", "n0", "n1",
           "cast((1000000 * abs(n1 * t0 - n0 * t1)) div (t0 * t1) as bigint) as shift_ppm",
           "(1000000 * abs(n1 * t0 - n0 * t1)) div (t0 * t1) > 20000 as stale")
+    },
+
+    // Retrieval-quality metrics (the eval layer over the whole ss
+    // family): per query, precision@5, recall@5 and MRR against
+    // label-relevance (a neighbor is relevant iff it shares the
+    // query's label — the standard proxy ground truth when no human
+    // judgments exist), ranking by exact cosine. All metrics are
+    // integer-exact (×100 / ×10⁶ with integer div — MRR's 1/rank never
+    // touches IEEE), so the gate pins the metric arithmetic itself,
+    // not just the ranking. Scale: queries broadcast; the one scored
+    // pass reduces to (q_id, rank, relevant) rows before the rollup;
+    // metrics are per-query conditional aggs over ≤ corpus-rank rows.
+    Q(
+      "ss23_ranking_metrics",
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label AS ql
+         |           FROM embeddings WHERE vec_id < 5),
+         |  r AS (SELECT q.q_id, q.ql, e.label AS nl,
+         |          row_number() OVER (PARTITION BY q.q_id
+         |            ORDER BY ${duckCos("q.qe", "e.embedding")} DESC, e.vec_id) AS rnk
+         |        FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id)
+         |SELECT q_id,
+         |  CAST(count(CASE WHEN nl = ql THEN 1 END) AS BIGINT) AS n_rel,
+         |  CAST(count(CASE WHEN nl = ql AND rnk <= 5 THEN 1 END) AS BIGINT) AS hits5,
+         |  (100 * count(CASE WHEN nl = ql AND rnk <= 5 THEN 1 END)) // 5 AS prec5_x100,
+         |  CAST(CASE WHEN count(CASE WHEN nl = ql THEN 1 END) = 0 THEN 0
+         |       ELSE (100 * count(CASE WHEN nl = ql AND rnk <= 5 THEN 1 END))
+         |            // count(CASE WHEN nl = ql THEN 1 END) END AS BIGINT) AS recall5_x100,
+         |  CAST(CASE WHEN min(CASE WHEN nl = ql THEN rnk END) IS NULL THEN 0
+         |       ELSE 1000000 // min(CASE WHEN nl = ql THEN rnk END) END AS BIGINT) AS mrr_x1e6
+         |FROM r GROUP BY q_id""".stripMargin) { (s, d) =>
+      graft.functions.CosineSimilarity.register(s)
+      val e = T.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("label").as("ql"))
+      broadcast(q)
+        .crossJoin(e.select(col("vec_id").as("n_id"),
+          col("embedding").as("ne"), col("label").as("nl")))
+        .filter(col("n_id") =!= col("q_id"))
+        .selectExpr("q_id", "ql", "nl",
+          s"row_number() over (partition by q_id order by " +
+            s"${sparkCos("qe", "ne")} desc, n_id) as rnk")
+        .groupBy("q_id")
+        .agg(
+          count(when(col("nl") === col("ql"), 1)).cast("long").as("n_rel"),
+          count(when(col("nl") === col("ql") && col("rnk") <= 5, 1))
+            .cast("long").as("hits5"),
+          expr("(100 * count(case when nl = ql and rnk <= 5 then 1 end)) div 5")
+            .as("prec5_x100"),
+          expr("cast(case when count(case when nl = ql then 1 end) = 0 then 0 " +
+            "else (100 * count(case when nl = ql and rnk <= 5 then 1 end)) " +
+            "div count(case when nl = ql then 1 end) end as bigint)")
+            .as("recall5_x100"),
+          expr("cast(case when min(case when nl = ql then rnk end) is null then 0 " +
+            "else 1000000 div min(case when nl = ql then rnk end) end as bigint)")
+            .as("mrr_x1e6"))
     }
   )
 

@@ -84,7 +84,11 @@ object DumpPlans {
     "ss21_mrl_recall", "an17_kmv_cardinality", "an18_ks_drift",
     "tx23_readability", "cu11_curriculum", "cu12_curation_funnel",
     "sm12_bootstrap_ci", "q_mor_deletes", "mm10_stereo_downmix",
-    "dd23_passage_neardup", "st13_window_topk")
+    "dd23_passage_neardup", "st13_window_topk",
+    // dataset card, CDC chunking, index staleness, temporal split,
+    // retrieval eval metrics, CSV round-trip
+    "cu13_dataset_card", "dd24_cdc_chunks", "ss22_index_staleness",
+    "sm13_temporal_split", "ss23_ranking_metrics", "q_csv_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

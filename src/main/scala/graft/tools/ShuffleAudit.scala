@@ -110,7 +110,13 @@ object ShuffleAudit {
     "sm12_bootstrap_ci" -> "32× replica expansion combines map-side to (source × B) partials; rank windows order 32-row frames",
     "q_mor_deletes" -> "delete keys broadcast against the base; the audit rolls up map-side to manifest cardinality",
     "mm10_stereo_downmix" -> "pure scan projection (two HOF folds): zero shuffle",
-    "dd23_passage_neardup" -> "passage text hashed in the scan; (doc_id, idx, band, key) longs + two sig longs per verify shuffle")
+    "dd23_passage_neardup" -> "passage text hashed in the scan; (doc_id, idx, band, key) longs + two sig longs per verify shuffle",
+    "cu13_dataset_card" -> "every signal in ONE scan projection; the single global agg (count-distinct digest included) combines map-side",
+    "dd24_cdc_chunks" -> "boundary scan + chunk slicing are HOFs inside the scan; only (doc_id, idx, pos, len, hash) rows leave it",
+    "ss22_index_staleness" -> "centroids broadcast; scored pass scan-local; per-cell rollup combines map-side to codebook cardinality",
+    "sm13_temporal_split" -> "one user-keyed min-agg; median runs on the entity-cardinality frame; cutoff broadcasts back",
+    "ss23_ranking_metrics" -> "queries broadcast; the scored pass reduces to (q_id, rank, relevant) rows before the per-query rollup",
+    "q_csv_roundtrip" -> "sink+source edge format: no pushdown/pruning by design — the measured contrast to op01's parquet scan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -807,6 +807,39 @@ class QuerySpec extends AnyFunSuite {
     }
   }
 
+  test("ss23: ranking metrics are internally consistent per query") {
+    val rows = SparkEntry.queries("ss23_ranking_metrics")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (nRel, hits5, prec, rec, mrr) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(hits5 <= math.min(5L, nRel))
+      assert(prec == hits5 * 100 / 5)
+      assert(rec == (if (nRel == 0) 0L else hits5 * 100 / nRel))
+      assert(mrr >= 0 && mrr <= 1000000)
+      if (hits5 > 0) assert(mrr >= 1000000 / 5, "a top-5 hit bounds MRR below")
+    }
+  }
+
+  test("q_csv_roundtrip: text round-trip loses nothing vs direct parquet") {
+    val viaCsv = SparkEntry.queries("q_csv_roundtrip")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val direct = Tables.events(spark, sf)
+      .selectExpr("event_type", "value", "unix_micros(ts) as ts_us", "props")
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.expr(Portable.dsum("value")).as("v"),
+        org.apache.spark.sql.functions.expr("cast(min(ts_us) as bigint)").as("first_us"),
+        org.apache.spark.sql.functions.expr("cast(max(ts_us) as bigint)").as("last_us"),
+        org.apache.spark.sql.functions.expr("cast(sum(length(props)) as bigint)").as("pc"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(viaCsv == direct)
+  }
+
   test("cu12: funnel conserves rows and chains stage outputs") {
     val rows = SparkEntry.queries("cu12_curation_funnel")(spark, sf).collect()
       .sortBy(_.getLong(0))
