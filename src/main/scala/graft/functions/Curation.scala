@@ -307,31 +307,42 @@ object Curation {
     * aggregate (count-distinct digest included) partial-aggregates
     * map-side — the whole card costs one pass at any corpus size.
     */
-  def datasetCard(docs0: DataFrame, textCol: String = "text"): DataFrame = {
-    val scored = docs0.selectExpr(s"$textCol as _text",
-        s"split(lower($textCol), '\\\\s+') as ltoks")
-      .selectExpr(Seq("_text", "ltoks") ++ TextOps.sparkLangScores: _*)
+  /** The per-doc signal projection behind both card shapes — one
+    * codegen'd scan computing every cu13 signal, with `keep` columns
+    * (bare names already present on `docs0`) carried through for
+    * grouping.
+    */
+  private def cardSignals(docs0: DataFrame, textCol: String,
+      keep: Seq[String]): DataFrame =
+    docs0.selectExpr(keep ++ Seq(s"$textCol as _text",
+        s"split(lower($textCol), '\\\\s+') as ltoks"): _*)
+      .selectExpr(keep ++ Seq("_text", "ltoks") ++ TextOps.sparkLangScores: _*)
       .withColumn("pred_lang", expr(TextOps.sparkLangCase))
       .withColumn("is_quality", TextQuality.isQuality("_text"))
       .withColumn("n_pii", TextQuality.piiPatterns
         .map { case (_, p, _) => regexp_count(col("_text"), lit(p)) }
         .reduce(_ + _))
-      .selectExpr(
+      .selectExpr(keep ++ Seq(
         "cast(size(ltoks) as bigint) as ntok",
         "cast(length(_text) as bigint) as nchr",
         "pred_lang", "is_quality", "n_pii > 0 as has_pii",
         s"${graft.Portable.hash60("_text")} as digest",
         "(1000000 * (length(_text) - length(translate(_text, '{}();=', '')))) " +
-          "div length(_text) > 15000 as is_code")
-    scored.agg(
-        count(lit(1)).cast("long").as("n"),
-        sum("ntok").cast("long").as("ntok"),
-        sum("nchr").cast("long").as("nchr"),
-        count(when(col("pred_lang") === "en", 1)).cast("long").as("nen"),
-        count(when(col("is_quality"), 1)).cast("long").as("nq"),
-        countDistinct(col("digest")).cast("long").as("nd"),
-        count(when(col("has_pii"), 1)).cast("long").as("npii"),
-        count(when(col("is_code"), 1)).cast("long").as("ncode"))
+          "div length(_text) > 15000 as is_code"): _*)
+
+  private def cardAggs: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).cast("long").as("n"),
+    sum("ntok").cast("long").as("ntok"),
+    sum("nchr").cast("long").as("nchr"),
+    count(when(col("pred_lang") === "en", 1)).cast("long").as("nen"),
+    count(when(col("is_quality"), 1)).cast("long").as("nq"),
+    countDistinct(col("digest")).cast("long").as("nd"),
+    count(when(col("has_pii"), 1)).cast("long").as("npii"),
+    count(when(col("is_code"), 1)).cast("long").as("ncode"))
+
+  def datasetCard(docs0: DataFrame, textCol: String = "text"): DataFrame =
+    cardSignals(docs0, textCol, Nil)
+      .agg(cardAggs.head, cardAggs.tail: _*)
       .selectExpr("stack(8, " +
         "'n_docs', n, " +
         "'n_tokens', ntok, " +
@@ -341,7 +352,30 @@ object Curation {
         "'exact_dup_ppm', (1000000 * (n - nd)) div n, " +
         "'pii_ppm', (1000000 * npii) div n, " +
         "'code_ppm', (1000000 * ncode) div n) as (metric, value)")
-  }
+
+  /** Per-source dataset cards — `datasetCard`'s signals keyed by
+    * `groupCol`, one WIDE row per group (the per-subcorpus view a
+    * mixture decision reads side-by-side). Exact-dup rate is scoped to
+    * the group: a doc duplicated across two sources counts as a keeper
+    * in each (cross-source duplication is dd12/ss12's contamination
+    * story, not this card's). Shared by the gated cu14 query. Scale:
+    * same one-scan projection; the grouped aggregate (count-distinct
+    * digest included) partial-aggregates map-side to group rows.
+    */
+  def sourceCards(docs0: DataFrame, textCol: String = "text",
+      groupCol: String = "source"): DataFrame =
+    cardSignals(
+      docs0.selectExpr(s"$groupCol as _g", s"$textCol as _cardtext"),
+      "_cardtext", Seq("_g"))
+      .groupBy("_g")
+      .agg(cardAggs.head, cardAggs.tail: _*)
+      .selectExpr(s"_g as $groupCol", "n as n_docs", "ntok as n_tokens",
+        "nchr as n_chars",
+        "(1000000 * nen) div n as lang_en_ppm",
+        "(1000000 * nq) div n as quality_ppm",
+        "(1000000 * (n - nd)) div n as exact_dup_ppm",
+        "(1000000 * npii) div n as pii_ppm",
+        "(1000000 * ncode) div n as code_ppm")
 
   /** Stage-by-stage curation funnel over `ledger`: rows entering,
     * surviving, and dropped by each stage (quality → exact dedup →

@@ -442,6 +442,37 @@ object Dedup {
     graft.operators.DedupOps.containmentPairs(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
 
+  /** Passage-level near-dup pairs — dd10's SimHash machinery one level
+    * down the granularity ladder: aligned 8-token passages get 24-bit
+    * token-majority signatures, 4×6-bit pigeonhole bands (Hamming ≤ 3
+    * agrees on some band), capped buckets, exact Hamming verify on two
+    * longs. Catches lightly-edited boilerplate (a date or name swapped
+    * per instance) that exact passage hashing (`prunePassages`) misses.
+    * Returns (a_id, a_idx, b_id, b_idx, hamming), a_id < b_id.
+    * Delegates to the exact machinery the gated dd23 query runs; caller
+    * clearCache releases the signature/band persists.
+    */
+  def passageNearDup(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    graft.operators.DedupOps.passageNearDupPairs(
+      df.selectExpr(s"$idCol as doc_id", s"lower($textCol) as text"))
+
+  /** Content-defined chunking (the rsync/LBFS boundary rule): a chunk
+    * boundary after every position whose 8-char window hash ≡ 0
+    * (mod `mask`, default 64 → ~64-char expected chunks). Cut points
+    * depend only on content, so an insertion shifts one chunk instead
+    * of re-slicing the document — the unit of a dedup store or an
+    * incremental dataset diff. Returns (idCol, chunk_idx, pos, clen,
+    * chunk_hash) tiling each lowercased document contiguously.
+    * Delegates to the exact machinery the gated dd24 query runs; the
+    * whole pass is one codegen'd scan projection, zero shuffle.
+    */
+  def cdcChunks(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", mask: Int = 64): DataFrame =
+    graft.operators.DedupOps.cdcChunkRows(
+      df.selectExpr(s"$idCol as doc_id", s"$textCol as text"), mask)
+      .withColumnRenamed("doc_id", idCol)
+
   /** SOFT dedup: per-document sampling weights that down-weight
     * near-duplicate clusters instead of dropping members — weight_ppm =
     * 10⁶ div cluster_size, so each cluster contributes ~one document's

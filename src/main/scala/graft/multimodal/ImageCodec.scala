@@ -135,6 +135,48 @@ object ImageCodec {
       .mapPartitions(_.map { case (id, bytes) => ahash(id, bytes) })
   }
 
+  final case class DHashFeatures(
+      doc_id: Long,
+      width: Long,
+      height: Long,
+      dhash_lo: Long,  // dHash bits 0..31 (row j, comparison i: flat j*8+i)
+      dhash_hi: Long)  // dHash bits 32..63
+
+  /** Difference-hash (dHash) of one payload: REAL decode →
+    * deterministic 9×8 nearest-neighbor resample → bit j·8+i set iff
+    * pixel (i, j) > pixel (i+1, j) — the horizontal-gradient sign.
+    * aHash's complement in a perceptual-dedup stack: comparing
+    * NEIGHBORS instead of the global mean makes dHash invariant to
+    * uniform brightness shifts that flip aHash bits wholesale. Strict
+    * integer compares only; two BIGINT words, sign bit untouched.
+    */
+  def dhash(id: Long, bytes: Array[Byte]): DHashFeatures = {
+    val img = decodeImage(bytes)
+    val px = nearestResize(img, 9, 8)
+    var lo = 0L; var hi = 0L
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        val k = j * 8 + i
+        if (px(j * 9 + i) > px(j * 9 + i + 1)) {
+          if (k < 32) lo |= (1L << k) else hi |= (1L << (k - 32))
+        }
+        i += 1
+      }
+      j += 1
+    }
+    DHashFeatures(id, img.getWidth.toLong, img.getHeight.toLong, lo, hi)
+  }
+
+  /** Partition-local decode + dHash over (doc_id, payload) rows. */
+  def dhashFeatures(spark: SparkSession, in: DataFrame,
+      idCol: String = "doc_id", payloadCol: String = "payload"): Dataset[DHashFeatures] = {
+    import spark.implicits._
+    in.select(idCol, payloadCol).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => dhash(id, bytes) })
+  }
+
   /** (doc_id, payload BINARY) view: synthetic PNGs for doc_id < n,
     * generated partition-local (the encode stage of the fixture).
     */

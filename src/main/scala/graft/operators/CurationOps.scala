@@ -492,33 +492,7 @@ object CurationOps {
     // over the corpus at any scale.
     Q(
       "cu13_dataset_card",
-      s"""WITH lt AS (SELECT doc_id, text,
-         |       regexp_split_to_array(lower(text), '\\s+') AS ltoks FROM documents),
-         |  sig AS (SELECT
-         |    CAST(len(ltoks) AS BIGINT) AS ntok,
-         |    CAST(length(text) AS BIGINT) AS nchr,
-         |    CASE WHEN len(list_filter(ltoks, w -> w IN (${TextOps.deWords})))
-         |           > len(list_filter(ltoks, w -> w IN (${TextOps.enWords})))
-         |         AND len(list_filter(ltoks, w -> w IN (${TextOps.deWords})))
-         |           > len(list_filter(ltoks, w -> w IN (${TextOps.frWords}))) THEN 'de'
-         |         WHEN len(list_filter(ltoks, w -> w IN (${TextOps.frWords})))
-         |           > len(list_filter(ltoks, w -> w IN (${TextOps.enWords})))
-         |         AND len(list_filter(ltoks, w -> w IN (${TextOps.frWords})))
-         |           >= len(list_filter(ltoks, w -> w IN (${TextOps.deWords}))) THEN 'fr'
-         |         ELSE 'en' END AS pred_lang,
-         |    (len(ltoks) BETWEEN 10 AND 100000
-         |     AND (length(text)::DOUBLE / len(ltoks)) BETWEEN 2.0 AND 12.0
-         |     AND ((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
-         |          / length(text)) <= 0.2
-         |     AND (len(list_filter(ltoks, w -> w IN (${TextOps.enWords})))::DOUBLE
-         |          / len(ltoks)) >= 0.0) AS is_quality,
-         |    ${P.duckHash60("text")} AS digest,
-         |    len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
-         |      + len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
-         |      + len(regexp_extract_all(text, '\\b555-\\d{4}\\b')) > 0 AS has_pii,
-         |    (1000000 * (length(text) - length(translate(text, '{}();=', ''))))
-         |      // length(text) > 15000 AS is_code
-         |  FROM lt),
+      s"""WITH $cardSigCtes
          |  a AS (SELECT CAST(count(*) AS BIGINT) AS n,
          |    CAST(SUM(ntok) AS BIGINT) AS ntok, CAST(SUM(nchr) AS BIGINT) AS nchr,
          |    CAST(count(CASE WHEN pred_lang = 'en' THEN 1 END) AS BIGINT) AS nen,
@@ -536,5 +510,66 @@ object CurationOps {
          |UNION ALL SELECT 'pii_ppm', (1000000 * npii) // n FROM a
          |UNION ALL SELECT 'code_ppm', (1000000 * ncode) // n FROM a""".stripMargin) {
       (s, d) => graft.functions.Curation.datasetCard(T.documents(s, d))
+    },
+
+    // Per-source dataset cards (Curation.sourceCards): cu13's signals
+    // keyed by source, one WIDE row per source — the side-by-side
+    // subcorpus view a mixture decision reads. Exact-dup rate is
+    // scoped to the source (cross-source duplication is the
+    // contamination family's story). Same one-scan projection; the
+    // grouped aggregate partial-aggregates map-side to source rows.
+    Q(
+      "cu14_source_cards",
+      s"""WITH $cardSigCtes
+         |  a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(ntok) AS BIGINT) AS ntok, CAST(SUM(nchr) AS BIGINT) AS nchr,
+         |    CAST(count(CASE WHEN pred_lang = 'en' THEN 1 END) AS BIGINT) AS nen,
+         |    CAST(count(CASE WHEN is_quality THEN 1 END) AS BIGINT) AS nq,
+         |    CAST(count(DISTINCT digest) AS BIGINT) AS nd,
+         |    CAST(count(CASE WHEN has_pii THEN 1 END) AS BIGINT) AS npii,
+         |    CAST(count(CASE WHEN is_code THEN 1 END) AS BIGINT) AS ncode
+         |  FROM sig GROUP BY source)
+         |SELECT source, n AS n_docs, ntok AS n_tokens, nchr AS n_chars,
+         |  (1000000 * nen) // n AS lang_en_ppm,
+         |  (1000000 * nq) // n AS quality_ppm,
+         |  (1000000 * (n - nd)) // n AS exact_dup_ppm,
+         |  (1000000 * npii) // n AS pii_ppm,
+         |  (1000000 * ncode) // n AS code_ppm
+         |FROM a""".stripMargin) {
+      (s, d) => graft.functions.Curation.sourceCards(T.documents(s, d))
     })
+
+  /** cu13/cu14's shared signal CTEs (lt + sig) — ONE SQL definition for
+    * both card oracles, mirroring the Scala side's shared
+    * `cardSignals` projection. A `def`: it interpolates during
+    * `queries` init.
+    */
+  private def cardSigCtes: String =
+    s"""lt AS (SELECT doc_id, source, text,
+       |       regexp_split_to_array(lower(text), '\\s+') AS ltoks FROM documents),
+       |  sig AS (SELECT source,
+       |    CAST(len(ltoks) AS BIGINT) AS ntok,
+       |    CAST(length(text) AS BIGINT) AS nchr,
+       |    CASE WHEN len(list_filter(ltoks, w -> w IN (${TextOps.deWords})))
+       |           > len(list_filter(ltoks, w -> w IN (${TextOps.enWords})))
+       |         AND len(list_filter(ltoks, w -> w IN (${TextOps.deWords})))
+       |           > len(list_filter(ltoks, w -> w IN (${TextOps.frWords}))) THEN 'de'
+       |         WHEN len(list_filter(ltoks, w -> w IN (${TextOps.frWords})))
+       |           > len(list_filter(ltoks, w -> w IN (${TextOps.enWords})))
+       |         AND len(list_filter(ltoks, w -> w IN (${TextOps.frWords})))
+       |           >= len(list_filter(ltoks, w -> w IN (${TextOps.deWords}))) THEN 'fr'
+       |         ELSE 'en' END AS pred_lang,
+       |    (len(ltoks) BETWEEN 10 AND 100000
+       |     AND (length(text)::DOUBLE / len(ltoks)) BETWEEN 2.0 AND 12.0
+       |     AND ((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+       |          / length(text)) <= 0.2
+       |     AND (len(list_filter(ltoks, w -> w IN (${TextOps.enWords})))::DOUBLE
+       |          / len(ltoks)) >= 0.0) AS is_quality,
+       |    ${P.duckHash60("text")} AS digest,
+       |    len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+       |      + len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+       |      + len(regexp_extract_all(text, '\\b555-\\d{4}\\b')) > 0 AS has_pii,
+       |    (1000000 * (length(text) - length(translate(text, '{}();=', ''))))
+       |      // length(text) > 15000 AS is_code
+       |  FROM lt),""".stripMargin
 }

@@ -1037,38 +1037,7 @@ object DedupOps {
             "cast(doc_id % 7 as string)) as text")
         .unionAll(docs.filter(col("doc_id") % 5 =!= 0)
           .selectExpr("doc_id", "lower(text) as text"))
-      val sig = aug
-        .selectExpr("doc_id", "split(text, '\\\\s+') as toks")
-        .selectExpr("doc_id",
-          "explode(transform(sequence(0, cast((size(toks) + 7) div 8 as int) - 1), " +
-            "i -> struct(i as idx, slice(toks, i*8 + 1, 8) as pt))) as ps")
-        .selectExpr("doc_id", "ps.idx as idx",
-          s"transform(ps.pt, w -> ${P.hash60("w")}) as hs")
-        .selectExpr("doc_id", "idx", s"cast($simBits as bigint) as sh")
-        .persist() // bands + both verify sides; caller clearCache releases
-      val bandVals = (0 until 4)
-        .map(k => s"$k, shiftright(sh, ${k * 6}) & 63")
-        .mkString(", ")
-      val bands = sig
-        .selectExpr("doc_id", "idx", s"stack(4, $bandVals) as (band, v)")
-        .persist() // sized + both pair sides
-      val sized = bands.groupBy("band", "v").agg(count(lit(1)).as("n"))
-      val small = bands.join(sized.filter(col("n") <= 64), Seq("band", "v"))
-      val pairs = small
-        .select(col("doc_id").as("a_id"), col("idx").as("a_idx"),
-          col("band"), col("v"))
-        .join(small.select(col("doc_id").as("b_id"), col("idx").as("b_idx"),
-          col("band"), col("v")), Seq("band", "v"))
-        .filter(col("a_id") < col("b_id"))
-        .select("a_id", "a_idx", "b_id", "b_idx")
-        .distinct()
-      pairs
-        .join(sig.toDF("a_id", "a_idx", "sha"), Seq("a_id", "a_idx"))
-        .join(sig.toDF("b_id", "b_idx", "shb"), Seq("b_id", "b_idx"))
-        .selectExpr("a_id", "cast(a_idx as bigint) as a_idx",
-          "b_id", "cast(b_idx as bigint) as b_idx",
-          "cast(bit_count(sha ^ shb) as bigint) as hamming")
-        .filter(col("hamming") <= 3)
+      passageNearDupPairs(aug)
     },
 
     // Content-defined chunking (the rsync/LBFS/restic boundary rule,
@@ -1086,48 +1055,153 @@ object DedupOps {
     // emitted (doc_id, idx, pos, len, hash) rows leave the scan.
     Q(
       "dd24_cdc_chunks",
-      s"""WITH t AS (SELECT doc_id, lower(text) AS t, length(lower(text)) AS n
-         |           FROM documents),
-         |  b AS (SELECT doc_id, t, n,
-         |          list_filter(list_transform(range(8, n + 1),
-         |            p -> CASE WHEN ${P.duckHash60("substr(t, p - 7, 8)")} % 64 = 0
-         |                 THEN p END), x -> x IS NOT NULL) AS bnd
-         |        FROM t),
-         |  c AS (SELECT doc_id, t,
-         |          list_prepend(1::BIGINT, list_transform(bnd, b -> b + 1)) AS starts,
-         |          list_append(bnd, n) AS ends
-         |        FROM b),
-         |  e AS (SELECT doc_id, t, i AS chunk_idx,
-         |          starts[i + 1] AS pos, ends[i + 1] - starts[i + 1] + 1 AS clen
-         |        FROM c CROSS JOIN unnest(range(0, len(starts))) r(i))
-         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
-         |  CAST(pos AS BIGINT) AS pos, CAST(clen AS BIGINT) AS clen,
-         |  ${P.duckHash60("substr(t, pos, clen)")} AS chunk_hash
-         |FROM e WHERE clen >= 1""".stripMargin) { (s, d) =>
-      T.documents(s, d)
-        .selectExpr("doc_id", "lower(text) as t")
-        .selectExpr("doc_id", "t", "length(t) as n")
-        // n >= 8 guard: Spark's sequence(8, n) DESCENDS for n < 8
-        // instead of returning empty (the mm04 gotcha)
-        .selectExpr("doc_id", "t", "n",
-          s"filter(transform(case when n >= 8 then sequence(8, n) else array() end, " +
-            s"p -> case when ${P.hash60("substring(t, p - 7, 8)")} % 64 = 0 then p end), " +
-            "x -> x is not null) as bnd")
-        .selectExpr("doc_id", "t",
-          "concat(array(1), transform(bnd, b -> b + 1)) as starts",
-          "concat(bnd, array(n)) as ends")
-        .selectExpr("doc_id", "t",
-          "explode(transform(sequence(0, size(starts) - 1), " +
-            "i -> struct(i as ci, element_at(starts, i + 1) as st, " +
-            "element_at(ends, i + 1) as en))) as ch")
-        .selectExpr("doc_id",
-          "cast(ch.ci as bigint) as chunk_idx",
-          "cast(ch.st as bigint) as pos",
-          "cast(ch.en - ch.st + 1 as bigint) as clen",
-          s"${P.hash60("substring(t, ch.st, ch.en - ch.st + 1)")} as chunk_hash")
-        .filter(col("clen") >= 1)
+      s"""WITH $duckCdcChunkCtes
+         |SELECT doc_id, chunk_idx, pos, clen, chunk_hash
+         |FROM chunks""".stripMargin) { (s, d) =>
+      cdcChunkRows(T.documents(s, d))
+    },
+
+    // Chunk-store dedup accounting over dd24's content-defined chunks:
+    // total vs distinct chunk count, raw vs deduplicated byte volume,
+    // and the storage savings a chunk-addressed store (restic/borg
+    // shape) realizes on this corpus — the ROI report that justifies
+    // (or kills) a CDC dedup layer. Identical hashes carry identical
+    // content (60-bit, collision odds documented with the hash), so
+    // the unique byte volume is one representative length per hash.
+    // Scale: chunks reduce to (hash, len) longs before the rollup;
+    // the per-hash aggregate combines map-side; output is ONE row.
+    Q(
+      "dd25_chunk_dedup",
+      s"""WITH $duckCdcChunkCtes,
+         |  per AS (SELECT chunk_hash, count(*) AS cnt, min(clen) AS clen1
+         |          FROM chunks GROUP BY chunk_hash),
+         |  a AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+         |          CAST(count(*) AS BIGINT) AS n_distinct,
+         |          CAST(SUM(cnt * clen1) AS BIGINT) AS bytes_total,
+         |          CAST(SUM(clen1) AS BIGINT) AS bytes_unique
+         |        FROM per)
+         |SELECT n_chunks, n_distinct, bytes_total, bytes_unique,
+         |  (1000000 * (bytes_total - bytes_unique)) // bytes_total AS savings_ppm
+         |FROM a""".stripMargin) { (s, d) =>
+      cdcChunkRows(T.documents(s, d))
+        .groupBy("chunk_hash")
+        .agg(count(lit(1)).as("cnt"), min("clen").as("clen1"))
+        .agg(
+          sum("cnt").cast("long").as("n_chunks"),
+          count(lit(1)).cast("long").as("n_distinct"),
+          sum(expr("cnt * clen1")).cast("long").as("bytes_total"),
+          sum("clen1").cast("long").as("bytes_unique"))
+        .selectExpr("n_chunks", "n_distinct", "bytes_total", "bytes_unique",
+          "(1000000 * (bytes_total - bytes_unique)) div bytes_total as savings_ppm")
     }
   )
+
+  /** dd24/dd25's shared chunk CTEs — the content-defined chunking SQL
+    * ending in a `chunks(doc_id, chunk_idx, pos, clen, chunk_hash)`
+    * relation, ONE definition for both oracles (mirroring the Scala
+    * side's shared `cdcChunkRows`). A `def`: interpolates during
+    * `queries` init.
+    */
+  private def duckCdcChunkCtes: String =
+    s"""t AS (SELECT doc_id, lower(text) AS t, length(lower(text)) AS n
+       |           FROM documents),
+       |  b AS (SELECT doc_id, t, n,
+       |          list_filter(list_transform(range(8, n + 1),
+       |            p -> CASE WHEN ${P.duckHash60("substr(t, p - 7, 8)")} % 64 = 0
+       |                 THEN p END), x -> x IS NOT NULL) AS bnd
+       |        FROM t),
+       |  c AS (SELECT doc_id, t,
+       |          list_prepend(1::BIGINT, list_transform(bnd, b -> b + 1)) AS starts,
+       |          list_append(bnd, n) AS ends
+       |        FROM b),
+       |  e AS (SELECT doc_id, t, i AS chunk_idx,
+       |          starts[i + 1] AS pos, ends[i + 1] - starts[i + 1] + 1 AS clen
+       |        FROM c CROSS JOIN unnest(range(0, len(starts))) r(i)),
+       |  chunks AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |      CAST(pos AS BIGINT) AS pos, CAST(clen AS BIGINT) AS clen,
+       |      ${P.duckHash60("substr(t, pos, clen)")} AS chunk_hash
+       |    FROM e WHERE clen >= 1)""".stripMargin
+
+  /** Passage-level SimHash near-dup pairs over `(doc_id, text)` rows —
+    * the dd23 machinery as a function (the gated query calls THIS on
+    * augmented text; the real-corpus path takes raw docs via
+    * `Dedup.passageNearDup`). Aligned 8-token passages → 24-bit
+    * token-majority SimHash → 4×6-bit pigeonhole bands, buckets capped
+    * at 64, exact Hamming ≤ 3 verify. Returns (a_id, a_idx, b_id,
+    * b_idx, hamming), a_id < b_id. Persists the signature and band
+    * frames (multiple consumers); caller clearCache releases.
+    */
+  private[graft] def passageNearDupPairs(docs: DataFrame): DataFrame = {
+    val simBits = (0 until 24).map { b =>
+      s"(case when 2 * size(filter(hs, h -> (shiftright(h, $b) & 1) = 1)) >= size(hs) " +
+        s"then ${1L << b}L else 0L end)"
+    }.mkString(" + ")
+    val sig = docs
+      .selectExpr("doc_id", "split(text, '\\\\s+') as toks")
+      .selectExpr("doc_id",
+        "explode(transform(sequence(0, cast((size(toks) + 7) div 8 as int) - 1), " +
+          "i -> struct(i as idx, slice(toks, i*8 + 1, 8) as pt))) as ps")
+      .selectExpr("doc_id", "ps.idx as idx",
+        s"transform(ps.pt, w -> ${P.hash60("w")}) as hs")
+      .selectExpr("doc_id", "idx", s"cast($simBits as bigint) as sh")
+      .persist() // bands + both verify sides; caller clearCache releases
+    val bandVals = (0 until 4)
+      .map(k => s"$k, shiftright(sh, ${k * 6}) & 63")
+      .mkString(", ")
+    val bands = sig
+      .selectExpr("doc_id", "idx", s"stack(4, $bandVals) as (band, v)")
+      .persist() // sized + both pair sides
+    val sized = bands.groupBy("band", "v").agg(count(lit(1)).as("n"))
+    val small = bands.join(sized.filter(col("n") <= 64), Seq("band", "v"))
+    val pairs = small
+      .select(col("doc_id").as("a_id"), col("idx").as("a_idx"),
+        col("band"), col("v"))
+      .join(small.select(col("doc_id").as("b_id"), col("idx").as("b_idx"),
+        col("band"), col("v")), Seq("band", "v"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "a_idx", "b_id", "b_idx")
+      .distinct()
+    pairs
+      .join(sig.toDF("a_id", "a_idx", "sha"), Seq("a_id", "a_idx"))
+      .join(sig.toDF("b_id", "b_idx", "shb"), Seq("b_id", "b_idx"))
+      .selectExpr("a_id", "cast(a_idx as bigint) as a_idx",
+        "b_id", "cast(b_idx as bigint) as b_idx",
+        "cast(bit_count(sha ^ shb) as bigint) as hamming")
+      .filter(col("hamming") <= 3)
+  }
+
+  /** Content-defined chunks over `(doc_id, text)` rows — the dd24
+    * machinery as a function (the gated query calls THIS; the public
+    * path is `Dedup.cdcChunks`). Boundary after every position whose
+    * 8-char window hash ≡ 0 (mod `mask`); returns (doc_id, chunk_idx,
+    * pos, clen, chunk_hash) tiling each lowercased document
+    * contiguously. Entirely HOFs inside one codegen'd scan projection.
+    */
+  private[graft] def cdcChunkRows(docs: DataFrame, mask: Int = 64): DataFrame = {
+    require(mask >= 2, s"mask must be >= 2, got $mask")
+    docs
+      .selectExpr("doc_id", "lower(text) as t")
+      .selectExpr("doc_id", "t", "length(t) as n")
+      // n >= 8 guard: Spark's sequence(8, n) DESCENDS for n < 8
+      // instead of returning empty (the mm04 gotcha)
+      .selectExpr("doc_id", "t", "n",
+        s"filter(transform(case when n >= 8 then sequence(8, n) else array() end, " +
+          s"p -> case when ${P.hash60("substring(t, p - 7, 8)")} % $mask = 0 then p end), " +
+          "x -> x is not null) as bnd")
+      .selectExpr("doc_id", "t",
+        "concat(array(1), transform(bnd, b -> b + 1)) as starts",
+        "concat(bnd, array(n)) as ends")
+      .selectExpr("doc_id", "t",
+        "explode(transform(sequence(0, size(starts) - 1), " +
+          "i -> struct(i as ci, element_at(starts, i + 1) as st, " +
+          "element_at(ends, i + 1) as en))) as ch")
+      .selectExpr("doc_id",
+        "cast(ch.ci as bigint) as chunk_idx",
+        "cast(ch.st as bigint) as pos",
+        "cast(ch.en - ch.st + 1 as bigint) as clen",
+        s"${P.hash60("substring(t, ch.st, ch.en - ch.st + 1)")} as chunk_hash")
+      .filter(col("clen") >= 1)
+  }
 
   /** dd22's banding configs — all at signature cost b·r = 8. (A `def`,
     * not a `val`: the oracle string interpolates it during `queries`

@@ -392,6 +392,50 @@ object MultimodalOps {
           "cast(aggregate(transform(mono, v -> cast(v as bigint) * v), " +
             "cast(0 as bigint), (a, b) -> a + b) as bigint) as energy",
           "cast((1000000 * 255) div array_max(mono) as bigint) as gain_ppm")
+    },
+
+    // Difference-hash (dHash) through the REAL codec — mm07's aHash
+    // complement: real PNG decode → deterministic 9×8 nearest-neighbor
+    // resample → bit (j·8+i) set iff pixel (i,j) > pixel (i+1,j), the
+    // horizontal-gradient sign. Comparing NEIGHBORS instead of the
+    // global mean makes dHash invariant to the uniform brightness
+    // shifts that flip aHash bits wholesale — a production perceptual
+    // stack bands on BOTH and verifies on the pair. PNG is lossless
+    // and the resample is integer-floor, so DuckDB reproduces the
+    // hash from the synthetic closed form — a hash-match gate across
+    // a real codec round-trip. Scale: decode + hash partition-local
+    // (mapPartitions); only fixed-width hash rows reach the Hamming
+    // chain window.
+    Q(
+      "mm11_image_dhash", {
+        def px9(ix: String, j: String) =
+          s"(doc_id * 31 + 7 * ((($ix) * w) // 9) + 13 * ((($j) * h) // 8)) % 256"
+        s"""WITH p AS (SELECT doc_id, 16 + doc_id % 5 AS w, 12 + doc_id % 7 AS h
+           |           FROM documents WHERE doc_id < 64),
+           |  b AS (SELECT doc_id, w, h,
+           |          list_transform(range(0, 64), k ->
+           |            CASE WHEN ${px9("k % 8", "k // 8")} > ${px9("(k % 8) + 1", "k // 8")}
+           |                 THEN 1 ELSE 0 END) AS bits
+           |        FROM p),
+           |  hsh AS (SELECT doc_id, w, h,
+           |          list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 32),
+           |            i -> CASE WHEN bits[i + 1] = 1 THEN (1::BIGINT << i) ELSE 0::BIGINT END)),
+           |            (x, y) -> x + y) AS dhash_lo,
+           |          list_reduce(list_prepend(0::BIGINT, list_transform(range(32, 64),
+           |            i -> CASE WHEN bits[i + 1] = 1 THEN (1::BIGINT << (i - 32)) ELSE 0::BIGINT END)),
+           |            (x, y) -> x + y) AS dhash_hi
+           |        FROM b)
+           |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           |  dhash_lo, dhash_hi,
+           |  coalesce(CAST(bit_count(xor(dhash_lo, lag(dhash_lo) OVER win))
+           |    + bit_count(xor(dhash_hi, lag(dhash_hi) OVER win)) AS BIGINT), -1) AS ham_prev
+           |FROM hsh WINDOW win AS (ORDER BY doc_id)""".stripMargin
+      }) { (s, d) =>
+      import graft.multimodal.ImageCodec
+      ImageCodec.dhashFeatures(s, ImageCodec.payloads(s, d, 64)).toDF()
+        .selectExpr("doc_id", "width", "height", "dhash_lo", "dhash_hi",
+          "coalesce(cast(bit_count(dhash_lo ^ lag(dhash_lo) over (order by doc_id)) " +
+            "+ bit_count(dhash_hi ^ lag(dhash_hi) over (order by doc_id)) as bigint), -1L) as ham_prev")
     }
   )
 }

@@ -637,6 +637,91 @@ object AnalysisQueries {
         .crossJoin(broadcast(nn))
         .selectExpr("source", "n1 as n_docs",
           "cast((1000000 * dnum) div (n1 * (nn - n1)) as bigint) as ks_ppm")
+    },
+
+    // Mergeable-sketch maintenance: KMV distinct-count state for the
+    // BASE corpus (doc_id < 400) merged with a DELTA batch's state
+    // (doc_id ≥ 400) must equal the from-scratch sketch — q_incr_merge's
+    // MERGE-refresh move applied to a SKETCH instead of exact counts.
+    // This is the property that makes cardinality tracking affordable
+    // at 100 TB: each ingest keeps only k=32 longs per source, merge =
+    // union → sort → keep-32, and the estimate NEVER needs the base
+    // re-scanned. The merge is lossless by the KMV theorem (the k
+    // smallest of a union are contained in the union of each side's k
+    // smallest) — `matches_full` pins it row-by-row rather than
+    // assuming it. Scale: both sides reduce to ≤ k rows per source
+    // before the merge; the rank windows order k-row frames.
+    Q(
+      "an19_kmv_merge",
+      s"""WITH tok AS (SELECT doc_id, source,
+         |      unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+         |    FROM documents),
+         |  t AS (SELECT DISTINCT doc_id, source, ${P.duckHash60("'kmv|' || w")} AS h FROM tok),
+         |  base AS (SELECT source, h FROM (
+         |      SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |      FROM (SELECT DISTINCT source, h FROM t WHERE doc_id < 400)) WHERE rn <= 32),
+         |  delta AS (SELECT source, h FROM (
+         |      SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |      FROM (SELECT DISTINCT source, h FROM t WHERE doc_id >= 400)) WHERE rn <= 32),
+         |  m AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |        FROM (SELECT DISTINCT source, h FROM (
+         |          SELECT * FROM base UNION ALL SELECT * FROM delta))),
+         |  full_r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+         |          count(*) OVER (PARTITION BY source) AS nf
+         |        FROM (SELECT DISTINCT source, h FROM t)),
+         |  est_m AS (SELECT source, CAST(count(*) AS BIGINT) AS k_m,
+         |          max(CASE WHEN rn = 32 THEN h END) AS kth
+         |        FROM m WHERE rn <= 32 GROUP BY source),
+         |  est_f AS (SELECT source, CAST(min(nf) AS BIGINT) AS n_exact,
+         |          max(CASE WHEN rn = 32 THEN h END) AS kth
+         |        FROM full_r GROUP BY source),
+         |  e AS (SELECT em.source,
+         |      CASE WHEN em.k_m < 32 THEN em.k_m
+         |           ELSE 31 * (1152921504606846976 // em.kth)
+         |                + (31 * (1152921504606846976 % em.kth)) // em.kth END AS est_merged,
+         |      CASE WHEN ef.n_exact < 32 THEN ef.n_exact
+         |           ELSE 31 * (1152921504606846976 // ef.kth)
+         |                + (31 * (1152921504606846976 % ef.kth)) // ef.kth END AS est_full
+         |    FROM est_m em JOIN est_f ef ON ef.source = em.source)
+         |SELECT source, est_merged, est_full,
+         |  est_merged = est_full AS matches_full
+         |FROM e""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val bySrc = Window.partitionBy("source").orderBy("h")
+      val t = T.documents(s, d)
+        .selectExpr("doc_id", "source",
+          "explode(split(lower(text), '\\\\s+')) as w")
+        .selectExpr("doc_id", "source", s"${P.hash60("concat('kmv|', w)")} as h")
+        .distinct()
+        .persist() // base + delta + full sketches share it; clearCache releases
+      def sketch(df: org.apache.spark.sql.DataFrame) = df
+        .select("source", "h").distinct()
+        .withColumn("rn", row_number().over(bySrc))
+        .filter(col("rn") <= 32)
+        .select("source", "h")
+      val merged = sketch(t.filter(col("doc_id") < 400))
+        .unionAll(sketch(t.filter(col("doc_id") >= 400)))
+        .distinct()
+        .withColumn("rn", row_number().over(bySrc))
+        .filter(col("rn") <= 32)
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("k_m"),
+          max(when(col("rn") === 32, col("h"))).as("kth_m"))
+      val full = t.select("source", "h").distinct()
+        .withColumn("rn", row_number().over(bySrc))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_exact"),
+          max(when(col("rn") === 32, col("h"))).as("kth_f"))
+      def est(kCol: String, kthCol: String) =
+        s"case when $kCol < 32 then $kCol " +
+          s"else 31 * (1152921504606846976 div $kthCol) " +
+          s"+ (31 * (1152921504606846976 % $kthCol)) div $kthCol end"
+      merged.join(full, "source")
+        .selectExpr("source",
+          s"${est("k_m", "kth_m")} as est_merged",
+          s"${est("n_exact", "kth_f")} as est_full")
+        .selectExpr("source", "est_merged", "est_full",
+          "est_merged = est_full as matches_full")
     }
   )
 }

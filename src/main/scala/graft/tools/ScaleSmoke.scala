@@ -84,7 +84,9 @@ object ScaleSmoke {
       "sm06_fluency_buckets" -> "bigram-LM aggs linear; one tercile window of longs",
       "dd20_soft_weights" -> "CC + one count window: (id, label) longs only",
       "cu08_cluster_split" -> "CC + scan-local split hash: no new exchange",
-      "dd21_containment" -> "capped candidates; verify ships (doc_id, sng) longs — see caveat on the 1x broadcast baseline")
+      "dd21_containment" -> "capped candidates; verify ships (doc_id, sng) longs — see caveat on the 1x broadcast baseline",
+      "dd23_passage_neardup" -> "passage banding stays bucket-capped under cross-copy shared boilerplate (the augmented passage is copy-invariant by construction — a deliberate flood)",
+      "cu13_dataset_card" -> "one scan + one map-side global agg: output is 8 rows at ANY corpus size")
     val byName = graft.SparkEntry.all.map(q => q.name -> q).toMap
     def fmt(b: Long): String =
       if (b >= (1L << 20)) f"${b / 1048576.0}%.1f MiB"

@@ -116,7 +116,11 @@ object ShuffleAudit {
     "ss22_index_staleness" -> "centroids broadcast; scored pass scan-local; per-cell rollup combines map-side to codebook cardinality",
     "sm13_temporal_split" -> "one user-keyed min-agg; median runs on the entity-cardinality frame; cutoff broadcasts back",
     "ss23_ranking_metrics" -> "queries broadcast; the scored pass reduces to (q_id, rank, relevant) rows before the per-query rollup",
-    "q_csv_roundtrip" -> "sink+source edge format: no pushdown/pruning by design — the measured contrast to op01's parquet scan")
+    "q_csv_roundtrip" -> "sink+source edge format: no pushdown/pruning by design — the measured contrast to op01's parquet scan",
+    "an19_kmv_merge" -> "each side reduces to ≤ k longs per source before the merge; rank windows order k-row frames",
+    "mm11_image_dhash" -> "decode + hash partition-local; only fixed-width hash rows reach the Hamming chain window",
+    "cu14_source_cards" -> "same one-scan projection as cu13; grouped agg partial-aggregates map-side to source rows",
+    "dd25_chunk_dedup" -> "chunks reduce to (hash, len) longs before the rollup; per-hash agg combines map-side; ONE output row")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

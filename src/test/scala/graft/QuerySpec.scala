@@ -840,6 +840,59 @@ class QuerySpec extends AnyFunSuite {
     assert(viaCsv == direct)
   }
 
+  test("an19: merged KMV sketch always equals the from-scratch sketch") {
+    val rows = SparkEntry.queries("an19_kmv_merge")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"sketch merge lost information: $r")
+      assert(r.getLong(1) == r.getLong(2))
+    }
+    // merged estimates agree with an17's single-pass estimates
+    val an17 = SparkEntry.queries("an17_kmv_cardinality")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    rows.foreach(r => assert(r.getLong(2) == an17(r.getString(0)),
+      s"full sketch drifted from an17 for ${r.getString(0)}"))
+    spark.catalog.clearCache()
+  }
+
+  test("mm11: dHash matches a direct Scala recompute through the codec") {
+    val rows = SparkEntry.queries("mm11_image_dhash")(spark, sf).collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val f = graft.multimodal.ImageCodec.dhash(id,
+        graft.multimodal.ImageCodec.syntheticPng(id))
+      assert(r.getLong(3) == f.dhash_lo && r.getLong(4) == f.dhash_hi)
+    }
+    // chain starts undefined, then stays within 0..64 bits
+    val sorted = rows.sortBy(_.getLong(0))
+    assert(sorted.head.getLong(5) == -1)
+    assert(sorted.tail.forall(r => r.getLong(5) >= 0 && r.getLong(5) <= 64))
+  }
+
+  test("cu14: per-source cards roll up to cu13's corpus totals") {
+    val cards = SparkEntry.queries("cu14_source_cards")(spark, sf).collect()
+    val global = SparkEntry.queries("cu13_dataset_card")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cards.nonEmpty)
+    assert(cards.map(_.getLong(1)).sum == global("n_docs"))
+    assert(cards.map(_.getLong(2)).sum == global("n_tokens"))
+    assert(cards.map(_.getLong(3)).sum == global("n_chars"))
+    cards.foreach(r => (4 to 8).foreach(i =>
+      assert(r.getLong(i) >= 0 && r.getLong(i) <= 1000000)))
+  }
+
+  test("dd25: chunk-store accounting reconciles with dd24's chunk rows") {
+    val row = SparkEntry.queries("dd25_chunk_dedup")(spark, sf).head()
+    val chunks = SparkEntry.queries("dd24_cdc_chunks")(spark, sf).collect()
+      .map(r => (r.getLong(4), r.getLong(3)))
+    assert(row.getLong(0) == chunks.length)
+    assert(row.getLong(1) == chunks.map(_._1).distinct.length)
+    assert(row.getLong(2) == chunks.map(_._2).sum)
+    assert(row.getLong(3) <= row.getLong(2))
+    assert(row.getLong(4) == 1000000L * (row.getLong(2) - row.getLong(3)) / row.getLong(2))
+  }
+
   test("cu12: funnel conserves rows and chains stage outputs") {
     val rows = SparkEntry.queries("cu12_curation_funnel")(spark, sf).collect()
       .sortBy(_.getLong(0))

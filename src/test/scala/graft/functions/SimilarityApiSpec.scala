@@ -253,4 +253,30 @@ class SimilarityApiSpec extends AnyFunSuite {
     val odd = Curation.tokenBudget(docs, budget = 99991L).collect()
     assert(odd.map(_.getLong(3)).sum == 99991L)
   }
+
+  test("cdcChunks API equals the gated dd24 query") {
+    val docs = graft.Tables.documents(spark, sf)
+    val api = Dedup.cdcChunks(docs).collect()
+    val gated = graft.SparkEntry.queries("dd24_cdc_chunks")(spark, sf).collect()
+    assert(api.nonEmpty)
+    assert(sorted(api) == sorted(gated))
+  }
+
+  test("passageNearDup API on the augmented frame equals the gated dd23 query") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sf)
+    val aug = docs.filter(col("doc_id") % 5 === 0)
+      .selectExpr("doc_id",
+        "concat(lower(text), " +
+          "repeat(' pad', (8 - size(split(lower(text), '\\\\s+')) % 8) % 8), " +
+          "' shared boilerplate sentence about usual terms conditions v', " +
+          "cast(doc_id % 7 as string)) as text")
+      .unionAll(docs.filter(col("doc_id") % 5 =!= 0)
+        .selectExpr("doc_id", "lower(text) as text"))
+    val api = Dedup.passageNearDup(aug).collect()
+    val gated = graft.SparkEntry.queries("dd23_passage_neardup")(spark, sf).collect()
+    assert(api.nonEmpty)
+    assert(sorted(api) == sorted(gated))
+    spark.catalog.clearCache()
+  }
 }

@@ -39,6 +39,9 @@ class PlanQualitySpec extends AnyFunSuite {
   //   mm07_image_ahash   — Hamming chain over the 64-row decoded slice
   //                        (fixture-bounded; a corpus pairing pass bands
   //                        on hash prefixes instead, per its comment)
+  //   mm11_image_dhash   — same Hamming-chain shape as mm07 (the dHash
+  //                        complement); corpus-scale pairing goes
+  //                        through mm08's banding, not the chain
   //   ss17_rrf_hybrid    — single-query retrieval: each arm is ranked
   //                        once globally; a query BATCH partitions both
   //                        windows by q_id (ss01's shape)
@@ -46,7 +49,8 @@ class PlanQualitySpec extends AnyFunSuite {
   //                        write (repartitionByRange at scale); rank is
   //                        the oracle-deterministic rendering
   private val globalWindowAllowed = Set(
-    "mm07_image_ahash", "ss17_rrf_hybrid", "q_zorder_layout")
+    "mm07_image_ahash", "mm11_image_dhash", "ss17_rrf_hybrid",
+    "q_zorder_layout")
 
   test("no gated query plans a global window over unaggregated input") {
     // AdaptiveSparkPlanExec is a leaf until execution, so collecting over
