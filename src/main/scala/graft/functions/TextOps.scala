@@ -845,6 +845,47 @@ object TextOps {
           ") as text")
       TextQuality.readability(aug)
         .select("doc_id", "n_words", "n_sents", "n_syll", "score_x1000", "band")
+    },
+
+    // Unicode NFC normalization (native `nfc_normalize` Expression —
+    // graft.functions.NfcNormalize): canonical composition before any
+    // hash/dedup touches the text. A decomposed 'e'+U+0301 and a
+    // precomposed 'é' are the same text to a reader but different
+    // bytes to every digest, so an un-normalized corpus silently
+    // under-deduplicates — this pass is why dd01's digests can be
+    // trusted. Spark has no normalization builtin and a UDF would
+    // leave codegen; the Expression stays in the codegen'd stage and
+    // fast-paths already-normalized text (isNormalized, no
+    // allocation). The fixture is ASCII (always normalized), so the
+    // query AUGMENTS on BOTH engines: doc_id % 4 == 0 gains decomposed
+    // 'cafe'+COMBINING ACUTE and 'nai'+COMBINING DIAERESIS+'ve' —
+    // known positives whose composed forms shorten by exactly 2 code
+    // points. The gate hashes the NORMALIZED text, pinning byte-exact
+    // agreement between java.text.Normalizer and DuckDB's
+    // nfc_normalize (both implement UAX #15). Scale: pure scan
+    // projection, zero shuffle.
+    Q(
+      "tx25_nfc_normalize",
+      s"""WITH aug AS (SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 4 = 0
+         |      THEN ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+         |      ELSE '' END AS text FROM documents)
+         |SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_in,
+         |  CAST(length(nfc_normalize(text)) AS BIGINT) AS n_out,
+         |  nfc_normalize(text) <> text AS changed,
+         |  ${P.duckHash60("nfc_normalize(text)")} AS norm_hash
+         |FROM aug""".stripMargin) { (s, d) =>
+      graft.functions.NfcNormalize.register(s)
+      T.documents(s, d)
+        .selectExpr("doc_id",
+          "concat(text, case when doc_id % 4 = 0 " +
+            "then ' café naïve' else '' end) as text")
+        .selectExpr("doc_id",
+          "cast(length(text) as bigint) as n_in",
+          "cast(length(nfc_normalize(text)) as bigint) as n_out",
+          "nfc_normalize(text) <> text as changed",
+          s"${P.hash60("nfc_normalize(text)")} as norm_hash")
     }
   )
 

@@ -989,12 +989,14 @@ object DedupOps {
     // level down the granularity ladder.
     Q(
       "dd23_passage_neardup", {
-        val simBits = (0 until 24).map { b =>
-          s"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> $b) & 1 = 1)) >= len(hs) " +
-            s"THEN ${1L << b} ELSE 0 END)"
+        val simBits = (0 until 60).map { b =>
+          val cnt = s"len(list_filter(hs, h -> (h >> $b) & 1 = 1))"
+          s"(CASE WHEN 2 * $cnt > len(hs) THEN ${1L << b} " +
+            s"WHEN 2 * $cnt = len(hs) AND (hx >> $b) & 1 = 1 THEN ${1L << b} " +
+            s"ELSE 0 END)"
         }.mkString(" + ")
         val bandSel = (0 until 4)
-          .map(k => s"SELECT doc_id, idx, $k AS band, (sh >> ${k * 6}) & 63 AS v FROM s")
+          .map(k => s"SELECT doc_id, idx, $k AS band, (sh >> ${k * 15}) & 32767 AS v FROM s")
           .mkString("\n           UNION ALL ")
         s"""WITH aug AS (SELECT doc_id, lower(text)
            |      || repeat(' pad', (8 - len(regexp_split_to_array(lower(text), '\\s+')) % 8) % 8)
@@ -1007,7 +1009,10 @@ object DedupOps {
            |  p AS (SELECT doc_id, i AS idx,
            |          list_transform(toks[i*8+1 : i*8+8], w -> ${P.duckHash60("w")}) AS hs
            |        FROM t CROSS JOIN unnest(range(0, (len(toks) + 7) // 8)) r(i)),
-           |  s AS (SELECT doc_id, idx, CAST($simBits AS BIGINT) AS sh FROM p),
+           |  px AS (SELECT doc_id, idx, hs,
+           |          list_reduce(list_prepend(0::BIGINT, hs), (a, h) -> xor(a, h)) AS hx
+           |        FROM p),
+           |  s AS (SELECT doc_id, idx, CAST($simBits AS BIGINT) AS sh FROM px),
            |  bands AS (
            |       $bandSel),
            |  sized AS (SELECT band, v, count(*) AS n FROM bands GROUP BY band, v),
@@ -1024,10 +1029,6 @@ object DedupOps {
            |JOIN s sb ON sb.doc_id = p.b_id AND sb.idx = p.b_idx
            |WHERE bit_count(xor(sa.sh, sb.sh)) <= 3""".stripMargin
       }) { (s, d) =>
-      val simBits = (0 until 24).map { b =>
-        s"(case when 2 * size(filter(hs, h -> (shiftright(h, $b) & 1) = 1)) >= size(hs) " +
-          s"then ${1L << b}L else 0L end)"
-      }.mkString(" + ")
       val docs = T.documents(s, d)
       val aug = docs.filter(col("doc_id") % 5 === 0)
         .selectExpr("doc_id",
@@ -1125,16 +1126,35 @@ object DedupOps {
   /** Passage-level SimHash near-dup pairs over `(doc_id, text)` rows —
     * the dd23 machinery as a function (the gated query calls THIS on
     * augmented text; the real-corpus path takes raw docs via
-    * `Dedup.passageNearDup`). Aligned 8-token passages → 24-bit
-    * token-majority SimHash → 4×6-bit pigeonhole bands, buckets capped
-    * at 64, exact Hamming ≤ 3 verify. Returns (a_id, a_idx, b_id,
-    * b_idx, hamming), a_id < b_id. Persists the signature and band
-    * frames (multiple consumers); caller clearCache releases.
+    * `Dedup.passageNearDup`). Aligned 8-token passages → 60-bit
+    * token-majority SimHash → 4×15-bit pigeonhole bands, buckets
+    * capped at 64, exact Hamming ≤ 3 verify. Returns (a_id, a_idx,
+    * b_id, b_idx, hamming), a_id < b_id.
+    *
+    * Two sizing decisions carry the scale story (learned from the 10×
+    * smoke, where a first cut with 24-bit sigs and 6-bit bands
+    * flooded EVERY bucket past the cap and recall collapsed to zero):
+    *   - UNBIASED bits. An 8-way majority vote ties at 4-4 with
+    *     probability C(8,4)/2⁸ ≈ 0.27; sending ties to 1 biases every
+    *     bit to p≈0.64 and packs random signatures into a fraction of
+    *     the key space (per-bit agreement p²+(1−p)² ≈ 0.54 ≫ 0.5).
+    *     Ties break on the XOR-fold of the token hashes instead —
+    *     content-deterministic and exactly unbiased, so random
+    *     band keys are uniform.
+    *   - BAND WIDTH sized to the corpus. Expected random bucket load
+    *     is N·2^−r; r = 15 keeps load ≪ the 64 cap through ~10⁶
+    *     passages per shard. Beyond that, widen r (two salted token
+    *     hashes give 120 signature bits — r = 20 covers ~10⁸) the
+    *     same way dd22 sizes (b, r) for document MinHash.
+    * Persists the signature and band frames (multiple consumers);
+    * caller clearCache releases.
     */
   private[graft] def passageNearDupPairs(docs: DataFrame): DataFrame = {
-    val simBits = (0 until 24).map { b =>
-      s"(case when 2 * size(filter(hs, h -> (shiftright(h, $b) & 1) = 1)) >= size(hs) " +
-        s"then ${1L << b}L else 0L end)"
+    val simBits = (0 until 60).map { b =>
+      val cnt = s"size(filter(hs, h -> (shiftright(h, $b) & 1) = 1))"
+      s"(case when 2 * $cnt > size(hs) then ${1L << b}L " +
+        s"when 2 * $cnt = size(hs) and (shiftright(hx, $b) & 1) = 1 then ${1L << b}L " +
+        s"else 0L end)"
     }.mkString(" + ")
     val sig = docs
       .selectExpr("doc_id", "split(text, '\\\\s+') as toks")
@@ -1143,10 +1163,12 @@ object DedupOps {
           "i -> struct(i as idx, slice(toks, i*8 + 1, 8) as pt))) as ps")
       .selectExpr("doc_id", "ps.idx as idx",
         s"transform(ps.pt, w -> ${P.hash60("w")}) as hs")
+      .selectExpr("doc_id", "idx", "hs",
+        "aggregate(hs, cast(0 as bigint), (a, h) -> a ^ h) as hx")
       .selectExpr("doc_id", "idx", s"cast($simBits as bigint) as sh")
       .persist() // bands + both verify sides; caller clearCache releases
     val bandVals = (0 until 4)
-      .map(k => s"$k, shiftright(sh, ${k * 6}) & 63")
+      .map(k => s"$k, shiftright(sh, ${k * 15}) & 32767")
       .mkString(", ")
     val bands = sig
       .selectExpr("doc_id", "idx", s"stack(4, $bandVals) as (band, v)")
