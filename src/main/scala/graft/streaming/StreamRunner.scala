@@ -638,6 +638,90 @@ object StreamRunner {
         "s.last_ts_us as last_ts_us", "s.last_value as last_value")
   }
 
+  /** st14's windowed distinct-user accounting as a genuine stateful
+    * stream: per 1-hour window key, `mapGroupsWithState` carries BOTH
+    * the exact user-id set (bounded by users-per-window) and the KMV
+    * k=16 minimum-hash sketch across micro-batches — the an19 merge
+    * property (union → sort → keep-k is lossless) exercised INSIDE
+    * streaming state, which is how a firehose tracks per-window
+    * cardinality when the exact set no longer fits. StreamingSpec
+    * asserts the final per-window rows equal the batch st14 rendering
+    * — including the estimate, which only matches if the incremental
+    * sketch is exactly the batch sketch.
+    */
+  def windowDistinctStream(spark: SparkSession, sfDir: String,
+      queryName: String = "graft_windist"): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import spark.implicits._
+
+    // staged TWO-batch delivery (cdcCompactStream's trick): the KMV
+    // merge across micro-batches is the point, and a single-file
+    // fixture would fold everything into one batch
+    val ev0 = graft.Tables.events(spark, sfDir)
+      .selectExpr("unix_seconds(date_trunc('hour', ts)) as win_start_s",
+        "user_id",
+        s"${graft.Portable.hash60("concat('u|', cast(user_id as string))")} as uh",
+        "unix_micros(ts) as ts_us")
+    val Array(minTs, maxTs) = ev0.selectExpr("min(ts_us)", "max(ts_us)").head() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val mid = minTs + (maxTs - minTs) / 2
+    val stage = java.nio.file.Files.createTempDirectory("graft-windist")
+    def emit(name: String, cond: String): Unit = {
+      val tmp = stage.resolve(name + "_tmp").toString
+      ev0.filter(cond).drop("ts_us").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, stage.resolve(name + ".parquet"))
+      Thread.sleep(1100) // distinct mtimes → deterministic oldest-first order
+    }
+    emit("batch_a", s"ts_us <= $mid")
+    emit("batch_b", s"ts_us > $mid")
+
+    val ev = spark.readStream
+      .schema(ev0.drop("ts_us").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+
+    val updates = ev.as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (win: Long, it: Iterator[(Long, Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Set[Long], Seq[Long])]) => {
+          val rows = it.toSeq
+          val (n0, users0, kmv0) =
+            state.getOption.getOrElse((0L, Set.empty[Long], Seq.empty[Long]))
+          val n = n0 + rows.size
+          val users = users0 ++ rows.map(_._2)
+          // KMV merge: union of sketches, keep the k smallest distinct
+          val kmv = (kmv0 ++ rows.map(_._3)).distinct.sorted.take(16)
+          state.update((n, users, kmv))
+          (win, n, users.size.toLong, kmv)
+        })
+      .toDF("win_start_s", "n_events", "n_users", "kmv")
+
+    val q = updates.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // update mode re-emits a window on every batch that touches it; the
+    // final state per window is the row with the largest n_events
+    spark.table(queryName)
+      .selectExpr("win_start_s", "n_events", "n_users", "kmv",
+        "row_number() over (partition by win_start_s order by n_events desc) as rn")
+      .filter(col("rn") === 1)
+      .selectExpr("win_start_s", "n_events", "n_users",
+        "case when n_users < 16 then n_users " +
+          "else 15 * (1152921504606846976 div element_at(kmv, 16)) " +
+          "+ (15 * (1152921504606846976 % element_at(kmv, 16))) " +
+          "div element_at(kmv, 16) end as n_users_est")
+  }
+
   /** st13's windowed top-k as a genuine stream: the watermarked
     * tumbling-window count/value agg runs INSIDE Structured Streaming
     * (complete mode — window state is the streaming part); the top-3

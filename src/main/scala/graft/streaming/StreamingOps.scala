@@ -417,6 +417,56 @@ object StreamingOps {
           "cast(row_number() over (partition by win_start_s " +
             "order by n desc, event_type) as bigint) as rnk")
         .filter(col("rnk") <= 3)
+    },
+
+    // Windowed distinct-user accounting, exact AND sketched: per
+    // tumbling hour, event count, exact distinct users, and the KMV
+    // k=16 estimate from the 16 smallest salted user-id hashes (an17's
+    // estimator at window granularity, sub-k windows fall back to
+    // exact). The point is the STREAMING twin
+    // (StreamRunner.windowDistinctStream): mapGroupsWithState carries
+    // the KMV sketch across micro-batches — the an19 merge property
+    // working inside streaming state, which is how a firehose tracks
+    // per-window cardinality once the exact set no longer fits;
+    // StreamingSpec asserts twin ≡ batch including the estimate.
+    // Scale: counts combine map-side; the distinct (window, hash)
+    // frame reduces to ≤ users-per-window rows before the rank window.
+    Q(
+      "st14_window_distinct",
+      s"""WITH o AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start_s,
+         |      user_id, ${P.duckHash60("'u|' || user_id::VARCHAR")} AS uh
+         |    FROM events),
+         |  b AS (SELECT win_start_s, CAST(count(*) AS BIGINT) AS n_events,
+         |        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |      FROM o GROUP BY win_start_s),
+         |  d AS (SELECT DISTINCT win_start_s, uh FROM o),
+         |  r AS (SELECT win_start_s, uh,
+         |        row_number() OVER (PARTITION BY win_start_s ORDER BY uh) AS rn
+         |      FROM d),
+         |  k AS (SELECT win_start_s, uh AS h16 FROM r WHERE rn = 16)
+         |SELECT b.win_start_s, b.n_events, b.n_users,
+         |  CAST(CASE WHEN b.n_users < 16 THEN b.n_users
+         |       ELSE 15 * (1152921504606846976 // k.h16)
+         |            + (15 * (1152921504606846976 % k.h16)) // k.h16 END AS BIGINT)
+         |    AS n_users_est
+         |FROM b LEFT JOIN k ON k.win_start_s = b.win_start_s""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d)
+        .selectExpr("unix_seconds(date_trunc('hour', ts)) as win_start_s",
+          "user_id",
+          s"${P.hash60("concat('u|', cast(user_id as string))")} as uh")
+      val base = ev.groupBy("win_start_s")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          countDistinct("user_id").cast("long").as("n_users"))
+      val kth = ev.select("win_start_s", "uh").distinct()
+        .selectExpr("win_start_s", "uh",
+          "row_number() over (partition by win_start_s order by uh) as rn")
+        .filter(col("rn") === 16)
+        .selectExpr("win_start_s", "uh as h16")
+      base.join(kth, Seq("win_start_s"), "left")
+        .selectExpr("win_start_s", "n_events", "n_users",
+          "cast(case when n_users < 16 then n_users " +
+            "else 15 * (1152921504606846976 div h16) " +
+            "+ (15 * (1152921504606846976 % h16)) div h16 end as bigint) as n_users_est")
     }
   )
 }

@@ -893,6 +893,19 @@ class QuerySpec extends AnyFunSuite {
     assert(row.getLong(4) == 1000000L * (row.getLong(2) - row.getLong(3)) / row.getLong(2))
   }
 
+  test("st14: KMV window estimates are exact under k and within 60% above it") {
+    val rows = SparkEntry.queries("st14_window_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, users, est) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(users <= n)
+      if (users < 16) assert(est == users, s"sub-k window must be exact: $r")
+      // k=16 ⇒ relative stderr ~ 1/√14 ≈ 27%; 60% is a loose ~2.2σ bound
+      else assert(math.abs(est - users) * 10 <= users * 6,
+        s"KMV window estimate off: $r")
+    }
+  }
+
   test("cu12: funnel conserves rows and chains stage outputs") {
     val rows = SparkEntry.queries("cu12_curation_funnel")(spark, sf).collect()
       .sortBy(_.getLong(0))

@@ -194,4 +194,18 @@ class StreamingSpec extends AnyFunSuite {
       assert(ranks.size <= 3)
     }
   }
+
+  test("stateful KMV window-distinct stream equals batch st14, estimate included") {
+    val streamed = StreamRunner.windowDistinctStream(spark, sf, "graft_windist_spec")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batch = graft.streaming.StreamingOps.queries.find(_.name == "st14_window_distinct").get
+      .fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
