@@ -806,8 +806,9 @@ object TextOps {
     // Flesch-reading-ease proxy — words (whitespace tokens), sentences
     // (`.!?` via translate-delta, floored at 1), syllables approximated
     // as maximal vowel runs (regexp_extract_all('[aeiou]+') — greedy
-    // non-overlapping matches count identically in Java and RE2), each
-    // word floored at one syllable. score_x1000 = 206835 −
+    // non-overlapping matches count identically in Java and RE2), the
+    // DOCUMENT syllable total floored at the word count (an aggregate
+    // floor, see TextQuality.readability). score_x1000 = 206835 −
     // (1015·words) div sentences − (84600·syllables) div words, the
     // Flesch constants ×1000 with integer div so both engines agree
     // bit-for-bit (no IEEE division anywhere). The fixture is

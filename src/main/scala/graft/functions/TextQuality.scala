@@ -160,7 +160,10 @@ object TextQuality {
   /** Integer-exact Flesch-reading-ease proxy: whitespace word count,
     * sentence count (`.!?` translate-delta, floored at 1 so fragments
     * still score), and a syllable proxy — maximal vowel runs
-    * (`[aeiou]+`), floored at one per word as Flesch counting does.
+    * (`[aeiou]+`), with the DOCUMENT total floored at the word count
+    * (an aggregate floor — cheaper than Flesch's per-word floor and
+    * identical unless vowel-less tokens and polysyllables mix, where
+    * this scores slightly easier).
     * score_x1000 carries the Flesch constants ×1000 with integer `div`
     * only, so the score is bit-identical on any engine (the standard
     * formula's IEEE divisions are not). Bands at the conventional 60/30
@@ -443,8 +446,10 @@ object Dedup {
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
 
   /** Passage-level near-dup pairs — dd10's SimHash machinery one level
-    * down the granularity ladder: aligned 8-token passages get 24-bit
-    * token-majority signatures, 4×6-bit pigeonhole bands (Hamming ≤ 3
+    * down the granularity ladder: aligned 8-token passages get 60-bit
+    * tie-broken token-majority signatures (4-4 majority ties break on
+    * the XOR-fold of the token hashes, keeping bits exactly unbiased),
+    * 4×15-bit pigeonhole bands (Hamming ≤ 3
     * agrees on some band), capped buckets, exact Hamming verify on two
     * longs. Catches lightly-edited boilerplate (a date or name swapped
     * per instance) that exact passage hashing (`prunePassages`) misses.

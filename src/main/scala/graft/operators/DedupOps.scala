@@ -975,9 +975,10 @@ object DedupOps {
     // EXACTLY; this catches lightly-edited boilerplate (one token
     // swapped per instance — dates, names, version strings) by running
     // dd10's SimHash machinery at passage granularity. Each aligned
-    // 8-token passage gets a 24-bit token-majority SimHash, banded
-    // 4×6 bits (pigeonhole: Hamming ≤ 3 agrees on some band), capped
-    // buckets, exact Hamming verify on two longs. The fixture's word
+    // 8-token passage gets a 60-bit tie-broken token-majority SimHash,
+    // banded 4×15 bits (pigeonhole: Hamming ≤ 3 agrees on some band —
+    // sizing rationale in passageNearDupPairs' scaladoc), capped
+    // buckets, exact Hamming verify on one long/side. The fixture's word
     // salad has no organic near-dup passages, so the query AUGMENTS on
     // BOTH engines: doc_id % 5 == 0 docs are padded to the 8-token
     // passage grid and gain a boilerplate passage whose LAST token

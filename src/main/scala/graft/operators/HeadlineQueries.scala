@@ -331,9 +331,20 @@ object HeadlineQueries {
       val ev = T.events(s, d).selectExpr("event_id", "user_id", "event_type",
         "value", "unix_micros(ts) as ts_us", "props")
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_events_${math.abs(d.hashCode)}"
+      // whitespace trimming is ON by default on the write side — a
+      // props value with an edge space would silently shrink; disable
+      // both sides. multiLine on read keeps quoted embedded newlines
+      // one record (costs per-file parallelism — acceptable for an
+      // edge format converted once at the boundary).
       ev.write.mode("overwrite")
-        .option("header", "true").option("escape", "\"").csv(path)
+        .option("header", "true").option("escape", "\"")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(path)
       s.read.option("header", "true").option("escape", "\"")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .option("multiLine", "true")
         .schema(ev.schema).csv(path)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), expr(P.dsum("value")).as("v"),

@@ -531,8 +531,13 @@ object AnalysisQueries {
     // the SAME md5 hash machinery the dedup family already rides, and
     // (unlike HLL's approx_count_distinct) bit-portable across engines,
     // so the gate pins estimate AND error against the exact count.
-    // The division computes in two exact integer halves (quot/rem of
-    // 2⁶⁰ by h₍ₖ₎) — (k−1)·2⁶⁰ would overflow BIGINT. Sources with
+    // The numerator (k−1)·2⁶⁰ ≈ 3.6e19 exceeds BIGINT, so the division
+    // runs in WIDE integers — a DECIMAL(38,0) literal on Spark, HUGEINT
+    // on DuckDB — with one exact floor-divide (a first cut split into
+    // quot/rem halves, but the remainder term (k−1)·r itself overflows
+    // whenever h₍ₖ₎ > 2⁶³/(k−1), i.e. for any source with ≲120 distinct
+    // tokens — found in review, reproduced as a DuckDB overflow error).
+    // Sources with
     // fewer than k distinct hashes fall back to the exact count (the
     // estimator is undefined there). Scale: the distinct (source, hash)
     // frame partial-aggregates map-side to vocabulary size before the
@@ -552,8 +557,7 @@ object AnalysisQueries {
          |        FROM r GROUP BY source),
          |  e AS (SELECT source, n_exact,
          |          CASE WHEN n_exact < 32 THEN n_exact
-         |               ELSE 31 * (1152921504606846976 // kth)
-         |                    + (31 * (1152921504606846976 % kth)) // kth END AS n_est
+         |               ELSE CAST(35740566642812256256 // kth AS BIGINT) END AS n_est
          |        FROM a)
          |SELECT source, CAST(32 AS BIGINT) AS k, n_exact, n_est,
          |  (abs(n_est - n_exact) * 10000) // n_exact AS err_bp
@@ -570,8 +574,8 @@ object AnalysisQueries {
           max(when(col("rn") === 32, col("h"))).as("kth"))
         .selectExpr("source", "cast(32 as bigint) as k", "n_exact",
           "case when n_exact < 32 then n_exact " +
-            "else 31 * (1152921504606846976 div kth) " +
-            "+ (31 * (1152921504606846976 % kth)) div kth end as n_est")
+            "else cast(cast('35740566642812256256' as decimal(38,0)) " +
+            "div kth as bigint) end as n_est")
         .selectExpr("source", "k", "n_exact", "n_est",
           "(abs(n_est - n_exact) * 10000) div n_exact as err_bp")
     },
@@ -612,7 +616,8 @@ object AnalysisQueries {
         |        GROUP BY c.source)
         |SELECT d.source, t.n1 AS n_docs,
         |  CAST((1000000 * d.dnum) // (t.n1 * (n.nn - t.n1)) AS BIGINT) AS ks_ppm
-        |FROM d JOIN tot t ON t.source = d.source CROSS JOIN n""".stripMargin) { (s, d) =>
+        |FROM d JOIN tot t ON t.source = d.source CROSS JOIN n
+        |WHERE n.nn > t.n1""".stripMargin) { (s, d) =>
       val docs = T.documents(s, d).select("source", "n_chars")
       val cnt = docs.groupBy(col("source"), col("n_chars").as("v"))
         .agg(count(lit(1)).as("c"))
@@ -635,6 +640,9 @@ object AnalysisQueries {
         .agg(max(expr("abs(f1 * (nn - n1) - (fa - f1) * n1)")).as("dnum"))
         .join(broadcast(tot), "source")
         .crossJoin(broadcast(nn))
+        // single-source corpus: there is no "rest" to drift from — drop
+        // the row rather than divide by zero (engines disagree there)
+        .filter(col("nn") > col("n1"))
         .selectExpr("source", "n1 as n_docs",
           "cast((1000000 * dnum) div (n1 * (nn - n1)) as bigint) as ks_ppm")
     },
@@ -677,11 +685,9 @@ object AnalysisQueries {
          |        FROM full_r GROUP BY source),
          |  e AS (SELECT em.source,
          |      CASE WHEN em.k_m < 32 THEN em.k_m
-         |           ELSE 31 * (1152921504606846976 // em.kth)
-         |                + (31 * (1152921504606846976 % em.kth)) // em.kth END AS est_merged,
+         |           ELSE CAST(35740566642812256256 // em.kth AS BIGINT) END AS est_merged,
          |      CASE WHEN ef.n_exact < 32 THEN ef.n_exact
-         |           ELSE 31 * (1152921504606846976 // ef.kth)
-         |                + (31 * (1152921504606846976 % ef.kth)) // ef.kth END AS est_full
+         |           ELSE CAST(35740566642812256256 // ef.kth AS BIGINT) END AS est_full
          |    FROM est_m em JOIN est_f ef ON ef.source = em.source)
          |SELECT source, est_merged, est_full,
          |  est_merged = est_full AS matches_full
@@ -712,10 +718,11 @@ object AnalysisQueries {
         .groupBy("source")
         .agg(count(lit(1)).cast("long").as("n_exact"),
           max(when(col("rn") === 32, col("h"))).as("kth_f"))
+      // wide-decimal single divide — see an17's overflow note
       def est(kCol: String, kthCol: String) =
         s"case when $kCol < 32 then $kCol " +
-          s"else 31 * (1152921504606846976 div $kthCol) " +
-          s"+ (31 * (1152921504606846976 % $kthCol)) div $kthCol end"
+          s"else cast(cast('35740566642812256256' as decimal(38,0)) " +
+          s"div $kthCol as bigint) end"
       merged.join(full, "source")
         .selectExpr("source",
           s"${est("k_m", "kth_m")} as est_merged",

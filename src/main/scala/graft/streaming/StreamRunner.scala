@@ -717,9 +717,8 @@ object StreamRunner {
       .filter(col("rn") === 1)
       .selectExpr("win_start_s", "n_events", "n_users",
         "case when n_users < 16 then n_users " +
-          "else 15 * (1152921504606846976 div element_at(kmv, 16)) " +
-          "+ (15 * (1152921504606846976 % element_at(kmv, 16))) " +
-          "div element_at(kmv, 16) end as n_users_est")
+          "else cast(cast('17293822569102704640' as decimal(38,0)) " +
+          "div element_at(kmv, 16) as bigint) end as n_users_est")
   }
 
   /** st13's windowed top-k as a genuine stream: the watermarked

@@ -446,8 +446,7 @@ object StreamingOps {
          |  k AS (SELECT win_start_s, uh AS h16 FROM r WHERE rn = 16)
          |SELECT b.win_start_s, b.n_events, b.n_users,
          |  CAST(CASE WHEN b.n_users < 16 THEN b.n_users
-         |       ELSE 15 * (1152921504606846976 // k.h16)
-         |            + (15 * (1152921504606846976 % k.h16)) // k.h16 END AS BIGINT)
+         |       ELSE CAST(17293822569102704640 // k.h16 AS BIGINT) END AS BIGINT)
          |    AS n_users_est
          |FROM b LEFT JOIN k ON k.win_start_s = b.win_start_s""".stripMargin) { (s, d) =>
       val ev = T.events(s, d)
@@ -462,11 +461,13 @@ object StreamingOps {
           "row_number() over (partition by win_start_s order by uh) as rn")
         .filter(col("rn") === 16)
         .selectExpr("win_start_s", "uh as h16")
+      // 15·2⁶⁰ exceeds BIGINT → wide-decimal single divide (an17's
+      // overflow note; the quot/rem split overflows for small windows)
       base.join(kth, Seq("win_start_s"), "left")
         .selectExpr("win_start_s", "n_events", "n_users",
           "cast(case when n_users < 16 then n_users " +
-            "else 15 * (1152921504606846976 div h16) " +
-            "+ (15 * (1152921504606846976 % h16)) div h16 end as bigint) as n_users_est")
+            "else cast(cast('17293822569102704640' as decimal(38,0)) " +
+            "div h16 as bigint) end as bigint) as n_users_est")
     }
   )
 }

@@ -840,6 +840,23 @@ class QuerySpec extends AnyFunSuite {
     assert(viaCsv == direct)
   }
 
+  test("KMV estimator arithmetic is exact in the former overflow zone") {
+    // kth in (2^63/(k-1), 2^60) made the old quot/rem split overflow —
+    // small-vocabulary sources land exactly there. The wide-decimal
+    // single divide must match BigInt math at both k values.
+    val cases = Seq(435846811221257031L, 900000000000000017L, 1L << 59)
+    cases.foreach { kth =>
+      val got32 = spark.sql(
+        "select cast(cast('35740566642812256256' as decimal(38,0)) " +
+          s"div ${kth}L as bigint) as e").head().getLong(0)
+      assert(got32 == (BigInt(31) * (BigInt(1) << 60) / kth).toLong, s"k=32 kth=$kth")
+      val got16 = spark.sql(
+        "select cast(cast('17293822569102704640' as decimal(38,0)) " +
+          s"div ${kth}L as bigint) as e").head().getLong(0)
+      assert(got16 == (BigInt(15) * (BigInt(1) << 60) / kth).toLong, s"k=16 kth=$kth")
+    }
+  }
+
   test("an19: merged KMV sketch always equals the from-scratch sketch") {
     val rows = SparkEntry.queries("an19_kmv_merge")(spark, sf).collect()
     assert(rows.nonEmpty)
