@@ -1760,6 +1760,118 @@ object SimilarityOps {
           "(1000000 * abs(n1 * t0 - n0 * t1)) div (t0 * t1) > 20000 as stale")
     },
 
+    // FILTERED vector search (the where-clause-on-ANN shape every
+    // retrieval stack hits: "nearest neighbors WHERE label = X"):
+    // ground truth is the exact cosine top-3 restricted to the query's
+    // label; the engine arm probes nprobe=2 IVF cells (the 8 lowest
+    // vec_ids as seed centroids — cells deliberately uncorrelated with
+    // labels) and POST-filters candidates by label before ranking.
+    // Post-filtering is the cheap strategy and its failure mode is the
+    // point: when the filter is selective, probed cells may hold few
+    // or no matching candidates, so recall decays with selectivity —
+    // this query MEASURES that (per query: matching corpus size,
+    // surviving filtered candidates, hits, recall), the number that
+    // decides when to switch to label-partitioned indexes. Scale:
+    // centroids broadcast; ONE scored pass feeds assignment + probe
+    // lists (the ivfSearch discipline); the label filter drops
+    // candidates before any exact-cosine work.
+    Q(
+      "ss24_filtered_ann",
+      s"""WITH cent AS (SELECT vec_id AS cell, embedding AS ce
+         |              FROM embeddings WHERE vec_id < 8),
+         |  scored AS (SELECT e.vec_id, e.label, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.embedding", "c.ce")} DESC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN cent c),
+         |  assign AS (SELECT vec_id, label, cell FROM scored WHERE rn = 1),
+         |  q AS (SELECT vec_id AS q_id, embedding AS qe, label AS ql
+         |        FROM embeddings WHERE vec_id < 5),
+         |  qc AS (SELECT vec_id AS q_id, cell FROM scored
+         |         WHERE vec_id < 5 AND rn <= 2),
+         |  cand AS (SELECT DISTINCT q.q_id, a.vec_id AS n_id
+         |           FROM q JOIN qc ON qc.q_id = q.q_id
+         |                  JOIN assign a ON a.cell = qc.cell AND a.label = q.ql
+         |           WHERE a.vec_id <> q.q_id),
+         |  ivf AS (SELECT q_id, n_id FROM (
+         |    SELECT c.q_id, c.n_id,
+         |      row_number() OVER (PARTITION BY c.q_id
+         |        ORDER BY ${duckCos("q.qe", "e.embedding")} DESC, c.n_id) AS rn
+         |    FROM cand c JOIN q ON q.q_id = c.q_id
+         |                JOIN embeddings e ON e.vec_id = c.n_id) WHERE rn <= 3),
+         |  truth AS (SELECT q_id, n_id FROM (
+         |    SELECT q.q_id, e.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${duckCos("q.qe", "e.embedding")} DESC, e.vec_id) AS rn
+         |    FROM q JOIN embeddings e ON e.label = q.ql AND e.vec_id <> q.q_id)
+         |    WHERE rn <= 3),
+         |  nrel AS (SELECT q.q_id, CAST(count(*) AS BIGINT) AS n_rel
+         |           FROM q JOIN embeddings e ON e.label = q.ql AND e.vec_id <> q.q_id
+         |           GROUP BY q.q_id),
+         |  ncand AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_cand
+         |            FROM cand GROUP BY q_id)
+         |SELECT t.q_id, r.n_rel, coalesce(c.n_cand, 0) AS n_cand,
+         |  CAST(count(i.n_id) AS BIGINT) AS n_hit,
+         |  (100 * count(i.n_id)) // count(*) AS recall_x100
+         |FROM truth t
+         |LEFT JOIN ivf i ON i.q_id = t.q_id AND i.n_id = t.n_id
+         |JOIN nrel r ON r.q_id = t.q_id
+         |LEFT JOIN ncand c ON c.q_id = t.q_id
+         |GROUP BY t.q_id, r.n_rel, c.n_cand""".stripMargin) { (s, d) =>
+      graft.functions.CosineSimilarity.register(s)
+      val e = T.embeddings(s, d).select("vec_id", "label", "embedding")
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"), col("embedding").as("ce"))
+      val scored = e
+        .crossJoin(broadcast(cent))
+        .selectExpr("vec_id", "label", "embedding", "cell",
+          s"row_number() over (partition by vec_id order by " +
+            s"${sparkCos("embedding", "ce")} desc, cell) as rn")
+        .filter(col("rn") <= 2)
+        .persist() // assignment + probe lists; caller clearCache releases
+      val assign = scored.filter(col("rn") === 1)
+        .select(col("vec_id").as("n_id"), col("label").as("nl"), col("cell"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("label").as("ql"))
+      val qc = scored.filter(col("vec_id") < 5 && col("rn") <= 2)
+        .select(col("vec_id").as("q_id"), col("cell"))
+      val cand = broadcast(q.join(qc, "q_id"))
+        .join(assign, Seq("cell"))
+        .filter(col("nl") === col("ql") && col("n_id") =!= col("q_id"))
+        .select("q_id", "qe", "n_id").distinct()
+      val ivf = cand
+        .join(e.select(col("vec_id").as("n_id"), col("embedding").as("ne")),
+          Seq("n_id"))
+        .selectExpr("q_id", "n_id",
+          s"row_number() over (partition by q_id order by " +
+            s"${sparkCos("qe", "ne")} desc, n_id) as rn")
+        .filter(col("rn") <= 3)
+        .select(col("q_id").as("iq_id"), col("n_id").as("hit_id"))
+      val rel = broadcast(q)
+        .join(e.select(col("vec_id").as("n_id"), col("label").as("nl"),
+          col("embedding").as("ne")),
+          col("nl") === col("ql") && col("n_id") =!= col("q_id"))
+        .persist() // truth ranking + n_rel share it
+      val truth = rel
+        .selectExpr("q_id", "n_id",
+          s"row_number() over (partition by q_id order by " +
+            s"${sparkCos("qe", "ne")} desc, n_id) as rn")
+        .filter(col("rn") <= 3)
+        .select("q_id", "n_id")
+      val nrel = rel.groupBy("q_id").agg(count(lit(1)).cast("long").as("n_rel"))
+      val ncand = cand.groupBy("q_id").agg(count(lit(1)).cast("long").as("n_cand"))
+      truth
+        .join(ivf, col("q_id") === col("iq_id") && col("n_id") === col("hit_id"),
+          "left")
+        .groupBy("q_id")
+        .agg(count(col("hit_id")).cast("long").as("n_hit"),
+          expr("(100 * count(hit_id)) div count(1)").as("recall_x100"))
+        .join(nrel, "q_id")
+        .join(ncand, Seq("q_id"), "left")
+        .selectExpr("q_id", "n_rel", "coalesce(n_cand, 0L) as n_cand",
+          "n_hit", "recall_x100")
+    },
+
     // Retrieval-quality metrics (the eval layer over the whole ss
     // family): per query, precision@5, recall@5 and MRR against
     // label-relevance (a neighbor is relevant iff it shares the

@@ -90,7 +90,8 @@ object DumpPlans {
     "cu13_dataset_card", "dd24_cdc_chunks", "ss22_index_staleness",
     "sm13_temporal_split", "ss23_ranking_metrics", "q_csv_roundtrip",
     "an19_kmv_merge", "mm11_image_dhash", "cu14_source_cards",
-    "dd25_chunk_dedup", "tx25_nfc_normalize", "st14_window_distinct")
+    "dd25_chunk_dedup", "tx25_nfc_normalize", "st14_window_distinct",
+    "ss24_filtered_ann")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

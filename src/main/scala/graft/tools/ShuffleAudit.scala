@@ -122,7 +122,8 @@ object ShuffleAudit {
     "cu14_source_cards" -> "same one-scan projection as cu13; grouped agg partial-aggregates map-side to source rows",
     "dd25_chunk_dedup" -> "chunks reduce to (hash, len) longs before the rollup; per-hash agg combines map-side; ONE output row",
     "tx25_nfc_normalize" -> "native codegen Expression in the scan projection (isNormalized fast path): zero shuffle",
-    "st14_window_distinct" -> "counts combine map-side; the distinct (window, hash) frame reduces to users-per-window rows before the rank window")
+    "st14_window_distinct" -> "counts combine map-side; the distinct (window, hash) frame reduces to users-per-window rows before the rank window",
+    "ss24_filtered_ann" -> "centroids broadcast; ONE scored pass feeds assignment + probes; the label filter drops candidates before exact-cosine work")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -923,6 +923,20 @@ class QuerySpec extends AnyFunSuite {
     }
   }
 
+  test("ss24: filtered-ANN accounting is consistent; candidates bound hits") {
+    val rows = SparkEntry.queries("ss24_filtered_ann")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (nRel, nCand, nHit, recall) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nCand <= nRel, "filtered candidates can't exceed the label cohort")
+      assert(nHit <= math.min(3L, nCand), s"hits bounded by candidates: $r")
+      val truthSize = math.min(3L, nRel)
+      assert(truthSize > 0 && recall == nHit * 100 / truthSize)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("cu12: funnel conserves rows and chains stage outputs") {
     val rows = SparkEntry.queries("cu12_curation_funnel")(spark, sf).collect()
       .sortBy(_.getLong(0))
