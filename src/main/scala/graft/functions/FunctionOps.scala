@@ -227,15 +227,20 @@ object FunctionOps {
           s"cast(size(filter(toks, w -> ${graft.Portable.hash60("w")} % 16 = bucket)) as bigint) as cnt")
     },
 
-    // Vocabulary count-vectorizer: each document as a dense 16-slot
-    // count vector over the corpus top-16 vocabulary (tx09's vocab
-    // build) — fn10's hashing-trick twin with a REAL vocabulary, the
-    // bag-of-words featurizer behind linear quality classifiers. The
-    // vocab is a 16-row broadcast, so vectorization is corpus-scan ×
-    // tiny-table work; the vector assembles from per-(doc, slot) counts
-    // with zeros preserved (a dense vector needs every slot, which the
-    // count rollup alone can't give). Scale: the only corpus exchange
-    // is the per-(doc, slot) count rollup — (doc_id, slot, cnt) longs.
+    // Vocabulary count-vectorizer: each document against the corpus
+    // top-16 vocabulary (tx09's vocab build) as (doc_id, slot, word,
+    // cnt) ROWS with zeros preserved — fn10's hashing-trick twin with a
+    // REAL vocabulary, the bag-of-words featurizer behind linear
+    // quality classifiers. Rows, not a dense ARRAY column, per the op09
+    // unnest convention: every (doc, slot) pair exists because the
+    // 16-row slotted vocab broadcast-fans each document 16×, so absent
+    // words appear as cnt=0 rows (a count rollup alone can't give
+    // zeros) and every output cell is a plain sortable scalar.
+    // n_invocab/n_toks repeat per row as per-doc invariants checked by
+    // the spec (sum(cnt) over slots == n_invocab). Scale: vectorization
+    // is corpus-scan × broadcast-tiny-table work — the only corpus
+    // exchange anywhere is the vocab count rollup, which ships (word,
+    // count) longs, never documents.
     Q(
       "fn11_count_vector",
       s"""WITH t AS (SELECT doc_id,
@@ -243,26 +248,27 @@ object FunctionOps {
          |  cnt AS (SELECT w, count(*)::BIGINT AS n
          |          FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
          |  vocab AS (SELECT w, n FROM cnt ORDER BY n DESC, w LIMIT 16),
+         |  vs AS (SELECT w, row_number() OVER (ORDER BY n DESC, w) AS slot FROM vocab),
          |  vl AS (SELECT list(w ORDER BY n DESC, w) AS vw FROM vocab)
          |SELECT doc_id,
-         |  list_transform(range(1, 17),
-         |    i -> CAST(len(list_filter(toks, x -> x = vw[i])) AS BIGINT)) AS vec,
-         |  CAST(len(list_filter(toks, x -> list_contains(vw, x))) AS BIGINT) AS n_invocab,
-         |  CAST(len(toks) AS BIGINT) AS n_toks
-         |FROM t CROSS JOIN vl""".stripMargin) { (s, d) =>
+         |  CAST(vs.slot AS BIGINT) AS slot, vs.w AS word,
+         |  CAST(len(list_filter(t.toks, x -> x = vs.w)) AS BIGINT) AS cnt,
+         |  CAST(len(list_filter(t.toks, x -> list_contains(vl.vw, x))) AS BIGINT) AS n_invocab,
+         |  CAST(len(t.toks) AS BIGINT) AS n_toks
+         |FROM t CROSS JOIN vs CROSS JOIN vl""".stripMargin) { (s, d) =>
       val t = graft.Tables.documents(s, d)
         .selectExpr("doc_id", "split(lower(text), '\\\\s+') as toks")
       val vocab = t.selectExpr("explode(toks) as w")
         .groupBy("w").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("w")).limit(16)
-        .selectExpr("w", "cast(row_number() over (order by n desc, w) as int) as slot")
-      // slot counts with zeros: every (doc, slot) pair exists via the
-      // broadcast vocab cross join; counts fold per-doc locally
-      t.crossJoin(broadcast(vocab.agg(
-          expr("array_sort(collect_list(struct(slot, w)))").as("vs"))))
-        .selectExpr("doc_id",
-          "transform(vs, v -> cast(size(filter(toks, x -> x = v.w)) as bigint)) as vec",
-          "cast(size(filter(toks, x -> array_contains(transform(vs, v -> v.w), x))) as bigint) as n_invocab",
+      val slots = vocab
+        .selectExpr("w", "cast(row_number() over (order by n desc, w) as bigint) as slot")
+      val vl = vocab.agg(
+        expr("transform(array_sort(collect_list(struct(n * -1 as negn, w))), v -> v.w)").as("vw"))
+      t.crossJoin(broadcast(slots)).crossJoin(broadcast(vl))
+        .selectExpr("doc_id", "slot", "w as word",
+          "cast(size(filter(toks, x -> x = w)) as bigint) as cnt",
+          "cast(size(filter(toks, x -> array_contains(vw, x))) as bigint) as n_invocab",
           "cast(size(toks) as bigint) as n_toks")
     }
   )

@@ -880,8 +880,11 @@ object TextOps {
       graft.functions.NfcNormalize.register(s)
       T.documents(s, d)
         .selectExpr("doc_id",
+          // explicit combining-mark escapes (U+0301, U+0308): raw NFD
+          // bytes in source would be silently destroyed by any tool
+          // that NFC-normalizes files, breaking the cross-engine gate
           "concat(text, case when doc_id % 4 = 0 " +
-            "then ' café naïve' else '' end) as text")
+            "then ' cafe\u0301 nai\u0308ve' else '' end) as text")
         .selectExpr("doc_id",
           "cast(length(text) as bigint) as n_in",
           "cast(length(nfc_normalize(text)) as bigint) as n_out",

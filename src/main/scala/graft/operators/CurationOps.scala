@@ -363,35 +363,43 @@ object CurationOps {
     },
 
     // Dedup PROVENANCE: per surviving keeper, WHAT was dropped — member
-    // count, dropped count, and the first 16 dropped doc_ids in order —
-    // the audit artifact a compliance/debugging pass needs after any
-    // destructive dedup ("show me what this keeper absorbed"). Only
-    // multi-member clusters emit a row. Rides dd08's exact clustering
-    // (keeper = cluster label = min id, the cu01 convention); the list
-    // is capped so a pathological mega-cluster ships 16 ids + a count,
-    // not a gigabyte array. Scale: one (id, label) rollup past the CC
-    // rounds; the capped sorted list is per-cluster bounded state.
+    // count, dropped count, and the first 16 dropped doc_ids as ranked
+    // (keeper, drop_rank, dropped_id) ROWS — the audit artifact a
+    // compliance/debugging pass needs after any destructive dedup
+    // ("show me what this keeper absorbed"). Rows, not an array column,
+    // so any downstream consumer (and the oracle comparator) sees plain
+    // sortable scalars — the op09 unnest convention. Rides dd08's exact
+    // clustering (keeper = cluster label = min id, the cu01 convention);
+    // because the keeper IS the cluster minimum, one row_number window
+    // ordered by doc_id puts the keeper at rank 1 and every dropped
+    // member at 2..n — member/drop counts and ranks fall out of a
+    // single cluster-keyed window, no join. The output is capped at 16
+    // drops per keeper so a pathological mega-cluster ships 16 rows + a
+    // count, not a gigabyte of ids. Scale: one (id, label) window
+    // exchange past the CC rounds; per-cluster state is bounded.
     Q(
       "cu09_dedup_provenance",
       s"""WITH RECURSIVE
          |     ${graft.operators.DedupOps.duckClusterCtes},
-         |     g AS (SELECT cluster_id,
-         |             count(*)::BIGINT AS n_members,
-         |             (count(*) - 1)::BIGINT AS n_dropped,
-         |             (list_sort(list(doc_id) FILTER (WHERE doc_id <> cluster_id)))[1:16] AS dropped_ids
-         |           FROM comp GROUP BY cluster_id)
-         |SELECT cluster_id AS keeper, n_members, n_dropped, dropped_ids
-         |FROM g WHERE n_dropped > 0""".stripMargin) { (s, d) =>
+         |     w AS (SELECT cluster_id, doc_id,
+         |             count(*) OVER (PARTITION BY cluster_id) AS nm,
+         |             row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) AS rn
+         |           FROM comp)
+         |SELECT cluster_id AS keeper,
+         |  CAST(nm AS BIGINT) AS n_members,
+         |  CAST(nm - 1 AS BIGINT) AS n_dropped,
+         |  CAST(rn - 1 AS BIGINT) AS drop_rank,
+         |  doc_id AS dropped_id
+         |FROM w WHERE doc_id <> cluster_id AND rn <= 17""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val win = Window.partitionBy("cluster_id")
       graft.operators.DedupOps.clusterLabels(T.documents(s, d))
-        .groupBy("cluster_id")
-        .agg(
-          count(lit(1)).cast("long").as("n_members"),
-          (count(lit(1)) - 1).cast("long").as("n_dropped"),
-          expr("slice(array_sort(collect_list(case when doc_id <> cluster_id " +
-            "then doc_id end)), 1, 16) as dropped_ids"))
-        .filter(col("n_dropped") > 0)
-        .selectExpr("cluster_id as keeper", "n_members", "n_dropped",
-          "dropped_ids")
+        .withColumn("nm", count(lit(1)).over(win))
+        .withColumn("rn", row_number().over(win.orderBy("doc_id")))
+        .filter(col("doc_id") =!= col("cluster_id") && col("rn") <= 17)
+        .selectExpr("cluster_id as keeper", "cast(nm as bigint) as n_members",
+          "cast(nm - 1 as bigint) as n_dropped",
+          "cast(rn - 1 as bigint) as drop_rank", "doc_id as dropped_id")
     },
 
     // Token-budget allocation (epoch planning): turn per-source token

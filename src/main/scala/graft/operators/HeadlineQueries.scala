@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object HeadlineQueries {
 
+  /** Per-invocation scratch directory for sink→source round-trip queries
+    * (see [[Scratch]] — shared with the persisted-label dedup path).
+    */
+  private def scratchDir(prefix: String): String = Scratch.dir(prefix)
+
   val queries: Seq[Q] = Seq(
 
     // Pricing summary (TPC-H Q1 shape): full-fact scan + 4-way agg.
@@ -152,11 +157,43 @@ object HeadlineQueries {
         count(lit(1)).as("n_rows"))
     },
 
-    // Approximate distinct (HLL) — engines' sketches differ, rows-only gate.
-    Q.noOracle("q_approx_distinct") { (s, d) =>
-      T.lineitem(s, d).agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        count(lit(1)).as("n_rows"))
+    // Approximate distinct via a KMV (k-minimum-values) sketch: the
+    // k=32 smallest 60-bit key hashes give the unbiased estimator
+    // (k−1)·2⁶⁰/h₍ₖ₎ — the an17 machinery pointed at a fact column.
+    // Formerly HLL (approx_count_distinct), which is rows-only gateable
+    // because engines' HLL sketches differ; KMV rides the portable md5
+    // hash, so the estimate itself hash-matches DuckDB bit-for-bit.
+    // `exact_parts` counts distinct hashes (indistinguishable from
+    // distinct keys short of a 60-bit collision — and both engines
+    // would agree even then). Scale: the distinct-hash frame
+    // partial-aggregates map-side; the k-smallest pass is per-partition
+    // top-k merged on the driver (TakeOrdered), never a global sort;
+    // the estimator numerator (k−1)·2⁶⁰ exceeds BIGINT so the divide
+    // runs in DECIMAL(38,0)/HUGEINT (the an17 convention).
+    Q(
+      "q_approx_distinct",
+      s"""WITH t AS (SELECT DISTINCT ${P.duckHash60("'kmv|' || CAST(l_partkey AS VARCHAR)")} AS h
+         |           FROM lineitem),
+         |  k AS (SELECT max(h) AS kth FROM (SELECT h FROM t ORDER BY h LIMIT 32)),
+         |  n AS (SELECT CAST(count(*) AS BIGINT) AS n_hashes FROM t),
+         |  r AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem)
+         |SELECT CAST(32 AS BIGINT) AS k,
+         |  CASE WHEN n_hashes < 32 THEN n_hashes
+         |       ELSE CAST(35740566642812256256 // kth AS BIGINT) END AS approx_parts,
+         |  n_hashes AS exact_parts, n_rows
+         |FROM k CROSS JOIN n CROSS JOIN r""".stripMargin) { (s, d) =>
+      val t = T.lineitem(s, d)
+        .selectExpr(s"${P.hash60("concat('kmv|', cast(l_partkey as string))")} as h")
+        .distinct()
+      val k32 = t.orderBy("h").limit(32).agg(max("h").as("kth"))
+      val nh = t.agg(count(lit(1)).cast("long").as("n_hashes"))
+      val nr = T.lineitem(s, d).agg(count(lit(1)).cast("long").as("n_rows"))
+      k32.crossJoin(broadcast(nh)).crossJoin(broadcast(nr))
+        .selectExpr("cast(32 as bigint) as k",
+          "case when n_hashes < 32 then n_hashes " +
+            "else cast(cast('35740566642812256256' as decimal(38,0)) " +
+            "div kth as bigint) end as approx_parts",
+          "n_hashes as exact_parts", "n_rows")
     },
 
     // Window function: top-3 highest-price lines per order (partitioned
@@ -300,7 +337,7 @@ object HeadlineQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_part_orders_${math.abs(d.hashCode)}"
+      val path = scratchDir("graft-part-orders")
       graft.sources.Sources.writePartitioned(T.orders(s, d), path, "o_orderpriority")
       graft.sources.Sources.readPartitioned(s, path)
         .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
@@ -330,7 +367,7 @@ object HeadlineQueries {
          |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
       val ev = T.events(s, d).selectExpr("event_id", "user_id", "event_type",
         "value", "unix_micros(ts) as ts_us", "props")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_events_${math.abs(d.hashCode)}"
+      val path = scratchDir("graft-csv-events")
       // whitespace trimming is ON by default on the write side — a
       // props value with an edge space would silently shrink; disable
       // both sides. multiLine on read keeps quoted embedded newlines

@@ -1,0 +1,25 @@
+package graft.operators
+
+/** Per-invocation scratch directories for queries whose semantics include
+  * a sink→source round-trip (CSV/partitioned writes, persisted label
+  * tables). A fresh `Files.createTempDirectory` per call — a fixed
+  * hashCode-derived shared path lets two concurrent runs of the same
+  * fixture (bench + spec) race on the overwrite/read. Staged files are
+  * read lazily by the returned DataFrames, so deletion is deferred to a
+  * JVM shutdown hook rather than performed inline.
+  */
+private[graft] object Scratch {
+  def dir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm))
+        p.delete(): Unit
+      }
+      rm(d.toFile)
+    }))
+    // Spark's writer wants a non-existent or overwritable target; hand it
+    // a child of the unique dir so mode("overwrite") semantics still hold
+    d.resolve("data").toString
+  }
+}

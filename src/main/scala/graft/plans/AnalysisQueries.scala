@@ -137,24 +137,66 @@ object AnalysisQueries {
         max("l_extendedprice").as("price_max"))
     },
 
-    // Approximate profile (t-digest quantiles + HLL) — sketches differ per
-    // engine, rows-only gate; the scale path for 100 TB profiling. The
-    // quantile array is flattened to scalar columns: the driver's
-    // comparator hashes every output cell even on rows-only gates, and it
-    // can't hash array cells.
-    Q.noOracle("an07_approx_profile") { (s, d) =>
-      T.lineitem(s, d)
+    // Approximate profile — the scale path for 100 TB profiling, now
+    // built ENTIRELY from bit-portable approximations so the gate
+    // hash-matches it (formerly t-digest + HLL, whose sketches differ
+    // per engine and forced a rows-only gate):
+    //   - quantiles from a 10% DETERMINISTIC hash sample of the fact
+    //     (hash60 of the (orderkey, linenumber) row key mod 10) with
+    //     exact interpolated quantiles on the sample — the bounded-
+    //     memory approximation both engines replay bit-identically,
+    //     unlike t-digest;
+    //   - distinct parts from the an17 KMV estimator (k=32 minimum
+    //     60-bit hashes, (k−1)·2⁶⁰/h₍ₖ₎ in DECIMAL(38,0)/HUGEINT);
+    //   - qty_mean as one IEEE divide of an exact DECIMAL sum by the
+    //     exact count (raw SUM(double) would vary with partial-agg
+    //     order).
+    // Scale: the sample filter is scan-local (pushdown-friendly), the
+    // distinct-hash frame partial-aggregates map-side, and the
+    // k-smallest pass is per-partition top-k (TakeOrdered), no global
+    // sort anywhere near the corpus.
+    Q(
+      "an07_approx_profile",
+      s"""WITH smp AS (SELECT l_extendedprice FROM lineitem
+         |    WHERE ${P.duckHash60("'smp|' || CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)")} % 10 = 0),
+         |  q AS (SELECT quantile_cont(l_extendedprice, 0.25) AS price_p25,
+         |          quantile_cont(l_extendedprice, 0.5) AS price_p50,
+         |          quantile_cont(l_extendedprice, 0.75) AS price_p75,
+         |          quantile_cont(l_extendedprice, 0.99) AS price_p99,
+         |          CAST(count(*) AS BIGINT) AS n_sample FROM smp),
+         |  t AS (SELECT DISTINCT ${P.duckHash60("'kmv|' || CAST(l_partkey AS VARCHAR)")} AS h FROM lineitem),
+         |  k AS (SELECT max(h) AS kth FROM (SELECT h FROM t ORDER BY h LIMIT 32)),
+         |  n AS (SELECT CAST(count(*) AS BIGINT) AS nh FROM t),
+         |  m AS (SELECT ${P.duckDsum("l_quantity")} AS qsum,
+         |          CAST(count(*) AS BIGINT) AS n_rows FROM lineitem)
+         |SELECT price_p25, price_p50, price_p75, price_p99, n_sample,
+         |  CASE WHEN nh < 32 THEN nh
+         |       ELSE CAST(35740566642812256256 // kth AS BIGINT) END AS part_approx_distinct,
+         |  qsum / n_rows AS qty_mean, n_rows
+         |FROM q CROSS JOIN k CROSS JOIN n CROSS JOIN m""".stripMargin) { (s, d) =>
+      val li = T.lineitem(s, d)
+      val q = li
+        .filter(expr(s"${P.hash60("concat('smp|', cast(l_orderkey as string), '|', cast(l_linenumber as string))")} % 10 = 0"))
         .agg(
-          expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99))").as("pq"),
-          approx_count_distinct(col("l_partkey")).as("part_approx_distinct"),
-          expr("avg(l_quantity)").as("qty_mean"))
-        .selectExpr(
-          "element_at(pq, 1) as price_p25",
-          "element_at(pq, 2) as price_p50",
-          "element_at(pq, 3) as price_p75",
-          "element_at(pq, 4) as price_p99",
-          "part_approx_distinct",
-          "qty_mean")
+          expr("percentile(l_extendedprice, 0.25)").as("price_p25"),
+          expr("percentile(l_extendedprice, 0.5)").as("price_p50"),
+          expr("percentile(l_extendedprice, 0.75)").as("price_p75"),
+          expr("percentile(l_extendedprice, 0.99)").as("price_p99"),
+          count(lit(1)).cast("long").as("n_sample"))
+      val t = li
+        .selectExpr(s"${P.hash60("concat('kmv|', cast(l_partkey as string))")} as h")
+        .distinct()
+      val k32 = t.orderBy("h").limit(32).agg(max("h").as("kth"))
+      val nh = t.agg(count(lit(1)).cast("long").as("nh"))
+      val m = li.agg(expr(P.dsum("l_quantity")).as("qsum"),
+        count(lit(1)).cast("long").as("n_rows"))
+      q.crossJoin(broadcast(k32)).crossJoin(broadcast(nh)).crossJoin(broadcast(m))
+        .selectExpr("price_p25", "price_p50", "price_p75", "price_p99",
+          "n_sample",
+          "case when nh < 32 then nh " +
+            "else cast(cast('35740566642812256256' as decimal(38,0)) " +
+            "div kth as bigint) end as part_approx_distinct",
+          "qsum / n_rows as qty_mean", "n_rows")
     },
 
     // Exact equi-width histogram of order value (50k buckets) with bucket
@@ -637,14 +679,22 @@ object AnalysisQueries {
         .join(broadcast(tot), "source")
         .crossJoin(broadcast(nn))
         .groupBy("source")
-        .agg(max(expr("abs(f1 * (nn - n1) - (fa - f1) * n1)")).as("dnum"))
+        // DECIMAL(38,0) arithmetic end-to-end: dnum reaches n1·(nn−n1)
+        // and the ppm numerator multiplies it by 10^6 — BIGINT overflows
+        // past a few million docs with a balanced split, exactly the
+        // scale this query claims. DuckDB runs the same math in HUGEINT,
+        // so the wide-decimal Spark side stays bit-identical (the an17
+        // KMV estimator convention).
+        .agg(max(expr("abs(cast(f1 as decimal(38,0)) * (nn - n1) " +
+          "- (fa - f1) * cast(n1 as decimal(38,0)))")).as("dnum"))
         .join(broadcast(tot), "source")
         .crossJoin(broadcast(nn))
         // single-source corpus: there is no "rest" to drift from — drop
         // the row rather than divide by zero (engines disagree there)
         .filter(col("nn") > col("n1"))
         .selectExpr("source", "n1 as n_docs",
-          "cast((1000000 * dnum) div (n1 * (nn - n1)) as bigint) as ks_ppm")
+          "cast(cast(1000000 as decimal(38,0)) * dnum " +
+            "div (cast(n1 as decimal(38,0)) * (nn - n1)) as bigint) as ks_ppm")
     },
 
     // Mergeable-sketch maintenance: KMV distinct-count state for the

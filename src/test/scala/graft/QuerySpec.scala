@@ -384,17 +384,42 @@ class QuerySpec extends AnyFunSuite {
     val prov = SparkEntry.queries("cu09_dedup_provenance")(spark, sf).collect()
     val dd08 = SparkEntry.queries("dd08_dedup_clusters")(spark, sf)
       .collect().groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
-    prov.foreach { r =>
-      val (keeper, nm, nd) = (r.getLong(0), r.getLong(1), r.getLong(2))
-      val dropped = r.getSeq[Long](3)
+    val byKeeper = prov.groupBy(_.getLong(0))
+    byKeeper.foreach { case (keeper, rs) =>
       val members = dd08(keeper)
+      val nm = rs.head.getLong(1)
+      val nd = rs.head.getLong(2)
+      assert(rs.forall(r => r.getLong(1) == nm && r.getLong(2) == nd))
       assert(nm == members.size && nd == nm - 1)
-      assert(dropped.length == math.min(16, nd))
-      assert(dropped.forall(id => members.contains(id) && id != keeper))
+      assert(rs.length == math.min(16, nd))
+      // drop_rank is 1..min(16, nd), and ranks walk the dropped ids in
+      // ascending id order (keeper = cluster min sits at window rank 1)
+      val ranked = rs.sortBy(_.getLong(3))
+      assert(ranked.map(_.getLong(3)).toSeq == (1L to math.min(16L, nd)))
+      val dropped = ranked.map(_.getLong(4)).toSeq
       assert(dropped == dropped.sorted)
+      assert(dropped.forall(id => members.contains(id) && id != keeper))
     }
     // every multi-member dd08 cluster has a provenance row
-    assert(prov.length == dd08.count(_._2.size > 1))
+    assert(byKeeper.size == dd08.count(_._2.size > 1))
+    spark.catalog.clearCache()
+  }
+
+  test("dd26: saved-labels audit is byte-identical to the inline recompute") {
+    import graft.operators.DedupOps
+    val saved = SparkEntry.queries("dd26_saved_labels_audit")(spark, sf).collect()
+    val inline = DedupOps.labelAudit(
+      DedupOps.clusterLabels(Tables.documents(spark, sf))).collect()
+    assert(saved.toSeq == inline.toSeq)
+    // the census reconciles with dd08's clustering
+    val sizes = SparkEntry.queries("dd08_dedup_clusters")(spark, sf)
+      .collect().groupBy(_.getLong(1)).view.mapValues(_.size).toMap
+    val r = saved.head
+    assert(r.getLong(0) == sizes.values.sum)          // n_docs
+    assert(r.getLong(1) == sizes.size)                // n_clusters
+    assert(r.getLong(2) == sizes.count(_._2 > 1))     // n_multi
+    assert(r.getLong(3) == r.getLong(0) - r.getLong(1)) // n_dropped
+    assert(r.getLong(4) == sizes.values.max)          // max_cluster_size
     spark.catalog.clearCache()
   }
 
@@ -417,13 +442,13 @@ class QuerySpec extends AnyFunSuite {
   test("fn11: count vectors reconcile with token counts") {
     val rows = SparkEntry.queries("fn11_count_vector")(spark, sf).collect()
     assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val vec = r.getSeq[Long](1)
-      assert(vec.length == 16)
-      // every vocab slot count is bounded by in-vocab tokens, which are
-      // bounded by all tokens; the vector sums to exactly n_invocab
-      assert(vec.sum == r.getLong(2), s"doc ${r.getLong(0)} vector sum mismatch")
-      assert(r.getLong(2) <= r.getLong(3))
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, rs) =>
+      // dense: every doc carries exactly slots 1..16, zeros included
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to 16L), s"doc $doc slots")
+      // slot counts sum to exactly n_invocab, bounded by all tokens
+      assert(rs.map(_.getLong(3)).sum == rs.head.getLong(4), s"doc $doc count sum mismatch")
+      assert(rs.head.getLong(4) <= rs.head.getLong(5))
     }
   }
 
@@ -606,9 +631,11 @@ class QuerySpec extends AnyFunSuite {
 
   test("oracle SQL exists for every oracle-checkable query") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // rows-only queries are the documented exceptions
-    assert(missing == Set("op03_list_files", "q_approx_distinct", "an07_approx_profile",
-      "dd07_mllib_minhash_lsh", "op11b_reservoir_shuffle"))
+    // rows-only queries are the documented exceptions: MLlib's MinHash
+    // is not DuckDB-expressible and reservoir sampling is seeded
+    // engine-locally. op03/q_approx_distinct/an07 graduated to oracled
+    // in round 8 (relative-path inventory / KMV / hash-sampled quantiles).
+    assert(missing == Set("dd07_mllib_minhash_lsh", "op11b_reservoir_shuffle"))
   }
 
   test("tx23: readability bands follow the score; augmented docs gain sentences") {
@@ -797,8 +824,11 @@ class QuerySpec extends AnyFunSuite {
     byDoc.foreach { case (id, cs) =>
       val sorted = cs.sortBy(_._2)
       assert(sorted.head._3 == 1, s"doc $id first chunk not at pos 1")
-      assert(sorted.map(_._2).toSeq == (0L until sorted.size).toSeq ||
-        sorted.map(_._2).max >= sorted.size - 1) // ordinals may skip only for dropped empty tails
+      // exact contiguity: only the final empty-tail chunk is ever
+      // dropped and it never consumes an ordinal, so the surviving
+      // ordinals are exactly 0..n-1 (a disjunction on max was vacuous)
+      assert(sorted.map(_._2).toSeq == (0L until sorted.size).toSeq,
+        s"doc $id ordinal gap")
       sorted.toSeq.sliding(2).foreach {
         case Seq(a, b) => assert(a._3 + a._4 == b._3, s"doc $id gap at chunk ${b._2}")
         case _ => ()

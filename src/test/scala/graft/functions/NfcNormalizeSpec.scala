@@ -9,8 +9,11 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class NfcNormalizeSpec extends AnyFunSuite {
 
-  private val decomposed = "café naïve"
-  private val composed = "café naïve"
+  // Built with explicit escapes so a source-file NFC normalization (an
+  // editor, formatter, or VCS filter) cannot silently collapse the two
+  // visually identical literals into the same byte sequence.
+  private val decomposed = "cafe\u0301 nai\u0308ve"
+  private val composed = "caf\u00e9 na\u00efve"
 
   private def normSql(texts: String*): Array[String] = {
     import spark.implicits._
