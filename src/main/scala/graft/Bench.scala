@@ -60,6 +60,37 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val bench = only.fold(SparkEntry.all)(s => SparkEntry.all.filter(q => s(q.name)))
+
+    // Flagship pipeline throughput (input elements/sec over one pass) —
+    // the images/sec-shaped headline number. Measured FIRST, before the
+    // ~200-query sweep churns the heap (r7 showed a ~15% tail penalty
+    // landing in the round-over-round comparison), with ONE untimed
+    // warmup pass of the flagship itself (JIT spread across cold reps is
+    // 3×: 184k→553k el/s) and the MEDIAN of 3 timed reps reported — the
+    // estimator robust to one contended rep on a busy driver host.
+    // Failure is tracked separately from the rate: a thrown exception
+    // sets the flag, while a legitimately computed 0.0 (dt <= 0) does not.
+    var flagshipFailed = false
+    val flagshipRate =
+      if (only.isDefined) 0.0 // subset dev runs skip the flagship pass
+      else try {
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        val n = li.count()
+        api.Flagship.run(spark, sfDir).count() // untimed warmup rep
+        median((1 to 3).map { _ =>
+          val df = api.Flagship.run(spark, sfDir)
+          val t0 = System.nanoTime()
+          df.count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (dt > 0) math.rint(n / dt) else 0.0
+        })
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] flagship failed: ${e.getMessage}")
+          flagshipFailed = true
+          0.0
+      }
+
     val results = bench.map { q =>
       def rep(): (Double, Boolean) = {
         val t0 = System.nanoTime()
@@ -86,32 +117,6 @@ object Bench {
       (q.name, round3(times.map(_._1).min),
         round3(median(times.map(_._1))), ok)
     }
-
-    // flagship pipeline throughput (input elements/sec over one pass) —
-    // the images/sec-shaped headline number. Guarded like the per-query
-    // loop: a missing/corrupt lineitem fixture must not abort main before
-    // the JSON artifact is written.
-    // Failure is tracked separately from the rate: a thrown exception sets
-    // the flag, while a legitimately computed 0.0 (dt <= 0 path) does not.
-    var flagshipFailed = false
-    val flagshipRate =
-      if (only.isDefined) 0.0 // subset dev runs skip the flagship pass
-      else try {
-        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-        val n = li.count()
-        (1 to reps).map { _ =>
-          val df = api.Flagship.run(spark, sfDir)
-          val t0 = System.nanoTime()
-          df.count()
-          val dt = (System.nanoTime() - t0) / 1e9
-          if (dt > 0) math.rint(n / dt) else 0.0
-        }.max
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] flagship failed: ${e.getMessage}")
-          flagshipFailed = true
-          0.0
-      }
 
     val okResults = results.filter(_._4)
     val qs = okResults.map { case (k, v, _, _) => "\"" + k + "\":" + v }

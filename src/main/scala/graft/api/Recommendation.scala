@@ -1,10 +1,16 @@
 package graft.api
 
-import graft.ir.PipelineGraph
-import graft.metrics.{GlobalMetrics, NodeMetrics}
+import graft.ir.{PipelineGraph, PipelineOp}
+import graft.metrics.{GlobalMetrics, NodeMetrics, StageSpan}
 import graft.plans.Analysis
 import graft.solver.MaxMinThroughputLP
 import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One job's worth of traced stage spans — the reference's span-context
+  * unit (`recommendation.span_contexts()` yields contexts whose `.spans`
+  * carry name/start/end, graph_rewrites.py:453-455, 266-320).
+  */
+final case class SpanContext(jobId: Int, spans: Seq[StageSpan])
 
 /** §3.3 interactive-introspection surface — the reference's
   * `PlumberPerformanceModel(...).model()` / `.recommendation()` API shape
@@ -16,13 +22,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   recommendation.upper_bounds()             →  rec.upperBounds()
   *   recommendation.LP_upper_bounds()          →  rec.lpUpperBounds()
   *   recommendation.disk_upper_bounds(bw)      →  rec.diskUpperBounds(bw)
+  *   recommendation.span_contexts()            →  rec.spanContexts()
+  *   model.dataset_working_set_size()          →  rec.datasetWorkingSetSize
+  *   recommendation.projected_dataset_working_set_size()
+  *                                             →  rec.projectedDatasetWorkingSetSize(sfDir)
+  *   recommendation.iterator_autotune_output_time()
+  *                                             →  rec.iteratorAutotuneOutputTime(...)
   *   model.to_graphviz("stats.dot")            →  rec.toGraphviz(path)
   */
 final case class Recommendation(
     graph: PipelineGraph,
     metrics: Seq[NodeMetrics],
     global: GlobalMetrics,
-    rowCount: Long) {
+    rowCount: Long,
+    spans: Seq[StageSpan] = Nil) {
 
   /** bottleneck_node(mode): ranked top valid node. */
   def bottleneckNode(ignore: Set[Int] = Set.empty): Option[Int] =
@@ -67,11 +80,82 @@ final case class Recommendation(
     Analysis.diskUpperBound(bandwidthBps, diskBytesPerRootElement)
 
   /** disk_bytes_per_root_element(): measured source bytes per output row. */
-  def diskBytesPerRootElement: Double = {
-    val srcBytes = metrics.filter(_.isSource)
-      .map(m => m.bytesPerElement * m.elementsProduced).sum
-    if (rowCount > 0) srcBytes / rowCount else 0.0
+  def diskBytesPerRootElement: Double =
+    if (rowCount > 0) datasetWorkingSetSize / rowCount else 0.0
+
+  /** dataset_working_set_size(): source bytes the traced run actually
+    * read (the reference's "seen" size — a take(n)/truncated pipeline
+    * sees a subset of the files on disk).
+    */
+  def datasetWorkingSetSize: Double = metrics.filter(_.isSource)
+    .map(m => m.bytesPerElement * m.elementsProduced).sum
+
+  /** projected_dataset_working_set_size(): the FULL on-disk byte size of
+    * every file-backed source table in the graph — what the cache
+    * planner compares against free memory when the trace only saw a
+    * subset (pipeline_optimizer.py:1260-1285 logs seen/projected and
+    * plans caches off the projection). Throws when the graph has no
+    * file-backed (Scan) source, mirroring the reference's RuntimeError
+    * path, which its caller catches.
+    */
+  def projectedDatasetWorkingSetSize(sfDir: String): Long = {
+    val tables = graph.nodes.map(_.op)
+      .collect { case PipelineOp.Scan(t, _) => t }.distinct
+    if (tables.isEmpty) throw new IllegalStateException(
+      "projected working set undefined: no file-backed (Scan) source in graph")
+    def size(p: java.io.File): Long =
+      if (p.isFile) p.length()
+      else Option(p.listFiles()).map(_.map(size).sum).getOrElse(0L)
+    tables.map(t => size(new java.io.File(s"$sfDir/$t.parquet"))).sum
   }
+
+  /** span_contexts(): the traced run's stage spans grouped per job —
+    * each Spark job plays the reference's span-context role
+    * (graph_rewrites.py:453-455); spans within a context carry
+    * name/start/end for the mean/σ/outlier treatment below.
+    */
+  def spanContexts(): Seq[SpanContext] =
+    spans.groupBy(_.jobId).toSeq.sortBy(_._1)
+      .map { case (j, ss) => SpanContext(j, ss.sortBy(s => (s.startMs, s.name))) }
+
+  /** Span aggregation exactly as span_context_to_networkx labels nodes
+    * (graph_rewrites.py:266-320): per span name, count, mean/σ of
+    * durations, and how many spans exceed mean + 2σ (the red-outlier
+    * rule; the an02 query applies the same rule to the events table).
+    * Spans are driver-local diagnostics, so the frame is tiny.
+    */
+  def spanOutliers(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = spans.map(s => (s.name, s.durationMs)).toDF("name", "dt_ms")
+    val stats = df.groupBy("name").agg(
+      count(lit(1)).as("n"),
+      avg("dt_ms").as("mean_ms"),
+      coalesce(stddev_samp(col("dt_ms")), lit(0.0)).as("std_ms"))
+    df.join(stats, "name")
+      .groupBy("name")
+      .agg(
+        first("n").as("n"), first("mean_ms").as("mean_ms"),
+        first("std_ms").as("std_ms"),
+        sum(when(col("dt_ms") > col("mean_ms") + lit(2) * col("std_ms")
+          && col("n") > 1, 1L).otherwise(0L)).as("n_outliers"))
+  }
+
+  /** iterator_autotune_output_time(): the autotune harness's converged
+    * per-element output time — the reciprocal of the A15 benchmark's
+    * converged rate (gen_util.py's AUTOTUNE stop rule drives the rate;
+    * plot_stats.py:359 reads this as "autotune latency").
+    */
+  def iteratorAutotuneOutputTime(bench: graft.bench.Harness.BenchResult): Double =
+    if (bench.elementRate > 0) 1.0 / bench.elementRate else Double.PositiveInfinity
+
+  /** Convenience overload: run the A15 convergence benchmark on this
+    * graph, then report its converged output time.
+    */
+  def iteratorAutotuneOutputTime(spark: SparkSession, sfDir: String,
+      maxIterations: Int = 8): Double =
+    iteratorAutotuneOutputTime(
+      graft.bench.Harness.benchmark(spark, graph, sfDir, maxIterations))
 
   /** remaining_CPU_cores(). */
   def remainingCpuCores: Double =
@@ -95,9 +179,7 @@ final case class Recommendation(
 
   /** Disk_Util(): observed source read rate over measured bandwidth. */
   def diskUtil: Double = {
-    val srcBytes = metrics.filter(_.isSource)
-      .map(m => m.bytesPerElement * m.elementsProduced).sum
-    val rate = srcBytes / math.max(1e-9, global.wallclockNs / 1e9)
+    val rate = datasetWorkingSetSize / math.max(1e-9, global.wallclockNs / 1e9)
     if (global.diskBandwidthBps > 0) rate / global.diskBandwidthBps else 0.0
   }
 
@@ -124,6 +206,6 @@ object Recommendation {
     */
   def trace(spark: SparkSession, g: PipelineGraph, sfDir: String): Recommendation = {
     val run = graft.metrics.Instrument.run(spark, g, sfDir)
-    Recommendation(g, run.nodeMetrics, run.global, run.rowCount)
+    Recommendation(g, run.nodeMetrics, run.global, run.rowCount, run.spans)
   }
 }

@@ -318,6 +318,13 @@ object TextQuality {
 object Dedup {
   import graft.{Portable => P}
 
+  /** Star-round count of the MOST RECENT connectedComponents call in
+    * this JVM — a diagnostic for the scale smoke's round-flatness
+    * evidence (CC rounds must stay ~log n, independent of data volume).
+    * Last-writer-wins under concurrency; never consumed by query logic.
+    */
+  @volatile private[graft] var lastCcRounds: Int = -1
+
   /** Exact dedup on a content digest: first row (min of `keep`) per
     * distinct value of `col`. The payload never shuffles — only the
     * 60-bit digest and the keep-key move.
@@ -734,6 +741,7 @@ object Dedup {
     require(converged,
       s"connectedComponents did not converge in $maxRounds star rounds " +
         "(edge set still changing)")
+    lastCcRounds = rounds
     // star forest: leaves point at their component minimum; centers
     // (the v side) label themselves; each node appears exactly once.
     val labels = edges.select(col("u").as("_node"), col("v").as("cluster_id"))

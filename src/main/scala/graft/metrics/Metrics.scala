@@ -63,7 +63,8 @@ object Instrument {
   final case class RunResult(
       nodeMetrics: Seq[NodeMetrics],
       global: GlobalMetrics,
-      rowCount: Long)
+      rowCount: Long,
+      spans: Seq[StageSpan] = Nil)
 
   def run(spark: SparkSession, g: PipelineGraph, sfDir: String): RunResult = {
     val compiled = Compiler.compile(spark, g, sfDir, instrument = true)
@@ -112,7 +113,7 @@ object Instrument {
     }
     val global = GlobalMetrics.detect(wallNs, cpuNs)
       .copy(diskBandwidthBps = measuredBandwidth(sfDir))
-    RunResult(metrics, global, rows)
+    RunResult(metrics, global, rows, listener.spans)
   }
 
   // FsProbe capacity measurement, cached per fixture dir (A20 feeding

@@ -86,21 +86,27 @@ object ScaleSmoke {
       "cu08_cluster_split" -> "CC + scan-local split hash: no new exchange",
       "dd21_containment" -> "capped candidates; verify ships (doc_id, sng) longs — see caveat on the 1x broadcast baseline",
       "dd23_passage_neardup" -> "passage banding stays bucket-capped under cross-copy shared boilerplate (the augmented passage is copy-invariant by construction — a deliberate flood)",
-      "cu13_dataset_card" -> "one scan + one map-side global agg: output is 8 rows at ANY corpus size")
+      "cu13_dataset_card" -> "one scan + one map-side global agg: output is 8 rows at ANY corpus size",
+      "dd16_cluster_stats" -> "CC family: size histogram rides (id, label) longs; rounds stay flat (see CC section)",
+      "cu09_dedup_provenance" -> "CC family: provenance window ships (id, label, rank) longs; drops capped at 16/keeper")
     val byName = graft.SparkEntry.all.map(q => q.name -> q).toMap
     def fmt(b: Long): String =
       if (b >= (1L << 20)) f"${b / 1048576.0}%.1f MiB"
       else if (b >= 1024) f"${b / 1024.0}%.1f KiB" else s"$b B"
 
-    def run(name: String, d: String): (Long, Long, Double, Long) = {
+    // (shuffleWrite, spill, wall, rows, ccRounds) — ccRounds is the
+    // star-round count when the query drove connectedComponents, else -1
+    def run(name: String, d: String): (Long, Long, Double, Long, Int) = {
       val q = byName(name)
       val l = new StageMetricsListener
+      graft.functions.Dedup.lastCcRounds = -1
       val t0 = System.nanoTime()
       var rows = 0L
       l.collect(spark) { rows = q.fn(spark, d).count() }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.sharedState.cacheManager.clearCache()
-      (l.shuffleWriteBytes, l.spillBytes, dt, rows)
+      (l.shuffleWriteBytes, l.spillBytes, dt, rows,
+        graft.functions.Dedup.lastCcRounds)
     }
 
     val sb = new StringBuilder
@@ -112,14 +118,29 @@ object ScaleSmoke {
     sb ++= "| query | rows 1x/" + copies + "x | shuffle 1x | shuffle " + copies +
       "x | ratio | spill | wall " + copies + "x | claim |\n"
     sb ++= "|---|---|---|---|---|---|---|---|\n"
+    // CC round-count flatness: (query, rounds at 1x, rounds at Nx,
+    // wall at 1x, wall at Nx) for queries that drove connectedComponents
+    val ccRounds = scala.collection.mutable.ArrayBuffer[(String, Int, Int, Double, Double)]()
     audited.foreach { case (name, claim) =>
-      val (s1, _, _, r1) = run(name, sfDir)
-      val (sN, spN, dtN, rN) = run(name, dir)
+      val (s1, _, dt1, r1, cc1) = run(name, sfDir)
+      val (sN, spN, dtN, rN, ccN) = run(name, dir)
+      if (cc1 >= 0 && ccN >= 0) ccRounds += ((name, cc1, ccN, dt1, dtN))
       val ratio = if (s1 > 0) f"${sN.toDouble / s1}%.1f" + "x" else "n/a"
       sb ++= s"| $name | $r1 / $rN | ${fmt(s1)} | ${fmt(sN)} | $ratio " +
         f"| ${fmt(spN)} | $dtN%.1f s | $claim |\n"
       println(s"$name done: ${fmt(sN)} shuffle, ${fmt(spN)} spill")
     }
+    // Diameter-independence, measured: alternating large-star/small-star
+    // converges in ~log n rounds, so 10× the data must NOT mean 10× the
+    // rounds — flat-ish round counts (±1) and sub-linear wall growth are
+    // the evidence the CC claim rests on.
+    sb ++= s"\n### CC round-count flatness (star rounds, 1x vs ${copies}x)\n\n"
+    sb ++= "| query | rounds 1x | rounds " + copies + "x | wall 1x | wall " +
+      copies + "x |\n|---|---|---|---|---|\n"
+    ccRounds.foreach { case (name, c1, cN, d1, dN) =>
+      sb ++= f"| $name | $c1 | $cN | $d1%.1f s | $dN%.1f s |\n"
+    }
+
     sb ++= "\nFixture caveats (artifacts of the derivation, not the plans):\n"
     sb ++= "ss10's super-10× rows/shuffle are CROSS-COPY tail pairs — at dim 64\n"
     sb ++= "any orthogonal decorrelation leaves cosine spread ~1/√64 ≈ 0.125, so\n"

@@ -29,6 +29,56 @@ class RecommendationSpec extends AnyFunSuite {
     assert(rec.diskUpperBounds(100e6) > 0)
   }
 
+  test("span_contexts: traced stage spans group per job; outlier frame " +
+    "matches the mean+2σ rule recomputed by hand") {
+    val ctxs = rec.spanContexts()
+    assert(ctxs.nonEmpty && ctxs.flatMap(_.spans).nonEmpty)
+    assert(ctxs.forall(c => c.spans.forall(s => s.endMs >= s.startMs)))
+    // contexts partition the span set
+    assert(ctxs.flatMap(_.spans).size == rec.spans.size)
+    assert(ctxs.map(_.jobId).distinct.size == ctxs.size)
+    val byName = rec.spans.groupBy(_.name)
+    val rows = rec.spanOutliers(spark).collect()
+    assert(rows.length == byName.size)
+    rows.foreach { r =>
+      val ds = byName(r.getString(0)).map(_.durationMs.toDouble)
+      val mean = ds.sum / ds.size
+      val std = if (ds.size < 2) 0.0
+        else math.sqrt(ds.map(d => (d - mean) * (d - mean)).sum / (ds.size - 1))
+      assert(r.getLong(1) == ds.size)
+      assert(math.abs(r.getDouble(2) - mean) < 1e-6)
+      assert(math.abs(r.getDouble(3) - std) < 1e-6)
+      val expected = if (ds.size > 1) ds.count(_ > mean + 2 * std) else 0
+      assert(r.getLong(4) == expected)
+    }
+  }
+
+  test("projected_dataset_working_set_size: full on-disk bytes of the " +
+    "graph's scan tables; no-Scan graph throws") {
+    val proj = rec.projectedDatasetWorkingSetSize(sf)
+    // independent walk of the one table Flagship scans
+    def size(p: java.io.File): Long =
+      if (p.isFile) p.length()
+      else Option(p.listFiles()).map(_.map(size).sum).getOrElse(0L)
+    val expected = size(new java.io.File(s"$sf/lineitem.parquet"))
+    assert(proj == expected && proj > 0)
+    assert(rec.datasetWorkingSetSize >= 0)
+    val noScan = rec.copy(graph = graft.ir.PipelineGraph(
+      Seq(graft.ir.PipelineNode(0, graft.ir.PipelineOp.RangeSource(10))), 0))
+    intercept[IllegalStateException](noScan.projectedDatasetWorkingSetSize(sf))
+  }
+
+  test("iterator_autotune_output_time: reciprocal of the A15 converged " +
+    "rate; live overload runs the harness") {
+    val br = graft.bench.Harness.BenchResult(2000.0, 3, 1.5,
+      Seq(1900.0, 2000.0, 2100.0))
+    assert(rec.iteratorAutotuneOutputTime(br) == 1.0 / 2000.0)
+    assert(rec.iteratorAutotuneOutputTime(
+      br.copy(elementRate = 0.0)).isPosInfinity)
+    val live = rec.iteratorAutotuneOutputTime(spark, sf, maxIterations = 2)
+    assert(live > 0 && java.lang.Double.isFinite(live))
+  }
+
   test("to_graphviz writes a DOT file with the bottleneck highlighted") {
     val p = java.nio.file.Files.createTempDirectory("graft-rec").resolve("stats.dot")
     rec.toGraphviz(p.toString)
