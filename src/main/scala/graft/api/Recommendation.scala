@@ -188,6 +188,47 @@ final case class Recommendation(
   def totalCpuTimeSec: Double = global.cpuTimeNs / 1e9
   def totalWallclockTimeSec: Double = global.wallclockNs / 1e9
 
+  /** Memory_Util(): measured system memory utilization. */
+  def memoryUtil: Double =
+    if (global.memoryTotalBytes > 0)
+      (global.memoryTotalBytes - global.memoryFreeBytes).toDouble /
+        global.memoryTotalBytes
+    else 0.0
+
+  /** max_memory_usage(): peak JVM heap across the traced run (heap-pool
+    * peaks bracketed by Instrument.run); -1 when the trace didn't
+    * measure it (e.g. a snapshot reloaded from disk).
+    */
+  def maxMemoryUsage: Long = global.peakMemoryBytes
+
+  /** disk_throughput(): observed source read rate in bytes/sec. */
+  def diskThroughputBps: Double =
+    datasetWorkingSetSize / math.max(1e-9, global.wallclockNs / 1e9)
+
+  /** dataset_file_sizes(): per-file on-disk bytes for every file-backed
+    * source table (the reference logs this next to the seen/projected
+    * working-set comparison, pipeline_optimizer.py:1280-1284).
+    */
+  def datasetFileSizes(sfDir: String): Map[String, Long] = {
+    val tables = graph.nodes.map(_.op)
+      .collect { case PipelineOp.Scan(t, _) => t }.distinct
+    def walk(p: java.io.File): Seq[(String, Long)] =
+      if (p.isFile) Seq(p.getPath -> p.length())
+      else Option(p.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Nil)
+    tables.flatMap(t => walk(new java.io.File(s"$sfDir/$t.parquet"))).toMap
+  }
+
+  /** iterator_duration(): summed per-node busy time — the pipeline's
+    * active service time, vs. iteratorWallclockSec's end-to-end span.
+    */
+  def iteratorDurationSec: Double = metrics.map(_.processingTimeNs).sum / 1e9
+
+  /** iterator_variance(): variance of the A15 benchmark's per-iteration
+    * rates (name-parity delegate to BenchResult.rateVariance).
+    */
+  def iteratorVariance(bench: graft.bench.Harness.BenchResult): Double =
+    bench.rateVariance
+
   /** to_graphviz(path): DOT with the bottleneck highlighted. */
   def toGraphviz(path: String): Unit = {
     val hot = bottleneckNode()

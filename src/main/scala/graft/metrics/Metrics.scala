@@ -30,7 +30,11 @@ final case class GlobalMetrics(
     memoryFreeBytes: Long,
     wallclockNs: Long,
     cpuTimeNs: Long,
-    diskBandwidthBps: Double)
+    diskBandwidthBps: Double,
+    // peak JVM heap across the traced run (pool peaks reset at trace
+    // start, summed after — max_memory_usage parity); -1 when the run
+    // wasn't bracketed by Instrument.run
+    peakMemoryBytes: Long = -1L)
 
 object GlobalMetrics {
   /** Autodetect from the JVM (machine_info autodetect analogue). Disk
@@ -71,6 +75,12 @@ object Instrument {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val listener = new StageMetricsListener
+    // bracket the run with heap-pool peak tracking (max_memory_usage):
+    // reset each pool's peak, sum the peaks after the action
+    import scala.jdk.CollectionConverters._
+    val heapPools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      .asScala.filter(_.getType == java.lang.management.MemoryType.HEAP)
+    heapPools.foreach(_.resetPeakUsage())
     val cpu0 = osBean.getProcessCpuTime
     val t0 = System.nanoTime()
     // collect() (not count()) — count() builds a NEW QueryExecution around
@@ -112,7 +122,9 @@ object Instrument {
         isRandom = n.op.isRandom)
     }
     val global = GlobalMetrics.detect(wallNs, cpuNs)
-      .copy(diskBandwidthBps = measuredBandwidth(sfDir))
+      .copy(
+        diskBandwidthBps = measuredBandwidth(sfDir),
+        peakMemoryBytes = heapPools.map(_.getPeakUsage.getUsed).sum)
     RunResult(metrics, global, rows, listener.spans)
   }
 

@@ -44,7 +44,12 @@ object MetricsSnapshot {
       memoryFreeBytes = g.getLong(g.fieldIndex("memoryFreeBytes")),
       wallclockNs = g.getLong(g.fieldIndex("wallclockNs")),
       cpuTimeNs = g.getLong(g.fieldIndex("cpuTimeNs")),
-      diskBandwidthBps = g.getDouble(g.fieldIndex("diskBandwidthBps")))
+      diskBandwidthBps = g.getDouble(g.fieldIndex("diskBandwidthBps")),
+      // absent in snapshots written before the field existed → unmeasured
+      peakMemoryBytes =
+        if (g.schema.fieldNames.contains("peakMemoryBytes"))
+          g.getLong(g.fieldIndex("peakMemoryBytes"))
+        else -1L)
     Snapshot(graph, metrics, global, row.getLong(row.fieldIndex("rowCount")))
   }
 

@@ -68,6 +68,27 @@ class RecommendationSpec extends AnyFunSuite {
     intercept[IllegalStateException](noScan.projectedDatasetWorkingSetSize(sf))
   }
 
+  test("model-surface parity: memory/disk/file-size/duration methods are " +
+    "coherent with their independent recomputes") {
+    assert(rec.memoryUtil >= 0 && rec.memoryUtil <= 1.0)
+    // the traced flagship materializes rows, so the bracketed heap peak
+    // is a real positive measurement
+    assert(rec.maxMemoryUsage > 0)
+    assert(rec.diskThroughputBps >= 0)
+    assert(math.abs(rec.diskThroughputBps * (rec.totalWallclockTimeSec) -
+      rec.datasetWorkingSetSize) < 1e-3 * math.max(1.0, rec.datasetWorkingSetSize))
+    val sizes = rec.datasetFileSizes(sf)
+    assert(sizes.nonEmpty && sizes.values.forall(_ > 0))
+    // file sizes sum to the projected working set (same walk, per-file)
+    assert(sizes.values.sum == rec.projectedDatasetWorkingSetSize(sf))
+    // busy time ≤ total CPU time (proportional attribution can't exceed it)
+    assert(rec.iteratorDurationSec >= 0 &&
+      rec.iteratorDurationSec <= rec.totalCpuTimeSec + 1e-9)
+    val br = graft.bench.Harness.BenchResult(2000.0, 3, 1.5,
+      Seq(1900.0, 2000.0, 2100.0))
+    assert(math.abs(rec.iteratorVariance(br) - 10000.0) < 1e-6)
+  }
+
   test("iterator_autotune_output_time: reciprocal of the A15 converged " +
     "rate; live overload runs the harness") {
     val br = graft.bench.Harness.BenchResult(2000.0, 3, 1.5,
