@@ -437,6 +437,17 @@ object Dedup {
   def clusters(df: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.operators.DedupOps.clusterLabels(df, idCol, textCol)
 
+  /** Incremental cluster-label maintenance — assign batch docs to
+    * existing corpus clusters via the corpus (band, bucket) → label
+    * rollup, flagging would-merges (`n_matched_clusters ≥ 2`) and new
+    * singletons (`is_new = 1`, exactly [[incrementalNearDup]]'s admitted
+    * set). Returns (idCol, label, n_matched_clusters, is_new); delegates
+    * to the machinery the gated dd27 query runs.
+    */
+  def incrementalLabels(corpus: DataFrame, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.operators.DedupOps.incrementalLabels(corpus, batch, idCol, textCol)
+
   /** Asymmetric containment verification of LSH candidate pairs —
     * c(A→B) = |A∩B|/|A| over distinct 3-shingle hashes, both directions
     * plus a verdict ('a_in_b'/'b_in_a' for ≥80%-contained sides leading

@@ -1126,8 +1126,102 @@ object DedupOps {
       clusterLabels(T.documents(s, d))
         .write.mode("overwrite").parquet(path)
       labelAudit(s.read.parquet(path))
+    },
+
+    // Incremental label maintenance (see [[incrementalLabels]]): corpus
+    // = doc_id < 400, batch = the rest (dd11/dd15's split). The oracle
+    // builds bands for ALL docs, names the corpus subset `bands` so the
+    // shared duckCapPairs/duckStarEdges fragments cluster the corpus
+    // verbatim, then replays the bucket-label rollup + adoption join.
+    // Docs with < 3 tokens band to NULL keys on both engines and fall
+    // through equality joins identically → new singletons.
+    Q(
+      "dd27_incremental_labels",
+      s"""WITH RECURSIVE
+         |     t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |     sh AS (SELECT doc_id, $duckShingles AS shingles FROM t),
+         |     hh AS (SELECT doc_id, $duckHs AS hs FROM sh),
+         |     sig AS (SELECT doc_id, ${duckMh(0)}, ${duckMh(1)}, ${duckMh(2)}, ${duckMh(3)} FROM hh),
+         |     allbands AS (
+         |       SELECT doc_id, 0 AS band, mh0 AS h FROM sig
+         |       UNION ALL SELECT doc_id, 1, mh1 FROM sig
+         |       UNION ALL SELECT doc_id, 2, mh2 FROM sig
+         |       UNION ALL SELECT doc_id, 3, mh3 FROM sig),
+         |     bands AS (SELECT * FROM allbands WHERE doc_id < 400),
+         |     $duckCapPairs,
+         |     $duckStarEdges,
+         |     link AS (SELECT a_id, b_id FROM pairs
+         |              UNION SELECT a_id, b_id FROM stars),
+         |     edges AS (SELECT a_id AS src, b_id AS dst FROM link
+         |               UNION ALL SELECT b_id, a_id FROM link),
+         |     reach(src, dst) AS (
+         |       SELECT doc_id, doc_id FROM documents WHERE doc_id < 400
+         |       UNION
+         |       SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+         |     comp AS (SELECT src AS doc_id, min(dst) AS cluster_id
+         |              FROM reach GROUP BY src),
+         |     bl AS (SELECT b.band, b.h, min(c.cluster_id) AS cl
+         |            FROM bands b JOIN comp c ON c.doc_id = b.doc_id
+         |            GROUP BY b.band, b.h),
+         |     m AS (SELECT ab.doc_id, min(bl.cl) AS adopted,
+         |             count(DISTINCT bl.cl) AS n_matched
+         |           FROM allbands ab JOIN bl ON bl.band = ab.band AND bl.h = ab.h
+         |           WHERE ab.doc_id >= 400 GROUP BY ab.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(m.adopted, d.doc_id) AS label,
+         |  CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched_clusters,
+         |  CAST(CASE WHEN m.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_new
+         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 400) d
+         |LEFT JOIN m ON m.doc_id = d.doc_id""".stripMargin) { (s, d) =>
+      val docs = T.documents(s, d)
+      incrementalLabels(
+        docs.filter(col("doc_id") < 400),
+        docs.filter(col("doc_id") >= 400))
     }
   )
+
+  /** Incremental LABEL MAINTENANCE — the third leg of the cluster-once
+    * story (cluster once → audit many → maintain incrementally): assign
+    * each batch document to an EXISTING corpus cluster without
+    * re-clustering the corpus. Per corpus (band, bucket) the members all
+    * share one cluster label by construction (capped pairs or star edges
+    * fully connect every bucket), so the corpus reduces to a
+    * (band, h, label) rollup; a batch doc adopts the minimum label over
+    * its matched buckets, and `n_matched_clusters` counts the DISTINCT
+    * labels it touched — ≥ 2 flags a WOULD-MERGE (a full re-cluster
+    * would join those clusters; incremental systems assign the min and
+    * queue the merge for compaction, which is exactly what this
+    * reports). Unmatched docs label themselves as new singletons — the
+    * same no-shared-bucket condition as dd15's admission, so
+    * `is_new = 1` here IS dd15's admitted set (pinned in spec).
+    * Scale: corpus text scans once (bands + CC); adoption ships only
+    * (band, h, label) longs against 4 band keys per batch doc — no pair
+    * stage, no corpus re-scan, and n_matched is bounded by the band
+    * count. Returns (idCol, label, n_matched_clusters, is_new).
+    */
+  private[graft] def incrementalLabels(corpus: DataFrame, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cb = r1Bands(corpus, idCol, textCol) // persisted; shared by edges + rollup
+    val edges = cappedBandEdges(cb)
+    val labels = graft.functions.Dedup.connectedComponents(
+        corpus.select(idCol), edges, idCol, "a_id", "b_id")
+      .withColumnRenamed(idCol, "doc_id")
+    val bucketLabel = cb.join(labels, "doc_id")
+      .groupBy("band", "h")
+      .agg(min("cluster_id").as("cl")) // min ≡ the bucket's one label
+    val matched = r1Bands(batch, idCol, textCol)
+      .join(bucketLabel, Seq("band", "h"))
+      .groupBy("doc_id")
+      .agg(min("cl").as("adopted"),
+        countDistinct("cl").cast("long").as("n_matched"))
+    batch.select(col(idCol).cast("long").as("doc_id"))
+      .join(matched, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "coalesce(adopted, doc_id) as label",
+        "cast(coalesce(n_matched, 0) as bigint) as n_matched_clusters",
+        "cast(case when adopted is null then 1 else 0 end as bigint) as is_new")
+      .withColumnRenamed("doc_id", idCol)
+  }
 
   /** The audit-many half of cluster-once/audit-many: a one-row cluster
     * census over any (doc_id, cluster_id) label frame — saved table or

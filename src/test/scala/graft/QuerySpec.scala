@@ -423,6 +423,37 @@ class QuerySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("dd27: incremental labels adopt real corpus clusters; is_new is " +
+    "exactly dd15's admitted set") {
+    import graft.operators.DedupOps
+    val rows = SparkEntry.queries("dd27_incremental_labels")(spark, sf).collect()
+    val batchIds = Tables.documents(spark, sf)
+      .filter("doc_id >= 400").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet == batchIds) // every batch doc, once
+    val corpusLabels = DedupOps.clusterLabels(
+        Tables.documents(spark, sf).filter("doc_id < 400"))
+      .collect().map(_.getLong(1)).toSet
+    rows.foreach { r =>
+      val (id, label, nMatched, isNew) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      if (isNew == 1) {
+        // new singleton: labels itself, touched no corpus cluster
+        assert(label == id && nMatched == 0)
+      } else {
+        // adopted: a real corpus cluster label (< 400 ≤ any batch id),
+        // touching at least one and at most 4 (band count) clusters
+        assert(corpusLabels.contains(label) && label < 400)
+        assert(nMatched >= 1 && nMatched <= 4)
+      }
+    }
+    // the no-shared-bucket condition is dd15's admission: sets must agree
+    val admitted = SparkEntry.queries("dd15_incremental_neardup")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.filter(_.getLong(3) == 1).map(_.getLong(0)).toSet == admitted)
+    spark.catalog.clearCache()
+  }
+
   test("q_incr_merge: merged state equals the from-scratch recompute") {
     val rows = SparkEntry.queries("q_incr_merge")(spark, sf).collect()
     assert(rows.nonEmpty)
