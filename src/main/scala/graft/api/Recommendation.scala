@@ -99,14 +99,10 @@ final case class Recommendation(
     * path, which its caller catches.
     */
   def projectedDatasetWorkingSetSize(sfDir: String): Long = {
-    val tables = graph.nodes.map(_.op)
-      .collect { case PipelineOp.Scan(t, _) => t }.distinct
-    if (tables.isEmpty) throw new IllegalStateException(
-      "projected working set undefined: no file-backed (Scan) source in graph")
-    def size(p: java.io.File): Long =
-      if (p.isFile) p.length()
-      else Option(p.listFiles()).map(_.map(size).sum).getOrElse(0L)
-    tables.map(t => size(new java.io.File(s"$sfDir/$t.parquet"))).sum
+    if (!graph.nodes.map(_.op).exists(_.isInstanceOf[PipelineOp.Scan]))
+      throw new IllegalStateException(
+        "projected working set undefined: no file-backed (Scan) source in graph")
+    datasetFileSizes(sfDir).values.sum // one walker for seen/projected parity
   }
 
   /** span_contexts(): the traced run's stage spans grouped per job —

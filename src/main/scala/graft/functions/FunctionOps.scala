@@ -258,17 +258,21 @@ object FunctionOps {
          |FROM t CROSS JOIN vs CROSS JOIN vl""".stripMargin) { (s, d) =>
       val t = graft.Tables.documents(s, d)
         .selectExpr("doc_id", "split(lower(text), '\\\\s+') as toks")
-      val vocab = t.selectExpr("explode(toks) as w")
+      // ONE broadcast of the slotted vocab as a sorted struct array —
+      // a separate slots + word-list broadcast would evaluate the
+      // corpus-wide vocab rollup twice; the 16-way row fan-out comes
+      // from exploding the broadcast array, not a second pass
+      val slotted = t.selectExpr("explode(toks) as w")
         .groupBy("w").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("w")).limit(16)
-      val slots = vocab
         .selectExpr("w", "cast(row_number() over (order by n desc, w) as bigint) as slot")
-      val vl = vocab.agg(
-        expr("transform(array_sort(collect_list(struct(n * -1 as negn, w))), v -> v.w)").as("vw"))
-      t.crossJoin(broadcast(slots)).crossJoin(broadcast(vl))
-        .selectExpr("doc_id", "slot", "w as word",
-          "cast(size(filter(toks, x -> x = w)) as bigint) as cnt",
-          "cast(size(filter(toks, x -> array_contains(vw, x))) as bigint) as n_invocab",
+        .agg(expr("array_sort(collect_list(struct(slot, w)))").as("vs"))
+      t.crossJoin(broadcast(slotted))
+        .select(col("doc_id"), col("toks"), col("vs"),
+          explode(col("vs")).as("v"))
+        .selectExpr("doc_id", "v.slot as slot", "v.w as word",
+          "cast(size(filter(toks, x -> x = v.w)) as bigint) as cnt",
+          "cast(size(filter(toks, x -> array_contains(transform(vs, y -> y.w), x))) as bigint) as n_invocab",
           "cast(size(toks) as bigint) as n_toks")
     }
   )

@@ -14,11 +14,6 @@ import org.apache.spark.sql.functions._
   */
 object HeadlineQueries {
 
-  /** Per-invocation scratch directory for sink→source round-trip queries
-    * (see [[Scratch]] — shared with the persisted-label dedup path).
-    */
-  private def scratchDir(prefix: String): String = Scratch.dir(prefix)
-
   val queries: Seq[Q] = Seq(
 
     // Pricing summary (TPC-H Q1 shape): full-fact scan + 4-way agg.
@@ -182,9 +177,14 @@ object HeadlineQueries {
          |       ELSE CAST(35740566642812256256 // kth AS BIGINT) END AS approx_parts,
          |  n_hashes AS exact_parts, n_rows
          |FROM k CROSS JOIN n CROSS JOIN r""".stripMargin) { (s, d) =>
+      // persisted: the kth-min and count branches don't canonicalize to
+      // one exchange (verified in PLANS.md — no ReusedExchange), so an
+      // unpersisted frame would scan + distinct the fact TWICE; caller
+      // clearCache releases (the r1Bands convention)
       val t = T.lineitem(s, d)
         .selectExpr(s"${P.hash60("concat('kmv|', cast(l_partkey as string))")} as h")
         .distinct()
+        .persist()
       val k32 = t.orderBy("h").limit(32).agg(max("h").as("kth"))
       val nh = t.agg(count(lit(1)).cast("long").as("n_hashes"))
       val nr = T.lineitem(s, d).agg(count(lit(1)).cast("long").as("n_rows"))
@@ -337,7 +337,7 @@ object HeadlineQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
-      val path = scratchDir("graft-part-orders")
+      val path = Scratch.dir("graft-part-orders")
       graft.sources.Sources.writePartitioned(T.orders(s, d), path, "o_orderpriority")
       graft.sources.Sources.readPartitioned(s, path)
         .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
@@ -367,7 +367,7 @@ object HeadlineQueries {
          |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
       val ev = T.events(s, d).selectExpr("event_id", "user_id", "event_type",
         "value", "unix_micros(ts) as ts_us", "props")
-      val path = scratchDir("graft-csv-events")
+      val path = Scratch.dir("graft-csv-events")
       // whitespace trimming is ON by default on the write side — a
       // props value with an edge space would silently shrink; disable
       // both sides. multiLine on read keeps quoted embedded newlines

@@ -50,23 +50,23 @@ object PipelineOps {
     // (formerly a no_oracle row counting opaque absolute paths). The
     // regexp keeps working if a fixture ships as a parquet DIRECTORY —
     // part files live under `<table>.parquet/part-*`, so the segment
-    // still matches. Scale: one count-agg per table scan; the distinct
-    // file count partial-aggregates map-side over at most
-    // files-per-table strings.
+    // still matches. No physical part-file COUNT in the gate: how many
+    // part files back a table is engine-local layout (like the absolute
+    // paths), which DuckDB cannot recompute. Scale: one count-agg per
+    // table scan, grouped on the extracted segment.
     Q(
       "op03_list_files",
-      """SELECT 'documents.parquet' AS file, CAST(1 AS BIGINT) AS n_files,
+      """SELECT 'documents.parquet' AS file,
         |  CAST(count(*) AS BIGINT) AS n_rows FROM documents
         |UNION ALL
-        |SELECT 'lineitem.parquet', 1, count(*) FROM lineitem
+        |SELECT 'lineitem.parquet', count(*) FROM lineitem
         |UNION ALL
-        |SELECT 'orders.parquet', 1, count(*) FROM orders""".stripMargin) { (s, d) =>
+        |SELECT 'orders.parquet', count(*) FROM orders""".stripMargin) { (s, d) =>
       def inv(df: org.apache.spark.sql.DataFrame, name: String) = df
         .select(regexp_extract(input_file_name(),
-          s"$name\\.parquet", 0).as("file"), input_file_name().as("f"))
+          s"$name\\.parquet", 0).as("file"))
         .groupBy("file")
-        .agg(countDistinct(col("f")).cast("long").as("n_files"),
-          count(lit(1)).cast("long").as("n_rows"))
+        .agg(count(lit(1)).cast("long").as("n_rows"))
       inv(T.documents(s, d), "documents")
         .unionAll(inv(T.lineitem(s, d), "lineitem"))
         .unionAll(inv(T.orders(s, d), "orders"))

@@ -9,7 +9,13 @@ package graft.operators
   * JVM shutdown hook rather than performed inline.
   */
 private[graft] object Scratch {
-  def dir(prefix: String): String = {
+  // one dir per (prefix, JVM): repeat runs of the same query in one
+  // process (bench reps, spec + gate) overwrite in place instead of
+  // accumulating a staged copy per rep; distinct processes still get
+  // distinct dirs, which is the race the fixed tmp path had
+  private val dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def dir(prefix: String): String = dirs.computeIfAbsent(prefix, { _ =>
     val d = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(p: java.io.File): Unit = {
@@ -21,5 +27,5 @@ private[graft] object Scratch {
     // Spark's writer wants a non-existent or overwritable target; hand it
     // a child of the unique dir so mode("overwrite") semantics still hold
     d.resolve("data").toString
-  }
+  })
 }

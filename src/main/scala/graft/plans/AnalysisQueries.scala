@@ -141,29 +141,38 @@ object AnalysisQueries {
     // built ENTIRELY from bit-portable approximations so the gate
     // hash-matches it (formerly t-digest + HLL, whose sketches differ
     // per engine and forced a rows-only gate):
-    //   - quantiles from a 10% DETERMINISTIC hash sample of the fact
-    //     (hash60 of the (orderkey, linenumber) row key mod 10) with
-    //     exact interpolated quantiles on the sample — the bounded-
-    //     memory approximation both engines replay bit-identically,
-    //     unlike t-digest;
+    //   - quantiles by LOWER-NEAREST-RANK SELECTION (index
+    //     ⌊p·(n−1)⌋ of the sorted sample — pure element pick, no float
+    //     interpolation whose IEEE expression could differ per engine)
+    //     over a KMV-STYLE FIXED sample: the 1024 rows with the
+    //     smallest row-key hashes (ties broken by price). TRULY bounded
+    //     memory — the sample is a per-partition top-k (TakeOrdered),
+    //     the rank window orders ≤ 1024 rows, and the sample size is
+    //     corpus-independent, unlike an exact percentile over a
+    //     fractional sample (which buffers O(sample) values in one
+    //     aggregation buffer);
     //   - distinct parts from the an17 KMV estimator (k=32 minimum
     //     60-bit hashes, (k−1)·2⁶⁰/h₍ₖ₎ in DECIMAL(38,0)/HUGEINT);
     //   - qty_mean as one IEEE divide of an exact DECIMAL sum by the
     //     exact count (raw SUM(double) would vary with partial-agg
     //     order).
-    // Scale: the sample filter is scan-local (pushdown-friendly), the
-    // distinct-hash frame partial-aggregates map-side, and the
-    // k-smallest pass is per-partition top-k (TakeOrdered), no global
-    // sort anywhere near the corpus.
+    // Scale: both sketches are per-partition top-k merges; the
+    // distinct-hash frame partial-aggregates map-side; no global sort
+    // anywhere near the corpus.
     Q(
       "an07_approx_profile",
-      s"""WITH smp AS (SELECT l_extendedprice FROM lineitem
-         |    WHERE ${P.duckHash60("'smp|' || CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)")} % 10 = 0),
-         |  q AS (SELECT quantile_cont(l_extendedprice, 0.25) AS price_p25,
-         |          quantile_cont(l_extendedprice, 0.5) AS price_p50,
-         |          quantile_cont(l_extendedprice, 0.75) AS price_p75,
-         |          quantile_cont(l_extendedprice, 0.99) AS price_p99,
-         |          CAST(count(*) AS BIGINT) AS n_sample FROM smp),
+      s"""WITH smp AS (SELECT l_extendedprice AS p FROM lineitem
+         |    ORDER BY ${P.duckHash60("'smp|' || CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)")}, l_extendedprice
+         |    LIMIT 1024),
+         |  o AS (SELECT p, row_number() OVER (ORDER BY p) AS rn,
+         |          count(*) OVER () AS ns FROM smp),
+         |  q AS (SELECT
+         |      max(CASE WHEN rn = 1 + CAST(floor(0.25 * (ns - 1)) AS BIGINT) THEN p END) AS price_p25,
+         |      max(CASE WHEN rn = 1 + CAST(floor(0.50 * (ns - 1)) AS BIGINT) THEN p END) AS price_p50,
+         |      max(CASE WHEN rn = 1 + CAST(floor(0.75 * (ns - 1)) AS BIGINT) THEN p END) AS price_p75,
+         |      max(CASE WHEN rn = 1 + CAST(floor(0.99 * (ns - 1)) AS BIGINT) THEN p END) AS price_p99,
+         |      CAST(max(ns) AS BIGINT) AS n_sample
+         |    FROM o),
          |  t AS (SELECT DISTINCT ${P.duckHash60("'kmv|' || CAST(l_partkey AS VARCHAR)")} AS h FROM lineitem),
          |  k AS (SELECT max(h) AS kth FROM (SELECT h FROM t ORDER BY h LIMIT 32)),
          |  n AS (SELECT CAST(count(*) AS BIGINT) AS nh FROM t),
@@ -174,18 +183,31 @@ object AnalysisQueries {
          |       ELSE CAST(35740566642812256256 // kth AS BIGINT) END AS part_approx_distinct,
          |  qsum / n_rows AS qty_mean, n_rows
          |FROM q CROSS JOIN k CROSS JOIN n CROSS JOIN m""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
       val li = T.lineitem(s, d)
-      val q = li
-        .filter(expr(s"${P.hash60("concat('smp|', cast(l_orderkey as string), '|', cast(l_linenumber as string))")} % 10 = 0"))
+      val smp = li
+        .selectExpr("l_extendedprice as p",
+          s"${P.hash60("concat('smp|', cast(l_orderkey as string), '|', cast(l_linenumber as string))")} as hh")
+        .orderBy(col("hh"), col("p")).limit(1024)
+      // rank window over the ≤1024-row sample (TakeOrdered below it, so
+      // the PlanQuality global-window rail sees a bounded input)
+      val q = smp
+        .withColumn("rn", row_number().over(Window.orderBy("p")))
+        .withColumn("ns", count(lit(1)).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
         .agg(
-          expr("percentile(l_extendedprice, 0.25)").as("price_p25"),
-          expr("percentile(l_extendedprice, 0.5)").as("price_p50"),
-          expr("percentile(l_extendedprice, 0.75)").as("price_p75"),
-          expr("percentile(l_extendedprice, 0.99)").as("price_p99"),
-          count(lit(1)).cast("long").as("n_sample"))
+          max(expr("case when rn = 1 + cast(floor(0.25 * (ns - 1)) as bigint) then p end")).as("price_p25"),
+          max(expr("case when rn = 1 + cast(floor(0.50 * (ns - 1)) as bigint) then p end")).as("price_p50"),
+          max(expr("case when rn = 1 + cast(floor(0.75 * (ns - 1)) as bigint) then p end")).as("price_p75"),
+          max(expr("case when rn = 1 + cast(floor(0.99 * (ns - 1)) as bigint) then p end")).as("price_p99"),
+          max("ns").cast("long").as("n_sample"))
+      // persisted: kth-min + count branches don't share the distinct
+      // exchange (no ReusedExchange — see q_approx_distinct); caller
+      // clearCache releases
       val t = li
         .selectExpr(s"${P.hash60("concat('kmv|', cast(l_partkey as string))")} as h")
         .distinct()
+        .persist()
       val k32 = t.orderBy("h").limit(32).agg(max("h").as("kth"))
       val nh = t.agg(count(lit(1)).cast("long").as("nh"))
       val m = li.agg(expr(P.dsum("l_quantity")).as("qsum"),

@@ -91,7 +91,8 @@ object DumpPlans {
     "sm13_temporal_split", "ss23_ranking_metrics", "q_csv_roundtrip",
     "an19_kmv_merge", "mm11_image_dhash", "cu14_source_cards",
     "dd25_chunk_dedup", "tx25_nfc_normalize", "st14_window_distinct",
-    "ss24_filtered_ann", "dd26_saved_labels_audit", "dd27_incremental_labels")
+    "ss24_filtered_ann", "dd26_saved_labels_audit", "dd27_incremental_labels",
+    "q_approx_distinct", "an07_approx_profile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -262,8 +262,7 @@ object ShuffleAudit {
     // labels ONCE, then measure the dd26 audit ALONE against the saved
     // table — the evidence that repeat audits scan the ~16 B/doc label
     // table, not the corpus.
-    val labelDir = java.nio.file.Files
-      .createTempDirectory("graft-audit-labels").resolve("labels.parquet").toString
+    val labelDir = graft.operators.Scratch.dir("graft-audit-labels")
     val corpusDocs = graft.Tables.documents(spark, sfDir)
     graft.operators.DedupOps.clusterLabels(corpusDocs)
       .write.mode("overwrite").parquet(labelDir)
