@@ -1731,8 +1731,10 @@ object SimilarityOps {
          |  t AS (SELECT CAST(SUM(n0) AS BIGINT) AS t0,
          |          CAST(SUM(n1) AS BIGINT) AS t1 FROM cnt)
          |SELECT CAST(cell AS BIGINT) AS cell, n0, n1,
-         |  CAST((1000000 * abs(n1 * t0 - n0 * t1)) // (t0 * t1) AS BIGINT) AS shift_ppm,
-         |  (1000000 * abs(n1 * t0 - n0 * t1)) // (t0 * t1) > 20000 AS stale
+         |  CAST(1000000::HUGEINT * abs(CAST(n1 AS HUGEINT) * t0 - CAST(n0 AS HUGEINT) * t1)
+         |    // (CAST(t0 AS HUGEINT) * t1) AS BIGINT) AS shift_ppm,
+         |  1000000::HUGEINT * abs(CAST(n1 AS HUGEINT) * t0 - CAST(n0 AS HUGEINT) * t1)
+         |    // (CAST(t0 AS HUGEINT) * t1) > 20000 AS stale
          |FROM cnt CROSS JOIN t""".stripMargin) { (s, d) =>
       graft.functions.CosineSimilarity.register(s)
       val e = T.embeddings(s, d).select("vec_id", "label", "embedding")
@@ -1754,10 +1756,16 @@ object SimilarityOps {
         .persist()
       val tots = counts.agg(sum("n0").cast("long").as("t0"),
         sum("n1").cast("long").as("t1"))
+      // cross-products in DECIMAL(38,0)/HUGEINT: cell-count × corpus
+      // total clears BIGINT at vector-corpus scale (the an18 lesson)
       counts.crossJoin(broadcast(tots))
         .selectExpr("cast(cell as bigint) as cell", "n0", "n1",
-          "cast((1000000 * abs(n1 * t0 - n0 * t1)) div (t0 * t1) as bigint) as shift_ppm",
-          "(1000000 * abs(n1 * t0 - n0 * t1)) div (t0 * t1) > 20000 as stale")
+          "cast(cast(1000000 as decimal(38,0)) " +
+            "* abs(cast(n1 as decimal(38,0)) * t0 - cast(n0 as decimal(38,0)) * t1) " +
+            "div (cast(t0 as decimal(38,0)) * t1) as bigint) as shift_ppm",
+          "cast(1000000 as decimal(38,0)) " +
+            "* abs(cast(n1 as decimal(38,0)) * t0 - cast(n0 as decimal(38,0)) * t1) " +
+            "div (cast(t0 as decimal(38,0)) * t1) > 20000 as stale")
     },
 
     // FILTERED vector search (the where-clause-on-ANN shape every

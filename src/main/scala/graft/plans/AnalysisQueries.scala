@@ -418,9 +418,9 @@ object AnalysisQueries {
         |             coalesce(SUM(CASE WHEN side = 1 THEN 1 END), 0)::BIGINT AS n_cur
         |           FROM b GROUP BY bin)
         |SELECT bin, n_ref, n_cur,
-        |  CAST((1000000 * n_ref) // (SUM(n_ref) OVER ()) AS BIGINT) AS share_ref_ppm,
-        |  CAST((1000000 * n_cur) // (SUM(n_cur) OVER ()) AS BIGINT) AS share_cur_ppm,
-        |  CAST(CAST(CAST((n_ref - n_cur) * (n_ref - n_cur) AS DOUBLE)
+        |  CAST(1000000::HUGEINT * n_ref // (SUM(n_ref) OVER ()) AS BIGINT) AS share_ref_ppm,
+        |  CAST(1000000::HUGEINT * n_cur // (SUM(n_cur) OVER ()) AS BIGINT) AS share_cur_ppm,
+        |  CAST(CAST(CAST(n_ref - n_cur AS DOUBLE) * (n_ref - n_cur)
         |    / (n_ref + n_cur) AS DECIMAL(28,8)) AS DOUBLE) AS chi2_term
         |FROM t""".stripMargin) { (s, d) =>
       val e = T.events(s, d).selectExpr("unix_micros(ts) as ts_us", "value")
@@ -436,10 +436,15 @@ object AnalysisQueries {
         .agg(
           coalesce(sum(when(col("side") === 0, 1L)), lit(0L)).cast("long").as("n_ref"),
           coalesce(sum(when(col("side") === 1, 1L)), lit(0L)).cast("long").as("n_cur"))
+        // ppm in DECIMAL(38,0)/HUGEINT (the an17 convention) and the χ²
+        // square with one factor pre-cast to double: both BIGINT forms
+        // overflow at corpus-scale per-bin counts (1e6·n and (Δn)²)
         .selectExpr("bin", "n_ref", "n_cur",
-          "(1000000 * n_ref) div (sum(n_ref) over ()) as share_ref_ppm",
-          "(1000000 * n_cur) div (sum(n_cur) over ()) as share_cur_ppm",
-          "cast(cast(cast((n_ref - n_cur) * (n_ref - n_cur) as double) " +
+          "cast(cast(1000000 as decimal(38,0)) * n_ref " +
+            "div (sum(n_ref) over ()) as bigint) as share_ref_ppm",
+          "cast(cast(1000000 as decimal(38,0)) * n_cur " +
+            "div (sum(n_cur) over ()) as bigint) as share_cur_ppm",
+          "cast(cast(cast(n_ref - n_cur as double) * (n_ref - n_cur) " +
             "/ (n_ref + n_cur) as decimal(28,8)) as double) as chi2_term")
     },
 
@@ -519,7 +524,7 @@ object AnalysisQueries {
         |  top5 AS (SELECT key, n_left, n_right, predicted
         |           FROM c ORDER BY predicted DESC, key LIMIT 5)
         |SELECT 'key' AS part, key, n_left, n_right, predicted,
-        |  (1000000 * predicted) // (SELECT tp FROM t) AS share_ppm FROM top5
+        |  CAST(1000000::HUGEINT * predicted // (SELECT tp FROM t) AS BIGINT) AS share_ppm FROM top5
         |UNION ALL
         |SELECT 'total', -1::BIGINT, 0::BIGINT, 0::BIGINT, tp, 1000000::BIGINT FROM t
         |UNION ALL
@@ -538,8 +543,13 @@ object AnalysisQueries {
           .agg(count(lit(1)).cast("long").as("n"))
         val top5 = c.orderBy(col("predicted").desc, col("key")).limit(5)
           .crossJoin(broadcast(t))
+          // ppm in DECIMAL(38,0)/HUGEINT: a skew probe's predicted join
+          // output routinely exceeds 9.2e12 rows at corpus scale, where
+          // 1e6·predicted would overflow BIGINT
           .selectExpr("'key' as part", "key", "n_left", "n_right",
-            "predicted", "(1000000 * predicted) div tp as share_ppm")
+            "predicted",
+            "cast(cast(1000000 as decimal(38,0)) * predicted " +
+              "div tp as bigint) as share_ppm")
         top5
           .unionAll(t.selectExpr("'total' as part", "cast(-1 as bigint) as key",
             "cast(0 as bigint)", "cast(0 as bigint)", "tp",
@@ -555,8 +565,9 @@ object AnalysisQueries {
     // a new crawl snapshot lands (an13 covers numeric columns; this is
     // the text twin). ALL-INTEGER cross-multiplication: the contribution
     // is |c_en·T_rest − c_rest·T_en| scaled against 2·T_en·T_rest, so
-    // there is no float division to flake the hash gate (counts ~10^5 ×
-    // totals ~10^6 stay far under 2^63). Scale: one tokenize scan feeds
+    // there is no float division to flake the hash gate; the products
+    // run in DECIMAL(38,0)/HUGEINT since count×total clears 2^63 at
+    // corpus scale. Scale: one tokenize scan feeds
     // both slice rollups (map-side combined, (token, 2 longs) rows);
     // the top-40 is TakeOrderedAndProject; totals broadcast back.
     Q(
@@ -570,8 +581,8 @@ object AnalysisQueries {
         |  top AS (SELECT w, c_en, c_rest FROM c
         |          ORDER BY c_en + c_rest DESC, w LIMIT 40)
         |SELECT w AS token, c_en, c_rest,
-        |  CAST((1000000 * abs(c_en * t_rest - c_rest * t_en))
-        |    // (2 * t_en * t_rest) AS BIGINT) AS drift_ppm
+        |  CAST(1000000::HUGEINT * abs(CAST(c_en AS HUGEINT) * t_rest - CAST(c_rest AS HUGEINT) * t_en)
+        |    // (2::HUGEINT * t_en * t_rest) AS BIGINT) AS drift_ppm
         |FROM top CROSS JOIN tot""".stripMargin) { (s, d) =>
       val tok = T.documents(s, d)
         .selectExpr("case when lang = 'en' then 1 else 0 end as is_en",
@@ -584,9 +595,13 @@ object AnalysisQueries {
       c.orderBy((col("c_en") + col("c_rest")).desc, col("w"))
         .limit(40)
         .crossJoin(broadcast(tot))
+        // cross-products in DECIMAL(38,0)/HUGEINT: token-count × corpus
+        // totals overflows BIGINT long before 100 TB (the an18 lesson)
         .selectExpr("w as token", "c_en", "c_rest",
-          "cast((1000000 * abs(c_en * t_rest - c_rest * t_en)) " +
-            "div (2 * t_en * t_rest) as bigint) as drift_ppm")
+          "cast(cast(1000000 as decimal(38,0)) " +
+            "* abs(cast(c_en as decimal(38,0)) * t_rest " +
+            "- cast(c_rest as decimal(38,0)) * t_en) " +
+            "div (cast(2 as decimal(38,0)) * t_en * t_rest) as bigint) as drift_ppm")
     },
 
     // KMV (k-minimum-values) distinct-cardinality estimation, per
@@ -674,12 +689,12 @@ object AnalysisQueries {
         |          FROM grid),
         |  acum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS fa FROM allc),
         |  d AS (SELECT c.source,
-        |          max(abs(c.f1 * (n.nn - t.n1) - (a.fa - c.f1) * t.n1)) AS dnum
+        |          max(abs(CAST(c.f1 AS HUGEINT) * (n.nn - t.n1) - (a.fa - c.f1) * CAST(t.n1 AS HUGEINT))) AS dnum
         |        FROM cum c JOIN acum a ON a.v = c.v
         |        JOIN tot t ON t.source = c.source CROSS JOIN n
         |        GROUP BY c.source)
         |SELECT d.source, t.n1 AS n_docs,
-        |  CAST((1000000 * d.dnum) // (t.n1 * (n.nn - t.n1)) AS BIGINT) AS ks_ppm
+        |  CAST(1000000::HUGEINT * d.dnum // (CAST(t.n1 AS HUGEINT) * (n.nn - t.n1)) AS BIGINT) AS ks_ppm
         |FROM d JOIN tot t ON t.source = d.source CROSS JOIN n
         |WHERE n.nn > t.n1""".stripMargin) { (s, d) =>
       val docs = T.documents(s, d).select("source", "n_chars")

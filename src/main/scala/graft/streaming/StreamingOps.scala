@@ -294,7 +294,7 @@ object StreamingOps {
         |  t AS (SELECT count(*)::BIGINT AS n FROM r)
         |SELECT CAST(delay_s AS BIGINT) AS delay_s,
         |  coalesce(SUM(CASE WHEN runmax - ts_us > CAST(delay_s AS BIGINT) * 1000000 THEN 1 END), 0)::BIGINT AS n_dropped,
-        |  CAST((1000000 * coalesce(SUM(CASE WHEN runmax - ts_us > CAST(delay_s AS BIGINT) * 1000000 THEN 1 END), 0))
+        |  CAST(1000000::HUGEINT * coalesce(SUM(CASE WHEN runmax - ts_us > CAST(delay_s AS BIGINT) * 1000000 THEN 1 END), 0)
         |    // (SELECT n FROM t) AS BIGINT) AS loss_ppm
         |FROM r CROSS JOIN d GROUP BY delay_s""".stripMargin) { (s, d) =>
       val r = T.events(s, d)
@@ -312,8 +312,11 @@ object StreamingOps {
           col("runmax") - col("ts_us") > col("delay_s").cast("long") * 1000000L,
           1L)), lit(0L)).cast("long").as("n_dropped"))
         .crossJoin(broadcast(t))
+        // ppm in DECIMAL(38,0)/HUGEINT: 1e6 × an event count clears
+        // BIGINT at corpus-scale streams (the an17 convention)
         .selectExpr("cast(delay_s as bigint) as delay_s", "n_dropped",
-          "(1000000 * n_dropped) div n as loss_ppm")
+          "cast(cast(1000000 as decimal(38,0)) * n_dropped " +
+            "div n as bigint) as loss_ppm")
     },
 
     // At-least-once ingest dedup ledger: the batch rendering of streaming
