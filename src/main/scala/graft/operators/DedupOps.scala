@@ -1083,7 +1083,7 @@ object DedupOps {
          |          CAST(SUM(clen1) AS BIGINT) AS bytes_unique
          |        FROM per)
          |SELECT n_chunks, n_distinct, bytes_total, bytes_unique,
-         |  (1000000 * (bytes_total - bytes_unique)) // bytes_total AS savings_ppm
+         |  CAST(1000000::HUGEINT * (bytes_total - bytes_unique) // bytes_total AS BIGINT) AS savings_ppm
          |FROM a""".stripMargin) { (s, d) =>
       cdcChunkRows(T.documents(s, d))
         .groupBy("chunk_hash")
@@ -1093,8 +1093,11 @@ object DedupOps {
           count(lit(1)).cast("long").as("n_distinct"),
           sum(expr("cnt * clen1")).cast("long").as("bytes_total"),
           sum("clen1").cast("long").as("bytes_unique"))
+        // ppm in DECIMAL(38,0)/HUGEINT: 1e6 × a corpus byte total clears
+        // BIGINT at 100 TB (the an17 convention)
         .selectExpr("n_chunks", "n_distinct", "bytes_total", "bytes_unique",
-          "(1000000 * (bytes_total - bytes_unique)) div bytes_total as savings_ppm")
+          "cast(cast(1000000 as decimal(38,0)) * (bytes_total - bytes_unique) " +
+            "div bytes_total as bigint) as savings_ppm")
     },
 
     // Cluster-once / audit-many: the 100 TB operating shape for every
