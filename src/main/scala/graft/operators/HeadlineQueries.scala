@@ -390,6 +390,38 @@ object HeadlineQueries {
           sum(length(col("props"))).cast("long").as("props_chars"))
     },
 
+    // JSONL sink → source round-trip (the crawl/interchange format LLM
+    // corpora actually arrive in): events written as one JSON object per
+    // line, read back under an explicit schema, aggregated, and gated
+    // against the same direct-parquet oracle as q_csv_roundtrip — so the
+    // gate pins that doubles survive shortest-repr printing, that the
+    // embedded-JSON `props` string nests losslessly (Jackson escapes the
+    // inner quotes; no CSV-style quoting rules to configure), and that
+    // timestamps carried as int64 micros dodge format/timezone drift
+    // entirely. Scale: JSONL splits by line so reads parallelize per
+    // block (unlike multiLine CSV), but carries no pruning or pushdown —
+    // like CSV it is the boundary format, converted to parquet once at
+    // ingest; this query pins that conversion is faithful.
+    Q(
+      "q_jsonl_roundtrip",
+      s"""SELECT event_type, count(*) AS n,
+         |  ${P.duckDsum("value")} AS v,
+         |  CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+         |  CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+         |  CAST(SUM(length(props)) AS BIGINT) AS props_chars
+         |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d).selectExpr("event_id", "user_id", "event_type",
+        "value", "unix_micros(ts) as ts_us", "props")
+      val path = Scratch.dir("graft-jsonl-events")
+      ev.write.mode("overwrite").json(path)
+      s.read.schema(ev.schema).json(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), expr(P.dsum("value")).as("v"),
+          min("ts_us").cast("long").as("first_us"),
+          max("ts_us").cast("long").as("last_us"),
+          sum(length(col("props"))).cast("long").as("props_chars"))
+    },
+
     // CUBE aggregation with GROUPING() disambiguation (rollup's sibling;
     // grouping flags distinguish "NULL value" from "subtotal row").
     Q(

@@ -816,6 +816,61 @@ object AnalysisQueries {
           s"${est("n_exact", "kth_f")} as est_full")
         .selectExpr("source", "est_merged", "est_full",
           "est_merged = est_full as matches_full")
+    },
+
+    // Count-min-sketch frequency estimation, validated against exact
+    // counts: a d=4 × w=512 counter grid over the token stream (bucket =
+    // 60-bit portable hash of the salted token, mod w), estimate =
+    // min over the 4 rows — the one-sided-error heavy-hitter sketch
+    // (estimate ≥ truth always; `overcount` pins the bias per token).
+    // KMV (an17/an19) answers "how many distinct"; CMS answers "how
+    // often does each item occur" in O(d·w) memory — the other half of
+    // the streaming-sketch pair a 100 TB token pipeline carries. Unlike
+    // approx_count_distinct's engine-private HLL, every counter here is
+    // md5-derived and bit-portable, so the gate hash-matches estimates,
+    // not just bounds. Scale: counters are built FROM the vocab-bounded
+    // exact-count frame (one corpus tokenize feeds counts, sketch, and
+    // top-k — no second scan); the 4× row fan-out multiplies vocab rows,
+    // not corpus tokens, and collapses map-side to ≤ d·w = 2048 cells;
+    // the top-20 is TakeOrderedAndProject over the vocab frame; the cell
+    // lookup is an 80-row × 2048-row broadcast join. At true stream
+    // scale the same grid updates in-place per shard and merges by
+    // cell-wise add (the CMS merge law) — this plan is the batch
+    // validator for that estimator.
+    Q(
+      "an20_cms_frequency",
+      s"""WITH tok AS (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+         |             FROM documents),
+         |  c AS (SELECT w, count(*)::BIGINT AS n FROM tok GROUP BY w),
+         |  rows_ AS (SELECT unnest([0,1,2,3]) AS r),
+         |  cms AS (SELECT r, ${P.duckHash60("'cms' || r::VARCHAR || '|' || w")} % 512 AS b,
+         |            SUM(n)::BIGINT AS cnt
+         |          FROM c CROSS JOIN rows_ GROUP BY r, b),
+         |  topk AS (SELECT w, n AS n_exact FROM c ORDER BY n DESC, w LIMIT 20)
+         |SELECT t.w AS token, t.n_exact, min(m.cnt) AS n_est,
+         |  min(m.cnt) - t.n_exact AS overcount
+         |FROM topk t CROSS JOIN rows_ r
+         |JOIN cms m ON m.r = r.r
+         |  AND m.b = ${P.duckHash60("'cms' || r.r::VARCHAR || '|' || t.w")} % 512
+         |GROUP BY t.w, t.n_exact""".stripMargin) { (s, d) =>
+      val bucket = (rCol: String, wCol: String) =>
+        s"${P.hash60(s"concat('cms', cast($rCol as string), '|', $wCol)")} % 512"
+      val c = T.documents(s, d)
+        .selectExpr("explode(split(lower(text), '\\\\s+')) as w")
+        .groupBy("w").agg(count(lit(1)).cast("long").as("n"))
+        .persist() // feeds sketch + top-k; caller clearCache releases
+      val cms = c
+        .selectExpr("w", "n", "explode(array(0, 1, 2, 3)) as r")
+        .selectExpr("r", s"${bucket("r", "w")} as b", "n")
+        .groupBy("r", "b").agg(sum("n").cast("long").as("cnt"))
+      c.orderBy(col("n").desc, col("w")).limit(20)
+        .selectExpr("w", "n as n_exact", "explode(array(0, 1, 2, 3)) as r")
+        .selectExpr("w", "n_exact", "r", s"${bucket("r", "w")} as b")
+        .join(broadcast(cms), Seq("r", "b"))
+        .groupBy("w", "n_exact")
+        .agg(min("cnt").as("n_est"))
+        .selectExpr("w as token", "n_exact", "n_est",
+          "n_est - n_exact as overcount")
     }
   )
 }

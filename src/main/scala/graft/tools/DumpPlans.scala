@@ -92,7 +92,9 @@ object DumpPlans {
     "an19_kmv_merge", "mm11_image_dhash", "cu14_source_cards",
     "dd25_chunk_dedup", "tx25_nfc_normalize", "st14_window_distinct",
     "ss24_filtered_ann", "dd26_saved_labels_audit", "dd27_incremental_labels",
-    "q_approx_distinct", "an07_approx_profile")
+    "q_approx_distinct", "an07_approx_profile",
+    // round-8 additions: CMS frequency sketch, JSONL round-trip
+    "an20_cms_frequency", "q_jsonl_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -125,7 +125,9 @@ object ShuffleAudit {
     "st14_window_distinct" -> "counts combine map-side; the distinct (window, hash) frame reduces to users-per-window rows before the rank window",
     "ss24_filtered_ann" -> "centroids broadcast; ONE scored pass feeds assignment + probes; the label filter drops candidates before exact-cosine work",
     "dd26_saved_labels_audit" -> "cluster-once/audit-many: this row pays the one-time label write; the audit-alone scan is measured in the cluster-once section below",
-    "dd27_incremental_labels" -> "adoption is a bucket rollup, not a pair stage: corpus reduces to (band, h, label) longs; the batch ships 4 band keys/doc")
+    "dd27_incremental_labels" -> "adoption is a bucket rollup, not a pair stage: corpus reduces to (band, h, label) longs; the batch ships 4 band keys/doc",
+    "an20_cms_frequency" -> "sketch built FROM the vocab-bounded count frame (one tokenize); 4× fan-out collapses map-side to ≤ 2048 cells; lookup is a broadcast join",
+    "q_jsonl_roundtrip" -> "sink+source edge format like CSV: line-splittable reads, no pushdown by design")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

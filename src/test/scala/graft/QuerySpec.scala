@@ -1016,4 +1016,45 @@ class QuerySpec extends AnyFunSuite {
     assert(rows.last.getLong(3) == kept)
     spark.catalog.clearCache()
   }
+
+  test("q_jsonl_roundtrip: JSONL round-trip loses nothing vs direct parquet") {
+    val viaJson = SparkEntry.queries("q_jsonl_roundtrip")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val direct = Tables.events(spark, sf)
+      .selectExpr("event_type", "value", "unix_micros(ts) as ts_us", "props")
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.expr(Portable.dsum("value")).as("v"),
+        org.apache.spark.sql.functions.expr("cast(min(ts_us) as bigint)").as("first_us"),
+        org.apache.spark.sql.functions.expr("cast(max(ts_us) as bigint)").as("last_us"),
+        org.apache.spark.sql.functions.expr("cast(sum(length(props)) as bigint)").as("pc"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(viaJson == direct)
+  }
+
+  test("an20: CMS estimates are one-sided and exact counts match a recount") {
+    val rows = SparkEntry.queries("an20_cms_frequency")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 20)
+    assert(rows.map(_._1).distinct.length == 20)
+    rows.foreach { case (tok, nExact, nEst, over) =>
+      // CMS error is strictly one-sided: collisions only ever ADD mass
+      assert(nEst >= nExact, s"$tok: estimate below truth")
+      assert(over == nEst - nExact, s"$tok: overcount column inconsistent")
+    }
+    // the top-20 exact counts agree with an independent recount
+    val recount = Tables.documents(spark, sf)
+      .selectExpr("explode(split(lower(text), '\\\\s+')) as w")
+      .groupBy("w").count()
+      .orderBy(org.apache.spark.sql.functions.col("count").desc,
+        org.apache.spark.sql.functions.col("w"))
+      .limit(20).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(t => t._1 -> t._2).toMap == recount)
+    spark.catalog.clearCache()
+  }
 }

@@ -52,32 +52,69 @@ class PlanQualitySpec extends AnyFunSuite {
     "mm07_image_ahash", "mm11_image_dhash", "ss17_rrf_hybrid",
     "q_zorder_layout")
 
-  test("no gated query plans a global window over unaggregated input") {
-    // AdaptiveSparkPlanExec is a leaf until execution, so collecting over
-    // the AQE-wrapped executedPlan inspects NOTHING — disable AQE while
-    // planning (the window shape is a static property) or the rail is
-    // blind. (This bit: the rail passed vacuously for two rounds.)
+  /** Every registered query built ONCE (the build itself is the expensive
+    * part: bucket-table writes, codebook training, scratch round-trips),
+    * shared by the window rail and the output-schema rail.
+    * AdaptiveSparkPlanExec is a leaf until execution, so collecting over
+    * the AQE-wrapped executedPlan inspects NOTHING — executedPlan is
+    * forced while AQE is off (the window shape is a static property) or
+    * the rail is blind. (This bit: the rail passed vacuously for two
+    * rounds.) dd08 drives an iterative loop whose returned plan is a
+    * checkpoint scan; building it executes the whole algorithm — covered
+    * by its own gate + spec, skipped here.
+    */
+  private lazy val built: Seq[(graft.Q, org.apache.spark.sql.DataFrame, SparkPlan)] = {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val offenders = graft.SparkEntry.all
-        // dd08 drives an iterative loop whose returned plan is a checkpoint
-        // scan; building it executes the whole algorithm — covered by its
-        // own gate + spec, skip the (expensive) plan build here
-        .filterNot(_.name == "dd08_dedup_clusters")
-        .filterNot(q => globalWindowAllowed(q.name))
-        .flatMap { q =>
-          val plan =
-            try q.fn(spark, sf).queryExecution.executedPlan
-            catch { case e: Throwable => fail(s"${q.name} failed to plan: $e") }
-          plan.collect {
-            case w: WindowExec
-                if w.partitionSpec.isEmpty && !hasAggregateBelow(w.child) =>
-              s"${q.name}: global Window over unaggregated input"
-          }
+    try graft.SparkEntry.all
+      .filterNot(_.name == "dd08_dedup_clusters")
+      .map { q =>
+        try {
+          val df = q.fn(spark, sf)
+          (q, df, df.queryExecution.executedPlan)
+        } catch {
+          case e: Throwable => fail(s"${q.name} failed to plan: $e")
         }
-      assert(offenders.isEmpty, offenders.mkString("\n"))
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+      }
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("no gated query plans a global window over unaggregated input") {
+    val offenders = built
+      .filterNot { case (q, _, _) => globalWindowAllowed(q.name) }
+      .flatMap { case (q, _, plan) =>
+        plan.collect {
+          case w: WindowExec
+              if w.partitionSpec.isEmpty && !hasAggregateBelow(w.child) =>
+            s"${q.name}: global Window over unaggregated input"
+        }
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("every oracle-gated query outputs only scalar columns") {
+    // The driver's checker sorts result rows with pandas; an ARRAY/MAP/
+    // STRUCT cell crashes its lexsort (`unhashable type: numpy.ndarray`)
+    // — the exact failure that turned cu09/fn11 red in round 7 while the
+    // repo's own tuple-izing validate.py stayed green. Complex payloads
+    // belong UNNESTED as scalar rows (the op09 convention); this rail
+    // makes that convention load-bearing for every current and future
+    // gated query. No-oracle queries get a rows-only count from the
+    // driver, so complex columns are harmless there (dd07's MLlib
+    // signature arrays stay exempt by construction).
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = built.collect {
+      case (q, df, _) if q.oracle.nonEmpty =>
+        df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] =>
+            s"${q.name}.${f.name}: ${f.dataType.simpleString}"
+        }.toSeq
+    }.flatten
+    assert(offenders.isEmpty,
+      "gated queries must emit scalar columns only (unnest per op09):\n" +
+        offenders.mkString("\n"))
   }
 
   test("q_bucket_join joins the bucketed tables with no exchange below the join") {
