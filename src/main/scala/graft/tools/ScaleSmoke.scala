@@ -88,7 +88,8 @@ object ScaleSmoke {
       "dd23_passage_neardup" -> "passage banding stays bucket-capped under cross-copy shared boilerplate (the augmented passage is copy-invariant by construction — a deliberate flood)",
       "cu13_dataset_card" -> "one scan + one map-side global agg: output is 8 rows at ANY corpus size",
       "dd16_cluster_stats" -> "CC family: size histogram rides (id, label) longs; rounds stay flat (see CC section)",
-      "cu09_dedup_provenance" -> "CC family: provenance window ships (id, label, rank) longs; drops capped at 16/keeper")
+      "cu09_dedup_provenance" -> "CC family: provenance window ships (id, label, rank) longs; drops capped at 16/keeper",
+      "an20_cms_frequency" -> "CMS counters cap at d·w=2048 cells; shuffle scales with vocab (the count frame), never corpus tokens")
     val byName = graft.SparkEntry.all.map(q => q.name -> q).toMap
     def fmt(b: Long): String =
       if (b >= (1L << 20)) f"${b / 1048576.0}%.1f MiB"
