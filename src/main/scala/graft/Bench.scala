@@ -109,13 +109,36 @@ object Bench {
       // reps=1 means exactly one run — no silent bonus rep.
       val base = (1 to reps).map(_ => rep())
       val ok = base.forall(_._2)
-      val times =
+      var times =
         if (reps >= 2 && ok && base.map(_._1).min < 1.0) {
           val extra = rep()
           if (extra._2) base :+ extra else base
         } else base
-      (q.name, round3(times.map(_._1).min),
-        round3(median(times.map(_._1))), ok)
+      // Self-healing under host contention: when the median/min gap on a
+      // non-trivial query exceeds the 1.5 noise threshold, the sample is
+      // contention-poisoned — run up to 2 extra settle reps (stopping as
+      // soon as the gap closes) and keep the min over ALL reps. A transient
+      // driver-host spike then costs one extra rep instead of publishing a
+      // phantom 2-3× regression (r8: dd23 shown at 9.9 s vs a real 3.2 s).
+      // Persistent whole-run contention still surfaces via the noisy flag.
+      def contended(ts: Seq[Double]): Boolean = {
+        val mn = ts.min
+        mn >= 0.1 && median(ts) / mn > 1.5
+      }
+      var settle = 0
+      while (reps >= 2 && ok && settle < 2 && contended(times.map(_._1))) {
+        val extra = rep()
+        if (extra._2) times = times :+ extra
+        settle += 1
+      }
+      // When settle reps ran, publish the median over the `reps` fastest
+      // samples (contention-proven outliers trimmed, sample size kept at
+      // the base count). A real regression survives trimming — every rep,
+      // settle included, is at least the true steady-state time — but a
+      // transient spike no longer latches the noisy flag after healing.
+      val ts = times.map(_._1)
+      val medTs = if (settle > 0) ts.sorted.take(reps) else ts
+      (q.name, round3(ts.min), round3(median(medTs)), ok)
     }
 
     val okResults = results.filter(_._4)

@@ -565,8 +565,14 @@ object HeadlineQueries {
         |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total
         |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
         |GROUP BY c.c_mktsegment""".stripMargin) { (s, d) =>
-      val tag = math.abs(d.hashCode).toString
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucket_$tag"
+      // Per-invocation scratch dir (no shared-tmp overwrite race between
+      // concurrent processes, no abs(Int.MinValue) hazard); catalog table
+      // names are derived from the same unique dir so they can't collide
+      // across sessions sharing a metastore, yet stay stable within one
+      // JVM so bench reps overwrite in place.
+      val base = Scratch.dir("graft_bucket_")
+      val tag = java.lang.Long.toHexString(
+        base.foldLeft(1125899906842597L)((h, c) => 31 * h + c))
       val ordersTbl = s"graft_bkt_orders_$tag"
       val custTbl = s"graft_bkt_cust_$tag"
       T.orders(s, d).select(col("o_custkey"), col("o_totalprice"))

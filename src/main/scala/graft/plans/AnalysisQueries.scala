@@ -871,6 +871,77 @@ object AnalysisQueries {
         .agg(min("cnt").as("n_est"))
         .selectExpr("w as token", "n_exact", "n_est",
           "n_est - n_exact as overcount")
+    },
+
+    // CMS merge law, GATED (the an19 move applied to count-min): the
+    // d=4 × w=512 grid built per corpus shard (doc_id < 400 vs ≥ 400)
+    // and merged CELL-WISE BY ADDITION must yield the same top-20
+    // frequency estimates as the grid built from the full corpus in one
+    // pass. an20 claimed this law in prose; this query pins it row-by-row
+    // (`matches_full`), because the law — counters are linear in the
+    // input, so sharded grids sum to the full grid — is exactly what a
+    // user trusts when each of 1000 executors keeps a local grid and the
+    // driver folds them. Scale: each shard's grid collapses map-side to
+    // ≤ d·w = 2048 cells before any exchange; the merge is a 2·2048-row
+    // groupBy; the top-20 probe is an 80-row broadcast join against each
+    // grid. Nothing here ever shuffles the token stream itself.
+    Q(
+      "an21_cms_merge",
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+         |             FROM documents),
+         |  c AS (SELECT CASE WHEN doc_id < 400 THEN 0 ELSE 1 END AS shard, w,
+         |          count(*)::BIGINT AS n
+         |        FROM tok GROUP BY shard, w),
+         |  rows_ AS (SELECT unnest([0,1,2,3]) AS r),
+         |  sg AS (SELECT shard, r, ${P.duckHash60("'cms' || r::VARCHAR || '|' || w")} % 512 AS b,
+         |           SUM(n)::BIGINT AS cnt
+         |         FROM c CROSS JOIN rows_ GROUP BY shard, r, b),
+         |  merged AS (SELECT r, b, SUM(cnt)::BIGINT AS cnt FROM sg GROUP BY r, b),
+         |  fc AS (SELECT w, SUM(n)::BIGINT AS n FROM c GROUP BY w),
+         |  fg AS (SELECT r, ${P.duckHash60("'cms' || r::VARCHAR || '|' || w")} % 512 AS b,
+         |           SUM(n)::BIGINT AS cnt
+         |         FROM fc CROSS JOIN rows_ GROUP BY r, b),
+         |  topk AS (SELECT w FROM fc ORDER BY n DESC, w LIMIT 20),
+         |  em AS (SELECT t.w, min(m.cnt) AS est_merged
+         |         FROM topk t CROSS JOIN rows_ r
+         |         JOIN merged m ON m.r = r.r
+         |           AND m.b = ${P.duckHash60("'cms' || r.r::VARCHAR || '|' || t.w")} % 512
+         |         GROUP BY t.w),
+         |  ef AS (SELECT t.w, min(m.cnt) AS est_full
+         |         FROM topk t CROSS JOIN rows_ r
+         |         JOIN fg m ON m.r = r.r
+         |           AND m.b = ${P.duckHash60("'cms' || r.r::VARCHAR || '|' || t.w")} % 512
+         |         GROUP BY t.w)
+         |SELECT em.w AS token, em.est_merged, ef.est_full,
+         |  em.est_merged = ef.est_full AS matches_full
+         |FROM em JOIN ef ON ef.w = em.w""".stripMargin) { (s, d) =>
+      val bucket = (rCol: String, wCol: String) =>
+        s"${P.hash60(s"concat('cms', cast($rCol as string), '|', $wCol)")} % 512"
+      val c = T.documents(s, d)
+        .selectExpr("case when doc_id < 400 then 0 else 1 end as shard",
+          "explode(split(lower(text), '\\\\s+')) as w")
+        .groupBy("shard", "w").agg(count(lit(1)).cast("long").as("n"))
+        .persist() // feeds both shard grids + full counts; clearCache releases
+      def grid(counts: org.apache.spark.sql.DataFrame) = counts
+        .selectExpr("w", "n", "explode(array(0, 1, 2, 3)) as r")
+        .selectExpr("r", s"${bucket("r", "w")} as b", "n")
+        .groupBy("r", "b").agg(sum("n").cast("long").as("cnt"))
+      // the merge under test: per-shard grids folded cell-wise by addition
+      val merged = grid(c.filter(col("shard") === 0))
+        .unionAll(grid(c.filter(col("shard") === 1)))
+        .groupBy("r", "b").agg(sum("cnt").cast("long").as("cnt"))
+      val fullCounts = c.groupBy("w").agg(sum("n").cast("long").as("n"))
+      val fullGrid = grid(fullCounts)
+      val topk = fullCounts.orderBy(col("n").desc, col("w")).limit(20).select("w")
+      def estimate(g: org.apache.spark.sql.DataFrame, estName: String) = topk
+        .selectExpr("w", "explode(array(0, 1, 2, 3)) as r")
+        .selectExpr("w", "r", s"${bucket("r", "w")} as b")
+        .join(broadcast(g), Seq("r", "b"))
+        .groupBy("w").agg(min("cnt").as(estName))
+      estimate(merged, "est_merged")
+        .join(estimate(fullGrid, "est_full"), "w")
+        .selectExpr("w as token", "est_merged", "est_full",
+          "est_merged = est_full as matches_full")
     }
   )
 }

@@ -454,6 +454,41 @@ class QuerySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("dd27: would-merge branch fires on real positives spanning >= 2 " +
+    "distinct corpus clusters") {
+    import graft.operators.DedupOps
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("dd27_incremental_labels")(spark, sf).collect()
+    val wouldMerge = rows.filter(_.getLong(2) >= 2).map(_.getLong(0)).toSet
+    // the most interesting branch — incremental merge detection — must be
+    // EXERCISED by the fixture, not merely survive it (the r7 "real
+    // positives" rule the lateness audits already follow)
+    assert(wouldMerge.nonEmpty, "fixture never exercises the would-merge branch")
+    // independent recount via a different path: batch bands joined to the
+    // CORPUS DOCS sharing a bucket, mapped through the corpus clustering —
+    // bypassing dd27's (band, h, label) rollup entirely. Per-bucket members
+    // share one label by construction, so the distinct-label count per
+    // batch doc must equal dd27's n_matched_clusters exactly.
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter("doc_id < 400")
+    val labelOf = DedupOps.clusterLabels(corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shared = DedupOps.r1Bands(docs.filter("doc_id >= 400"), "doc_id", "text")
+      .select(col("doc_id").as("b_doc"), col("band"), col("h"))
+      .join(DedupOps.r1Bands(corpus, "doc_id", "text"), Seq("band", "h"))
+      .select("b_doc", "doc_id").collect()
+    val labelsPerBatch = shared.groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => labelOf(r.getLong(1))).toSet).toMap
+    rows.foreach { r =>
+      val got = labelsPerBatch.getOrElse(r.getLong(0), Set.empty[Long])
+      assert(got.size == r.getLong(2),
+        s"doc ${r.getLong(0)}: n_matched_clusters ${r.getLong(2)} != recount ${got.size}")
+    }
+    // and the would-merge members' matched labels really are >= 2 clusters
+    wouldMerge.foreach(id => assert(labelsPerBatch(id).size >= 2))
+    spark.catalog.clearCache()
+  }
+
   test("q_incr_merge: merged state equals the from-scratch recompute") {
     val rows = SparkEntry.queries("q_incr_merge")(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -1055,6 +1090,25 @@ class QuerySpec extends AnyFunSuite {
       .limit(20).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rows.map(t => t._1 -> t._2).toMap == recount)
+    spark.catalog.clearCache()
+  }
+
+  test("an21: cell-wise-added shard grids estimate identically to the " +
+    "full-build grid, and estimates agree with an20") {
+    val rows = SparkEntry.queries("an21_cms_merge")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.length == 20)
+    // the merge law itself: every probe token agrees merged-vs-full
+    rows.foreach { case (tok, em, ef, m) =>
+      assert(em == ef && m, s"$tok: merged grid diverged from full build")
+    }
+    // cross-query consistency: the full-build estimates ARE an20's
+    // estimates (same grid parameters, same hash salt, same top-20)
+    val an20 = SparkEntry.queries("an20_cms_frequency")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    rows.foreach { case (tok, _, ef, _) =>
+      assert(an20(tok) == ef, s"$tok: an21 full-build estimate != an20")
+    }
     spark.catalog.clearCache()
   }
 }
