@@ -169,9 +169,38 @@ final case class Recommendation(
   /** iterator_wallclock_duration(). */
   def iteratorWallclockSec: Double = global.wallclockNs / 1e9
 
-  /** CPU_Util(): process CPU over wall × cores. */
-  def cpuUtil: Double =
-    global.cpuTimeNs.toDouble / math.max(1L, global.wallclockNs) / global.cores
+  /** CPU_Util(): default calculation mode — see [[cpuUtil(Option)]]. */
+  def cpuUtil: Double = cpuUtil(None)
+
+  /** CPU_Util(calculation_mode) — the reference's three modes
+    * (graph_rewrites.py:466-471 reads all three per run):
+    *   - `None` (default): the MODEL's accounting — Σ per-node processing
+    *     time over wall × cores, i.e. what the pipeline's own op metrics
+    *     claim the pipeline consumed.
+    *   - `"CPU_clock"`: the MACHINE CPU clock over the same window
+    *     (/proc/stat busy delta, every process on the host) — reveals
+    *     external contention the model can't see; falls back to the
+    *     process clock when the platform gave no machine counter.
+    *   - `"process_CPU_clock"`: this process's CPU clock — what the JVM
+    *     actually burned, attribution-free.
+    * Any other string throws, mirroring the reference's keyed dispatch.
+    */
+  def cpuUtil(calculationMode: Option[String]): Double = {
+    val denom = math.max(1L, global.wallclockNs).toDouble * global.cores
+    calculationMode match {
+      case None =>
+        metrics.map(_.processingTimeNs).sum / denom
+      case Some("CPU_clock") =>
+        (if (global.machineCpuTimeNs >= 0) global.machineCpuTimeNs
+         else global.cpuTimeNs) / denom
+      case Some("process_CPU_clock") =>
+        global.cpuTimeNs / denom
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"unknown CPU_Util calculation_mode: $other " +
+            "(expected CPU_clock or process_CPU_clock)")
+    }
+  }
 
   /** Disk_Util(): observed source read rate over measured bandwidth. */
   def diskUtil: Double = {

@@ -34,7 +34,11 @@ final case class GlobalMetrics(
     // peak JVM heap across the traced run (pool peaks reset at trace
     // start, summed after — max_memory_usage parity); -1 when the run
     // wasn't bracketed by Instrument.run
-    peakMemoryBytes: Long = -1L)
+    peakMemoryBytes: Long = -1L,
+    // MACHINE-wide busy CPU ns over the traced window (/proc/stat delta
+    // — every process, not just this JVM), feeding CPU_Util's
+    // calculation_mode="CPU_clock"; -1 when the platform gave no counter
+    machineCpuTimeNs: Long = -1L)
 
 object GlobalMetrics {
   /** Autodetect from the JVM (machine_info autodetect analogue). Disk
@@ -81,6 +85,7 @@ object Instrument {
     val heapPools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
       .asScala.filter(_.getType == java.lang.management.MemoryType.HEAP)
     heapPools.foreach(_.resetPeakUsage())
+    val machine0 = machineBusyCpuNs()
     val cpu0 = osBean.getProcessCpuTime
     val t0 = System.nanoTime()
     // collect() (not count()) — count() builds a NEW QueryExecution around
@@ -90,6 +95,9 @@ object Instrument {
     val rows = listener.collect(spark) { compiled.df.collect().length.toLong }
     val wallNs = System.nanoTime() - t0
     val cpuNs = math.max(0L, osBean.getProcessCpuTime - cpu0)
+    val machine1 = machineBusyCpuNs()
+    val machineNs =
+      if (machine0 >= 0 && machine1 >= machine0) machine1 - machine0 else -1L
 
     val observed: Map[String, Long] =
       compiled.df.queryExecution.observedMetrics
@@ -124,9 +132,30 @@ object Instrument {
     val global = GlobalMetrics.detect(wallNs, cpuNs)
       .copy(
         diskBandwidthBps = measuredBandwidth(sfDir),
-        peakMemoryBytes = heapPools.map(_.getPeakUsage.getUsed).sum)
+        peakMemoryBytes = heapPools.map(_.getPeakUsage.getUsed).sum,
+        machineCpuTimeNs = machineNs)
     RunResult(metrics, global, rows, listener.spans)
   }
+
+  /** Machine-wide busy CPU time since boot in ns — the /proc/stat "cpu"
+    * aggregate (user+nice+system+irq+softirq+steal jiffies at the
+    * standard 100 Hz USER_HZ), every process on the host, not just this
+    * JVM. -1 where /proc/stat doesn't exist (non-Linux) or doesn't
+    * parse; callers fall back to the process clock.
+    */
+  private[metrics] def machineBusyCpuNs(): Long =
+    try {
+      val line = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+      val f = line.trim.split("\\s+")
+      if (f(0) != "cpu") -1L
+      else {
+        // fields: user nice system idle iowait irq softirq steal ...
+        val v = f.drop(1).take(8).map(_.toLong)
+        val busy = v(0) + v(1) + v(2) + v(5) + v(6) + (if (v.length > 7) v(7) else 0L)
+        busy * 10L * 1000000L // 100 Hz jiffies → ns
+      }
+    } catch { case _: Throwable => -1L }
 
   // FsProbe capacity measurement, cached per fixture dir (A20 feeding
   // machine_info, replacing the reference's 100 MB/s fallback).

@@ -45,10 +45,14 @@ object MetricsSnapshot {
       wallclockNs = g.getLong(g.fieldIndex("wallclockNs")),
       cpuTimeNs = g.getLong(g.fieldIndex("cpuTimeNs")),
       diskBandwidthBps = g.getDouble(g.fieldIndex("diskBandwidthBps")),
-      // absent in snapshots written before the field existed → unmeasured
+      // absent in snapshots written before the fields existed → unmeasured
       peakMemoryBytes =
         if (g.schema.fieldNames.contains("peakMemoryBytes"))
           g.getLong(g.fieldIndex("peakMemoryBytes"))
+        else -1L,
+      machineCpuTimeNs =
+        if (g.schema.fieldNames.contains("machineCpuTimeNs"))
+          g.getLong(g.fieldIndex("machineCpuTimeNs"))
         else -1L)
     Snapshot(graph, metrics, global, row.getLong(row.fieldIndex("rowCount")))
   }

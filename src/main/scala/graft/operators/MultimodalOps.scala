@@ -196,9 +196,11 @@ object MultimodalOps {
     // lossless, so DuckDB reproduces the identical bits from the
     // closed-form pixels: a hash-match oracle over a real codec path.
     // Scale: decode + hash run partition-local in mapPartitions (no
-    // shuffle, payload dropped at the boundary); only fixed-width hash
-    // rows flow into the tiny ordering window — a production pairing
-    // pass bands on hash prefixes exactly like dd10's SimHash family.
+    // shuffle, payload dropped at the boundary); the chain itself runs
+    // BANDED (doc_id div 16 partitions + an aggregated boundary-stitch
+    // frame, see hammingChainCols) so no global window survives — a
+    // production pairing pass bands on hash prefixes exactly like
+    // dd10's SimHash family (mm08 is that query).
     Q(
       "mm07_image_ahash",
       """WITH p AS (SELECT doc_id, 16 + doc_id % 5 AS w, 12 + doc_id % 7 AS h
@@ -225,10 +227,10 @@ object MultimodalOps {
         |    + bit_count(xor(ahash_hi, lag(ahash_hi) OVER win)) AS BIGINT), -1) AS ham_prev
         |FROM hsh WINDOW win AS (ORDER BY doc_id)""".stripMargin) { (s, d) =>
       import graft.multimodal.ImageCodec
-      ImageCodec.ahashFeatures(s, ImageCodec.payloads(s, d, 64)).toDF()
-        .selectExpr("doc_id", "width", "height", "ahash_lo", "ahash_hi",
-          "coalesce(cast(bit_count(ahash_lo ^ lag(ahash_lo) over (order by doc_id)) " +
-            "+ bit_count(ahash_hi ^ lag(ahash_hi) over (order by doc_id)) as bigint), -1L) as ham_prev")
+      withBandCarry(
+          ImageCodec.ahashFeatures(s, ImageCodec.payloads(s, d, 64)).toDF(),
+          "ahash_lo", "ahash_hi")
+        .select(hammingChainCols("ahash_lo", "ahash_hi"): _*)
     },
 
     // Perceptual near-dup image pairing: mm07's aHash run through
@@ -404,8 +406,8 @@ object MultimodalOps {
     // and the resample is integer-floor, so DuckDB reproduces the
     // hash from the synthetic closed form — a hash-match gate across
     // a real codec round-trip. Scale: decode + hash partition-local
-    // (mapPartitions); only fixed-width hash rows reach the Hamming
-    // chain window.
+    // (mapPartitions); the Hamming chain runs banded with a boundary
+    // stitch (hammingChainCols), no global window.
     Q(
       "mm11_image_dhash", {
         def px9(ix: String, j: String) =
@@ -432,10 +434,46 @@ object MultimodalOps {
            |FROM hsh WINDOW win AS (ORDER BY doc_id)""".stripMargin
       }) { (s, d) =>
       import graft.multimodal.ImageCodec
-      ImageCodec.dhashFeatures(s, ImageCodec.payloads(s, d, 64)).toDF()
-        .selectExpr("doc_id", "width", "height", "dhash_lo", "dhash_hi",
-          "coalesce(cast(bit_count(dhash_lo ^ lag(dhash_lo) over (order by doc_id)) " +
-            "+ bit_count(dhash_hi ^ lag(dhash_hi) over (order by doc_id)) as bigint), -1L) as ham_prev")
+      withBandCarry(
+          ImageCodec.dhashFeatures(s, ImageCodec.payloads(s, d, 64)).toDF(),
+          "dhash_lo", "dhash_hi")
+        .select(hammingChainCols("dhash_lo", "dhash_hi"): _*)
     }
   )
+
+  /** Hamming distance to the PREVIOUS doc (by doc_id) WITHOUT a global
+    * window: rows band on `doc_id div 16` and chain inside each band
+    * with a partitioned lag; the first row of each band reaches back to
+    * the previous non-empty band's LAST hash through a boundary frame
+    * (per-band `max_by` rollup, lagged over its own ≤#bands rows — the
+    * only global window, and it sits on an aggregate). Output is
+    * bit-identical to `lag OVER (ORDER BY doc_id)`: within-band lag and
+    * boundary carry partition exactly the "previous row" relation, and
+    * the very first row coalesces to −1 as before. At corpus scale the
+    * chain parallelizes to #bands partitions while the stitch frame
+    * stays boundary-sized.
+    */
+  private[graft] def hammingChainCols(lo: String, hi: String): Seq[org.apache.spark.sql.Column] = {
+    val prevLo = s"coalesce(lag($lo) over (partition by _band order by doc_id), _carry_lo)"
+    val prevHi = s"coalesce(lag($hi) over (partition by _band order by doc_id), _carry_hi)"
+    Seq(col("doc_id"), col("width"), col("height"), col(lo), col(hi),
+      expr(s"coalesce(cast(bit_count($lo ^ $prevLo) " +
+        s"+ bit_count($hi ^ $prevHi) as bigint), -1L)").as("ham_prev"))
+  }
+
+  /** The frame-prep half of [[hammingChainCols]]: attach `_band` and the
+    * previous non-empty band's boundary hash (`_carry_lo`/`_carry_hi`).
+    */
+  private[graft] def withBandCarry(df: org.apache.spark.sql.DataFrame,
+      lo: String, hi: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val banded = df.withColumn("_band", expr("doc_id div 16"))
+    val boundary = banded.groupBy("_band")
+      .agg(expr(s"max_by($lo, doc_id)").as("_last_lo"),
+        expr(s"max_by($hi, doc_id)").as("_last_hi"))
+      .select(col("_band"),
+        lag("_last_lo", 1).over(Window.orderBy("_band")).as("_carry_lo"),
+        lag("_last_hi", 1).over(Window.orderBy("_band")).as("_carry_hi"))
+    banded.join(broadcast(boundary), Seq("_band"), "left")
+  }
 }

@@ -42,9 +42,16 @@ object Ordinal {
     *               unacceptable (e.g. the plan carries CollectMetrics
     *               observers that must fire once); when None, one
     *               key-column sketch pass sizes the buckets.
+    * @param tieCols extra ascending order columns applied AFTER `keyCol`
+    *               inside each bucket — `row_number() OVER (ORDER BY key,
+    *               ties...)`. Correct with key-only bucketing because
+    *               duplicate keys always share a bucket (strict `>`
+    *               against the split points), so a tie group can never
+    *               straddle a bucket boundary.
     */
   def withGlobalOrdinal(df: DataFrame, keyCol: String, outCol: String,
-      buckets: Int = 32, splits: Option[Array[Double]] = None): DataFrame = {
+      buckets: Int = 32, splits: Option[Array[Double]] = None,
+      tieCols: Seq[String] = Nil): DataFrame = {
     val bs = splits.getOrElse(quantileSplits(df, keyCol, buckets))
     // Bucket = number of split points strictly below the key: monotone in
     // the key (long→double casts are order-preserving), so bucket i's keys
@@ -76,7 +83,8 @@ object Ordinal {
       .withColumn(
         outCol,
         (col("_ord_off") +
-          row_number().over(Window.partitionBy("_ord_b").orderBy(col(keyCol)))).cast("long"))
+          row_number().over(Window.partitionBy("_ord_b")
+            .orderBy(col(keyCol) +: tieCols.map(col): _*))).cast("long"))
       .drop("_ord_b", "_ord_off")
   }
 }

@@ -1944,16 +1944,30 @@ object SimilarityOps {
   private[graft] def rrfHybrid(docs: org.apache.spark.sql.DataFrame,
       e: org.apache.spark.sql.DataFrame, terms: Seq[String],
       qId: Long, k: Int): org.apache.spark.sql.DataFrame = {
-    val lex = graft.functions.TextOps.bm25Scores(docs, terms)
-      .filter(col("doc_id") =!= qId)
-      .selectExpr("doc_id",
-        "cast(row_number() over (order by bm25 desc, doc_id) as bigint) as rank_lex")
+    // Each arm's global rank runs on the distributed quantile-bucketed
+    // ordinal (op18's machinery), NOT a single-partition window: the
+    // scored (id, score) frame is persisted once (the ordinal's quantile
+    // probe would otherwise recompute BM25/cosine), bucketed by negated
+    // score (double negation is order-reversing and exact, so ASC ordinal
+    // ≡ score DESC) with doc_id as the in-bucket tiebreak. The only
+    // global window left is the ordinal's ≤32-row bucket-offset table —
+    // the plan survives a corpus where one ranking partition won't.
+    def ranked(scored: org.apache.spark.sql.DataFrame, scoreCol: String,
+        idCol: String, rankCol: String) = {
+      val s = scored.withColumn("_neg", -col(scoreCol)).persist()
+      Ordinal.withGlobalOrdinal(s, "_neg", rankCol, tieCols = Seq(idCol))
+        .select(col(idCol).as("doc_id"), col(rankCol))
+    }
+    val lex = ranked(
+      graft.functions.TextOps.bm25Scores(docs, terms)
+        .filter(col("doc_id") =!= qId).select("doc_id", "bm25"),
+      "bm25", "doc_id", "rank_lex")
     val qe = e.filter(col("vec_id") === qId).select(col("embedding").as("qe"))
-    val dense = e.filter(col("vec_id") =!= qId)
-      .crossJoin(broadcast(qe))
-      .selectExpr("vec_id as doc_id", s"${sparkCos("embedding", "qe")} as cs")
-      .selectExpr("doc_id",
-        "cast(row_number() over (order by cs desc, doc_id) as bigint) as rank_dense")
+    val dense = ranked(
+      e.filter(col("vec_id") =!= qId)
+        .crossJoin(broadcast(qe))
+        .selectExpr("vec_id", s"${sparkCos("embedding", "qe")} as cs"),
+      "cs", "vec_id", "rank_dense")
     dense.join(lex, Seq("doc_id"), "left")
       .selectExpr("doc_id",
         "cast(coalesce(rank_lex, 0) as bigint) as rank_lex",

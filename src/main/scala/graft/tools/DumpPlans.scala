@@ -94,7 +94,9 @@ object DumpPlans {
     "ss24_filtered_ann", "dd26_saved_labels_audit", "dd27_incremental_labels",
     "q_approx_distinct", "an07_approx_profile",
     // round-8 additions: CMS frequency sketch, JSONL round-trip
-    "an20_cms_frequency", "q_jsonl_roundtrip")
+    "an20_cms_frequency", "q_jsonl_roundtrip",
+    // round-9: gated CMS merge law
+    "an21_cms_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

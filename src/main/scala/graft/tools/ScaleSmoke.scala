@@ -89,7 +89,10 @@ object ScaleSmoke {
       "cu13_dataset_card" -> "one scan + one map-side global agg: output is 8 rows at ANY corpus size",
       "dd16_cluster_stats" -> "CC family: size histogram rides (id, label) longs; rounds stay flat (see CC section)",
       "cu09_dedup_provenance" -> "CC family: provenance window ships (id, label, rank) longs; drops capped at 16/keeper",
-      "an20_cms_frequency" -> "CMS counters cap at d·w=2048 cells; shuffle scales with vocab (the count frame), never corpus tokens")
+      "an20_cms_frequency" -> "CMS counters cap at d·w=2048 cells; shuffle scales with vocab (the count frame), never corpus tokens",
+      "dd26_saved_labels_audit" -> "pays the one-time cluster+write at Nx; the audit-alone scan is label-table-sized (cluster-once subsection below)",
+      "dd27_incremental_labels" -> "batch grows ~Nx while corpus stays copy-0: wall flat, shuffle stays bucket-rollup-sized (the corpus label table broadcasts; batch text never shuffles)",
+      "an21_cms_merge" -> "two shard grids + cell-wise merge: exchanges stay ≤ 2·d·w cells regardless of corpus")
     val byName = graft.SparkEntry.all.map(q => q.name -> q).toMap
     def fmt(b: Long): String =
       if (b >= (1L << 20)) f"${b / 1048576.0}%.1f MiB"
@@ -141,6 +144,53 @@ object ScaleSmoke {
     ccRounds.foreach { case (name, c1, cN, d1, dN) =>
       sb ++= f"| $name | $c1 | $cN | $d1%.1f s | $dN%.1f s |\n"
     }
+
+    // Cluster-once at Nx (dd26's claim): labels persisted once, then the
+    // audit ALONE measured — its scan bytes must track the label table
+    // (16 B/doc of longs), not the corpus text, at any corpus size.
+    def dirBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+        else f.length()
+      walk(new java.io.File(p))
+    }
+    def auditAlone(docsDir: String): (Long, Long, Long) = {
+      val lp = java.nio.file.Files.createTempDirectory("graft-smoke-labels").toString
+      graft.operators.DedupOps.clusterLabels(graft.Tables.documents(spark, docsDir))
+        .write.mode("overwrite").parquet(lp)
+      val l = new StageMetricsListener
+      l.collect(spark) {
+        graft.operators.DedupOps.labelAudit(spark.read.parquet(lp)).count(): Unit
+      }
+      (dirBytes(lp), l.inputBytes, dirBytes(s"$docsDir/documents.parquet"))
+    }
+    val (lb1, as1, cb1) = auditAlone(sfDir)
+    val (lbN, asN, cbN) = auditAlone(dir)
+    sb ++= s"\n### Cluster-once at ${copies}x: the audit reads labels, not corpus\n\n"
+    sb ++= "| fixture | corpus parquet | label table | audit scan | scan/corpus |\n"
+    sb ++= "|---|---|---|---|---|\n"
+    sb ++= f"| 1x | ${fmt(cb1)} | ${fmt(lb1)} | ${fmt(as1)} | ${as1.toDouble / cb1}%.4f |\n"
+    sb ++= f"| ${copies}x | ${fmt(cbN)} | ${fmt(lbN)} | ${fmt(asN)} | ${asN.toDouble / cbN}%.4f |\n"
+    sb ++= s"\nAt ${copies}x the audit's scan grows with the label table " +
+      "(longs/doc), and its corpus fraction shrinks — repeat audits never " +
+      "pay corpus-scan cost again.\n"
+
+    // CMS cell cap (an20/an21's claim): the materialized grid is ≤ d·w
+    // cells no matter how big the corpus gets — the whole point of the
+    // sketch. Measured by counting distinct (row, bucket) cells.
+    def cmsCells(d: String): Long = graft.Tables.documents(spark, d)
+      .selectExpr("explode(split(lower(text), '\\\\s+')) as w")
+      .distinct()
+      .selectExpr("w", "explode(array(0, 1, 2, 3)) as r")
+      .selectExpr("r",
+        s"${graft.Portable.hash60("concat('cms', cast(r as string), '|', w)")} % 512 as b")
+      .distinct().count()
+    val (cells1, cellsN) = (cmsCells(sfDir), cmsCells(dir))
+    sb ++= s"\n### CMS grid cell count (an20/an21): capped at d*w = 2048\n\n"
+    sb ++= s"| fixture | occupied cells | cap |\n|---|---|---|\n"
+    sb ++= s"| 1x | $cells1 | 2048 |\n| ${copies}x | $cellsN | 2048 |\n"
+    assert(cells1 <= 2048 && cellsN <= 2048,
+      s"CMS grid exceeded d*w cells: $cells1 / $cellsN")
 
     sb ++= "\nFixture caveats (artifacts of the derivation, not the plans):\n"
     sb ++= "ss10's super-10× rows/shuffle are CROSS-COPY tail pairs — at dim 64\n"

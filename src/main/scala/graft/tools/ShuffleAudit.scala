@@ -71,12 +71,12 @@ object ShuffleAudit {
     "cu07_mixture_rebalance" -> "digest window shuffles 60-bit longs; per-source rollup partial-aggregates to one row per source, weights broadcast",
     "dd20_soft_weights" -> "dd08's (id, label)-long CC exchanges plus ONE per-cluster count window; text never shuffles",
     "cu08_cluster_split" -> "split is a scan-local hash of the CC label; nothing beyond dd08's (id, label) longs shuffles",
-    "ss17_rrf_hybrid" -> "each arm reduces to (id, score) longs before its rank window; fusion joins ids, top-k is a 20-row sort",
+    "ss17_rrf_hybrid" -> "each arm reduces to (id, score) longs, then ranks on the distributed quantile-bucketed ordinal (no single-partition window); fusion joins ids, top-k is a 20-row sort",
     "sm09_universe_sample" -> "membership is a scan-local key hash on both sides; truth + estimate share one broadcast join pass",
     "an13_value_drift" -> "extrema broadcast back; bin assignment scan-local; 10-bin rollup combines map-side",
     "q_zorder_layout" -> "Z-values born in the scan; the file cut is the range exchange any sorted write pays",
     "tx21_code_detect" -> "pure scan projection (translate-delta counting): zero shuffle",
-    "mm07_image_ahash" -> "decode + hash partition-local; only fixed-width hash rows reach the ordering window",
+    "mm07_image_ahash" -> "decode + hash partition-local; the Hamming chain runs banded (doc_id div 16) with an aggregated boundary stitch — no global window",
     "dd21_containment" -> "dd06's shape: overlap join on 60-bit shingle hashes, capped candidates, text never shuffles",
     "sm10_neyman_allocation" -> "one map-side moment agg per stratum; allocation runs on the tiny aggregate, totals broadcast",
     "an14_funnel" -> "three keyed min-aggs + user-keyed joins of (id, ts) longs; output is O(#stages)",
@@ -118,7 +118,7 @@ object ShuffleAudit {
     "ss23_ranking_metrics" -> "queries broadcast; the scored pass reduces to (q_id, rank, relevant) rows before the per-query rollup",
     "q_csv_roundtrip" -> "sink+source edge format: no pushdown/pruning by design — the measured contrast to op01's parquet scan",
     "an19_kmv_merge" -> "each side reduces to ≤ k longs per source before the merge; rank windows order k-row frames",
-    "mm11_image_dhash" -> "decode + hash partition-local; only fixed-width hash rows reach the Hamming chain window",
+    "mm11_image_dhash" -> "decode + hash partition-local; banded Hamming chain + boundary stitch (mm07's shape) — no global window",
     "cu14_source_cards" -> "same one-scan projection as cu13; grouped agg partial-aggregates map-side to source rows",
     "dd25_chunk_dedup" -> "chunks reduce to (hash, len) longs before the rollup; per-hash agg combines map-side; ONE output row",
     "tx25_nfc_normalize" -> "native codegen Expression in the scan projection (isNormalized fast path): zero shuffle",
@@ -127,6 +127,7 @@ object ShuffleAudit {
     "dd26_saved_labels_audit" -> "cluster-once/audit-many: this row pays the one-time label write; the audit-alone scan is measured in the cluster-once section below",
     "dd27_incremental_labels" -> "adoption is a bucket rollup, not a pair stage: corpus reduces to (band, h, label) longs; the batch ships 4 band keys/doc",
     "an20_cms_frequency" -> "sketch built FROM the vocab-bounded count frame (one tokenize); 4× fan-out collapses map-side to ≤ 2048 cells; lookup is a broadcast join",
+    "an21_cms_merge" -> "per-shard grids collapse map-side to ≤ d·w cells before the cell-wise merge; probes are 80-row broadcast joins",
     "q_jsonl_roundtrip" -> "sink+source edge format like CSV: line-splittable reads, no pushdown by design")
 
   def main(args: Array[String]): Unit = {

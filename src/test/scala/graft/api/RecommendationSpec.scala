@@ -29,6 +29,39 @@ class RecommendationSpec extends AnyFunSuite {
     assert(rec.diskUpperBounds(100e6) > 0)
   }
 
+  test("CPU_Util calculation modes: None / CPU_clock / process_CPU_clock " +
+    "follow the reference's three behaviors") {
+    import graft.metrics.{GlobalMetrics, NodeMetrics}
+    // exact pins on a hand-built model: wall 10s, 4 cores, model claims
+    // 8 core-seconds, process burned 12, the machine 30
+    def node(id: Int, procNs: Long) = NodeMetrics(id, s"n$id", "map", 1,
+      100L, 100L, procNs, 0.0, isParallelizable = true,
+      isSource = false, isRandom = false)
+    val g = GlobalMetrics(cores = 4, memoryTotalBytes = 1L, memoryFreeBytes = 0L,
+      wallclockNs = 10L * 1000000000L, cpuTimeNs = 12L * 1000000000L,
+      diskBandwidthBps = 1.0, machineCpuTimeNs = 30L * 1000000000L)
+    val r = Recommendation(Flagship.graph,
+      Seq(node(0, 5L * 1000000000L), node(1, 3L * 1000000000L)), g, 100L)
+    assert(math.abs(r.cpuUtil(None) - 8.0 / 40.0) < 1e-12)       // model spans
+    assert(math.abs(r.cpuUtil(Some("process_CPU_clock")) - 12.0 / 40.0) < 1e-12)
+    assert(math.abs(r.cpuUtil(Some("CPU_clock")) - 30.0 / 40.0) < 1e-12)
+    // no machine counter (non-Linux trace): CPU_clock falls back to process
+    val r2 = Recommendation(Flagship.graph, r.metrics,
+      g.copy(machineCpuTimeNs = -1L), 100L)
+    assert(r2.cpuUtil(Some("CPU_clock")) == r2.cpuUtil(Some("process_CPU_clock")))
+    // unknown mode throws (the reference's keyed dispatch)
+    intercept[IllegalArgumentException](r.cpuUtil(Some("bogus")))
+    // live trace: the zero-arg default is the model-accounting mode, and
+    // the machine clock lands in the same ballpark as the process clock —
+    // ≥ in expectation, but /proc/stat's 10 ms jiffies lag the ns-granular
+    // process counter on a ~1 s window, so allow 30% sampling slack
+    assert(rec.cpuUtil == rec.cpuUtil(None))
+    assert(rec.global.machineCpuTimeNs > 0) // Linux: the counter measured
+    assert(rec.cpuUtil(Some("CPU_clock")) >=
+      rec.cpuUtil(Some("process_CPU_clock")) * 0.7)
+    assert(rec.cpuUtil(Some("process_CPU_clock")) >= 0)
+  }
+
   test("span_contexts: traced stage spans group per job; outlier frame " +
     "matches the mean+2σ rule recomputed by hand") {
     val ctxs = rec.spanContexts()

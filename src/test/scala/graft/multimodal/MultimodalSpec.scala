@@ -74,4 +74,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.length == 32)
     assert(feats.forall(f => f.n_samples >= 200 && f.sq_sum > 0))
   }
+
+  test("banded Hamming chain == global-window chain, including sparse ids " +
+    "and empty bands") {
+    // mm07/mm11's fixture is dense doc_id 0..63, which never exercises
+    // the boundary stitch's empty-band path (band 1 missing → band 2's
+    // first row must reach back to band 0's last hash). Pin the banded
+    // rewrite against the global-window original on a sparse id set.
+    import org.apache.spark.sql.functions._
+    import graft.operators.MultimodalOps
+    val ids = Seq(1L, 2L, 15L, 40L, 41L, 42L, 95L, 200L) // bands 0,2,5,12
+    val df = spark.createDataFrame(
+      ids.map(i => (i, 10L + i, 20L + i, i * 1234567L, ~i * 987654L))
+    ).toDF("doc_id", "width", "height", "ahash_lo", "ahash_hi")
+    val banded = MultimodalOps.withBandCarry(df, "ahash_lo", "ahash_hi")
+      .select(MultimodalOps.hammingChainCols("ahash_lo", "ahash_hi"): _*)
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    val global = df.selectExpr("doc_id",
+      "coalesce(cast(bit_count(ahash_lo ^ lag(ahash_lo) over (order by doc_id)) " +
+        "+ bit_count(ahash_hi ^ lag(ahash_hi) over (order by doc_id)) as bigint), -1L) as ham_prev")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(banded == global)
+    assert(banded(1L) == -1L) // very first row still reports -1
+  }
 }

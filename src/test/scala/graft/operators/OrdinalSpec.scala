@@ -84,4 +84,21 @@ class OrdinalSpec extends AnyFunSuite {
       .orderBy("rn", "k").select("k").as[Long].collect()
     assert(got.toSeq == keys.sorted)
   }
+
+  test("tieCols break duplicate-key ties exactly like the compound window " +
+    "(ss17's arm-ranking contract)") {
+    import spark.implicits._
+    // heavy duplication across the key column so ties straddle would-be
+    // bucket boundaries if duplicates didn't share a bucket
+    val rows = (1L to 200L).map(i => (i % 7, i))
+    val df = rows.toDF("score", "id")
+    val reference = df.withColumn("rn",
+      row_number().over(Window.orderBy("score", "id")).cast("long"))
+    for (buckets <- Seq(1, 4, 32)) {
+      val got = Ordinal.withGlobalOrdinal(df, "score", "rn", buckets,
+        tieCols = Seq("id"))
+      assert(got.select("score", "id", "rn").exceptAll(
+        reference.select("score", "id", "rn")).isEmpty, s"buckets=$buckets")
+    }
+  }
 }

@@ -33,24 +33,14 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
-  // Documented exceptions: global windows whose input is bounded or
-  // whose semantics ARE a global order, each with the scale story in the
-  // query's own comment.
-  //   mm07_image_ahash   — Hamming chain over the 64-row decoded slice
-  //                        (fixture-bounded; a corpus pairing pass bands
-  //                        on hash prefixes instead, per its comment)
-  //   mm11_image_dhash   — same Hamming-chain shape as mm07 (the dHash
-  //                        complement); corpus-scale pairing goes
-  //                        through mm08's banding, not the chain
-  //   ss17_rrf_hybrid    — single-query retrieval: each arm is ranked
-  //                        once globally; a query BATCH partitions both
-  //                        windows by q_id (ss01's shape)
+  // Documented exception — ONE query whose semantics ARE a global order:
   //   q_zorder_layout    — the equal-count file cut IS a global sorted
   //                        write (repartitionByRange at scale); rank is
   //                        the oracle-deterministic rendering
-  private val globalWindowAllowed = Set(
-    "mm07_image_ahash", "mm11_image_dhash", "ss17_rrf_hybrid",
-    "q_zorder_layout")
+  // (mm07/mm11's Hamming chains now run banded with a boundary stitch,
+  // and ss17's arm rankings ride the distributed Ordinal — all three
+  // left this allowlist in round 9.)
+  private val globalWindowAllowed = Set("q_zorder_layout")
 
   /** Every registered query built ONCE (the build itself is the expensive
     * part: bucket-table writes, codebook training, scratch round-trips),
@@ -115,6 +105,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       "gated queries must emit scalar columns only (unnest per op09):\n" +
         offenders.mkString("\n"))
+  }
+
+  test("dd08's output schema is scalar-only (covered here because the " +
+    "shared-build rail skips it)") {
+    // dd08 executes its whole CC loop at build time, so `built` excludes
+    // it — but dd08 IS oracle-gated, and without this check the scalar-
+    // output rail would silently skip one gated query. One dedicated
+    // build at sf0.001 closes the gap.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val df = graft.SparkEntry.all.find(_.name == "dd08_dedup_clusters").get
+      .fn(spark, sf)
+    val bad = df.schema.fields.filter(f =>
+      f.dataType.isInstanceOf[ArrayType] || f.dataType.isInstanceOf[MapType] ||
+        f.dataType.isInstanceOf[StructType])
+    assert(bad.isEmpty,
+      "dd08 must emit scalar columns only: " + bad.map(_.name).mkString(", "))
+    spark.catalog.clearCache()
   }
 
   test("q_bucket_join joins the bucketed tables with no exchange below the join") {
