@@ -942,6 +942,201 @@ object AnalysisQueries {
         .join(estimate(fullGrid, "est_full"), "w")
         .selectExpr("w as token", "est_merged", "est_full",
           "est_merged = est_full as matches_full")
+    },
+
+    // Mergeable QUANTILE sketch — the third leg of the sketch family
+    // (an17/an19 KMV: how many distinct; an20/an21 CMS: how often each;
+    // this: how DISTRIBUTED), the drift-monitoring workhorse a 100 TB
+    // pipeline keeps per source. The sketch is the k=16 docs with the
+    // SMALLEST 60-bit hash of their id — a hash-ordered k-min sample is
+    // a uniform random sample of the source, mergeable by exactly the
+    // KMV theorem an19 gates (the k hash-smallest of a union are
+    // contained in the union of each side's k hash-smallest), and —
+    // unlike approx_percentile's engine-private GK sketch — bit-portable,
+    // so the gate hash-matches the ESTIMATES. Quantile q = the value at
+    // rank ceil(q·k) of the sample sorted ascending (all-integer rank
+    // arithmetic: (k+1) div 2, (9k+9) div 10 — no float percentile
+    // machinery on either engine); sources with ≤ k docs degenerate to
+    // the exact quantile by the same formula, and err_bp pins the
+    // sampling error against the exact full-data quantile computed with
+    // the SAME positional rule (so the column measures sampling error,
+    // not formula disagreement). k=16 against the fixture's 25-doc
+    // sources so the gate exercises REAL sampling (not just the
+    // degenerate all-rows branch, which QuerySpec pins separately via
+    // [[sampleQuantiles]] with k > source size). Scale: the (source,
+    // doc) frame partial-aggregates map-side before the one exchange;
+    // both rank windows order per-source frames (the an17 shape —
+    // per-partition top-k + merge at extreme scale); everything after
+    // the k-row samples is driver-trivial.
+    Q(
+      "an22_sample_quantiles",
+      s"""WITH d AS (SELECT source, n_chars,
+         |      ${P.duckHash60("'qs|' || CAST(doc_id AS VARCHAR)")} AS h
+         |    FROM documents),
+         |  r AS (SELECT source, n_chars,
+         |          row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+         |          count(*) OVER (PARTITION BY source) AS nd
+         |        FROM d),
+         |  smp AS (SELECT source, n_chars, nd,
+         |            CASE WHEN nd < 16 THEN nd ELSE 16 END AS k,
+         |            row_number() OVER (PARTITION BY source ORDER BY n_chars, rn) AS vr
+         |          FROM r WHERE rn <= 16),
+         |  est AS (SELECT source, CAST(min(nd) AS BIGINT) AS n_docs,
+         |            CAST(min(k) AS BIGINT) AS k,
+         |            max(CASE WHEN vr = (k + 1) // 2 THEN n_chars END) AS est_p50,
+         |            max(CASE WHEN vr = (9 * k + 9) // 10 THEN n_chars END) AS est_p90
+         |          FROM smp GROUP BY source),
+         |  fx AS (SELECT source, n_chars,
+         |           row_number() OVER (PARTITION BY source ORDER BY n_chars, h) AS vr,
+         |           count(*) OVER (PARTITION BY source) AS nd
+         |         FROM d),
+         |  ex AS (SELECT source,
+         |           max(CASE WHEN vr = (nd + 1) // 2 THEN n_chars END) AS ex_p50,
+         |           max(CASE WHEN vr = (9 * nd + 9) // 10 THEN n_chars END) AS ex_p90
+         |         FROM fx GROUP BY source)
+         |SELECT e.source, e.n_docs, e.k,
+         |  CAST(e.est_p50 AS BIGINT) AS est_p50, CAST(x.ex_p50 AS BIGINT) AS ex_p50,
+         |  CAST(e.est_p90 AS BIGINT) AS est_p90, CAST(x.ex_p90 AS BIGINT) AS ex_p90,
+         |  (abs(e.est_p50 - x.ex_p50) * 10000) // greatest(1, x.ex_p50) AS err50_bp,
+         |  (abs(e.est_p90 - x.ex_p90) * 10000) // greatest(1, x.ex_p90) AS err90_bp
+         |FROM est e JOIN ex x ON x.source = e.source""".stripMargin) { (s, d) =>
+      sampleQuantiles(T.documents(s, d), k = 16)
+    },
+
+    // Quantile-sketch MERGE LAW, gated — completing the triple: every
+    // sketch family now carries estimator + gated merge (an17+an19 KMV,
+    // an20+an21 CMS, an22+this). Per source, the k=16 hash-min sample of
+    // the BASE corpus (doc_id < 400) unioned with the DELTA batch's
+    // sample and re-cut to the k hash-smallest must yield the SAME p50/
+    // p90 estimates as the sample built from all docs in one pass —
+    // lossless by the KMV containment theorem (the k hash-smallest of a
+    // union live inside the union of each side's k hash-smallest), which
+    // is what lets 1000 executors each keep a k-row sample and the
+    // driver fold them without ever reseeing the base. `matches_full`
+    // pins it row-by-row. Scale: each side reduces to ≤ k (h, value)
+    // rows per source before the merge; every window orders k-row or
+    // per-source frames.
+    Q(
+      "an23_quantile_merge",
+      s"""WITH d AS (SELECT doc_id, source, n_chars,
+         |      ${P.duckHash60("'qs|' || CAST(doc_id AS VARCHAR)")} AS h
+         |    FROM documents),
+         |  base AS (SELECT source, n_chars, h FROM (
+         |      SELECT source, n_chars, h,
+         |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |      FROM d WHERE doc_id < 400) WHERE rn <= 16),
+         |  delta AS (SELECT source, n_chars, h FROM (
+         |      SELECT source, n_chars, h,
+         |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |      FROM d WHERE doc_id >= 400) WHERE rn <= 16),
+         |  m AS (SELECT source, n_chars, h,
+         |          row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |        FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)),
+         |  mk AS (SELECT source, n_chars,
+         |           CASE WHEN min(cnt) OVER (PARTITION BY source) < 16
+         |                THEN min(cnt) OVER (PARTITION BY source) ELSE 16 END AS k,
+         |           row_number() OVER (PARTITION BY source ORDER BY n_chars, rn) AS vr
+         |         FROM (SELECT source, n_chars, rn,
+         |                 count(*) OVER (PARTITION BY source) AS cnt
+         |               FROM m WHERE rn <= 16)),
+         |  em AS (SELECT source,
+         |           max(CASE WHEN vr = (k + 1) // 2 THEN n_chars END) AS m_p50,
+         |           max(CASE WHEN vr = (9 * k + 9) // 10 THEN n_chars END) AS m_p90
+         |         FROM mk GROUP BY source),
+         |  f AS (SELECT source, n_chars, h,
+         |          row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |        FROM d),
+         |  fk AS (SELECT source, n_chars,
+         |           CASE WHEN min(cnt) OVER (PARTITION BY source) < 16
+         |                THEN min(cnt) OVER (PARTITION BY source) ELSE 16 END AS k,
+         |           row_number() OVER (PARTITION BY source ORDER BY n_chars, rn) AS vr
+         |         FROM (SELECT source, n_chars, rn,
+         |                 count(*) OVER (PARTITION BY source) AS cnt
+         |               FROM f WHERE rn <= 16)),
+         |  ef AS (SELECT source,
+         |           max(CASE WHEN vr = (k + 1) // 2 THEN n_chars END) AS f_p50,
+         |           max(CASE WHEN vr = (9 * k + 9) // 10 THEN n_chars END) AS f_p90
+         |         FROM fk GROUP BY source)
+         |SELECT em.source,
+         |  CAST(em.m_p50 AS BIGINT) AS merged_p50, CAST(ef.f_p50 AS BIGINT) AS full_p50,
+         |  CAST(em.m_p90 AS BIGINT) AS merged_p90, CAST(ef.f_p90 AS BIGINT) AS full_p90,
+         |  em.m_p50 = ef.f_p50 AND em.m_p90 = ef.f_p90 AS matches_full
+         |FROM em JOIN ef ON ef.source = em.source""".stripMargin) { (s, d) =>
+      val bySrcH = Window.partitionBy("source").orderBy("h")
+      val dd = T.documents(s, d)
+        .selectExpr("doc_id", "source", "n_chars",
+          s"${P.hash60("concat('qs|', cast(doc_id as string))")} as h")
+        .persist() // base + delta + full samples share it; clearCache releases
+      def cut(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("rn", row_number().over(bySrcH))
+        .filter(col("rn") <= 16)
+        .select("source", "n_chars", "h")
+      def estim(sample: org.apache.spark.sql.DataFrame, p50: String, p90: String) =
+        sample
+          .withColumn("rn", row_number().over(bySrcH))
+          .filter(col("rn") <= 16)
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy("source")))
+          .withColumn("k", expr("case when cnt < 16 then cnt else 16 end"))
+          .withColumn("vr", row_number().over(
+            Window.partitionBy("source").orderBy("n_chars", "rn")))
+          .groupBy("source")
+          .agg(
+            max(expr("case when vr = (k + 1) div 2 then n_chars end")).as(p50),
+            max(expr("case when vr = (9 * k + 9) div 10 then n_chars end")).as(p90))
+      // the merge under test: per-shard k-cuts unioned, re-cut to k
+      val merged = estim(
+        cut(dd.filter(col("doc_id") < 400))
+          .unionAll(cut(dd.filter(col("doc_id") >= 400))),
+        "m_p50", "m_p90")
+      val full = estim(dd.select("source", "n_chars", "h"), "f_p50", "f_p90")
+      merged.join(full, "source")
+        .selectExpr("source",
+          "cast(m_p50 as bigint) as merged_p50", "cast(f_p50 as bigint) as full_p50",
+          "cast(m_p90 as bigint) as merged_p90", "cast(f_p90 as bigint) as full_p90",
+          "m_p50 = f_p50 and m_p90 = f_p90 as matches_full")
     }
   )
+
+  /** The an22 machinery as a callable: hash-ordered k-min uniform sample
+    * per `source`, positional-rank quantile estimates vs the exact
+    * full-data quantiles computed with the same rule. The gated query
+    * calls THIS, so API and oracle can't diverge; QuerySpec pins the
+    * degenerate branch (k ≥ group size ⇒ est ≡ exact) with a large k the
+    * fixture's 25-doc sources can't reach.
+    */
+  private[graft] def sampleQuantiles(docs: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val bySrcH = Window.partitionBy("source").orderBy("h")
+    val dd = docs
+      .selectExpr("source", "n_chars",
+        s"${P.hash60("concat('qs|', cast(doc_id as string))")} as h")
+      .persist() // feeds sample + exact sides; caller clearCache releases
+    val est = dd
+      .withColumn("rn", row_number().over(bySrcH))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("source")))
+      .filter(col("rn") <= k)
+      .withColumn("k", expr(s"case when nd < $k then nd else $k end"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy("source").orderBy("n_chars", "rn")))
+      .groupBy("source")
+      .agg(
+        min("nd").cast("long").as("n_docs"),
+        min("k").cast("long").as("k"),
+        max(expr("case when vr = (k + 1) div 2 then n_chars end")).as("est_p50"),
+        max(expr("case when vr = (9 * k + 9) div 10 then n_chars end")).as("est_p90"))
+    val ex = dd
+      .withColumn("vr", row_number().over(
+        Window.partitionBy("source").orderBy("n_chars", "h")))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("source")))
+      .groupBy("source")
+      .agg(
+        max(expr("case when vr = (nd + 1) div 2 then n_chars end")).as("ex_p50"),
+        max(expr("case when vr = (9 * nd + 9) div 10 then n_chars end")).as("ex_p90"))
+    est.join(ex, "source")
+      .selectExpr("source", "n_docs", "k",
+        "cast(est_p50 as bigint) as est_p50", "cast(ex_p50 as bigint) as ex_p50",
+        "cast(est_p90 as bigint) as est_p90", "cast(ex_p90 as bigint) as ex_p90",
+        "(abs(est_p50 - ex_p50) * 10000) div greatest(1, ex_p50) as err50_bp",
+        "(abs(est_p90 - ex_p90) * 10000) div greatest(1, ex_p90) as err90_bp")
+  }
 }

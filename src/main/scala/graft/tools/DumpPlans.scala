@@ -95,8 +95,8 @@ object DumpPlans {
     "q_approx_distinct", "an07_approx_profile",
     // round-8 additions: CMS frequency sketch, JSONL round-trip
     "an20_cms_frequency", "q_jsonl_roundtrip",
-    // round-9: gated CMS merge law
-    "an21_cms_merge")
+    // round-9: gated CMS merge law + mergeable quantile sketch pair
+    "an21_cms_merge", "an22_sample_quantiles", "an23_quantile_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

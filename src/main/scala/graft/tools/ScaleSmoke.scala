@@ -92,7 +92,8 @@ object ScaleSmoke {
       "an20_cms_frequency" -> "CMS counters cap at d·w=2048 cells; shuffle scales with vocab (the count frame), never corpus tokens",
       "dd26_saved_labels_audit" -> "pays the one-time cluster+write at Nx; the audit-alone scan is label-table-sized (cluster-once subsection below)",
       "dd27_incremental_labels" -> "batch grows ~Nx while corpus stays copy-0: wall flat, shuffle stays bucket-rollup-sized (the corpus label table broadcasts; batch text never shuffles)",
-      "an21_cms_merge" -> "two shard grids + cell-wise merge: exchanges stay ≤ 2·d·w cells regardless of corpus")
+      "an21_cms_merge" -> "two shard grids + cell-wise merge: exchanges stay ≤ 2·d·w cells regardless of corpus",
+      "an22_sample_quantiles" -> "the (source, value, hash) frame scales linearly; samples stay k rows/source, so estimate work is corpus-size-free")
     val byName = graft.SparkEntry.all.map(q => q.name -> q).toMap
     def fmt(b: Long): String =
       if (b >= (1L << 20)) f"${b / 1048576.0}%.1f MiB"

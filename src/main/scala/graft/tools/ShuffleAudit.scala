@@ -128,6 +128,8 @@ object ShuffleAudit {
     "dd27_incremental_labels" -> "adoption is a bucket rollup, not a pair stage: corpus reduces to (band, h, label) longs; the batch ships 4 band keys/doc",
     "an20_cms_frequency" -> "sketch built FROM the vocab-bounded count frame (one tokenize); 4× fan-out collapses map-side to ≤ 2048 cells; lookup is a broadcast join",
     "an21_cms_merge" -> "per-shard grids collapse map-side to ≤ d·w cells before the cell-wise merge; probes are 80-row broadcast joins",
+    "an22_sample_quantiles" -> "one (source, value, hash) exchange; rank windows order per-source frames, estimates come from k-row samples",
+    "an23_quantile_merge" -> "each side reduces to ≤ k (h, value) rows per source before the merge; every window past the cut orders k-row frames",
     "q_jsonl_roundtrip" -> "sink+source edge format like CSV: line-splittable reads, no pushdown by design")
 
   def main(args: Array[String]): Unit = {

@@ -1093,6 +1093,60 @@ class QuerySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("an22: quantile sketch REALLY samples (k < group size, nonzero " +
+    "error somewhere), estimates are attainable values, and the " +
+    "degenerate k >= n branch is exact") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("an22_sample_quantiles")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val valuesBySrc = Tables.documents(spark, sf)
+      .select("source", "n_chars").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    rows.foreach { r =>
+      val (src, nDocs, k) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val vals = valuesBySrc(src)
+      assert(nDocs == vals.length)
+      assert(k == math.min(16L, nDocs))
+      assert(k < nDocs, s"$src: sampling branch not exercised (k == n_docs)")
+      // estimates are members of the source's value multiset
+      assert(vals.contains(r.getLong(3)) && vals.contains(r.getLong(5)))
+      // the exact side matches a by-hand positional-rank recompute
+      assert(r.getLong(4) == vals(((nDocs + 1) / 2).toInt - 1), s"$src p50")
+      assert(r.getLong(6) == vals(((9 * nDocs + 9) / 10).toInt - 1), s"$src p90")
+    }
+    // real positives: the sample disagrees with the truth SOMEWHERE
+    assert(rows.exists(r => r.getLong(7) + r.getLong(8) > 0),
+      "every estimate exact — sampling not actually stressed")
+    // degenerate branch (k >= every group size): est ≡ exact, err ≡ 0
+    val exact = graft.plans.AnalysisQueries
+      .sampleQuantiles(Tables.documents(spark, sf), k = 1000).collect()
+    exact.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1)) // k collapses to n_docs
+      assert(r.getLong(3) == r.getLong(4) && r.getLong(5) == r.getLong(6))
+      assert(r.getLong(7) == 0 && r.getLong(8) == 0)
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("an23: merged quantile samples estimate identically to the " +
+    "full-build sample, and the full side IS an22's estimate") {
+    val rows = SparkEntry.queries("an23_quantile_merge")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) && r.getLong(3) == r.getLong(4)
+        && r.getBoolean(5), s"${r.getString(0)}: merge diverged from full build")
+    }
+    // cross-query consistency: an23's full-build sample is the same k=16
+    // hash-cut an22 estimates from, so the numbers must be identical
+    val an22 = SparkEntry.queries("an22_sample_quantiles")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(5))).toMap
+    rows.foreach { r =>
+      assert(an22(r.getString(0)) == ((r.getLong(2), r.getLong(4))),
+        s"${r.getString(0)}: an23 full-build != an22 estimate")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("an21: cell-wise-added shard grids estimate identically to the " +
     "full-build grid, and estimates agree with an20") {
     val rows = SparkEntry.queries("an21_cms_merge")(spark, sf).collect()
