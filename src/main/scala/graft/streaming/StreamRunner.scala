@@ -721,6 +721,95 @@ object StreamRunner {
           "div element_at(kmv, 16) as bigint) end as n_users_est")
   }
 
+  /** st15's windowed value quantiles as a genuine stateful stream: per
+    * 1-hour window key, `mapGroupsWithState` carries the k=16 hash-min
+    * quantile SAMPLE across micro-batches (merge = union → keep the 16
+    * hash-smallest, lossless by the an23-gated containment theorem) plus
+    * the full (h, v) list — the latter exists ONLY so the twin can also
+    * reproduce the batch EXACT quantiles for the equality assertion; a
+    * production window keeps just the ≤ k-row sample, which is the
+    * point. StreamingSpec asserts the final per-window rows equal the
+    * gated st15 batch rendering — including the estimates, which only
+    * match if the incremental sample is exactly the batch sample.
+    */
+  def windowQuantilesStream(spark: SparkSession, sfDir: String,
+      queryName: String = "graft_winquant"): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import spark.implicits._
+
+    val ev0 = graft.Tables.events(spark, sfDir)
+      .selectExpr("unix_seconds(date_trunc('hour', ts)) as win_start_s",
+        "cast(cast(value as decimal(28,4)) * 10000 as bigint) as v",
+        s"${graft.Portable.hash60("concat('q|', cast(event_id as string))")} as h",
+        "unix_micros(ts) as ts_us")
+    val Array(minTs, maxTs) = ev0.selectExpr("min(ts_us)", "max(ts_us)").head() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val mid = minTs + (maxTs - minTs) / 2
+    val stage = java.nio.file.Files.createTempDirectory("graft-winquant")
+    def emit(name: String, cond: String): Unit = {
+      val tmp = stage.resolve(name + "_tmp").toString
+      ev0.filter(cond).drop("ts_us").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, stage.resolve(name + ".parquet"))
+      Thread.sleep(1100) // distinct mtimes → deterministic oldest-first order
+    }
+    emit("batch_a", s"ts_us <= $mid")
+    emit("batch_b", s"ts_us > $mid")
+
+    val ev = spark.readStream
+      .schema(ev0.drop("ts_us").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+
+    // positional-rank pick over rows sorted by (v, h) — ordering by the
+    // within-window hash RANK (the batch's rn tiebreak) is ordering by h
+    def pick(sorted: Seq[(Long, Long)], rank: Long): Long =
+      sorted(rank.toInt - 1)._2
+    val updates = ev.as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (win: Long, it: Iterator[(Long, Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[(Seq[(Long, Long)], Seq[(Long, Long)])]) => {
+          val rows = it.toSeq.map(r => (r._3, r._2)) // (h, v)
+          val (all0, smp0) = state.getOption.getOrElse(
+            (Seq.empty[(Long, Long)], Seq.empty[(Long, Long)]))
+          val all = all0 ++ rows
+          // the incremental sample merge under test: union → keep the
+          // 16 hash-smallest (h is unique per event id)
+          val smp = (smp0 ++ rows).sortBy(_._1).take(16)
+          state.update((all, smp))
+          val n = all.size.toLong
+          val k = math.min(16L, n)
+          val sSorted = smp.sortBy(p => (p._2, p._1))
+          val aSorted = all.sortBy(p => (p._2, p._1))
+          (win, n,
+            pick(sSorted, (k + 1) / 2), pick(aSorted, (n + 1) / 2),
+            pick(sSorted, (9 * k + 9) / 10), pick(aSorted, (9 * n + 9) / 10))
+        })
+      .toDF("win_start_s", "n_events", "est_p50_x1e4", "ex_p50_x1e4",
+        "est_p90_x1e4", "ex_p90_x1e4")
+
+    val q = updates.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // update mode re-emits a window on every batch that touches it; the
+    // final state per window is the row with the largest n_events
+    spark.table(queryName)
+      .selectExpr("*",
+        "row_number() over (partition by win_start_s order by n_events desc) as rn")
+      .filter(col("rn") === 1)
+      .select("win_start_s", "n_events", "est_p50_x1e4", "ex_p50_x1e4",
+        "est_p90_x1e4", "ex_p90_x1e4")
+  }
+
   /** st13's windowed top-k as a genuine stream: the watermarked
     * tumbling-window count/value agg runs INSIDE Structured Streaming
     * (complete mode — window state is the streaming part); the top-3

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.{Portable => P, Q, Tables => T}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-time analytics over the `events` table. The queries here are the
@@ -471,6 +472,87 @@ object StreamingOps {
           "cast(case when n_users < 16 then n_users " +
             "else cast(cast('17293822569102704640' as decimal(38,0)) " +
             "div h16 as bigint) end as bigint) as n_users_est")
+    },
+
+    // Windowed VALUE quantiles, exact AND sketched — an22's mergeable
+    // quantile sample at window granularity (st14 carries the KMV
+    // distinct sketch; this carries the quantile sample): per tumbling
+    // hour, p50/p90 of the event value from the k=16 events with the
+    // smallest salted event-id hashes (a uniform per-window sample) vs
+    // the exact quantiles by the same positional rule. Values quantize
+    // to exact integer 1e-4 units via DECIMAL(28,4) (the repo's
+    // canonical exact form for `value`) so every output is an integer
+    // pick, never float arithmetic. Windows with ≤ k events degenerate
+    // to exact. The point is the STREAMING twin
+    // (StreamRunner.windowQuantilesStream): mapGroupsWithState carries
+    // the k-min sample across micro-batches — an23's merge law working
+    // inside streaming state, which is how a firehose tracks per-window
+    // latency/size percentiles once buffering every event stops being
+    // affordable; StreamingSpec asserts twin ≡ batch including the
+    // estimates. Scale: one (window, value, hash) exchange; rank
+    // windows order per-window frames; state per window is ≤ k rows.
+    Q(
+      "st15_window_quantiles",
+      s"""WITH o AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start_s,
+         |      CAST(CAST(value AS DECIMAL(28,4)) * 10000 AS BIGINT) AS v,
+         |      ${P.duckHash60("'q|' || event_id::VARCHAR")} AS h
+         |    FROM events),
+         |  r AS (SELECT win_start_s, v,
+         |          row_number() OVER (PARTITION BY win_start_s ORDER BY h) AS rn,
+         |          count(*) OVER (PARTITION BY win_start_s) AS nd
+         |        FROM o),
+         |  smp AS (SELECT win_start_s, v,
+         |            CASE WHEN nd < 16 THEN nd ELSE 16 END AS k,
+         |            row_number() OVER (PARTITION BY win_start_s ORDER BY v, rn) AS vr
+         |          FROM r WHERE rn <= 16),
+         |  est AS (SELECT win_start_s,
+         |            max(CASE WHEN vr = (k + 1) // 2 THEN v END) AS est_p50,
+         |            max(CASE WHEN vr = (9 * k + 9) // 10 THEN v END) AS est_p90
+         |          FROM smp GROUP BY win_start_s),
+         |  fx AS (SELECT win_start_s, v,
+         |           row_number() OVER (PARTITION BY win_start_s ORDER BY v, h) AS vr,
+         |           count(*) OVER (PARTITION BY win_start_s) AS nd
+         |         FROM o),
+         |  ex AS (SELECT win_start_s, CAST(min(nd) AS BIGINT) AS n_events,
+         |           max(CASE WHEN vr = (nd + 1) // 2 THEN v END) AS ex_p50,
+         |           max(CASE WHEN vr = (9 * nd + 9) // 10 THEN v END) AS ex_p90
+         |         FROM fx GROUP BY win_start_s)
+         |SELECT x.win_start_s, x.n_events,
+         |  CAST(e.est_p50 AS BIGINT) AS est_p50_x1e4, CAST(x.ex_p50 AS BIGINT) AS ex_p50_x1e4,
+         |  CAST(e.est_p90 AS BIGINT) AS est_p90_x1e4, CAST(x.ex_p90 AS BIGINT) AS ex_p90_x1e4
+         |FROM ex x JOIN est e ON e.win_start_s = x.win_start_s""".stripMargin) { (s, d) =>
+      val byWinH = Window.partitionBy("win_start_s").orderBy("h")
+      val o = T.events(s, d)
+        .selectExpr("unix_seconds(date_trunc('hour', ts)) as win_start_s",
+          "cast(cast(value as decimal(28,4)) * 10000 as bigint) as v",
+          s"${P.hash60("concat('q|', cast(event_id as string))")} as h")
+        .persist() // sample + exact sides share it; caller clearCache releases
+      val est = o
+        .withColumn("rn", row_number().over(byWinH))
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy("win_start_s")))
+        .filter(col("rn") <= 16)
+        .withColumn("k", expr("case when nd < 16 then nd else 16 end"))
+        .withColumn("vr", row_number().over(
+          Window.partitionBy("win_start_s").orderBy("v", "rn")))
+        .groupBy("win_start_s")
+        .agg(
+          max(expr("case when vr = (k + 1) div 2 then v end")).as("est_p50"),
+          max(expr("case when vr = (9 * k + 9) div 10 then v end")).as("est_p90"))
+      val ex = o
+        .withColumn("vr", row_number().over(
+          Window.partitionBy("win_start_s").orderBy("v", "h")))
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy("win_start_s")))
+        .groupBy("win_start_s")
+        .agg(
+          min("nd").cast("long").as("n_events"),
+          max(expr("case when vr = (nd + 1) div 2 then v end")).as("ex_p50"),
+          max(expr("case when vr = (9 * nd + 9) div 10 then v end")).as("ex_p90"))
+      ex.join(est, "win_start_s")
+        .selectExpr("win_start_s", "n_events",
+          "cast(est_p50 as bigint) as est_p50_x1e4",
+          "cast(ex_p50 as bigint) as ex_p50_x1e4",
+          "cast(est_p90 as bigint) as est_p90_x1e4",
+          "cast(ex_p90 as bigint) as ex_p90_x1e4")
     }
   )
 }

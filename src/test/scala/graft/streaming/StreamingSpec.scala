@@ -208,4 +208,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("stateful quantile-sample window stream equals batch st15, " +
+    "estimates included") {
+    def six(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    val streamed = StreamRunner.windowQuantilesStream(spark, sf, "graft_winquant_spec")
+      .collect().map(six).toSet
+    val batch = graft.streaming.StreamingOps.queries
+      .find(_.name == "st15_window_quantiles").get
+      .fn(spark, sf).collect().map(six).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // the incremental sample really sampled somewhere: at least one
+    // window holds more events than the sketch keeps
+    assert(streamed.exists(_._2 > 16),
+      "every window fits in the sample — merge path unexercised")
+    spark.catalog.clearCache()
+  }
 }
