@@ -722,18 +722,24 @@ object StreamRunner {
   }
 
   /** st15's windowed value quantiles as a genuine stateful stream: per
-    * 1-hour window key, `mapGroupsWithState` carries the k=16 hash-min
-    * quantile SAMPLE across micro-batches (merge = union → keep the 16
-    * hash-smallest, lossless by the an23-gated containment theorem) plus
-    * the full (h, v) list — the latter exists ONLY so the twin can also
-    * reproduce the batch EXACT quantiles for the equality assertion; a
-    * production window keeps just the ≤ k-row sample, which is the
+    * 1-hour window key, `mapGroupsWithState` carries the k-element
+    * hash-min quantile SAMPLE across micro-batches (merge = union → keep
+    * the k hash-smallest, lossless by the an23-gated containment theorem)
+    * plus the full (h, v) list — the latter exists ONLY so the twin can
+    * also reproduce the batch EXACT quantiles for the equality assertion;
+    * a production window keeps just the ≤ k-row sample, which is the
     * point. StreamingSpec asserts the final per-window rows equal the
-    * gated st15 batch rendering — including the estimates, which only
-    * match if the incremental sample is exactly the batch sample.
+    * batch rendering at the same k — including the estimates, which only
+    * match if the incremental sample is exactly the batch sample. The
+    * gated st15 query pins k=16; the spec runs k=4 so the sf0.001
+    * fixture's ≤6-event windows overflow the sample and the merge path
+    * is genuinely exercised. `reversed` feeds the newer half of the
+    * stream FIRST (the st05 out-of-order pattern) — the k-min merge is
+    * order-independent, so the output must be arrival-order-invariant.
     */
   def windowQuantilesStream(spark: SparkSession, sfDir: String,
-      queryName: String = "graft_winquant"): DataFrame = {
+      queryName: String = "graft_winquant", k: Int = 16,
+      reversed: Boolean = false): DataFrame = {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     import spark.implicits._
 
@@ -756,8 +762,13 @@ object StreamRunner {
       java.nio.file.Files.copy(part.toPath, stage.resolve(name + ".parquet"))
       Thread.sleep(1100) // distinct mtimes → deterministic oldest-first order
     }
-    emit("batch_a", s"ts_us <= $mid")
-    emit("batch_b", s"ts_us > $mid")
+    if (reversed) {
+      emit("batch_b", s"ts_us > $mid")
+      emit("batch_a", s"ts_us <= $mid")
+    } else {
+      emit("batch_a", s"ts_us <= $mid")
+      emit("batch_b", s"ts_us > $mid")
+    }
 
     val ev = spark.readStream
       .schema(ev0.drop("ts_us").schema)
@@ -778,16 +789,16 @@ object StreamRunner {
             (Seq.empty[(Long, Long)], Seq.empty[(Long, Long)]))
           val all = all0 ++ rows
           // the incremental sample merge under test: union → keep the
-          // 16 hash-smallest (h is unique per event id)
-          val smp = (smp0 ++ rows).sortBy(_._1).take(16)
+          // k hash-smallest (h is unique per event id)
+          val smp = (smp0 ++ rows).sortBy(_._1).take(k)
           state.update((all, smp))
           val n = all.size.toLong
-          val k = math.min(16L, n)
+          val kk = math.min(k.toLong, n)
           val sSorted = smp.sortBy(p => (p._2, p._1))
           val aSorted = all.sortBy(p => (p._2, p._1))
           (win, n,
-            pick(sSorted, (k + 1) / 2), pick(aSorted, (n + 1) / 2),
-            pick(sSorted, (9 * k + 9) / 10), pick(aSorted, (9 * n + 9) / 10))
+            pick(sSorted, (kk + 1) / 2), pick(aSorted, (n + 1) / 2),
+            pick(sSorted, (9 * kk + 9) / 10), pick(aSorted, (9 * n + 9) / 10))
         })
       .toDF("win_start_s", "n_events", "est_p50_x1e4", "ex_p50_x1e4",
         "est_p90_x1e4", "ex_p90_x1e4")

@@ -209,22 +209,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
-  test("stateful quantile-sample window stream equals batch st15, " +
-    "estimates included") {
+  test("stateful quantile-sample window stream equals batch st15 at k=4, " +
+    "estimates included, arrival-order-invariant") {
+    // k=4, not the gated query's k=16: sf0.001's busiest hourly window
+    // holds 6 events, so at k=16 every window fit in the sample and the
+    // union→take-k merge path was dead code at spec scale (VERDICT r9 #1
+    // — the guard below correctly failed). At k=4 the 5-and-6-event
+    // windows genuinely overflow the sample, so the merge/truncation
+    // path runs where the spec runs. The k=16 rendering stays pinned by
+    // the driver's st15 oracle gate at sf0.01.
     def six(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5))
-    val streamed = StreamRunner.windowQuantilesStream(spark, sf, "graft_winquant_spec")
+    val streamed = StreamRunner
+      .windowQuantilesStream(spark, sf, "graft_winquant_spec", k = 4)
       .collect().map(six).toSet
-    val batch = graft.streaming.StreamingOps.queries
-      .find(_.name == "st15_window_quantiles").get
-      .fn(spark, sf).collect().map(six).toSet
+    val batch = graft.streaming.StreamingOps
+      .windowQuantilesBatch(spark, sf, 4).collect().map(six).toSet
     assert(streamed == batch)
     assert(streamed.nonEmpty)
     // the incremental sample really sampled somewhere: at least one
     // window holds more events than the sketch keeps
-    assert(streamed.exists(_._2 > 16),
+    assert(streamed.exists(_._2 > 4),
       "every window fits in the sample — merge path unexercised")
+    // out-of-order arrival (the st05 pattern): feed the NEWER half of
+    // the stream first — the k-min merge is a union→take-k over a set,
+    // order-independent by construction, so the final per-window rows
+    // must be identical to oldest-first arrival
+    val reversedArrival = StreamRunner
+      .windowQuantilesStream(spark, sf, "graft_winquant_rev_spec",
+        k = 4, reversed = true)
+      .collect().map(six).toSet
+    assert(reversedArrival == batch,
+      "reversed arrival diverged — the sample merge is order-dependent")
     spark.catalog.clearCache()
   }
 }
