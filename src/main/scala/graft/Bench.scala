@@ -17,6 +17,15 @@ import org.apache.spark.sql.SparkSession
   * Query failures are excluded from the total and listed under "failed".
   */
 object Bench {
+  /** One timed query: steady-state min, (possibly trimmed) median, base-rep
+    * pass/fail, settle-rep count (>0 ⇒ the median was trimmed to the
+    * `reps` fastest samples), and whether the min stayed > 1.5x the prior
+    * round's min after healing (inflated ⇒ re-run isolated before calling
+    * it a regression).
+    */
+  private case class BenchRow(name: String, min: Double, med: Double,
+      ok: Boolean, settle: Int, inflated: Boolean)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -60,6 +69,38 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val bench = only.fold(SparkEntry.all)(s => SparkEntry.all.filter(q => s(q.name)))
+
+    // Cross-run reference (VERDICT r9 #2): the med/min self-heal only sees
+    // WITHIN-run spread, so a query whose every rep is equally
+    // contention-inflated sails through (r9 published cu08/cu09/cu12 at
+    // ~1.9x their isolated cost with noisy:false). The previous round's
+    // bench_out.json is committed — its per-query min is a same-host,
+    // same-sf steady-state reference. A current min > 1.5x the prior min
+    // on a non-trivial query earns extra settle reps; if the gap still
+    // doesn't close, the query lands in the "inflated" list so a reader
+    // knows that row needs an isolated re-run before calling it a
+    // regression. Parse is regex-free string splitting over our own
+    // fixed format; any mismatch (missing file, different sf) degrades
+    // to an empty reference, never a failure.
+    val priorMin: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get("bench_out.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val txt = java.nio.file.Files.readString(p)
+        if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+        else txt.split("\"queries\":\\{", 2) match {
+          case Array(_, rest) =>
+            rest.takeWhile(_ != '}').split(",").iterator.flatMap { kv =>
+              kv.split(":") match {
+                case Array(k, v) => scala.util.Try(
+                  k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble).toOption
+                case _ => None
+              }
+            }.toMap
+          case _ => Map.empty
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
 
     // Flagship pipeline throughput (input elements/sec over one pass) —
     // the images/sec-shaped headline number. Measured FIRST, before the
@@ -131,6 +172,19 @@ object Bench {
         if (extra._2) times = times :+ extra
         settle += 1
       }
+      // Cross-run heal: uniform whole-query contention keeps med/min ≈ 1
+      // and dodges the loop above — compare against the prior round's min
+      // instead. Bounded at 2 extra reps so a REAL regression costs two
+      // reps and then publishes honestly (flagged below), never loops.
+      val ref = priorMin.get(q.name)
+      def inflatedVsPrior(ts: Seq[Double]): Boolean =
+        ref.exists(p => p >= 0.1 && ts.min > 1.5 * p)
+      while (reps >= 2 && ok && settle < 4 && inflatedVsPrior(times.map(_._1))) {
+        val extra = rep()
+        if (extra._2) times = times :+ extra
+        settle += 1
+      }
+      val inflated = ok && inflatedVsPrior(times.map(_._1))
       // When settle reps ran, publish the median over the `reps` fastest
       // samples (contention-proven outliers trimmed, sample size kept at
       // the base count). A real regression survives trimming — every rep,
@@ -138,47 +192,59 @@ object Bench {
       // transient spike no longer latches the noisy flag after healing.
       val ts = times.map(_._1)
       val medTs = if (settle > 0) ts.sorted.take(reps) else ts
-      (q.name, round3(ts.min), round3(median(medTs)), ok)
+      BenchRow(q.name, round3(ts.min), round3(median(medTs)), ok, settle, inflated)
     }
 
-    val okResults = results.filter(_._4)
-    val qs = okResults.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val okResults = results.filter(_.ok)
+    val qs = okResults.map(r => "\"" + r.name + "\":" + r.min)
       .mkString("{", ",", "}")
-    val qsMed = okResults.map { case (k, _, m, _) => "\"" + k + "\":" + m }
+    val qsMed = okResults.map(r => "\"" + r.name + "\":" + r.med)
       .mkString("{", ",", "}")
-    val failed = results.filter(!_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val total = round3(okResults.map(_._2).sum)
+    val failed = results.filter(!_.ok).map("\"" + _.name + "\"").mkString("[", ",", "]")
+    // per-query settle counts (ADVICE r9: a reader must be able to tell a
+    // trimmed median from an untrimmed one) + the still-inflated list
+    val healed = results.filter(r => r.ok && r.settle > 0)
+      .map(r => "\"" + r.name + "\":" + r.settle).mkString("{", ",", "}")
+    val inflatedList = results.filter(r => r.ok && r.inflated)
+      .map("\"" + _.name + "\"").mkString("[", ",", "]")
+    val total = round3(okResults.map(_.min).sum)
     // Host-contention detector: on an idle host min≈median; a busy host
     // inflates some reps, widening the gap. Flag the run as noisy when
     // median/min > 1.5 on ≥ 5 non-trivial queries (min ≥ 0.1 s — below
     // that the ratio is dominated by scheduler jitter, not contention),
     // so a reader discounts regressions without a manual re-run.
-    val noisyCount = results.count { case (_, mn, md, ok) =>
-      ok && mn >= 0.1 && md / mn > 1.5
+    val noisyCount = results.count { r =>
+      r.ok && r.min >= 0.1 && r.med / r.min > 1.5
     }
     val noisy = noisyCount >= 5
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""queries_median":$qsMed,"failed":$failed,""" +
         s""""noisy":$noisy,"noisy_queries":$noisyCount,""" +
+        s""""inflated":$inflatedList,"healed":$healed,""" +
+        s""""prior_ref_queries":${priorMin.size},""" +
         s""""flagship_failed":$flagshipFailed,""" +
         s""""pipeline_elements_per_sec":$flagshipRate,"sf":"$sfDir"}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json)
+    // subset dev runs must not overwrite the committed full-surface
+    // reference the cross-run heal reads next round
+    val outName = if (only.isDefined) "bench_out_subset.json" else "bench_out.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outName), json)
 
     // The printed line must survive a log-tail capture that keeps only the
     // last ~2000 chars of stdout (BENCH_r05/r06 both truncated mid-line and
     // parsed as null): print a COMPACT line — all headline q* queries plus
     // the slowest others, greedily added until a hard 1400-char budget —
     // and point at bench_out.json (committed) for the full per-query map.
-    val headline = okResults.filter(_._1.startsWith("q"))
-    val others = okResults.filterNot(_._1.startsWith("q")).sortBy(-_._2)
-    def compactLine(entries: Seq[(String, Double, Double, Boolean)]): String = {
-      val m = entries.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val headline = okResults.filter(_.name.startsWith("q"))
+    val others = okResults.filterNot(_.name.startsWith("q")).sortBy(-_.min)
+    def compactLine(entries: Seq[BenchRow]): String = {
+      val m = entries.map(r => "\"" + r.name + "\":" + r.min)
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$m,""" +
         s""""queries_shown":${entries.size},"queries_total":${okResults.size},""" +
         s""""full_results":"bench_out.json","failed":$failed,""" +
         s""""noisy":$noisy,"noisy_queries":$noisyCount,""" +
+        s""""inflated":$inflatedList,""" +
         s""""flagship_failed":$flagshipFailed,""" +
         s""""pipeline_elements_per_sec":$flagshipRate,"sf":"$sfDir"}"""
     }
