@@ -1,0 +1,124 @@
+package graft
+
+import graft.SparkTestSession.{sf, spark}
+import graft.api.Sketches
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import spark.implicits._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Sketches API must be the SAME estimator the gated queries prove
+  * correct — every assertion here compares API output row-by-row against
+  * the an17-an23 gated renderings (which the driver hash-matches against
+  * DuckDB), so the callable surface can't silently diverge from the
+  * oracle-pinned math.
+  */
+class SketchesSpec extends AnyFunSuite {
+
+  private def byName(n: String): DataFrame =
+    SparkEntry.queries(n)(spark, sf)
+
+  private def tokens(filter: String = "true"): DataFrame =
+    Tables.documents(spark, sf)
+      .filter(filter)
+      .selectExpr("doc_id", "source", "explode(split(lower(text), '\\\\s+')) as w")
+
+  test("kmvBuild+kmvEstimate equals the gated an17 estimates") {
+    val api = Sketches.kmvEstimate(Sketches.kmvBuild(tokens(), "source", "w"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val gated = byName("an17_kmv_cardinality")
+      .select("source", "n_est")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(api == gated)
+    assert(api.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
+  test("kmvMerge of base+delta builds equals the gated an19 merged estimates") {
+    val base = Sketches.kmvBuild(tokens("doc_id < 400"), "source", "w")
+    val delta = Sketches.kmvBuild(tokens("doc_id >= 400"), "source", "w")
+    val api = Sketches.kmvEstimate(Sketches.kmvMerge(base, delta))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val gated = byName("an19_kmv_merge")
+      .select("source", "est_merged")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(api == gated)
+    // the gate itself pins merged ≡ full; re-assert through the API so a
+    // future API edit that breaks the containment cut fails HERE
+    val full = Sketches.kmvEstimate(Sketches.kmvBuild(tokens(), "source", "w"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(api == full)
+    spark.catalog.clearCache()
+  }
+
+  test("cmsBuild+cmsEstimate equals the gated an20 estimates") {
+    val grid = Sketches.cmsBuild(tokens(), "w")
+    val gated = byName("an20_cms_frequency")
+      .select("token", "n_est")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val items = gated.keys.toSeq.toDF("item")
+    val api = Sketches.cmsEstimate(grid, items, "item")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(api == gated)
+    assert(api.nonEmpty)
+    // state honors its own cap: the whole point of the sketch
+    assert(grid.count() <= 4 * 512)
+    spark.catalog.clearCache()
+  }
+
+  test("cmsMerge of shard grids equals the gated an21 merged estimates") {
+    val merged = Sketches.cmsMerge(
+      Sketches.cmsBuild(tokens("doc_id < 400"), "w"),
+      Sketches.cmsBuild(tokens("doc_id >= 400"), "w"))
+    val gated = byName("an21_cms_merge")
+      .select("token", "est_merged")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val items = gated.keys.toSeq.toDF("item")
+    val api = Sketches.cmsEstimate(merged, items, "item")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(api == gated)
+    spark.catalog.clearCache()
+  }
+
+  test("quantileSampleBuild+Estimate equals the gated an22 estimates") {
+    val docs = Tables.documents(spark, sf)
+    val api = Sketches.quantileSampleEstimate(
+        Sketches.quantileSampleBuild(docs, "source", "n_chars", "doc_id"))
+      .select("key", "est_p50", "est_p90")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val gated = byName("an22_sample_quantiles")
+      .select("source", "est_p50", "est_p90")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(api == gated)
+    assert(api.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
+  test("quantileSampleMerge of base+delta equals the gated an23 merged estimates") {
+    val docs = Tables.documents(spark, sf)
+    val base = Sketches.quantileSampleBuild(
+      docs.filter("doc_id < 400"), "source", "n_chars", "doc_id")
+    val delta = Sketches.quantileSampleBuild(
+      docs.filter("doc_id >= 400"), "source", "n_chars", "doc_id")
+    val api = Sketches.quantileSampleEstimate(
+        Sketches.quantileSampleMerge(base, delta))
+      .select("key", "est_p50", "est_p90")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val gated = byName("an23_quantile_merge")
+      .select("source", "merged_p50", "merged_p90")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(api == gated)
+    spark.catalog.clearCache()
+  }
+
+  test("sketch states are small: k rows per key / d*w cells, longs only") {
+    val docs = Tables.documents(spark, sf)
+    val kmv = Sketches.kmvBuild(tokens(), "source", "w", k = 8)
+    val perKey = kmv.groupBy("key").count().agg(max("count")).head().getLong(0)
+    assert(perKey <= 8)
+    val qs = Sketches.quantileSampleBuild(docs, "source", "n_chars", "doc_id", k = 8)
+    val perKeyQ = qs.groupBy("key").count().agg(max("count")).head().getLong(0)
+    assert(perKeyQ <= 8)
+    spark.catalog.clearCache()
+  }
+}
