@@ -169,7 +169,17 @@ final case class Recommendation(
   /** iterator_wallclock_duration(). */
   def iteratorWallclockSec: Double = global.wallclockNs / 1e9
 
-  /** CPU_Util(): default calculation mode — see [[cpuUtil(Option)]]. */
+  /** CPU_Util(): default calculation mode — see [[cpuUtil(Option)]].
+    *
+    * Behavior change in r9: this zero-arg default moved from
+    * process-CPU accounting to the MODEL accounting (Σ per-node
+    * processing time over wall × cores) when the three calculation
+    * modes landed — callers that want the old number should pass
+    * `Some("process_CPU_clock")`. The reference shows only the three
+    * call sites (graph_rewrites.py:466-471), not CPU_Util's own
+    * implementation, so "the default is model accounting" is this
+    * repo's documented choice, not verified reference parity.
+    */
   def cpuUtil: Double = cpuUtil(None)
 
   /** CPU_Util(calculation_mode) — the reference's three modes

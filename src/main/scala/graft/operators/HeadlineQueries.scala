@@ -575,6 +575,14 @@ object HeadlineQueries {
         base.foldLeft(1125899906842597L)((h, c) => 31 * h + c))
       val ordersTbl = s"graft_bkt_orders_$tag"
       val custTbl = s"graft_bkt_cust_$tag"
+      // A persistent metastore would otherwise accumulate one
+      // graft_bkt_* pair per JVM whose backing files the Scratch hook
+      // deletes — drop the catalog entries in the same shutdown pass
+      // (best-effort: the session may already be stopped) (ADVICE r9).
+      Scratch.once(s"drop_bkt_$tag") {
+        s.sql(s"DROP TABLE IF EXISTS $ordersTbl")
+        s.sql(s"DROP TABLE IF EXISTS $custTbl"): Unit
+      }
       T.orders(s, d).select(col("o_custkey"), col("o_totalprice"))
         .write.mode("overwrite").format("parquet")
         .option("path", s"$base/orders")

@@ -441,17 +441,20 @@ object MultimodalOps {
     }
   )
 
-  /** Hamming distance to the PREVIOUS doc (by doc_id) WITHOUT a global
-    * window: rows band on `doc_id div 16` and chain inside each band
-    * with a partitioned lag; the first row of each band reaches back to
-    * the previous non-empty band's LAST hash through a boundary frame
-    * (per-band `max_by` rollup, lagged over its own ≤#bands rows — the
-    * only global window, and it sits on an aggregate). Output is
-    * bit-identical to `lag OVER (ORDER BY doc_id)`: within-band lag and
-    * boundary carry partition exactly the "previous row" relation, and
-    * the very first row coalesces to −1 as before. At corpus scale the
-    * chain parallelizes to #bands partitions while the stitch frame
-    * stays boundary-sized.
+  /** Hamming distance to the PREVIOUS doc (by doc_id) without ordering
+    * the row frame globally: rows band on `doc_id div 16` and chain
+    * inside each band with a partitioned lag; the first row of each band
+    * reaches back to the previous non-empty band's LAST hash through the
+    * two-level boundary stitch in [[withBandCarry]] (band carries are
+    * themselves partitioned by 1024-band blocks; only the block-level
+    * rollup — n/16384 rows, two aggregations deep — crosses one
+    * unpartitioned window). Output is bit-identical to
+    * `lag OVER (ORDER BY doc_id)`: within-band lag and boundary carry
+    * partition exactly the "previous row" relation, and the very first
+    * row coalesces to −1 as before. At corpus scale the chain
+    * parallelizes to #bands partitions while the unpartitioned remainder
+    * shrinks 16384× per stitch level (not to a constant — a third level
+    * composes if ever needed).
     */
   private[graft] def hammingChainCols(lo: String, hi: String): Seq[org.apache.spark.sql.Column] = {
     val prevLo = s"coalesce(lag($lo) over (partition by _band order by doc_id), _carry_lo)"
@@ -463,17 +466,51 @@ object MultimodalOps {
 
   /** The frame-prep half of [[hammingChainCols]]: attach `_band` and the
     * previous non-empty band's boundary hash (`_carry_lo`/`_carry_hi`).
+    *
+    * TWO stitch levels (ADVICE r9): a single-level stitch lagged the
+    * per-band boundary rollup through one unpartitioned window — n/16
+    * rows through a single partition, linear in the corpus. Here the
+    * band-level carry comes from a lag PARTITIONED by 1024-band blocks,
+    * and only the block-level rollup (two aggregations deep, n/16384
+    * rows) rides the one remaining global window — the same recursion
+    * that took the chain itself off a global window, applied to its own
+    * boundary. A third level composes the same way if a corpus ever
+    * outgrows this one; the stitch frame is not constant-sized, but it
+    * shrinks 16384× per level while staying bit-identical to
+    * `lag OVER (ORDER BY doc_id)` (MultimodalSpec pins it).
     */
   private[graft] def withBandCarry(df: org.apache.spark.sql.DataFrame,
       lo: String, hi: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val banded = df.withColumn("_band", expr("doc_id div 16"))
-    val boundary = banded.groupBy("_band")
+    // level 1: last hash of each non-empty band, grouped into blocks
+    val last1 = banded.groupBy("_band")
       .agg(expr(s"max_by($lo, doc_id)").as("_last_lo"),
         expr(s"max_by($hi, doc_id)").as("_last_hi"))
+      .withColumn("_blk", expr("_band div 1024"))
+    // level 2: last band's hash per non-empty block, lagged globally —
+    // the only unpartitioned window, over the twice-aggregated frame
+    val last2 = last1.groupBy("_blk")
+      .agg(expr("max_by(_last_lo, _band)").as("_l2_lo"),
+        expr("max_by(_last_hi, _band)").as("_l2_hi"))
+      .select(col("_blk"),
+        lag("_l2_lo", 1).over(Window.orderBy("_blk")).as("_c2_lo"),
+        lag("_l2_hi", 1).over(Window.orderBy("_blk")).as("_c2_hi"))
+    // a band's carry: previous non-empty band in its own block, else the
+    // previous non-empty BLOCK's last hash (which is that block's last
+    // non-empty band — exactly the previous band overall)
+    val boundary = last1
+      .withColumn("_prev_lo",
+        lag("_last_lo", 1).over(Window.partitionBy("_blk").orderBy("_band")))
+      .withColumn("_prev_hi",
+        lag("_last_hi", 1).over(Window.partitionBy("_blk").orderBy("_band")))
+      .join(broadcast(last2), Seq("_blk"), "left")
       .select(col("_band"),
-        lag("_last_lo", 1).over(Window.orderBy("_band")).as("_carry_lo"),
-        lag("_last_hi", 1).over(Window.orderBy("_band")).as("_carry_hi"))
-    banded.join(broadcast(boundary), Seq("_band"), "left")
+        coalesce(col("_prev_lo"), col("_c2_lo")).as("_carry_lo"),
+        coalesce(col("_prev_hi"), col("_c2_hi")).as("_carry_hi"))
+    // unhinted join: AQE broadcasts the boundary while it is small and
+    // falls back to a keyed exchange when it is not — forcing broadcast
+    // on an n/16-row frame would itself be a scale hazard
+    banded.join(boundary, Seq("_band"), "left")
   }
 }

@@ -28,4 +28,16 @@ private[graft] object Scratch {
     // a child of the unique dir so mode("overwrite") semantics still hold
     d.resolve("data").toString
   })
+
+  private val hooks = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Register a best-effort JVM-shutdown cleanup exactly once per `key` —
+    * repeat invocations in one process (bench reps, spec + gate) must not
+    * pile up hooks. Failures are swallowed: the session a hook captured
+    * may already be stopped at shutdown.
+    */
+  def once(key: String)(f: => Unit): Unit =
+    if (hooks.add(key)) Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try f catch { case _: Throwable => () }
+    }))
 }

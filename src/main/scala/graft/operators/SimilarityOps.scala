@@ -1963,10 +1963,17 @@ object SimilarityOps {
         .filter(col("doc_id") =!= qId).select("doc_id", "bm25"),
       "bm25", "doc_id", "rank_lex")
     val qe = e.filter(col("vec_id") === qId).select(col("embedding").as("qe"))
+    // nanvl: a zero-norm embedding yields NaN cosine, and NaN sorts
+    // GREATEST under both ASC and DESC in Spark — so the negation trick
+    // would silently move such rows from rank 1 (old ORDER BY cs DESC)
+    // to last. Pin the semantics explicitly instead: undefined
+    // similarity ranks last, via a sentinel strictly below the cosine
+    // range (ADVICE r9).
     val dense = ranked(
       e.filter(col("vec_id") =!= qId)
         .crossJoin(broadcast(qe))
-        .selectExpr("vec_id", s"${sparkCos("embedding", "qe")} as cs"),
+        .selectExpr("vec_id",
+          s"nanvl(${sparkCos("embedding", "qe")}, cast(-2.0 as double)) as cs"),
       "cs", "vec_id", "rank_dense")
     dense.join(lex, Seq("doc_id"), "left")
       .selectExpr("doc_id",

@@ -76,7 +76,7 @@ object ShuffleAudit {
     "an13_value_drift" -> "extrema broadcast back; bin assignment scan-local; 10-bin rollup combines map-side",
     "q_zorder_layout" -> "Z-values born in the scan; the file cut is the range exchange any sorted write pays",
     "tx21_code_detect" -> "pure scan projection (translate-delta counting): zero shuffle",
-    "mm07_image_ahash" -> "decode + hash partition-local; the Hamming chain runs banded (doc_id div 16) with an aggregated boundary stitch — no global window",
+    "mm07_image_ahash" -> "decode + hash partition-local; the Hamming chain runs banded (doc_id div 16) with a two-level boundary stitch — only the n/16384-row block rollup crosses an unpartitioned window",
     "dd21_containment" -> "dd06's shape: overlap join on 60-bit shingle hashes, capped candidates, text never shuffles",
     "sm10_neyman_allocation" -> "one map-side moment agg per stratum; allocation runs on the tiny aggregate, totals broadcast",
     "an14_funnel" -> "three keyed min-aggs + user-keyed joins of (id, ts) longs; output is O(#stages)",
@@ -118,7 +118,7 @@ object ShuffleAudit {
     "ss23_ranking_metrics" -> "queries broadcast; the scored pass reduces to (q_id, rank, relevant) rows before the per-query rollup",
     "q_csv_roundtrip" -> "sink+source edge format: no pushdown/pruning by design — the measured contrast to op01's parquet scan",
     "an19_kmv_merge" -> "each side reduces to ≤ k longs per source before the merge; rank windows order k-row frames",
-    "mm11_image_dhash" -> "decode + hash partition-local; banded Hamming chain + boundary stitch (mm07's shape) — no global window",
+    "mm11_image_dhash" -> "decode + hash partition-local; banded Hamming chain + two-level boundary stitch (mm07's shape) — only the n/16384-row block rollup crosses an unpartitioned window",
     "cu14_source_cards" -> "same one-scan projection as cu13; grouped agg partial-aggregates map-side to source rows",
     "dd25_chunk_dedup" -> "chunks reduce to (hash, len) longs before the rollup; per-hash agg combines map-side; ONE output row",
     "tx25_nfc_normalize" -> "native codegen Expression in the scan projection (isNormalized fast path): zero shuffle",
