@@ -71,6 +71,21 @@ object ScaleSmoke {
     }.reduce(_ unionAll _)
     bigEmbs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
+    // copy c: event/user ids offset into disjoint ranges (so the sample
+    // keys — salted event-id hashes — are copy-distinct), timestamps
+    // KEPT — the windows stay the same and each holds copies× the
+    // events, which is exactly the stress st15's "sample stays ≤ k
+    // rows/window at any corpus size" claim needs
+    val evs = graft.Tables.events(spark, sfDir)
+    val bigEvs = (0 until copies).map { c =>
+      evs.select(
+        (col("event_id") + lit(c.toLong * 10000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(c.toLong * 10000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionAll _)
+    bigEvs.write.mode("overwrite").parquet(s"$dir/events.parquet")
+
     // heavy family per VERDICT r5 #7; (name, claim-to-stress)
     val audited = Seq(
       "dd04_lsh_candidate_pairs" -> "banding volume linear in docs",
@@ -84,7 +99,7 @@ object ScaleSmoke {
       "sm06_fluency_buckets" -> "bigram-LM aggs linear; one tercile window of longs",
       "dd20_soft_weights" -> "CC + one count window: (id, label) longs only",
       "cu08_cluster_split" -> "CC + scan-local split hash: no new exchange",
-      "dd21_containment" -> "capped candidates; verify ships (doc_id, sng) longs — see caveat on the 1x broadcast baseline",
+      "dd21_containment" -> "capped candidates; verify ships (doc_id, sng) longs (broadcast forced OFF on both legs, so the ratio is linear-vs-linear)",
       "dd23_passage_neardup" -> "passage banding stays bucket-capped under cross-copy shared boilerplate (the augmented passage is copy-invariant by construction — a deliberate flood)",
       "cu13_dataset_card" -> "one scan + one map-side global agg: output is 8 rows at ANY corpus size",
       "dd16_cluster_stats" -> "CC family: size histogram rides (id, label) longs; rounds stay flat (see CC section)",
@@ -93,7 +108,9 @@ object ScaleSmoke {
       "dd26_saved_labels_audit" -> "pays the one-time cluster+write at Nx; the audit-alone scan is label-table-sized (cluster-once subsection below)",
       "dd27_incremental_labels" -> "batch grows ~Nx while corpus stays copy-0: wall flat, shuffle stays bucket-rollup-sized (the corpus label table broadcasts; batch text never shuffles)",
       "an21_cms_merge" -> "two shard grids + cell-wise merge: exchanges stay ≤ 2·d·w cells regardless of corpus",
-      "an22_sample_quantiles" -> "the (source, value, hash) frame scales linearly; samples stay k rows/source, so estimate work is corpus-size-free")
+      "an22_sample_quantiles" -> "the (source, value, hash) frame scales linearly; samples stay k rows/source, so estimate work is corpus-size-free",
+      "an23_quantile_merge" -> "each side cuts to ≤ k rows/source BEFORE the merge: the merge exchange is ≤ 2k rows/source at any corpus size",
+      "st15_window_quantiles" -> "same windows, Nx events each: the (window, value, hash) frame scales linearly; the sample cut stays ≤ k rows/window")
     val byName = graft.SparkEntry.all.map(q => q.name -> q).toMap
     def fmt(b: Long): String =
       if (b >= (1L << 20)) f"${b / 1048576.0}%.1f MiB"
@@ -103,22 +120,41 @@ object ScaleSmoke {
     // star-round count when the query drove connectedComponents, else -1
     def run(name: String, d: String): (Long, Long, Double, Long, Int) = {
       val q = byName(name)
-      val l = new StageMetricsListener
-      graft.functions.Dedup.lastCcRounds = -1
-      val t0 = System.nanoTime()
-      var rows = 0L
-      l.collect(spark) { rows = q.fn(spark, d).count() }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.sharedState.cacheManager.clearCache()
-      (l.shuffleWriteBytes, l.spillBytes, dt, rows,
-        graft.functions.Dedup.lastCcRounds)
+      // dd21: at 1x the exploded shingle-hash frame fits the broadcast
+      // threshold, hiding the verify join's true volume from TaskMetrics
+      // — r9 published a 579x broadcast-vs-shuffle artifact with a
+      // caveat paragraph. Force the exchange on BOTH legs (the
+      // PlanQualitySpec q_bucket_join pattern) so the row measures
+      // linear-vs-linear.
+      val forceShuffle = name == "dd21_containment"
+      val prevBjt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      if (forceShuffle) {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      }
+      try {
+        val l = new StageMetricsListener
+        graft.functions.Dedup.lastCcRounds = -1
+        val t0 = System.nanoTime()
+        var rows = 0L
+        l.collect(spark) { rows = q.fn(spark, d).count() }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        (l.shuffleWriteBytes, l.spillBytes, dt, rows,
+          graft.functions.Dedup.lastCcRounds)
+      } finally if (forceShuffle) {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBjt)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
     }
 
     val sb = new StringBuilder
     sb ++= s"\n## Derived ${copies}x fixture (sf0.1 replicated, copy-rotated text, sign-flipped embeddings)\n\n"
-    sb ++= s"${copies}× the documents/embeddings of sf0.1 with per-copy\n"
-    sb ++= "character-rotated text and per-(copy, dim) sign-flipped embeddings — organic near-dup\n"
-    sb ++= "structure preserved per copy, no cross-copy floods. Linear plans\n"
+    sb ++= s"${copies}× the documents/embeddings/events of sf0.1 with per-copy\n"
+    sb ++= "character-rotated text, per-(copy, dim) sign-flipped embeddings, and\n"
+    sb ++= "id-offset events on the SAME timestamps (same windows, copies× the\n"
+    sb ++= "events each) — organic near-dup structure preserved per copy, no\n"
+    sb ++= "cross-copy floods. Linear plans\n"
     sb ++= s"must scale shuffle ≈ ${copies}× with zero spill.\n\n"
     sb ++= "| query | rows 1x/" + copies + "x | shuffle 1x | shuffle " + copies +
       "x | ratio | spill | wall " + copies + "x | claim |\n"
@@ -201,12 +237,9 @@ object ScaleSmoke {
     sb ++= "volume with zero spill, which is the linearity claim. tx12/dd04's few-%\n"
     sb ++= "row deviations are cross-copy k-gram collisions of the rotated tiny\n"
     sb ++= "vocabulary (tx12 +) and merged buckets crossing the 64 cap (dd04 −).\n"
-    sb ++= "dd21's large shuffle RATIO is a broadcast→shuffle transition, not\n"
-    sb ++= "superlinear growth: at 1x the exploded shingle-hash frame fits the\n"
-    sb ++= "broadcast threshold so the verify join's true volume is hidden from\n"
-    sb ++= "TaskMetrics; at 10x it ships as a real exchange of (doc_id, sng)\n"
-    sb ++= "longs — LINEAR in corpus size (~65 B/shingle here), zero spill, the\n"
-    sb ++= "same documented dd06-family cost every pair-verify stage pays.\n"
+    sb ++= "dd21 runs with broadcast joins forced off on BOTH legs, so its ratio\n"
+    sb ++= "is a true linear-vs-linear exchange measurement (r9's 579× row was a\n"
+    sb ++= "broadcast-vs-shuffle artifact of the 1x leg fitting the threshold).\n"
 
     val scalePath = java.nio.file.Paths.get("SCALE.md")
     val existing = if (java.nio.file.Files.exists(scalePath))
