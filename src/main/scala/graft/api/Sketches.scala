@@ -126,11 +126,16 @@ object Sketches {
         s"${P.hash60(s"concat('qs|', cast($id as string))")} as h"),
       k)
 
-  /** Fold two sample states: union → re-cut to the k hash-smallest.
-    * Lossless for every quantile estimate (an23 gates it row-by-row).
+  /** Fold two sample states: union → distinct → re-cut to the k
+    * hash-smallest. Lossless for every quantile estimate (an23 gates it
+    * row-by-row). The distinct makes the merge IDEMPOTENT like
+    * [[kmvMerge]] — a row's hash identifies its doc, so overlapping or
+    * re-delivered states collapse instead of double-counting (the
+    * SketchesSpec tree-reduction law caught the original non-distinct
+    * version shifting estimates on self-merge).
     */
   def quantileSampleMerge(a: DataFrame, b: DataFrame, k: Int = 16): DataFrame =
-    cutK(a.unionByName(b), k)
+    cutK(a.unionByName(b).distinct(), k)
 
   /** p50/p90 estimates from a sample state by the gated positional rule:
     * value at rank (k+1) div 2 / (9k+9) div 10 of the sample sorted by

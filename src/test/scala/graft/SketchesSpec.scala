@@ -111,6 +111,48 @@ class SketchesSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("merges are tree-reduction safe: associative, and idempotent where claimed") {
+    // A 1000-executor fold is a TREE of merges in arbitrary shape — the
+    // two-shard gates (an19/an21/an23) prove one shape; this pins that
+    // 3-way shards folded left or right both equal the from-scratch
+    // build, and that re-merging a state with itself is a no-op for the
+    // set-semantics sketches (KMV, k-min sample). CMS is additive by
+    // design — NOT idempotent — so only associativity is asserted there.
+    def kmvEst(df: DataFrame) = Sketches.kmvEstimate(df)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val shards = Seq("doc_id % 3 = 0", "doc_id % 3 = 1", "doc_id % 3 = 2")
+    val ks = shards.map(f => Sketches.kmvBuild(tokens(f), "source", "w"))
+    val kFull = kmvEst(Sketches.kmvBuild(tokens(), "source", "w"))
+    assert(kmvEst(Sketches.kmvMerge(Sketches.kmvMerge(ks(0), ks(1)), ks(2))) == kFull)
+    assert(kmvEst(Sketches.kmvMerge(ks(0), Sketches.kmvMerge(ks(1), ks(2)))) == kFull)
+    val kOnce = Sketches.kmvBuild(tokens(), "source", "w")
+    assert(kmvEst(Sketches.kmvMerge(kOnce, kOnce)) == kFull)
+
+    def qsEst(df: DataFrame) = Sketches.quantileSampleEstimate(df)
+      .collect().map(r => (r.getString(0), (r.getLong(2), r.getLong(3)))).toMap
+    val docs = Tables.documents(spark, sf)
+    val qs = shards.map(f => Sketches.quantileSampleBuild(
+      docs.filter(f), "source", "n_chars", "doc_id"))
+    val qFull = qsEst(Sketches.quantileSampleBuild(docs, "source", "n_chars", "doc_id"))
+    assert(qsEst(Sketches.quantileSampleMerge(
+      Sketches.quantileSampleMerge(qs(0), qs(1)), qs(2))) == qFull)
+    assert(qsEst(Sketches.quantileSampleMerge(
+      qs(0), Sketches.quantileSampleMerge(qs(1), qs(2)))) == qFull)
+    val qOnce = Sketches.quantileSampleBuild(docs, "source", "n_chars", "doc_id")
+    assert(qsEst(Sketches.quantileSampleMerge(qOnce, qOnce)) == qFull)
+
+    val probes = Sketches.cmsEstimate(Sketches.cmsBuild(tokens(), "w"),
+        tokens().select("w").distinct().limit(20), "w")
+      .select("item").collect().map(_.getString(0)).toSeq.toDF("item")
+    def cmsEst(g: DataFrame) = Sketches.cmsEstimate(g, probes, "item")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val gs = shards.map(f => Sketches.cmsBuild(tokens(f), "w"))
+    val gFull = cmsEst(Sketches.cmsBuild(tokens(), "w"))
+    assert(cmsEst(Sketches.cmsMerge(Sketches.cmsMerge(gs(0), gs(1)), gs(2))) == gFull)
+    assert(cmsEst(Sketches.cmsMerge(gs(0), Sketches.cmsMerge(gs(1), gs(2)))) == gFull)
+    spark.catalog.clearCache()
+  }
+
   test("sketch states are small: k rows per key / d*w cells, longs only") {
     val docs = Tables.documents(spark, sf)
     val kmv = Sketches.kmvBuild(tokens(), "source", "w", k = 8)
