@@ -422,6 +422,40 @@ object HeadlineQueries {
           sum(length(col("props"))).cast("long").as("props_chars"))
     },
 
+    // ORC sink → source round-trip — the OTHER mainstream columnar
+    // format (Hive-lineage warehouses hand data over as ORC the way
+    // crawls hand over JSONL): events written with Spark's native ORC
+    // writer, read back, aggregated, and gated against the same
+    // direct-parquet oracle as the CSV/JSONL round-trips, so the gate
+    // pins that doubles/longs/strings survive the binary round-trip
+    // bit-exactly. Unlike those text formats, ORC is a real columnar
+    // peer: it carries column pruning and predicate pushdown (min/max
+    // stripe stats), so at scale it's an acceptable LANDING format, not
+    // just an edge format — the conversion-at-the-boundary rule the CSV
+    // comment states applies to text, not to this. Timestamps still
+    // ride as int64 micros: ORC's own timestamp encoding is
+    // writer-timezone-entangled, and the sibling queries' convention
+    // (ints dodge format drift entirely) is the portable choice.
+    Q(
+      "q_orc_roundtrip",
+      s"""SELECT event_type, count(*) AS n,
+         |  ${P.duckDsum("value")} AS v,
+         |  CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+         |  CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+         |  CAST(SUM(length(props)) AS BIGINT) AS props_chars
+         |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d).selectExpr("event_id", "user_id", "event_type",
+        "value", "unix_micros(ts) as ts_us", "props")
+      val path = Scratch.dir("graft-orc-events")
+      ev.write.mode("overwrite").orc(path)
+      s.read.schema(ev.schema).orc(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), expr(P.dsum("value")).as("v"),
+          min("ts_us").cast("long").as("first_us"),
+          max("ts_us").cast("long").as("last_us"),
+          sum(length(col("props"))).cast("long").as("props_chars"))
+    },
+
     // CUBE aggregation with GROUPING() disambiguation (rollup's sibling;
     // grouping flags distinguish "NULL value" from "subtotal row").
     Q(

@@ -162,4 +162,25 @@ class PlanQualitySpec extends AnyFunSuite {
       "partition filter did not reach the scan:\n" +
         df.queryExecution.executedPlan.toString)
   }
+
+  test("ORC scans carry predicate pushdown and column pruning " +
+    "(q_orc_roundtrip's landing-format claim)") {
+    // The round-trip query itself is gate-pinned; this pins the reason
+    // ORC is a LANDING format where CSV/JSONL are edge formats: a
+    // filtered projection over the staged ORC must reach the scan as
+    // PushedFilters + a pruned ReadSchema, like op01's parquet scan.
+    val ev = graft.Tables.events(spark, sf).selectExpr(
+      "event_id", "user_id", "event_type", "value",
+      "unix_micros(ts) as ts_us", "props")
+    val path = graft.operators.Scratch.dir("graft-orc-pushdown-spec")
+    ev.write.mode("overwrite").orc(path)
+    val plan = spark.read.schema(ev.schema).orc(path)
+      .filter(org.apache.spark.sql.functions.col("value") > 100.0)
+      .select("event_id", "value")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(value), GreaterThan(value,100.0)]"),
+      s"ORC scan lost the predicate:\n$plan")
+    assert(plan.contains("ReadSchema: struct<event_id:bigint,value:double>"),
+      s"ORC scan read more columns than the projection needs:\n$plan")
+  }
 }
