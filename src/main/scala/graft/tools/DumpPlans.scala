@@ -96,7 +96,10 @@ object DumpPlans {
     // round-8 additions: CMS frequency sketch, JSONL round-trip
     "an20_cms_frequency", "q_jsonl_roundtrip",
     // round-9: gated CMS merge law + mergeable quantile sketch pair
-    "an21_cms_merge", "an22_sample_quantiles", "an23_quantile_merge")
+    "an21_cms_merge", "an22_sample_quantiles", "an23_quantile_merge",
+    // round-10: ORC round-trip (columnar landing format), windowed
+    // quantile sample (st15 — the streaming twin's batch rendering)
+    "q_orc_roundtrip", "st15_window_quantiles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
