@@ -192,6 +192,28 @@ object Similarity {
       .withColumnRenamed("cluster_id", "keep_id")
   }
 
+  /** Cluster-scoped SemDeDup: assign each vector to its nearest
+    * centroid cell (cosine, ties toward the smaller cell id) and
+    * greedily keep the lowest-id vector of every within-cell pair
+    * whose cosine clears `tau`. Returns one ledger row per vector:
+    * (vec_id, cell, keep_flag, keeper) — `keeper` is the smallest
+    * dominating id, NULL on survivors. `cent` is a (cell, ce) codebook,
+    * e.g. `kmeans` output centroids or any trained table; pass more
+    * cells as the corpus grows (cells stay constant-size, so the
+    * within-cell pair stage stays linear in N). `semanticDedup` is the
+    * transitive-CC alternative when full near-dup clusters are wanted
+    * rather than greedy per-cell thinning. The gated ss25 query calls
+    * the same plan, so API and oracle can't diverge.
+    */
+  def semDedupCells(corpus: DataFrame, cent: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      tau: Double = 0.3): DataFrame = {
+    CosineSimilarity.register(corpus.sparkSession)
+    graft.operators.SimilarityOps.semDedupCells(
+      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+      cent, tau)
+  }
+
   /** Lloyd's k-means over an embedding column — the clustering behind
     * semantic-dedup sharding, IVF codebook training, and topic-balanced
     * sampling. Deterministic end-to-end: seeds are the `k` lowest-id

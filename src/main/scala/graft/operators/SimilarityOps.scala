@@ -414,6 +414,60 @@ object SimilarityOps {
       .select("a_id", "b_id")
   }
 
+  /** Cluster-scoped SemDeDup ledger shared by the gated ss25 query and
+    * `Similarity.semDedupCells` (the API delegates HERE so the two
+    * can't diverge): assign every vector to its nearest centroid cell
+    * (cosine, ties toward the smaller cell id — ivfSearch's rn=1
+    * assignment), then inside each cell greedily keep the LOWEST
+    * vec_id of every ε-similar pair. A vector is dropped iff some
+    * lower-id vector in ITS cell clears `tau`; `keeper` records the
+    * smallest such dominator (NULL on kept rows). This is the
+    * paper-style cluster-scoped variant (SemDeDup: k-means cells +
+    * within-cell ε-pruning) — dd14 is the transitive CC flavor over a
+    * blocked global pair graph; the two answer different curation
+    * questions (greedy per-cell thinning vs full near-dup clustering).
+    * Callers must have run `CosineSimilarity.register`.
+    *
+    * Scale notes (100 TB): the codebook broadcasts (k rows); cell
+    * assignment is one scored pass (the audited ivfSearch shape); the
+    * within-cell self-join is quadratic PER CELL, which is exactly the
+    * SemDeDup contract — k grows with N so cells stay constant-size
+    * and the pair stage stays linear in the corpus (the 10× smoke row
+    * scales cells with rows and measures ~1× per-cell work). A flooded
+    * cell degrades like dd08's oversized bucket: pre-split hot cells
+    * (raise k / re-run lloydKMeans on the hot cell) before the join.
+    * The persisted assignment is N slim rows (id, cell, vector),
+    * consumed by both pair sides and the output spine; released by
+    * caller clearCache (CacheHygieneSpec convention).
+    */
+  private[graft] def semDedupCells(e: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame,
+      tau: Double): org.apache.spark.sql.DataFrame = {
+    val assign = e
+      .crossJoin(broadcast(cent))
+      .selectExpr("vec_id", "embedding", "cell",
+        s"row_number() over (partition by vec_id order by " +
+          s"${sparkCos("embedding", "ce")} desc, cell) as rn")
+      .filter(col("rn") === 1)
+      .select("vec_id", "cell", "embedding")
+      .persist()
+    val a = assign.select(
+      col("vec_id").as("a_id"), col("cell"), col("embedding").as("ea"))
+    val b = assign.select(
+      col("vec_id").as("b_id"), col("cell"), col("embedding").as("eb"))
+    val dom = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(expr(s"${sparkCos("ea", "eb")} > $tau"))
+      .groupBy("b_id")
+      .agg(min("a_id").as("keeper"))
+      .withColumnRenamed("b_id", "vec_id")
+    assign.select("vec_id", "cell")
+      .join(dom, Seq("vec_id"), "left")
+      .selectExpr("vec_id", "cell",
+        "cast(case when keeper is null then 1 else 0 end as int) as keep_flag",
+        "keeper")
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Brute-force cosine top-5 neighbors for query vectors vec_id < 5.
@@ -1934,6 +1988,41 @@ object SimilarityOps {
           expr("cast(case when min(case when nl = ql then rnk end) is null then 0 " +
             "else 1000000 div min(case when nl = ql then rnk end) end as bigint)")
             .as("mrr_x1e6"))
+    },
+
+    // Cluster-scoped SemDeDup: trained-centroid cells (ss11's codebook)
+    // + within-cell greedy ε-pruning at τ=0.3 (ss03's near-dup
+    // threshold). One ledger row per vector: its cell, whether it
+    // survives, and the lowest-id dominator that killed it. dd14 is the
+    // transitive-CC flavor; this is the SemDeDup-paper shape a curation
+    // run uses to thin semantically redundant regions cell-by-cell.
+    // Semantics + scale contract live on `semDedupCells` above.
+    Q(
+      "ss25_semdedup_cells",
+      s"""WITH cent AS (
+         |  SELECT label AS cell,
+         |    ${(1 to dim).map(duckCentDim).mkString("[", ", ", "]")} AS ce
+         |  FROM embeddings GROUP BY label),
+         |  scored AS (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.embedding", "c.ce")} DESC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN cent c),
+         |  assign AS (SELECT vec_id, embedding, cell FROM scored WHERE rn = 1),
+         |  dom AS (
+         |    SELECT b.vec_id AS vec_id, min(a.vec_id) AS keeper
+         |    FROM assign a JOIN assign b
+         |      ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |    WHERE ${duckCos("a.embedding", "b.embedding")} > 0.3
+         |    GROUP BY b.vec_id)
+         |SELECT s.vec_id, s.cell,
+         |  CASE WHEN d.keeper IS NULL THEN 1 ELSE 0 END AS keep_flag,
+         |  d.keeper
+         |FROM assign s LEFT JOIN dom d ON d.vec_id = s.vec_id""".stripMargin) {
+      (s, d) =>
+        graft.functions.CosineSimilarity.register(s)
+        val e = T.embeddings(s, d).select("vec_id", "label", "embedding")
+        semDedupCells(e, trainedCentroids(e), tau = 0.3)
     }
   )
 

@@ -62,12 +62,17 @@ object ScaleSmoke {
     // copies of the same vector stayed correlated — 5× extra pairs.
     // Sign flips are the orthogonal transform with no autocorrelation
     // escape hatch.)
+    // labels offset per copy: the Nx corpus carries Nx CELLS of the
+    // original size — the SemDeDup k∝N contract ss25's linearity claim
+    // rests on (a fixed cell count at Nx rows would be the flood case,
+    // not the contract; no other smoke query reads labels — ss10 is
+    // SRP-keyed, an22/st15 ride documents/events)
     val bigEmbs = (0 until copies).map { c =>
       embs.select(
         (col("vec_id") + lit(c.toLong * 10000000L)).as("vec_id"),
         expr(s"transform(embedding, (x, i) -> " +
           s"float(x * (1 - 2 * pmod(xxhash64($c, i), 2))))").as("embedding"),
-        col("label"))
+        (col("label") + lit(c * 10)).as("label"))
     }.reduce(_ unionAll _)
     bigEmbs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
@@ -110,7 +115,8 @@ object ScaleSmoke {
       "an21_cms_merge" -> "two shard grids + cell-wise merge: exchanges stay ≤ 2·d·w cells regardless of corpus",
       "an22_sample_quantiles" -> "the (source, value, hash) frame scales linearly; samples stay k rows/source, so estimate work is corpus-size-free",
       "an23_quantile_merge" -> "each side cuts to ≤ k rows/source BEFORE the merge: the merge exchange is ≤ 2k rows/source at any corpus size",
-      "st15_window_quantiles" -> "same windows, Nx events each: the (window, value, hash) frame scales linearly; the sample cut stays ≤ k rows/window")
+      "st15_window_quantiles" -> "same windows, Nx events each: the (window, value, hash) frame scales linearly; the sample cut stays ≤ k rows/window",
+      "ss25_semdedup_cells" -> "SemDeDup k∝N contract: per-copy labels give Nx CELLS of constant size, so within-cell pair work and shuffle stay ≈ Nx, never quadratic")
     val byName = graft.SparkEntry.all.map(q => q.name -> q).toMap
     def fmt(b: Long): String =
       if (b >= (1L << 20)) f"${b / 1048576.0}%.1f MiB"

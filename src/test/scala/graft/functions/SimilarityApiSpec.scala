@@ -53,6 +53,37 @@ class SimilarityApiSpec extends AnyFunSuite {
     assert(msgs(ex).contains("expected 64-dim vectors"))
   }
 
+  test("semDedupCells equals gated ss25 and encodes the greedy within-cell rule") {
+    val e = graft.Tables.embeddings(spark, sf).select("vec_id", "label", "embedding")
+    val cent = graft.operators.SimilarityOps.trainedCentroids(e)
+    val api = Similarity.semDedupCells(e, cent).collect()
+    val gated = graft.SparkEntry.queries("ss25_semdedup_cells")(spark, sf).collect()
+    assert(sorted(api) == sorted(gated),
+      s"API ${api.length} rows vs gated ${gated.length}")
+    val dropped = api.filter(_.getInt(2) == 0)
+    val kept = api.filter(_.getInt(2) == 1)
+    assert(dropped.nonEmpty, "fixture must exercise the drop arm")
+    assert(kept.nonEmpty, "fixture must exercise the keep arm")
+    // Independent recount of the greedy rule over the ledger's own cell
+    // assignment: dropped == exactly the ids dominated by a lower-id
+    // within-cell neighbor above the threshold.
+    import spark.implicits._
+    val ledger = api.map(r => (r.getLong(0), r.getInt(1))).toSeq
+      .toDF("vec_id", "cell")
+    val withVec = ledger.join(e.select("vec_id", "embedding"), "vec_id")
+    val domIds = withVec.toDF("a_id", "cell", "ea")
+      .join(withVec.toDF("b_id", "cell", "eb"), "cell")
+      .filter(col("a_id") < col("b_id"))
+      .filter(expr("cosine_similarity(ea, eb) > 0.3"))
+      .select("b_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(dropped.map(_.getLong(0)).toSet == domIds)
+    // every dropped row's keeper is a lower id assigned to the same cell
+    val cellOf = api.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(dropped.forall(r =>
+      r.getLong(3) < r.getLong(0) && cellOf(r.getLong(3)) == r.getInt(1)))
+    spark.catalog.clearCache()
+  }
+
   test("semanticDedup over srpNearDup pairs merges every SRP pair") {
     // the no-blocking-key scale path: SRP candidates -> CC -> keep set.
     // Different pair generator than gated dd14, so compare invariants,
