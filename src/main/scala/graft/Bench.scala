@@ -103,21 +103,33 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
 
     // The flagship's cross-run reference, same contract as priorMin: the
-    // committed bench_out.json's pipeline_elements_per_sec is a same-sf
-    // steady-state rate. r10 published 271k el/s against r9's 519k with
-    // no flag — uniform whole-run contention is invisible to a
-    // median-of-3, so the flagship needs the same heal the query rows
-    // got. Any parse mismatch degrades to 0.0 (= no reference).
+    // committed bench_out.json carries a steady-state rate for this sf.
+    // r10 published 271k el/s against r9's 519k with no flag — uniform
+    // whole-run contention is invisible to a median-of-3, so the flagship
+    // needs the same heal the query rows got. The reference field is
+    // `flagship_ref` (updated only UPWARD — see below; a contended round
+    // must not reset the anchor to its own deflated rate), with
+    // `pipeline_elements_per_sec` as the fallback for pre-r12 files.
+    // Any parse mismatch degrades to 0.0 (= no reference). The number
+    // parser accepts scientific notation: Doubles >= 1e7 render as
+    // "1.9E7", which a digits-and-dot takeWhile would silently read
+    // as 1.9.
     val priorFlagship: Double = try {
       val p = java.nio.file.Paths.get("bench_out.json")
       if (!java.nio.file.Files.exists(p)) 0.0
       else {
         val txt = java.nio.file.Files.readString(p)
+        def field(name: String): Double =
+          txt.split("\"" + name + "\":", 2) match {
+            case Array(_, rest) => scala.util.Try(
+              rest.takeWhile(c => c.isDigit || c == '.' || c == 'E' ||
+                c == 'e' || c == '+' || c == '-').toDouble).getOrElse(0.0)
+            case _ => 0.0
+          }
         if (!txt.contains("\"sf\":\"" + sfDir + "\"")) 0.0
-        else txt.split("\"pipeline_elements_per_sec\":", 2) match {
-          case Array(_, rest) => scala.util.Try(
-            rest.takeWhile(c => c.isDigit || c == '.').toDouble).getOrElse(0.0)
-          case _ => 0.0
+        else {
+          val ref = field("flagship_ref")
+          if (ref > 0) ref else field("pipeline_elements_per_sec")
         }
       }
     } catch { case _: Throwable => 0.0 }
@@ -152,7 +164,7 @@ object Bench {
         // settle reps; a gap that still doesn't close sets the
         // flagship_inflated flag so the published rate is readable as
         // "contended run, re-measure isolated" instead of a regression.
-        def best3Med = median(samples.sorted.takeRight(3))
+        def best3Med = median(samples.sorted.takeRight(3).toSeq)
         var settle = 0
         while (priorFlagship > 0 && settle < 3 && best3Med * 1.5 < priorFlagship) {
           samples += rep(); settle += 1
@@ -251,6 +263,18 @@ object Bench {
       r.ok && r.min >= 0.1 && r.med / r.min > 1.5
     }
     val noisy = noisyCount >= 5
+    // Rates are written in plain decimal (never scientific notation) so
+    // next round's string-splitting parser reads them back verbatim.
+    def plain(v: Double): String = new java.math.BigDecimal(v).toPlainString
+    // Update rule (ADVICE r11): the committed reference moves only UPWARD
+    // — max(prior ref, this run's healed rate). A contended round that
+    // publishes a deflated pipeline_elements_per_sec therefore cannot
+    // lower the bar the next round's heal compares against; only a
+    // genuinely faster clean run raises it. A real lasting regression
+    // keeps flagship_inflated latched until a human re-baselines by
+    // deleting/editing bench_out.json — that is the intended behavior
+    // (a silent reset is exactly the r9→r10 failure mode).
+    val flagshipRef = math.max(priorFlagship, flagshipRate)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""queries_median":$qsMed,"failed":$failed,""" +
@@ -259,7 +283,8 @@ object Bench {
         s""""prior_ref_queries":${priorMin.size},""" +
         s""""flagship_failed":$flagshipFailed,""" +
         s""""flagship_inflated":$flagshipInflated,""" +
-        s""""pipeline_elements_per_sec":$flagshipRate,"sf":"$sfDir"}"""
+        s""""flagship_ref":${plain(flagshipRef)},""" +
+        s""""pipeline_elements_per_sec":${plain(flagshipRate)},"sf":"$sfDir"}"""
     // subset dev runs must not overwrite the committed full-surface
     // reference the cross-run heal reads next round
     val outName = if (only.isDefined) "bench_out_subset.json" else "bench_out.json"
@@ -282,7 +307,7 @@ object Bench {
         s""""inflated":$inflatedList,""" +
         s""""flagship_failed":$flagshipFailed,""" +
         s""""flagship_inflated":$flagshipInflated,""" +
-        s""""pipeline_elements_per_sec":$flagshipRate,"sf":"$sfDir"}"""
+        s""""pipeline_elements_per_sec":${plain(flagshipRate)},"sf":"$sfDir"}"""
     }
     var shown = headline ++ others
     while (shown.size > headline.size && compactLine(shown).length > 1400)
