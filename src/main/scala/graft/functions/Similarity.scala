@@ -198,12 +198,23 @@ object Similarity {
     * whose cosine clears `tau`. Returns one ledger row per vector:
     * (vec_id, cell, keep_flag, keeper) — `keeper` is the smallest
     * dominating id, NULL on survivors. `cent` is a (cell, ce) codebook,
-    * e.g. `kmeans` output centroids or any trained table; pass more
-    * cells as the corpus grows (cells stay constant-size, so the
-    * within-cell pair stage stays linear in N). `semanticDedup` is the
-    * transitive-CC alternative when full near-dup clusters are wanted
-    * rather than greedy per-cell thinning. The gated ss25 query calls
-    * the same plan, so API and oracle can't diverge.
+    * e.g. `kmeans` output centroids or any trained table.
+    * `semanticDedup` is the transitive-CC alternative when full
+    * near-dup clusters are wanted rather than greedy per-cell thinning.
+    * The gated ss25 query calls the same plan, so API and oracle can't
+    * diverge.
+    *
+    * ==k-growth rule (scale contract)==
+    * The within-cell pair stage is quadratic PER CELL, so total work is
+    * linear in the corpus only while cells stay constant-size: grow the
+    * codebook as `k ≈ N / targetCellSize` (SemDeDup trains k-means at
+    * corpus scale for exactly this reason) — a fixed k at growing N
+    * degrades quadratically. A skewed corpus can flood one cell even at
+    * the right k; the call measures cell geometry up front
+    * (`SimilarityOps.lastCellStats`) and warns on stderr when any cell
+    * exceeds 4× the mean (`lastHotCellFlagged`) — on that signal,
+    * re-run `kmeans` restricted to the hot cell's members and splice
+    * the sub-cells into the codebook before re-calling.
     */
   def semDedupCells(corpus: DataFrame, cent: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -212,6 +223,92 @@ object Similarity {
     graft.operators.SimilarityOps.semDedupCells(
       corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
       cent, tau)
+  }
+
+  /** `semDedupCells` with the hot-cell remedy applied automatically:
+    * cells past `targetCellSize` are re-clustered over their own
+    * members (⌈n/target⌉ sub-cells, deterministic lowest-id seeds) and
+    * the sub-cells spliced into the codebook, up to `maxRounds` times,
+    * BEFORE the quadratic within-cell pair stage runs — so a skewed
+    * corpus at a too-small k degrades into extra linear passes instead
+    * of a quadratic cell. `cell` in the output ledger is BIGINT; ids
+    * above the input codebook's max denote synthetic sub-cells. On a
+    * corpus with no hot cells the ledger is identical to
+    * `semDedupCells`. An unsplittable flood (identical vectors) leaves
+    * `SimilarityOps.lastHotCellFlagged` set after `maxRounds`.
+    * Spec-gated (SimilarityApiSpec): the adaptive scope change has no
+    * closed-form SQL oracle; its invariants — equivalence on balanced
+    * corpora, post-split geometry, per-cell greedy recount — are pinned
+    * there instead.
+    */
+  def semDedupCellsAdaptive(corpus: DataFrame, cent: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      tau: Double = 0.3, targetCellSize: Long = 1 << 14,
+      maxRounds: Int = 4): DataFrame = {
+    CosineSimilarity.register(corpus.sparkSession)
+    graft.operators.SimilarityOps.semDedupCellsAdaptive(
+      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+      cent, tau, targetCellSize, maxRounds)
+  }
+
+  /** Incremental SemDeDup ingest: admit `batch` against an
+    * already-deduplicated corpus without ever rescanning it. `kept` is
+    * the corpus's SURVIVING representatives with their cells — the
+    * saved `semDedupCells` ledger (keep_flag = 1 rows) joined back to
+    * its vectors. A batch vector is dropped iff a kept rep in its cell
+    * clears `tau`, or a lower-id batch vector in its cell does;
+    * dropped corpus rows never dominate (they no longer exist — the
+    * dd15 incremental contract). Returns the batch's ledger
+    * (vec_id, cell, keep_flag, keeper). Train `cent` on the corpus
+    * only: the batch must not move the cells it is judged against.
+    * Daily-ingest cost is proportional to the BATCH, not the corpus.
+    * The gated ss26 query calls the same plan, so API and oracle can't
+    * diverge.
+    */
+  def semDedupIncrement(kept: DataFrame, batch: DataFrame, cent: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cellCol: String = "cell", tau: Double = 0.3): DataFrame = {
+    CosineSimilarity.register(batch.sparkSession)
+    graft.operators.SimilarityOps.semDedupIncrement(
+      kept.select(col(idCol).as("vec_id"), col(cellCol).as("cell"),
+        col(vecCol).as("embedding")),
+      batch.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+      cent, tau)
+  }
+
+  /** SemDeDup τ tuning curve (the paper's ε knob): per threshold in
+    * `tauPcts` (integer percents), how many vectors a `semDedupCells`
+    * run at that τ would keep and drop. All thresholds share ONE
+    * assignment and ONE within-cell pair pass — sweeping the knob costs
+    * one threshold's pair work plus a |τ|-row rollup, so tuning τ on a
+    * 100 TB corpus is one extra pass, not |τ| dedup runs. Returns
+    * (tau_pct, dropped, kept). The gated ss27 query calls the same
+    * plan, so API and oracle can't diverge.
+    */
+  def semDedupTauSweep(corpus: DataFrame, cent: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      tauPcts: Seq[Int] = Seq(20, 30, 50, 70, 90)): DataFrame = {
+    CosineSimilarity.register(corpus.sparkSession)
+    graft.operators.SimilarityOps.semDedupTauSweep(
+      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+      cent, tauPcts)
+  }
+
+  /** Cell-geometry pre-flight for `semDedupCells`: per occupied cell of
+    * the nearest-centroid assignment, (cell, n, hot) where `hot` is the
+    * hot-cell guard's rule (n past the floor AND past skewFactor × the
+    * codebook-mean cell size, integer-exact). Run this BEFORE paying
+    * the quadratic pair stage on an unknown corpus — one broadcast-
+    * scored pass and a k-row rollup; a hot row means raise k or call
+    * `semDedupCellsAdaptive`. The gated ss28 query calls the same plan,
+    * so API and oracle can't diverge.
+    */
+  def cellGeometry(corpus: DataFrame, cent: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    CosineSimilarity.register(corpus.sparkSession)
+    graft.operators.SimilarityOps.cellGeometry(
+      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+      cent)
   }
 
   /** Lloyd's k-means over an embedding column — the clustering behind

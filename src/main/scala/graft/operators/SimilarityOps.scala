@@ -20,6 +20,27 @@ object SimilarityOps {
 
   private val dim = 64
 
+  /** Hot-cell telemetry from the last `semDedupCells` call on this JVM
+    * (the `Dedup.lastCcRounds` convention): `(cells, maxCell, meanCell)`
+    * of the cell assignment, and whether any cell tripped the skew
+    * guard. ScaleSmoke publishes these next to the ss25 10× row so the
+    * k∝N contract is measured, not asserted.
+    */
+  @volatile private[graft] var lastCellStats: Option[(Long, Long, Double)] = None
+  @volatile private[graft] var lastHotCellFlagged: Boolean = false
+  /** A cell bigger than this × the mean cell size is "hot": its share of
+    * the quadratic within-cell pair work dominates the stage. 4× mean is
+    * well past k-means' organic imbalance but far below the flood shapes
+    * (one dominant semantic cluster) that actually hurt.
+    */
+  private[graft] val hotCellSkewFactor = 4.0
+  /** Skew alone doesn't hurt until cells are big enough for per-cell
+    * quadratic cost to matter — below this many rows even a maximally
+    * skewed cell is < ~32k pairs, so the guard stays quiet instead of
+    * flagging tiny fixtures.
+    */
+  private[graft] val hotCellFloor = 256L
+
   /** Left-fold dot product of two array columns, as double. The native
     * codegen expression (graft.functions.DotProduct) replaces the HOF
     * `aggregate(zip_with(...))` rendering: identical ascending-index
@@ -58,16 +79,17 @@ object SimilarityOps {
     * trainedCentroids' aggregation keyed by an explicit cluster column
     * (see that method's scaladoc for the determinism contract).
     */
-  private[graft] def centroidsOf(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] def centroidsOf(df: org.apache.spark.sql.DataFrame,
+      keys: Seq[String] = Seq("cell")): org.apache.spark.sql.DataFrame = {
     val aggs = count(lit(1)).as("n") +: (1 to dim).map(i => expr(
       s"sum(cast(cast(element_at(embedding, $i) as double) as decimal(28,8)))")
       .as(s"s$i"))
     val ce = (1 to dim)
       .map(i => s"cast(cast(s$i as double) / n as float)")
       .mkString("array(", ", ", ")")
-    df.groupBy("cell")
+    df.groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-      .selectExpr("cell", s"$ce as ce")
+      .selectExpr(keys :+ s"$ce as ce": _*)
   }
 
   /** One SQL literal holding the full codebook: `array(struct(cell,
@@ -434,23 +456,57 @@ object SimilarityOps {
     * SemDeDup contract — k grows with N so cells stay constant-size
     * and the pair stage stays linear in the corpus (the 10× smoke row
     * scales cells with rows and measures ~1× per-cell work). A flooded
-    * cell degrades like dd08's oversized bucket: pre-split hot cells
-    * (raise k / re-run lloydKMeans on the hot cell) before the join.
-    * The persisted assignment is N slim rows (id, cell, vector),
-    * consumed by both pair sides and the output spine; released by
-    * caller clearCache (CacheHygieneSpec convention).
+    * cell degrades like dd08's oversized bucket — and unlike dd04's
+    * bucket cap, a cell cannot be silently skipped (that would skip
+    * DEDUPLICATING it), so the guard below OBSERVES: one
+    * map-side-combined pass over the persisted assignment records the
+    * cell geometry ([[lastCellStats]]) and flags any cell past
+    * [[hotCellSkewFactor]]× the mean (above [[hotCellFloor]] rows) on
+    * stderr + [[lastHotCellFlagged]]. The remedy is the caller's: raise
+    * k, or re-run lloydKMeans on the hot cell to pre-split it before
+    * the join. The persisted assignment is N slim rows (id, cell,
+    * vector), consumed by the guard, both pair sides, and the output
+    * spine; released by caller clearCache (CacheHygieneSpec convention).
     */
   private[graft] def semDedupCells(e: org.apache.spark.sql.DataFrame,
       cent: org.apache.spark.sql.DataFrame,
       tau: Double): org.apache.spark.sql.DataFrame = {
-    val assign = e
-      .crossJoin(broadcast(cent))
+    val assign = semDedupAssign(e, cent).persist()
+    // Hot-cell guard (VERDICT r11 #3). Costs one k-row aggregate over
+    // the assignment the pair stage reads anyway; runs eagerly so the
+    // warning lands BEFORE the caller pays the quadratic pair stage.
+    // The mean divides by the CODEBOOK's k, not the occupied-cell count
+    // — the canonical flood (one dominant cluster absorbs the corpus)
+    // leaves few occupied cells with max ≈ occupied-mean, which would
+    // read as perfectly balanced; against k it reads as the k-violation
+    // it is.
+    recordCellGeometry(assign, cent.count(), "semDedupCells",
+      "raise k or re-cluster the hot cell (semDedupCellsAdaptive does " +
+        "this automatically) before this call")
+    semDedupLedger(assign, tau)
+  }
+
+  /** Nearest-centroid cell assignment shared by the plain and adaptive
+    * SemDeDup variants: one scored pass against the BROADCAST codebook
+    * (cosine, ties toward the smaller cell id). Returns N slim
+    * (vec_id, cell, embedding) rows.
+    */
+  private def semDedupAssign(e: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    e.crossJoin(broadcast(cent))
       .selectExpr("vec_id", "embedding", "cell",
         s"row_number() over (partition by vec_id order by " +
           s"${sparkCos("embedding", "ce")} desc, cell) as rn")
       .filter(col("rn") === 1)
       .select("vec_id", "cell", "embedding")
-      .persist()
+
+  /** The within-cell greedy pair stage over a (vec_id, cell, embedding)
+    * assignment: cell-keyed self-join, keep the LOWEST id of every
+    * τ-similar pair, one ledger row per vector. Callers persist the
+    * assignment (both pair sides and the output spine read it).
+    */
+  private def semDedupLedger(assign: org.apache.spark.sql.DataFrame,
+      tau: Double): org.apache.spark.sql.DataFrame = {
     val a = assign.select(
       col("vec_id").as("a_id"), col("cell"), col("embedding").as("ea"))
     val b = assign.select(
@@ -466,6 +522,134 @@ object SimilarityOps {
       .selectExpr("vec_id", "cell",
         "cast(case when keeper is null then 1 else 0 end as int) as keep_flag",
         "keeper")
+  }
+
+  /** Measure an assignment's cell geometry into [[lastCellStats]] /
+    * [[lastHotCellFlagged]] and warn on stderr when a cell trips the
+    * skew guard. `k` is the codebook cardinality the mean divides by.
+    */
+  private def recordCellGeometry(assign: org.apache.spark.sql.DataFrame,
+      k: Long, who: String, remedy: String): Unit = {
+    val geo = assign.groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)), max("n"), sum("n")).collect()(0)
+    val cells = geo.getLong(0)
+    val (maxCell, meanCell) =
+      if (cells == 0L) (0L, 0.0)
+      else (geo.getLong(1), geo.getLong(2).toDouble / math.max(k, 1L))
+    lastCellStats = Some((cells, maxCell, meanCell))
+    lastHotCellFlagged =
+      maxCell > hotCellFloor && maxCell > hotCellSkewFactor * meanCell
+    if (lastHotCellFlagged) System.err.println(
+      f"[graft] $who hot cell: max=$maxCell rows vs mean=$meanCell%.1f" +
+        f" over $cells cells (skew ${maxCell / meanCell}%.1fx > " +
+        f"$hotCellSkewFactor%.0fx) — within-cell pair work is quadratic in" +
+        s" the hot cell; $remedy")
+  }
+
+  /** [[semDedupCells]] with the hot-cell remedy applied automatically:
+    * any cell past `targetCellSize` rows is re-clustered by a Lloyd
+    * pass restricted to its own members (`⌈n/target⌉` sub-cells, seeds
+    * = the cell's lowest-id members — lloydKMeans' determinism contract
+    * per cell) and the sub-cells spliced into the codebook under fresh
+    * ids; repeated up to `maxRounds` until every cell fits. The greedy
+    * within-cell τ-pruning then runs on the refined assignment.
+    * Output ledger is `(vec_id, cell BIGINT, keep_flag, keeper)` —
+    * cell ids above the input codebook's max are synthetic sub-cells.
+    *
+    * Scale notes (100 TB): every round is corpus-scale DataFrame work —
+    * no per-hot-cell driver loop. The hot set is detected by a k-row
+    * aggregate (top 64 hottest per round, rest caught next round);
+    * sub-seeding is one keyed window over HOT members only; each Lloyd
+    * pass joins hot members to the (cell)-keyed sub-centroid table and
+    * re-aggregates decimal-exact means map-side. Non-hot members are
+    * never touched. An unsplittable flood (identical vectors — no
+    * geometry to separate) exhausts `maxRounds` and leaves
+    * [[lastHotCellFlagged]] set, so the caller still learns the
+    * quadratic cost was paid. Dedup semantics differ from the plain
+    * variant ONLY inside split cells (pairs straddling sub-cells are no
+    * longer compared — the SemDeDup cluster-scoping applied one level
+    * deeper); on a corpus with no hot cells the output is identical
+    * row-for-row (cell ids cast to long).
+    */
+  private[graft] def semDedupCellsAdaptive(e: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame, tau: Double,
+      targetCellSize: Long, maxRounds: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(targetCellSize >= 2, s"targetCellSize must be >= 2, got $targetCellSize")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val spark = e.sparkSession
+    graft.functions.L2DistanceSq.register(spark)
+    var assign = semDedupAssign(
+      e, cent.selectExpr("cast(cell as bigint) as cell", "ce")).persist()
+    assign.count()
+    // synthetic sub-cell ids must clear the CODEBOOK's id space, not
+    // just the occupied cells' — an id reused from an empty codebook
+    // cell would silently merge the sub-cell with it on a later call
+    val cbMax = Option(
+      cent.selectExpr("max(cast(cell as bigint)) as m").head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(-1L)
+    var codebookK = cent.count()
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      // hottest cells first; a tail past 64 is caught by a later round
+      val hot = assign.groupBy("cell").agg(count(lit(1)).as("n"))
+        .filter(col("n") > targetCellSize)
+        .orderBy(desc("n"), col("cell")).limit(64)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      if (hot.isEmpty) done = true
+      else {
+        val maxId = math.max(cbMax, assign.agg(max("cell")).head().getLong(0))
+        // fresh id block per hot cell: [base, base + kc)
+        var next = maxId + 1
+        val plan = hot.map { case (c, n) =>
+          val kc = ((n + targetCellSize - 1) / targetCellSize).toInt
+          val row = (c, kc, next); next += kc; row
+        }
+        import spark.implicits._
+        val planDf = plan.toSeq.toDF("cell", "kc", "base")
+        val hotMembers = assign
+          .join(broadcast(planDf), Seq("cell")).persist()
+        // seeds: the kc lowest-id members per hot cell become the
+        // initial sub-centroids (float-exact — they ARE member vectors)
+        var subCent = hotMembers
+          .withColumn("r", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("cell").orderBy("vec_id")))
+          .filter(col("r") <= col("kc"))
+          .selectExpr("cell", "base + r - 1 as sub", "embedding as ce")
+        def assignSub(centTab: org.apache.spark.sql.DataFrame) = hotMembers
+          .join(centTab.withColumnRenamed("cell", "c2"),
+            col("cell") === col("c2"))
+          .selectExpr("vec_id", "cell", "embedding", "sub",
+            s"${sparkD2("embedding", "ce")} as d2")
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("vec_id").orderBy("d2", "sub")))
+          .filter(col("rn") === 1)
+        // one Lloyd refinement: assign → decimal-exact mean → re-assign
+        subCent = centroidsOf(
+          assignSub(subCent).selectExpr("sub as cell", "embedding"))
+          .join(broadcast(planDf.selectExpr("cell as oc", "base", "kc")),
+            col("cell") >= col("base") && col("cell") < col("base") + col("kc"))
+          .selectExpr("oc as cell", "cell as sub", "ce")
+        val refined = assignSub(subCent)
+          .selectExpr("vec_id", "sub as cell", "embedding")
+        val prev = assign
+        assign = assign.join(broadcast(planDf.select("cell")), Seq("cell"),
+            "left_anti")
+          .unionByName(refined)
+          .persist()
+        assign.count()
+        prev.unpersist()
+        hotMembers.unpersist()
+        codebookK += plan.map(_._2.toLong).sum - plan.length
+        round += 1
+      }
+    }
+    recordCellGeometry(assign, math.max(codebookK, 1L), "semDedupCellsAdaptive",
+      s"the flood did not split in $maxRounds rounds (identical vectors " +
+        "have no geometry to separate) — the quadratic cost was paid")
+    semDedupLedger(assign, tau)
   }
 
   val queries: Seq[Q] = Seq(
@@ -2023,8 +2207,273 @@ object SimilarityOps {
         graft.functions.CosineSimilarity.register(s)
         val e = T.embeddings(s, d).select("vec_id", "label", "embedding")
         semDedupCells(e, trainedCentroids(e), tau = 0.3)
+    },
+
+    // Incremental SemDeDup ingest (dd15/dd27's lifecycle applied to
+    // ss25): the corpus is ALREADY deduplicated — only its kept
+    // representatives (with their cells) survive — and a new batch is
+    // admitted against them: a batch vector is dropped iff a kept
+    // corpus vector in its cell clears τ, or a lower-id batch vector
+    // in its cell does. The corpus is never re-deduplicated and
+    // dropped corpus rows never dominate (they no longer exist — the
+    // standard incremental approximation, exactly dd15's anti-join
+    // contract). Corpus = vec_id < 400, batch = the rest; codebook
+    // trained on the corpus only (a production ingest must not let the
+    // batch move the cells it is judged against).
+    Q(
+      "ss26_semdedup_increment",
+      s"""WITH corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400),
+         |  bat AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 400),
+         |  cent AS (
+         |    SELECT label AS cell,
+         |      ${(1 to dim).map(duckCentDim).mkString("[", ", ", "]")} AS ce
+         |    FROM embeddings WHERE vec_id < 400 GROUP BY label),
+         |  cscored AS (
+         |    SELECT c.vec_id, c.embedding, t.cell,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${duckCos("c.embedding", "t.ce")} DESC, t.cell) AS rn
+         |    FROM corp c CROSS JOIN cent t),
+         |  cassign AS (SELECT vec_id, embedding, cell FROM cscored WHERE rn = 1),
+         |  cdom AS (
+         |    SELECT b.vec_id AS vec_id, min(a.vec_id) AS keeper
+         |    FROM cassign a JOIN cassign b
+         |      ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |    WHERE ${duckCos("a.embedding", "b.embedding")} > 0.3
+         |    GROUP BY b.vec_id),
+         |  ckept AS (
+         |    SELECT s.vec_id, s.cell, s.embedding FROM cassign s
+         |    LEFT JOIN cdom d ON d.vec_id = s.vec_id WHERE d.keeper IS NULL),
+         |  bscored AS (
+         |    SELECT b.vec_id, b.embedding, t.cell,
+         |      row_number() OVER (PARTITION BY b.vec_id
+         |        ORDER BY ${duckCos("b.embedding", "t.ce")} DESC, t.cell) AS rn
+         |    FROM bat b CROSS JOIN cent t),
+         |  bassign AS (SELECT vec_id, embedding, cell FROM bscored WHERE rn = 1),
+         |  dom AS (
+         |    SELECT x.vec_id, min(x.a) AS keeper FROM (
+         |      SELECT b.vec_id AS vec_id, k.vec_id AS a
+         |      FROM ckept k JOIN bassign b ON k.cell = b.cell
+         |      WHERE ${duckCos("k.embedding", "b.embedding")} > 0.3
+         |      UNION ALL
+         |      SELECT b.vec_id AS vec_id, a.vec_id AS a
+         |      FROM bassign a JOIN bassign b
+         |        ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |      WHERE ${duckCos("a.embedding", "b.embedding")} > 0.3) x
+         |    GROUP BY x.vec_id)
+         |SELECT s.vec_id, s.cell,
+         |  CASE WHEN d.keeper IS NULL THEN 1 ELSE 0 END AS keep_flag,
+         |  d.keeper
+         |FROM bassign s LEFT JOIN dom d ON d.vec_id = s.vec_id""".stripMargin) {
+      (s, d) =>
+        graft.functions.CosineSimilarity.register(s)
+        val e = T.embeddings(s, d).select("vec_id", "label", "embedding")
+        val corpus = e.filter(col("vec_id") < 400)
+        val batch = e.filter(col("vec_id") >= 400)
+        val cent = trainedCentroids(corpus)
+        // production reads the SAVED kept ledger (cluster-once, dd26's
+        // convention); the gated query derives it in-plan so the oracle
+        // can replay the whole chain
+        val kept = semDedupCells(
+            corpus.select("vec_id", "embedding"), cent, tau = 0.3)
+          .filter(col("keep_flag") === 1)
+          .select("vec_id", "cell")
+          .join(corpus.select("vec_id", "embedding"), Seq("vec_id"))
+        semDedupIncrement(kept, batch.select("vec_id", "embedding"),
+          cent, tau = 0.3)
+    },
+
+    // SemDeDup τ tuning curve (the paper's ε knob): how much of the
+    // corpus does each threshold delete? ONE assignment + ONE within-cell
+    // pair pass computes every vector's max cosine against its lower-id
+    // cell-mates (`dom`); each τ row then classifies the SAME per-vector
+    // dom — all arms share the quadratic stage (ss18's sweep convention),
+    // so sweeping 5 thresholds costs one threshold's pair work plus a
+    // 5-row broadcast rollup. dropped(τ) ≡ ss25's keep_flag=0 count at
+    // that τ by construction (dom > τ ⟺ ∃ lower-id τ-similar cell-mate).
+    Q(
+      "ss27_semdedup_tau_sweep",
+      s"""WITH cent AS (
+         |  SELECT label AS cell,
+         |    ${(1 to dim).map(duckCentDim).mkString("[", ", ", "]")} AS ce
+         |  FROM embeddings GROUP BY label),
+         |  scored AS (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.embedding", "c.ce")} DESC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN cent c),
+         |  assign AS (SELECT vec_id, embedding, cell FROM scored WHERE rn = 1),
+         |  dom AS (
+         |    SELECT b.vec_id AS vec_id,
+         |      max(${duckCos("a.embedding", "b.embedding")}) AS dom
+         |    FROM assign a JOIN assign b
+         |      ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |    WHERE ${duckCos("a.embedding", "b.embedding")} > 0.2
+         |    GROUP BY b.vec_id),
+         |  v AS (
+         |    SELECT s.vec_id, d.dom FROM assign s
+         |    LEFT JOIN dom d ON d.vec_id = s.vec_id),
+         |  t AS (SELECT unnest([20, 30, 50, 70, 90]) AS tau_pct)
+         |SELECT t.tau_pct,
+         |  count(*) FILTER (WHERE v.dom IS NOT NULL
+         |    AND v.dom > t.tau_pct / 100.0) AS dropped,
+         |  count(*) FILTER (WHERE v.dom IS NULL
+         |    OR v.dom <= t.tau_pct / 100.0) AS kept
+         |FROM t CROSS JOIN v GROUP BY t.tau_pct""".stripMargin) {
+      (s, d) =>
+        graft.functions.CosineSimilarity.register(s)
+        val e = T.embeddings(s, d).select("vec_id", "label", "embedding")
+        semDedupTauSweep(e, trainedCentroids(e), Seq(20, 30, 50, 70, 90))
+    },
+
+    // Cell-geometry audit: the hot-cell guard's rule as a gated query —
+    // per occupied cell, its population and whether it trips the skew
+    // rail (n > floor AND n > skewFactor × total/k, evaluated by exact
+    // integer cross-multiplication so the oracle needs no float mean).
+    // The sf fixture's label-balanced cells keep every flag 0 here; the
+    // hot arm is exercised by SimilarityApiSpec's flood fixtures. At
+    // 100 TB this is the pre-flight a SemDeDup run consults BEFORE
+    // paying the pair stage: one scored pass + a k-row rollup.
+    Q(
+      "ss28_cell_geometry",
+      s"""WITH cent AS (
+         |  SELECT label AS cell,
+         |    ${(1 to dim).map(duckCentDim).mkString("[", ", ", "]")} AS ce
+         |  FROM embeddings GROUP BY label),
+         |  scored AS (
+         |    SELECT e.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.embedding", "c.ce")} DESC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN cent c),
+         |  assign AS (SELECT vec_id, cell FROM scored WHERE rn = 1),
+         |  sizes AS (SELECT cell, count(*) AS n FROM assign GROUP BY cell),
+         |  t AS (SELECT cast(sum(n) AS BIGINT) AS total FROM sizes),
+         |  kk AS (SELECT count(*) AS k FROM cent)
+         |SELECT s.cell, s.n,
+         |  CASE WHEN s.n > 256 AND s.n * kk.k > 4 * t.total
+         |    THEN 1 ELSE 0 END AS hot
+         |FROM sizes s CROSS JOIN t CROSS JOIN kk""".stripMargin) {
+      (s, d) =>
+        graft.functions.CosineSimilarity.register(s)
+        val e = T.embeddings(s, d).select("vec_id", "label", "embedding")
+        cellGeometry(e, trainedCentroids(e))
     }
   )
+
+  /** Incremental SemDeDup core shared by the gated ss26 query and
+    * `Similarity.semDedupIncrement` (the API delegates HERE so the two
+    * can't diverge): assign `batch` to the broadcast codebook's cells,
+    * then drop a batch vector iff a kept corpus representative in its
+    * cell clears `tau` (cell-keyed join against `kept`'s distinct reps
+    * — the corpus text of dd15's anti-join shape) or a lower-id batch
+    * vector in its cell does (ss25's within-cell greedy, batch-only).
+    * `kept` must carry (vec_id, cell, embedding) of the SURVIVING
+    * corpus rows — the saved ledger joined back to its vectors.
+    *
+    * Scale notes (100 TB): the corpus NEVER rescans — only its kept
+    * reps (the post-dedup minority) enter the cell-keyed join; the
+    * batch pays one scored assignment pass + one self-join bounded by
+    * the k∝N cell contract (the hot-cell guard on the ss25 side owns
+    * that telemetry). Admitting a daily batch costs work proportional
+    * to the batch, not the corpus.
+    */
+  private[graft] def semDedupIncrement(kept: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame,
+      tau: Double): org.apache.spark.sql.DataFrame = {
+    val bAssign = semDedupAssign(batch, cent).persist()
+    val corpDom = kept
+      .select(col("vec_id").as("a_id"), col("cell"), col("embedding").as("ea"))
+      .join(bAssign.select(col("vec_id").as("b_id"), col("cell"),
+        col("embedding").as("eb")), Seq("cell"))
+      .filter(expr(s"${sparkCos("ea", "eb")} > $tau"))
+      .select("b_id", "a_id")
+    val batchDom = bAssign
+      .select(col("vec_id").as("a_id"), col("cell"), col("embedding").as("ea"))
+      .join(bAssign.select(col("vec_id").as("b_id"), col("cell"),
+        col("embedding").as("eb")), Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(expr(s"${sparkCos("ea", "eb")} > $tau"))
+      .select("b_id", "a_id")
+    val dom = corpDom.unionByName(batchDom)
+      .groupBy("b_id").agg(min("a_id").as("keeper"))
+      .withColumnRenamed("b_id", "vec_id")
+    bAssign.select("vec_id", "cell")
+      .join(dom, Seq("vec_id"), "left")
+      .selectExpr("vec_id", "cell",
+        "cast(case when keeper is null then 1 else 0 end as int) as keep_flag",
+        "keeper")
+  }
+
+  /** SemDeDup τ-sweep core shared by the gated ss27 query and
+    * `Similarity.semDedupTauSweep` (the API delegates HERE so the two
+    * can't diverge): one assignment + one within-cell pair pass compute
+    * each vector's max cosine against its lower-id cell-mates (`dom`,
+    * cut at min(τ)/100 — a pair below every threshold classifies
+    * identically to no pair at all), then every τ row classifies the
+    * same per-vector dom: dropped(τ) = #{dom > τ}. Returns one row per
+    * τ: (tau_pct, dropped, kept).
+    *
+    * Scale notes (100 TB): the pair join is cell-keyed and bounded by
+    * the same k∝N contract as [[semDedupCells]] (the hot-cell guard's
+    * telemetry applies — the sweep runs [[recordCellGeometry]] too);
+    * `max(cs)` partial-aggregates map-side, so the post-pair exchange is
+    * ≤ N slim (id, double) rows no matter how many pairs the cells
+    * hold; the τ grid joins as a broadcast literal and the final rollup
+    * is |τ| rows. Sweeping the knob costs ONE pair stage, not |τ|.
+    */
+  private[graft] def semDedupTauSweep(e: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame,
+      tauPcts: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    require(tauPcts.nonEmpty, "tauPcts must be non-empty")
+    val spark = e.sparkSession
+    val assign = semDedupAssign(e, cent).persist()
+    recordCellGeometry(assign, math.max(cent.count(), 1L), "semDedupTauSweep",
+      "raise k or re-cluster the hot cell before sweeping")
+    val a = assign.select(
+      col("vec_id").as("a_id"), col("cell"), col("embedding").as("ea"))
+    val b = assign.select(
+      col("vec_id").as("b_id"), col("cell"), col("embedding").as("eb"))
+    val dom = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .selectExpr("b_id as vec_id", s"${sparkCos("ea", "eb")} as cs")
+      .filter(col("cs") > lit(tauPcts.min / 100.0))
+      .groupBy("vec_id").agg(max("cs").as("dom"))
+    import spark.implicits._
+    val taus = tauPcts.toDF("tau_pct")
+    assign.select("vec_id")
+      .join(dom, Seq("vec_id"), "left")
+      .crossJoin(broadcast(taus))
+      .groupBy("tau_pct")
+      .agg(
+        count(when(col("dom").isNotNull &&
+          col("dom") > col("tau_pct") / 100.0, 1)).as("dropped"),
+        count(when(col("dom").isNull ||
+          col("dom") <= col("tau_pct") / 100.0, 1)).as("kept"))
+  }
+
+  /** Cell-geometry audit core shared by the gated ss28 query and
+    * `Similarity.cellGeometry` (the API delegates HERE so the two can't
+    * diverge): per occupied cell of the assignment, (cell, n, hot) where
+    * `hot` applies the hot-cell guard's rule — n > [[hotCellFloor]] and
+    * n > [[hotCellSkewFactor]] × total/k — by integer cross-multiply
+    * (n·k > factor·total), so the gated oracle pins the guard's exact
+    * arithmetic with no float mean. This is the pre-flight to run
+    * BEFORE paying [[semDedupCells]]' pair stage on an unknown corpus:
+    * one broadcast-scored pass + a k-row rollup, no quadratic anywhere.
+    */
+  private[graft] def cellGeometry(e: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sizes = semDedupAssign(e, cent)
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .persist() // k-ish rows; feeds the total AND the output spine
+    val tot = sizes.agg(sum("n").as("total"))
+    val kdf = cent.groupBy().agg(count(lit(1)).as("k"))
+    val f = hotCellSkewFactor.toLong
+    sizes.crossJoin(broadcast(tot)).crossJoin(broadcast(kdf))
+      .selectExpr("cell", "n",
+        s"cast(case when n > $hotCellFloor and n * k > $f * total " +
+          "then 1 else 0 end as int) as hot")
+  }
 
   /** RRF hybrid fusion machinery shared by the gated ss17 query and
     * `Similarity.hybridTopK` (the API delegates HERE so the two can't

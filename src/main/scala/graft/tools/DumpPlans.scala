@@ -99,7 +99,16 @@ object DumpPlans {
     "an21_cms_merge", "an22_sample_quantiles", "an23_quantile_merge",
     // round-10: ORC round-trip (columnar landing format), windowed
     // quantile sample (st15 — the streaming twin's batch rendering)
-    "q_orc_roundtrip", "st15_window_quantiles")
+    "q_orc_roundtrip", "st15_window_quantiles",
+    // round-12: cluster-scoped SemDeDup — the pinned plan must show the
+    // broadcast codebook feeding one scored assignment pass and a
+    // cell-keyed exchange into the within-cell pair join — and its
+    // incremental-ingest twin (kept reps only on the corpus side)
+    "ss25_semdedup_cells", "ss26_semdedup_increment",
+    // the τ sweep must show ONE pair join feeding a partial-agg'd max
+    // and a broadcast τ grid; the geometry pre-flight must show NO pair
+    // join at all — just the broadcast-scored assignment and a rollup
+    "ss27_semdedup_tau_sweep", "ss28_cell_geometry")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

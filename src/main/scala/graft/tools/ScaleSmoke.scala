@@ -141,6 +141,7 @@ object ScaleSmoke {
       try {
         val l = new StageMetricsListener
         graft.functions.Dedup.lastCcRounds = -1
+        graft.operators.SimilarityOps.lastCellStats = None
         val t0 = System.nanoTime()
         var rows = 0L
         l.collect(spark) { rows = q.fn(spark, d).count() }
@@ -168,9 +169,20 @@ object ScaleSmoke {
     // CC round-count flatness: (query, rounds at 1x, rounds at Nx,
     // wall at 1x, wall at Nx) for queries that drove connectedComponents
     val ccRounds = scala.collection.mutable.ArrayBuffer[(String, Int, Int, Double, Double)]()
+    // SemDeDup cell geometry per fixture: (cells, maxCell, meanCell,
+    // hotFlagged) captured from the ss25 runs' hot-cell telemetry
+    val semGeo = scala.collection.mutable.Map[String, (Long, Long, Double, Boolean)]()
     audited.foreach { case (name, claim) =>
       val (s1, _, dt1, r1, cc1) = run(name, sfDir)
+      if (name == "ss25_semdedup_cells")
+        graft.operators.SimilarityOps.lastCellStats.foreach { case (c, mx, mn) =>
+          semGeo("1x") = (c, mx, mn, graft.operators.SimilarityOps.lastHotCellFlagged)
+        }
       val (sN, spN, dtN, rN, ccN) = run(name, dir)
+      if (name == "ss25_semdedup_cells")
+        graft.operators.SimilarityOps.lastCellStats.foreach { case (c, mx, mn) =>
+          semGeo(s"${copies}x") = (c, mx, mn, graft.operators.SimilarityOps.lastHotCellFlagged)
+        }
       if (cc1 >= 0 && ccN >= 0) ccRounds += ((name, cc1, ccN, dt1, dtN))
       val ratio = if (s1 > 0) f"${sN.toDouble / s1}%.1f" + "x" else "n/a"
       sb ++= s"| $name | $r1 / $rN | ${fmt(s1)} | ${fmt(sN)} | $ratio " +
@@ -186,6 +198,28 @@ object ScaleSmoke {
       copies + "x |\n|---|---|---|---|---|\n"
     ccRounds.foreach { case (name, c1, cN, d1, dN) =>
       sb ++= f"| $name | $c1 | $cN | $d1%.1f s | $dN%.1f s |\n"
+    }
+
+    // SemDeDup cell geometry (ss25's k∝N contract, measured): the Nx
+    // fixture offsets labels per copy, so the codebook carries Nx cells
+    // — max cell size must stay ≈ flat (per-cell quadratic work is then
+    // constant per cell and linear in the corpus) and the hot-cell guard
+    // must stay quiet. A flat cell count with Nx max would be the flood
+    // case the guard exists to flag.
+    sb ++= s"\n### SemDeDup cell geometry (ss25): k∝N keeps cells constant-size\n\n"
+    sb ++= "| fixture | cells | mean cell | max cell | max/mean | hot-cell flag |\n"
+    sb ++= "|---|---|---|---|---|---|\n"
+    Seq("1x", s"${copies}x").foreach { fx =>
+      semGeo.get(fx).foreach { case (c, mx, mn, hot) =>
+        sb ++= f"| $fx | $c | $mn%.1f | $mx | ${mx / mn}%.2fx | $hot |\n"
+      }
+    }
+    semGeo.get("1x").zip(semGeo.get(s"${copies}x")).foreach {
+      case ((c1, mx1, _, _), (cN, mxN, _, _)) =>
+        sb ++= f"\nCells grew ${cN.toDouble / c1}%.1fx while the max cell moved " +
+          f"${mxN.toDouble / mx1}%.2fx — within-cell pair work per cell is " +
+          "corpus-size-free under the contract, so the pair stage scales " +
+          "with the cell COUNT (linear), never the corpus squared.\n"
     }
 
     // Cluster-once at Nx (dd26's claim): labels persisted once, then the
@@ -217,6 +251,58 @@ object ScaleSmoke {
     sb ++= s"\nAt ${copies}x the audit's scan grows with the label table " +
       "(longs/doc), and its corpus fraction shrinks — repeat audits never " +
       "pay corpus-scan cost again.\n"
+
+    // Incremental SemDeDup ingest at Nx (ss26's API path, dd27's
+    // lifecycle): the corpus (copy-0 vec_id < 400 — FIXED across
+    // fixtures) is deduplicated once and its kept ledger saved; each
+    // ingest then admits the batch against the saved reps. The Nx
+    // fixture's copies all offset vec_id by ≥ 10M, so the batch grows
+    // ~Nx while the corpus side stays the same kept table — ingest
+    // shuffle/wall must track the BATCH, never the corpus. (The fixed
+    // k=10 codebook means batch cells grow with the batch — the k∝N
+    // telemetry for THAT lives in the ss25 geometry section; production
+    // retrains the codebook as the corpus absorbs batches.)
+    graft.functions.CosineSimilarity.register(spark)
+    val incCorpus = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").filter(col("vec_id") < 400)
+    val incCent = graft.operators.SimilarityOps.trainedCentroids(incCorpus)
+    val keptPath = java.nio.file.Files.createTempDirectory("graft-smoke-kept").toString
+    graft.functions.Similarity
+      .semDedupCells(incCorpus.select("vec_id", "embedding"), incCent)
+      .filter(col("keep_flag") === 1).select("vec_id", "cell")
+      .join(incCorpus.select("vec_id", "embedding"), Seq("vec_id"))
+      .write.mode("overwrite").parquet(keptPath)
+    spark.sharedState.cacheManager.clearCache()
+    def ingestAlone(embDir: String): (Long, Long, Long, Double) = {
+      val batch = graft.Tables.embeddings(spark, embDir)
+        .select("vec_id", "embedding").filter(col("vec_id") >= 400)
+      val kept = spark.read.parquet(keptPath)
+      val l = new StageMetricsListener
+      val t0 = System.nanoTime()
+      var admitted = 0L
+      var rows = 0L
+      l.collect(spark) {
+        val ledger = graft.functions.Similarity
+          .semDedupIncrement(kept, batch, incCent)
+        val agg = ledger.agg(count(lit(1)), sum("keep_flag")).collect()(0)
+        rows = agg.getLong(0); admitted = agg.getLong(1)
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      (rows, admitted, l.shuffleWriteBytes, dt)
+    }
+    val (ib1, ia1, ish1, iw1) = ingestAlone(sfDir)
+    val (ibN, iaN, ishN, iwN) = ingestAlone(dir)
+    sb ++= s"\n### Incremental SemDeDup at ${copies}x (ss26): ingest pays for the batch, not the corpus\n\n"
+    sb ++= "| fixture | batch rows | admitted | kept corpus reps | ingest shuffle | wall |\n"
+    sb ++= "|---|---|---|---|---|---|\n"
+    val keptRows = spark.read.parquet(keptPath).count()
+    sb ++= f"| 1x | $ib1 | $ia1 | $keptRows | ${fmt(ish1)} | $iw1%.1f s |\n"
+    sb ++= f"| ${copies}x | $ibN | $iaN | $keptRows | ${fmt(ishN)} | $iwN%.1f s |\n"
+    sb ++= f"\nThe batch grew ${ibN.toDouble / ib1}%.1fx and ingest shuffle moved " +
+      f"${ishN.toDouble / math.max(ish1, 1L)}%.1fx — the corpus enters only as its " +
+      s"$keptRows saved reps (identical in both rows), so re-admitting " +
+      "tomorrow's batch never re-pays yesterday's corpus.\n"
 
     // CMS cell cap (an20/an21's claim): the materialized grid is ≤ d·w
     // cells no matter how big the corpus gets — the whole point of the

@@ -130,7 +130,11 @@ object ShuffleAudit {
     "an21_cms_merge" -> "per-shard grids collapse map-side to ≤ d·w cells before the cell-wise merge; probes are 80-row broadcast joins",
     "an22_sample_quantiles" -> "one (source, value, hash) exchange; rank windows order per-source frames, estimates come from k-row samples",
     "an23_quantile_merge" -> "each side reduces to ≤ k (h, value) rows per source before the merge; every window past the cut orders k-row frames",
-    "q_jsonl_roundtrip" -> "sink+source edge format like CSV: line-splittable reads, no pushdown by design")
+    "q_jsonl_roundtrip" -> "sink+source edge format like CSV: line-splittable reads, no pushdown by design",
+    "ss25_semdedup_cells" -> "codebook broadcasts into ONE scored assignment pass; the pair stage exchanges cell-keyed (id, vector) rows — per-cell quadratic bounded by max cell size under the k∝N contract (hot-cell guard: SimilarityOps.lastCellStats)",
+    "ss26_semdedup_increment" -> "incremental ingest: only kept corpus reps enter the cell-keyed join (the corpus never rescans); the batch pays one scored pass + a cell-bounded self-join — cost scales with the batch, not the corpus",
+    "ss27_semdedup_tau_sweep" -> "ONE pair pass shared by every τ arm: max(cs) partial-aggregates map-side so the post-pair exchange is ≤ N slim (id, double) rows; the τ grid is a broadcast literal and the rollup is |τ| rows",
+    "ss28_cell_geometry" -> "pre-flight before the pair stage: broadcast-scored assignment + k-row cell rollup, hot rule by integer cross-multiply — no pair join, no quadratic anywhere")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

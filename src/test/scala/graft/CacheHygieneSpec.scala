@@ -29,7 +29,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     "tx16_bigram_fluency",      // bigram-occurrence persist (3 consumers)
     "sm06_fluency_buckets",     // rides tx16's bigram persist
     "dd21_containment",         // containmentPairs hh + bands persists
-    "ss18_nprobe_sweep")        // sweep's shared scored persist (3 arms)
+    "ss18_nprobe_sweep",        // sweep's shared scored persist (3 arms)
+    "ss26_semdedup_increment")  // corpus-ledger assign + batch assign persists
 
   /** localCheckpoint blocks release via the ContextCleaner once their
     * RDD is unreachable — nudge GC until the count stops shrinking.

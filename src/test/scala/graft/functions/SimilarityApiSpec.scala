@@ -81,6 +81,187 @@ class SimilarityApiSpec extends AnyFunSuite {
     val cellOf = api.map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(dropped.forall(r =>
       r.getLong(3) < r.getLong(0) && cellOf(r.getLong(3)) == r.getInt(1)))
+    // the organic fixture's label-balanced cells must not trip the
+    // hot-cell guard
+    assert(!graft.operators.SimilarityOps.lastHotCellFlagged)
+    spark.catalog.clearCache()
+  }
+
+  test("semDedupCells hot-cell guard flags a flooded cell, stays quiet when balanced") {
+    import spark.implicits._
+    val SO = graft.operators.SimilarityOps
+    // 8-cell one-hot codebook
+    val cent = (0 until 8).map { c =>
+      (c, Array.tabulate(64)(i => if (i == c) 1.0f else 0.0f))
+    }.toDF("cell", "ce")
+    // flood: 300 identical vectors all land in cell 0 — max=300 vs
+    // mean=300/8 over the CODEBOOK's k (an occupied-cell mean would
+    // read max ≈ mean here and miss the flood), past the 4x skew
+    // factor and the 256-row floor
+    val blob = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    val corpus = (0L until 300L).map(i => (i, blob)).toDF("vec_id", "embedding")
+    val ledger = Similarity.semDedupCells(corpus, cent).collect()
+    assert(ledger.length == 300)
+    assert(SO.lastCellStats.exists { case (cells, mx, mean) =>
+      cells == 1L && mx == 300L && math.abs(mean - 37.5) < 1e-9 })
+    assert(SO.lastHotCellFlagged, "flooded cell must trip the guard")
+    // greedy rule under the flood: vec 0 survives, everyone else is
+    // dominated by it
+    assert(ledger.count(_.getInt(2) == 1) == 1)
+    assert(ledger.filter(_.getInt(2) == 0).forall(_.getLong(3) == 0L))
+    // balanced: the same 300 rows spread one-hot across all 8 cells —
+    // max ≈ mean, guard quiet
+    val spread = (0L until 300L).map { i =>
+      val c = (i % 8).toInt
+      (i, Array.tabulate(64)(j => if (j == c) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    Similarity.semDedupCells(spread, cent).collect()
+    assert(SO.lastCellStats.exists { case (cells, mx, _) =>
+      cells == 8L && mx <= 38L })
+    assert(!SO.lastHotCellFlagged, "balanced cells must not trip the guard")
+    spark.catalog.clearCache()
+  }
+
+  test("semDedupCellsAdaptive equals semDedupCells when no cell is hot") {
+    val e = graft.Tables.embeddings(spark, sf).select("vec_id", "label", "embedding")
+    val cent = graft.operators.SimilarityOps.trainedCentroids(e)
+    val plain = Similarity.semDedupCells(e, cent).selectExpr(
+      "vec_id", "cast(cell as bigint) as cell", "keep_flag", "keeper").collect()
+    val adaptive = Similarity.semDedupCellsAdaptive(e, cent).collect()
+    assert(plain.nonEmpty)
+    assert(sorted(adaptive) == sorted(plain))
+    spark.catalog.clearCache()
+  }
+
+  test("semDedupCellsAdaptive splits a splittable flood and clears the guard") {
+    import spark.implicits._
+    val SO = graft.operators.SimilarityOps
+    val cent = (0 until 8).map { c =>
+      (c, Array.tabulate(64)(i => if (i == c) 1.0f else 0.0f))
+    }.toDF("cell", "ce")
+    // 320 vectors in 4 tight blobs around e0 (+0.4 on a blob-specific
+    // axis): all nearest codebook cell 0 (cos ≈ 0.93) -> one flooded
+    // cell; ids interleave blobs so the 4 lowest-id sub-seeds land one
+    // per blob
+    val corpus = (0L until 320L).map { i =>
+      val b = (i % 4).toInt
+      (i, Array.tabulate(64)(j =>
+        if (j == 0) 1.0f else if (j == 10 + b) 0.4f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val ledger = Similarity.semDedupCellsAdaptive(corpus, cent,
+      targetCellSize = 100).collect()
+    assert(ledger.length == 320)
+    // post-split geometry: 4 sub-cells of 80 rows, guard quiet
+    assert(!SO.lastHotCellFlagged)
+    assert(SO.lastCellStats.exists { case (cells, mx, _) =>
+      cells == 4L && mx == 80L })
+    // every occupied cell id is synthetic (above the 0..7 codebook)
+    val cellsUsed = ledger.map(_.getLong(1)).toSet
+    assert(cellsUsed.size == 4 && cellsUsed.forall(_ > 7L))
+    // within a blob all vectors are identical -> greedy keeps exactly
+    // the lowest id per sub-cell; cross-blob pairs (cos ≈ 0.86) are in
+    // separate sub-cells, out of dedup scope by the split's design
+    val keepers = ledger.filter(_.getInt(2) == 1)
+    assert(keepers.map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L))
+    // every dropped row's keeper is its blob's seed (same cell, lower id)
+    val cellOf2 = ledger.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ledger.filter(_.getInt(2) == 0).forall(r =>
+      r.getLong(3) == r.getLong(0) % 4 &&
+        cellOf2(r.getLong(3)) == r.getLong(1)))
+    spark.catalog.clearCache()
+  }
+
+  test("semDedupCellsAdaptive leaves the flag set on an unsplittable flood") {
+    import spark.implicits._
+    val SO = graft.operators.SimilarityOps
+    val cent = (0 until 8).map { c =>
+      (c, Array.tabulate(64)(i => if (i == c) 1.0f else 0.0f))
+    }.toDF("cell", "ce")
+    // 300 IDENTICAL vectors: no geometry to separate, every split round
+    // re-merges them into one sub-cell — maxRounds exhausts and the
+    // guard must stay up so the caller learns the quadratic was paid
+    val blob = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    val corpus = (0L until 300L).map(i => (i, blob)).toDF("vec_id", "embedding")
+    val ledger = Similarity.semDedupCellsAdaptive(corpus, cent,
+      targetCellSize = 100, maxRounds = 2).collect()
+    assert(ledger.length == 300)
+    assert(SO.lastHotCellFlagged, "unsplittable flood must keep the flag")
+    assert(ledger.count(_.getInt(2) == 1) == 1)
+    assert(ledger.filter(_.getInt(2) == 0).forall(_.getLong(3) == 0L))
+    spark.catalog.clearCache()
+  }
+
+  test("semDedupIncrement equals gated ss26 and admits only genuinely novel vectors") {
+    val e = graft.Tables.embeddings(spark, sf).select("vec_id", "label", "embedding")
+    val corpus = e.filter(col("vec_id") < 400)
+    val batch = e.filter(col("vec_id") >= 400)
+    val cent = graft.operators.SimilarityOps.trainedCentroids(corpus)
+    val kept = Similarity.semDedupCells(corpus, cent)
+      .filter(col("keep_flag") === 1).select("vec_id", "cell")
+      .join(corpus.select("vec_id", "embedding"), Seq("vec_id"))
+    val api = Similarity.semDedupIncrement(kept, batch, cent).collect()
+    val gated = graft.SparkEntry.queries("ss26_semdedup_increment")(spark, sf)
+      .collect()
+    assert(api.length == batch.count())
+    assert(sorted(api) == sorted(gated))
+    assert(api.exists(_.getInt(2) == 0), "fixture must exercise the drop arm")
+    assert(api.exists(_.getInt(2) == 1), "fixture must exercise the keep arm")
+    // incremental contract: every keeper is either a KEPT corpus rep or
+    // an earlier batch row — never a dropped corpus row
+    val keptIds = kept.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(api.filter(_.getInt(2) == 0).forall { r =>
+      val k = r.getLong(3)
+      keptIds(k) || (k >= 400L && k < r.getLong(0))
+    })
+    spark.catalog.clearCache()
+  }
+
+  test("semDedupTauSweep equals gated ss27 and is consistent with ss25 at tau=0.3") {
+    val e = graft.Tables.embeddings(spark, sf).select("vec_id", "label", "embedding")
+    val cent = graft.operators.SimilarityOps.trainedCentroids(e)
+    val api = Similarity.semDedupTauSweep(e, cent).collect()
+    val gated = graft.SparkEntry.queries("ss27_semdedup_tau_sweep")(spark, sf)
+      .collect()
+    assert(api.length == 5)
+    assert(sorted(api) == sorted(gated))
+    val n = e.count()
+    val byTau = api.map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every row partitions the corpus; kept is monotone non-decreasing
+    // in tau (a higher threshold never drops more)
+    assert(byTau.values.forall { case (d, k) => d + k == n })
+    val keptByTau = byTau.toSeq.sortBy(_._1).map(_._2._2)
+    assert(keptByTau.zip(keptByTau.tail).forall { case (a, b) => a <= b })
+    // the tau=30 row must agree with ss25's ledger at the same codebook
+    val ss25Kept = graft.SparkEntry.queries("ss25_semdedup_cells")(spark, sf)
+      .filter(col("keep_flag") === 1).count()
+    assert(byTau(30)._2 == ss25Kept,
+      s"sweep kept ${byTau(30)._2} at tau=30 vs ss25 ledger $ss25Kept")
+    spark.catalog.clearCache()
+  }
+
+  test("cellGeometry equals gated ss28, flags a flood, accounts for every vector") {
+    val e = graft.Tables.embeddings(spark, sf).select("vec_id", "label", "embedding")
+    val cent = graft.operators.SimilarityOps.trainedCentroids(e)
+    val api = Similarity.cellGeometry(e, cent).collect()
+    val gated = graft.SparkEntry.queries("ss28_cell_geometry")(spark, sf)
+      .collect()
+    assert(api.nonEmpty)
+    assert(sorted(api) == sorted(gated))
+    // sizes partition the corpus; the balanced fixture trips nothing
+    assert(api.map(_.getLong(1)).sum == e.count())
+    assert(api.forall(_.getInt(2) == 0))
+    // flood: 300 identical vectors into one cell of an 8-cell codebook
+    // must flag hot=1 on that cell and nothing else (the guard's rule,
+    // oracle-shaped: 300 > 256 and 300*8 > 4*300)
+    import spark.implicits._
+    val cent8 = (0 until 8).map { c =>
+      (c, Array.tabulate(64)(i => if (i == c) 1.0f else 0.0f))
+    }.toDF("cell", "ce")
+    val blob = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    val corpus = (0L until 300L).map(i => (i, blob)).toDF("vec_id", "embedding")
+    val geo = Similarity.cellGeometry(corpus, cent8).collect()
+    assert(geo.length == 1 && geo(0).getInt(0) == 0 &&
+      geo(0).getLong(1) == 300L && geo(0).getInt(2) == 1)
     spark.catalog.clearCache()
   }
 
