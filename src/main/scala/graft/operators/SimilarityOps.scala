@@ -2404,6 +2404,136 @@ object SimilarityOps {
         "keeper")
   }
 
+  /** Sequential (arrival-ordered) SemDeDup over `parts` ingest batches
+    * — the batch rendering of the st16 streaming twin
+    * (StreamRunner.semDedupStream): vectors arrive in `parts`
+    * micro-batches (batch = vec_id mod parts, lower batch first,
+    * ascending id inside a batch) and every batch is admitted with
+    * [[semDedupIncrement]]'s rule against the state accumulated so far
+    * — a vector is dropped iff a KEPT vector from an earlier batch
+    * shares its cell and clears `tau`, or ANY lower-id vector of its
+    * own batch does. One ledger row per vector: (vec_id, batch, cell,
+    * keep_flag, keeper), keeper the lowest-id dominator across both
+    * arms. Unlike ss25's order-free any-lower-id rule, dropped vectors
+    * from EARLIER batches never dominate — streaming state carries
+    * survivors only, so the batch boundary is semantically visible
+    * (exactly what a stateful stream can afford to remember).
+    *
+    * Scale notes (100 TB): the fold unrolls into ONE plan over a single
+    * persisted assignment — per level one cell-keyed join against the
+    * kept side and one within-batch self-join, both bounded by the k∝N
+    * cell contract (the hot-cell guard's telemetry applies here too).
+    * `parts` is the micro-batch count of the streaming twin — a small
+    * constant — so plan depth is fixed; inter-level state is a filter
+    * over the persisted assignment, never a driver collect.
+    */
+  private[graft] def semDedupSequential(e: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame,
+      tau: Double, parts: Int): org.apache.spark.sql.DataFrame = {
+    require(parts >= 1, s"parts must be >= 1, got $parts")
+    val assign = semDedupAssign(e, cent)
+      .withColumn("batch", expr(s"cast(vec_id % $parts as int)"))
+      .persist()
+    recordCellGeometry(assign, math.max(cent.count(), 1L), "semDedupSequential",
+      "raise k or re-cluster the hot cell before streaming ingest")
+    var kept: org.apache.spark.sql.DataFrame = null
+    val ledgers = (0 until parts).map { b =>
+      val cur = assign.filter(col("batch") === b)
+      val curB = cur.select(
+        col("vec_id").as("b_id"), col("cell"), col("embedding").as("eb"))
+      val batchDom = cur.select(
+        col("vec_id").as("a_id"), col("cell"), col("embedding").as("ea"))
+        .join(curB, Seq("cell"))
+        .filter(col("a_id") < col("b_id"))
+        .filter(expr(s"${sparkCos("ea", "eb")} > $tau"))
+        .select("b_id", "a_id")
+      val allDom =
+        if (kept == null) batchDom
+        else kept.select(
+          col("vec_id").as("a_id"), col("cell"), col("embedding").as("ea"))
+          .join(curB, Seq("cell"))
+          .filter(expr(s"${sparkCos("ea", "eb")} > $tau"))
+          .select("b_id", "a_id")
+          .unionByName(batchDom)
+      val dom = allDom.groupBy("b_id").agg(min("a_id").as("keeper"))
+        .withColumnRenamed("b_id", "vec_id")
+      val ledger = cur.select("vec_id", "batch", "cell")
+        .join(dom, Seq("vec_id"), "left")
+        .selectExpr("vec_id", "batch", "cell",
+          "cast(case when keeper is null then 1 else 0 end as int) as keep_flag",
+          "keeper")
+      val survivors = cur
+        .join(dom.select("vec_id"), Seq("vec_id"), "left_anti")
+        .select("vec_id", "cell", "embedding")
+      kept = if (kept == null) survivors else kept.unionByName(survivors)
+      ledger
+    }
+    ledgers.reduce(_ unionByName _)
+  }
+
+  /** DuckDB rendering of [[semDedupSequential]] (the st16 oracle). The
+    * kept-only cross-batch rule is recursive in the batch index, so at
+    * a fixed `parts` it unrolls into one (domᵦ, dᵦ, kᵦ) CTE triple per
+    * batch: domᵦ collects dominators (kept reps k₍ᵦ₋₁₎ cell-joined to
+    * batch b, plus batch b's own lower-id pairs), dᵦ takes the lowest
+    * per victim, kᵦ appends batch b's survivors to the kept set.
+    * Generated HERE beside the Spark fold so the two renderings can't
+    * drift.
+    */
+  private[graft] def sequentialOracleSql(parts: Int, tau: Double): String = {
+    val cos = duckCos("x.embedding", "y.embedding")
+    val levels = (0 until parts).map { b =>
+      val keptArm =
+        if (b == 0) ""
+        else s"""    SELECT y.vec_id AS vec_id, x.vec_id AS a_id
+                 |    FROM k${b - 1} x JOIN asg y ON x.cell = y.cell AND y.batch = $b
+                 |    WHERE $cos > $tau
+                 |    UNION ALL
+                 |""".stripMargin
+      val keptBase =
+        if (b == 0) ""
+        else s"    SELECT vec_id, embedding, cell FROM k${b - 1}\n    UNION ALL\n"
+      s"""  dom$b AS (
+         |$keptArm    SELECT y.vec_id AS vec_id, x.vec_id AS a_id
+         |    FROM asg x JOIN asg y
+         |      ON x.cell = y.cell AND x.batch = $b AND y.batch = $b AND x.vec_id < y.vec_id
+         |    WHERE $cos > $tau),
+         |  d$b AS (SELECT vec_id, min(a_id) AS keeper FROM dom$b GROUP BY vec_id),
+         |  k$b AS (
+         |$keptBase    SELECT a.vec_id, a.embedding, a.cell
+         |    FROM asg a LEFT JOIN d$b ON d$b.vec_id = a.vec_id
+         |    WHERE a.batch = $b AND d$b.vec_id IS NULL)""".stripMargin
+    }
+    val doms = (0 until parts).map(b => s"SELECT * FROM d$b").mkString("\n    UNION ALL ")
+    s"""WITH cent AS (
+       |  SELECT label AS cell,
+       |    ${(1 to dim).map(duckCentDim).mkString("[", ", ", "]")} AS ce
+       |  FROM embeddings GROUP BY label),
+       |  scored AS (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckCos("e.embedding", "c.ce")} DESC, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN cent c),
+       |  asg AS (SELECT vec_id, embedding, cell, CAST(vec_id % $parts AS INT) AS batch
+       |          FROM scored WHERE rn = 1),
+       |${levels.mkString(",\n")},
+       |  doms AS (
+       |    $doms)
+       |SELECT a.vec_id, a.batch, a.cell,
+       |  CASE WHEN d.keeper IS NULL THEN 1 ELSE 0 END AS keep_flag, d.keeper
+       |FROM asg a LEFT JOIN doms d ON d.vec_id = a.vec_id""".stripMargin
+  }
+
+  /** The trained codebook rendered as one SQL plan literal —
+    * [[centLiteral]] over a collected (cell, ce) table, cells cast to
+    * BIGINT. Streaming twins use it for scan-local cell assignment
+    * (streams can't run the assignment window); k·dim floats, driver-
+    * and broadcast-safe at any corpus size.
+    */
+  private[graft] def centLiteralSql(cent: org.apache.spark.sql.DataFrame): String =
+    centLiteral(cent.selectExpr("cast(cell as bigint) as cell", "ce").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq)
+
   /** SemDeDup τ-sweep core shared by the gated ss27 query and
     * `Similarity.semDedupTauSweep` (the API delegates HERE so the two
     * can't diverge): one assignment + one within-cell pair pass compute

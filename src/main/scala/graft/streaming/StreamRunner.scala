@@ -829,6 +829,109 @@ object StreamRunner {
     * it's a view over the maintained counts). StreamingSpec asserts
     * equality with the gated st13 batch rendering.
     */
+  /** st16's stateful streaming SemDeDup twin: the embeddings table
+    * arrives in FOUR micro-batches (batch = vec_id mod 4, staged
+    * oldest-first) and a per-CELL `flatMapGroupsWithState` carries the
+    * kept representatives' vectors across batches — an arriving vector
+    * is admitted iff no kept rep (any earlier batch) and no lower-id
+    * vector of its OWN batch clears τ, exactly
+    * SimilarityOps.semDedupSequential's rule; StreamingSpec asserts
+    * equality. Cell assignment is scan-local against the codebook plan
+    * literal (the lloydKMeans broadcast pattern — streams can't run the
+    * batch side's row_number window). Cosine in the state fold
+    * replicates the native expression's arithmetic bit-for-bit
+    * (ascending-index double accumulation), so admit decisions can't
+    * drift from the batch plan.
+    *
+    * Scale: state per cell is the kept reps — the dedup product itself,
+    * bounded by the k∝N cell contract (and shed to a compacted sink as
+    * cells go cold in a production run); each micro-batch costs
+    * |batch∩cell| × (|kept∩cell| + |batch∩cell|) comparisons per cell,
+    * linear in the batch under that contract. Rows emit exactly once
+    * (each vector is processed in its own micro-batch), so the memory
+    * sink IS the ledger.
+    */
+  def semDedupStream(spark: SparkSession, sfDir: String,
+      queryName: String = "graft_semdedup"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    val tau = 0.3
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding")
+    val cb = graft.operators.SimilarityOps.centLiteralSql(
+      graft.operators.SimilarityOps.trainedCentroids(e))
+
+    val ev0 = e.selectExpr("vec_id", "embedding",
+      "cast(vec_id % 4 as int) as batch")
+    val stage = java.nio.file.Files.createTempDirectory("graft-semdedup")
+    def emit(b: Int): Unit = {
+      val tmp = stage.resolve(s"batch_${b}_tmp").toString
+      ev0.filter(col("batch") === b).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, stage.resolve(s"batch_$b.parquet"))
+      Thread.sleep(1100) // distinct mtimes → deterministic oldest-first order
+    }
+    (0 until 4).foreach(emit)
+
+    // bit-exact twin of graft.functions.CosineSimilarity.nullSafeEval
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val denom = math.sqrt(na * nb)
+      if (denom == 0.0) Double.NaN else dot / denom // NaN > τ is false, like SQL NULL
+    }
+
+    val assigned = spark.readStream
+      .schema(ev0.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+      .selectExpr("vec_id", "embedding", "batch",
+        s"array_min(transform($cb, c -> struct(" +
+          "-cosine_similarity(embedding, c.ce) as nc, c.cell as cell))).cell as cell")
+
+    val updates = assigned.as[(Long, Array[Float], Int, Long)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (cell: Long, it: Iterator[(Long, Array[Float], Int, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[List[(Long, Array[Float])]]) => {
+          val rows = it.toSeq.sortBy(_._1) // ascending id within the micro-batch
+          var kept = state.getOption.getOrElse(Nil)
+          val seen = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]()
+          val out = rows.map { case (id, emb, b, _) =>
+            // dominators: kept reps from earlier batches (any id) plus
+            // ALL previously-seen rows of this batch (ids < id — `seen`
+            // holds them in arrival order, kept or dropped)
+            val doms = (kept.iterator ++ seen.iterator)
+              .filter { case (_, ke) => cos(ke, emb) > tau }
+              .map(_._1).toSeq
+            seen += ((id, emb))
+            if (doms.isEmpty) kept = kept :+ ((id, emb))
+            (id, b, cell,
+              if (doms.isEmpty) 1 else 0,
+              if (doms.isEmpty) None else Some(doms.min))
+          }
+          state.update(kept)
+          out.iterator
+        })
+      .toDF("vec_id", "batch", "cell", "keep_flag", "keeper")
+
+    val q = updates.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   def topKStream(spark: SparkSession, sfDir: String,
       queryName: String = "graft_topk"): DataFrame = {
     val agg = eventsStream(spark, sfDir)

@@ -522,6 +522,29 @@ object StreamingOps {
          |  CAST(e.est_p90 AS BIGINT) AS est_p90_x1e4, CAST(x.ex_p90 AS BIGINT) AS ex_p90_x1e4
          |FROM ex x JOIN est e ON e.win_start_s = x.win_start_s""".stripMargin) { (s, d) =>
       windowQuantilesBatch(s, d, 16)
+    },
+
+    // Streaming semantic dedup (batch rendering): the embeddings table
+    // arrives in four ingest micro-batches (batch = vec_id mod 4) and
+    // each batch is admitted against the kept state accumulated so far
+    // — ss26's incremental rule applied batch-after-batch, which is
+    // exactly what a stateful stream can afford to remember (survivors
+    // only; dropped vectors from earlier batches never dominate).
+    // StreamRunner.semDedupStream runs the REAL stateful twin: a
+    // per-cell flatMapGroupsWithState carrying kept representatives
+    // across micro-batches, cell-assigned scan-locally against the
+    // codebook literal (streams can't run the assignment window);
+    // StreamingSpec asserts twin ≡ this ledger row-for-row. Semantics +
+    // scale contract live on SimilarityOps.semDedupSequential; the
+    // recursive kept-only rule unrolls into one CTE triple per batch in
+    // the oracle (sequentialOracleSql).
+    Q(
+      "st16_stream_semdedup",
+      graft.operators.SimilarityOps.sequentialOracleSql(4, 0.3)) { (s, d) =>
+      graft.functions.CosineSimilarity.register(s)
+      val e = T.embeddings(s, d).select("vec_id", "label", "embedding")
+      graft.operators.SimilarityOps.semDedupSequential(
+        e, graft.operators.SimilarityOps.trainedCentroids(e), 0.3, 4)
     }
   )
 

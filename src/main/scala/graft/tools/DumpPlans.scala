@@ -108,7 +108,11 @@ object DumpPlans {
     // the τ sweep must show ONE pair join feeding a partial-agg'd max
     // and a broadcast τ grid; the geometry pre-flight must show NO pair
     // join at all — just the broadcast-scored assignment and a rollup
-    "ss27_semdedup_tau_sweep", "ss28_cell_geometry")
+    "ss27_semdedup_tau_sweep", "ss28_cell_geometry",
+    // the sequential (streaming-twin) fold must show one reused
+    // persisted assignment feeding every level — never a re-scored scan
+    // per batch — with cell-keyed exchanges only
+    "st16_stream_semdedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -134,7 +134,8 @@ object ShuffleAudit {
     "ss25_semdedup_cells" -> "codebook broadcasts into ONE scored assignment pass; the pair stage exchanges cell-keyed (id, vector) rows — per-cell quadratic bounded by max cell size under the k∝N contract (hot-cell guard: SimilarityOps.lastCellStats)",
     "ss26_semdedup_increment" -> "incremental ingest: only kept corpus reps enter the cell-keyed join (the corpus never rescans); the batch pays one scored pass + a cell-bounded self-join — cost scales with the batch, not the corpus",
     "ss27_semdedup_tau_sweep" -> "ONE pair pass shared by every τ arm: max(cs) partial-aggregates map-side so the post-pair exchange is ≤ N slim (id, double) rows; the τ grid is a broadcast literal and the rollup is |τ| rows",
-    "ss28_cell_geometry" -> "pre-flight before the pair stage: broadcast-scored assignment + k-row cell rollup, hot rule by integer cross-multiply — no pair join, no quadratic anywhere")
+    "ss28_cell_geometry" -> "pre-flight before the pair stage: broadcast-scored assignment + k-row cell rollup, hot rule by integer cross-multiply — no pair join, no quadratic anywhere",
+    "st16_stream_semdedup" -> "sequential SemDeDup over 4 ingest batches on ONE persisted assignment: per level a cell-keyed kept-side join + a within-batch self-join, both bounded by the k∝N cell contract; the streaming twin's state is the kept reps per cell")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

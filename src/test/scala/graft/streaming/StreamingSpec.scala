@@ -244,4 +244,27 @@ class StreamingSpec extends AnyFunSuite {
       "reversed arrival diverged — the sample merge is order-dependent")
     spark.catalog.clearCache()
   }
+
+  test("stateful streaming SemDeDup equals batch st16 across four micro-batches") {
+    def five(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))
+    val streamed = StreamRunner.semDedupStream(spark, sf, "graft_semdedup_spec")
+      .collect().map(five).toSet
+    val batch = graft.streaming.StreamingOps.queries
+      .find(_.name == "st16_stream_semdedup").get.fn(spark, sf)
+      .selectExpr("vec_id", "batch", "cast(cell as bigint) as cell",
+        "keep_flag", "keeper")
+      .collect().map(five).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // both arms live at spec scale
+    assert(streamed.exists(_._4 == 0), "fixture never drops — τ arm unexercised")
+    assert(streamed.exists(_._4 == 1), "fixture never keeps")
+    // cross-batch state genuinely used: some vector was dominated by a
+    // kept rep from a DIFFERENT micro-batch (batch = vec_id mod 4)
+    assert(streamed.exists(t => t._4 == 0 && t._5 % 4 != t._1 % 4),
+      "no cross-batch domination — kept state unexercised at spec scale")
+    spark.catalog.clearCache()
+  }
 }
