@@ -311,6 +311,30 @@ object Similarity {
       cent)
   }
 
+  /** Margin-based bitext mining (the ratio-margin criterion used by
+    * large-scale parallel-corpus mining): for every `corpusA` vector,
+    * its best `corpusB` candidate within its codebook cell, scored by
+    * margin = 2·cos(x,y) / (avgₖ(x) + avgₖ(y)) — high only when the
+    * pair is exceptional against BOTH vectors' opposite-side
+    * neighborhoods, which is what separates translation pairs from
+    * dense-region noise. Returns (a_id, b_id, cos_x1e6, margin_x1e6),
+    * one row per corpusA vector with a positive-cosine cell-mate;
+    * callers keep pairs above a margin threshold (≈1.06e6 in the
+    * published recipe). Candidates are cell-scoped, so mining is linear
+    * under the k∝N contract — pre-flight hot cells with
+    * `cellGeometry`. The gated ss29 query calls the same plan, so API
+    * and oracle can't diverge.
+    */
+  def bitextMarginMine(corpusA: DataFrame, corpusB: DataFrame,
+      cent: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", k: Int = 4): DataFrame = {
+    CosineSimilarity.register(corpusA.sparkSession)
+    graft.operators.SimilarityOps.bitextMarginMine(
+      corpusA.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+      corpusB.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+      cent, k)
+  }
+
   /** Lloyd's k-means over an embedding column — the clustering behind
     * semantic-dedup sharding, IVF codebook training, and topic-balanced
     * sampling. Deterministic end-to-end: seeds are the `k` lowest-id

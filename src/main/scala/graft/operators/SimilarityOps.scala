@@ -2356,6 +2356,63 @@ object SimilarityOps {
         graft.functions.CosineSimilarity.register(s)
         val e = T.embeddings(s, d).select("vec_id", "label", "embedding")
         cellGeometry(e, trainedCentroids(e))
+    },
+
+    // Margin-based bitext mining (Artetxe & Schwenk's ratio-margin
+    // criterion, the CCMatrix/WikiMatrix shape): for every side-A
+    // vector, its best side-B candidate scored by cos relative to BOTH
+    // vectors' local similarity neighborhoods — margin = 2·cos(x,y) /
+    // (avgk(x) + avgk(y)) — so a pair only scores high when the two are
+    // mutually exceptional, not just in a dense region. Candidates and
+    // k-NN averages are scoped to codebook cells (the ss25 machinery:
+    // mining stays linear under the k∝N contract instead of A×B
+    // quadratic). Fixture sides = even/odd vec_id; the API takes two
+    // corpora. Cosines quantize to x1e6 integer units and averages use
+    // integer division, so the oracle never hashes float sums (ss23's
+    // x1e6 convention; all quantities positive, div ≡ floor on both
+    // engines).
+    Q(
+      "ss29_bitext_margin",
+      s"""WITH cent AS (
+         |  SELECT label AS cell,
+         |    ${(1 to dim).map(duckCentDim).mkString("[", ", ", "]")} AS ce
+         |  FROM embeddings GROUP BY label),
+         |  scored AS (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.embedding", "c.ce")} DESC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN cent c),
+         |  asg AS (SELECT vec_id, embedding, cell FROM scored WHERE rn = 1),
+         |  pr AS (
+         |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |      CAST(floor(${duckCos("a.embedding", "b.embedding")} * 1000000) AS BIGINT) AS cq
+         |    FROM asg a JOIN asg b
+         |      ON a.cell = b.cell AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+         |    WHERE floor(${duckCos("a.embedding", "b.embedding")} * 1000000) > 0),
+         |  ar AS (SELECT a_id, cq,
+         |           row_number() OVER (PARTITION BY a_id ORDER BY cq DESC, b_id) AS rk
+         |         FROM pr),
+         |  ax AS (SELECT a_id, CAST(sum(cq) // count(*) AS BIGINT) AS ak
+         |         FROM ar WHERE rk <= 4 GROUP BY a_id),
+         |  br AS (SELECT b_id, cq,
+         |           row_number() OVER (PARTITION BY b_id ORDER BY cq DESC, a_id) AS rk
+         |         FROM pr),
+         |  bx AS (SELECT b_id, CAST(sum(cq) // count(*) AS BIGINT) AS bk
+         |         FROM br WHERE rk <= 4 GROUP BY b_id),
+         |  best AS (SELECT a_id, b_id, cq FROM (
+         |      SELECT a_id, b_id, cq,
+         |        row_number() OVER (PARTITION BY a_id ORDER BY cq DESC, b_id) AS rk
+         |      FROM pr) WHERE rk = 1)
+         |SELECT t.a_id, t.b_id, t.cq AS cos_x1e6,
+         |  CAST((2 * t.cq * 1000000) // (ax.ak + bx.bk) AS BIGINT) AS margin_x1e6
+         |FROM best t JOIN ax ON ax.a_id = t.a_id
+         |  JOIN bx ON bx.b_id = t.b_id""".stripMargin) { (s, d) =>
+      graft.functions.CosineSimilarity.register(s)
+      val e = T.embeddings(s, d).select("vec_id", "label", "embedding")
+      bitextMarginMine(
+        e.filter(col("vec_id") % 2 === 0).select("vec_id", "embedding"),
+        e.filter(col("vec_id") % 2 === 1).select("vec_id", "embedding"),
+        trainedCentroids(e), 4)
     }
   )
 
@@ -2603,6 +2660,59 @@ object SimilarityOps {
       .selectExpr("cell", "n",
         s"cast(case when n > $hotCellFloor and n * k > $f * total " +
           "then 1 else 0 end as int) as hot")
+  }
+
+  /** Margin-based bitext mining core shared by the gated ss29 query and
+    * `Similarity.bitextMarginMine` (the API delegates HERE so the two
+    * can't diverge): both corpora assign to the broadcast codebook's
+    * cells, cross-side pairs form ONLY within a cell, and each side-A
+    * vector's best side-B candidate is scored by the ratio margin —
+    * margin = 2·cos(x,y) / (avgₖ(x) + avgₖ(y)), with avgₖ a vector's
+    * mean cosine over its k best opposite-side cell-mates — so a pair
+    * scores high only when exceptional AGAINST BOTH NEIGHBORHOODS, the
+    * criterion that separates true translation pairs from dense-region
+    * noise. Cosines quantize to x1e6 integer units before any
+    * aggregation (sums/divisions are integer end-to-end — no float-sum
+    * hashing; everything positive, so div ≡ floor on both engines).
+    * Returns (a_id, b_id, cos_x1e6, margin_x1e6), one row per side-A
+    * vector with ≥1 positive-cosine opposite cell-mate.
+    *
+    * Scale notes (100 TB): A×B never forms — pairs are cell-keyed, so
+    * pair volume is Σ |A∩cell|·|B∩cell|, linear under the k∝N contract
+    * (pre-flight with [[cellGeometry]]); the k-NN averages are windows
+    * over per-VECTOR frames (never global); the margin stage is
+    * row-local arithmetic on a three-way id join. The persisted pair
+    * frame feeds all three consumers (both averages + the best-pick)
+    * in one plan.
+    */
+  private[graft] def bitextMarginMine(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val pairs = semDedupAssign(a, cent)
+      .select(col("vec_id").as("a_id"), col("cell"), col("embedding").as("ea"))
+      .join(semDedupAssign(b, cent)
+        .select(col("vec_id").as("b_id"), col("cell"), col("embedding").as("eb")),
+        Seq("cell"))
+      .selectExpr("a_id", "b_id",
+        s"cast(floor(${sparkCos("ea", "eb")} * 1000000) as bigint) as cq")
+      .filter(col("cq") > 0)
+      .persist() // three consumers: both k-NN averages + the best-pick
+    val aRank = row_number().over(
+      Window.partitionBy("a_id").orderBy(desc("cq"), col("b_id")))
+    val ax = pairs.withColumn("rk", aRank).filter(col("rk") <= k)
+      .groupBy("a_id").agg(expr("cast(sum(cq) div count(1) as bigint)").as("ak"))
+    val bx = pairs.withColumn("rk", row_number().over(
+      Window.partitionBy("b_id").orderBy(desc("cq"), col("a_id"))))
+      .filter(col("rk") <= k)
+      .groupBy("b_id").agg(expr("cast(sum(cq) div count(1) as bigint)").as("bk"))
+    pairs.withColumn("rk", aRank).filter(col("rk") === 1)
+      .select("a_id", "b_id", "cq")
+      .join(ax, "a_id").join(bx, "b_id")
+      .selectExpr("a_id", "b_id", "cq as cos_x1e6",
+        "cast((2 * cq * 1000000) div (ak + bk) as bigint) as margin_x1e6")
   }
 
   /** RRF hybrid fusion machinery shared by the gated ss17 query and

@@ -265,6 +265,54 @@ class SimilarityApiSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("bitextMarginMine equals gated ss29; one best candidate per mined A vector") {
+    val e = graft.Tables.embeddings(spark, sf).select("vec_id", "label", "embedding")
+    val api = Similarity.bitextMarginMine(
+      e.filter(col("vec_id") % 2 === 0),
+      e.filter(col("vec_id") % 2 === 1),
+      graft.operators.SimilarityOps.trainedCentroids(e)).collect()
+    val gated = graft.SparkEntry.queries("ss29_bitext_margin")(spark, sf).collect()
+    assert(api.nonEmpty)
+    assert(sorted(api) == sorted(gated))
+    // ledger shape: one row per mined A vector, everything positive,
+    // cosine never past 1.0 in x1e6 units
+    assert(api.map(_.getLong(0)).distinct.length == api.length)
+    assert(api.forall(r => r.getLong(2) > 0 && r.getLong(2) <= 1000000L))
+    assert(api.forall(_.getLong(3) > 0))
+    spark.catalog.clearCache()
+  }
+
+  test("bitextMarginMine ranks a mutually-exceptional pair above a dense-region pair") {
+    import spark.implicits._
+    // 8-cell one-hot codebook; everything below lands in cell 0
+    val cent = (0 until 8).map { c =>
+      (c, Array.tabulate(64)(i => if (i == c) 1.0f else 0.0f))
+    }.toDF("cell", "ce")
+    def v(axis: Int, w: Float) =
+      Array.tabulate(64)(j => if (j == 0) 1.0f else if (j == axis) w else 0.0f)
+    // ids 0 (A) and 1 (B): a true pair — identical off-axis tilt, so
+    // cos(0,1)=1 while each is merely ~0.958 to the dense blob.
+    // ids 2,4 (A) and 3,5 (B): a dense region — all exactly e0, every
+    // cross pair cos=1, so nothing about any one pair is exceptional.
+    val rows = Seq(
+      (0L, v(11, 0.3f)), (1L, v(11, 0.3f)),
+      (2L, v(0, 0f)), (3L, v(0, 0f)), (4L, v(0, 0f)), (5L, v(0, 0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val mined = Similarity.bitextMarginMine(
+      df.filter(col("vec_id") % 2 === 0),
+      df.filter(col("vec_id") % 2 === 1), cent)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    // the true pair is found and out-margins every dense-region pair —
+    // the criterion's whole point: raw cosine alone (1.0 everywhere
+    // here) cannot make that separation
+    assert(mined(0L)._1 == 1L)
+    assert(mined(2L)._1 == 3L) // tie among identical candidates → lowest id
+    assert(mined(0L)._2 > mined(2L)._2,
+      s"true-pair margin ${mined(0L)._2} must exceed dense-region ${mined(2L)._2}")
+    assert(mined(0L)._2 > 1000000L, "mutually-exceptional pair must clear margin 1.0")
+    spark.catalog.clearCache()
+  }
+
   test("semanticDedup over srpNearDup pairs merges every SRP pair") {
     // the no-blocking-key scale path: SRP candidates -> CC -> keep set.
     // Different pair generator than gated dd14, so compare invariants,
