@@ -456,6 +456,43 @@ object HeadlineQueries {
           sum(length(col("props"))).cast("long").as("props_chars"))
     },
 
+    // TFRecord sink → source round-trip — the REFERENCE'S own on-disk
+    // format (TFRecordDataset; imagenet_input.py:168-170), read and
+    // written natively (length-prefixed masked-CRC32C framing,
+    // graft.sources.TfRecords) so a reference user's existing corpora
+    // load directly instead of converting to parquet first. Documents
+    // ride as one record each (fixed-width decimal doc_id + '|' + utf8
+    // text — TFRecord payloads are opaque bytes; both CRCs verified on
+    // read), then aggregate ≡ the original table per the q_csv_roundtrip
+    // convention. Scale: shards are the read-parallelism unit — the
+    // repartition(8) writes 8 shards so the read genuinely fans out;
+    // records stream sequentially within a shard, exactly
+    // TFRecordDataset's contract.
+    Q(
+      "q_tfrecord_roundtrip",
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(length(text)) AS BIGINT) AS chars,
+        |  CAST(min(doc_id) AS BIGINT) AS first_id,
+        |  CAST(max(doc_id) AS BIGINT) AS last_id
+        |FROM documents""".stripMargin) { (s, d) =>
+      val path = Scratch.dir("graft-tfrec-docs")
+      graft.sources.TfRecords.write(
+        T.documents(s, d).repartition(8).selectExpr(
+          "cast(concat(lpad(cast(doc_id as string), 19, '0'), '|', text) as binary) as rec"),
+        "rec", path)
+      graft.sources.TfRecords.read(s, path)
+        .selectExpr(
+          "cast(substring(cast(record as string), 1, 19) as bigint) as doc_id",
+          "substring(cast(record as string), 21) as text")
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          sum("doc_id").cast("long").as("id_sum"),
+          sum(length(col("text"))).cast("long").as("chars"),
+          min("doc_id").cast("long").as("first_id"),
+          max("doc_id").cast("long").as("last_id"))
+    },
+
     // CUBE aggregation with GROUPING() disambiguation (rollup's sibling;
     // grouping flags distinguish "NULL value" from "subtotal row").
     Q(

@@ -1,0 +1,126 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TFRecord file format — the reference's actual on-disk input format
+  * (reference imagenet_input.py:168-170 and graphdef_util.py:24 consume
+  * it via TFRecordDataset). A file is a sequence of framed records:
+  *
+  *   uint64 length (LE) | uint32 masked_crc32c(length) |
+  *   data[length]       | uint32 masked_crc32c(data)
+  *
+  * CRC32C is the Castagnoli polynomial (`java.util.zip.CRC32C` — in the
+  * JDK since 9, no TensorFlow dependency), masked per the TFRecord
+  * spec: `((crc >>> 15) | (crc << 17)) + 0xa282ead8` in 32-bit
+  * arithmetic. Files written here are readable by any TFRecord consumer
+  * and vice versa — a reference user's existing TFRecord corpora load
+  * directly instead of converting to parquet first.
+  *
+  * Scale notes (100 TB): the write emits one `.tfrecord` shard per
+  * Spark partition, executor-side through the Hadoop FS API (local /
+  * HDFS / S3A alike; a task retry rewrites only its own shard —
+  * idempotent). The read rides Spark's `binaryFile` source with one
+  * task per file, so the FILE COUNT is the read parallelism — exactly
+  * TFRecordDataset's own contract (files parallel, records sequential
+  * within a file): repartition before writing to set the shard size,
+  * and interleave many shards on read. Both CRCs are verified on every
+  * record — corruption surfaces as an exception, never as silent
+  * truncation.
+  */
+object TfRecords {
+
+  private val maskDelta = 0xa282ead8L
+
+  /** Masked CRC32C of `bytes[off, off+len)` per the TFRecord spec. */
+  private[graft] def maskedCrc(bytes: Array[Byte], off: Int, len: Int): Int = {
+    val c = new java.util.zip.CRC32C
+    c.update(bytes, off, len)
+    val crc = c.getValue // unsigned 32-bit value in a long
+    val rot = ((crc >>> 15) | (crc << 17)) & 0xffffffffL
+    ((rot + maskDelta) & 0xffffffffL).toInt
+  }
+
+  /** Frame one record: 16 framing bytes + the payload. */
+  private[graft] def encodeRecord(data: Array[Byte]): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(12 + data.length + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val lenBytes = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putLong(data.length.toLong).array()
+    buf.put(lenBytes)
+    buf.putInt(maskedCrc(lenBytes, 0, 8))
+    buf.put(data)
+    buf.putInt(maskedCrc(data, 0, data.length))
+    buf.array()
+  }
+
+  /** Parse one file's bytes into its records, verifying both CRCs. */
+  private[graft] def decodeAll(content: Array[Byte]): Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    var p = 0
+    while (p < content.length) {
+      require(p + 12 <= content.length, s"tfrecord: truncated header at byte $p")
+      val bb = java.nio.ByteBuffer.wrap(content, p, 12)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val len = bb.getLong
+      val lenCrc = bb.getInt
+      require(maskedCrc(content, p, 8) == lenCrc,
+        s"tfrecord: length CRC mismatch at byte $p")
+      require(len >= 0 && len <= Int.MaxValue - 16 &&
+        p + 12 + len + 4 <= content.length,
+        s"tfrecord: truncated record (length $len) at byte $p")
+      val n = len.toInt
+      val data = java.util.Arrays.copyOfRange(content, p + 12, p + 12 + n)
+      val dataCrc = java.nio.ByteBuffer.wrap(content, p + 12 + n, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      require(maskedCrc(data, 0, n) == dataCrc,
+        s"tfrecord: data CRC mismatch at byte $p")
+      out += data
+      p += 12 + n + 4
+    }
+    out.result()
+  }
+
+  /** Write `bytesCol` (binary) as TFRecord shards under `path` — one
+    * `part-NNNNN.tfrecord` per partition, replacing whatever was there
+    * (DataFrameWriter's overwrite semantics).
+    */
+  def write(df: DataFrame, bytesCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fsDriver = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsDriver.delete(dir, true)
+    fsDriver.mkdirs(dir)
+    df.select(col(bytesCol).cast("binary")).foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val shard = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.tfrecord")
+        val fs = shard.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(shard, true)
+        try it.foreach(r => out.write(encodeRecord(r.getAs[Array[Byte]](0))))
+        finally out.close()
+    }
+  }
+
+  /** Read TFRecord shards under `path`: one row per record —
+    * (file, rec_idx, record) with `rec_idx` the record's ordinal within
+    * its file (TFRecord order is positional; the ordinal is the only
+    * identity the format itself carries).
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tfrecord")
+      .load(path)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (f, bytes) =>
+        val file = f.substring(f.lastIndexOf('/') + 1)
+        decodeAll(bytes).iterator.zipWithIndex.map {
+          case (rec, i) => (file, i.toLong, rec)
+        }
+      }
+      .toDF("file", "rec_idx", "record")
+  }
+}

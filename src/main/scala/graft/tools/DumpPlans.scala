@@ -112,7 +112,13 @@ object DumpPlans {
     // the sequential (streaming-twin) fold must show one reused
     // persisted assignment feeding every level — never a re-scored scan
     // per batch — with cell-keyed exchanges only
-    "st16_stream_semdedup")
+    "st16_stream_semdedup",
+    // bitext mining must show the cell-keyed (never A×B) pair join and
+    // per-vector rank windows over the one persisted pair frame
+    "ss29_bitext_margin",
+    // the TFRecord round-trip must show the binaryFile scan (one task
+    // per shard) feeding the decode flatMap — no exchange before the agg
+    "q_tfrecord_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

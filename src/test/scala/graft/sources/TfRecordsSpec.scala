@@ -1,0 +1,78 @@
+package graft.sources
+
+import graft.SparkTestSession.spark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The TFRecord framing must be byte-exact against the published spec —
+  * these files claim interop with every other TFRecord consumer, so the
+  * laws are pinned independently of our own encoder/decoder pair.
+  */
+class TfRecordsSpec extends AnyFunSuite {
+
+  test("CRC32C is Castagnoli (known-answer) and the mask follows the spec") {
+    // the standard CRC-32C check value: crc32c("123456789") = 0xe3069283
+    val check = "123456789".getBytes("UTF-8")
+    val c = new java.util.zip.CRC32C
+    c.update(check, 0, check.length)
+    assert(c.getValue == 0xe3069283L)
+    // mask law: ((crc >>> 15) | (crc << 17)) + 0xa282ead8 in 32-bit
+    val crc = c.getValue
+    val expected =
+      ((((crc >>> 15) | (crc << 17)) & 0xffffffffL) + 0xa282ead8L & 0xffffffffL).toInt
+    assert(TfRecords.maskedCrc(check, 0, check.length) == expected)
+  }
+
+  test("framing layout: length field LE, 16 overhead bytes, empty record legal") {
+    val data = Array[Byte](1, 2, 3, 4, 5)
+    val rec = TfRecords.encodeRecord(data)
+    assert(rec.length == 16 + data.length)
+    val len = java.nio.ByteBuffer.wrap(rec, 0, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    assert(len == data.length.toLong)
+    assert(rec.slice(12, 12 + data.length).sameElements(data))
+    // empty payload frames to exactly the 16 overhead bytes
+    assert(TfRecords.encodeRecord(Array.emptyByteArray).length == 16)
+  }
+
+  test("encode/decode round-trips multi-record files; corruption throws") {
+    val recs = Seq(
+      Array.emptyByteArray,
+      "hello".getBytes("UTF-8"),
+      Array.tabulate(1000)(i => (i % 251).toByte))
+    val file = recs.map(TfRecords.encodeRecord).reduce(_ ++ _)
+    val back = TfRecords.decodeAll(file)
+    assert(back.length == recs.length)
+    assert(back.zip(recs).forall { case (a, b) => a.sameElements(b) })
+    assert(TfRecords.decodeAll(Array.emptyByteArray).isEmpty)
+    // flip one payload byte → the data CRC must catch it
+    val corrupt = file.clone()
+    corrupt(16 + 12) = (corrupt(16 + 12) ^ 0x01).toByte // record 2's first byte
+    intercept[IllegalArgumentException](TfRecords.decodeAll(corrupt))
+    // truncate mid-record → framing error, not silent loss
+    intercept[IllegalArgumentException](TfRecords.decodeAll(file.dropRight(1)))
+  }
+
+  test("Spark write/read round-trips shards with per-file ordinals") {
+    import spark.implicits._
+    val rows = (0L until 257L).map(i => s"payload-$i".getBytes("UTF-8"))
+    val df = rows.toDF("rec").repartition(4)
+    val path = java.nio.file.Files.createTempDirectory("graft-tfrec-spec").toString
+    TfRecords.write(df, "rec", path)
+    // one shard per partition
+    assert(new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".tfrecord")) == 4)
+    val back = TfRecords.read(spark, path)
+      .selectExpr("file", "rec_idx", "cast(record as string) as s").collect()
+    assert(back.length == 257)
+    assert(back.map(_.getString(2)).toSet == rows.map(new String(_, "UTF-8")).toSet)
+    // ordinals are dense per file, starting at 0 — the only identity the
+    // format itself carries
+    back.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.sameElements(0L until rs.length))
+    }
+    // overwrite semantics: a second write with fewer partitions replaces
+    // the old shards instead of accumulating
+    TfRecords.write(df.limit(10).repartition(1), "rec", path)
+    assert(TfRecords.read(spark, path).count() == 10)
+  }
+}
