@@ -274,6 +274,63 @@ object FunctionOps {
           "cast(size(filter(toks, x -> x = v.w)) as bigint) as cnt",
           "cast(size(filter(toks, x -> array_contains(transform(vs, y -> y.w), x))) as bigint) as n_invocab",
           "cast(size(toks) as bigint) as n_toks")
+    },
+
+    // TFExample wire-format round-trip with FixedLenFeature defaults —
+    // the REAL record payload behind fn01's parse-fields semantics
+    // (imagenet_input.py:42-48: parse_single_example over tf.train.
+    // Example protos inside TFRecord files). Documents encode as
+    // genuine Example protobufs (graft.sources.TfExample — int64 +
+    // bytes features, canonical packed wire bytes, no TF dependency),
+    // ride TFRecord shards (graft.sources.TfRecords, both CRCs
+    // verified), parse back, and aggregate ≡ the original table. The
+    // defaults arm is real: every 10th document OMITS its lang feature
+    // and the parse supplies 'und' — the absent-key-means-default
+    // contract, exercised through actual absent wire bytes, not a
+    // COALESCE over NULLs. Scale: encode/decode are per-record byte
+    // arithmetic inside Dataset maps (no driver, no shuffle before the
+    // final rollup); shards are the read-parallelism unit.
+    Q(
+      "fn12_tfexample_roundtrip",
+      """SELECT CASE WHEN doc_id % 10 = 0 THEN 'und' ELSE lang END AS lang,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(length(text)) AS BIGINT) AS chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.sources.{TfExample, TfRecords}
+      val path = graft.operators.Scratch.dir("graft-tfex-docs")
+      val encoded = T.documents(s, d)
+        .selectExpr("doc_id", "text", "lang", "n_chars")
+        .as[(Long, String, String, Long)]
+        .map { case (id, text, lang, nc) =>
+          val base = Seq(
+            "doc_id" -> TfExample.Feature(longs = Seq(id)),
+            "text" -> TfExample.Feature(bytes = Seq(text.getBytes("UTF-8"))),
+            "n_chars" -> TfExample.Feature(longs = Seq(nc)))
+          TfExample.encode(
+            if (id % 10 == 0) base // defaults arm: lang feature ABSENT
+            else base :+ ("lang" -> TfExample.Feature(
+              bytes = Seq(lang.getBytes("UTF-8")))))
+        }
+        .toDF("rec")
+      TfRecords.write(encoded, "rec", path)
+      TfRecords.read(s, path)
+        .select("record").as[Array[Byte]]
+        .map { rec =>
+          val m = TfExample.decode(rec)
+          (TfExample.stringUtf8(m, "lang", "und"), // FixedLenFeature default
+            TfExample.int64(m, "doc_id", -1L),
+            TfExample.stringUtf8(m, "text", ""),
+            TfExample.int64(m, "n_chars", -1L))
+        }
+        .toDF("lang", "doc_id", "text", "nc")
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("doc_id").cast("long").as("id_sum"),
+          sum(length(col("text"))).cast("long").as("chars"),
+          sum("nc").cast("long").as("n_chars"))
     }
   )
 }

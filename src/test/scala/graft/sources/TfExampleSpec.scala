@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Example codec claims proto-wire interop, so its laws are pinned
+  * against HAND-COMPUTED wire bytes (not just its own encode/decode
+  * pair): canonical bytes known-answer, the unpacked alternate encoding
+  * readers must accept, unknown-field tolerance, and the
+  * FixedLenFeature default getters.
+  */
+class TfExampleSpec extends AnyFunSuite {
+
+  test("canonical wire bytes known-answer: {'a': int64 [150]}") {
+    // Int64List: packed field 1 → 0A 02 96 01 (varint 150 = 96 01)
+    // Feature.int64_list = 3   → 1A 04 <that>
+    // entry: key 'a' (0A 01 61), value = 2 (12 06 <feature>)
+    // Features.feature = 1     → 0A 0B <entry>
+    // Example.features = 1     → 0A 0D <features>
+    val expected = Array(
+      0x0a, 0x0d, 0x0a, 0x0b, 0x0a, 0x01, 0x61, 0x12, 0x06, 0x1a,
+      0x04, 0x0a, 0x02, 0x96, 0x01).map(_.toByte)
+    val got = TfExample.encode(Seq("a" -> TfExample.Feature(longs = Seq(150L))))
+    assert(got.sameElements(expected))
+    val back = TfExample.decode(expected)
+    assert(back("a").longs == Seq(150L))
+  }
+
+  test("parser accepts the UNPACKED int64 alternate encoding") {
+    // same Example, but Int64List carries value 150 as an unpacked
+    // varint field (08 96 01) — the spec requires readers to accept both
+    val unpacked = Array(
+      0x0a, 0x0c, 0x0a, 0x0a, 0x0a, 0x01, 0x61, 0x12, 0x05, 0x1a,
+      0x03, 0x08, 0x96, 0x01).map(_.toByte)
+    assert(TfExample.decode(unpacked)("a").longs == Seq(150L))
+  }
+
+  test("round-trips all three kinds, multi-value, negative int64, utf8") {
+    val ex = Seq(
+      "ids" -> TfExample.Feature(longs = Seq(0L, -1L, Long.MaxValue, Long.MinValue)),
+      "scores" -> TfExample.Feature(floats = Seq(1.5f, -0.0f, Float.MinPositiveValue)),
+      "txt" -> TfExample.Feature(bytes = Seq("héllo — wörld".getBytes("UTF-8"),
+        Array.emptyByteArray)),
+      "empty" -> TfExample.Feature())
+    val m = TfExample.decode(TfExample.encode(ex))
+    assert(m("ids").longs == Seq(0L, -1L, Long.MaxValue, Long.MinValue))
+    assert(m("scores").floats.map(java.lang.Float.floatToIntBits) ==
+      Seq(1.5f, -0.0f, Float.MinPositiveValue).map(java.lang.Float.floatToIntBits))
+    assert(new String(m("txt").bytes.head, "UTF-8") == "héllo — wörld")
+    assert(m("txt").bytes(1).isEmpty)
+    assert(m("empty") == TfExample.Feature())
+  }
+
+  test("unknown fields are skipped, not fatal") {
+    // splice an unknown varint field (field 9, wire 0: tag 0x48) into
+    // the Example top level ahead of the real features
+    val real = TfExample.encode(Seq("a" -> TfExample.Feature(longs = Seq(7L))))
+    val spliced = Array[Byte](0x48, 0x2a) ++ real
+    assert(TfExample.decode(spliced)("a").longs == Seq(7L))
+  }
+
+  test("FixedLenFeature defaults: absent key yields the default") {
+    val m = TfExample.decode(TfExample.encode(Seq(
+      "present" -> TfExample.Feature(longs = Seq(5L)))))
+    assert(TfExample.int64(m, "present", -1L) == 5L)
+    assert(TfExample.int64(m, "absent", -1L) == -1L)
+    assert(TfExample.stringUtf8(m, "absent", "und") == "und")
+    assert(TfExample.float32(m, "absent", 2.5f) == 2.5f)
+  }
+}
