@@ -438,6 +438,59 @@ object MultimodalOps {
           ImageCodec.dhashFeatures(s, ImageCodec.payloads(s, d, 64)).toDF(),
           "dhash_lo", "dhash_hi")
         .select(hammingChainCols("dhash_lo", "dhash_hi"): _*)
+    },
+
+    // The reference's flagship ingest path end-to-end, natively:
+    // TFRecord shards of tf.train.Example protos in the ImageNet layout
+    // (image/encoded PNG bytes + image/class/label int64 —
+    // imagenet_input.py:42-48's exact feature keys) → record framing
+    // verified (both CRCs) → Example wire parse → REAL image decode
+    // (javax.imageio) → per-label pixel statistics. PNG is lossless and
+    // the synthetic pattern closed-form, so DuckDB reproduces the pixel
+    // sums without any codec — the gate pins the ENTIRE chain
+    // (TfRecords framing, TfExample parse, PNG decode) bit-exactly.
+    // Scale: encode/parse/decode all ride partition-local Dataset maps;
+    // the 4 shards are the read-parallelism unit; the only exchange is
+    // the final 10-row label rollup.
+    Q(
+      "mm12_imagenet_ingest",
+      """WITH p AS (SELECT doc_id, 16 + doc_id % 5 AS w, 12 + doc_id % 7 AS h
+        |           FROM documents WHERE doc_id < 64),
+        |  f AS (SELECT doc_id % 10 AS label, w, h,
+        |          list_reduce(list_transform(range(0, w * h),
+        |            i -> (doc_id * 31 + 7 * (i % w) + 13 * (i // w)) % 256),
+        |            (a, b) -> a + b) AS px_sum
+        |        FROM p)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(w * h) AS BIGINT) AS px, CAST(sum(px_sum) AS BIGINT) AS px_sum
+        |FROM f GROUP BY label""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.multimodal.ImageCodec
+      import graft.sources.{TfExample, TfRecords}
+      val path = Scratch.dir("graft-tfex-imagenet")
+      val encoded = ImageCodec.payloads(s, d, 64).as[(Long, Array[Byte])]
+        .map { case (id, png) =>
+          TfExample.encode(Seq(
+            "image/encoded" -> TfExample.Feature(bytes = Seq(png)),
+            "image/format" -> TfExample.Feature(bytes = Seq("PNG".getBytes("UTF-8"))),
+            "image/class/label" -> TfExample.Feature(longs = Seq(id % 10)),
+            "image/source_id" -> TfExample.Feature(longs = Seq(id))))
+        }
+        .toDF("rec")
+      TfRecords.write(encoded.repartition(4), "rec", path)
+      TfRecords.read(s, path).select("record").as[Array[Byte]]
+        .mapPartitions(_.map { rec =>
+          val m = TfExample.decode(rec)
+          val id = TfExample.int64(m, "image/source_id", -1L)
+          val f = ImageCodec.features(id, m("image/encoded").bytes.head)
+          (TfExample.int64(m, "image/class/label", -1L),
+            f.width * f.height, f.px_sum)
+        })
+        .toDF("label", "px1", "px_sum1")
+        .groupBy("label")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("px1").cast("long").as("px"),
+          sum("px_sum1").cast("long").as("px_sum"))
     }
   )
 

@@ -118,7 +118,8 @@ object DumpPlans {
     "ss29_bitext_margin",
     // the TFRecord round-trip must show the binaryFile scan (one task
     // per shard) feeding the decode flatMap — no exchange before the agg
-    "q_tfrecord_roundtrip", "fn12_tfexample_roundtrip")
+    "q_tfrecord_roundtrip", "fn12_tfexample_roundtrip",
+    "mm12_imagenet_ingest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
