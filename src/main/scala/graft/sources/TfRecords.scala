@@ -123,4 +123,68 @@ object TfRecords {
       }
       .toDF("file", "rec_idx", "record")
   }
+
+  /** Like [[decodeAll]], but a framing/CRC failure TRUNCATES instead of
+    * throwing: returns the records that verified before the failure
+    * point plus whether the file was clean. Resync past a bad frame is
+    * impossible — the format carries no record-boundary markers, so the
+    * rest of the file is unparseable by construction (TensorFlow's own
+    * readers stop at the first bad frame too).
+    */
+  private[graft] def decodeLenient(content: Array[Byte]): (Seq[Array[Byte]], Boolean) =
+    try { (decodeAll(content), true) }
+    catch {
+      case _: IllegalArgumentException =>
+        // re-walk, keeping every record that verifies before the failure
+        val out = Seq.newBuilder[Array[Byte]]
+        var p = 0
+        var ok = true
+        while (ok && p + 12 <= content.length) {
+          try {
+            val bb = java.nio.ByteBuffer.wrap(content, p, 12)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val len = bb.getLong
+            val lenCrc = bb.getInt
+            require(maskedCrc(content, p, 8) == lenCrc)
+            require(len >= 0 && len <= Int.MaxValue - 16 &&
+              p + 12 + len + 4 <= content.length)
+            val n = len.toInt
+            val data = java.util.Arrays.copyOfRange(content, p + 12, p + 12 + n)
+            require(java.nio.ByteBuffer.wrap(content, p + 12 + n, 4)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt == maskedCrc(data, 0, n))
+            out += data
+            p += 12 + n + 4
+          } catch { case _: IllegalArgumentException => ok = false }
+        }
+        (out.result(), false)
+    }
+
+  /** [[read]]'s PERMISSIVE twin for petabyte-scale ingest, where one
+    * flipped bit in one shard must not kill a 1000-executor job: a
+    * corrupt frame drops that file's REMAINING records (no resync
+    * exists in the format) instead of throwing, and every row carries
+    * its file's verdict so the pipeline can count, alert on, and
+    * re-fetch bad shards — corruption is data, not an exception.
+    * Returns (file, rec_idx, record, file_clean); a shard whose very
+    * first frame is bad still surfaces as one (file, -1, NULL, false)
+    * row, so no bad file is ever silent.
+    */
+  def readLenient(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tfrecord")
+      .load(path)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (f, bytes) =>
+        val file = f.substring(f.lastIndexOf('/') + 1)
+        val (recs, clean) = decodeLenient(bytes)
+        if (recs.isEmpty && !clean)
+          Iterator((file, -1L, null.asInstanceOf[Array[Byte]], false))
+        else recs.iterator.zipWithIndex.map {
+          case (rec, i) => (file, i.toLong, rec, clean)
+        }
+      }
+      .toDF("file", "rec_idx", "record", "file_clean")
+  }
 }

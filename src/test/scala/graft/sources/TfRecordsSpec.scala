@@ -75,4 +75,35 @@ class TfRecordsSpec extends AnyFunSuite {
     TfRecords.write(df.limit(10).repartition(1), "rec", path)
     assert(TfRecords.read(spark, path).count() == 10)
   }
+
+  test("readLenient survives a corrupt shard: keeps the prefix, flags the file") {
+    import spark.implicits._
+    val rows = (0L until 20L).map(i => s"rec-$i".getBytes("UTF-8"))
+    val path = java.nio.file.Files.createTempDirectory("graft-tfrec-lenient").toString
+    TfRecords.write(rows.toDF("rec").repartition(2), "rec", path)
+    // flip a payload byte midway through ONE shard
+    val shard = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".tfrecord")).minBy(_.getName)
+    val bytes = java.nio.file.Files.readAllBytes(shard.toPath)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x01).toByte
+    java.nio.file.Files.write(shard.toPath, bytes)
+    // drop Hadoop LocalFileSystem's sidecar checksum so the corruption
+    // reaches OUR frame CRCs (a real object store has no sidecar layer)
+    new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    // strict read throws; lenient read returns the other shard complete
+    // plus the corrupt shard's verified prefix, flagged unclean
+    intercept[org.apache.spark.SparkException](
+      TfRecords.read(spark, path).count())
+    val back = TfRecords.readLenient(spark, path).collect()
+    val byClean = back.groupBy(_.getBoolean(3))
+    assert(byClean(true).nonEmpty, "the intact shard must read clean")
+    assert(byClean(false).nonEmpty, "the corrupt shard must surface flagged")
+    assert(back.length < 20, "the corrupt frame's tail cannot be recovered")
+    assert(back.filter(!_.isNullAt(2))
+      .forall(r => new String(r.getAs[Array[Byte]](2), "UTF-8").startsWith("rec-")))
+    // decodeLenient law: a file whose FIRST frame is bad still surfaces
+    val (recs, clean) = TfRecords.decodeLenient(Array[Byte](1, 2, 3))
+    assert(recs.isEmpty && !clean)
+  }
 }
