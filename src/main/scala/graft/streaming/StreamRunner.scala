@@ -932,6 +932,64 @@ object StreamRunner {
     spark.table(queryName)
   }
 
+  /** Streaming TFRecord ingest: the q_tfrecord_roundtrip shards land as
+    * a FILE STREAM (binaryFile readStream, one micro-batch per shard —
+    * the daily-drop lifecycle) and each batch's records are
+    * frame-verified, decoded, and folded into a running corpus
+    * aggregate (complete mode). StreamingSpec asserts the final totals
+    * equal the batch read of the same shards — landing a corpus
+    * incrementally loses nothing vs reading it whole. Scale: the
+    * arriving file is the unit of both parallelism and state growth
+    * (the agg state is ONE row); an interrupted ingest resumes at the
+    * next unseen file, which is exactly the file-source checkpoint
+    * contract.
+    */
+  def tfRecordIngestStream(spark: SparkSession, sfDir: String,
+      queryName: String = "graft_tfrec_ingest"): DataFrame = {
+    import spark.implicits._
+    import graft.sources.{TfRecords => TR}
+    // stage the shards exactly like the gated query does
+    val path = java.nio.file.Files.createTempDirectory("graft-tfrec-stream").toString
+    TR.write(
+      graft.Tables.documents(spark, sfDir).repartition(8).selectExpr(
+        "cast(concat(lpad(cast(doc_id as string), 19, '0'), '|', text) as binary) as rec"),
+      "rec", path)
+    // binaryFile's fixed schema, stated explicitly (streaming sources
+    // don't infer)
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val recs = spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("pathGlobFilter", "*.tfrecord")
+      .option("maxFilesPerTrigger", "1")
+      .load(path)
+      .select("content").as[Array[Byte]]
+      .flatMap(bytes => TR.decodeAll(bytes).iterator)
+      .selectExpr(
+        "cast(substring(cast(value as string), 1, 19) as bigint) as doc_id",
+        "substring(cast(value as string), 21) as text")
+    val agg = recs.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum("doc_id").cast("long").as("id_sum"),
+      sum(length(col("text"))).cast("long").as("chars"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   def topKStream(spark: SparkSession, sfDir: String,
       queryName: String = "graft_topk"): DataFrame = {
     val agg = eventsStream(spark, sfDir)

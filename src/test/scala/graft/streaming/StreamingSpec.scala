@@ -267,4 +267,18 @@ class StreamingSpec extends AnyFunSuite {
       "no cross-batch domination — kept state unexercised at spec scale")
     spark.catalog.clearCache()
   }
+
+  test("streaming TFRecord ingest equals the batch read of the same corpus") {
+    val streamed = StreamRunner
+      .tfRecordIngestStream(spark, sf, "graft_tfrec_ingest_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(streamed.length == 1)
+    val batch = graft.Tables.documents(spark, sf)
+      .selectExpr("count(*) as n", "sum(doc_id) as id_sum",
+        "sum(length(text)) as chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(streamed.head == batch.head)
+    assert(streamed.head._1 > 0)
+    spark.catalog.clearCache()
+  }
 }
