@@ -311,6 +311,26 @@ object Similarity {
       cent)
   }
 
+  /** Sequential (arrival-ordered) SemDeDup over `parts` ingest batches
+    * — the batch rendering of the streaming twin
+    * (StreamRunner.semDedupStream): batch = id mod `parts`, lower batch
+    * first; a vector is dropped iff a KEPT vector from an earlier batch
+    * shares its cell and clears `tau`, or any lower-id vector of its
+    * own batch does (survivors only — dropped vectors never dominate,
+    * which is exactly what stateful streaming can afford to remember).
+    * Returns (vec_id, batch, cell, keep_flag, keeper). The gated st16
+    * query calls the same plan, so API and oracle can't diverge; the
+    * hot-cell guard's telemetry applies (`SimilarityOps.lastCellStats`).
+    */
+  def semDedupSequential(corpus: DataFrame, cent: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      tau: Double = 0.3, parts: Int = 4): DataFrame = {
+    CosineSimilarity.register(corpus.sparkSession)
+    graft.operators.SimilarityOps.semDedupSequential(
+      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+      cent, tau, parts)
+  }
+
   /** Margin-based bitext mining (the ratio-margin criterion used by
     * large-scale parallel-corpus mining): for every `corpusA` vector,
     * its best `corpusB` candidate within its codebook cell, scored by

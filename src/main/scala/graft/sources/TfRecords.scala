@@ -83,25 +83,46 @@ object TfRecords {
   }
 
   /** Write `bytesCol` (binary) as TFRecord shards under `path` — one
-    * `part-NNNNN.tfrecord` per partition, replacing whatever was there
-    * (DataFrameWriter's overwrite semantics).
+    * `part-NNNNN.tfrecord` per partition (`.tfrecord.gz` whole-file
+    * gzip when `gzip` is set, TFRecordOptions(GZIP)'s layout — how most
+    * public TFRecord corpora actually ship), replacing whatever was
+    * there (DataFrameWriter's overwrite semantics).
     */
-  def write(df: DataFrame, bytesCol: String, path: String): Unit = {
+  def write(df: DataFrame, bytesCol: String, path: String,
+      gzip: Boolean = false): Unit = {
     val spark = df.sparkSession
     val dir = new org.apache.hadoop.fs.Path(path)
     val fsDriver = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fsDriver.delete(dir, true)
     fsDriver.mkdirs(dir)
+    val suffix = if (gzip) ".tfrecord.gz" else ".tfrecord"
     df.select(col(bytesCol).cast("binary")).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val shard = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.tfrecord")
+        val shard = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d$suffix")
         val fs = shard.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val out = fs.create(shard, true)
+        val raw = fs.create(shard, true)
+        val out: java.io.OutputStream =
+          if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
         try it.foreach(r => out.write(encodeRecord(r.getAs[Array[Byte]](0))))
         finally out.close()
     }
   }
+
+  /** Transparent whole-file gunzip for `.gz` shards — streamed in 64 KiB
+    * chunks so a well-compressed shard never allocates per-read.
+    */
+  private def inflate(name: String, bytes: Array[Byte]): Array[Byte] =
+    if (!name.endsWith(".gz")) bytes
+    else {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    }
 
   /** Read TFRecord shards under `path`: one row per record —
     * (file, rec_idx, record) with `rec_idx` the record's ordinal within
@@ -111,13 +132,13 @@ object TfRecords {
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.tfrecord")
+      .option("pathGlobFilter", "*.tfrecord*")
       .load(path)
       .select("path", "content")
       .as[(String, Array[Byte])]
       .flatMap { case (f, bytes) =>
         val file = f.substring(f.lastIndexOf('/') + 1)
-        decodeAll(bytes).iterator.zipWithIndex.map {
+        decodeAll(inflate(file, bytes)).iterator.zipWithIndex.map {
           case (rec, i) => (file, i.toLong, rec)
         }
       }
@@ -172,13 +193,19 @@ object TfRecords {
   def readLenient(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.tfrecord")
+      .option("pathGlobFilter", "*.tfrecord*")
       .load(path)
       .select("path", "content")
       .as[(String, Array[Byte])]
       .flatMap { case (f, bytes) =>
         val file = f.substring(f.lastIndexOf('/') + 1)
-        val (recs, clean) = decodeLenient(bytes)
+        val inflated =
+          try Some(inflate(file, bytes))
+          catch { case _: java.io.IOException => None } // gzip stream corrupt
+        val (recs, clean) = inflated match {
+          case Some(b) => decodeLenient(b)
+          case None => (Nil, false) // same flagged verdict as a bad frame
+        }
         if (recs.isEmpty && !clean)
           Iterator((file, -1L, null.asInstanceOf[Array[Byte]], false))
         else recs.iterator.zipWithIndex.map {

@@ -265,6 +265,16 @@ class SimilarityApiSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("semDedupSequential equals gated st16") {
+    val e = graft.Tables.embeddings(spark, sf).select("vec_id", "label", "embedding")
+    val api = Similarity.semDedupSequential(
+      e, graft.operators.SimilarityOps.trainedCentroids(e)).collect()
+    val gated = graft.SparkEntry.queries("st16_stream_semdedup")(spark, sf).collect()
+    assert(api.nonEmpty)
+    assert(sorted(api) == sorted(gated))
+    spark.catalog.clearCache()
+  }
+
   test("bitextMarginMine equals gated ss29; one best candidate per mined A vector") {
     val e = graft.Tables.embeddings(spark, sf).select("vec_id", "label", "embedding")
     val api = Similarity.bitextMarginMine(

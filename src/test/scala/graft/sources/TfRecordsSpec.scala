@@ -106,4 +106,41 @@ class TfRecordsSpec extends AnyFunSuite {
     val (recs, clean) = TfRecords.decodeLenient(Array[Byte](1, 2, 3))
     assert(recs.isEmpty && !clean)
   }
+
+  test("gzip shards round-trip and mix freely with plain shards") {
+    import spark.implicits._
+    val rows = (0L until 50L).map(i => s"gz-$i".getBytes("UTF-8"))
+    val path = java.nio.file.Files.createTempDirectory("graft-tfrec-gz").toString
+    TfRecords.write(rows.toDF("rec").repartition(2), "rec", path, gzip = true)
+    val files = new java.io.File(path).listFiles().map(_.getName)
+    assert(files.count(_.endsWith(".tfrecord.gz")) == 2)
+    // gzip really compressed a framed stream, not a rename: the file is
+    // a valid gzip member (magic 1f 8b)
+    val head = java.nio.file.Files.readAllBytes(
+      new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".tfrecord.gz")).minBy(_.getName).toPath).take(2)
+    assert((head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b)
+    val back = TfRecords.read(spark, path)
+      .selectExpr("cast(record as string) as s").collect().map(_.getString(0))
+    assert(back.toSet == rows.map(new String(_, "UTF-8")).toSet)
+    // a plain shard dropped into the same directory reads alongside
+    TfRecords.write(Seq("plain-0".getBytes("UTF-8")).toDF("rec").repartition(1),
+      "rec", path + "/extra")
+    java.nio.file.Files.move(
+      new java.io.File(path + "/extra").listFiles()
+        .find(_.getName.endsWith(".tfrecord")).get.toPath,
+      java.nio.file.Paths.get(path, "part-99999.tfrecord"))
+    assert(TfRecords.read(spark, path).count() == 51)
+    // lenient read flags a shard whose GZIP STREAM is corrupt
+    val gz = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".tfrecord.gz")).minBy(_.getName)
+    val gb = java.nio.file.Files.readAllBytes(gz.toPath)
+    gb(gb.length / 2) = (gb(gb.length / 2) ^ 0x01).toByte
+    java.nio.file.Files.write(gz.toPath, gb)
+    new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    val lenient = TfRecords.readLenient(spark, path).collect()
+    assert(lenient.exists(!_.getBoolean(3)), "corrupt gzip shard must flag")
+    assert(lenient.count(_.getBoolean(3)) >= 26, "intact shards must read clean")
+  }
 }
