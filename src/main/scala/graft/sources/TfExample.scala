@@ -237,4 +237,19 @@ object TfExample {
   /** First float of `key`, or `default` when absent. */
   def float32(m: Map[String, Feature], key: String, default: Float): Float =
     m.get(key).flatMap(_.floats.headOption).getOrElse(default)
+
+  /** All int64s of `key` — VarLenFeature / FixedLenSequenceFeature
+    * (allow_missing=true) semantics: absent key parses as the empty
+    * list, never an error.
+    */
+  def int64List(m: Map[String, Feature], key: String): Seq[Long] =
+    m.get(key).map(_.longs).getOrElse(Nil)
+
+  /** All floats of `key`; absent → empty (VarLenFeature semantics). */
+  def floatList(m: Map[String, Feature], key: String): Seq[Float] =
+    m.get(key).map(_.floats).getOrElse(Nil)
+
+  /** All bytes values of `key` as UTF-8; absent → empty. */
+  def stringList(m: Map[String, Feature], key: String): Seq[String] =
+    m.get(key).map(_.bytes.map(new String(_, "UTF-8"))).getOrElse(Nil)
 }

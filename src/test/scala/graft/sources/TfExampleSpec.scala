@@ -66,4 +66,19 @@ class TfExampleSpec extends AnyFunSuite {
     assert(TfExample.stringUtf8(m, "absent", "und") == "und")
     assert(TfExample.float32(m, "absent", 2.5f) == 2.5f)
   }
+
+  test("VarLenFeature lists: full multi-value lists, absent key parses empty") {
+    val m = TfExample.decode(TfExample.encode(Seq(
+      "ids" -> TfExample.Feature(longs = Seq(1L, 2L, 3L)),
+      "ws" -> TfExample.Feature(floats = Seq(0.5f, 1.5f)),
+      "toks" -> TfExample.Feature(bytes = Seq("a".getBytes("UTF-8"),
+        "bc".getBytes("UTF-8"))))))
+    assert(TfExample.int64List(m, "ids") == Seq(1L, 2L, 3L))
+    assert(TfExample.floatList(m, "ws") == Seq(0.5f, 1.5f))
+    assert(TfExample.stringList(m, "toks") == Seq("a", "bc"))
+    // allow_missing semantics: absent is empty, never an error
+    assert(TfExample.int64List(m, "absent").isEmpty)
+    assert(TfExample.floatList(m, "absent").isEmpty)
+    assert(TfExample.stringList(m, "absent").isEmpty)
+  }
 }
