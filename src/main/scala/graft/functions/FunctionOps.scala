@@ -331,6 +331,53 @@ object FunctionOps {
           sum("doc_id").cast("long").as("id_sum"),
           sum(length(col("text"))).cast("long").as("chars"),
           sum("nc").cast("long").as("n_chars"))
+    },
+
+    // VarLenFeature round-trip: each document's per-token length list
+    // rides as a variable-length int64 feature (fn12 gates the scalar
+    // FixedLen path; this gates the LIST path — the shape token-id
+    // sequences actually take in training records). The token lists are
+    // derived ONCE in Spark SQL (fn02's pinned split semantics) before
+    // encoding, so the Scala codec layer never re-tokenizes; the decode
+    // side aggregates the recovered lists with codegen'd HOFs. Scale:
+    // same partition-local encode/parse as fn12, one final doc-keyed
+    // projection — no exchange at all (the output is per-document).
+    Q(
+      "fn13_varlen_roundtrip",
+      s"""WITH t AS (SELECT doc_id,
+         |    list_transform(regexp_split_to_array(text, '\\s+'),
+         |      x -> length(x)) AS ls
+         |  FROM documents)
+         |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_toks,
+         |  CAST(list_reduce(list_prepend(0, ls), (a, b) -> a + b) AS BIGINT) AS len_sum,
+         |  CAST(list_max(ls) AS BIGINT) AS max_len
+         |FROM t""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.sources.{TfExample, TfRecords}
+      val path = graft.operators.Scratch.dir("graft-tfex-varlen")
+      val encoded = T.documents(s, d)
+        .selectExpr("doc_id",
+          "transform(split(text, '\\\\s+'), x -> cast(length(x) as bigint)) as ls")
+        .as[(Long, Seq[Long])]
+        .map { case (id, ls) =>
+          TfExample.encode(Seq(
+            "doc_id" -> TfExample.Feature(longs = Seq(id)),
+            "tok_lens" -> TfExample.Feature(longs = ls)))
+        }
+        .toDF("rec")
+      TfRecords.write(encoded, "rec", path)
+      TfRecords.read(s, path)
+        .select("record").as[Array[Byte]]
+        .map { rec =>
+          val m = TfExample.decode(rec)
+          (TfExample.int64(m, "doc_id", -1L),
+            TfExample.int64List(m, "tok_lens").toArray)
+        }
+        .toDF("doc_id", "ls")
+        .selectExpr("doc_id",
+          "cast(size(ls) as bigint) as n_toks",
+          "aggregate(ls, 0L, (a, b) -> a + b) as len_sum",
+          "array_max(ls) as max_len")
     }
   )
 }

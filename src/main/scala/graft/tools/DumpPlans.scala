@@ -119,7 +119,7 @@ object DumpPlans {
     // the TFRecord round-trip must show the binaryFile scan (one task
     // per shard) feeding the decode flatMap — no exchange before the agg
     "q_tfrecord_roundtrip", "fn12_tfexample_roundtrip",
-    "mm12_imagenet_ingest")
+    "mm12_imagenet_ingest", "fn13_varlen_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

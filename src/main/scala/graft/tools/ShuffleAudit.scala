@@ -139,7 +139,8 @@ object ShuffleAudit {
     "ss29_bitext_margin" -> "A×B never forms: cross-side pairs are cell-keyed (k∝N-bounded); k-NN averages are per-vector windows over the ONE persisted pair frame; margin is row-local integer arithmetic on a three-way id join",
     "q_tfrecord_roundtrip" -> "native TFRecord sink+source: shards are the read-parallelism unit (one binaryFile task per shard), records stream sequentially within a shard with both CRCs verified — TFRecordDataset's own contract",
     "fn12_tfexample_roundtrip" -> "Example encode/parse are per-record byte arithmetic inside Dataset maps — no driver, no exchange before the final 6-row rollup; the TFRecord shards carry the parallelism",
-    "mm12_imagenet_ingest" -> "TFRecord→Example→PNG-decode all partition-local (Dataset maps over binaryFile shards); the only exchange is the 10-row label rollup — the imagenet_input path with zero shuffle before the agg")
+    "mm12_imagenet_ingest" -> "TFRecord→Example→PNG-decode all partition-local (Dataset maps over binaryFile shards); the only exchange is the 10-row label rollup — the imagenet_input path with zero shuffle before the agg",
+    "fn13_varlen_roundtrip" -> "variable-length int64 features (token-length lists) encode/parse partition-local; the output is per-document, so there is NO exchange at all — ingest of sequence features is pure scan work")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
