@@ -45,6 +45,12 @@ object Compiler {
         case RangeSource(n) =>
           if (node.parallelism > 1) spark.range(0, n, 1, node.parallelism).toDF()
           else spark.range(n).toDF()
+        case TfRecordSource(p) =>
+          // shard files are the natural splits (one binaryFile task per
+          // shard); parallelism > 1 re-spreads records when the shard
+          // count undercuts the requested fan-out
+          val recs = graft.sources.TfRecords.read(spark, p)
+          if (node.parallelism > 1) recs.repartition(node.parallelism) else recs
         case MapE(exprs, _)   => in().selectExpr(exprs: _*)
         case FilterE(cond)    => in().filter(expr(cond))
         case Batch(size, drop, shardExpr, orderCols, aggs) =>
@@ -146,6 +152,7 @@ object GraphCodec {
     op match {
       case Scan(t, cs)      => ("Scan", Seq(t), cs, Nil)
       case RangeSource(n)   => ("RangeSource", Seq(n.toString), Nil, Nil)
+      case TfRecordSource(p) => ("TfRecordSource", Seq(p), Nil, Nil)
       case MapE(es, r)      => ("MapE", Seq(r.toString), es, Nil)
       case FilterE(c)       => ("FilterE", Seq(c), Nil, Nil)
       case Batch(s, dr, sh, oc, ag) =>
@@ -169,6 +176,7 @@ object GraphCodec {
       listA: Seq[String], listB: Seq[String]): PipelineOp = kind match {
     case "Scan"          => Scan(args(0), listA)
     case "RangeSource"   => RangeSource(args(0).toLong)
+    case "TfRecordSource" => TfRecordSource(args(0))
     case "MapE"          => MapE(listA, args(0).toBoolean)
     case "FilterE"       => FilterE(args(0))
     case "Batch"         => Batch(args(0).toInt, args(1).toBoolean, args(2), listA, listB)

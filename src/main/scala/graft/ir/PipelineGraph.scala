@@ -29,6 +29,13 @@ object PipelineOp {
   final case class Scan(table: String, columns: Seq[String] = Nil) extends PipelineOp
   /** Literal range source (Dataset.range). */
   final case class RangeSource(n: Long) extends PipelineOp
+  /** NATIVE TFRecord source (TFRecordDataset itself, graphdef_util.py:24
+    * — not the parquet stand-in): compiles to
+    * graft.sources.TfRecords.read, one row per record
+    * (file, rec_idx, record: binary), CRCs verified; shard files are the
+    * read-parallelism unit, exactly the reference's contract.
+    */
+  final case class TfRecordSource(path: String) extends PipelineOp
   /** Per-element projection (map / ParallelMapDatasetV2). `exprs` are Spark
     * SQL expressions; `random` marks seeded UDFs for cache-safety analysis.
     */
@@ -77,12 +84,13 @@ object PipelineOp {
     * graphdef_util.py:13-17). In Spark parallelism = partition count.
     */
   def supportsParallelism(op: PipelineOp): Boolean = op match {
-    case _: MapE | _: Scan | _: Batch | _: FlatMapEcho | _: GroupByWindow => true
+    case _: MapE | _: Scan | _: TfRecordSource | _: Batch | _: FlatMapEcho |
+         _: GroupByWindow => true
     case _ => false
   }
   /** Source ops (SOURCE_OPS, graphdef_util.py:24). */
   def isSource(op: PipelineOp): Boolean = op match {
-    case _: Scan | _: RangeSource => true
+    case _: Scan | _: RangeSource | _: TfRecordSource => true
     case _ => false
   }
 }
