@@ -78,6 +78,27 @@ object TfExampleProps extends Properties("TfExample") {
         back.zip(recs).forall { case (a, b) => a.sameElements(b) }
     }
 
+  // the gzip member layer is transparent: inflating a gzipped framed
+  // file recovers the records byte-for-byte for any payloads (the
+  // TfRecords .gz read path, exercised below the Spark layer)
+  property("gzip member round-trip preserves framed records") =
+    forAll(Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, anyBytes))) { recs =>
+      val file = recs.map(TfRecords.encodeRecord)
+        .foldLeft(Array.emptyByteArray)(_ ++ _)
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(file); gz.close()
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      val back = TfRecords.decodeAll(out.toByteArray)
+      back.length == recs.length &&
+        back.zip(recs).forall { case (a, b) => a.sameElements(b) }
+    }
+
   // flipping ANY single bit of a framed file never yields a silent
   // wrong parse: strict decode throws, lenient decode flags
   property("single-bit corruption is never silent") =
