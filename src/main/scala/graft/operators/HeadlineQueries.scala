@@ -821,7 +821,11 @@ object HeadlineQueries {
     // an integer size model), never the data, and emits the rewrite
     // job list. Largest-first keeps every bin within one file of
     // target, the classic sorted first-fit bound. Scale: one rollup to
-    // the manifest's cardinality, then driver-scale windows.
+    // the manifest's cardinality — which is MILLIONS of files at 100 TB,
+    // so the running total rides Ordinal.withGlobalPrefixSum (quantile-
+    // bucketed partial sums + broadcast bucket offsets) instead of a
+    // single-partition `SUM() OVER (ORDER BY ...)` — the r12-verdict
+    // window-funnel class, fixed here alongside sm13/an11.
     Q(
       "q_file_compaction",
       """WITH f AS (SELECT l_orderkey % 997 AS file_id,
@@ -836,14 +840,18 @@ object HeadlineQueries {
         |  CAST(SUM(bytes) AS BIGINT) AS bytes,
         |  CAST((1000000 * SUM(bytes)) // 1048576 AS BIGINT) AS fill_ppm
         |FROM b GROUP BY bin_id""".stripMargin) { (s, d) =>
-      T.lineitem(s, d)
-        .selectExpr("l_orderkey % 997 as file_id",
-          "cast(l_quantity as bigint) as q")
-        .groupBy("file_id")
-        .agg((count(lit(1)) * 64 + sum("q")).cast("long").as("bytes"))
-        .selectExpr("file_id", "bytes",
-          "coalesce(sum(bytes) over (order by bytes desc, file_id " +
-            "rows between unbounded preceding and 1 preceding), 0) as cum_before")
+      Ordinal.withGlobalPrefixSum(
+        T.lineitem(s, d)
+          .selectExpr("l_orderkey % 997 as file_id",
+            "cast(l_quantity as bigint) as q")
+          .groupBy("file_id")
+          .agg((count(lit(1)) * 64 + sum("q")).cast("long").as("bytes"))
+          // manifest frame read twice (quantile sketch + prefix); caller
+          // clearCache releases
+          .persist()
+          // bytes DESC ≡ -bytes ASC: Ordinal buckets/orders ascending only
+          .withColumn("_negbytes", -col("bytes")),
+        "_negbytes", "bytes", "cum_before", tieCols = Seq("file_id"))
         .selectExpr("file_id", "bytes", "cum_before div 1048576 as bin_id")
         .groupBy("bin_id")
         .agg(

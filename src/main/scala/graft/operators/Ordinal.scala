@@ -49,24 +49,26 @@ object Ordinal {
     *               against the split points), so a tie group can never
     *               straddle a bucket boundary.
     */
+  /** Bucket = number of split points strictly below the key: monotone in
+    * the key (long→double casts are order-preserving), so bucket i's keys
+    * all sort before bucket i+1's, and duplicate keys share a bucket.
+    * NULL keys get bucket -1 (sorts before every real bucket — matching
+    * row_number over an ASC order, nulls first); a null bucket key would
+    * make the equi-join below DROP those rows, shifting every ordinal
+    * after them.
+    */
+  private def bucketOf(keyCol: String, bs: Array[Double]): Column =
+    if (bs.isEmpty) when(col(keyCol).isNull, lit(-1L)).otherwise(lit(0L))
+    else when(col(keyCol).isNull, lit(-1L)).otherwise(
+      aggregate(
+        typedLit(bs.toSeq), lit(0L),
+        (acc, s) => acc + when(col(keyCol).cast("double") > s, 1L).otherwise(0L)))
+
   def withGlobalOrdinal(df: DataFrame, keyCol: String, outCol: String,
       buckets: Int = 32, splits: Option[Array[Double]] = None,
       tieCols: Seq[String] = Nil): DataFrame = {
     val bs = splits.getOrElse(quantileSplits(df, keyCol, buckets))
-    // Bucket = number of split points strictly below the key: monotone in
-    // the key (long→double casts are order-preserving), so bucket i's keys
-    // all sort before bucket i+1's, and duplicate keys share a bucket.
-    // NULL keys get bucket -1 (sorts before every real bucket — matching
-    // row_number over an ASC order, nulls first); a null bucket key would
-    // make the equi-join below DROP those rows, shifting every ordinal
-    // after them.
-    val bucketOf: Column =
-      if (bs.isEmpty) when(col(keyCol).isNull, lit(-1L)).otherwise(lit(0L))
-      else when(col(keyCol).isNull, lit(-1L)).otherwise(
-        aggregate(
-          typedLit(bs.toSeq), lit(0L),
-          (acc, s) => acc + when(col(keyCol).cast("double") > s, 1L).otherwise(0L)))
-    val withB = df.withColumn("_ord_b", bucketOf)
+    val withB = df.withColumn("_ord_b", bucketOf(keyCol, bs))
     val offsets = withB
       .groupBy("_ord_b")
       .agg(count(lit(1)).as("_ord_n"))
@@ -85,6 +87,50 @@ object Ordinal {
         (col("_ord_off") +
           row_number().over(Window.partitionBy("_ord_b")
             .orderBy(col(keyCol) +: tieCols.map(col): _*))).cast("long"))
+      .drop("_ord_b", "_ord_off")
+  }
+
+  /** Distributed global EXCLUSIVE running sum —
+    * `sum(valueCol) OVER (ORDER BY key, ties... ROWS BETWEEN UNBOUNDED
+    * PRECEDING AND 1 PRECEDING)` (coalesced to 0) without the
+    * single-partition global sort, by [[withGlobalOrdinal]]'s quantile
+    * decomposition: the within-bucket exclusive prefix runs under a
+    * PARTITIONED window, and each bucket adds the exclusive prefix TOTAL
+    * of every earlier bucket — computed by windowing the ≤`buckets`-row
+    * per-bucket sum table and broadcast-joined back. Exact: addition
+    * associates, so global_prefix(r) = earlier-bucket total +
+    * within-bucket prefix, and ties never straddle buckets (strict `>`
+    * against the splits). The running-total shape this unlocks at scale:
+    * sorted first-fit bin packing (q_file_compaction's manifest is
+    * millions of files at 100 TB), CDF/coverage curves, equal-mass cuts.
+    */
+  def withGlobalPrefixSum(df: DataFrame, keyCol: String, valueCol: String,
+      outCol: String, buckets: Int = 32,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val bs = quantileSplits(df, keyCol, buckets)
+    val withB = df.withColumn("_ord_b", bucketOf(keyCol, bs))
+    val offsets = withB
+      .groupBy("_ord_b")
+      .agg(sum(valueCol).as("_ord_s"))
+      // global window over ≤`buckets` rows — deliberately tiny
+      .withColumn(
+        "_ord_off",
+        coalesce(
+          sum("_ord_s").over(
+            Window.orderBy("_ord_b").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("_ord_b", "_ord_off")
+    withB
+      .join(broadcast(offsets), "_ord_b")
+      .withColumn(
+        outCol,
+        (col("_ord_off") +
+          coalesce(
+            sum(valueCol).over(
+              Window.partitionBy("_ord_b")
+                .orderBy(col(keyCol) +: tieCols.map(col): _*)
+                .rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L))).cast("long"))
       .drop("_ord_b", "_ord_off")
   }
 }

@@ -414,8 +414,12 @@ object SamplingOps {
     // classic temporal leak); here it stays with its user and the
     // count REPORTS the leak the atomic split prevented (test-side
     // cross is 0 by construction — a test user's entry follows the
-    // cutoff). Scale: one user-keyed min-agg; the median runs on the
-    // per-user frame (entity-cardinality, not events); the cutoff
+    // cutoff). Scale: one user-keyed min-agg; the median rank rides the
+    // distributed Ordinal (quantile-bucketed ranks + broadcast prefix
+    // offsets — the per-user frame is ENTITY-cardinality, every user at
+    // 100 TB, so a single-partition `row_number() OVER (ORDER BY ...)`
+    // here was the r12 verdict's one scale-killer); the entity count is
+    // one driver-side scalar off the persisted frame; the cutoff
     // broadcasts back onto one user-keyed join of (id, ts) longs.
     Q(
       "sm13_temporal_split",
@@ -438,11 +442,16 @@ object SamplingOps {
         // per-user frame feeds the median AND the split join; caller
         // clearCache releases
         .persist()
-      val cut = firsts
-        .selectExpr("first_us",
-          "row_number() over (order by first_us, user_id) as rn",
-          "count(1) over () as nu")
-        .filter(expr("rn = (nu + 1) div 2"))
+      // entity count as a driver scalar (also materializes the persist);
+      // a `count(*) OVER ()` window would be a second global funnel
+      val nu = firsts.count()
+      // exact deterministic rank, distributed: ties (equal first_us)
+      // share a quantile bucket by construction, so the user_id tiebreak
+      // never straddles a bucket boundary — bit-identical to
+      // `row_number() OVER (ORDER BY first_us, user_id)`
+      val cut = Ordinal
+        .withGlobalOrdinal(firsts, "first_us", "rn", tieCols = Seq("user_id"))
+        .filter(col("rn") === lit((nu + 1) / 2))
         .select(col("first_us").as("cut"))
       ev.join(firsts, "user_id")
         .crossJoin(broadcast(cut))

@@ -293,8 +293,12 @@ object AnalysisQueries {
     // no-ln/exp/pow portability rule; see tx07's scaladoc).
     //
     // Scale notes (100 TB): token counts combine map-side to vocab-bounded
-    // rows; the rank window orders the VOCAB table (millions of rows, not
-    // the corpus); octave rollup is a ≤64-row agg. Text never shuffles.
+    // rows; the vocab table is still millions of types at corpus scale, so
+    // the rank rides the distributed Ordinal (quantile-bucketed ranks on
+    // -freq + broadcast prefix offsets) instead of a single-partition
+    // `row_number() OVER (ORDER BY freq DESC)` — the same entity-scale
+    // window funnel the r12 verdict flagged in sm13; octave rollup is a
+    // ≤64-row agg. Text never shuffles.
     Q(
       "an11_zipf_octaves",
       """WITH w AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
@@ -305,11 +309,15 @@ object AnalysisQueries {
         |  count(*)::BIGINT AS n_types, SUM(freq)::BIGINT AS mass,
         |  CAST(SUM(freq) AS DOUBLE) / count(*) AS mean_freq
         |FROM r GROUP BY octave""".stripMargin) { (s, d) =>
-      T.documents(s, d)
-        .selectExpr("explode(split(lower(text), '\\\\s+')) as w")
-        .groupBy("w").agg(count(lit(1)).as("freq"))
-        .selectExpr("freq",
-          "row_number() over (order by freq desc, w) as rank")
+      graft.operators.Ordinal.withGlobalOrdinal(
+        T.documents(s, d)
+          .selectExpr("explode(split(lower(text), '\\\\s+')) as w")
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+          // read twice (quantile sketch + rank); caller clearCache releases
+          .persist()
+          // freq DESC ≡ -freq ASC: Ordinal buckets/orders ascending only
+          .withColumn("_negfreq", -col("freq")),
+        "_negfreq", "rank", tieCols = Seq("w"))
         .selectExpr("freq", "cast(length(bin(rank)) - 1 as bigint) as octave")
         .groupBy("octave")
         .agg(
@@ -709,9 +717,17 @@ object AnalysisQueries {
         .selectExpr("source", "v", "coalesce(c, 0L) as cs")
       val cum = grid.selectExpr("source", "v",
         "sum(cs) over (partition by source order by v) as f1")
-      val acum = docs.groupBy(col("n_chars").as("v"))
-        .agg(count(lit(1)).as("c"))
-        .selectExpr("v", "sum(c) over (order by v) as fa")
+      // corpus-wide CDF: the value domain is distinct doc LENGTHS —
+      // bounded by the longest document, not by the plan — so the
+      // running sum rides the distributed prefix sum (inclusive = c +
+      // exclusive) instead of a single-partition `SUM() OVER (ORDER BY
+      // v)`; frame read twice (sketch + prefix), caller clearCache
+      // releases
+      val acum = graft.operators.Ordinal.withGlobalPrefixSum(
+        docs.groupBy(col("n_chars").as("v"))
+          .agg(count(lit(1)).as("c")).persist(),
+        "v", "c", "_fa_ex")
+        .selectExpr("v", "_fa_ex + c as fa")
       cum.join(acum, "v")
         .join(broadcast(tot), "source")
         .crossJoin(broadcast(nn))

@@ -85,6 +85,39 @@ class OrdinalSpec extends AnyFunSuite {
     assert(got.toSeq == keys.sorted)
   }
 
+  test("distributed prefix sum equals the global exclusive running sum, " +
+    "bucket count free (q_file_compaction/an18's contract)") {
+    import spark.implicits._
+    // duplicated keys + negative values + a null value row exercise the
+    // tie-bucketing, sum algebra, and sum's null-skipping in one frame
+    val rows = (1L to 300L).map(i => (i % 11, i, (i % 5) - 2))
+    val df = rows.toDF("k", "id", "v")
+      .withColumn("v", when(col("id") % 13 === 0, lit(null)).otherwise(col("v")))
+    val reference = df.withColumn("cum",
+      coalesce(
+        sum("v").over(Window.orderBy("k", "id")
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)).cast("long"))
+    for (buckets <- Seq(1, 4, 32)) {
+      val got = Ordinal.withGlobalPrefixSum(df, "k", "v", "cum", buckets,
+        tieCols = Seq("id"))
+      assert(got.select("k", "id", "cum").exceptAll(
+        reference.select("k", "id", "cum")).isEmpty, s"buckets=$buckets")
+    }
+  }
+
+  test("prefix sum plans no payload-sized single-partition window") {
+    val df = graft.Tables.orders(spark, sf)
+      .selectExpr("o_orderkey", "cast(o_custkey as long) as v")
+    val plan = Ordinal.withGlobalPrefixSum(df, "o_orderkey", "v", "cum")
+      .queryExecution.executedPlan.toString
+    // the only unpartitioned window runs over the tiny per-bucket sum
+    // table (input = an aggregate keyed by _ord_b), never the scan
+    val globalWindows = plan.linesIterator.filter(l =>
+      l.contains("Window [") && !l.contains("windowspecdefinition(_ord_b")).toSeq
+    assert(globalWindows.forall(_.contains("_ord_s")), plan.take(2000))
+  }
+
   test("tieCols break duplicate-key ties exactly like the compound window " +
     "(ss17's arm-ranking contract)") {
     import spark.implicits._

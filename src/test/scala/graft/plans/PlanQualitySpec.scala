@@ -14,22 +14,54 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PlanQualitySpec extends AnyFunSuite {
 
-  /** True when the window's input is bounded: an aggregation or a
-    * limit/TakeOrdered below it. Traverses INTO InMemoryTableScan's
+  /** Grouping keys whose cardinality is fixed by the PLAN (or by a fixed
+    * label domain), not by data volume — the only grouped aggregates a
+    * global window may sit on. r12 postmortem (VERDICT #2/#3): sm13
+    * funneled a per-USER aggregate through a single-partition window for
+    * three rounds because the old rail read "aggregate below" as
+    * "bounded below"; grouping by an entity key (user_id, doc_id, w)
+    * bounds nothing at 100 TB. Every entry here needs a justification.
+    */
+  private val boundedGroupKeys: Set[String] = Set(
+    "_ord_b",   // Ordinal's quantile bucket id — ≤ `buckets` (default 32)
+    "source",   // corpus registry label — fixed categorical domain (~20
+                // sources in the fixture; grows by onboarding decisions,
+                // never with row count)
+    // an01's rank window sits on groupBy(l_returnflag, l_linestatus) —
+    // 1-char enum domains ({A,N,R} × {O,F} = 6 rows, the flag/status
+    // value domain of the data model, independent of row count). The
+    // physical groupingExpressions carry the UNDERLYING column names
+    // (the groupBy aliases resolve away below the window).
+    "l_returnflag",
+    "l_linestatus"
+  )
+
+  /** True when the window's input is BOUNDED: a limit/TakeOrdered, a
+    * driver-built literal frame (LocalTableScan — IR node tables, probe
+    * constants), a global no-key aggregate, or a grouped aggregate ALL
+    * of whose keys are in [[boundedGroupKeys]]. An aggregate grouped by
+    * an entity-scale key (user_id, doc_id, token) does NOT qualify —
+    * that was the blind spot that let sm13's corpus-scale window through
+    * three rounds of this rail. Traverses INTO InMemoryTableScan's
     * cached plan — a persist() in an earlier-planned query swaps a
     * plan-identical aggregate subtree for a cache scan, which would
     * otherwise hide the aggregation and false-positive the rail.
     */
-  private def hasAggregateBelow(p: SparkPlan): Boolean = {
+  private def boundedBelow(p: SparkPlan): Boolean = {
     def nodes(x: SparkPlan): Iterator[SparkPlan] =
       Iterator(x) ++ x.children.iterator.flatMap(nodes) ++ (x match {
         case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
           nodes(s.relation.cachedPlan)
         case _ => Iterator.empty
       })
-    nodes(p).exists { n =>
-      val nm = n.nodeName.toLowerCase
-      nm.contains("aggregate") || nm.contains("takeordered") || nm.contains("limit")
+    nodes(p).exists {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        a.groupingExpressions.isEmpty ||
+          a.groupingExpressions.forall(g => boundedGroupKeys(g.name))
+      case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+      case n =>
+        val nm = n.nodeName.toLowerCase
+        nm.contains("takeordered") || nm.contains("limit")
     }
   }
 
@@ -38,9 +70,27 @@ class PlanQualitySpec extends AnyFunSuite {
   //                        write (repartitionByRange at scale); rank is
   //                        the oracle-deterministic rendering
   // (mm07/mm11's Hamming chains now run banded with a boundary stitch,
-  // and ss17's arm rankings ride the distributed Ordinal — all three
-  // left this allowlist in round 9.)
+  // ss17's arm rankings ride the distributed Ordinal — all three left
+  // this allowlist in round 9 — and sm13/an11/q_file_compaction moved
+  // onto Ordinal.withGlobalOrdinal/withGlobalPrefixSum in round 13.)
   private val globalWindowAllowed = Set("q_zorder_layout")
+
+  /** Global windows over a grouped aggregate whose boundedness is a
+    * DATA-STRUCTURAL argument the physical plan cannot show. Each entry
+    * must say why the frame stays small at 100 TB; a query whose window
+    * input is entity-scale (sm13's old shape) must be REWRITTEN on
+    * graft.operators.Ordinal, never listed here.
+    */
+  private val aggWindowJustified: Map[String, String] = Map(
+    "mm07_image_ahash" ->
+      ("stitch window rides the TWICE-aggregated block rollup " +
+        "(doc_id div 16 → _band div 1024 → _blk): n/16384 rows, " +
+        "shrinking 16384x per stitch level, and a third level composes " +
+        "the same way if a corpus outgrows it (MultimodalOps.withBandCarry, " +
+        "adjudicated ADVICE r9)"),
+    "mm11_image_dhash" ->
+      "same withBandCarry two-level stitch as mm07 over the dHash columns"
+  )
 
   /** Every registered query built ONCE (the build itself is the expensive
     * part: bucket-table writes, codebook training, scratch round-trips),
@@ -69,17 +119,43 @@ class PlanQualitySpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
-  test("no gated query plans a global window over unaggregated input") {
+  test("no gated query plans a global window over unbounded input") {
     val offenders = built
-      .filterNot { case (q, _, _) => globalWindowAllowed(q.name) }
+      .filterNot { case (q, _, _) =>
+        globalWindowAllowed(q.name) || aggWindowJustified.contains(q.name)
+      }
       .flatMap { case (q, _, plan) =>
         plan.collect {
           case w: WindowExec
-              if w.partitionSpec.isEmpty && !hasAggregateBelow(w.child) =>
-            s"${q.name}: global Window over unaggregated input"
+              if w.partitionSpec.isEmpty && !boundedBelow(w.child) =>
+            s"${q.name}: global Window over unbounded input"
         }
       }
     assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("the rail flags a global window over an entity-keyed aggregate " +
+    "(sm13's pre-r13 shape)") {
+    // r12 postmortem pin: `row_number() OVER (ORDER BY ...)` on a
+    // groupBy(user_id) frame passed the old rail for three rounds
+    // because ANY aggregate below counted as bounded. Rebuild that exact
+    // shape and assert the tightened check rejects it — if this test
+    // ever fails, the blind spot is back.
+    import org.apache.spark.sql.functions.min
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val oldShape = spark.range(100)
+        .selectExpr("id % 37 as user_id", "id * 7 as ts_us")
+        .groupBy("user_id").agg(min("ts_us").as("first_us"))
+        .selectExpr("first_us",
+          "row_number() over (order by first_us, user_id) as rn")
+      val flagged = oldShape.queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty && !boundedBelow(w.child) => w
+      }
+      assert(flagged.nonEmpty,
+        "an entity-keyed aggregate below a global window must not count as bounded")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("every oracle-gated query outputs only scalar columns") {
