@@ -153,7 +153,12 @@ object TfExample {
             if ((t >> 3) == 1 && (t & 7) == 2) vs += bl.bytes(bl.varint().toInt)
             else bl.skip(t & 7)
           }
-          f = f.copy(bytes = vs.result())
+          // proto merge semantics: a REPEATED occurrence of the same
+          // embedded-message oneof member concatenates its values (TF
+          // writers may legally split a list across segments), while a
+          // DIFFERENT member replaces the kind — setting a oneof clears
+          // its siblings, which the fresh Feature(...) below encodes.
+          f = Feature(bytes = f.bytes ++ vs.result())
         case (2, 2) => // float_list: packed (LEN) or unpacked (I32) values
           val fl = r.slice(r.varint().toInt)
           val vs = Seq.newBuilder[Float]
@@ -168,7 +173,7 @@ object TfExample {
               case (_, w) => fl.skip(w)
             }
           }
-          f = f.copy(floats = vs.result())
+          f = Feature(floats = f.floats ++ vs.result()) // merge, see above
         case (3, 2) => // int64_list: packed (LEN) or unpacked (VARINT)
           val il = r.slice(r.varint().toInt)
           val vs = Seq.newBuilder[Long]
@@ -182,7 +187,7 @@ object TfExample {
               case (_, w) => il.skip(w)
             }
           }
-          f = f.copy(longs = vs.result())
+          f = Feature(longs = f.longs ++ vs.result()) // merge, see above
         case (_, w) => r.skip(w)
       }
     }

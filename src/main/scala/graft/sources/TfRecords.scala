@@ -3,6 +3,30 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Java-serializable Hadoop `Configuration` carrier — ships the DRIVER's
+  * session conf into task closures so `spark.hadoop.*` settings (S3A
+  * credentials, endpoints, custom `fs.<scheme>.impl` mappings) reach
+  * executor-side `FileSystem` lookups. A bare `new Configuration()` on an
+  * executor silently drops all of them — writes fail on any cluster whose
+  * FS is configured through SparkConf, or worse land in the wrong
+  * namespace. This is the standard SerializableConfiguration pattern
+  * (Spark's own class is `private[spark]`, so the ~10 lines are inlined
+  * here; `Configuration` implements Writable, which is the wire format).
+  */
+private[graft] class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+  extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
 /** TFRecord file format — the reference's actual on-disk input format
   * (reference imagenet_input.py:168-170 and graphdef_util.py:24 consume
   * it via TFRecordDataset). A file is a sequence of framed records:
@@ -18,15 +42,19 @@ import org.apache.spark.sql.functions._
   * directly instead of converting to parquet first.
   *
   * Scale notes (100 TB): the write emits one `.tfrecord` shard per
-  * Spark partition, executor-side through the Hadoop FS API (local /
-  * HDFS / S3A alike; a task retry rewrites only its own shard —
-  * idempotent). The read rides Spark's `binaryFile` source with one
-  * task per file, so the FILE COUNT is the read parallelism — exactly
-  * TFRecordDataset's own contract (files parallel, records sequential
-  * within a file): repartition before writing to set the shard size,
-  * and interleave many shards on read. Both CRCs are verified on every
-  * record — corruption surfaces as an exception, never as silent
-  * truncation.
+  * Spark partition, executor-side through the Hadoop FS API using the
+  * SESSION's Hadoop conf (local / HDFS / S3A alike), committed via a
+  * task-attempt-unique temp file + rename so concurrent attempts for
+  * one partition (speculation, zombies) can never interleave within a
+  * shard. The read STREAMS records off `FSDataInputStream` (gzip
+  * inflated on the fly) — task memory is one record, never one file,
+  * so arbitrarily large shards work and `binaryFile`'s 2 GiB cap does
+  * not apply. Parallelism is one task per file (capped at 4096 tasks,
+  * beyond which files queue within tasks) — exactly TFRecordDataset's
+  * own contract (files parallel, records sequential within a file):
+  * repartition before writing to set the shard size, and interleave
+  * many shards on read. Both CRCs are verified on every record —
+  * corruption surfaces as an exception, never as silent truncation.
   */
 object TfRecords {
 
@@ -55,38 +83,101 @@ object TfRecords {
     buf.array()
   }
 
-  /** Parse one file's bytes into its records, verifying both CRCs. */
+  /** Read ONE framed record off a stream, verifying both CRCs: null at a
+    * clean end-of-stream (the stream is positioned exactly at a record
+    * boundary), the verified payload otherwise. Corruption or truncation
+    * throws (EOFException mid-frame, IllegalArgumentException on a CRC or
+    * length-plausibility failure). Allocates the one record only — the
+    * unit of task memory for arbitrarily large shards.
+    */
+  /** readFully with mid-frame EOF surfaced as the framing error it is
+    * (IllegalArgumentException, like every other malformed-frame case)
+    * rather than a bare EOFException.
+    */
+  private def fully(din: java.io.DataInputStream, buf: Array[Byte],
+      off: Int, len: Int, what: String): Unit =
+    try din.readFully(buf, off, len)
+    catch {
+      case _: java.io.EOFException =>
+        throw new IllegalArgumentException(
+          s"tfrecord: truncated record in $what")
+    }
+
+  private[graft] def readRecord(din: java.io.DataInputStream,
+      what: String): Array[Byte] = {
+    val first = din.read()
+    if (first < 0) return null // clean EOF at a record boundary
+    val hdr = new Array[Byte](12)
+    hdr(0) = first.toByte
+    fully(din, hdr, 1, 11, what)
+    val bb = java.nio.ByteBuffer.wrap(hdr)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val len = bb.getLong
+    val lenCrc = bb.getInt
+    require(maskedCrc(hdr, 0, 8) == lenCrc,
+      s"tfrecord: length CRC mismatch in $what")
+    require(len >= 0 && len <= Int.MaxValue.toLong - 16,
+      s"tfrecord: implausible record length $len in $what")
+    val data = new Array[Byte](len.toInt)
+    fully(din, data, 0, data.length, what)
+    val crcB = new Array[Byte](4)
+    fully(din, crcB, 0, 4, what)
+    require(maskedCrc(data, 0, data.length) ==
+      java.nio.ByteBuffer.wrap(crcB)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt,
+      s"tfrecord: data CRC mismatch in $what")
+    data
+  }
+
+  /** Parse one buffer's bytes into its records, verifying both CRCs —
+    * the in-memory twin of the streamed read, for callers that already
+    * hold the framed bytes (micro-batch sinks, specs).
+    */
   private[graft] def decodeAll(content: Array[Byte]): Seq[Array[Byte]] = {
+    val din = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(content))
     val out = Seq.newBuilder[Array[Byte]]
-    var p = 0
-    while (p < content.length) {
-      require(p + 12 <= content.length, s"tfrecord: truncated header at byte $p")
-      val bb = java.nio.ByteBuffer.wrap(content, p, 12)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      val len = bb.getLong
-      val lenCrc = bb.getInt
-      require(maskedCrc(content, p, 8) == lenCrc,
-        s"tfrecord: length CRC mismatch at byte $p")
-      require(len >= 0 && len <= Int.MaxValue - 16 &&
-        p + 12 + len + 4 <= content.length,
-        s"tfrecord: truncated record (length $len) at byte $p")
-      val n = len.toInt
-      val data = java.util.Arrays.copyOfRange(content, p + 12, p + 12 + n)
-      val dataCrc = java.nio.ByteBuffer.wrap(content, p + 12 + n, 4)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
-      require(maskedCrc(data, 0, n) == dataCrc,
-        s"tfrecord: data CRC mismatch at byte $p")
-      out += data
-      p += 12 + n + 4
+    var rec = readRecord(din, "buffer")
+    while (rec != null) {
+      out += rec
+      rec = readRecord(din, "buffer")
     }
     out.result()
+  }
+
+  /** Like [[decodeAll]], but a framing/CRC failure TRUNCATES instead of
+    * throwing: returns the records that verified before the failure
+    * point plus whether the buffer was clean — the in-memory twin of
+    * [[readLenient]]'s per-file walk, kept for byte-level callers and
+    * the property suite's corruption laws.
+    */
+  private[graft] def decodeLenient(content: Array[Byte]): (Seq[Array[Byte]], Boolean) = {
+    val din = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(content))
+    val out = Seq.newBuilder[Array[Byte]]
+    var clean = true
+    try {
+      var rec = readRecord(din, "buffer")
+      while (rec != null) {
+        out += rec
+        rec = readRecord(din, "buffer")
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => clean = false
+    }
+    (out.result(), clean)
   }
 
   /** Write `bytesCol` (binary) as TFRecord shards under `path` — one
     * `part-NNNNN.tfrecord` per partition (`.tfrecord.gz` whole-file
     * gzip when `gzip` is set, TFRecordOptions(GZIP)'s layout — how most
     * public TFRecord corpora actually ship), replacing whatever was
-    * there (DataFrameWriter's overwrite semantics).
+    * there (DataFrameWriter's overwrite semantics). Each task writes a
+    * task-attempt-unique `.inprogress` temp and renames it into place:
+    * concurrent attempts for the same partition each own their temp, so
+    * whichever commit lands last replaces the shard WHOLLY — no
+    * interleaving — and a failed attempt leaves only a dot-prefixed
+    * temp that readers ignore.
     */
   def write(df: DataFrame, bytesCol: String, path: String,
       gzip: Boolean = false): Unit = {
@@ -96,88 +187,175 @@ object TfRecords {
     fsDriver.delete(dir, true)
     fsDriver.mkdirs(dir)
     val suffix = if (gzip) ".tfrecord.gz" else ".tfrecord"
+    val hconf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
     df.select(col(bytesCol).cast("binary")).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
         val shard = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d$suffix")
-        val fs = shard.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val raw = fs.create(shard, true)
+        val tmp = new org.apache.hadoop.fs.Path(path,
+          f".part-$pid%05d$suffix.${tc.taskAttemptId()}.inprogress")
+        val fs = shard.getFileSystem(hconf.value)
+        val raw = fs.create(tmp, true)
         val out: java.io.OutputStream =
           if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
         try it.foreach(r => out.write(encodeRecord(r.getAs[Array[Byte]](0))))
         finally out.close()
+        if (fs.exists(shard)) fs.delete(shard, false)
+        if (!fs.rename(tmp, shard)) {
+          // lost a commit race to a concurrent attempt: its whole shard
+          // is in place, ours is redundant — clean up and accept
+          fs.delete(tmp, false)
+          require(fs.exists(shard), s"tfrecord: commit of $shard failed")
+        }
     }
   }
 
-  /** Transparent whole-file gunzip for `.gz` shards — streamed in 64 KiB
-    * chunks so a well-compressed shard never allocates per-read.
+  /** Shard listing for [[read]]/[[readLenient]]: direct children matching
+    * `*.tfrecord*`, minus dot/underscore-prefixed work files (temps,
+    * Hadoop markers) — the same hidden-file convention Spark's file
+    * sources apply. Sorted for a deterministic file→task assignment.
     */
-  private def inflate(name: String, bytes: Array[Byte]): Array[Byte] =
-    if (!name.endsWith(".gz")) bytes
-    else {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
-      val buf = new Array[Byte](65536)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      out.toByteArray
+  private[graft] def listShards(spark: SparkSession, path: String): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(dir, "*.tfrecord*")))
+        .fold(Seq.empty[String]) {
+          _.toSeq
+            .filter(st => st.isFile && {
+              val n = st.getPath.getName
+              !n.startsWith(".") && !n.startsWith("_")
+            })
+            .map(_.getPath.toString)
+            .sorted
+        }
+  }
+
+  private def shardName(fullPath: String): String =
+    fullPath.substring(fullPath.lastIndexOf('/') + 1)
+
+  /** Open one shard as a buffered (and, for `.gz`, inflating) record
+    * stream. Closed on task completion even if the consumer abandons the
+    * iterator mid-file (limit/take downstream).
+    */
+  private def openStream(fullPath: String,
+      conf: org.apache.hadoop.conf.Configuration): java.io.DataInputStream = {
+    val p = new org.apache.hadoop.fs.Path(fullPath)
+    val fs = p.getFileSystem(conf)
+    val raw = fs.open(p)
+    val in: java.io.InputStream =
+      if (fullPath.endsWith(".gz"))
+        new java.util.zip.GZIPInputStream(raw, 65536)
+      else new java.io.BufferedInputStream(raw, 65536)
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+      try in.close() catch { case _: java.io.IOException => () }
     }
+    new java.io.DataInputStream(in)
+  }
+
+  /** STRICT streamed record iterator — corruption throws (the [[read]]
+    * contract). The stream closes as soon as the last record is out.
+    */
+  private def recordIterator(fullPath: String,
+      conf: org.apache.hadoop.conf.Configuration): Iterator[Array[Byte]] = {
+    val what = shardName(fullPath)
+    val din = openStream(fullPath, conf)
+    new Iterator[Array[Byte]] {
+      private var nxt = readRecord(din, what)
+      override def hasNext: Boolean = nxt != null
+      override def next(): Array[Byte] = {
+        val r = nxt
+        nxt = readRecord(din, what)
+        if (nxt == null) din.close()
+        r
+      }
+    }
+  }
 
   /** Read TFRecord shards under `path`: one row per record —
     * (file, rec_idx, record) with `rec_idx` the record's ordinal within
     * its file (TFRecord order is positional; the ordinal is the only
-    * identity the format itself carries).
+    * identity the format itself carries). Records stream off the file —
+    * a 100 GiB shard costs one record of task memory, not one file.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.tfrecord*")
-      .load(path)
-      .select("path", "content")
-      .as[(String, Array[Byte])]
-      .flatMap { case (f, bytes) =>
-        val file = f.substring(f.lastIndexOf('/') + 1)
-        decodeAll(inflate(file, bytes)).iterator.zipWithIndex.map {
+    val hconf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val files = listShards(spark, path)
+    spark.createDataset(files)
+      .repartition(math.max(1, math.min(files.size, 4096)))
+      .flatMap { f =>
+        val file = shardName(f)
+        recordIterator(f, hconf.value).zipWithIndex.map {
           case (rec, i) => (file, i.toLong, rec)
         }
       }
       .toDF("file", "rec_idx", "record")
   }
 
-  /** Like [[decodeAll]], but a framing/CRC failure TRUNCATES instead of
-    * throwing: returns the records that verified before the failure
-    * point plus whether the file was clean. Resync past a bad frame is
-    * impossible — the format carries no record-boundary markers, so the
-    * rest of the file is unparseable by construction (TensorFlow's own
-    * readers stop at the first bad frame too).
+  /** Pass 1 of the lenient read: a CRC-only streamed walk (payloads
+    * discarded as they verify) producing the per-file verdict —
+    * (records that verify before any failure point, file was clean).
+    * Resync past a bad frame is impossible: the format carries no
+    * record-boundary markers, so the rest of the file is unparseable by
+    * construction (TensorFlow's own readers stop at the first bad frame
+    * too).
     */
-  private[graft] def decodeLenient(content: Array[Byte]): (Seq[Array[Byte]], Boolean) =
-    try { (decodeAll(content), true) }
-    catch {
-      case _: IllegalArgumentException =>
-        // re-walk, keeping every record that verifies before the failure
-        val out = Seq.newBuilder[Array[Byte]]
-        var p = 0
-        var ok = true
-        while (ok && p + 12 <= content.length) {
-          try {
-            val bb = java.nio.ByteBuffer.wrap(content, p, 12)
-              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            val len = bb.getLong
-            val lenCrc = bb.getInt
-            require(maskedCrc(content, p, 8) == lenCrc)
-            require(len >= 0 && len <= Int.MaxValue - 16 &&
-              p + 12 + len + 4 <= content.length)
-            val n = len.toInt
-            val data = java.util.Arrays.copyOfRange(content, p + 12, p + 12 + n)
-            require(java.nio.ByteBuffer.wrap(content, p + 12 + n, 4)
-              .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt == maskedCrc(data, 0, n))
-            out += data
-            p += 12 + n + 4
-          } catch { case _: IllegalArgumentException => ok = false }
+  private def scanVerdict(fullPath: String,
+      conf: org.apache.hadoop.conf.Configuration): (Long, Boolean) = {
+    var n = 0L
+    var clean = true
+    var din: java.io.DataInputStream = null
+    try {
+      din = openStream(fullPath, conf) // gzip-header failure lands here
+      var rec = readRecord(din, shardName(fullPath))
+      while (rec != null) {
+        n += 1
+        rec = readRecord(din, shardName(fullPath))
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => clean = false
+    } finally {
+      if (din != null) {
+        try din.close() catch { case _: java.io.IOException => () }
+      }
+    }
+    (n, clean)
+  }
+
+  /** Pass 2 of the lenient read: like [[recordIterator]] but a framing /
+    * CRC / gzip failure ENDS the iterator instead of throwing — it
+    * replays exactly the records pass 1 counted (same bytes, same
+    * failure point).
+    */
+  private def lenientIterator(fullPath: String,
+      conf: org.apache.hadoop.conf.Configuration): Iterator[Array[Byte]] =
+    try {
+      val what = shardName(fullPath)
+      val din = openStream(fullPath, conf)
+      def advance(): Array[Byte] =
+        try readRecord(din, what)
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            try din.close() catch { case _: java.io.IOException => () }
+            null
         }
-        (out.result(), false)
+      new Iterator[Array[Byte]] {
+        private var nxt = advance()
+        override def hasNext: Boolean = nxt != null
+        override def next(): Array[Byte] = {
+          val r = nxt
+          nxt = advance()
+          r
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => Iterator.empty
     }
 
   /** [[read]]'s PERMISSIVE twin for petabyte-scale ingest, where one
@@ -188,29 +366,28 @@ object TfRecords {
     * re-fetch bad shards — corruption is data, not an exception.
     * Returns (file, rec_idx, record, file_clean); a shard whose very
     * first frame is bad still surfaces as one (file, -1, NULL, false)
-    * row, so no bad file is ever silent.
+    * row, so no bad file is ever silent. The verdict requires knowing
+    * whether the END of the file verifies, which a single streamed pass
+    * cannot know before its last row — so each file takes two
+    * bounded-memory passes (a CRC-only walk, then the emitting replay)
+    * instead of the old whole-file buffering.
     */
   def readLenient(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.tfrecord*")
-      .load(path)
-      .select("path", "content")
-      .as[(String, Array[Byte])]
-      .flatMap { case (f, bytes) =>
-        val file = f.substring(f.lastIndexOf('/') + 1)
-        val inflated =
-          try Some(inflate(file, bytes))
-          catch { case _: java.io.IOException => None } // gzip stream corrupt
-        val (recs, clean) = inflated match {
-          case Some(b) => decodeLenient(b)
-          case None => (Nil, false) // same flagged verdict as a bad frame
-        }
-        if (recs.isEmpty && !clean)
+    val hconf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val files = listShards(spark, path)
+    spark.createDataset(files)
+      .repartition(math.max(1, math.min(files.size, 4096)))
+      .flatMap { f =>
+        val file = shardName(f)
+        val (n, clean) = scanVerdict(f, hconf.value)
+        if (n == 0L && !clean)
           Iterator((file, -1L, null.asInstanceOf[Array[Byte]], false))
-        else recs.iterator.zipWithIndex.map {
-          case (rec, i) => (file, i.toLong, rec, clean)
-        }
+        else
+          lenientIterator(f, hconf.value).zipWithIndex.map {
+            case (rec, i) => (file, i.toLong, rec, clean)
+          }
       }
       .toDF("file", "rec_idx", "record", "file_clean")
   }

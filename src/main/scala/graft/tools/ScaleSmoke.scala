@@ -118,7 +118,10 @@ object ScaleSmoke {
       "st15_window_quantiles" -> "same windows, Nx events each: the (window, value, hash) frame scales linearly; the sample cut stays ≤ k rows/window",
       "ss25_semdedup_cells" -> "SemDeDup k∝N contract: per-copy labels give Nx CELLS of constant size, so within-cell pair work and shuffle stay ≈ Nx, never quadratic",
       "st16_stream_semdedup" -> "sequential (streaming-twin) fold: all 4 levels reuse ONE persisted assignment, kept/within-batch joins stay cell-bounded — same k∝N linearity as ss25 with batch boundaries in the plan",
-      "ss29_bitext_margin" -> "A×B never forms: the per-copy labels give Nx cells, so cross-side pair volume (the dominant shuffle) stays ≈ Nx under the k∝N contract — mining cost linear in the corpus")
+      "ss29_bitext_margin" -> "A×B never forms: the per-copy labels give Nx cells, so cross-side pair volume (the dominant shuffle) stays ≈ Nx under the k∝N contract — mining cost linear in the corpus",
+      "sm13_temporal_split" -> "entity-scale median rides the distributed Ordinal (r12's one scale-killer, fixed r13): shuffle tracks the per-user frame ≈ Nx, no single-partition window anywhere",
+      "an11_zipf_octaves" -> "vocab rank rides Ordinal on -freq: shuffle tracks the (copy-rotated, ~Nx) vocab frame; octave rollup ≤ 64 rows at any corpus",
+      "an18_ks_drift" -> "corpus CDF rides withGlobalPrefixSum: exchanges track the sources × values grid, the per-source CDFs stay source-partitioned")
     val byName = graft.SparkEntry.all.map(q => q.name -> q).toMap
     def fmt(b: Long): String =
       if (b >= (1L << 20)) f"${b / 1048576.0}%.1f MiB"

@@ -59,7 +59,7 @@ object ShuffleAudit {
     "st06_running_total" -> "one user_id exchange feeds both running windows; money stays decimal-exact",
     "mm06_frame_sample" -> "pure scan projection + explode (seek arithmetic): zero shuffle",
     "tx19_bm25" -> "tf rows exist only for query terms (IN pushed into the scan); df + (L,N) broadcast back; top-k is a 20-row sort",
-    "an11_zipf_octaves" -> "vocab-bounded count table; rank window orders vocab rows, octave rollup ≤ 64 rows; text never shuffles",
+    "an11_zipf_octaves" -> "vocab-bounded count table; rank rides the distributed Ordinal on -freq (quantile buckets + broadcast offsets, no single-partition window), octave rollup ≤ 64 rows; text never shuffles",
     "an12_constraint_audit" -> "per-table rules share one map-side agg pass; RI rules shuffle key columns only",
     "sm08_poisson_ht" -> "keep decision + HT mass are scan-local projections; only the per-source rollup exchanges",
     "q_scd2_history" -> "ONE user_id exchange feeds change-detection lag, version numbering, and close-off lead",
@@ -99,11 +99,11 @@ object ShuffleAudit {
     "an16_token_tv_drift" -> "vocab-bounded count table; totals broadcast back; top-40 is a vocab-row sort",
     "st11_stream_dedup" -> "one (id, longs) exchange with map-side combine; dedup state bounded by the watermark horizon",
     "st12_session_window" -> "one user-keyed exchange; open-session state exists only in the streaming twin",
-    "q_file_compaction" -> "metadata-only: one rollup to manifest cardinality, then driver-scale windows",
+    "q_file_compaction" -> "metadata-only: one rollup to manifest cardinality; the first-fit running total rides withGlobalPrefixSum (bucketed partial sums + broadcast offsets) — a million-file manifest never funnels one partition",
     "st13_window_topk" -> "counts partial-aggregate to (window × type) rows; rank orders type-cardinality frames",
     "ss21_mrl_recall" -> "4 truncation arms ride one exploded pass against broadcast queries — one corpus scan",
     "an17_kmv_cardinality" -> "distinct (source, hash) combines map-side to vocab rows; rank window orders the vocab frame",
-    "an18_ks_drift" -> "per-(source, value) counts combine map-side; windows order the sources × values grid, never the corpus",
+    "an18_ks_drift" -> "per-(source, value) counts combine map-side; per-source CDFs window partitioned by source, the corpus CDF rides withGlobalPrefixSum — no single-partition window over the value domain",
     "tx23_readability" -> "pure scan projection (counts + integer Flesch): zero shuffle",
     "cu11_curriculum" -> "one source-keyed exchange carries both windows; only (id, score, ntok) longs",
     "cu12_curation_funnel" -> "cu01's exchanges plus ONE map-side conditional agg to a single row",
@@ -114,7 +114,7 @@ object ShuffleAudit {
     "cu13_dataset_card" -> "every signal in ONE scan projection; the single global agg (count-distinct digest included) combines map-side",
     "dd24_cdc_chunks" -> "boundary scan + chunk slicing are HOFs inside the scan; only (doc_id, idx, pos, len, hash) rows leave it",
     "ss22_index_staleness" -> "centroids broadcast; scored pass scan-local; per-cell rollup combines map-side to codebook cardinality",
-    "sm13_temporal_split" -> "one user-keyed min-agg; median runs on the entity-cardinality frame; cutoff broadcasts back",
+    "sm13_temporal_split" -> "one user-keyed min-agg; the median rank rides the distributed Ordinal over the entity-cardinality frame (r12's one scale-killer, fixed); cutoff broadcasts back",
     "ss23_ranking_metrics" -> "queries broadcast; the scored pass reduces to (q_id, rank, relevant) rows before the per-query rollup",
     "q_csv_roundtrip" -> "sink+source edge format: no pushdown/pruning by design — the measured contrast to op01's parquet scan",
     "an19_kmv_merge" -> "each side reduces to ≤ k longs per source before the merge; rank windows order k-row frames",

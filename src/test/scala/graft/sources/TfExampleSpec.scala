@@ -81,4 +81,42 @@ class TfExampleSpec extends AnyFunSuite {
     assert(TfExample.floatList(m, "absent").isEmpty)
     assert(TfExample.stringList(m, "absent").isEmpty)
   }
+
+  test("proto merge: repeated same-kind list segments CONCATENATE, a " +
+    "different oneof member replaces (ADVICE r12)") {
+    // Writers may legally split one list across multiple occurrences of
+    // the same embedded-message field; proto merge semantics concatenate
+    // them — last-segment-wins silently loses data. Hand-rolled wire
+    // bytes, since our own encoder never splits.
+    def msg(tag: Int, payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 128) // single-byte varint length
+      Array(tag.toByte, payload.length.toByte) ++ payload
+    }
+    def f32(v: Float): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putFloat(v).array()
+    def example(featureBytes: Array[Byte], key: String): Map[String, TfExample.Feature] = {
+      val entry = msg(0x0a, key.getBytes("UTF-8")) ++ msg(0x12, featureBytes)
+      TfExample.decode(msg(0x0a, msg(0x0a, entry)))
+    }
+    // float_list [1.0] ++ float_list [2.0, 3.0] → floats [1, 2, 3]
+    val splitFloats =
+      msg(0x12, msg(0x0a, f32(1f))) ++ msg(0x12, msg(0x0a, f32(2f) ++ f32(3f)))
+    assert(example(splitFloats, "x")("x").floats == Seq(1f, 2f, 3f))
+    // int64_list [5] ++ int64_list [7, 9] → longs [5, 7, 9]
+    val splitLongs =
+      msg(0x1a, msg(0x0a, Array(5.toByte))) ++
+        msg(0x1a, msg(0x0a, Array(7.toByte, 9.toByte)))
+    assert(example(splitLongs, "n")("n").longs == Seq(5L, 7L, 9L))
+    // bytes_list ["ab"] ++ bytes_list ["cd"] → bytes ["ab", "cd"]
+    val splitBytes =
+      msg(0x0a, msg(0x0a, "ab".getBytes("UTF-8"))) ++
+        msg(0x0a, msg(0x0a, "cd".getBytes("UTF-8")))
+    assert(example(splitBytes, "b")("b").bytes
+      .map(new String(_, "UTF-8")) == Seq("ab", "cd"))
+    // oneof switch: bytes_list then float_list segments — setting a
+    // different member clears its siblings, then same-kind still merges
+    val switched = msg(0x0a, msg(0x0a, "dropped".getBytes("UTF-8"))) ++ splitFloats
+    val sw = example(switched, "y")("y")
+    assert(sw.bytes.isEmpty && sw.floats == Seq(1f, 2f, 3f))
+  }
 }

@@ -3,6 +3,17 @@ package graft.sources
 import graft.SparkTestSession.spark
 import org.scalatest.funsuite.AnyFunSuite
 
+/** A FileSystem scheme that exists ONLY through a `fs.stubfs.impl` conf
+  * entry (no service-loader registration, no core-site.xml) — local disk
+  * underneath, so resolving it anywhere proves the resolving side looked
+  * at a conf that carries the session's settings. Hadoop instantiates it
+  * reflectively; must stay public with a no-arg constructor.
+  */
+class StubFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "stubfs"
+  override def getUri: java.net.URI = java.net.URI.create("stubfs:///")
+}
+
 /** The TFRecord framing must be byte-exact against the published spec —
   * these files claim interop with every other TFRecord consumer, so the
   * laws are pinned independently of our own encoder/decoder pair.
@@ -105,6 +116,87 @@ class TfRecordsSpec extends AnyFunSuite {
     // decodeLenient law: a file whose FIRST frame is bad still surfaces
     val (recs, clean) = TfRecords.decodeLenient(Array[Byte](1, 2, 3))
     assert(recs.isEmpty && !clean)
+  }
+
+  test("the session Hadoop conf rides into task closures " +
+    "(spark.hadoop.* reaches executor-side FS lookups — ADVICE r12)") {
+    // The carrier is the mechanism write()/read() ship the driver's
+    // hadoopConfiguration with; a bare `new Configuration()` on the
+    // executor (the pre-r13 bug) would read MISSING here, because
+    // programmatic spark.hadoop.* settings live only in the session conf.
+    val marker = "graft.test.tfrec.marker"
+    spark.sparkContext.hadoopConfiguration.set(marker, "rode-along")
+    try {
+      val hconf = new SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration)
+      val seen = spark.range(0, 4, 1, 2).rdd
+        .mapPartitions(_ => Iterator(hconf.value.get(marker, "MISSING")))
+        .collect().toSeq
+      assert(seen == Seq("rode-along", "rode-along"))
+    } finally spark.sparkContext.hadoopConfiguration.unset(marker)
+  }
+
+  test("write/read work on a scheme that exists ONLY in the session conf " +
+    "(fs.stubfs.impl — the S3A-shaped cluster scenario)") {
+    import spark.implicits._
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.stubfs.impl", classOf[StubFs].getName)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-stubfs").toString
+      val path = "stubfs://" + dir
+      val rows = (0L until 40L).map(i => s"s3ish-$i".getBytes("UTF-8"))
+      TfRecords.write(rows.toDF("rec").repartition(2), "rec", path)
+      val back = TfRecords.read(spark, path)
+        .selectExpr("cast(record as string) as s").collect().map(_.getString(0))
+      assert(back.toSet == rows.map(new String(_, "UTF-8")).toSet)
+      // the shards really landed where the conf-mapped scheme points
+      assert(new java.io.File(dir).listFiles()
+        .count(_.getName.endsWith(".tfrecord")) == 2)
+    } finally hc.unset("fs.stubfs.impl")
+  }
+
+  test("a 96 MiB shard streams record-at-a-time (the binaryFile 2 GiB " +
+    "cap and whole-file allocation are gone — VERDICT r12 #5)") {
+    // Written straight to disk: 96 × 1 MiB records. The streamed read
+    // allocates one record per readRecord call by construction
+    // (TfRecords.readRecord) — task memory is a record, never a file, so
+    // shard size is unbounded; this pins the path on a shard big enough
+    // that per-file buffering would be felt, small enough for the suite.
+    val dir = java.nio.file.Files.createTempDirectory("graft-tfrec-big")
+    val f = dir.resolve("part-00000.tfrecord")
+    val out = new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(f), 1 << 20)
+    val rec = new Array[Byte](1 << 20)
+    for (i <- 0 until 96) {
+      java.util.Arrays.fill(rec, (i % 251).toByte)
+      out.write(TfRecords.encodeRecord(rec))
+    }
+    out.close()
+    val got = TfRecords.read(spark, dir.toString)
+      .selectExpr("count(*) as n", "sum(length(record)) as bytes")
+      .collect()(0)
+    assert(got.getLong(0) == 96L)
+    assert(got.getLong(1) == 96L << 20)
+    // and rec_idx stays the positional identity on the big shard
+    val idx = TfRecords.read(spark, dir.toString)
+      .selectExpr("min(rec_idx) as lo", "max(rec_idx) as hi").collect()(0)
+    assert(idx.getLong(0) == 0L && idx.getLong(1) == 95L)
+  }
+
+  test("shards commit via task-attempt temp + rename: no .inprogress " +
+    "litter survives a write (ADVICE r12)") {
+    import spark.implicits._
+    val rows = (0L until 30L).map(i => s"c-$i".getBytes("UTF-8"))
+    val path = java.nio.file.Files.createTempDirectory("graft-tfrec-commit").toString
+    TfRecords.write(rows.toDF("rec").repartition(3), "rec", path)
+    val names = new java.io.File(path).listFiles().map(_.getName)
+    assert(!names.exists(_.contains(".inprogress")), names.mkString(", "))
+    assert(names.count(_.endsWith(".tfrecord")) == 3)
+    // and a stray .inprogress temp (zombie attempt) is invisible to reads
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, ".part-00000.tfrecord.99.inprogress"),
+      Array[Byte](1, 2, 3))
+    assert(TfRecords.read(spark, path).count() == 30)
   }
 
   test("gzip shards round-trip and mix freely with plain shards") {
