@@ -262,6 +262,50 @@ object Curation {
       .withColumnRenamed("source", groupCol)
   }
 
+  /** Equal-token-mass export sharding: cut the corpus into `shards`
+    * contiguous mass tiers by (n_chars, doc_id) order — shard k holds
+    * the documents whose EXCLUSIVE running mass lands in
+    * [k·total/shards, (k+1)·total/shards). Writing training data this
+    * way gives every output shard ≈ the same token budget regardless of
+    * the document-length distribution (doc-COUNT sharding leaves shards
+    * far apart in mass under long-tailed lengths, and shard mass is
+    * what bounds a training job's per-file work). Each shard's mass
+    * deviates from total/shards by less than one maximum document — the
+    * boundary lands mid-document at most once per cut (CurationSpec
+    * pins the bound).
+    *
+    * Scale: the running mass rides
+    * [[graft.operators.Ordinal.withGlobalPrefixSum]] — the frame is
+    * EVERY document, so a `SUM() OVER (ORDER BY ...)` global window
+    * here would funnel the whole corpus through one partition (the r12
+    * window-funnel class). The total enters as a broadcast scalar; the
+    * rollup is `shards` rows. Shared by the gated cu15 query.
+    */
+  def equalMassShards(docs: DataFrame, shards: Int = 8): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    // frame read twice (quantile sketch + prefix); caller clearCache
+    // releases
+    val o = docs.selectExpr("doc_id", "cast(n_chars as long) as n_chars")
+      .persist()
+    val t = o.agg(sum("n_chars").cast("long").as("total"))
+    graft.operators.Ordinal
+      .withGlobalPrefixSum(o, "n_chars", "n_chars", "cum",
+        tieCols = Seq("doc_id"))
+      .crossJoin(broadcast(t))
+      // least-clamp: a zero-mass document sorting last has cum == total
+      // (exclusive prefix), which would index one past the final shard
+      .selectExpr(
+        s"least(($shards * cum) div total, ${shards - 1}) as shard_id",
+        "n_chars", "total")
+      .groupBy("shard_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum("n_chars").cast("long").as("mass"),
+        max("total").as("_total"))
+      .selectExpr("cast(shard_id as bigint) as shard_id", "n_docs", "mass",
+        "cast((1000000 * mass) div _total as bigint) as mass_ppm")
+  }
+
   /** Curriculum ordering: split each source into `phases` contiguous
     * complexity tiers (ntile over the cu02 complexity score — mean
     * token length ×100 — ascending, doc_id tiebreak) and give every

@@ -545,6 +545,33 @@ object CurationOps {
          |  (1000000 * ncode) // n AS code_ppm
          |FROM a""".stripMargin) {
       (s, d) => graft.functions.Curation.sourceCards(T.documents(s, d))
+    },
+
+    // Equal-token-mass export shards (Curation.equalMassShards): the
+    // corpus cut into 8 contiguous mass tiers by (n_chars, doc_id)
+    // order, each holding ≈ total/8 characters — the sharding a
+    // training-data export wants (shard MASS, not doc count, bounds a
+    // training job's per-file work). The exclusive running mass rides
+    // Ordinal.withGlobalPrefixSum over the FULL document frame — the
+    // corpus-scale showcase of the r13 primitive (a global SUM() OVER
+    // window here is exactly the funnel class the plan rail now
+    // rejects); the grand total broadcasts back, the rollup is 8 rows.
+    Q(
+      "cu15_equal_mass_shards",
+      """WITH o AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents),
+        |  t AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS total FROM o),
+        |  c AS (SELECT doc_id, n_chars,
+        |          CAST(coalesce(SUM(n_chars) OVER (ORDER BY n_chars, doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+        |        FROM o),
+        |  b AS (SELECT least((8 * cum) // total, 7) AS shard_id, n_chars, total
+        |        FROM c CROSS JOIN t)
+        |SELECT CAST(shard_id AS BIGINT) AS shard_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS mass,
+        |  CAST((1000000 * SUM(n_chars)) // max(total) AS BIGINT) AS mass_ppm
+        |FROM b GROUP BY shard_id""".stripMargin) {
+      (s, d) => graft.functions.Curation.equalMassShards(T.documents(s, d))
     })
 
   /** cu13/cu14's shared signal CTEs (lt + sig) — ONE SQL definition for

@@ -113,6 +113,11 @@ object DumpPlans {
     // persisted assignment feeding every level — never a re-scored scan
     // per batch — with cell-keyed exchanges only
     "st16_stream_semdedup",
+    // round-13: equal-mass export sharding — the pinned plan must show
+    // the corpus-frame running total riding the bucketed prefix sum
+    // (partitioned window over _ord_b + broadcast offsets), with NO
+    // single-partition WindowExec over the document frame
+    "cu15_equal_mass_shards",
     // bitext mining must show the cell-keyed (never A×B) pair join and
     // per-vector rank windows over the one persisted pair frame
     "ss29_bitext_margin",

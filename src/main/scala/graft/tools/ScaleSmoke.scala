@@ -121,7 +121,8 @@ object ScaleSmoke {
       "ss29_bitext_margin" -> "A×B never forms: the per-copy labels give Nx cells, so cross-side pair volume (the dominant shuffle) stays ≈ Nx under the k∝N contract — mining cost linear in the corpus",
       "sm13_temporal_split" -> "entity-scale median rides the distributed Ordinal (r12's one scale-killer, fixed r13): shuffle tracks the per-user frame ≈ Nx, no single-partition window anywhere",
       "an11_zipf_octaves" -> "vocab rank rides Ordinal on -freq: shuffle tracks the (copy-rotated, ~Nx) vocab frame; octave rollup ≤ 64 rows at any corpus",
-      "an18_ks_drift" -> "corpus CDF rides withGlobalPrefixSum: exchanges track the sources × values grid, the per-source CDFs stay source-partitioned")
+      "an18_ks_drift" -> "corpus CDF rides withGlobalPrefixSum: exchanges track the sources × values grid, the per-source CDFs stay source-partitioned",
+      "cu15_equal_mass_shards" -> "the prefix sum runs over EVERY document: shuffle must scale ≈ Nx in (doc_id, n_chars) longs with zero spill — the corpus-frame stress of the r13 primitive")
     val byName = graft.SparkEntry.all.map(q => q.name -> q).toMap
     def fmt(b: Long): String =
       if (b >= (1L << 20)) f"${b / 1048576.0}%.1f MiB"

@@ -138,4 +138,29 @@ class CurationSpec extends AnyFunSuite {
       s"train should dominate: $bySplit")
     spark.catalog.clearCache()
   }
+
+  test("cu15 equal-mass shards: masses within one max-document of the " +
+    "ideal, conservation holds, shard count free") {
+    val docs = graft.Tables.documents(spark, sf)
+    val total = docs.selectExpr("cast(sum(n_chars) as long)").collect()(0).getLong(0)
+    val maxDoc = docs.selectExpr("cast(max(n_chars) as long)").collect()(0).getLong(0)
+    for (shards <- Seq(1, 4, 8)) {
+      val rows = graft.functions.Curation
+        .equalMassShards(docs, shards).collect()
+      // conservation: every document lands in exactly one shard
+      assert(rows.map(_.getAs[Long]("mass")).sum == total, s"shards=$shards")
+      assert(rows.map(_.getAs[Long]("shard_id")).sorted.toSeq ==
+        (0L until shards.toLong), s"shards=$shards")
+      // the equal-mass bound: a cut lands mid-document at most once per
+      // boundary, so every shard's mass is within one max document of
+      // total/shards
+      val ideal = total.toDouble / shards
+      rows.foreach { r =>
+        assert(math.abs(r.getAs[Long]("mass") - ideal) <= maxDoc.toDouble,
+          s"shards=$shards shard=${r.getAs[Long]("shard_id")} " +
+            s"mass=${r.getAs[Long]("mass")} ideal=$ideal maxDoc=$maxDoc")
+      }
+      spark.catalog.clearCache()
+    }
+  }
 }
