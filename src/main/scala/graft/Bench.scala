@@ -26,6 +26,85 @@ object Bench {
   private case class BenchRow(name: String, min: Double, med: Double,
       ok: Boolean, settle: Int, inflated: Boolean)
 
+  /** Parse the per-query cross-run reference out of a committed
+    * bench_out.json body: prefers the MONOTONE `queries_ref` block (see
+    * [[nextQueryRef]]), falling back to the raw `queries` mins for
+    * pre-r13 files; a different sf or any malformed content degrades to
+    * an empty reference, never a failure. Regex-free string splitting
+    * over our own fixed format. Exposed for BenchRefSpec — this parser
+    * feeds the regression gate that protects every other gate.
+    */
+  private[graft] def parsePriorMin(txt: String, sfDir: String): Map[String, Double] =
+    try {
+      val block =
+        if (txt.contains("\"queries_ref\":{")) "\"queries_ref\":\\{"
+        else "\"queries\":\\{"
+      if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+      else txt.split(block, 2) match {
+        case Array(_, rest) =>
+          rest.takeWhile(_ != '}').split(",").iterator.flatMap { kv =>
+            kv.split(":") match {
+              case Array(k, v) => scala.util.Try(
+                k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble).toOption
+              case _ => None
+            }
+          }.toMap
+        case _ => Map.empty
+      }
+    } catch { case _: Throwable => Map.empty }
+
+  /** Parse the flagship's cross-run reference: `flagship_ref` with
+    * `pipeline_elements_per_sec` as the pre-r12 fallback; accepts
+    * scientific notation (Doubles >= 1e7 render as "1.9E7"); 0.0 = no
+    * reference. Exposed for BenchRefSpec.
+    */
+  private[graft] def parsePriorFlagship(txt: String, sfDir: String): Double =
+    try {
+      def field(name: String): Double =
+        txt.split("\"" + name + "\":", 2) match {
+          case Array(_, rest) => scala.util.Try(
+            rest.takeWhile(c => c.isDigit || c == '.' || c == 'E' ||
+              c == 'e' || c == '+' || c == '-').toDouble).getOrElse(0.0)
+          case _ => 0.0
+        }
+      if (!txt.contains("\"sf\":\"" + sfDir + "\"")) 0.0
+      else {
+        val ref = field("flagship_ref")
+        if (ref > 0) ref else field("pipeline_elements_per_sec")
+      }
+    } catch { case _: Throwable => 0.0 }
+
+  /** MONOTONE per-query reference update (VERDICT r12 #1 — the
+    * per-query twin of [[nextFlagshipRef]], in the time domain where
+    * better = lower): min(prior ref, this run's healed min, isolated
+    * re-run min). An inflated row's min exceeds its prior ref by
+    * construction, so min() keeps the prior — a contended sweep can
+    * never overwrite its committed reference — and a reference that WAS
+    * poisoned upward self-repairs on the first clean run. Wall time has
+    * a physical floor the work itself enforces, so a too-low reference
+    * cannot latch a false regression the way a too-high flagship anchor
+    * can.
+    */
+  private[graft] def nextQueryRef(prior: Option[Double],
+      isolated: Option[Double], currentMin: Double): Double =
+    (prior.toSeq ++ isolated :+ currentMin).min
+
+  /** Flagship reference update (ADVICE r11 + r12): moves only UPWARD,
+    * and only on a CLEAN run — a failed or inflated flagship pass is
+    * measuring the host, not the code, and must not move the anchor in
+    * either direction. The upward step is sanity-capped at 2x the prior
+    * anchor (one mis-measured fast rep would otherwise permanently
+    * raise the bar and latch every honest later round as inflated). A
+    * real lasting regression keeps flagship_inflated latched until a
+    * human re-baselines bench_out.json — intended (a silent reset is
+    * the r9→r10 failure mode).
+    */
+  private[graft] def nextFlagshipRef(prior: Double, rate: Double,
+      failed: Boolean, inflated: Boolean): Double =
+    if (failed || inflated) prior
+    else if (prior > 0 && rate > 2 * prior) prior
+    else math.max(prior, rate)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -84,65 +163,28 @@ object Bench {
     // to an empty reference, never a failure.
     //
     // The reference block read here is `queries_ref` — the MONOTONE map
-    // this run writes as min(prior ref, this run's healed min) — not the
-    // raw published mins (VERDICT r12 #1: the driver's contended r12
-    // sweep left q_antijoin_orders at 5.415 s vs a true 0.52 s in the
-    // published map; raw mins as next round's reference would have set
-    // that row's heal threshold to ~8 s, the r9→r10 flagship failure
-    // mode one level down). `queries` is the fallback for pre-r13 files.
+    // this run writes via nextQueryRef — not the raw published mins
+    // (VERDICT r12 #1: the driver's contended r12 sweep left
+    // q_antijoin_orders at 5.415 s vs a true 0.52 s in the published
+    // map; raw mins as next round's reference would have set that row's
+    // heal threshold to ~8 s, the r9→r10 flagship failure mode one
+    // level down). `queries` is the fallback for pre-r13 files.
     val priorMin: Map[String, Double] = try {
       val p = java.nio.file.Paths.get("bench_out.json")
       if (!java.nio.file.Files.exists(p)) Map.empty
-      else {
-        val txt = java.nio.file.Files.readString(p)
-        val block =
-          if (txt.contains("\"queries_ref\":{")) "\"queries_ref\":\\{"
-          else "\"queries\":\\{"
-        if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
-        else txt.split(block, 2) match {
-          case Array(_, rest) =>
-            rest.takeWhile(_ != '}').split(",").iterator.flatMap { kv =>
-              kv.split(":") match {
-                case Array(k, v) => scala.util.Try(
-                  k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble).toOption
-                case _ => None
-              }
-            }.toMap
-          case _ => Map.empty
-        }
-      }
+      else parsePriorMin(java.nio.file.Files.readString(p), sfDir)
     } catch { case _: Throwable => Map.empty }
 
     // The flagship's cross-run reference, same contract as priorMin: the
     // committed bench_out.json carries a steady-state rate for this sf.
     // r10 published 271k el/s against r9's 519k with no flag — uniform
     // whole-run contention is invisible to a median-of-3, so the flagship
-    // needs the same heal the query rows got. The reference field is
-    // `flagship_ref` (updated only UPWARD — see below; a contended round
-    // must not reset the anchor to its own deflated rate), with
-    // `pipeline_elements_per_sec` as the fallback for pre-r12 files.
-    // Any parse mismatch degrades to 0.0 (= no reference). The number
-    // parser accepts scientific notation: Doubles >= 1e7 render as
-    // "1.9E7", which a digits-and-dot takeWhile would silently read
-    // as 1.9.
+    // needs the same heal the query rows got (parse + update rules live
+    // in parsePriorFlagship / nextFlagshipRef, pinned by BenchRefSpec).
     val priorFlagship: Double = try {
       val p = java.nio.file.Paths.get("bench_out.json")
       if (!java.nio.file.Files.exists(p)) 0.0
-      else {
-        val txt = java.nio.file.Files.readString(p)
-        def field(name: String): Double =
-          txt.split("\"" + name + "\":", 2) match {
-            case Array(_, rest) => scala.util.Try(
-              rest.takeWhile(c => c.isDigit || c == '.' || c == 'E' ||
-                c == 'e' || c == '+' || c == '-').toDouble).getOrElse(0.0)
-            case _ => 0.0
-          }
-        if (!txt.contains("\"sf\":\"" + sfDir + "\"")) 0.0
-        else {
-          val ref = field("flagship_ref")
-          if (ref > 0) ref else field("pipeline_elements_per_sec")
-        }
-      }
+      else parsePriorFlagship(java.nio.file.Files.readString(p), sfDir)
     } catch { case _: Throwable => 0.0 }
 
     // Flagship pipeline throughput (input elements/sec over one pass) —
@@ -289,18 +331,11 @@ object Bench {
     val okResults = results.filter(_.ok)
     val qs = okResults.map(r => "\"" + r.name + "\":" + r.min)
       .mkString("{", ",", "}")
-    // Cross-run reference, MONOTONE (VERDICT r12 #1 — the per-query twin
-    // of flagship_ref's max rule, in the time domain where better =
-    // lower): min(prior ref, this run's healed min, isolated re-run).
-    // A contended sweep's inflated min can never overwrite its committed
-    // reference (min picks the prior), and the rule self-repairs a
-    // reference that WAS poisoned by a pre-r13 commit: the first clean
-    // run's min restores it. Only a genuinely faster run lowers the bar
-    // — and a too-low bar can't latch a false regression, because wall
-    // time has a physical floor the work itself enforces.
+    // Cross-run reference, MONOTONE — the nextQueryRef rule (VERDICT
+    // r12 #1), pinned by BenchRefSpec.
     val qsRef = okResults.map { r =>
-      val cands = priorMin.get(r.name).toSeq ++ isolated.get(r.name) :+ r.min
-      "\"" + r.name + "\":" + round3(cands.min)
+      "\"" + r.name + "\":" +
+        round3(nextQueryRef(priorMin.get(r.name), isolated.get(r.name), r.min))
     }.mkString("{", ",", "}")
     val qsMed = okResults.map(r => "\"" + r.name + "\":" + r.med)
       .mkString("{", ",", "}")
@@ -324,20 +359,10 @@ object Bench {
     // Rates are written in plain decimal (never scientific notation) so
     // next round's string-splitting parser reads them back verbatim.
     def plain(v: Double): String = new java.math.BigDecimal(v).toPlainString
-    // Update rule (ADVICE r11 + r12): the committed reference moves only
-    // UPWARD, and only on a CLEAN run — a round whose flagship pass
-    // failed or latched flagship_inflated is measuring the host, not the
-    // code, and must not move the anchor in either direction. The upward
-    // step is also sanity-capped at 2x the prior reference (ADVICE r12's
-    // symmetric-outlier case): one mis-measured fast rep would otherwise
-    // permanently raise the bar and latch every honest later round as
-    // inflated until a human edits bench_out.json. A real lasting
-    // regression keeps flagship_inflated latched until a human
-    // re-baselines — intended (a silent reset is the r9→r10 failure).
+    // Update rule: nextFlagshipRef (ADVICE r11 + r12), pinned by
+    // BenchRefSpec — upward-only, clean runs only, capped at 2x prior.
     val flagshipRef =
-      if (flagshipFailed || flagshipInflated) priorFlagship
-      else if (priorFlagship > 0 && flagshipRate > 2 * priorFlagship) priorFlagship
-      else math.max(priorFlagship, flagshipRate)
+      nextFlagshipRef(priorFlagship, flagshipRate, flagshipFailed, flagshipInflated)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""queries_median":$qsMed,"failed":$failed,""" +

@@ -137,4 +137,27 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
       assert(got.map(_._1).toSeq == keys.sorted, s"seed=$seed")
     }
   }
+
+  test("distributed prefix sum matches a sequential fold on random " +
+    "multisets (keys duplicated, values negative, random bucket counts)") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(200 + seed)
+      val n = 50 + rnd.nextInt(200)
+      // (key, id, value): duplicate-heavy keys so ties straddle would-be
+      // bucket boundaries; signed values so the sum algebra is exercised
+      // beyond monotone accumulation
+      val rows = (0 until n).map(i =>
+        (rnd.nextInt(20).toLong - 10L, i.toLong, rnd.nextInt(100).toLong - 50L))
+      // reference: sort by (k, id), sequential exclusive fold
+      val sorted = rows.sortBy(r => (r._1, r._2))
+      val expected = sorted.zip(
+        sorted.scanLeft(0L)(_ + _._3).dropRight(1))
+        .map { case ((k, id, _), cum) => (k, id, cum) }.toSet
+      val got = graft.operators.Ordinal.withGlobalPrefixSum(
+        rows.toDF("k", "id", "v"), "k", "v", "cum",
+        buckets = 1 + rnd.nextInt(8), tieCols = Seq("id"))
+        .select("k", "id", "cum").as[(Long, Long, Long)].collect().toSet
+      assert(got == expected, s"seed=$seed")
+    }
+  }
 }
