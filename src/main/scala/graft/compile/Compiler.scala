@@ -77,19 +77,23 @@ object Compiler {
         case CacheOp       => in().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         case Prefetch(_)   => in() // stage pipelining is implicit in Spark
         case ZipOp(ordL, ordR) =>
-          // single numeric order key → distributed ordinal (quantile-
-          // bucketed ranks + broadcast prefix offsets); otherwise fall
-          // back to the global window (positional semantics are
-          // inherently ordered). Under instrumentation the bucket splits
-          // are probed from an UNINSTRUMENTED recompile of the same
-          // prefix, so (a) the eager sketch pass never fires the
-          // CollectMetrics observers twice, and (b) profile mode measures
-          // the SAME distributed plan that production runs — a serial-
-          // window stand-in would make the optimizer rank a bottleneck
-          // that doesn't exist.
+          // numeric PRIMARY order key → distributed ordinal (quantile-
+          // bucketed ranks + broadcast prefix offsets; any further order
+          // columns ride as within-bucket tieCols — ties on the primary
+          // share a bucket by construction, so a compound order needs no
+          // global sort either); only a non-numeric primary falls back
+          // to the global window (approxQuantile cannot sketch string
+          // boundaries, and positional semantics are inherently
+          // ordered). Under instrumentation the bucket splits are probed
+          // from an UNINSTRUMENTED recompile of the same prefix, so (a)
+          // the eager sketch pass never fires the CollectMetrics
+          // observers twice, and (b) profile mode measures the SAME
+          // distributed plan that production runs — a serial-window
+          // stand-in would make the optimizer rank a bottleneck that
+          // doesn't exist.
           def ordinal(inputIdx: Int, ord: Seq[String]): DataFrame = {
             val df = in(inputIdx)
-            val numeric = ord.size == 1 &&
+            val numeric = ord.nonEmpty &&
               df.schema.fields.exists(f => f.name == ord.head &&
                 f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
             if (!numeric)
@@ -104,7 +108,7 @@ object Compiler {
                   Some(graft.operators.Ordinal.quantileSplits(clean, ord.head, 32))
                 }
               graft.operators.Ordinal.withGlobalOrdinal(df, ord.head, "_zrn",
-                splits = splits)
+                splits = splits, tieCols = ord.tail)
             }
           }
           ordinal(0, ordL).join(ordinal(1, ordR), "_zrn").drop("_zrn")

@@ -174,4 +174,49 @@ class PipelineSpec extends AnyFunSuite {
     // suppliers 1..10: odd keys emit 2 copies, even 1 → 10 + 5
     assert(Compiler.compile(spark, echo, sf).df.count() == 15)
   }
+
+  test("zip with a COMPOUND numeric-primary order key rides the " +
+    "distributed ordinal (tie columns, no payload-sized global window)") {
+    // lineitem's (l_orderkey, l_linenumber, l_quantity) is the repo's
+    // canonical compound total order (TESTDATA: the first two alone are
+    // not unique). Pre-r13 any multi-column key fell back to the global
+    // window — entity-scale rows through one partition.
+    val g = PipelineGraph(
+      Seq(
+        PipelineNode(0, Scan("lineitem",
+          Seq("l_orderkey", "l_linenumber", "l_quantity"))),
+        PipelineNode(1, Scan("lineitem", Seq("l_partkey"))),
+        PipelineNode(2, ZipOp(
+          Seq("l_orderkey", "l_linenumber", "l_quantity"),
+          Seq("l_partkey")), Seq(0, 1))),
+      sink = 2)
+    val df = Compiler.compile(spark, g, sf).df
+    // plan rail: the only unpartitioned windows are Ordinal's tiny
+    // bucket-offset tables (input = the _ord_b aggregate), never a scan
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val offenders = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty &&
+              !w.child.exists(_.nodeName.toLowerCase.contains("aggregate")) => w
+      }
+      assert(offenders.isEmpty,
+        s"compound-key zip still plans a payload global window:\n$offenders")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    // and the ordinal is the exact compound row_number: spot-check that
+    // zipping lineitem with itself on the same compound key aligns rows
+    val self = PipelineGraph(
+      Seq(
+        PipelineNode(0, Scan("lineitem",
+          Seq("l_orderkey", "l_linenumber", "l_quantity"))),
+        PipelineNode(1, Scan("lineitem",
+          Seq("l_orderkey", "l_linenumber", "l_quantity"))),
+        PipelineNode(2, ZipOp(
+          Seq("l_orderkey", "l_linenumber", "l_quantity"),
+          Seq("l_orderkey", "l_linenumber", "l_quantity")), Seq(0, 1))),
+      sink = 2)
+    val z = Compiler.compile(spark, self, sf).df
+    assert(z.count() == graft.Tables.lineitem(spark, sf).count())
+  }
 }
