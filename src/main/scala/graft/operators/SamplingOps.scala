@@ -463,6 +463,45 @@ object SamplingOps {
           count(lit(1)).cast("long").as("n_events"),
           count(when(col("split") === "train" && col("ts_us") > col("cut"), 1))
             .cast("long").as("n_cross_events"))
+    },
+
+    // Priority sampling (Duffield, Lund & Thorup, JACM 2007): weighted
+    // sampling WITHOUT replacement — each row gets priority q = w/u for
+    // u uniform in (0,1], the k highest-priority rows are the sample,
+    // and ŵ = max(w, τ) with τ the (k+1)-th priority gives near-optimal
+    // unbiased subset-sum estimates. The weighted pick every curation
+    // mixer needs (sample documents ∝ token mass, estimate any
+    // sub-population's mass from 50 rows). Deterministic u: the content
+    // hash quantized to 2^40 levels (the repo's reproducible-sampling
+    // idiom, sm01/sm02/sm09), so q = (w·2^40) div (h40+1) is a pure
+    // integer function of the row and both engines agree bit-for-bit.
+    // Scale: priorities are born in the scan; selection is
+    // orderBy+limit(k+1) = TakeOrdered — per-partition top-(k+1)
+    // partials, so only k+1 rows ever cross the network at ANY corpus
+    // size; the rank window runs on the 51-row frame (limit below —
+    // rail-bounded) and τ broadcasts back into the estimator.
+    Q(
+      "sm14_priority_sample",
+      s"""WITH p AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         |    (CAST(n_chars AS BIGINT) * 1099511627776)
+         |      // ((${P.duckHash60("'ps|' || CAST(doc_id AS VARCHAR)")} // 1048576) + 1) AS q
+         |  FROM documents),
+         |  r AS (SELECT *, row_number() OVER (ORDER BY q DESC, doc_id) AS rk FROM p),
+         |  tau AS (SELECT q AS t FROM r WHERE rk = 51)
+         |SELECT doc_id, w, q, CAST(greatest(w, t) AS BIGINT) AS w_hat
+         |FROM r CROSS JOIN tau WHERE rk <= 50""".stripMargin) { (s, d) =>
+      val top = T.documents(s, d)
+        .selectExpr(
+          "doc_id", "cast(n_chars as long) as w",
+          "(cast(n_chars as long) * 1099511627776) div " +
+            s"((${P.hash60("concat('ps|', cast(doc_id as string))")} div 1048576) + 1) as q")
+        .orderBy(col("q").desc, col("doc_id")).limit(51)
+        .selectExpr("doc_id", "w", "q",
+          "row_number() over (order by q desc, doc_id) as rk")
+      val tau = top.filter(col("rk") === 51).select(col("q").as("t"))
+      top.filter(col("rk") <= 50)
+        .crossJoin(broadcast(tau))
+        .selectExpr("doc_id", "w", "q", "cast(greatest(w, t) as bigint) as w_hat")
     }
   )
 

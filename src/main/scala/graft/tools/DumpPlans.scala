@@ -118,6 +118,11 @@ object DumpPlans {
     // (partitioned window over _ord_b + broadcast offsets), with NO
     // single-partition WindowExec over the document frame
     "cu15_equal_mass_shards",
+    // round-13: priority sampling — the pinned plan must show
+    // TakeOrderedAndProject doing the selection (never a global sort or
+    // an unbounded window) with the rank window confined to the 51-row
+    // limited frame
+    "sm14_priority_sample",
     // bitext mining must show the cell-keyed (never A×B) pair join and
     // per-vector rank windows over the one persisted pair frame
     "ss29_bitext_margin",

@@ -122,7 +122,8 @@ object ScaleSmoke {
       "sm13_temporal_split" -> "entity-scale median rides the distributed Ordinal (r12's one scale-killer, fixed r13): shuffle tracks the per-user frame ≈ Nx, no single-partition window anywhere",
       "an11_zipf_octaves" -> "vocab rank rides Ordinal on -freq: shuffle tracks the (copy-rotated, ~Nx) vocab frame; octave rollup ≤ 64 rows at any corpus",
       "an18_ks_drift" -> "corpus CDF rides withGlobalPrefixSum: exchanges track the sources × values grid, the per-source CDFs stay source-partitioned",
-      "cu15_equal_mass_shards" -> "the prefix sum runs over EVERY document: shuffle must scale ≈ Nx in (doc_id, n_chars) longs with zero spill — the corpus-frame stress of the r13 primitive")
+      "cu15_equal_mass_shards" -> "the prefix sum runs over EVERY document: shuffle must scale ≈ Nx in (doc_id, n_chars) longs with zero spill — the corpus-frame stress of the r13 primitive",
+      "sm14_priority_sample" -> "TakeOrdered selection: shuffle stays ≈ FLAT at Nx (k+1 rows per partition partial, never the corpus) — the constant-communication claim, measured")
     val byName = graft.SparkEntry.all.map(q => q.name -> q).toMap
     def fmt(b: Long): String =
       if (b >= (1L << 20)) f"${b / 1048576.0}%.1f MiB"

@@ -116,6 +116,7 @@ object ShuffleAudit {
     "ss22_index_staleness" -> "centroids broadcast; scored pass scan-local; per-cell rollup combines map-side to codebook cardinality",
     "sm13_temporal_split" -> "one user-keyed min-agg; the median rank rides the distributed Ordinal over the entity-cardinality frame (r12's one scale-killer, fixed); cutoff broadcasts back",
     "cu15_equal_mass_shards" -> "corpus-frame running mass rides withGlobalPrefixSum: only (doc_id, n_chars) longs shuffle on the bucket key, text never does; total broadcasts, rollup is 8 rows",
+    "sm14_priority_sample" -> "priorities born in the scan; TakeOrdered(k+1) ships per-partition top-(k+1) partials — k+1 rows cross the network at ANY corpus size, τ broadcasts back",
     "ss23_ranking_metrics" -> "queries broadcast; the scored pass reduces to (q_id, rank, relevant) rows before the per-query rollup",
     "q_csv_roundtrip" -> "sink+source edge format: no pushdown/pruning by design — the measured contrast to op01's parquet scan",
     "an19_kmv_merge" -> "each side reduces to ≤ k longs per source before the merge; rank windows order k-row frames",
