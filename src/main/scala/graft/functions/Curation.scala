@@ -302,8 +302,11 @@ object Curation {
         count(lit(1)).cast("long").as("n_docs"),
         sum("n_chars").cast("long").as("mass"),
         max("total").as("_total"))
+      // ppm in DECIMAL(38,0): 10^6 * mass overflows BIGINT once a
+      // shard holds > ~9.2e12 chars (a few TB of text) — the an18
+      // wide-decimal convention; DuckDB runs the same math in HUGEINT
       .selectExpr("cast(shard_id as bigint) as shard_id", "n_docs", "mass",
-        "cast((1000000 * mass) div _total as bigint) as mass_ppm")
+        "cast((cast(1000000 as decimal(38,0)) * mass) div _total as bigint) as mass_ppm")
   }
 
   /** Curriculum ordering: split each source into `phases` contiguous

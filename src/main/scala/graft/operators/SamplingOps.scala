@@ -475,33 +475,41 @@ object SamplingOps {
     // hash quantized to 2^40 levels (the repo's reproducible-sampling
     // idiom, sm01/sm02/sm09), so q = (w·2^40) div (h40+1) is a pure
     // integer function of the row and both engines agree bit-for-bit.
-    // Scale: priorities are born in the scan; selection is
-    // orderBy+limit(k+1) = TakeOrdered — per-partition top-(k+1)
-    // partials, so only k+1 rows ever cross the network at ANY corpus
-    // size; the rank window runs on the 51-row frame (limit below —
-    // rail-bounded) and τ broadcasts back into the estimator.
+    // Priorities compute in DECIMAL(38,0) (HUGEINT on the oracle side —
+    // the an18 wide-decimal convention): w·2^40 overflows BIGINT for
+    // any document over ~8.4e6 chars, and a silent wrap would corrupt
+    // the selection; the REPORTED q column is down-scaled by 2^20 so it
+    // fits BIGINT for documents up to ~8 TB. Scale: priorities are born
+    // in the scan; selection is orderBy+limit(k+1) = TakeOrdered —
+    // per-partition top-(k+1) partials, so only k+1 rows ever cross the
+    // network at ANY corpus size; the rank window runs on the 51-row
+    // frame (limit below — rail-bounded) and τ broadcasts back into
+    // the estimator.
     Q(
       "sm14_priority_sample",
       s"""WITH p AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
-         |    (CAST(n_chars AS BIGINT) * 1099511627776)
-         |      // ((${P.duckHash60("'ps|' || CAST(doc_id AS VARCHAR)")} // 1048576) + 1) AS q
+         |    (CAST(n_chars AS HUGEINT) * 1099511627776)
+         |      // ((${P.duckHash60("'ps|' || CAST(doc_id AS VARCHAR)")} // 1048576) + 1) AS qd
          |  FROM documents),
-         |  r AS (SELECT *, row_number() OVER (ORDER BY q DESC, doc_id) AS rk FROM p),
-         |  tau AS (SELECT q AS t FROM r WHERE rk = 51)
-         |SELECT doc_id, w, q, CAST(greatest(w, t) AS BIGINT) AS w_hat
+         |  r AS (SELECT *, row_number() OVER (ORDER BY qd DESC, doc_id) AS rk FROM p),
+         |  tau AS (SELECT qd AS t FROM r WHERE rk = 51)
+         |SELECT doc_id, w, CAST(qd // 1048576 AS BIGINT) AS q,
+         |  CAST(greatest(CAST(w AS HUGEINT), t) AS BIGINT) AS w_hat
          |FROM r CROSS JOIN tau WHERE rk <= 50""".stripMargin) { (s, d) =>
       val top = T.documents(s, d)
         .selectExpr(
           "doc_id", "cast(n_chars as long) as w",
-          "(cast(n_chars as long) * 1099511627776) div " +
-            s"((${P.hash60("concat('ps|', cast(doc_id as string))")} div 1048576) + 1) as q")
-        .orderBy(col("q").desc, col("doc_id")).limit(51)
-        .selectExpr("doc_id", "w", "q",
-          "row_number() over (order by q desc, doc_id) as rk")
-      val tau = top.filter(col("rk") === 51).select(col("q").as("t"))
+          "(cast(n_chars as decimal(38,0)) * 1099511627776) div " +
+            s"((${P.hash60("concat('ps|', cast(doc_id as string))")} div 1048576) + 1) as qd")
+        .orderBy(col("qd").desc, col("doc_id")).limit(51)
+        .selectExpr("doc_id", "w", "qd",
+          "row_number() over (order by qd desc, doc_id) as rk")
+      val tau = top.filter(col("rk") === 51).select(col("qd").as("t"))
       top.filter(col("rk") <= 50)
         .crossJoin(broadcast(tau))
-        .selectExpr("doc_id", "w", "q", "cast(greatest(w, t) as bigint) as w_hat")
+        .selectExpr("doc_id", "w",
+          "cast(qd div 1048576 as bigint) as q",
+          "cast(greatest(cast(w as decimal(38,0)), t) as bigint) as w_hat")
     }
   )
 

@@ -44,7 +44,7 @@ class SamplingSpec extends AnyFunSuite {
       // expression path: recompute priorities directly
       saved.selectExpr(
         "doc_id", "cast(n_chars as long) as w",
-        "(cast(n_chars as long) * 1099511627776) div " +
+        "(cast(n_chars as decimal(38,0)) * 1099511627776) div " +
           s"((${graft.Portable.hash60("concat('ps|', cast(doc_id as string))")} div 1048576) + 1) as q")
         .orderBy(org.apache.spark.sql.functions.col("q").desc,
           org.apache.spark.sql.functions.col("doc_id"))
