@@ -307,16 +307,22 @@ object Bench {
       if (only.isDefined || infl.isEmpty) Map.empty
       else {
         val byName = bench.map(q => q.name -> q).toMap
+        // Only SUCCESSFUL reps may time: a mid-query failure's partial
+        // wall time would feed the MONOTONE queries_ref and permanently
+        // lower the committed reference (ADVICE r13). All 3 reps failing
+        // omits the query from the isolated map entirely.
         val m = infl.flatMap { n =>
-          byName.get(n).map { q =>
-            val ts = (1 to 3).map { _ =>
+          byName.get(n).flatMap { q =>
+            val ts = (1 to 3).flatMap { _ =>
               val t0 = System.nanoTime()
-              try q.fn(spark, sfDir).count() catch { case _: Throwable => () }
+              val succeeded =
+                try { q.fn(spark, sfDir).count(); true }
+                catch { case _: Throwable => false }
               val dt = (System.nanoTime() - t0) / 1e9
               spark.sharedState.cacheManager.clearCache()
-              dt
+              if (succeeded) Some(dt) else None
             }
-            n -> round3(ts.min)
+            if (ts.isEmpty) None else Some(n -> round3(ts.min))
           }
         }.toMap
         val body = m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }

@@ -281,7 +281,14 @@ object Curation {
     * window-funnel class). The total enters as a broadcast scalar; the
     * rollup is `shards` rows. Shared by the gated cu15 query.
     */
-  def equalMassShards(docs: DataFrame, shards: Int = 8): DataFrame = {
+  /** Per-document equal-mass shard ASSIGNMENT —
+    * `(doc_id, n_chars, total, shard_id)` for every document, shard_id
+    * in `[0, shards)` — the row-level table [[equalMassShards]] rolls
+    * up and [[graft.sources.TfRecords.writeSharded]] exports. Kept
+    * separate so the physical writer consumes the same cut the gated
+    * rollup proves the mass bound on.
+    */
+  def equalMassAssign(docs: DataFrame, shards: Int = 8): DataFrame = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
     // frame read twice (quantile sketch + prefix); caller clearCache
     // releases
@@ -294,9 +301,12 @@ object Curation {
       .crossJoin(broadcast(t))
       // least-clamp: a zero-mass document sorting last has cum == total
       // (exclusive prefix), which would index one past the final shard
-      .selectExpr(
-        s"least(($shards * cum) div total, ${shards - 1}) as shard_id",
-        "n_chars", "total")
+      .selectExpr("doc_id", "n_chars", "total",
+        s"least(($shards * cum) div total, ${shards - 1}) as shard_id")
+  }
+
+  def equalMassShards(docs: DataFrame, shards: Int = 8): DataFrame =
+    equalMassAssign(docs, shards)
       .groupBy("shard_id")
       .agg(
         count(lit(1)).cast("long").as("n_docs"),
@@ -307,7 +317,6 @@ object Curation {
       // wide-decimal convention; DuckDB runs the same math in HUGEINT
       .selectExpr("cast(shard_id as bigint) as shard_id", "n_docs", "mass",
         "cast((cast(1000000 as decimal(38,0)) * mass) div _total as bigint) as mass_ppm")
-  }
 
   /** Curriculum ordering: split each source into `phases` contiguous
     * complexity tiers (ntile over the cu02 complexity score — mean

@@ -572,6 +572,126 @@ object CurationOps {
         |  CAST((1000000 * SUM(n_chars)) // max(total) AS BIGINT) AS mass_ppm
         |FROM b GROUP BY shard_id""".stripMargin) {
       (s, d) => graft.functions.Curation.equalMassShards(T.documents(s, d))
+    },
+
+    // PHYSICAL equal-mass export (VERDICT r13 #2): cu15 proves the
+    // shard assignment's mass bound on a TABLE; this query proves it on
+    // the BYTES ON DISK. Curation.equalMassAssign's per-document cut
+    // drives TfRecords.writeSharded (shard_id IS the output file via an
+    // identity partitioner — hash repartition can't pin row→file), the
+    // 8 real .tfrecord shards are read back, shard ids recovered from
+    // the FILE NAMES, documents re-parsed from the verified records,
+    // and the per-file rollup is gated against the SAME DuckDB oracle
+    // as cu15 — on-disk shard masses must equal the assignment table
+    // exactly, closing the loop from sharding math to training-data
+    // files (the reference's pipelines end at real shard files,
+    // imagenet_input.py:168-170). Scale: the one exchange is the
+    // terminal shard_id partitioning any sharded export pays; task skew
+    // equals the assignment's mass deviation (< one max document).
+    Q(
+      "cu16_equal_mass_export",
+      """WITH o AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents),
+        |  t AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS total FROM o),
+        |  c AS (SELECT doc_id, n_chars,
+        |          CAST(coalesce(SUM(n_chars) OVER (ORDER BY n_chars, doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+        |        FROM o),
+        |  b AS (SELECT least((8 * cum) // total, 7) AS shard_id, n_chars, total
+        |        FROM c CROSS JOIN t)
+        |SELECT CAST(shard_id AS BIGINT) AS shard_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS mass,
+        |  CAST((1000000 * SUM(n_chars)) // max(total) AS BIGINT) AS mass_ppm
+        |FROM b GROUP BY shard_id""".stripMargin) { (s, d) =>
+      val assign = graft.functions.Curation.equalMassAssign(T.documents(s, d))
+      // records carry the document whole (the q_tfrecord_roundtrip
+      // framing: fixed-width decimal doc_id + '|' + utf8 text) so the
+      // read-back mass is length(text) in CHARACTERS, not bytes —
+      // multibyte corpora must rollup identically to the parquet side
+      val recs = T.documents(s, d).select(col("doc_id"), col("text"))
+        .join(assign.select("doc_id", "shard_id"), "doc_id")
+        .selectExpr("shard_id",
+          "cast(concat(lpad(cast(doc_id as string), 19, '0'), '|', text) as binary) as rec")
+      val path = Scratch.dir("graft-equal-mass-export")
+      graft.sources.TfRecords.writeSharded(recs, "rec", "shard_id", 8, path)
+      val back = graft.sources.TfRecords.read(s, path)
+        .selectExpr(
+          // part-00003.tfrecord → 3: the file name IS the shard id
+          "cast(substring(file, 6, 5) as bigint) as shard_id",
+          "length(substring(cast(record as string), 21)) as chars")
+      val total = back.agg(sum("chars").cast("long").as("total"))
+      back.groupBy("shard_id")
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum("chars").cast("long").as("mass"))
+        .crossJoin(broadcast(total))
+        .selectExpr("shard_id", "n_docs", "mass",
+          "cast((cast(1000000 as decimal(38,0)) * mass) div total as bigint) as mass_ppm")
+    },
+
+    // Curriculum-ORDERED physical export: cu16 pins WHICH file a row
+    // lands in; this pins WHERE IN THE FILE. TFRecord's only identity
+    // is position, and training-data order is an experiment variable
+    // (cu11's phases, deterministic epoch shuffles) — so the sink must
+    // PLACE rows: TfRecords.writeShardedSorted rides
+    // repartitionAndSortWithinPartitions (one shuffle whose reduce side
+    // merges SPILLED sorted runs — a shard bigger than executor memory
+    // sorts on disk, never in task memory). Shards compose the
+    // production key shape (curriculum phase × block: here phase ×
+    // doc_id parity = 8 files, so writer parallelism scales by adding
+    // blocks, not by fattening files); within a file rows ascend by
+    // (ord, doc_id) — cu11's salted in-phase position. The gate reads
+    // the real files back and hashes each file's ORDER itself: a
+    // position-weighted checksum Σ pos·doc_id (pos = on-disk rec_idx+1,
+    // DECIMAL(38,0) mod 1e9+7 — overflow-safe at any corpus), which any
+    // misplacement, swap, or dropped row changes. DuckDB recomputes the
+    // curriculum independently, so disk order must equal the oracle's
+    // ORDER BY bit-for-bit.
+    Q(
+      "cu17_curriculum_export",
+      s"""WITH s AS (SELECT doc_id, source,
+         |    CAST(FLOOR(CAST(100 AS DOUBLE) * length(text)
+         |         / len(regexp_split_to_array(lower(text), '\\s+'))) AS BIGINT) AS score
+         |  FROM documents),
+         |  p AS (SELECT doc_id, source, ntile(4) OVER (PARTITION BY source
+         |          ORDER BY score, doc_id) AS phase FROM s),
+         |  r AS (SELECT doc_id, phase,
+         |          row_number() OVER (PARTITION BY source, phase
+         |            ORDER BY ${P.duckHash60("'cur|' || doc_id::VARCHAR")}, doc_id) AS ord
+         |        FROM p),
+         |  o AS (SELECT doc_id,
+         |          (phase - 1) * 2 + (doc_id % 2) AS shard_id,
+         |          row_number() OVER (PARTITION BY phase, doc_id % 2
+         |            ORDER BY ord, doc_id) AS pos
+         |        FROM r)
+         |SELECT CAST(shard_id AS BIGINT) AS shard_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |  CAST(SUM(CAST(pos AS HUGEINT) * doc_id) % 1000000007 AS BIGINT) AS ord_checksum
+         |FROM o GROUP BY shard_id""".stripMargin) { (s, d) =>
+      val cur = graft.functions.Curation.curriculum(T.documents(s, d))
+      val recs = T.documents(s, d).select(col("doc_id"), col("text"))
+        .join(cur.select("doc_id", "phase", "ord"), "doc_id")
+        .selectExpr(
+          "(phase - 1) * 2 + pmod(doc_id, 2) as shard_id",
+          // zero-padded numeric concat: lexicographic == (ord, doc_id)
+          "concat(lpad(cast(ord as string), 12, '0'), " +
+            "lpad(cast(doc_id as string), 19, '0')) as okey",
+          "cast(concat(lpad(cast(doc_id as string), 19, '0'), '|', text) as binary) as rec")
+      val path = Scratch.dir("graft-curriculum-export")
+      graft.sources.TfRecords.writeShardedSorted(
+        recs, "rec", "shard_id", "okey", 8, path)
+      graft.sources.TfRecords.read(s, path)
+        .selectExpr(
+          "cast(substring(file, 6, 5) as bigint) as shard_id",
+          "rec_idx + 1 as pos",
+          "cast(substring(cast(record as string), 1, 19) as bigint) as doc_id")
+        .groupBy("shard_id")
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum("doc_id").cast("long").as("id_sum"),
+          expr("cast(sum(cast(pos as decimal(38,0)) * doc_id) % 1000000007 as bigint)")
+            .as("ord_checksum"))
     })
 
   /** cu13/cu14's shared signal CTEs (lt + sig) — ONE SQL definition for

@@ -482,9 +482,12 @@ object SamplingOps {
     // fits BIGINT for documents up to ~8 TB. Scale: priorities are born
     // in the scan; selection is orderBy+limit(k+1) = TakeOrdered —
     // per-partition top-(k+1) partials, so only k+1 rows ever cross the
-    // network at ANY corpus size; the rank window runs on the 51-row
-    // frame (limit below — rail-bounded) and τ broadcasts back into
-    // the estimator.
+    // network at ANY corpus size; rank AND τ both ride unpartitioned
+    // windows CONFINED to the 51-row limited frame (rail-bounded), so
+    // the corpus is scanned exactly once — no second TakeOrdered
+    // subtree for τ (VERDICT r13 #3). τ is coalesced to 0 when the
+    // population fits in k (no rank-51 row), so a ≤k corpus returns
+    // WHOLE with ŵ = w instead of empty (the estimator is exact there).
     Q(
       "sm14_priority_sample",
       s"""WITH p AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
@@ -492,26 +495,39 @@ object SamplingOps {
          |      // ((${P.duckHash60("'ps|' || CAST(doc_id AS VARCHAR)")} // 1048576) + 1) AS qd
          |  FROM documents),
          |  r AS (SELECT *, row_number() OVER (ORDER BY qd DESC, doc_id) AS rk FROM p),
-         |  tau AS (SELECT qd AS t FROM r WHERE rk = 51)
+         |  tau AS (SELECT coalesce(max(CASE WHEN rk = 51 THEN qd END), 0) AS t FROM r)
          |SELECT doc_id, w, CAST(qd // 1048576 AS BIGINT) AS q,
          |  CAST(greatest(CAST(w AS HUGEINT), t) AS BIGINT) AS w_hat
          |FROM r CROSS JOIN tau WHERE rk <= 50""".stripMargin) { (s, d) =>
-      val top = T.documents(s, d)
-        .selectExpr(
-          "doc_id", "cast(n_chars as long) as w",
-          "(cast(n_chars as decimal(38,0)) * 1099511627776) div " +
-            s"((${P.hash60("concat('ps|', cast(doc_id as string))")} div 1048576) + 1) as qd")
-        .orderBy(col("qd").desc, col("doc_id")).limit(51)
-        .selectExpr("doc_id", "w", "qd",
-          "row_number() over (order by qd desc, doc_id) as rk")
-      val tau = top.filter(col("rk") === 51).select(col("qd").as("t"))
-      top.filter(col("rk") <= 50)
-        .crossJoin(broadcast(tau))
-        .selectExpr("doc_id", "w",
-          "cast(qd div 1048576 as bigint) as q",
-          "cast(greatest(cast(w as decimal(38,0)), t) as bigint) as w_hat")
+      prioritySample(T.documents(s, d))
     }
   )
+
+  /** sm14's estimator over any `(doc_id, n_chars)`-bearing frame: the
+    * k highest-priority rows with their Duffield-Lund-Thorup weight
+    * estimates (see the sm14 scaladoc for the math and the scale
+    * argument). A population of ≤ k rows is returned whole with
+    * ŵ = w (τ defaults to 0 when the (k+1)-th priority does not
+    * exist). Single scan: selection is one TakeOrdered(k+1); rank and
+    * τ are windows over the already-limited k+1-row frame.
+    */
+  private[graft] def prioritySample(
+      docs: org.apache.spark.sql.DataFrame, k: Int = 50): org.apache.spark.sql.DataFrame =
+    docs
+      .selectExpr(
+        "doc_id", "cast(n_chars as long) as w",
+        "(cast(n_chars as decimal(38,0)) * 1099511627776) div " +
+          s"((${P.hash60("concat('ps|', cast(doc_id as string))")} div 1048576) + 1) as qd")
+      .orderBy(col("qd").desc, col("doc_id")).limit(k + 1)
+      .selectExpr("doc_id", "w", "qd",
+        "row_number() over (order by qd desc, doc_id) as rk")
+      .selectExpr("doc_id", "w", "qd", "rk",
+        s"coalesce(max(case when rk = ${k + 1} then qd end) over (), " +
+          "cast(0 as decimal(38,0))) as t")
+      .filter(col("rk") <= k)
+      .selectExpr("doc_id", "w",
+        "cast(qd div 1048576 as bigint) as q",
+        "cast(greatest(cast(w as decimal(38,0)), t) as bigint) as w_hat")
 
   /** sm10's allocation chain as DuckDB CTEs ending in
     * `alloc(source, n_docs, sd_x100, alloc_neyman, alloc_prop, shift)` —

@@ -121,8 +121,18 @@ object DumpPlans {
     // round-13: priority sampling — the pinned plan must show
     // TakeOrderedAndProject doing the selection (never a global sort or
     // an unbounded window) with the rank window confined to the 51-row
-    // limited frame
+    // limited frame; since r14 τ rides the SAME limited frame (one
+    // TakeOrdered subtree over one scan — no second scan for τ)
     "sm14_priority_sample",
+    // round-14: the physical equal-mass export — the pinned plan must
+    // show the read-back rollup over the real shard files (no global
+    // sort; the only corpus-frame machinery is cu15's bucketed prefix
+    // sum inside the write, which runs before this plan's scan)
+    "cu16_equal_mass_export",
+    // round-14: the curriculum-ORDERED export — same read-back rollup
+    // shape; the write's ordering rides repartitionAndSortWithinPartitions
+    // (no global sort, no unpartitioned window anywhere)
+    "cu17_curriculum_export",
     // bitext mining must show the cell-keyed (never A×B) pair join and
     // per-vector rank windows over the one persisted pair frame
     "ss29_bitext_margin",

@@ -35,6 +35,21 @@ class SamplingSpec extends AnyFunSuite {
       s"mass estimate $estimate vs true $truth")
   }
 
+  test("sm14 degrades to the whole population when it fits in k " +
+    "(τ = 0 → ŵ = w; ADVICE r13: the ≤k corpus must not come back empty)") {
+    import spark.implicits._
+    val tiny = Seq.tabulate(10)(i => (i.toLong + 1, 100L * (i + 1)))
+      .toDF("doc_id", "n_chars")
+    val out = SamplingOps.prioritySample(tiny).collect()
+    assert(out.length == 10, s"a 10-doc corpus must return all 10 rows, got ${out.length}")
+    assert(out.forall(r => r.getAs[Long]("w_hat") == r.getAs[Long]("w")),
+      "with no rank-(k+1) row, τ = 0 and every estimate is the exact weight")
+    // boundary: exactly k+1 rows → τ is the (k+1)-th priority, k rows out
+    val atK = Seq.tabulate(51)(i => (i.toLong + 1, 100L * (i + 1)))
+      .toDF("doc_id", "n_chars")
+    assert(SamplingOps.prioritySample(atK).count() == 50)
+  }
+
   test("sm14 selection is invariant to input partitioning (TakeOrdered " +
     "is a true global top-k)") {
     val base = graft.Tables.documents(spark, sf)

@@ -20,50 +20,94 @@ class PlanQualitySpec extends AnyFunSuite {
     * funneled a per-USER aggregate through a single-partition window for
     * three rounds because the old rail read "aggregate below" as
     * "bounded below"; grouping by an entity key (user_id, doc_id, w)
-    * bounds nothing at 100 TB. Every entry here needs a justification.
+    * bounds nothing at 100 TB. Since r14 the exemption binds to the
+    * (QUERY, key) pair (VERDICT r13 #5): a future query grouping an
+    * entity-scale column merely ALIASED `source` is not in this map and
+    * gets flagged. `_ord_b` stays query-global — it is emitted only by
+    * graft.operators.Ordinal, which caps it at `buckets` (default 32)
+    * structurally. Every entry here needs a justification.
     */
-  private val boundedGroupKeys: Set[String] = Set(
-    "_ord_b",   // Ordinal's quantile bucket id — ≤ `buckets` (default 32)
-    "source",   // corpus registry label — fixed categorical domain (~20
-                // sources in the fixture; grows by onboarding decisions,
-                // never with row count)
+  private val boundedKeysGlobal: Set[String] = Set(
+    "_ord_b")   // Ordinal's quantile bucket id — ≤ `buckets` (default 32)
+
+  private val boundedKeysByQuery: Map[String, Set[String]] = Map(
     // an01's rank window sits on groupBy(l_returnflag, l_linestatus) —
     // 1-char enum domains ({A,N,R} × {O,F} = 6 rows, the flag/status
     // value domain of the data model, independent of row count). The
     // physical groupingExpressions carry the UNDERLYING column names
     // (the groupBy aliases resolve away below the window).
-    "l_returnflag",
-    "l_linestatus"
+    "an01_ranked_rates" -> Set("l_returnflag", "l_linestatus"),
+    // an13's share/χ² windows roll up groupBy(bin), where bin is the
+    // projection `least(9, greatest(0, …))` — ≤ 10 values by the PLAN
+    // itself (equal-width binning is an13's deliberate O(1)-state
+    // scale choice), independent of row count
+    "an13_value_drift" -> Set("bin"),
+    // cu10's largest-remainder apportionment windows (total, rank over
+    // fractional parts, remainder) ride the groupBy(source) rollup —
+    // `source` is the corpus registry label, a fixed categorical domain
+    // (~20 sources in the fixture; grows by onboarding decisions, never
+    // with row count)
+    "cu10_token_budget" -> Set("source")
   )
 
-  /** True when the window's input is BOUNDED: a limit/TakeOrdered, a
-    * driver-built literal frame (LocalTableScan — IR node tables, probe
-    * constants), a global no-key aggregate, or a grouped aggregate ALL
-    * of whose keys are in [[boundedGroupKeys]]. An aggregate grouped by
-    * an entity-scale key (user_id, doc_id, token) does NOT qualify —
-    * that was the blind spot that let sm13's corpus-scale window through
-    * three rounds of this rail. Traverses INTO InMemoryTableScan's
+  private def keyAllowed(query: String, key: String): Boolean =
+    boundedKeysGlobal(key) ||
+      boundedKeysByQuery.getOrElse(query, Set.empty)(key)
+
+  /** Unary nodes that cannot INCREASE row count (or, for Expand, scale
+    * it by a plan constant) — boundedness passes through them along the
+    * window's row-producing spine. Anything not listed (Generate/
+    * explode, object mapPartitions, …) can expand data-dependently and
+    * breaks the chain.
+    */
+  private def passesThrough(n: SparkPlan): Boolean = {
+    val nm = n.nodeName.toLowerCase
+    n.children.size == 1 && (
+      nm.startsWith("project") || nm.startsWith("filter") ||
+      nm.startsWith("sort") || nm.contains("exchange") ||
+      nm.startsWith("coalesce") || nm.startsWith("wholestagecodegen") ||
+      nm.startsWith("inputadapter") || nm.startsWith("window") ||
+      nm.startsWith("expand") || nm.startsWith("columnartorow") ||
+      nm.startsWith("rowtocolumnar") || nm.startsWith("serialize") ||
+      nm.startsWith("deserialize") || nm.startsWith("subquery") ||
+      nm.startsWith("reusedexchange") || nm.startsWith("broadcastexchange"))
+  }
+
+  /** True when the plan's OUTPUT row count is bounded by construction:
+    * a limit/TakeOrdered, a driver-built literal frame (LocalTableScan —
+    * IR node tables, probe constants), a global no-key aggregate, or a
+    * grouped aggregate whose keys are exempted FOR THIS QUERY (or whose
+    * own input is bounded). Unlike the pre-r14 rail this walks the
+    * window's row-producing SPINE recursively instead of `exists` over
+    * the whole subtree (ADVICE r13): a corpus scan crossJoined with a
+    * broadcast LocalTableScan no longer counts as bounded — every join
+    * child must itself be bounded. Traverses INTO InMemoryTableScan's
     * cached plan — a persist() in an earlier-planned query swaps a
     * plan-identical aggregate subtree for a cache scan, which would
     * otherwise hide the aggregation and false-positive the rail.
     */
-  private def boundedBelow(p: SparkPlan): Boolean = {
-    def nodes(x: SparkPlan): Iterator[SparkPlan] =
-      Iterator(x) ++ x.children.iterator.flatMap(nodes) ++ (x match {
-        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-          nodes(s.relation.cachedPlan)
-        case _ => Iterator.empty
-      })
-    nodes(p).exists {
-      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
-        a.groupingExpressions.isEmpty ||
-          a.groupingExpressions.forall(g => boundedGroupKeys(g.name))
-      case _: org.apache.spark.sql.execution.LocalTableScanExec => true
-      case n =>
-        val nm = n.nodeName.toLowerCase
-        nm.contains("takeordered") || nm.contains("limit")
-    }
+  private def boundedPlan(query: String, p: SparkPlan): Boolean = p match {
+    case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+      a.groupingExpressions.isEmpty ||
+        a.groupingExpressions.forall(g => keyAllowed(query, g.name)) ||
+        a.children.forall(boundedPlan(query, _))
+    case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      boundedPlan(query, s.relation.cachedPlan)
+    case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+    case n if {
+      val nm = n.nodeName.toLowerCase
+      nm.contains("takeordered") || nm.contains("limit")
+    } => true
+    case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+      j.children.forall(boundedPlan(query, _))
+    case u: org.apache.spark.sql.execution.UnionExec =>
+      u.children.forall(boundedPlan(query, _))
+    case n if passesThrough(n) => boundedPlan(query, n.children.head)
+    case _ => false
   }
+
+  private def boundedBelow(query: String, p: SparkPlan): Boolean =
+    boundedPlan(query, p)
 
   // Documented exception — ONE query whose semantics ARE a global order:
   //   q_zorder_layout    — the equal-count file cut IS a global sorted
@@ -127,7 +171,7 @@ class PlanQualitySpec extends AnyFunSuite {
       .flatMap { case (q, _, plan) =>
         plan.collect {
           case w: WindowExec
-              if w.partitionSpec.isEmpty && !boundedBelow(w.child) =>
+              if w.partitionSpec.isEmpty && !boundedBelow(q.name, w.child) =>
             s"${q.name}: global Window over unbounded input"
         }
       }
@@ -151,10 +195,61 @@ class PlanQualitySpec extends AnyFunSuite {
         .selectExpr("first_us",
           "row_number() over (order by first_us, user_id) as rn")
       val flagged = oldShape.queryExecution.executedPlan.collect {
-        case w: WindowExec if w.partitionSpec.isEmpty && !boundedBelow(w.child) => w
+        case w: WindowExec
+            if w.partitionSpec.isEmpty && !boundedBelow("synthetic", w.child) => w
       }
       assert(flagged.nonEmpty,
         "an entity-keyed aggregate below a global window must not count as bounded")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("the rail flags an entity-scale column ALIASED to an exempted " +
+    "bounded name (the r13 name-matching blind spot)") {
+    // VERDICT r13 #5: the old rail exempted keys by bare attribute name
+    // repo-wide, so any query grouping an entity column aliased `source`
+    // slipped through. The exemption now binds (query, key): this shape
+    // groups a per-document key RENAMED to `source` in a query that is
+    // not in the exemption map — it must be flagged.
+    import org.apache.spark.sql.functions.sum
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val aliased = spark.range(100)
+        .selectExpr("id as source", "id * 3 as n_chars") // entity key in disguise
+        .groupBy("source").agg(sum("n_chars").as("mass"))
+        .selectExpr("mass",
+          "row_number() over (order by mass, source) as rn")
+      val flagged = aliased.queryExecution.executedPlan.collect {
+        case w: WindowExec
+            if w.partitionSpec.isEmpty &&
+              !boundedBelow("future_query_not_in_map", w.child) => w
+      }
+      assert(flagged.nonEmpty,
+        "a bounded-name alias on an entity key must not satisfy the rail")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("the rail is not satisfied by a broadcast of a tiny frame " +
+    "BESIDE the corpus spine (ADVICE r13: exists-anywhere blind spot)") {
+    // A corpus scan crossJoined with a 1-row aggregate put a
+    // LocalTableScan/no-key agg SOMEWHERE below the window, which the
+    // pre-r14 `exists` accepted as bounded. The spine walk must reject
+    // it: the join's OTHER child is the unbounded scan.
+    import org.apache.spark.sql.functions.{broadcast, sum}
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val corpus = spark.range(1000).selectExpr("id", "id * 2 as w")
+      val tiny = corpus.agg(sum("w").as("total"))
+      val shape = corpus.crossJoin(broadcast(tiny))
+        .selectExpr("w", "total",
+          "row_number() over (order by w, id) as rn")
+      val flagged = shape.queryExecution.executedPlan.collect {
+        case w: WindowExec
+            if w.partitionSpec.isEmpty && !boundedBelow("synthetic", w.child) => w
+      }
+      assert(flagged.nonEmpty,
+        "corpus × broadcast(tiny) must still count as UNbounded")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 

@@ -235,4 +235,114 @@ class TfRecordsSpec extends AnyFunSuite {
     assert(lenient.exists(!_.getBoolean(3)), "corrupt gzip shard must flag")
     assert(lenient.count(_.getBoolean(3)) >= 26, "intact shards must read clean")
   }
+
+  test("size-weighted file→task packing: one huge shard among many " +
+    "small ones cannot straggle the read (VERDICT r13 #4)") {
+    // The r13 shape that motivated this: one 100 GiB-ish shard plus
+    // thousands of small ones, far fewer tasks than files. Sorted
+    // round-robin put the big shard AND a full stripe of small ones on
+    // one task; LPT must keep the max task load within 2× of ideal
+    // (Graham's bound is 4/3 — the gate leaves slack for tiny inputs).
+    val skewed = (("big.tfrecord", 100000L) +:
+      (1 to 999).map(i => (f"s-$i%04d.tfrecord", 100L))).toSeq
+    val bins = TfRecords.packBySize(skewed, maxTasks = 16)
+    assert(bins.map(_.size).sum == 1000, "every file assigned exactly once")
+    assert(bins.flatten.toSet.size == 1000)
+    val sizeOf = skewed.toMap
+    val loads = bins.map(_.map(sizeOf).sum)
+    // optimal makespan is bounded below by BOTH the mean load and the
+    // largest (indivisible) file; LPT must stay within 2× of it
+    val ideal = math.max(skewed.map(_._2).sum.toDouble / 16,
+      skewed.map(_._2).max.toDouble)
+    assert(loads.max <= 2 * ideal,
+      s"max task load ${loads.max} vs ideal $ideal")
+    // the big shard rides alone (round-robin would have stacked a full
+    // stripe of small files on top of it), and the small files spread
+    // evenly over the other 15 tasks
+    assert(bins.find(_.contains("big.tfrecord")).get.size == 1)
+    val smallLoads = bins.filterNot(_.contains("big.tfrecord")).map(_.map(sizeOf).sum)
+    assert(smallLoads.max <= 2.0 * (999 * 100.0 / 15),
+      s"small-file tasks unbalanced: ${smallLoads.max}")
+    // deterministic: a rerun packs identically
+    assert(TfRecords.packBySize(skewed, maxTasks = 16) == bins)
+    // degenerate cases: fewer files than tasks, and the empty listing
+    assert(TfRecords.packBySize(skewed.take(3), maxTasks = 16).size == 3)
+    assert(TfRecords.packBySize(Seq.empty, maxTasks = 16).isEmpty)
+  }
+
+  test("writeSharded pins row→file by shard id: exactly numShards files, " +
+    "each holding precisely its shard's rows (the cu16 export writer)") {
+    import spark.implicits._
+    // 100 rows, shard = id % 5, payload carries the shard id so the
+    // on-disk placement is checkable from the bytes alone
+    val df = spark.range(100)
+      .selectExpr("id % 5 as shard_id",
+        "cast(concat('shard=', id % 5, ';row=', id) as binary) as rec")
+    val path = java.nio.file.Files.createTempDirectory("graft-tfrec-sharded").toString
+    TfRecords.writeSharded(df, "rec", "shard_id", 5, path)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".tfrecord")).sortBy(_.getName)
+    assert(files.length == 5, "one file per shard, no more, no less")
+    // every record in part-0000K carries shard=K — hash repartition
+    // CANNOT give this (it collides shard ids into shared files)
+    files.zipWithIndex.foreach { case (f, k) =>
+      val recs = TfRecords.decodeAll(java.nio.file.Files.readAllBytes(f.toPath))
+      assert(recs.length == 20, s"${f.getName}: ${recs.length} rows")
+      assert(recs.forall(r => new String(r, "UTF-8").startsWith(s"shard=$k;")),
+        s"${f.getName} holds a foreign shard's row")
+    }
+    // and the Spark read recovers everything
+    assert(TfRecords.read(spark, path).count() == 100)
+    // an EMPTY shard still writes its (empty) file — shard count is a
+    // contract, not an observation
+    val sparse = spark.range(10)
+      .selectExpr("cast(0 as long) as shard_id", "cast('x' as binary) as rec")
+    val path2 = java.nio.file.Files.createTempDirectory("graft-tfrec-sparse").toString
+    TfRecords.writeSharded(sparse, "rec", "shard_id", 3, path2)
+    assert(new java.io.File(path2).listFiles()
+      .count(_.getName.endsWith(".tfrecord")) == 3)
+    // an out-of-range shard id fails the job rather than silently
+    // writing a misnamed file
+    val bad = spark.range(4)
+      .selectExpr("id + 3 as shard_id", "cast('y' as binary) as rec")
+    intercept[org.apache.spark.SparkException] {
+      TfRecords.writeSharded(bad, "rec", "shard_id", 3,
+        java.nio.file.Files.createTempDirectory("graft-tfrec-bad").toString)
+    }
+  }
+
+  test("writeShardedSorted places rows WITHIN the file by the order key " +
+    "(rec_idx is the sort rank — the cu17 ordered-export contract)") {
+    import spark.implicits._
+    // adversarial input order: descending ids, scattered over many
+    // partitions — the sink must both route AND place every row
+    val df = spark.range(90)
+      .selectExpr("89 - id as rid")
+      .repartition(7)
+      .selectExpr("rid % 3 as shard_id",
+        "lpad(cast(rid as string), 6, '0') as okey",
+        "cast(concat('row=', rid) as binary) as rec")
+    val path = java.nio.file.Files.createTempDirectory("graft-tfrec-sorted").toString
+    TfRecords.writeShardedSorted(df, "rec", "shard_id", "okey", 3, path)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".tfrecord")).sortBy(_.getName)
+    assert(files.length == 3)
+    files.zipWithIndex.foreach { case (f, k) =>
+      val ids = TfRecords.decodeAll(java.nio.file.Files.readAllBytes(f.toPath))
+        .map(r => new String(r, "UTF-8").stripPrefix("row=").toLong)
+      assert(ids.length == 30)
+      // every id in its shard, in STRICTLY ascending key order on disk
+      assert(ids.forall(_ % 3 == k))
+      assert(ids == ids.sorted, s"${f.getName} is out of order: $ids")
+    }
+    // and the Spark read agrees: rec_idx ascends with the key
+    val back = TfRecords.read(spark, path)
+      .selectExpr("file", "rec_idx",
+        "cast(substring(cast(record as string), 5) as bigint) as rid")
+      .collect()
+    back.groupBy(_.getString(0)).values.foreach { rows =>
+      val byIdx = rows.sortBy(_.getLong(1)).map(_.getLong(2))
+      assert(byIdx.sameElements(byIdx.sorted))
+    }
+  }
 }
