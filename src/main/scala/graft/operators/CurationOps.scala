@@ -692,6 +692,89 @@ object CurationOps {
           sum("doc_id").cast("long").as("id_sum"),
           expr("cast(sum(cast(pos as decimal(38,0)) * doc_id) % 1000000007 as bigint)")
             .as("ord_checksum"))
+    },
+
+    // Export MANIFEST audit: every sharded write emits `_manifest.json`
+    // beside its shards (per file: record count, payload bytes, logical
+    // framed bytes) — the metadata a training job sizes input splits
+    // and progress from WITHOUT scanning shards. This gate runs the
+    // cu16 export and then checks the writer's CLAIMED stats against
+    // ground truth DuckDB recomputes independently from the source
+    // table (records are 19-digit doc_id + '|' + utf8 text, so payload
+    // = 20 + octet_length(text) per document; framing adds 16/record) —
+    // a manifest that over- or under-counts a single record or byte
+    // hash-mismatches. Scale: the manifest is numShards lines of
+    // driver-bounded metadata; the audit costs the export it audits.
+    Q(
+      "cu18_export_manifest",
+      """WITH o AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |            strlen(text) AS obytes FROM documents),
+        |  t AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS total FROM o),
+        |  c AS (SELECT doc_id, n_chars, obytes,
+        |          CAST(coalesce(SUM(n_chars) OVER (ORDER BY n_chars, doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+        |        FROM o),
+        |  b AS (SELECT least((8 * cum) // total, 7) AS shard_id, obytes
+        |        FROM c CROSS JOIN t)
+        |SELECT CAST(shard_id AS BIGINT) AS shard_id,
+        |  CAST(count(*) AS BIGINT) AS n_records,
+        |  CAST(SUM(20 + obytes) AS BIGINT) AS payload_bytes,
+        |  CAST(SUM(20 + obytes) + 16 * count(*) AS BIGINT) AS framed_bytes
+        |FROM b GROUP BY shard_id""".stripMargin) { (s, d) =>
+      val assign = graft.functions.Curation.equalMassAssign(T.documents(s, d))
+      val recs = T.documents(s, d).select(col("doc_id"), col("text"))
+        .join(assign.select("doc_id", "shard_id"), "doc_id")
+        .selectExpr("shard_id",
+          "cast(concat(lpad(cast(doc_id as string), 19, '0'), '|', text) as binary) as rec")
+      val path = Scratch.dir("graft-manifest-export")
+      graft.sources.TfRecords.writeSharded(recs, "rec", "shard_id", 8, path)
+      graft.sources.TfRecords.readManifest(s, path)
+        .selectExpr("shard as shard_id", "n_records", "payload_bytes",
+          "framed_bytes")
+    },
+
+    // Sequence packing: concatenate the corpus in doc_id order and cut
+    // every 2048 tokens — THE pretraining batch-prep step (every
+    // training sample is a fixed-length token window over packed
+    // documents; a document belongs to the sequence where its first
+    // token lands, the greedy boundary rule). The gate rolls the
+    // sequences up into the docs-per-sequence histogram with token
+    // conservation (Σ tokens over histogram rows = corpus tokens) —
+    // the packing-efficiency table a data team reads to pick sequence
+    // length vs padding waste. Scale: the running token total over
+    // EVERY document rides Ordinal.withGlobalPrefixSum (the corpus-
+    // frame class a global SUM() OVER window would funnel); sequence
+    // ids are then a scan-local projection, and both rollups partial-
+    // aggregate map-side (seq count ≈ corpus_tokens/2048 distributed
+    // over the cluster; the histogram domain is the handful of
+    // docs-per-window values).
+    Q(
+      "cu19_sequence_packing",
+      """WITH o AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |  c AS (SELECT doc_id, ntok,
+        |          CAST(coalesce(SUM(ntok) OVER (ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+        |        FROM o),
+        |  q AS (SELECT cum // 2048 AS seq_id, count(*) AS d, SUM(ntok) AS t
+        |        FROM c GROUP BY seq_id)
+        |SELECT CAST(d AS BIGINT) AS docs_in_seq,
+        |  CAST(count(*) AS BIGINT) AS n_seqs,
+        |  CAST(SUM(t) AS BIGINT) AS tokens
+        |FROM q GROUP BY d""".stripMargin) { (s, d) =>
+      val o = T.documents(s, d)
+        .selectExpr("doc_id",
+          "cast(size(split(text, '\\\\s+')) as bigint) as ntok")
+      graft.operators.Ordinal
+        .withGlobalPrefixSum(o, "doc_id", "ntok", "cum")
+        .selectExpr("cum div 2048 as seq_id", "ntok")
+        .groupBy("seq_id")
+        .agg(count(lit(1)).as("d"), sum("ntok").as("t"))
+        .groupBy("d")
+        .agg(count(lit(1)).cast("long").as("n_seqs"),
+          sum("t").cast("long").as("tokens"))
+        .selectExpr("cast(d as bigint) as docs_in_seq", "n_seqs", "tokens")
     })
 
   /** cu13/cu14's shared signal CTEs (lt + sig) — ONE SQL definition for

@@ -182,7 +182,7 @@ object TfRecords {
     */
   private def commitShard(it: Iterator[Array[Byte]], dir: String,
       name: String, gzip: Boolean,
-      conf: org.apache.hadoop.conf.Configuration): Unit = {
+      conf: org.apache.hadoop.conf.Configuration): (Long, Long) = {
     val tc = org.apache.spark.TaskContext.get()
     val shard = new org.apache.hadoop.fs.Path(dir, name)
     val tmp = new org.apache.hadoop.fs.Path(dir,
@@ -191,14 +191,65 @@ object TfRecords {
     val raw = fs.create(tmp, true)
     val out: java.io.OutputStream =
       if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
-    try it.foreach(rec => out.write(encodeRecord(rec)))
+    var n = 0L
+    var payload = 0L
+    try it.foreach { rec =>
+      n += 1
+      payload += rec.length
+      out.write(encodeRecord(rec))
+    }
     finally out.close()
     if (!fs.rename(tmp, shard)) {
       // lost the commit race: a concurrent attempt's whole shard is in
-      // place, ours is redundant — clean up and accept
+      // place, ours is redundant — clean up and accept (both attempts
+      // wrote the same partition, so the stats are identical)
       fs.delete(tmp, false)
       require(fs.exists(shard), s"tfrecord: commit of $shard failed")
     }
+    (n, payload)
+  }
+
+  /** The export MANIFEST every writer emits beside its shards
+    * (`_manifest.json`, one JSON object per file): record count, total
+    * payload bytes, and logical framed bytes (payload + 16 per record —
+    * pre-compression, so the figure is layout-independent). A training
+    * job sizes its input splits and progress bars from this instead of
+    * scanning every shard; the cu18 gate pins the claimed stats against
+    * ground truth recomputed from the source table. The rows come back
+    * one per writer task (`numShards`-bounded metadata — the driver-
+    * bounded collect class), and the underscore prefix keeps the file
+    * invisible to shard listings, exactly like Hadoop's own markers.
+    */
+  private def writeManifest(conf: org.apache.hadoop.conf.Configuration,
+      dir: String, rows: Seq[(Long, String, Long, Long)]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_manifest.json")
+    val fs = p.getFileSystem(conf)
+    val w = new java.io.PrintWriter(
+      new java.io.OutputStreamWriter(fs.create(p, true), "UTF-8"))
+    try rows.sortBy(_._1).foreach { case (shard, file, n, payload) =>
+      w.println(
+        s"""{"shard":$shard,"file":"$file","n_records":$n,""" +
+          s""""payload_bytes":$payload,"framed_bytes":${payload + 16 * n}}""")
+    }
+    finally w.close()
+  }
+
+  /** Read an export's `_manifest.json` back as a DataFrame
+    * `(shard, file, n_records, payload_bytes, framed_bytes)`. The file
+    * is `numShards` lines — driver-side by construction (Spark's file
+    * sources ignore underscore-prefixed paths, deliberately: the
+    * manifest is metadata, not data).
+    */
+  def readManifest(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(path, "_manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = scala.io.Source.fromInputStream(fs.open(p), "UTF-8")
+    val lines = try src.getLines().toList finally src.close()
+    spark.read
+      .schema("shard LONG, file STRING, n_records LONG, " +
+        "payload_bytes LONG, framed_bytes LONG")
+      .json(spark.createDataset(lines))
   }
 
   /** Write `bytesCol` (binary) as TFRecord shards under `path` — one
@@ -220,12 +271,16 @@ object TfRecords {
     val suffix = if (gzip) ".tfrecord.gz" else ".tfrecord"
     val hconf = new SerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
-    df.select(col(bytesCol).cast("binary")).foreachPartition {
-      (it: Iterator[org.apache.spark.sql.Row]) =>
+    val stats = df.select(col(bytesCol).cast("binary")).rdd
+      .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.get().partitionId()
-        commitShard(it.map(_.getAs[Array[Byte]](0)), path,
-          f"part-$pid%05d$suffix", gzip, hconf.value)
-    }
+        val name = f"part-$pid%05d$suffix"
+        val (n, payload) =
+          commitShard(it.map(_.getAs[Array[Byte]](0)), path, name,
+            gzip, hconf.value)
+        Iterator((pid.toLong, name, n, payload))
+      }.collect().toSeq // one row per shard — driver-bounded metadata
+    writeManifest(spark.sparkContext.hadoopConfiguration, path, stats)
   }
 
   /** PHYSICAL sharded export: write exactly `numShards` TFRecord files
@@ -266,14 +321,17 @@ object TfRecords {
         s.toInt
       }
     }
-    df.select(col(shardCol).cast("long"), col(bytesCol).cast("binary"))
+    val stats = df.select(col(shardCol).cast("long"), col(bytesCol).cast("binary"))
       .rdd.map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
       .partitionBy(byShard)
-      .foreachPartition { it =>
+      .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.get().partitionId()
-        commitShard(it.map(_._2), path, f"part-$pid%05d$suffix",
+        val name = f"part-$pid%05d$suffix"
+        val (n, payload) = commitShard(it.map(_._2), path, name,
           gzip, hconf.value)
-      }
+        Iterator((pid.toLong, name, n, payload))
+      }.collect().toSeq // one row per shard — driver-bounded metadata
+    writeManifest(spark.sparkContext.hadoopConfiguration, path, stats)
   }
 
   /** [[writeSharded]] with a WITHIN-SHARD ORDER contract: rows land in
@@ -312,16 +370,18 @@ object TfRecords {
         s.toInt
       }
     }
-    df.select(col(shardCol).cast("long"), col(orderCol).cast("string"),
+    val stats = df.select(col(shardCol).cast("long"), col(orderCol).cast("string"),
         col(bytesCol).cast("binary"))
       .rdd.map(r => ((r.getLong(0), r.getString(1)), r.getAs[Array[Byte]](2)))
       .repartitionAndSortWithinPartitions(byShardKey)
-      .foreachPartition {
-        (it: Iterator[((Long, String), Array[Byte])]) =>
-          val pid = org.apache.spark.TaskContext.get().partitionId()
-          commitShard(it.map(_._2), path, f"part-$pid%05d$suffix",
-            gzip, hconf.value)
-      }
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.get().partitionId()
+        val name = f"part-$pid%05d$suffix"
+        val (n, payload) = commitShard(it.map(_._2), path, name,
+          gzip, hconf.value)
+        Iterator((pid.toLong, name, n, payload))
+      }.collect().toSeq // one row per shard — driver-bounded metadata
+    writeManifest(spark.sparkContext.hadoopConfiguration, path, stats)
   }
 
   /** Shard listing for [[read]]/[[readLenient]]: direct children matching

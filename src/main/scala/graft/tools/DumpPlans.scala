@@ -133,6 +133,11 @@ object DumpPlans {
     // shape; the write's ordering rides repartitionAndSortWithinPartitions
     // (no global sort, no unpartitioned window anywhere)
     "cu17_curriculum_export",
+    // round-14: sequence packing — the pinned plan must show the
+    // corpus token total riding the bucketed prefix sum (partitioned
+    // _ord_b window + broadcast offsets) with both rollups map-side
+    // partial-aggregated; NO single-partition WindowExec over documents
+    "cu19_sequence_packing",
     // bitext mining must show the cell-keyed (never A×B) pair join and
     // per-vector rank windows over the one persisted pair frame
     "ss29_bitext_margin",

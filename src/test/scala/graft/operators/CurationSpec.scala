@@ -163,4 +163,26 @@ class CurationSpec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("equalMassAssign is the row-level table equalMassShards rolls up " +
+    "(the physical writer consumes the SAME cut the gated rollup proves)") {
+    val docs = graft.Tables.documents(spark, sf)
+    val fromAssign = graft.functions.Curation.equalMassAssign(docs, 8)
+      .groupBy("shard_id")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+        org.apache.spark.sql.functions.sum("n_chars").as("mass"))
+      .collect()
+      .map(r => (r.getAs[Long]("shard_id"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("mass"))).sortBy(_._1).toSeq
+    val fromShards = graft.functions.Curation.equalMassShards(docs, 8)
+      .collect()
+      .map(r => (r.getAs[Long]("shard_id"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("mass"))).sortBy(_._1).toSeq
+    assert(fromAssign == fromShards)
+    // and every document appears exactly once in the assignment
+    assert(graft.functions.Curation.equalMassAssign(docs, 8)
+      .select("doc_id").distinct().count() == docs.count())
+    spark.catalog.clearCache()
+  }
 }

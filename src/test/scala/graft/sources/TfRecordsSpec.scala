@@ -345,4 +345,46 @@ class TfRecordsSpec extends AnyFunSuite {
       assert(byIdx.sameElements(byIdx.sorted))
     }
   }
+
+  test("every writer emits _manifest.json whose per-file stats equal " +
+    "the bytes on disk, and the manifest is invisible to shard reads") {
+    import spark.implicits._
+    val rows = (0L until 60L).map(i => s"m-$i".getBytes("UTF-8"))
+    val path = java.nio.file.Files.createTempDirectory("graft-tfrec-manifest").toString
+    TfRecords.writeSharded(
+      rows.toDF("rec").selectExpr("pmod(hash(rec), 3) as shard_id", "rec"),
+      "rec", "shard_id", 3, path)
+    // the sidecar exists, underscore-prefixed (hidden-file convention)
+    assert(new java.io.File(path, "_manifest.json").isFile)
+    val m = TfRecords.readManifest(spark, path).collect()
+      .map(r => r.getAs[String]("file") ->
+        (r.getAs[Long]("n_records"), r.getAs[Long]("payload_bytes"),
+          r.getAs[Long]("framed_bytes"))).toMap
+    assert(m.size == 3)
+    // claimed stats == ground truth decoded from the real files
+    new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".tfrecord")).foreach { f =>
+        val recs = TfRecords.decodeAll(java.nio.file.Files.readAllBytes(f.toPath))
+        val (n, payload, framed) = m(f.getName)
+        assert(n == recs.length, s"${f.getName}: claimed $n, disk ${recs.length}")
+        assert(payload == recs.map(_.length.toLong).sum)
+        assert(framed == f.length, "logical framed bytes == plain file size")
+      }
+    // the manifest never surfaces as a shard
+    assert(TfRecords.read(spark, path).count() == 60)
+    assert(TfRecords.readLenient(spark, path)
+      .select("file").distinct().count() == 3)
+    // plain write() and the sorted writer emit one too
+    val path2 = java.nio.file.Files.createTempDirectory("graft-tfrec-manifest2").toString
+    TfRecords.write(rows.toDF("rec").repartition(2), "rec", path2)
+    assert(TfRecords.readManifest(spark, path2)
+      .selectExpr("sum(n_records)").collect()(0).getLong(0) == 60L)
+    val path3 = java.nio.file.Files.createTempDirectory("graft-tfrec-manifest3").toString
+    TfRecords.writeShardedSorted(
+      rows.toDF("rec").selectExpr("pmod(hash(rec), 2) as shard_id",
+        "cast(rec as string) as okey", "rec"),
+      "rec", "shard_id", "okey", 2, path3)
+    assert(TfRecords.readManifest(spark, path3)
+      .selectExpr("sum(n_records)").collect()(0).getLong(0) == 60L)
+  }
 }
