@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * exactly the reason the gate does: the decision for a row is a pure
   * function of the row, so re-runs, backfills, and engines agree.
   *
-  * All three queries are single codegen'd scans (the split/sample
-  * decision never shuffles; only the rolled-up outputs do).
+  * Scale shapes across the family: per-row keep/split decisions are
+  * scan-local projections (only rollups shuffle); rank-based designs
+  * (sm13's median, sm15's epoch permutations) ride the distributed
+  * Ordinal; selection-based designs (sm14) ride TakeOrdered partials.
   */
 object SamplingOps {
 
@@ -500,6 +502,45 @@ object SamplingOps {
          |  CAST(greatest(CAST(w AS HUGEINT), t) AS BIGINT) AS w_hat
          |FROM r CROSS JOIN tau WHERE rk <= 50""".stripMargin) { (s, d) =>
       prioritySample(T.documents(s, d))
+    },
+
+    // Deterministic epoch shuffle: each training epoch's data order is
+    // the rank of a salted content hash (epoch number in the salt), so
+    // every epoch is a DIFFERENT pseudo-random permutation yet any
+    // rerun — any cluster, any partitioning — reproduces it exactly
+    // (epoch order is an experiment variable; "shuffle=true" that can't
+    // be replayed can't be debugged). The gate pins three epochs' whole
+    // permutations via an order-sensitive checksum (Σ pos·doc_id mod
+    // 1e9+7 in DECIMAL(38,0) — any swap of two positions changes it)
+    // plus the head document per epoch. Scale: each epoch's rank rides
+    // Ordinal.withGlobalOrdinal over (hash, doc_id) longs — the
+    // distributed ordinal, never a single-partition row_number; the
+    // rollup is one row per epoch.
+    Q(
+      "sm15_epoch_shuffle",
+      s"""WITH e AS (SELECT * FROM (VALUES (1), (2), (3)) AS t(epoch)),
+         |  r AS (SELECT epoch, doc_id,
+         |          row_number() OVER (PARTITION BY epoch ORDER BY
+         |            ${P.duckHash60("'epoch|' || epoch::VARCHAR || '|' || doc_id::VARCHAR")}, doc_id) AS pos
+         |        FROM documents CROSS JOIN e)
+         |SELECT CAST(epoch AS BIGINT) AS epoch,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(arg_min(doc_id, pos) AS BIGINT) AS first_doc,
+         |  CAST(SUM(CAST(pos AS HUGEINT) * doc_id) % 1000000007 AS BIGINT) AS ord_checksum
+         |FROM r GROUP BY epoch""".stripMargin) { (s, d) =>
+      (1 to 3).map { e =>
+        val keyed = T.documents(s, d).selectExpr("doc_id",
+          s"${P.hash60(s"concat('epoch|$e|', cast(doc_id as string))")} as hk")
+        graft.operators.Ordinal
+          .withGlobalOrdinal(keyed, "hk", "pos", tieCols = Seq("doc_id"))
+          .selectExpr(s"cast($e as bigint) as epoch", "doc_id", "pos")
+          .groupBy("epoch")
+          .agg(
+            count(lit(1)).cast("long").as("n_docs"),
+            expr("min_by(doc_id, pos)").cast("long").as("first_doc"),
+            expr("cast(sum(cast(pos as decimal(38,0)) * doc_id) % 1000000007 as bigint)")
+              .as("ord_checksum"))
+      }.reduce(_.unionAll(_))
     }
   )
 

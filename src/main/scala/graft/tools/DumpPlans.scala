@@ -138,6 +138,11 @@ object DumpPlans {
     // _ord_b window + broadcast offsets) with both rollups map-side
     // partial-aggregated; NO single-partition WindowExec over documents
     "cu19_sequence_packing",
+    // round-14: deterministic epoch shuffle — the pinned plan must show
+    // each epoch's rank riding the bucketed Ordinal (partitioned _ord_b
+    // windows + broadcast offsets), three union branches, no
+    // single-partition row_number anywhere
+    "sm15_epoch_shuffle",
     // bitext mining must show the cell-keyed (never A×B) pair join and
     // per-vector rank windows over the one persisted pair frame
     "ss29_bitext_margin",

@@ -121,6 +121,7 @@ object ShuffleAudit {
     "cu17_curriculum_export" -> "ordered export: cu11's source-keyed curriculum windows ((id, score, ntok) longs), then ONE repartitionAndSortWithinPartitions exchange places the record bytes — the reduce side merges SPILLED sorted runs, so within-shard sort never holds a shard in task memory",
     "cu18_export_manifest" -> "manifest audit: pays cu16's export once; the manifest itself is numShards lines of driver-bounded metadata (one stats row per writer task), so the audit adds ZERO shuffle beyond the export it audits",
     "cu19_sequence_packing" -> "running token total rides withGlobalPrefixSum ((doc_id, ntok) longs on the bucket key — text never shuffles); seq ids are scan-local, both rollups partial-aggregate map-side",
+    "sm15_epoch_shuffle" -> "each epoch's permutation rank rides the distributed Ordinal over (hash, doc_id) longs — 3 bucket-keyed exchanges, never a single-partition row_number; rollup is one row per epoch",
     "ss23_ranking_metrics" -> "queries broadcast; the scored pass reduces to (q_id, rank, relevant) rows before the per-query rollup",
     "q_csv_roundtrip" -> "sink+source edge format: no pushdown/pruning by design — the measured contrast to op01's parquet scan",
     "an19_kmv_merge" -> "each side reduces to ≤ k longs per source before the merge; rank windows order k-row frames",

@@ -50,6 +50,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(SamplingOps.prioritySample(atK).count() == 50)
   }
 
+  test("sm15 epoch shuffle: reruns are bit-identical, the three epochs " +
+    "are genuinely different permutations, and order survives repartitioning") {
+    val q = graft.SparkEntry.queries("sm15_epoch_shuffle")
+    val rows = q(spark, sf).collect().map(_.toString).sorted.toSeq
+    assert(rows.length == 3)
+    // replay contract: the checksums are a pure function of the corpus
+    assert(q(spark, sf).collect().map(_.toString).sorted.toSeq == rows)
+    val byEpoch = q(spark, sf).collect()
+      .map(r => r.getAs[Long]("epoch") ->
+        (r.getAs[Long]("first_doc"), r.getAs[Long]("ord_checksum"))).toMap
+    // different salts → different permutations (checksums all distinct)
+    assert(byEpoch.values.map(_._2).toSet.size == 3,
+      "three epochs must be three different orders")
+    // the rank is a TRUE global ordinal: physical partitioning of the
+    // input cannot change any epoch's checksum
+    val docs = graft.Tables.documents(spark, sf).repartition(17)
+    val keyed = docs.selectExpr("doc_id",
+      s"${graft.Portable.hash60("concat('epoch|1|', cast(doc_id as string))")} as hk")
+    val chk = Ordinal.withGlobalOrdinal(keyed, "hk", "pos", tieCols = Seq("doc_id"))
+      .selectExpr(
+        "cast(sum(cast(pos as decimal(38,0)) * doc_id) % 1000000007 as bigint) as c")
+      .collect()(0).getLong(0)
+    assert(chk == byEpoch(1L)._2)
+  }
+
   test("sm14 selection is invariant to input partitioning (TakeOrdered " +
     "is a true global top-k)") {
     val base = graft.Tables.documents(spark, sf)
