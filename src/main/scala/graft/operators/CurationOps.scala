@@ -558,19 +558,12 @@ object CurationOps {
     // rejects); the grand total broadcasts back, the rollup is 8 rows.
     Q(
       "cu15_equal_mass_shards",
-      """WITH o AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents),
-        |  t AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS total FROM o),
-        |  c AS (SELECT doc_id, n_chars,
-        |          CAST(coalesce(SUM(n_chars) OVER (ORDER BY n_chars, doc_id
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
-        |        FROM o),
-        |  b AS (SELECT least((8 * cum) // total, 7) AS shard_id, n_chars, total
-        |        FROM c CROSS JOIN t)
-        |SELECT CAST(shard_id AS BIGINT) AS shard_id,
-        |  CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(SUM(n_chars) AS BIGINT) AS mass,
-        |  CAST((1000000 * SUM(n_chars)) // max(total) AS BIGINT) AS mass_ppm
-        |FROM b GROUP BY shard_id""".stripMargin) {
+      s"""WITH ${equalMassCtes()}
+         |SELECT CAST(shard_id AS BIGINT) AS shard_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS mass,
+         |  CAST((1000000 * SUM(n_chars)) // max(total) AS BIGINT) AS mass_ppm
+         |FROM b GROUP BY shard_id""".stripMargin) {
       (s, d) => graft.functions.Curation.equalMassShards(T.documents(s, d))
     },
 
@@ -590,19 +583,12 @@ object CurationOps {
     // equals the assignment's mass deviation (< one max document).
     Q(
       "cu16_equal_mass_export",
-      """WITH o AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents),
-        |  t AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS total FROM o),
-        |  c AS (SELECT doc_id, n_chars,
-        |          CAST(coalesce(SUM(n_chars) OVER (ORDER BY n_chars, doc_id
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
-        |        FROM o),
-        |  b AS (SELECT least((8 * cum) // total, 7) AS shard_id, n_chars, total
-        |        FROM c CROSS JOIN t)
-        |SELECT CAST(shard_id AS BIGINT) AS shard_id,
-        |  CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(SUM(n_chars) AS BIGINT) AS mass,
-        |  CAST((1000000 * SUM(n_chars)) // max(total) AS BIGINT) AS mass_ppm
-        |FROM b GROUP BY shard_id""".stripMargin) { (s, d) =>
+      s"""WITH ${equalMassCtes()}
+         |SELECT CAST(shard_id AS BIGINT) AS shard_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS mass,
+         |  CAST((1000000 * SUM(n_chars)) // max(total) AS BIGINT) AS mass_ppm
+         |FROM b GROUP BY shard_id""".stripMargin) { (s, d) =>
       val assign = graft.functions.Curation.equalMassAssign(T.documents(s, d))
       // records carry the document whole (the q_tfrecord_roundtrip
       // framing: fixed-width decimal doc_id + '|' + utf8 text) so the
@@ -667,7 +653,8 @@ object CurationOps {
          |SELECT CAST(shard_id AS BIGINT) AS shard_id,
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
-         |  CAST(SUM(CAST(pos AS HUGEINT) * doc_id) % 1000000007 AS BIGINT) AS ord_checksum
+         |  CAST(SUM(CAST((pos % 1000000007) * (doc_id % 1000000007)
+         |    % 1000000007 AS HUGEINT)) % 1000000007 AS BIGINT) AS ord_checksum
          |FROM o GROUP BY shard_id""".stripMargin) { (s, d) =>
       val cur = graft.functions.Curation.curriculum(T.documents(s, d))
       val recs = T.documents(s, d).select(col("doc_id"), col("text"))
@@ -690,7 +677,13 @@ object CurationOps {
         .agg(
           count(lit(1)).cast("long").as("n_docs"),
           sum("doc_id").cast("long").as("id_sum"),
-          expr("cast(sum(cast(pos as decimal(38,0)) * doc_id) % 1000000007 as bigint)")
+          // row-wise mod BEFORE the sum: each term < p² fits BIGINT and
+          // the decimal running sum stays < p·rows — overflow needs
+          // 1e29 rows, vs ~1e11 for the naive Σ pos·doc_id form (whose
+          // silent-NULL-vs-loud-error divergence between engines is
+          // exactly what a gate must not do at scale)
+          expr("cast(sum(cast((pos % 1000000007) * (doc_id % 1000000007) " +
+            "% 1000000007 as decimal(38,0))) % 1000000007 as bigint)")
             .as("ord_checksum"))
     },
 
@@ -707,20 +700,12 @@ object CurationOps {
     // driver-bounded metadata; the audit costs the export it audits.
     Q(
       "cu18_export_manifest",
-      """WITH o AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-        |            strlen(text) AS obytes FROM documents),
-        |  t AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS total FROM o),
-        |  c AS (SELECT doc_id, n_chars, obytes,
-        |          CAST(coalesce(SUM(n_chars) OVER (ORDER BY n_chars, doc_id
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
-        |        FROM o),
-        |  b AS (SELECT least((8 * cum) // total, 7) AS shard_id, obytes
-        |        FROM c CROSS JOIN t)
-        |SELECT CAST(shard_id AS BIGINT) AS shard_id,
-        |  CAST(count(*) AS BIGINT) AS n_records,
-        |  CAST(SUM(20 + obytes) AS BIGINT) AS payload_bytes,
-        |  CAST(SUM(20 + obytes) + 16 * count(*) AS BIGINT) AS framed_bytes
-        |FROM b GROUP BY shard_id""".stripMargin) { (s, d) =>
+      s"""WITH ${equalMassCtes("strlen(text) AS obytes", "obytes")}
+         |SELECT CAST(shard_id AS BIGINT) AS shard_id,
+         |  CAST(count(*) AS BIGINT) AS n_records,
+         |  CAST(SUM(20 + obytes) AS BIGINT) AS payload_bytes,
+         |  CAST(SUM(20 + obytes) + 16 * count(*) AS BIGINT) AS framed_bytes
+         |FROM b GROUP BY shard_id""".stripMargin) { (s, d) =>
       val assign = graft.functions.Curation.equalMassAssign(T.documents(s, d))
       val recs = T.documents(s, d).select(col("doc_id"), col("text"))
         .join(assign.select("doc_id", "shard_id"), "doc_id")
@@ -776,6 +761,28 @@ object CurationOps {
           sum("t").cast("long").as("tokens"))
         .selectExpr("cast(d as bigint) as docs_in_seq", "n_seqs", "tokens")
     })
+
+  /** cu15's equal-mass cut as DuckDB CTEs (o/t/c/b, ending in
+    * `b(shard_id, n_chars, total[, extra])`) — ONE SQL definition shared
+    * by the cu15 rollup, cu16's on-disk audit, and cu18's manifest
+    * audit, so the cut (ordering, tie-break, clamp, shard count) can't
+    * drift between the three gates (the sm10/sm11 shared-chain rule).
+    * `extraSel`/`extraCol` ride one additional per-document column
+    * through to `b`. Caller supplies `WITH `. A `def`: it interpolates
+    * during `queries` init.
+    */
+  private def equalMassCtes(extraSel: String = "", extraCol: String = ""): String = {
+    val sel = if (extraSel.isEmpty) "" else s", $extraSel"
+    val c = if (extraCol.isEmpty) "" else s", $extraCol"
+    s"""o AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars$sel FROM documents),
+       |  t AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS total FROM o),
+       |  c AS (SELECT doc_id, n_chars$c,
+       |          CAST(coalesce(SUM(n_chars) OVER (ORDER BY n_chars, doc_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+       |        FROM o),
+       |  b AS (SELECT least((8 * cum) // total, 7) AS shard_id, n_chars, total$c
+       |        FROM c CROSS JOIN t)""".stripMargin
+  }
 
   /** cu13/cu14's shared signal CTEs (lt + sig) — ONE SQL definition for
     * both card oracles, mirroring the Scala side's shared

@@ -526,7 +526,8 @@ object SamplingOps {
          |SELECT CAST(epoch AS BIGINT) AS epoch,
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(arg_min(doc_id, pos) AS BIGINT) AS first_doc,
-         |  CAST(SUM(CAST(pos AS HUGEINT) * doc_id) % 1000000007 AS BIGINT) AS ord_checksum
+         |  CAST(SUM(CAST((pos % 1000000007) * (doc_id % 1000000007)
+         |    % 1000000007 AS HUGEINT)) % 1000000007 AS BIGINT) AS ord_checksum
          |FROM r GROUP BY epoch""".stripMargin) { (s, d) =>
       (1 to 3).map { e =>
         val keyed = T.documents(s, d).selectExpr("doc_id",
@@ -538,7 +539,10 @@ object SamplingOps {
           .agg(
             count(lit(1)).cast("long").as("n_docs"),
             expr("min_by(doc_id, pos)").cast("long").as("first_doc"),
-            expr("cast(sum(cast(pos as decimal(38,0)) * doc_id) % 1000000007 as bigint)")
+            // row-wise mod before the sum (the cu17 convention): terms
+            // fit BIGINT, the decimal sum can't saturate at any corpus
+            expr("cast(sum(cast((pos % 1000000007) * (doc_id % 1000000007) " +
+              "% 1000000007 as decimal(38,0))) % 1000000007 as bigint)")
               .as("ord_checksum"))
       }.reduce(_.unionAll(_))
     }

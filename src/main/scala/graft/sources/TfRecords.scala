@@ -201,10 +201,27 @@ object TfRecords {
     finally out.close()
     if (!fs.rename(tmp, shard)) {
       // lost the commit race: a concurrent attempt's whole shard is in
-      // place, ours is redundant — clean up and accept (both attempts
-      // wrote the same partition, so the stats are identical)
+      // place, ours is redundant — clean up, accept, and RE-DERIVE the
+      // stats from the WINNER's bytes (rare path, one extra pass over
+      // one shard): under a non-deterministic upstream the two attempts
+      // may have written different rows, and reporting the loser's
+      // counts would put a lie in _manifest.json — the exact drift the
+      // cu18 gate exists to catch
       fs.delete(tmp, false)
       require(fs.exists(shard), s"tfrecord: commit of $shard failed")
+      n = 0L
+      payload = 0L
+      val din = openStream(shard.toString, conf)
+      try {
+        var rec = readRecord(din, name)
+        while (rec != null) {
+          n += 1
+          payload += rec.length
+          rec = readRecord(din, name)
+        }
+      } finally {
+        try din.close() catch { case _: java.io.IOException => () }
+      }
     }
     (n, payload)
   }
@@ -322,7 +339,10 @@ object TfRecords {
       }
     }
     val stats = df.select(col(shardCol).cast("long"), col(bytesCol).cast("binary"))
-      .rdd.map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+      .rdd.map { r =>
+        require(!r.isNullAt(0), "tfrecord: shard id must not be null")
+        (r.getLong(0), r.getAs[Array[Byte]](1))
+      }
       .partitionBy(byShard)
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.get().partitionId()
@@ -372,7 +392,12 @@ object TfRecords {
     }
     val stats = df.select(col(shardCol).cast("long"), col(orderCol).cast("string"),
         col(bytesCol).cast("binary"))
-      .rdd.map(r => ((r.getLong(0), r.getString(1)), r.getAs[Array[Byte]](2)))
+      .rdd.map { r =>
+        require(!r.isNullAt(0), "tfrecord: shard id must not be null")
+        require(!r.isNullAt(1),
+          "tfrecord: order key must not be null (a null cannot be placed)")
+        ((r.getLong(0), r.getString(1)), r.getAs[Array[Byte]](2))
+      }
       .repartitionAndSortWithinPartitions(byShardKey)
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.get().partitionId()
@@ -490,15 +515,19 @@ object TfRecords {
     val hconf = new SerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
     val bins = packBySize(listShardSizes(spark, path))
-    spark.createDataset(bins.map(_.toList))
-      .repartition(math.max(1, bins.size))
+    // parallelize(bins, bins.size) pins EXACTLY one bin per task —
+    // a round-robin repartition starts each input partition at a
+    // random output index, which can co-locate two heavy bins and
+    // resurrect the straggler the LPT packing exists to prevent
+    val rdd = spark.sparkContext
+      .parallelize(bins.map(_.toList), math.max(1, bins.size))
       .flatMap(_.iterator.flatMap { f =>
         val file = shardName(f)
         recordIterator(f, hconf.value).zipWithIndex.map {
           case (rec, i) => (file, i.toLong, rec)
         }
       })
-      .toDF("file", "rec_idx", "record")
+    spark.createDataset(rdd).toDF("file", "rec_idx", "record")
   }
 
   /** CORRUPTION-class failures — the only ones the lenient read may
@@ -560,13 +589,18 @@ object TfRecords {
     try {
       val what = shardName(fullPath)
       val din = openStream(fullPath, conf)
-      def advance(): Array[Byte] =
-        try readRecord(din, what)
-        catch {
-          case e if isCorruption(e) =>
-            try din.close() catch { case _: java.io.IOException => () }
-            null
+      def advance(): Array[Byte] = {
+        val rec =
+          try readRecord(din, what)
+          catch { case e if isCorruption(e) => null }
+        // close at EITHER end — clean EOF or corruption cut — so a
+        // many-files-per-task lenient pass never accumulates open FDs
+        // the way a task-completion-only close would
+        if (rec == null) {
+          try din.close() catch { case _: java.io.IOException => () }
         }
+        rec
+      }
       new Iterator[Array[Byte]] {
         private var nxt = advance()
         override def hasNext: Boolean = nxt != null
@@ -599,8 +633,9 @@ object TfRecords {
     val hconf = new SerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
     val bins = packBySize(listShardSizes(spark, path))
-    spark.createDataset(bins.map(_.toList))
-      .repartition(math.max(1, bins.size))
+    // one bin per task, exactly (see read())
+    val rdd = spark.sparkContext
+      .parallelize(bins.map(_.toList), math.max(1, bins.size))
       .flatMap(_.iterator.flatMap { f =>
         val file = shardName(f)
         val (n, clean) = scanVerdict(f, hconf.value)
@@ -626,6 +661,6 @@ object TfRecords {
           }
         }
       })
-      .toDF("file", "rec_idx", "record", "file_clean")
+    spark.createDataset(rdd).toDF("file", "rec_idx", "record", "file_clean")
   }
 }
