@@ -172,13 +172,19 @@ object TfRecords {
 
   /** One task's shard commit: stream the partition's records to a
     * task-attempt-unique `.inprogress` temp, then rename into place.
-    * FIRST COMMIT WINS: `write` cleared the directory up front, so the
-    * first attempt's rename lands on a fresh name and succeeds; a
-    * slower concurrent attempt (speculation, zombie) finds the name
-    * taken, deletes its own temp, and accepts the committed shard. No
-    * pre-delete of the destination — a delete-then-rename pair would
-    * let a zombie delete a committed shard and die before its own
-    * rename, losing the shard with no retry (ADVICE r13).
+    * On a no-overwrite filesystem (HDFS) the FIRST commit wins: `write`
+    * cleared the directory up front, so the first attempt's rename
+    * lands on a fresh name and succeeds; a slower concurrent attempt
+    * (speculation, zombie) finds the name taken, deletes its own temp,
+    * accepts the committed shard, and RE-DERIVES its stats from the
+    * winner's bytes. On an overwrite-rename filesystem (POSIX rename —
+    * RawLocalFileSystem) the LAST rename lands instead — still a whole
+    * file, never interleaved — and [[writeManifest]]'s length
+    * cross-check corrects any stats drift before the manifest
+    * publishes. Either way there is no pre-delete of the destination: a
+    * delete-then-rename pair would let a zombie delete a committed
+    * shard and die before its own rename, losing the shard with no
+    * retry (ADVICE r13).
     */
   private def commitShard(it: Iterator[Array[Byte]], dir: String,
       name: String, gzip: Boolean,
@@ -194,6 +200,7 @@ object TfRecords {
     var n = 0L
     var payload = 0L
     try it.foreach { rec =>
+      require(rec != null, s"tfrecord: record bytes must not be null ($name)")
       n += 1
       payload += rec.length
       out.write(encodeRecord(rec))
@@ -238,11 +245,41 @@ object TfRecords {
     * invisible to shard listings, exactly like Hadoop's own markers.
     */
   private def writeManifest(conf: org.apache.hadoop.conf.Configuration,
-      dir: String, rows: Seq[(Long, String, Long, Long)]): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir, "_manifest.json")
-    val fs = p.getFileSystem(conf)
+      dir: String, rows0: Seq[(Long, String, Long, Long)]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    // Integrity cross-check before publishing: a task's collected stats
+    // can describe a DIFFERENT attempt's bytes when speculation races a
+    // non-deterministic upstream on a filesystem whose rename silently
+    // OVERWRITES (RawLocalFileSystem does; HDFS does not — there the
+    // lost-race re-derive in commitShard already corrects). For plain
+    // shards the framing makes the claim checkable for free: on-disk
+    // length must equal payload + 16·n. On mismatch, re-derive that one
+    // shard's stats from its bytes (driver-side, rare). Gzip shards are
+    // length-opaque — their claims rest on the commitShard path alone.
+    val rows = rows0.map { case row @ (shard, file, n, payload) =>
+      val p = new org.apache.hadoop.fs.Path(dir, file)
+      if (file.endsWith(".gz") || fs.getFileStatus(p).getLen == payload + 16 * n)
+        row
+      else {
+        var rn = 0L
+        var rb = 0L
+        val din = openStream(p.toString, conf)
+        try {
+          var rec = readRecord(din, file)
+          while (rec != null) {
+            rn += 1
+            rb += rec.length
+            rec = readRecord(din, file)
+          }
+        } finally {
+          try din.close() catch { case _: java.io.IOException => () }
+        }
+        (shard, file, rn, rb)
+      }
+    }
+    val mp = new org.apache.hadoop.fs.Path(dir, "_manifest.json")
     val w = new java.io.PrintWriter(
-      new java.io.OutputStreamWriter(fs.create(p, true), "UTF-8"))
+      new java.io.OutputStreamWriter(fs.create(mp, true), "UTF-8"))
     try rows.sortBy(_._1).foreach { case (shard, file, n, payload) =>
       w.println(
         s"""{"shard":$shard,"file":"$file","n_records":$n,""" +
@@ -494,6 +531,12 @@ object TfRecords {
     val din = openStream(fullPath, conf)
     new Iterator[Array[Byte]] {
       private var nxt = readRecord(din, what)
+      // a zero-record shard (legitimate: an empty shard id in a sharded
+      // export) must release its FD immediately too — many empty files
+      // can share one task after LPT packing
+      if (nxt == null) {
+        try din.close() catch { case _: java.io.IOException => () }
+      }
       override def hasNext: Boolean = nxt != null
       override def next(): Array[Byte] = {
         val r = nxt
