@@ -262,31 +262,22 @@ object Curation {
       .withColumnRenamed("source", groupCol)
   }
 
-  /** Equal-token-mass export sharding: cut the corpus into `shards`
-    * contiguous mass tiers by (n_chars, doc_id) order — shard k holds
-    * the documents whose EXCLUSIVE running mass lands in
-    * [k·total/shards, (k+1)·total/shards). Writing training data this
-    * way gives every output shard ≈ the same token budget regardless of
-    * the document-length distribution (doc-COUNT sharding leaves shards
-    * far apart in mass under long-tailed lengths, and shard mass is
-    * what bounds a training job's per-file work). Each shard's mass
-    * deviates from total/shards by less than one maximum document — the
-    * boundary lands mid-document at most once per cut (CurationSpec
-    * pins the bound).
+  /** Per-document equal-mass shard ASSIGNMENT —
+    * `(doc_id, n_chars, total, shard_id)` for every document, shard_id
+    * in `[0, shards)`: cut the corpus into `shards` contiguous mass
+    * tiers by (n_chars, doc_id) order — shard k holds the documents
+    * whose EXCLUSIVE running mass lands in
+    * [k·total/shards, (k+1)·total/shards). This is the row-level table
+    * [[equalMassShards]] rolls up and
+    * [[graft.sources.TfRecords.writeSharded]] exports — kept separate
+    * so the physical writer consumes the same cut the gated rollup
+    * proves the mass bound on.
     *
     * Scale: the running mass rides
     * [[graft.operators.Ordinal.withGlobalPrefixSum]] — the frame is
     * EVERY document, so a `SUM() OVER (ORDER BY ...)` global window
     * here would funnel the whole corpus through one partition (the r12
-    * window-funnel class). The total enters as a broadcast scalar; the
-    * rollup is `shards` rows. Shared by the gated cu15 query.
-    */
-  /** Per-document equal-mass shard ASSIGNMENT —
-    * `(doc_id, n_chars, total, shard_id)` for every document, shard_id
-    * in `[0, shards)` — the row-level table [[equalMassShards]] rolls
-    * up and [[graft.sources.TfRecords.writeSharded]] exports. Kept
-    * separate so the physical writer consumes the same cut the gated
-    * rollup proves the mass bound on.
+    * window-funnel class). The total enters as a broadcast scalar.
     */
   def equalMassAssign(docs: DataFrame, shards: Int = 8): DataFrame = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
@@ -305,6 +296,16 @@ object Curation {
         s"least(($shards * cum) div total, ${shards - 1}) as shard_id")
   }
 
+  /** The `shards`-row equal-mass ROLLUP of [[equalMassAssign]] —
+    * `(shard_id, n_docs, mass, mass_ppm)`. Writing training data by
+    * this cut gives every output shard ≈ the same token budget
+    * regardless of the document-length distribution (doc-COUNT sharding
+    * leaves shards far apart in mass under long-tailed lengths, and
+    * shard mass is what bounds a training job's per-file work). Each
+    * shard's mass deviates from total/shards by less than one maximum
+    * document — the boundary lands mid-document at most once per cut
+    * (CurationSpec pins the bound). Shared by the gated cu15 query.
+    */
   def equalMassShards(docs: DataFrame, shards: Int = 8): DataFrame =
     equalMassAssign(docs, shards)
       .groupBy("shard_id")

@@ -605,14 +605,19 @@ object CurationOps {
           // part-00003.tfrecord → 3: the file name IS the shard id
           "cast(substring(file, 6, 5) as bigint) as shard_id",
           "length(substring(cast(record as string), 21)) as chars")
-      val total = back.agg(sum("chars").cast("long").as("total"))
+      // Single-pass audit (VERDICT r14 #3): the grand total derives from
+      // the numShards-row rollup itself via a global window — the export
+      // is scanned ONCE (a second shard read for the total doubles a
+      // real export's audit I/O). The window frame is 8 rows: shard_id
+      // is clamped to 0..7 by the assignment plan (least(…, 7)), the
+      // rail's cu16 exemption records that bound.
       back.groupBy("shard_id")
         .agg(
           count(lit(1)).cast("long").as("n_docs"),
           sum("chars").cast("long").as("mass"))
-        .crossJoin(broadcast(total))
         .selectExpr("shard_id", "n_docs", "mass",
-          "cast((cast(1000000 as decimal(38,0)) * mass) div total as bigint) as mass_ppm")
+          "cast((cast(1000000 as decimal(38,0)) * mass) div " +
+            "(sum(mass) over ()) as bigint) as mass_ppm")
     },
 
     // Curriculum-ORDERED physical export: cu16 pins WHICH file a row
@@ -760,6 +765,74 @@ object CurationOps {
         .agg(count(lit(1)).cast("long").as("n_seqs"),
           sum("t").cast("long").as("tokens"))
         .selectExpr("cast(d as bigint) as docs_in_seq", "n_seqs", "tokens")
+    },
+
+    // EPOCH-ORDERED physical export (VERDICT r14 #7) — the composition a
+    // training job actually consumes: sm15's deterministic epoch
+    // permutation (salted content-hash rank, any rerun reproduces it) as
+    // the PLACEMENT key of TfRecords.writeShardedSorted, so "write epoch
+    // 1's shuffled corpus as 8 shards" ends at real ordered bytes
+    // (reference pipelines end at sharded TFRecord files read shuffled,
+    // imagenet_input.py:168-170 with the shuffle at :198-202 — here the
+    // shuffle is IN the layout, reproducibly). Shards are CONTIGUOUS
+    // permutation blocks (shard = (8·(pos-1)) div total), so reading
+    // part-00000..part-00007 in order replays the whole permutation.
+    // The gate reads the files back and hashes each file's on-disk order
+    // (the cu17 position-weighted checksum: Σ pos·doc_id mod 1e9+7 in
+    // DECIMAL(38,0), transposition-sensitive) against DuckDB's
+    // independent recomputation of the same permutation. Scale: the rank
+    // rides Ordinal.withGlobalOrdinal (never a single-partition
+    // row_number); the one corpus-byte movement is the terminal
+    // shard+sort exchange any ordered export pays
+    // (repartitionAndSortWithinPartitions — spilled merge sort, so a
+    // shard bigger than executor memory sorts on disk); `total` enters
+    // as a driver scalar from a distributed count. The order key embeds
+    // the unique global pos, meeting writeShardedSorted's
+    // reproducible-layout contract.
+    Q(
+      "cu20_epoch_ordered_export",
+      s"""WITH r AS (SELECT doc_id, row_number() OVER (ORDER BY
+         |      ${P.duckHash60("'epoch|1|' || doc_id::VARCHAR")}, doc_id) AS pos
+         |    FROM documents),
+         |  t AS (SELECT count(*) AS n FROM r),
+         |  o AS (SELECT doc_id, pos, least((8 * (pos - 1)) // n, 7) AS shard_id
+         |        FROM r CROSS JOIN t),
+         |  w AS (SELECT doc_id, shard_id,
+         |          row_number() OVER (PARTITION BY shard_id ORDER BY pos) AS p
+         |        FROM o)
+         |SELECT CAST(shard_id AS BIGINT) AS shard_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(arg_min(doc_id, p) AS BIGINT) AS first_doc,
+         |  CAST(SUM(CAST((p % 1000000007) * (doc_id % 1000000007)
+         |    % 1000000007 AS HUGEINT)) % 1000000007 AS BIGINT) AS ord_checksum
+         |FROM w GROUP BY shard_id""".stripMargin) { (s, d) =>
+      // one corpus read: the persisted base feeds the count, the keyed
+      // frame, the ordinal's probe, and the record payload (sm15 idiom)
+      val base = T.documents(s, d).select("doc_id", "text").persist()
+      val total = base.count()
+      val keyed = base.selectExpr("doc_id", "text",
+        s"${P.hash60("concat('epoch|1|', cast(doc_id as string))")} as hk")
+      val recs = graft.operators.Ordinal
+        .withGlobalOrdinal(keyed, "hk", "pos", tieCols = Seq("doc_id"))
+        .selectExpr(
+          s"least((8 * (pos - 1)) div $total, 7) as shard_id",
+          "lpad(cast(pos as string), 19, '0') as okey",
+          "cast(concat(lpad(cast(doc_id as string), 19, '0'), '|', text) as binary) as rec")
+      val path = Scratch.dir("graft-epoch-ordered-export")
+      graft.sources.TfRecords.writeShardedSorted(
+        recs, "rec", "shard_id", "okey", 8, path)
+      graft.sources.TfRecords.read(s, path)
+        .selectExpr(
+          "cast(substring(file, 6, 5) as bigint) as shard_id",
+          "rec_idx + 1 as pos",
+          "cast(substring(cast(record as string), 1, 19) as bigint) as doc_id")
+        .groupBy("shard_id")
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          expr("min_by(doc_id, pos)").cast("long").as("first_doc"),
+          expr("cast(sum(cast((pos % 1000000007) * (doc_id % 1000000007) " +
+            "% 1000000007 as decimal(38,0))) % 1000000007 as bigint)")
+            .as("ord_checksum"))
     })
 
   /** cu15's equal-mass cut as DuckDB CTEs (o/t/c/b, ending in

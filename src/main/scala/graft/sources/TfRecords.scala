@@ -185,10 +185,17 @@ object TfRecords {
     * delete-then-rename pair would let a zombie delete a committed
     * shard and die before its own rename, losing the shard with no
     * retry (ADVICE r13).
+    *
+    * Returns (record count, payload bytes, on-disk bytes of the file the
+    * stats describe) — the length is measured on the TEMP file before
+    * rename (or on the winner's committed bytes after a lost race), so
+    * [[writeManifest]] can verify that the stats still describe the
+    * COMMITTED shard even for gzip files, whose framed length is
+    * otherwise opaque (ADVICE r14).
     */
   private def commitShard(it: Iterator[Array[Byte]], dir: String,
       name: String, gzip: Boolean,
-      conf: org.apache.hadoop.conf.Configuration): (Long, Long) = {
+      conf: org.apache.hadoop.conf.Configuration): (Long, Long, Long) = {
     val tc = org.apache.spark.TaskContext.get()
     val shard = new org.apache.hadoop.fs.Path(dir, name)
     val tmp = new org.apache.hadoop.fs.Path(dir,
@@ -206,6 +213,7 @@ object TfRecords {
       out.write(encodeRecord(rec))
     }
     finally out.close()
+    var diskLen = fs.getFileStatus(tmp).getLen
     if (!fs.rename(tmp, shard)) {
       // lost the commit race: a concurrent attempt's whole shard is in
       // place, ours is redundant — clean up, accept, and RE-DERIVE the
@@ -218,6 +226,7 @@ object TfRecords {
       require(fs.exists(shard), s"tfrecord: commit of $shard failed")
       n = 0L
       payload = 0L
+      diskLen = fs.getFileStatus(shard).getLen
       val din = openStream(shard.toString, conf)
       try {
         var rec = readRecord(din, name)
@@ -230,7 +239,7 @@ object TfRecords {
         try din.close() catch { case _: java.io.IOException => () }
       }
     }
-    (n, payload)
+    (n, payload, diskLen)
   }
 
   /** The export MANIFEST every writer emits beside its shards
@@ -245,21 +254,28 @@ object TfRecords {
     * invisible to shard listings, exactly like Hadoop's own markers.
     */
   private def writeManifest(conf: org.apache.hadoop.conf.Configuration,
-      dir: String, rows0: Seq[(Long, String, Long, Long)]): Unit = {
+      dir: String, rows0: Seq[(Long, String, Long, Long, Long)]): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
     // Integrity cross-check before publishing: a task's collected stats
     // can describe a DIFFERENT attempt's bytes when speculation races a
     // non-deterministic upstream on a filesystem whose rename silently
     // OVERWRITES (RawLocalFileSystem does; HDFS does not — there the
-    // lost-race re-derive in commitShard already corrects). For plain
-    // shards the framing makes the claim checkable for free: on-disk
-    // length must equal payload + 16·n. On mismatch, re-derive that one
-    // shard's stats from its bytes (driver-side, rare). Gzip shards are
-    // length-opaque — their claims rest on the commitShard path alone.
-    val rows = rows0.map { case row @ (shard, file, n, payload) =>
+    // lost-race re-derive in commitShard already corrects). Each stats
+    // row carries the on-disk length of the file it DESCRIBES
+    // (commitShard measured the temp before rename, or the winner after
+    // a lost race), so the check is format-independent: the committed
+    // shard's length must equal the described length — this closes the
+    // gzip hole the old payload+16·n framing check could not cover
+    // (ADVICE r14: gzip framed length is compression-opaque). On
+    // mismatch, re-derive that one shard's stats from its committed
+    // bytes (driver-side streaming decode — openStream inflates .gz —
+    // rare). A same-length different-content overwrite remains
+    // undetectable here; readLenient's manifest-count cross-check is
+    // the reader-side backstop.
+    val rows = rows0.map { case (shard, file, n, payload, diskLen) =>
       val p = new org.apache.hadoop.fs.Path(dir, file)
-      if (file.endsWith(".gz") || fs.getFileStatus(p).getLen == payload + 16 * n)
-        row
+      if (fs.getFileStatus(p).getLen == diskLen)
+        (shard, file, n, payload)
       else {
         var rn = 0L
         var rb = 0L
@@ -294,6 +310,34 @@ object TfRecords {
     * sources ignore underscore-prefixed paths, deliberately: the
     * manifest is metadata, not data).
     */
+  /** Best-effort per-file record-count claims from `_manifest.json`:
+    * file name → n_records, empty when the manifest is absent or
+    * unparseable (a lenient ingest must not fail on missing metadata —
+    * the claims only ADD detection power when present). Driver-side:
+    * numShards lines.
+    */
+  private[graft] def manifestClaims(spark: SparkSession,
+      path: String): Map[String, Long] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path, "_manifest.json")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Map.empty
+      else {
+        val src = scala.io.Source.fromInputStream(fs.open(p), "UTF-8")
+        val lines = try src.getLines().toList finally src.close()
+        lines.flatMap { ln =>
+          // our own fixed writer format — regex-free string splitting
+          // (the Bench parser convention); any malformed line is skipped
+          for {
+            f <- ln.split("\"file\":\"", 2).lift(1).map(_.takeWhile(_ != '"'))
+            n <- ln.split("\"n_records\":", 2).lift(1)
+              .flatMap(s => scala.util.Try(
+                s.takeWhile(_.isDigit).toLong).toOption)
+          } yield f -> n
+        }.toMap
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
   def readManifest(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val p = new org.apache.hadoop.fs.Path(path, "_manifest.json")
@@ -329,10 +373,10 @@ object TfRecords {
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.get().partitionId()
         val name = f"part-$pid%05d$suffix"
-        val (n, payload) =
+        val (n, payload, diskLen) =
           commitShard(it.map(_.getAs[Array[Byte]](0)), path, name,
             gzip, hconf.value)
-        Iterator((pid.toLong, name, n, payload))
+        Iterator((pid.toLong, name, n, payload, diskLen))
       }.collect().toSeq // one row per shard — driver-bounded metadata
     writeManifest(spark.sparkContext.hadoopConfiguration, path, stats)
   }
@@ -384,9 +428,9 @@ object TfRecords {
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.get().partitionId()
         val name = f"part-$pid%05d$suffix"
-        val (n, payload) = commitShard(it.map(_._2), path, name,
+        val (n, payload, diskLen) = commitShard(it.map(_._2), path, name,
           gzip, hconf.value)
-        Iterator((pid.toLong, name, n, payload))
+        Iterator((pid.toLong, name, n, payload, diskLen))
       }.collect().toSeq // one row per shard — driver-bounded metadata
     writeManifest(spark.sparkContext.hadoopConfiguration, path, stats)
   }
@@ -405,6 +449,14 @@ object TfRecords {
     * size. Writer parallelism is `numShards` — size shard counts to
     * the corpus (e.g. curriculum phases × equal-mass blocks), exactly
     * like any sharded training export.
+    *
+    * Reproducible-layout contract (ADVICE r14): the sort is by
+    * `orderCol` ALONE, so rows with EQUAL order keys land in
+    * shuffle-read arrival order — byte-identical reruns require
+    * `orderCol` to be unique within each shard (compose a row identity
+    * into the key's tail, the cu17/cu20 idiom of appending the
+    * zero-padded doc_id). With duplicate keys the ORDER contract still
+    * holds; only the layout's byte-for-byte determinism is forfeit.
     */
   def writeShardedSorted(df: DataFrame, bytesCol: String, shardCol: String,
       orderCol: String, numShards: Int, path: String,
@@ -439,9 +491,9 @@ object TfRecords {
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.get().partitionId()
         val name = f"part-$pid%05d$suffix"
-        val (n, payload) = commitShard(it.map(_._2), path, name,
+        val (n, payload, diskLen) = commitShard(it.map(_._2), path, name,
           gzip, hconf.value)
-        Iterator((pid.toLong, name, n, payload))
+        Iterator((pid.toLong, name, n, payload, diskLen))
       }.collect().toSeq // one row per shard — driver-bounded metadata
     writeManifest(spark.sparkContext.hadoopConfiguration, path, stats)
   }
@@ -670,18 +722,41 @@ object TfRecords {
     * cannot know before its last row — so each file takes two
     * bounded-memory passes (a CRC-only walk, then the emitting replay)
     * instead of the old whole-file buffering.
+    *
+    * When the export carries a `_manifest.json`, each file's verified
+    * record count is also cross-checked against the writer's CLAIM, and
+    * a mismatch flips that file's verdict to false even when every
+    * frame's CRC verifies (VERDICT r14 #4): a gzip shard silently
+    * replaced whole — the overwrite-rename race the writer's length
+    * check cannot always catch — carries internally-consistent frames,
+    * and the count claim is the only signal left. A manifest-flagged
+    * file still emits its verified records (with file_clean=false), or
+    * one (file, -1, NULL, false) row when it verified empty; a missing
+    * or unreadable manifest adds no checks.
+    *
+    * Caveat (ADVICE r14): the replay-count guard (pass 2 emitted != pass
+    * 1 verified ⇒ IOException) sits AFTER the per-file iterator, so it
+    * only fires when the iterator is consumed to exhaustion — a
+    * downstream limit/take that abandons a file mid-read skips the
+    * guard for that file. Best-effort by design: the guard exists to
+    * catch between-pass file changes, and a consumer that stopped early
+    * never saw the affected tail rows anyway.
     */
   def readLenient(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val hconf = new SerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
+    val claims = manifestClaims(spark, path)
     val bins = packBySize(listShardSizes(spark, path))
     // one bin per task, exactly (see read())
     val rdd = spark.sparkContext
       .parallelize(bins.map(_.toList), math.max(1, bins.size))
       .flatMap(_.iterator.flatMap { f =>
         val file = shardName(f)
-        val (n, clean) = scanVerdict(f, hconf.value)
+        val (n, verified) = scanVerdict(f, hconf.value)
+        // manifest cross-check: CRC-clean but count != writer's claim
+        // ⇒ the file is not the one the writer described
+        val clean = verified && claims.get(file).forall(_ == n)
         if (n == 0L && !clean)
           Iterator((file, -1L, null.asInstanceOf[Array[Byte]], false))
         else {

@@ -133,6 +133,19 @@ object DumpPlans {
     // shape; the write's ordering rides repartitionAndSortWithinPartitions
     // (no global sort, no unpartitioned window anywhere)
     "cu17_curriculum_export",
+    // round-15: the export-manifest audit — a trivial manifest read, but
+    // every gated query carries the full four-artifact contract (oracle +
+    // ShuffleAudit row + plan pin + README row), so it pins uniformly
+    // (VERDICT r14 #5); the plan must stay a driver-built local scan of
+    // numShards manifest rows — corpus bytes move only inside the write
+    "cu18_export_manifest",
+    // round-15: the epoch-ORDERED export — the pinned plan must show the
+    // read-back rollup over the real shard files with ONE scan (the
+    // single-pass audit convention); inside the write, the permutation
+    // rank rides the bucketed Ordinal and placement rides
+    // repartitionAndSortWithinPartitions — no global sort, no
+    // single-partition row_number anywhere
+    "cu20_epoch_ordered_export",
     // round-14: sequence packing — the pinned plan must show the
     // corpus token total riding the bucketed prefix sum (partitioned
     // _ord_b window + broadcast offsets) with both rollups map-side

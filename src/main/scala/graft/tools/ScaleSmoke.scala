@@ -127,7 +127,8 @@ object ScaleSmoke {
       "cu16_equal_mass_export" -> "physical sharded export: the terminal shard_id exchange carries the corpus bytes ONCE, so wall and shuffle must scale ≈ Nx; writer-task skew is bounded by the assignment's <1-max-doc mass deviation",
       "cu17_curriculum_export" -> "ordered export: the sort-within-shard exchange carries the corpus bytes ONCE (ExternalSorter merges spilled runs, no in-memory shard), so wall and shuffle must scale ≈ Nx like cu16 plus the sort's log factor",
       "cu19_sequence_packing" -> "the prefix sum runs over EVERY document and the seq rollup over corpus_tokens/2048 keys: shuffle must scale ≈ Nx in longs with zero spill — no single-partition window anywhere",
-      "sm15_epoch_shuffle" -> "3 whole-corpus permutation ranks on the distributed Ordinal: shuffle must scale ≈ Nx in (hash, doc_id) longs with zero spill — the epoch-order claim is bit-reproducibility, not locality")
+      "sm15_epoch_shuffle" -> "3 whole-corpus permutation ranks on the distributed Ordinal: shuffle must scale ≈ Nx in (hash, doc_id) longs with zero spill — the epoch-order claim is bit-reproducibility, not locality",
+      "cu20_epoch_ordered_export" -> "epoch-ordered export: one Ordinal rank pass in longs plus the terminal sort-within-shard exchange carrying the corpus bytes ONCE — wall and shuffle must scale ≈ Nx like cu17, with the permutation (not the curriculum) as the placement key")
     val byName = graft.SparkEntry.all.map(q => q.name -> q).toMap
     def fmt(b: Long): String =
       if (b >= (1L << 20)) f"${b / 1048576.0}%.1f MiB"

@@ -82,6 +82,43 @@ class BenchRefSpec extends AnyFunSuite {
     assert(Bench.nextQueryRef(Some(5.415), None, 0.454) == 0.454)
   }
 
+  // ---- inflationThreshold (1.5x + short-row slack — VERDICT r14 #1) -------
+
+  test("short rows (< 2 s ref) get a 0.5 s absolute slack on top of 1.5x") {
+    // the r14 false alarm: dd22 min 2.635 vs ref 1.625 — 1.62x, but only
+    // +1.01 s absolute; with slack the threshold is 2.9375 so it passes
+    assert(Bench.inflationThreshold(1.625) == 1.5 * 1.625 + 0.5)
+    assert(2.635 <= Bench.inflationThreshold(1.625))
+    // a genuinely contended sample still trips it (ss25: 3.633 vs 1.103)
+    assert(3.633 > Bench.inflationThreshold(1.103))
+  }
+
+  test("rows with refs >= 2 s keep the pure 1.5x ratio test") {
+    assert(Bench.inflationThreshold(2.0) == 3.0)
+    assert(Bench.inflationThreshold(4.9) == 1.5 * 4.9)
+    // a real 1.6x regression on a long row is still flagged
+    assert(8.0 > Bench.inflationThreshold(4.9))
+  }
+
+  // ---- adjudicateInflated (isolated re-run clears the flag) ---------------
+
+  test("an isolated re-measure inside the threshold clears the published " +
+    "flag (the r14 dd22/ss25 case)") {
+    // ss25: sweep min 3.633 latched, isolated 1.268 vs ref 1.103 — the
+    // adjudication the judge previously did by hand now clears the row
+    assert(!Bench.adjudicateInflated(1.103, Some(1.268)))
+    assert(!Bench.adjudicateInflated(1.625, Some(1.873)))
+  }
+
+  test("a real regression survives adjudication; no isolated evidence " +
+    "keeps the flag") {
+    // isolated min still over threshold => genuinely slow
+    assert(Bench.adjudicateInflated(1.0, Some(2.5)))
+    assert(Bench.adjudicateInflated(4.0, Some(7.0)))
+    // all isolated reps failed => no clean evidence, stay flagged
+    assert(Bench.adjudicateInflated(1.0, None))
+  }
+
   // ---- nextFlagshipRef (upward-only, clean-run-only, 2x cap) --------------
 
   test("flagship ref rises on a clean faster run and holds on a slower one") {

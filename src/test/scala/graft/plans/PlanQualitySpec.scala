@@ -47,7 +47,14 @@ class PlanQualitySpec extends AnyFunSuite {
     // `source` is the corpus registry label, a fixed categorical domain
     // (~20 sources in the fixture; grows by onboarding decisions, never
     // with row count)
-    "cu10_token_budget" -> Set("source")
+    "cu10_token_budget" -> Set("source"),
+    // cu16's mass_ppm window rides the groupBy(shard_id) rollup of the
+    // read-back export — shard_id is clamped to 0..numShards-1 (= 8) by
+    // the assignment plan itself (least((8*cum) div total, 7)), a plan
+    // constant independent of corpus size (VERDICT r14 #3: the
+    // single-pass audit replaced the second shard read with this
+    // 8-row-frame window)
+    "cu16_equal_mass_export" -> Set("shard_id")
   )
 
   private def keyAllowed(query: String, key: String): Boolean =
@@ -226,6 +233,37 @@ class PlanQualitySpec extends AnyFunSuite {
       }
       assert(flagged.nonEmpty,
         "a bounded-name alias on an entity key must not satisfy the rail")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("the rail flags a global window over a cube/grouping-sets rollup " +
+    "of an entity-scale frame (the Expand pass-through gap — VERDICT r14 #6)") {
+    // passesThrough treats Expand as row-bounded (it scales rows by a
+    // PLAN constant — the projection count), which is sound only when
+    // the spine is bounded elsewhere. A cube over entity keys puts an
+    // Expand below a grouped aggregate whose keys (user_id ×
+    // grouping-id) bound nothing at 100 TB: the window's input is
+    // entity-scale times a constant. The rail must flag it — the
+    // aggregate's keys are not exempted and its Expand→scan spine is
+    // unbounded.
+    import org.apache.spark.sql.functions.sum
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val shape = spark.range(1000)
+        .selectExpr("id as user_id", "id % 7 as region", "id * 2 as w")
+        .cube("user_id", "region").agg(sum("w").as("s"))
+        .selectExpr("s", "row_number() over (order by s) as rn")
+      val flagged = shape.queryExecution.executedPlan.collect {
+        case w: WindowExec
+            if w.partitionSpec.isEmpty && !boundedBelow("synthetic", w.child) => w
+      }
+      // the plan really contains the Expand this test is about
+      assert(shape.queryExecution.executedPlan.collect {
+        case e if e.nodeName.toLowerCase.startsWith("expand") => e
+      }.nonEmpty, "cube must plan an Expand below the aggregate")
+      assert(flagged.nonEmpty,
+        "a cube over entity keys below a global window must be flagged")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
