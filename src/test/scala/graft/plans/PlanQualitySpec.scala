@@ -291,6 +291,24 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("sm15 reads the corpus ONCE: all three epochs derive from the " +
+    "persisted base projection (VERDICT r14 #2)") {
+    // At 100 TB the repeated scan, not the rank, is a 3-epoch audit's
+    // bill: the pre-r15 shape re-read documents.parquet per epoch (and
+    // per Ordinal pass — 6 scans). The returned plan must now carry NO
+    // direct file scan — every union branch feeds off the one cached
+    // (doc_id) projection, whose single parquet scan lives inside the
+    // InMemoryRelation.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val (_, _, plan) = built.find(_._1.name == "sm15_epoch_shuffle").get
+    val directScans = plan.collect { case s: FileSourceScanExec => s }
+    val cacheScans = plan.collect { case s: InMemoryTableScanExec => s }
+    assert(directScans.isEmpty,
+      s"sm15 must not re-scan parquet per epoch:\n$plan")
+    assert(cacheScans.nonEmpty, "the epochs must ride the persisted base")
+  }
+
   test("every oracle-gated query outputs only scalar columns") {
     // The driver's checker sorts result rows with pandas; an ARRAY/MAP/
     // STRUCT cell crashes its lexsort (`unhashable type: numpy.ndarray`)
