@@ -310,14 +310,14 @@ object TfRecords {
     * sources ignore underscore-prefixed paths, deliberately: the
     * manifest is metadata, not data).
     */
-  /** Best-effort per-file record-count claims from `_manifest.json`:
-    * file name → n_records, empty when the manifest is absent or
+  /** Best-effort per-file claims from `_manifest.json`: file name →
+    * (n_records, payload_bytes), empty when the manifest is absent or
     * unparseable (a lenient ingest must not fail on missing metadata —
     * the claims only ADD detection power when present). Driver-side:
     * numShards lines.
     */
   private[graft] def manifestClaims(spark: SparkSession,
-      path: String): Map[String, Long] =
+      path: String): Map[String, (Long, Long)] =
     try {
       val p = new org.apache.hadoop.fs.Path(path, "_manifest.json")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -325,15 +325,17 @@ object TfRecords {
       else {
         val src = scala.io.Source.fromInputStream(fs.open(p), "UTF-8")
         val lines = try src.getLines().toList finally src.close()
+        def num(ln: String, field: String): Option[Long] =
+          ln.split("\"" + field + "\":", 2).lift(1)
+            .flatMap(s => scala.util.Try(s.takeWhile(_.isDigit).toLong).toOption)
         lines.flatMap { ln =>
           // our own fixed writer format — regex-free string splitting
           // (the Bench parser convention); any malformed line is skipped
           for {
             f <- ln.split("\"file\":\"", 2).lift(1).map(_.takeWhile(_ != '"'))
-            n <- ln.split("\"n_records\":", 2).lift(1)
-              .flatMap(s => scala.util.Try(
-                s.takeWhile(_.isDigit).toLong).toOption)
-          } yield f -> n
+            n <- num(ln, "n_records")
+            b <- num(ln, "payload_bytes")
+          } yield f -> (n, b)
         }.toMap
       }
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
@@ -381,6 +383,45 @@ object TfRecords {
     writeManifest(spark.sparkContext.hadoopConfiguration, path, stats)
   }
 
+  /** Shard ids already COMMITTED under `path` (resume support):
+    * `part-NNNNN$suffix` names parsed back to shard ids. [[commitShard]]
+    * publishes via temp + atomic rename, so any present shard file is a
+    * COMPLETE commit from a prior run — presence alone proves
+    * completeness; a killed attempt leaves only a dot-prefixed temp the
+    * listing ignores.
+    */
+  private def committedShardIds(spark: SparkSession, path: String,
+      suffix: String): Set[Long] =
+    listShards(spark, path).flatMap { f =>
+      val n = shardName(f)
+      if (n.startsWith("part-") && n.endsWith(suffix))
+        scala.util.Try(
+          n.stripPrefix("part-").stripSuffix(suffix).toLong).toOption
+      else None
+    }.toSet
+
+  /** Manifest stats rows for the shards a resume SKIPPED: reuse the prior
+    * manifest's claim when it is consistent with the committed bytes
+    * (plain shards: on-disk length == payload + 16·n — checkable for
+    * free; gzip shards: the claim is trusted against the prior commit's
+    * integrity path, compression being length-opaque); a missing or
+    * inconsistent claim emits a sentinel length that forces
+    * [[writeManifest]]'s streaming re-derive for that one shard.
+    */
+  private def resumedStatsRows(conf: org.apache.hadoop.conf.Configuration,
+      dir: String, suffix: String, ids: Seq[Long],
+      claims: Map[String, (Long, Long)]): Seq[(Long, String, Long, Long, Long)] =
+    ids.sorted.map { s =>
+      val name = f"part-$s%05d$suffix"
+      val p = new org.apache.hadoop.fs.Path(dir, name)
+      val len = p.getFileSystem(conf).getFileStatus(p).getLen
+      claims.get(name) match {
+        case Some((n, b)) if suffix.endsWith(".gz") || len == b + 16 * n =>
+          (s, name, n, b, len)
+        case _ => (s, name, 0L, 0L, -1L) // forces the streaming re-derive
+      }
+    }
+
   /** PHYSICAL sharded export: write exactly `numShards` TFRecord files
     * where row → file is dictated by `shardCol` (a long in
     * `[0, numShards)`), i.e. every row with `shard_id = s` lands in
@@ -398,16 +439,36 @@ object TfRecords {
     * terminal exchange any sharded export pays; upstream assignment
     * decides the mass balance, so task skew equals the assignment's
     * mass deviation (bounded by one max document for equalMassShards).
+    *
+    * `resume = true` makes the write IDEMPOTENT after a partial failure:
+    * a 10,000-shard export that died at 97% must not rewrite 9,700 good
+    * files. Committed shards (present `part-NNNNN` files — rename is
+    * atomic, so presence proves completeness) are never touched: their
+    * rows are filtered out BEFORE the shuffle (a resume at 97% shuffles
+    * ~3% of the corpus), their tasks commit nothing, and their manifest
+    * rows come from the prior manifest's claims (verified against the
+    * framed length for plain shards; re-derived by streaming decode when
+    * missing or inconsistent). Resume assumes the SAME input and shard
+    * count as the failed run — the assignment is deterministic for every
+    * caller in this repo, which is what makes the skipped shards' bytes
+    * still correct.
     */
   def writeSharded(df: DataFrame, bytesCol: String, shardCol: String,
-      numShards: Int, path: String, gzip: Boolean = false): Unit = {
+      numShards: Int, path: String, gzip: Boolean = false,
+      resume: Boolean = false): Unit = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
     val spark = df.sparkSession
     val dir = new org.apache.hadoop.fs.Path(path)
     val fsDriver = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fsDriver.delete(dir, true)
+    if (!resume) fsDriver.delete(dir, true)
     fsDriver.mkdirs(dir)
     val suffix = if (gzip) ".tfrecord.gz" else ".tfrecord"
+    val done: Set[Long] =
+      if (resume) committedShardIds(spark, path, suffix) else Set.empty
+    val claims =
+      if (resume) manifestClaims(spark, path)
+      else Map.empty[String, (Long, Long)]
+    val doneB = spark.sparkContext.broadcast(done)
     val hconf = new SerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
     val byShard = new org.apache.spark.Partitioner {
@@ -424,15 +485,27 @@ object TfRecords {
         require(!r.isNullAt(0), "tfrecord: shard id must not be null")
         (r.getLong(0), r.getAs[Array[Byte]](1))
       }
+      // completed shards' rows never shuffle: the filter sits map-side,
+      // before the exchange
+      .filter(r => !doneB.value.contains(r._1))
       .partitionBy(byShard)
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.get().partitionId()
-        val name = f"part-$pid%05d$suffix"
-        val (n, payload, diskLen) = commitShard(it.map(_._2), path, name,
-          gzip, hconf.value)
-        Iterator((pid.toLong, name, n, payload, diskLen))
+        if (doneB.value.contains(pid.toLong)) {
+          // committed shard: rows were filtered out; never overwrite —
+          // an unconditional commit here would replace a complete file
+          // with an empty one on an overwrite-rename filesystem
+          Iterator.empty
+        } else {
+          val name = f"part-$pid%05d$suffix"
+          val (n, payload, diskLen) = commitShard(it.map(_._2), path, name,
+            gzip, hconf.value)
+          Iterator((pid.toLong, name, n, payload, diskLen))
+        }
       }.collect().toSeq // one row per shard — driver-bounded metadata
-    writeManifest(spark.sparkContext.hadoopConfiguration, path, stats)
+    writeManifest(spark.sparkContext.hadoopConfiguration, path,
+      stats ++ resumedStatsRows(spark.sparkContext.hadoopConfiguration,
+        path, suffix, done.toSeq, claims))
   }
 
   /** [[writeSharded]] with a WITHIN-SHARD ORDER contract: rows land in
@@ -457,17 +530,29 @@ object TfRecords {
     * into the key's tail, the cu17/cu20 idiom of appending the
     * zero-padded doc_id). With duplicate keys the ORDER contract still
     * holds; only the layout's byte-for-byte determinism is forfeit.
+    *
+    * `resume` is [[writeSharded]]'s idempotent-restart contract applied
+    * to the ordered writer: committed shards' rows are filtered out
+    * before the sort shuffle and their files never touched — sound here
+    * for the same reason, because each shard's ORDER is a pure function
+    * of its own rows.
     */
   def writeShardedSorted(df: DataFrame, bytesCol: String, shardCol: String,
       orderCol: String, numShards: Int, path: String,
-      gzip: Boolean = false): Unit = {
+      gzip: Boolean = false, resume: Boolean = false): Unit = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
     val spark = df.sparkSession
     val dir = new org.apache.hadoop.fs.Path(path)
     val fsDriver = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fsDriver.delete(dir, true)
+    if (!resume) fsDriver.delete(dir, true)
     fsDriver.mkdirs(dir)
     val suffix = if (gzip) ".tfrecord.gz" else ".tfrecord"
+    val done: Set[Long] =
+      if (resume) committedShardIds(spark, path, suffix) else Set.empty
+    val claims =
+      if (resume) manifestClaims(spark, path)
+      else Map.empty[String, (Long, Long)]
+    val doneB = spark.sparkContext.broadcast(done)
     val hconf = new SerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
     val byShardKey = new org.apache.spark.Partitioner {
@@ -487,15 +572,22 @@ object TfRecords {
           "tfrecord: order key must not be null (a null cannot be placed)")
         ((r.getLong(0), r.getString(1)), r.getAs[Array[Byte]](2))
       }
+      .filter(r => !doneB.value.contains(r._1._1)) // map-side, pre-shuffle
       .repartitionAndSortWithinPartitions(byShardKey)
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.get().partitionId()
-        val name = f"part-$pid%05d$suffix"
-        val (n, payload, diskLen) = commitShard(it.map(_._2), path, name,
-          gzip, hconf.value)
-        Iterator((pid.toLong, name, n, payload, diskLen))
+        if (doneB.value.contains(pid.toLong)) {
+          Iterator.empty // committed shard — never overwrite (see writeSharded)
+        } else {
+          val name = f"part-$pid%05d$suffix"
+          val (n, payload, diskLen) = commitShard(it.map(_._2), path, name,
+            gzip, hconf.value)
+          Iterator((pid.toLong, name, n, payload, diskLen))
+        }
       }.collect().toSeq // one row per shard — driver-bounded metadata
-    writeManifest(spark.sparkContext.hadoopConfiguration, path, stats)
+    writeManifest(spark.sparkContext.hadoopConfiguration, path,
+      stats ++ resumedStatsRows(spark.sparkContext.hadoopConfiguration,
+        path, suffix, done.toSeq, claims))
   }
 
   /** Shard listing for [[read]]/[[readLenient]]: direct children matching
@@ -756,7 +848,7 @@ object TfRecords {
         val (n, verified) = scanVerdict(f, hconf.value)
         // manifest cross-check: CRC-clean but count != writer's claim
         // ⇒ the file is not the one the writer described
-        val clean = verified && claims.get(file).forall(_ == n)
+        val clean = verified && claims.get(file).forall(_._1 == n)
         if (n == 0L && !clean)
           Iterator((file, -1L, null.asInstanceOf[Array[Byte]], false))
         else {

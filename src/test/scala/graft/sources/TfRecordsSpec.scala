@@ -388,6 +388,70 @@ class TfRecordsSpec extends AnyFunSuite {
       .selectExpr("sum(n_records)").collect()(0).getLong(0) == 60L)
   }
 
+  test("resume rewrites ONLY the missing shards: committed files are " +
+    "never touched and the manifest comes back complete (idempotent restart)") {
+    import spark.implicits._
+    // a 10,000-shard export that dies at 97% must not rewrite 9,700 good
+    // files: rename-commit makes presence == completeness, so resume
+    // filters committed shards' rows out before the shuffle and only the
+    // missing shards' tasks write
+    val df = spark.range(100).selectExpr("id % 5 as shard_id",
+      "cast(concat('r=', id) as binary) as rec")
+    val path = java.nio.file.Files.createTempDirectory("graft-tfrec-resume").toString
+    TfRecords.writeSharded(df, "rec", "shard_id", 5, path)
+    val payload0 = TfRecords.readManifest(spark, path)
+      .selectExpr("sum(payload_bytes)").collect()(0).getLong(0)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".tfrecord")).sortBy(_.getName)
+    // simulate the failed run: shards 1 and 3 missing, and NO manifest
+    // (the manifest is written last, so a killed export never has one)
+    java.nio.file.Files.delete(files(1).toPath)
+    java.nio.file.Files.delete(files(3).toPath)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path, "_manifest.json"))
+    new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    // sentinel mtimes prove the survivors' bytes are never rewritten
+    Seq(0, 2, 4).foreach(i => files(i).setLastModified(1000000000000L))
+    TfRecords.writeSharded(df, "rec", "shard_id", 5, path, resume = true)
+    Seq(0, 2, 4).foreach(i => assert(files(i).lastModified == 1000000000000L,
+      s"${files(i).getName} was rewritten on resume"))
+    assert(files(1).isFile && files(3).isFile, "missing shards recreated")
+    assert(TfRecords.read(spark, path).count() == 100)
+    // manifest rebuilt complete; survivors' stats re-derived from bytes
+    // (no claims survived the simulated crash)
+    assert(TfRecords.readManifest(spark, path)
+      .selectExpr("sum(n_records)").collect()(0).getLong(0) == 100L)
+    assert(TfRecords.readManifest(spark, path)
+      .selectExpr("sum(payload_bytes)").collect()(0).getLong(0) == payload0)
+    // a second resume over the now-complete export is a pure no-op on
+    // the shard files, and the manifest claims are reused intact
+    files.foreach(_.setLastModified(1000000000000L))
+    TfRecords.writeSharded(df, "rec", "shard_id", 5, path, resume = true)
+    assert(files.forall(_.lastModified == 1000000000000L))
+    assert(TfRecords.readManifest(spark, path)
+      .selectExpr("sum(payload_bytes)").collect()(0).getLong(0) == payload0)
+    // the sorted writer shares the contract: kill one ordered shard,
+    // resume, and the recreated file is both present and IN ORDER
+    val sdf = spark.range(60).selectExpr("id % 3 as shard_id",
+      "lpad(cast(id as string), 6, '0') as okey",
+      "cast(concat('s=', id) as binary) as rec")
+    val spath = java.nio.file.Files.createTempDirectory("graft-tfrec-resume-sorted").toString
+    TfRecords.writeShardedSorted(sdf, "rec", "shard_id", "okey", 3, spath)
+    val sfiles = new java.io.File(spath).listFiles()
+      .filter(_.getName.endsWith(".tfrecord")).sortBy(_.getName)
+    java.nio.file.Files.delete(sfiles(1).toPath)
+    new java.io.File(spath).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    Seq(0, 2).foreach(i => sfiles(i).setLastModified(1000000000000L))
+    TfRecords.writeShardedSorted(sdf, "rec", "shard_id", "okey", 3, spath,
+      resume = true)
+    Seq(0, 2).foreach(i => assert(sfiles(i).lastModified == 1000000000000L))
+    val ids = TfRecords.decodeAll(
+      java.nio.file.Files.readAllBytes(sfiles(1).toPath))
+      .map(r => new String(r, "UTF-8").stripPrefix("s=").toLong)
+    assert(ids.length == 20 && ids.forall(_ % 3 == 1) && ids == ids.sorted)
+  }
+
   test("readLenient cross-checks record counts against _manifest.json: a " +
     "CRC-clean gzip shard swap flags exactly that file (VERDICT r14 #4)") {
     import spark.implicits._
