@@ -95,20 +95,24 @@ object Bench {
     * SemDeDup rows carry run-to-run spread (GC pauses, codegen cache
     * evictions across a 237-query sweep) whose ABSOLUTE size (~0.5-1 s)
     * exceeds 50% of their reference — a ratio test cannot separate that
-    * noise class from a real regression. Short rows therefore get an
-    * absolute slack floor: below a 2 s reference the threshold is
-    * 1.5*ref + 0.5 s.
+    * noise class from a real regression. Every row therefore gets a flat
+    * 0.5 s absolute slack on top of the ratio: threshold = 1.5*ref + 0.5.
+    * Flat (not gated on ref < 2 s) so the threshold is MONOTONE in the
+    * reference — a step at 2 s would give a SLOWER reference a stricter
+    * absolute bar (threshold(1.99) = 3.49 vs threshold(2.01) = 3.02),
+    * letting a ref that drifts across the boundary abruptly lose its
+    * slack and latch the exact phantom class this rule removes.
     *
-    * Documented bias: a short row's real regression must now exceed
-    * 1.5x + 0.5 s to be flagged — e.g. a 1.0 s row regressing to 1.9 s
-    * passes silently. Acceptable: the unflagged absolute cost is bounded
-    * by the slack (0.5 s per row per round), while the false-alarm class
-    * it removes fired on ~40% of runs and each firing cost a manual
-    * isolated re-measurement to adjudicate. Rows with refs >= 2 s keep
-    * the pure ratio test — their noise is proportionally small.
+    * Documented bias: a real regression must now exceed 1.5x + 0.5 s to
+    * be flagged — e.g. a 1.0 s row regressing to 1.9 s passes silently.
+    * Acceptable: the unflagged absolute cost is bounded by the slack
+    * (0.5 s per row per round, and proportionally negligible for long
+    * rows — 7% of a 7 s threshold), while the false-alarm class it
+    * removes fired on ~40% of runs and each firing cost a manual
+    * isolated re-measurement to adjudicate.
     */
   private[graft] def inflationThreshold(ref: Double): Double =
-    1.5 * ref + (if (ref < 2.0) 0.5 else 0.0)
+    1.5 * ref + 0.5
 
   /** Final inflation adjudication (VERDICT r14 #1): the post-sweep
     * isolated re-measurement was already the human adjudication step —

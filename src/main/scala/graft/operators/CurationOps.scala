@@ -788,7 +788,13 @@ object CurationOps {
     // shard bigger than executor memory sorts on disk); `total` enters
     // as a driver scalar from a distributed count. The order key embeds
     // the unique global pos, meeting writeShardedSorted's
-    // reproducible-layout contract.
+    // reproducible-layout contract. Text is consumed exactly once (the
+    // terminal write), so only the (doc_id) projection persists — it
+    // feeds the count and the ordinal's quantile probe — and the
+    // text-bearing frame streams through one pruned-then-full pair of
+    // scans (caching corpus text for a column used once would cost a
+    // full cache write + read — at 100 TB strictly worse than the extra
+    // narrow doc_id column reads).
     Q(
       "cu20_epoch_ordered_export",
       s"""WITH r AS (SELECT doc_id, row_number() OVER (ORDER BY
@@ -806,14 +812,18 @@ object CurationOps {
          |  CAST(SUM(CAST((p % 1000000007) * (doc_id % 1000000007)
          |    % 1000000007 AS HUGEINT)) % 1000000007 AS BIGINT) AS ord_checksum
          |FROM w GROUP BY shard_id""".stripMargin) { (s, d) =>
-      // one corpus read: the persisted base feeds the count, the keyed
-      // frame, the ordinal's probe, and the record payload (sm15 idiom)
-      val base = T.documents(s, d).select("doc_id", "text").persist()
+      // the sm15 idiom, text-aware: persist ONLY (doc_id) — count and
+      // quantile probe ride the cache; the text frame is never cached
+      val base = T.documents(s, d).select("doc_id").persist()
       val total = base.count()
-      val keyed = base.selectExpr("doc_id", "text",
-        s"${P.hash60("concat('epoch|1|', cast(doc_id as string))")} as hk")
+      val hkExpr = P.hash60("concat('epoch|1|', cast(doc_id as string))")
+      val splits = graft.operators.Ordinal.quantileSplits(
+        base.selectExpr("doc_id", s"$hkExpr as hk"), "hk", 32)
+      val keyed = T.documents(s, d)
+        .selectExpr("doc_id", "text", s"$hkExpr as hk")
       val recs = graft.operators.Ordinal
-        .withGlobalOrdinal(keyed, "hk", "pos", tieCols = Seq("doc_id"))
+        .withGlobalOrdinal(keyed, "hk", "pos", splits = Some(splits),
+          tieCols = Seq("doc_id"))
         .selectExpr(
           s"least((8 * (pos - 1)) div $total, 7) as shard_id",
           "lpad(cast(pos as string), 19, '0') as okey",

@@ -224,22 +224,37 @@ object TfRecords {
       // cu18 gate exists to catch
       fs.delete(tmp, false)
       require(fs.exists(shard), s"tfrecord: commit of $shard failed")
-      n = 0L
-      payload = 0L
       diskLen = fs.getFileStatus(shard).getLen
-      val din = openStream(shard.toString, conf)
-      try {
-        var rec = readRecord(din, name)
-        while (rec != null) {
-          n += 1
-          payload += rec.length
-          rec = readRecord(din, name)
-        }
-      } finally {
-        try din.close() catch { case _: java.io.IOException => () }
-      }
+      val (rn, rb) = deriveStats(shard.toString, conf)
+      n = rn
+      payload = rb
     }
     (n, payload, diskLen)
+  }
+
+  /** Stream-decode one committed shard's stats (record count, payload
+    * bytes) with both CRCs verified — shared by [[commitShard]]'s
+    * lost-race path, [[writeManifest]]'s mismatch re-derive, and the
+    * resume path's distributed re-derive. One record of memory;
+    * corruption throws (a shard whose stats we are about to PUBLISH must
+    * decode cleanly).
+    */
+  private def deriveStats(fullPath: String,
+      conf: org.apache.hadoop.conf.Configuration): (Long, Long) = {
+    var n = 0L
+    var payload = 0L
+    val din = openStream(fullPath, conf)
+    try {
+      var rec = readRecord(din, shardName(fullPath))
+      while (rec != null) {
+        n += 1
+        payload += rec.length
+        rec = readRecord(din, shardName(fullPath))
+      }
+    } finally {
+      try din.close() catch { case _: java.io.IOException => () }
+    }
+    (n, payload)
   }
 
   /** The export MANIFEST every writer emits beside its shards
@@ -277,19 +292,7 @@ object TfRecords {
       if (fs.getFileStatus(p).getLen == diskLen)
         (shard, file, n, payload)
       else {
-        var rn = 0L
-        var rb = 0L
-        val din = openStream(p.toString, conf)
-        try {
-          var rec = readRecord(din, file)
-          while (rec != null) {
-            rn += 1
-            rb += rec.length
-            rec = readRecord(din, file)
-          }
-        } finally {
-          try din.close() catch { case _: java.io.IOException => () }
-        }
+        val (rn, rb) = deriveStats(p.toString, conf)
         (shard, file, rn, rb)
       }
     }
@@ -404,23 +407,63 @@ object TfRecords {
     * manifest's claim when it is consistent with the committed bytes
     * (plain shards: on-disk length == payload + 16·n — checkable for
     * free; gzip shards: the claim is trusted against the prior commit's
-    * integrity path, compression being length-opaque); a missing or
-    * inconsistent claim emits a sentinel length that forces
-    * [[writeManifest]]'s streaming re-derive for that one shard.
+    * integrity path, compression being length-opaque). Shards with a
+    * missing or inconsistent claim are stream-decoded — as a DISTRIBUTED
+    * job, because this is the COMMON resume case, not the rare one: the
+    * manifest is written last, so a crashed export never has one, and a
+    * 97%-complete restart would otherwise funnel ~97% of the corpus
+    * through one sequential driver decode (defeating the feature's own
+    * point).
     */
-  private def resumedStatsRows(conf: org.apache.hadoop.conf.Configuration,
+  private def resumedStatsRows(spark: SparkSession,
       dir: String, suffix: String, ids: Seq[Long],
-      claims: Map[String, (Long, Long)]): Seq[(Long, String, Long, Long, Long)] =
-    ids.sorted.map { s =>
+      claims: Map[String, (Long, Long)],
+      hconf: SerializableHadoopConf): Seq[(Long, String, Long, Long, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def pathOf(name: String) = new org.apache.hadoop.fs.Path(dir, name)
+    val (claimed, unclaimed) = ids.sorted.partition { s =>
       val name = f"part-$s%05d$suffix"
-      val p = new org.apache.hadoop.fs.Path(dir, name)
-      val len = p.getFileSystem(conf).getFileStatus(p).getLen
-      claims.get(name) match {
-        case Some((n, b)) if suffix.endsWith(".gz") || len == b + 16 * n =>
-          (s, name, n, b, len)
-        case _ => (s, name, 0L, 0L, -1L) // forces the streaming re-derive
+      claims.get(name).exists { case (n, b) =>
+        suffix.endsWith(".gz") ||
+          pathOf(name).getFileSystem(conf).getFileStatus(pathOf(name)).getLen ==
+            b + 16 * n
       }
     }
+    val claimedRows = claimed.map { s =>
+      val name = f"part-$s%05d$suffix"
+      val len = pathOf(name).getFileSystem(conf).getFileStatus(pathOf(name)).getLen
+      val (n, b) = claims(name)
+      (s, name, n, b, len)
+    }
+    val derivedRows =
+      if (unclaimed.isEmpty) Seq.empty
+      else spark.sparkContext
+        .parallelize(unclaimed, math.max(1, math.min(unclaimed.size, 256)))
+        .map { s =>
+          val name = f"part-$s%05d$suffix"
+          val p = new org.apache.hadoop.fs.Path(dir, name)
+          val len = p.getFileSystem(hconf.value).getFileStatus(p).getLen
+          val (n, b) = deriveStats(p.toString, hconf.value)
+          (s, name, n, b, len)
+        }.collect().toSeq // one row per resumed shard — driver-bounded
+    claimedRows ++ derivedRows
+  }
+
+  /** Prepare an export directory: a fresh write clears it whole; a
+    * resume keeps committed shards but clears the crashed run's orphaned
+    * `.part-N.<attempt>.inprogress` temps — invisible to readers
+    * (dot-prefixed) but up to near-shard-size each, and repeated
+    * crash/resume cycles would accumulate them forever. Safe because
+    * resume is single-writer by contract: no live task owns a temp here.
+    */
+  private def prepareExportDir(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, resume: Boolean): Unit = {
+    if (!resume) fs.delete(dir, true)
+    else if (fs.exists(dir))
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(dir, ".*.inprogress")))
+        .foreach(_.foreach(st => fs.delete(st.getPath, false)))
+    fs.mkdirs(dir)
+  }
 
   /** PHYSICAL sharded export: write exactly `numShards` TFRecord files
     * where row → file is dictated by `shardCol` (a long in
@@ -460,8 +503,7 @@ object TfRecords {
     val spark = df.sparkSession
     val dir = new org.apache.hadoop.fs.Path(path)
     val fsDriver = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!resume) fsDriver.delete(dir, true)
-    fsDriver.mkdirs(dir)
+    prepareExportDir(fsDriver, dir, resume)
     val suffix = if (gzip) ".tfrecord.gz" else ".tfrecord"
     val done: Set[Long] =
       if (resume) committedShardIds(spark, path, suffix) else Set.empty
@@ -504,8 +546,7 @@ object TfRecords {
         }
       }.collect().toSeq // one row per shard — driver-bounded metadata
     writeManifest(spark.sparkContext.hadoopConfiguration, path,
-      stats ++ resumedStatsRows(spark.sparkContext.hadoopConfiguration,
-        path, suffix, done.toSeq, claims))
+      stats ++ resumedStatsRows(spark, path, suffix, done.toSeq, claims, hconf))
   }
 
   /** [[writeSharded]] with a WITHIN-SHARD ORDER contract: rows land in
@@ -544,8 +585,7 @@ object TfRecords {
     val spark = df.sparkSession
     val dir = new org.apache.hadoop.fs.Path(path)
     val fsDriver = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!resume) fsDriver.delete(dir, true)
-    fsDriver.mkdirs(dir)
+    prepareExportDir(fsDriver, dir, resume)
     val suffix = if (gzip) ".tfrecord.gz" else ".tfrecord"
     val done: Set[Long] =
       if (resume) committedShardIds(spark, path, suffix) else Set.empty
@@ -586,8 +626,7 @@ object TfRecords {
         }
       }.collect().toSeq // one row per shard — driver-bounded metadata
     writeManifest(spark.sparkContext.hadoopConfiguration, path,
-      stats ++ resumedStatsRows(spark.sparkContext.hadoopConfiguration,
-        path, suffix, done.toSeq, claims))
+      stats ++ resumedStatsRows(spark, path, suffix, done.toSeq, claims, hconf))
   }
 
   /** Shard listing for [[read]]/[[readLenient]]: direct children matching
@@ -823,8 +862,11 @@ object TfRecords {
     * check cannot always catch — carries internally-consistent frames,
     * and the count claim is the only signal left. A manifest-flagged
     * file still emits its verified records (with file_clean=false), or
-    * one (file, -1, NULL, false) row when it verified empty; a missing
-    * or unreadable manifest adds no checks.
+    * one (file, -1, NULL, false) row when it verified empty; a
+    * manifest-claimed file that is ABSENT from disk entirely surfaces as
+    * the same marker row (a deleted shard must not be silent just
+    * because nothing is left to list); a missing or unreadable manifest
+    * adds no checks.
     *
     * Caveat (ADVICE r14): the replay-count guard (pass 2 emitted != pass
     * 1 verified ⇒ IOException) sits AFTER the per-file iterator, so it
@@ -839,7 +881,14 @@ object TfRecords {
     val hconf = new SerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
     val claims = manifestClaims(spark, path)
-    val bins = packBySize(listShardSizes(spark, path))
+    val listing = listShardSizes(spark, path)
+    val bins = packBySize(listing)
+    // a file the manifest claims but the listing lacks was DELETED after
+    // commit — no task will ever visit it, so it gets its marker row
+    // here, driver-side (numShards-bounded)
+    val listed = listing.map { case (f, _) => shardName(f) }.toSet
+    val missingRows = claims.keysIterator.filterNot(listed).toSeq.sorted
+      .map(f => (f, -1L, null.asInstanceOf[Array[Byte]], false))
     // one bin per task, exactly (see read())
     val rdd = spark.sparkContext
       .parallelize(bins.map(_.toList), math.max(1, bins.size))
@@ -871,6 +920,10 @@ object TfRecords {
           }
         }
       })
-    spark.createDataset(rdd).toDF("file", "rec_idx", "record", "file_clean")
+    val withMissing =
+      if (missingRows.isEmpty) rdd
+      else rdd.union(spark.sparkContext.parallelize(missingRows, 1))
+    spark.createDataset(withMissing)
+      .toDF("file", "rec_idx", "record", "file_clean")
   }
 }

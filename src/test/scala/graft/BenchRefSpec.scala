@@ -82,22 +82,28 @@ class BenchRefSpec extends AnyFunSuite {
     assert(Bench.nextQueryRef(Some(5.415), None, 0.454) == 0.454)
   }
 
-  // ---- inflationThreshold (1.5x + short-row slack — VERDICT r14 #1) -------
+  // ---- inflationThreshold (1.5x + flat 0.5 s slack — VERDICT r14 #1) ------
 
-  test("short rows (< 2 s ref) get a 0.5 s absolute slack on top of 1.5x") {
+  test("every row gets a 0.5 s absolute slack on top of the 1.5x ratio") {
     // the r14 false alarm: dd22 min 2.635 vs ref 1.625 — 1.62x, but only
     // +1.01 s absolute; with slack the threshold is 2.9375 so it passes
     assert(Bench.inflationThreshold(1.625) == 1.5 * 1.625 + 0.5)
     assert(2.635 <= Bench.inflationThreshold(1.625))
     // a genuinely contended sample still trips it (ss25: 3.633 vs 1.103)
     assert(3.633 > Bench.inflationThreshold(1.103))
+    // a real 1.6x regression on a long row is still flagged — the flat
+    // slack is proportionally negligible there
+    assert(8.0 > Bench.inflationThreshold(4.9))
   }
 
-  test("rows with refs >= 2 s keep the pure 1.5x ratio test") {
-    assert(Bench.inflationThreshold(2.0) == 3.0)
-    assert(Bench.inflationThreshold(4.9) == 1.5 * 4.9)
-    // a real 1.6x regression on a long row is still flagged
-    assert(8.0 > Bench.inflationThreshold(4.9))
+  test("the threshold is MONOTONE in the reference (no step at 2 s)") {
+    // a gated short-row slack would give a SLOWER ref a STRICTER
+    // absolute bar around the boundary (threshold(1.99) > threshold(2.01)
+    // under the stepped form) — a ref drifting across 2 s between rounds
+    // would abruptly lose its slack and latch a phantom regression
+    assert(Bench.inflationThreshold(1.99) < Bench.inflationThreshold(2.01))
+    val refs = Seq(0.1, 0.5, 1.0, 1.99, 2.0, 2.01, 3.0, 10.0)
+    assert(refs.map(Bench.inflationThreshold) == refs.map(Bench.inflationThreshold).sorted)
   }
 
   // ---- adjudicateInflated (isolated re-run clears the flag) ---------------

@@ -410,12 +410,19 @@ class TfRecordsSpec extends AnyFunSuite {
     java.nio.file.Files.delete(java.nio.file.Paths.get(path, "_manifest.json"))
     new java.io.File(path).listFiles()
       .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    // ... and a crashed task's orphaned temp, which resume must sweep
+    // (invisible to readers but near-shard-size storage leaked forever)
+    val orphan = java.nio.file.Paths.get(path,
+      ".part-00001.tfrecord.42.inprogress")
+    java.nio.file.Files.write(orphan, Array[Byte](1, 2, 3))
     // sentinel mtimes prove the survivors' bytes are never rewritten
     Seq(0, 2, 4).foreach(i => files(i).setLastModified(1000000000000L))
     TfRecords.writeSharded(df, "rec", "shard_id", 5, path, resume = true)
     Seq(0, 2, 4).foreach(i => assert(files(i).lastModified == 1000000000000L,
       s"${files(i).getName} was rewritten on resume"))
     assert(files(1).isFile && files(3).isFile, "missing shards recreated")
+    assert(!java.nio.file.Files.exists(orphan),
+      "resume must sweep the crashed run's .inprogress orphans")
     assert(TfRecords.read(spark, path).count() == 100)
     // manifest rebuilt complete; survivors' stats re-derived from bytes
     // (no claims survived the simulated crash)
@@ -496,6 +503,17 @@ class TfRecordsSpec extends AnyFunSuite {
     val marker = back2.filter(_.getString(0) == victim.getName)
     assert(marker.length == 1 && marker(0).getLong(1) == -1L &&
       !marker(0).getBoolean(3))
+    // a manifest-claimed file DELETED from disk is not silent either:
+    // nothing is left to list, so the marker row comes from the claims
+    java.nio.file.Files.delete(victim.toPath)
+    new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    val backGone = TfRecords.readLenient(spark, path).collect()
+    val gone = backGone.filter(_.getString(0) == victim.getName)
+    assert(gone.length == 1 && gone(0).getLong(1) == -1L &&
+      gone(0).isNullAt(2) && !gone(0).getBoolean(3),
+      "a deleted-but-claimed shard must surface as a marker row")
+    assert(backGone.count(_.getBoolean(3)) == 20, "survivors still clean")
     // and with no manifest at all, behavior is unchanged (no claims)
     java.nio.file.Files.delete(java.nio.file.Paths.get(path, "_manifest.json"))
     val back3 = TfRecords.readLenient(spark, path).collect()
