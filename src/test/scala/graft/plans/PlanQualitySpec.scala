@@ -267,6 +267,28 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("the rail flags a global window over an exploded (Generate) frame " +
+    "— data-dependent expansion never passes through") {
+    // explode multiplies rows by a DATA-dependent factor (array length),
+    // unlike Expand's plan constant — Generate is deliberately absent
+    // from passesThrough, and this pin keeps it that way: a per-token
+    // explode below a global rank is the corpus-tokenize funnel shape.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val shape = spark.range(100)
+        .selectExpr("id", "sequence(0L, id % 7) as xs")
+        .selectExpr("id", "explode(xs) as x")
+        .selectExpr("x", "row_number() over (order by x, id) as rn")
+      val flagged = shape.queryExecution.executedPlan.collect {
+        case w: WindowExec
+            if w.partitionSpec.isEmpty && !boundedBelow("synthetic", w.child) => w
+      }
+      assert(flagged.nonEmpty,
+        "an exploded frame below a global window must be flagged")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("the rail is not satisfied by a broadcast of a tiny frame " +
     "BESIDE the corpus spine (ADVICE r13: exists-anywhere blind spot)") {
     // A corpus scan crossJoined with a 1-row aggregate put a
