@@ -457,6 +457,26 @@ class TfRecordsSpec extends AnyFunSuite {
       java.nio.file.Files.readAllBytes(sfiles(1).toPath))
       .map(r => new String(r, "UTF-8").stripPrefix("s=").toLong)
     assert(ids.length == 20 && ids.forall(_ % 3 == 1) && ids == ids.sorted)
+    // gzip resume: survivors' stats ride the PRIOR manifest's claims
+    // (compression makes the framed length unverifiable, so the claim is
+    // trusted against the prior commit's integrity path) — and the
+    // missing shard still rewrites
+    val gdf = spark.range(30).selectExpr("id % 3 as shard_id",
+      "cast(concat('g=', id) as binary) as rec")
+    val gpath = java.nio.file.Files.createTempDirectory("graft-tfrec-resume-gz").toString
+    TfRecords.writeSharded(gdf, "rec", "shard_id", 3, gpath, gzip = true)
+    val gfiles = new java.io.File(gpath).listFiles()
+      .filter(_.getName.endsWith(".tfrecord.gz")).sortBy(_.getName)
+    java.nio.file.Files.delete(gfiles(0).toPath)
+    new java.io.File(gpath).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    Seq(1, 2).foreach(i => gfiles(i).setLastModified(1000000000000L))
+    TfRecords.writeSharded(gdf, "rec", "shard_id", 3, gpath, gzip = true,
+      resume = true)
+    Seq(1, 2).foreach(i => assert(gfiles(i).lastModified == 1000000000000L))
+    assert(TfRecords.read(spark, gpath).count() == 30)
+    assert(TfRecords.readManifest(spark, gpath)
+      .selectExpr("sum(n_records)").collect()(0).getLong(0) == 30L)
   }
 
   test("readLenient cross-checks record counts against _manifest.json: a " +
