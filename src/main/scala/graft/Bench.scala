@@ -193,11 +193,11 @@ object Bench {
     // ~1.9x their isolated cost with noisy:false). The previous round's
     // bench_out.json is committed — its per-query min is a same-host,
     // same-sf steady-state reference. A current min over the prior-ref
-    // threshold (inflationThreshold: 1.5x, +0.5 s absolute slack for
-    // sub-2-s refs — VERDICT r14 #1) on a non-trivial query earns extra
-    // settle reps; if the gap still doesn't close, the query gets an
-    // isolated post-sweep re-measurement whose verdict decides the final
-    // published "inflated" list (adjudicateInflated). Parse is regex-free string splitting over our own
+    // threshold (inflationThreshold: 1.5x plus a flat 0.5 s absolute
+    // slack at every ref — VERDICT r14 #1) on a non-trivial query earns
+    // extra settle reps; if the gap still doesn't close, the query gets
+    // an isolated post-sweep re-measurement whose verdict decides the
+    // final published "inflated" list (adjudicateInflated). Parse is regex-free string splitting over our own
     // fixed format; any mismatch (missing file, different sf) degrades
     // to an empty reference, never a failure.
     //

@@ -259,14 +259,18 @@ object TfRecords {
 
   /** The export MANIFEST every writer emits beside its shards
     * (`_manifest.json`, one JSON object per file): record count, total
-    * payload bytes, and logical framed bytes (payload + 16 per record —
-    * pre-compression, so the figure is layout-independent). A training
-    * job sizes its input splits and progress bars from this instead of
-    * scanning every shard; the cu18 gate pins the claimed stats against
-    * ground truth recomputed from the source table. The rows come back
-    * one per writer task (`numShards`-bounded metadata — the driver-
-    * bounded collect class), and the underscore prefix keeps the file
-    * invisible to shard listings, exactly like Hadoop's own markers.
+    * payload bytes, logical framed bytes (payload + 16 per record —
+    * pre-compression, so the figure is layout-independent), and the
+    * committed file's physical `disk_bytes`. A training job sizes its
+    * input splits and progress bars from this instead of scanning every
+    * shard; the cu18 gate pins the claimed stats against ground truth
+    * recomputed from the source table. `disk_bytes` is what makes GZIP
+    * claims verifiable downstream — compression makes the framing
+    * arithmetic useless there, but any consumer (resume, audits) can
+    * still stat the file and compare. The rows come back one per writer
+    * task (`numShards`-bounded metadata — the driver-bounded collect
+    * class), and the underscore prefix keeps the file invisible to
+    * shard listings, exactly like Hadoop's own markers.
     */
   private def writeManifest(conf: org.apache.hadoop.conf.Configuration,
       dir: String, rows0: Seq[(Long, String, Long, Long, Long)]): Unit = {
@@ -285,42 +289,39 @@ object TfRecords {
     // mismatch, re-derive that one shard's stats from its committed
     // bytes (driver-side streaming decode — openStream inflates .gz —
     // rare). A same-length different-content overwrite remains
-    // undetectable here; readLenient's manifest-count cross-check is
-    // the reader-side backstop.
+    // undetectable here; readLenient's manifest claims cross-check
+    // (count AND payload) is the reader-side backstop.
     val rows = rows0.map { case (shard, file, n, payload, diskLen) =>
       val p = new org.apache.hadoop.fs.Path(dir, file)
-      if (fs.getFileStatus(p).getLen == diskLen)
-        (shard, file, n, payload)
+      val len = fs.getFileStatus(p).getLen
+      if (len == diskLen)
+        (shard, file, n, payload, len)
       else {
         val (rn, rb) = deriveStats(p.toString, conf)
-        (shard, file, rn, rb)
+        (shard, file, rn, rb, len)
       }
     }
     val mp = new org.apache.hadoop.fs.Path(dir, "_manifest.json")
     val w = new java.io.PrintWriter(
       new java.io.OutputStreamWriter(fs.create(mp, true), "UTF-8"))
-    try rows.sortBy(_._1).foreach { case (shard, file, n, payload) =>
+    try rows.sortBy(_._1).foreach { case (shard, file, n, payload, len) =>
       w.println(
         s"""{"shard":$shard,"file":"$file","n_records":$n,""" +
-          s""""payload_bytes":$payload,"framed_bytes":${payload + 16 * n}}""")
+          s""""payload_bytes":$payload,"framed_bytes":${payload + 16 * n},""" +
+          s""""disk_bytes":$len}""")
     }
     finally w.close()
   }
 
-  /** Read an export's `_manifest.json` back as a DataFrame
-    * `(shard, file, n_records, payload_bytes, framed_bytes)`. The file
-    * is `numShards` lines — driver-side by construction (Spark's file
-    * sources ignore underscore-prefixed paths, deliberately: the
-    * manifest is metadata, not data).
-    */
   /** Best-effort per-file claims from `_manifest.json`: file name →
-    * (n_records, payload_bytes), empty when the manifest is absent or
-    * unparseable (a lenient ingest must not fail on missing metadata —
-    * the claims only ADD detection power when present). Driver-side:
-    * numShards lines.
+    * (n_records, payload_bytes, disk_bytes), empty when the manifest is
+    * absent or unparseable (a lenient ingest must not fail on missing
+    * metadata — the claims only ADD detection power when present);
+    * disk_bytes is -1 for pre-r15 manifests that lack the field.
+    * Driver-side: numShards lines.
     */
   private[graft] def manifestClaims(spark: SparkSession,
-      path: String): Map[String, (Long, Long)] =
+      path: String): Map[String, (Long, Long, Long)] =
     try {
       val p = new org.apache.hadoop.fs.Path(path, "_manifest.json")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -338,11 +339,18 @@ object TfRecords {
             f <- ln.split("\"file\":\"", 2).lift(1).map(_.takeWhile(_ != '"'))
             n <- num(ln, "n_records")
             b <- num(ln, "payload_bytes")
-          } yield f -> (n, b)
+          } yield f -> (n, b, num(ln, "disk_bytes").getOrElse(-1L))
         }.toMap
       }
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
+  /** Read an export's `_manifest.json` back as a DataFrame
+    * `(shard, file, n_records, payload_bytes, framed_bytes, disk_bytes)`.
+    * The file is `numShards` lines — driver-side by construction
+    * (Spark's file sources ignore underscore-prefixed paths,
+    * deliberately: the manifest is metadata, not data). Pre-r15
+    * manifests surface disk_bytes as NULL.
+    */
   def readManifest(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val p = new org.apache.hadoop.fs.Path(path, "_manifest.json")
@@ -351,7 +359,7 @@ object TfRecords {
     val lines = try src.getLines().toList finally src.close()
     spark.read
       .schema("shard LONG, file STRING, n_records LONG, " +
-        "payload_bytes LONG, framed_bytes LONG")
+        "payload_bytes LONG, framed_bytes LONG, disk_bytes LONG")
       .json(spark.createDataset(lines))
   }
 
@@ -404,43 +412,42 @@ object TfRecords {
     }.toSet
 
   /** Manifest stats rows for the shards a resume SKIPPED: reuse the prior
-    * manifest's claim when it is consistent with the committed bytes
-    * (plain shards: on-disk length == payload + 16·n — checkable for
-    * free; gzip shards: the claim is trusted against the prior commit's
-    * integrity path, compression being length-opaque). Shards with a
-    * missing or inconsistent claim are stream-decoded — as a DISTRIBUTED
-    * job, because this is the COMMON resume case, not the rare one: the
-    * manifest is written last, so a crashed export never has one, and a
-    * 97%-complete restart would otherwise funnel ~97% of the corpus
-    * through one sequential driver decode (defeating the feature's own
-    * point).
+    * manifest's claim when it is consistent with the committed bytes —
+    * the on-disk length must match either the framing arithmetic
+    * (payload + 16·n, plain shards) or the recorded `disk_bytes` (any
+    * format — the field that makes gzip claims verifiable instead of
+    * trusted blind; a gzip claim from a pre-disk_bytes manifest simply
+    * re-derives). Shards with a missing or inconsistent claim are
+    * stream-decoded — as a DISTRIBUTED job, because this is the COMMON
+    * resume case, not the rare one: the manifest is written last, so a
+    * crashed export never has one, and a 97%-complete restart would
+    * otherwise funnel ~97% of the corpus through one sequential driver
+    * decode (defeating the feature's own point). Exactly ONE driver
+    * stat per resumed shard, reused as the row's described length.
     */
   private def resumedStatsRows(spark: SparkSession,
       dir: String, suffix: String, ids: Seq[Long],
-      claims: Map[String, (Long, Long)],
+      claims: Map[String, (Long, Long, Long)],
       hconf: SerializableHadoopConf): Seq[(Long, String, Long, Long, Long)] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    def pathOf(name: String) = new org.apache.hadoop.fs.Path(dir, name)
-    val (claimed, unclaimed) = ids.sorted.partition { s =>
+    val stated = ids.sorted.map { s =>
       val name = f"part-$s%05d$suffix"
-      claims.get(name).exists { case (n, b) =>
-        suffix.endsWith(".gz") ||
-          pathOf(name).getFileSystem(conf).getFileStatus(pathOf(name)).getLen ==
-            b + 16 * n
-      }
+      val p = new org.apache.hadoop.fs.Path(dir, name)
+      (s, name, p.getFileSystem(conf).getFileStatus(p).getLen, claims.get(name))
     }
-    val claimedRows = claimed.map { s =>
-      val name = f"part-$s%05d$suffix"
-      val len = pathOf(name).getFileSystem(conf).getFileStatus(pathOf(name)).getLen
-      val (n, b) = claims(name)
-      (s, name, n, b, len)
+    val (claimed, unclaimed) = stated.partition {
+      case (_, _, len, Some((n, b, d))) => len == b + 16 * n || (d >= 0 && len == d)
+      case _ => false
+    }
+    val claimedRows = claimed.collect {
+      case (s, name, len, Some((n, b, _))) => (s, name, n, b, len)
     }
     val derivedRows =
       if (unclaimed.isEmpty) Seq.empty
       else spark.sparkContext
-        .parallelize(unclaimed, math.max(1, math.min(unclaimed.size, 256)))
-        .map { s =>
-          val name = f"part-$s%05d$suffix"
+        .parallelize(unclaimed.map { case (s, name, _, _) => (s, name) },
+          math.max(1, math.min(unclaimed.size, 256)))
+        .map { case (s, name) =>
           val p = new org.apache.hadoop.fs.Path(dir, name)
           val len = p.getFileSystem(hconf.value).getFileStatus(p).getLen
           val (n, b) = deriveStats(p.toString, hconf.value)
@@ -463,6 +470,53 @@ object TfRecords {
       Option(fs.globStatus(new org.apache.hadoop.fs.Path(dir, ".*.inprogress")))
         .foreach(_.foreach(st => fs.delete(st.getPath, false)))
     fs.mkdirs(dir)
+  }
+
+  /** The resume scaffold shared by [[writeSharded]] and
+    * [[writeShardedSorted]] — ONE copy of the contract (directory prep,
+    * committed-shard set, skip guard, manifest union), so a fix to any
+    * of it cannot silently diverge between the two writers.
+    */
+  private final case class ShardedWrite(done: Set[Long],
+      doneB: org.apache.spark.broadcast.Broadcast[Set[Long]], suffix: String)
+
+  private def beginShardedWrite(spark: SparkSession, path: String,
+      gzip: Boolean, resume: Boolean): ShardedWrite = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    prepareExportDir(
+      dir.getFileSystem(spark.sparkContext.hadoopConfiguration), dir, resume)
+    val suffix = if (gzip) ".tfrecord.gz" else ".tfrecord"
+    val done: Set[Long] =
+      if (resume) committedShardIds(spark, path, suffix) else Set.empty
+    ShardedWrite(done, spark.sparkContext.broadcast(done), suffix)
+  }
+
+  /** One writer task's body: commit this partition's records as its
+    * shard — unless the shard was committed by a prior run (resume), in
+    * which case the rows were already filtered out and the file must
+    * never be touched (an unconditional commit would replace a complete
+    * file with an empty one on an overwrite-rename filesystem).
+    */
+  private def commitTask(w: ShardedWrite, path: String, gzip: Boolean,
+      hconf: SerializableHadoopConf)(
+      it: Iterator[Array[Byte]]): Iterator[(Long, String, Long, Long, Long)] = {
+    val pid = org.apache.spark.TaskContext.get().partitionId()
+    if (w.doneB.value.contains(pid.toLong)) Iterator.empty
+    else {
+      val name = f"part-$pid%05d${w.suffix}"
+      val (n, payload, diskLen) = commitShard(it, path, name, gzip, hconf.value)
+      Iterator((pid.toLong, name, n, payload, diskLen))
+    }
+  }
+
+  private def finishShardedWrite(spark: SparkSession, path: String,
+      w: ShardedWrite, resume: Boolean, hconf: SerializableHadoopConf,
+      stats: Seq[(Long, String, Long, Long, Long)]): Unit = {
+    val claims =
+      if (resume) manifestClaims(spark, path)
+      else Map.empty[String, (Long, Long, Long)]
+    writeManifest(spark.sparkContext.hadoopConfiguration, path,
+      stats ++ resumedStatsRows(spark, path, w.suffix, w.done.toSeq, claims, hconf))
   }
 
   /** PHYSICAL sharded export: write exactly `numShards` TFRecord files
@@ -501,16 +555,7 @@ object TfRecords {
       resume: Boolean = false): Unit = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
     val spark = df.sparkSession
-    val dir = new org.apache.hadoop.fs.Path(path)
-    val fsDriver = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    prepareExportDir(fsDriver, dir, resume)
-    val suffix = if (gzip) ".tfrecord.gz" else ".tfrecord"
-    val done: Set[Long] =
-      if (resume) committedShardIds(spark, path, suffix) else Set.empty
-    val claims =
-      if (resume) manifestClaims(spark, path)
-      else Map.empty[String, (Long, Long)]
-    val doneB = spark.sparkContext.broadcast(done)
+    val w = beginShardedWrite(spark, path, gzip, resume)
     val hconf = new SerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
     val byShard = new org.apache.spark.Partitioner {
@@ -529,24 +574,11 @@ object TfRecords {
       }
       // completed shards' rows never shuffle: the filter sits map-side,
       // before the exchange
-      .filter(r => !doneB.value.contains(r._1))
+      .filter(r => !w.doneB.value.contains(r._1))
       .partitionBy(byShard)
-      .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.get().partitionId()
-        if (doneB.value.contains(pid.toLong)) {
-          // committed shard: rows were filtered out; never overwrite —
-          // an unconditional commit here would replace a complete file
-          // with an empty one on an overwrite-rename filesystem
-          Iterator.empty
-        } else {
-          val name = f"part-$pid%05d$suffix"
-          val (n, payload, diskLen) = commitShard(it.map(_._2), path, name,
-            gzip, hconf.value)
-          Iterator((pid.toLong, name, n, payload, diskLen))
-        }
-      }.collect().toSeq // one row per shard — driver-bounded metadata
-    writeManifest(spark.sparkContext.hadoopConfiguration, path,
-      stats ++ resumedStatsRows(spark, path, suffix, done.toSeq, claims, hconf))
+      .mapPartitions(it => commitTask(w, path, gzip, hconf)(it.map(_._2)))
+      .collect().toSeq // one row per shard — driver-bounded metadata
+    finishShardedWrite(spark, path, w, resume, hconf, stats)
   }
 
   /** [[writeSharded]] with a WITHIN-SHARD ORDER contract: rows land in
@@ -583,16 +615,7 @@ object TfRecords {
       gzip: Boolean = false, resume: Boolean = false): Unit = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
     val spark = df.sparkSession
-    val dir = new org.apache.hadoop.fs.Path(path)
-    val fsDriver = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    prepareExportDir(fsDriver, dir, resume)
-    val suffix = if (gzip) ".tfrecord.gz" else ".tfrecord"
-    val done: Set[Long] =
-      if (resume) committedShardIds(spark, path, suffix) else Set.empty
-    val claims =
-      if (resume) manifestClaims(spark, path)
-      else Map.empty[String, (Long, Long)]
-    val doneB = spark.sparkContext.broadcast(done)
+    val w = beginShardedWrite(spark, path, gzip, resume)
     val hconf = new SerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
     val byShardKey = new org.apache.spark.Partitioner {
@@ -612,21 +635,11 @@ object TfRecords {
           "tfrecord: order key must not be null (a null cannot be placed)")
         ((r.getLong(0), r.getString(1)), r.getAs[Array[Byte]](2))
       }
-      .filter(r => !doneB.value.contains(r._1._1)) // map-side, pre-shuffle
+      .filter(r => !w.doneB.value.contains(r._1._1)) // map-side, pre-shuffle
       .repartitionAndSortWithinPartitions(byShardKey)
-      .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.get().partitionId()
-        if (doneB.value.contains(pid.toLong)) {
-          Iterator.empty // committed shard — never overwrite (see writeSharded)
-        } else {
-          val name = f"part-$pid%05d$suffix"
-          val (n, payload, diskLen) = commitShard(it.map(_._2), path, name,
-            gzip, hconf.value)
-          Iterator((pid.toLong, name, n, payload, diskLen))
-        }
-      }.collect().toSeq // one row per shard — driver-bounded metadata
-    writeManifest(spark.sparkContext.hadoopConfiguration, path,
-      stats ++ resumedStatsRows(spark, path, suffix, done.toSeq, claims, hconf))
+      .mapPartitions(it => commitTask(w, path, gzip, hconf)(it.map(_._2)))
+      .collect().toSeq // one row per shard — driver-bounded metadata
+    finishShardedWrite(spark, path, w, resume, hconf, stats)
   }
 
   /** Shard listing for [[read]]/[[readLenient]]: direct children matching
@@ -773,17 +786,19 @@ object TfRecords {
   }
 
   /** Pass 1 of the lenient read: a CRC-only streamed walk (payloads
-    * discarded as they verify) producing the per-file verdict —
-    * (records that verify before any failure point, file was clean).
-    * Resync past a bad frame is impossible: the format carries no
-    * record-boundary markers, so the rest of the file is unparseable by
-    * construction (TensorFlow's own readers stop at the first bad frame
-    * too). Only [[isCorruption]] failures flip the verdict; a transient
-    * IOException fails the task for retry.
+    * discarded as they verify, their lengths summed) producing the
+    * per-file verdict — (records that verify before any failure point,
+    * verified payload bytes, file was clean). Resync past a bad frame is
+    * impossible: the format carries no record-boundary markers, so the
+    * rest of the file is unparseable by construction (TensorFlow's own
+    * readers stop at the first bad frame too). Only [[isCorruption]]
+    * failures flip the verdict; a transient IOException fails the task
+    * for retry.
     */
   private def scanVerdict(fullPath: String,
-      conf: org.apache.hadoop.conf.Configuration): (Long, Boolean) = {
+      conf: org.apache.hadoop.conf.Configuration): (Long, Long, Boolean) = {
     var n = 0L
+    var payload = 0L
     var clean = true
     var din: java.io.DataInputStream = null
     try {
@@ -791,6 +806,7 @@ object TfRecords {
       var rec = readRecord(din, shardName(fullPath))
       while (rec != null) {
         n += 1
+        payload += rec.length
         rec = readRecord(din, shardName(fullPath))
       }
     } catch {
@@ -800,7 +816,7 @@ object TfRecords {
         try din.close() catch { case _: java.io.IOException => () }
       }
     }
-    (n, clean)
+    (n, payload, clean)
   }
 
   /** Pass 2 of the lenient read: like [[recordIterator]] but a framing /
@@ -855,12 +871,14 @@ object TfRecords {
     * instead of the old whole-file buffering.
     *
     * When the export carries a `_manifest.json`, each file's verified
-    * record count is also cross-checked against the writer's CLAIM, and
-    * a mismatch flips that file's verdict to false even when every
-    * frame's CRC verifies (VERDICT r14 #4): a gzip shard silently
-    * replaced whole — the overwrite-rename race the writer's length
-    * check cannot always catch — carries internally-consistent frames,
-    * and the count claim is the only signal left. A manifest-flagged
+    * record count AND payload byte total are cross-checked against the
+    * writer's CLAIMS, and a mismatch flips that file's verdict to false
+    * even when every frame's CRC verifies (VERDICT r14 #4): a gzip shard
+    * silently replaced whole — the overwrite-rename race the writer's
+    * length check cannot always catch — carries internally-consistent
+    * frames, and the claims are the only signal left (both are checked
+    * because a swap can preserve the record count while changing record
+    * sizes; pass 1 computes the payload sum for free). A manifest-flagged
     * file still emits its verified records (with file_clean=false), or
     * one (file, -1, NULL, false) row when it verified empty; a
     * manifest-claimed file that is ABSENT from disk entirely surfaces as
@@ -894,10 +912,13 @@ object TfRecords {
       .parallelize(bins.map(_.toList), math.max(1, bins.size))
       .flatMap(_.iterator.flatMap { f =>
         val file = shardName(f)
-        val (n, verified) = scanVerdict(f, hconf.value)
-        // manifest cross-check: CRC-clean but count != writer's claim
-        // ⇒ the file is not the one the writer described
-        val clean = verified && claims.get(file).forall(_._1 == n)
+        val (n, pay, verified) = scanVerdict(f, hconf.value)
+        // manifest cross-check: CRC-clean but count OR payload bytes
+        // differ from the writer's claim ⇒ the file is not the one the
+        // writer described (payload matters: a swap with the SAME record
+        // count but different record sizes passes a count-only check)
+        val clean = verified &&
+          claims.get(file).forall { case (cn, cb, _) => cn == n && cb == pay }
         if (n == 0L && !clean)
           Iterator((file, -1L, null.asInstanceOf[Array[Byte]], false))
         else {

@@ -370,6 +370,12 @@ class TfRecordsSpec extends AnyFunSuite {
         assert(payload == recs.map(_.length.toLong).sum)
         assert(framed == f.length, "logical framed bytes == plain file size")
       }
+    // disk_bytes records each committed file's physical length — the
+    // field that makes gzip claims verifiable downstream
+    TfRecords.readManifest(spark, path).collect().foreach { r =>
+      assert(r.getAs[Long]("disk_bytes") ==
+        new java.io.File(path, r.getAs[String]("file")).length)
+    }
     // the manifest never surfaces as a shard
     assert(TfRecords.read(spark, path).count() == 60)
     assert(TfRecords.readLenient(spark, path)
@@ -457,10 +463,10 @@ class TfRecordsSpec extends AnyFunSuite {
       java.nio.file.Files.readAllBytes(sfiles(1).toPath))
       .map(r => new String(r, "UTF-8").stripPrefix("s=").toLong)
     assert(ids.length == 20 && ids.forall(_ % 3 == 1) && ids == ids.sorted)
-    // gzip resume: survivors' stats ride the PRIOR manifest's claims
-    // (compression makes the framed length unverifiable, so the claim is
-    // trusted against the prior commit's integrity path) — and the
-    // missing shard still rewrites
+    // gzip resume: survivors' stats ride the PRIOR manifest's claims,
+    // verified against the recorded disk_bytes (compression makes the
+    // framing arithmetic useless, so disk_bytes is the gzip claim's only
+    // checkable anchor) — and the missing shard still rewrites
     val gdf = spark.range(30).selectExpr("id % 3 as shard_id",
       "cast(concat('g=', id) as binary) as rec")
     val gpath = java.nio.file.Files.createTempDirectory("graft-tfrec-resume-gz").toString
@@ -538,5 +544,22 @@ class TfRecordsSpec extends AnyFunSuite {
     java.nio.file.Files.delete(java.nio.file.Paths.get(path, "_manifest.json"))
     val back3 = TfRecords.readLenient(spark, path).collect()
     assert(back3.forall(_.getBoolean(3)), "no manifest => no count claims")
+    // a swap that PRESERVES the record count but changes record sizes
+    // passes a count-only check — the payload claim is what catches it
+    val path2 = java.nio.file.Files.createTempDirectory("graft-tfrec-claims2").toString
+    val rows2 = (0L until 10L).map(i => s"x-$i".getBytes("UTF-8"))
+    TfRecords.write(rows2.toDF("rec").repartition(1), "rec", path2, gzip = true)
+    val v2 = new java.io.File(path2).listFiles()
+      .filter(_.getName.endsWith(".tfrecord.gz")).head
+    val out3 = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(v2.toPath))
+    (0 until 10).foreach(i => out3.write(
+      TfRecords.encodeRecord(s"xx-$i".getBytes("UTF-8")))) // same count, longer
+    out3.close()
+    new java.io.File(path2).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    val back4 = TfRecords.readLenient(spark, path2).collect()
+    assert(back4.length == 10 && back4.forall(!_.getBoolean(3)),
+      "a same-count different-payload swap must still flag the file")
   }
 }
