@@ -562,4 +562,26 @@ class TfRecordsSpec extends AnyFunSuite {
     assert(back4.length == 10 && back4.forall(!_.getBoolean(3)),
       "a same-count different-payload swap must still flag the file")
   }
+
+  test("manifestClaims parsing: pre-disk_bytes manifests fall back to -1, " +
+    "malformed lines are skipped, a garbage file degrades to no claims") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tfrec-oldmani")
+    // a pre-r15 manifest (no disk_bytes) plus one malformed line
+    java.nio.file.Files.writeString(dir.resolve("_manifest.json"),
+      """{"shard":0,"file":"part-00000.tfrecord","n_records":7,"payload_bytes":42,"framed_bytes":154}
+        |not json at all
+        |{"shard":1,"file":"part-00001.tfrecord.gz","n_records":3,"payload_bytes":9,"framed_bytes":57,"disk_bytes":31}
+        |""".stripMargin)
+    val claims = TfRecords.manifestClaims(spark, dir.toString)
+    assert(claims == Map(
+      "part-00000.tfrecord" -> ((7L, 42L, -1L)),
+      "part-00001.tfrecord.gz" -> ((3L, 9L, 31L))))
+    // absent manifest => empty, never a failure
+    val empty = java.nio.file.Files.createTempDirectory("graft-tfrec-nomani")
+    assert(TfRecords.manifestClaims(spark, empty.toString).isEmpty)
+    // unreadable garbage => empty, never a failure (best-effort contract)
+    java.nio.file.Files.write(dir.resolve("_manifest.json"),
+      Array[Byte](0, 1, 2, -1))
+    assert(TfRecords.manifestClaims(spark, dir.toString).isEmpty)
+  }
 }
