@@ -412,41 +412,47 @@ object TfRecords {
     }.toSet
 
   /** Manifest stats rows for the shards a resume SKIPPED: reuse the prior
-    * manifest's claim when it is consistent with the committed bytes —
-    * the on-disk length must match either the framing arithmetic
-    * (payload + 16·n, plain shards) or the recorded `disk_bytes` (any
-    * format — the field that makes gzip claims verifiable instead of
-    * trusted blind; a gzip claim from a pre-disk_bytes manifest simply
+    * manifest's claim when it is consistent with the committed bytes.
+    * The consistency proof is FORMAT-GATED: a plain shard must satisfy
+    * the framing arithmetic (on-disk length == payload + 16·n — the
+    * proof the format gives for free), a gzip shard must match the
+    * recorded `disk_bytes` (compression makes the framing arithmetic
+    * meaningless there, so matching it would be a coincidence, not a
+    * proof; a gzip claim from a pre-disk_bytes manifest simply
     * re-derives). Shards with a missing or inconsistent claim are
     * stream-decoded — as a DISTRIBUTED job, because this is the COMMON
     * resume case, not the rare one: the manifest is written last, so a
     * crashed export never has one, and a 97%-complete restart would
     * otherwise funnel ~97% of the corpus through one sequential driver
-    * decode (defeating the feature's own point). Exactly ONE driver
-    * stat per resumed shard, reused as the row's described length.
+    * decode (defeating the feature's own point). Driver FS metadata work
+    * is claim-gated the same way: only claimed names are stat'ed on the
+    * driver — the no-manifest crash case does ZERO driver stats.
     */
   private def resumedStatsRows(spark: SparkSession,
       dir: String, suffix: String, ids: Seq[Long],
       claims: Map[String, (Long, Long, Long)],
       hconf: SerializableHadoopConf): Seq[(Long, String, Long, Long, Long)] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val stated = ids.sorted.map { s =>
-      val name = f"part-$s%05d$suffix"
+    val named = ids.sorted.map(s => (s, f"part-$s%05d$suffix"))
+    val (withClaim, noClaim) = named.partition { case (_, n) => claims.contains(n) }
+    val checked = withClaim.map { case (s, name) =>
       val p = new org.apache.hadoop.fs.Path(dir, name)
-      (s, name, p.getFileSystem(conf).getFileStatus(p).getLen, claims.get(name))
+      val len = p.getFileSystem(conf).getFileStatus(p).getLen
+      val (n, b, d) = claims(name)
+      val consistent =
+        if (name.endsWith(".gz")) d >= 0 && len == d
+        else len == b + 16 * n
+      (s, name, n, b, len, consistent)
     }
-    val (claimed, unclaimed) = stated.partition {
-      case (_, _, len, Some((n, b, d))) => len == b + 16 * n || (d >= 0 && len == d)
-      case _ => false
+    val claimedRows = checked.collect {
+      case (s, name, n, b, len, true) => (s, name, n, b, len)
     }
-    val claimedRows = claimed.collect {
-      case (s, name, len, Some((n, b, _))) => (s, name, n, b, len)
-    }
+    val toDerive = noClaim ++
+      checked.collect { case (s, name, _, _, _, false) => (s, name) }
     val derivedRows =
-      if (unclaimed.isEmpty) Seq.empty
+      if (toDerive.isEmpty) Seq.empty
       else spark.sparkContext
-        .parallelize(unclaimed.map { case (s, name, _, _) => (s, name) },
-          math.max(1, math.min(unclaimed.size, 256)))
+        .parallelize(toDerive, math.max(1, math.min(toDerive.size, 256)))
         .map { case (s, name) =>
           val p = new org.apache.hadoop.fs.Path(dir, name)
           val len = p.getFileSystem(hconf.value).getFileStatus(p).getLen
@@ -495,15 +501,19 @@ object TfRecords {
     * shard — unless the shard was committed by a prior run (resume), in
     * which case the rows were already filtered out and the file must
     * never be touched (an unconditional commit would replace a complete
-    * file with an empty one on an overwrite-rename filesystem).
+    * file with an empty one on an overwrite-rename filesystem). Takes
+    * the broadcast HANDLE, not the ShardedWrite carrier: capturing the
+    * carrier would serialize the raw `done` set into every task closure
+    * beside the broadcast that exists to avoid exactly that.
     */
-  private def commitTask(w: ShardedWrite, path: String, gzip: Boolean,
-      hconf: SerializableHadoopConf)(
+  private def commitTask(
+      doneB: org.apache.spark.broadcast.Broadcast[Set[Long]], suffix: String,
+      path: String, gzip: Boolean, hconf: SerializableHadoopConf)(
       it: Iterator[Array[Byte]]): Iterator[(Long, String, Long, Long, Long)] = {
     val pid = org.apache.spark.TaskContext.get().partitionId()
-    if (w.doneB.value.contains(pid.toLong)) Iterator.empty
+    if (doneB.value.contains(pid.toLong)) Iterator.empty
     else {
-      val name = f"part-$pid%05d${w.suffix}"
+      val name = f"part-$pid%05d$suffix"
       val (n, payload, diskLen) = commitShard(it, path, name, gzip, hconf.value)
       Iterator((pid.toLong, name, n, payload, diskLen))
     }
@@ -556,6 +566,10 @@ object TfRecords {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
     val spark = df.sparkSession
     val w = beginShardedWrite(spark, path, gzip, resume)
+    // locals for the task closures — never capture `w` itself (its raw
+    // done set would serialize into every task beside the broadcast)
+    val doneB = w.doneB
+    val suffix = w.suffix
     val hconf = new SerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
     val byShard = new org.apache.spark.Partitioner {
@@ -574,9 +588,9 @@ object TfRecords {
       }
       // completed shards' rows never shuffle: the filter sits map-side,
       // before the exchange
-      .filter(r => !w.doneB.value.contains(r._1))
+      .filter(r => !doneB.value.contains(r._1))
       .partitionBy(byShard)
-      .mapPartitions(it => commitTask(w, path, gzip, hconf)(it.map(_._2)))
+      .mapPartitions(it => commitTask(doneB, suffix, path, gzip, hconf)(it.map(_._2)))
       .collect().toSeq // one row per shard — driver-bounded metadata
     finishShardedWrite(spark, path, w, resume, hconf, stats)
   }
@@ -616,6 +630,9 @@ object TfRecords {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
     val spark = df.sparkSession
     val w = beginShardedWrite(spark, path, gzip, resume)
+    // locals for the task closures — never capture `w` (see writeSharded)
+    val doneB = w.doneB
+    val suffix = w.suffix
     val hconf = new SerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
     val byShardKey = new org.apache.spark.Partitioner {
@@ -635,9 +652,9 @@ object TfRecords {
           "tfrecord: order key must not be null (a null cannot be placed)")
         ((r.getLong(0), r.getString(1)), r.getAs[Array[Byte]](2))
       }
-      .filter(r => !w.doneB.value.contains(r._1._1)) // map-side, pre-shuffle
+      .filter(r => !doneB.value.contains(r._1._1)) // map-side, pre-shuffle
       .repartitionAndSortWithinPartitions(byShardKey)
-      .mapPartitions(it => commitTask(w, path, gzip, hconf)(it.map(_._2)))
+      .mapPartitions(it => commitTask(doneB, suffix, path, gzip, hconf)(it.map(_._2)))
       .collect().toSeq // one row per shard — driver-bounded metadata
     finishShardedWrite(spark, path, w, resume, hconf, stats)
   }
