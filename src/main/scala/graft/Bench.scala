@@ -114,6 +114,30 @@ object Bench {
   private[graft] def inflationThreshold(ref: Double): Double =
     1.5 * ref + 0.5
 
+  /** Family-level drift guard (VERDICT r15 #2): [[inflationThreshold]]'s
+    * flat 0.5 s slack is right per-row but opens an unbounded AGGREGATE
+    * window — 30 short rows each drifting +0.4 s is a real ~12 s
+    * regression no single row flags. This latches when the short-row
+    * family (prior ref in [0.1, 2) s — below 0.1 the ratio is scheduler
+    * jitter, at 2+ the per-row ratio test already has teeth) is
+    * collectively > 1.3× its reference mass with ≥ 20 such rows (fewer
+    * rows can't separate drift from a couple of contended samples).
+    * Interaction with the per-row rule, documented: a contended sweep
+    * may trip `drift` while every individual row adjudicates clean via
+    * its isolated re-run — that combination is the CORRECT signal to
+    * re-run the sweep on a quiet box, not a code regression; conversely
+    * a clean sweep with drift:true and quiet isolated rows means many
+    * small real slowdowns. Takes (currentMin, priorRef) pairs; rows
+    * outside the family are ignored here, not by the caller.
+    */
+  private[graft] def familyDrift(rows: Seq[(Double, Double)]): Boolean = {
+    val fam = rows.filter { case (_, ref) => ref >= 0.1 && ref < 2.0 }
+    fam.size >= 20 && {
+      val refSum = fam.map(_._2).sum
+      refSum > 0 && fam.map(_._1).sum / refSum > 1.3
+    }
+  }
+
   /** Final inflation adjudication (VERDICT r14 #1): the post-sweep
     * isolated re-measurement was already the human adjudication step —
     * "re-run isolated before calling it a regression" — so its verdict
@@ -341,9 +365,16 @@ object Bench {
     // feed queries_ref below — a contended sweep therefore cannot poison
     // the cross-run reference even for rows whose settle reps never
     // caught a clean sample.
+    // Subset runs (SPARK_GRAFT_BENCH_ONLY) adjudicate too (ADVICE r15):
+    // skipping the isolated pass left bench_out_subset.json's `inflated`
+    // carrying raw sweep verdicts while the key's documented semantics
+    // are "post-adjudication final list" — the pass is cheap (3 reps per
+    // flagged row) and keeps the field's meaning uniform; subset runs
+    // write bench_isolated_subset.json so a dev loop never clobbers the
+    // committed full-surface adjudication artifact.
     val isolated: Map[String, Double] = {
       val infl = results.filter(r => r.ok && r.inflated).map(_.name)
-      if (only.isDefined || infl.isEmpty) Map.empty
+      if (infl.isEmpty) Map.empty
       else {
         val byName = bench.map(q => q.name -> q).toMap
         // Only SUCCESSFUL reps may time: a mid-query failure's partial
@@ -366,8 +397,11 @@ object Bench {
         }.toMap
         val body = m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")
+        val isoName =
+          if (only.isDefined) "bench_isolated_subset.json"
+          else "bench_isolated.json"
         java.nio.file.Files.writeString(
-          java.nio.file.Paths.get("bench_isolated.json"),
+          java.nio.file.Paths.get(isoName),
           s"""{"queries":$body,"reps":3,"sf":"$sfDir"}""")
         m
       }
@@ -409,6 +443,15 @@ object Bench {
       r.ok && r.min >= 0.1 && r.med / r.min > 1.5
     }
     val noisy = noisyCount >= 5
+    // Family-level drift over the short-row family (familyDrift, pinned
+    // by BenchRefSpec — VERDICT r15 #2); the ratio and row count publish
+    // beside the flag so a reader sees how close the run sat to the bar.
+    val driftRows = okResults.flatMap(r => priorMin.get(r.name).map(r.min -> _))
+    val drift = familyDrift(driftRows)
+    val driftFam = driftRows.filter { case (_, ref) => ref >= 0.1 && ref < 2.0 }
+    val driftRatio =
+      if (driftFam.isEmpty || driftFam.map(_._2).sum == 0) 0.0
+      else round3(driftFam.map(_._1).sum / driftFam.map(_._2).sum)
     // Rates are written in plain decimal (never scientific notation) so
     // next round's string-splitting parser reads them back verbatim.
     def plain(v: Double): String = new java.math.BigDecimal(v).toPlainString
@@ -420,6 +463,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""queries_median":$qsMed,"failed":$failed,""" +
         s""""noisy":$noisy,"noisy_queries":$noisyCount,""" +
+        s""""drift":$drift,"drift_ratio":$driftRatio,""" +
+        s""""drift_rows":${driftFam.size},""" +
         s""""inflated":$inflatedList,"inflated_sweep":$inflatedSweepList,""" +
         s""""healed":$healed,""" +
         s""""queries_ref":$qsRef,""" +
@@ -447,6 +492,7 @@ object Bench {
         s""""queries_shown":${entries.size},"queries_total":${okResults.size},""" +
         s""""full_results":"bench_out.json","failed":$failed,""" +
         s""""noisy":$noisy,"noisy_queries":$noisyCount,""" +
+        s""""drift":$drift,""" +
         s""""inflated":$inflatedList,""" +
         s""""flagship_failed":$flagshipFailed,""" +
         s""""flagship_inflated":$flagshipInflated,""" +

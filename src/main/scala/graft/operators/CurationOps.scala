@@ -816,6 +816,10 @@ object CurationOps {
       // quantile probe ride the cache; the text frame is never cached
       val base = T.documents(s, d).select("doc_id").persist()
       val total = base.count()
+      // empty corpus would make the shard expression divide by zero and
+      // surface as writeShardedSorted's unrelated-looking null-shard-id
+      // failure (ADVICE r15) — fail self-explanatorily instead
+      require(total > 0, "cu20: empty corpus (no documents to export)")
       val hkExpr = P.hash60("concat('epoch|1|', cast(doc_id as string))")
       val splits = graft.operators.Ordinal.quantileSplits(
         base.selectExpr("doc_id", s"$hkExpr as hk"), "hk", 32)

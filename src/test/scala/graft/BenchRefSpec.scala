@@ -125,6 +125,45 @@ class BenchRefSpec extends AnyFunSuite {
     assert(Bench.adjudicateInflated(1.0, None))
   }
 
+  // ---- familyDrift (aggregate short-row guard — VERDICT r15 #2) -----------
+
+  test("uniform short-row drift past 1.3x of the family's reference mass " +
+    "latches the drift flag") {
+    // 25 rows, each ref 0.5 s, each drifted to 0.7 s (+0.4 s aggregate
+    // window per row is exactly what the per-row 0.5 s slack waves past)
+    val rows = Seq.fill(25)((0.7, 0.5))
+    assert(Bench.familyDrift(rows))
+    // the same family at its reference mass stays quiet
+    assert(!Bench.familyDrift(Seq.fill(25)((0.5, 0.5))))
+    // 1.2x aggregate is inside the bar — run-to-run spread, not drift
+    assert(!Bench.familyDrift(Seq.fill(25)((0.6, 0.5))))
+  }
+
+  test("drift needs >= 20 family rows — a couple of contended short rows " +
+    "cannot latch it") {
+    val rows = Seq.fill(19)((0.9, 0.5))
+    assert(!Bench.familyDrift(rows))
+    assert(Bench.familyDrift(rows :+ ((0.9, 0.5))))
+  }
+
+  test("drift ignores rows outside the [0.1, 2) s reference family") {
+    // long rows (per-row ratio test already has teeth) and trivial rows
+    // (scheduler jitter) must not enter the aggregate in either direction
+    val longRows = Seq.fill(30)((6.0, 4.0))   // 1.5x but ref >= 2
+    val tinyRows = Seq.fill(30)((0.09, 0.05)) // 1.8x but ref < 0.1
+    assert(!Bench.familyDrift(longRows))
+    assert(!Bench.familyDrift(tinyRows))
+    // and a drifting short family still latches with quiet long rows mixed in
+    assert(Bench.familyDrift(Seq.fill(25)((0.7, 0.5)) ++ longRows.map {
+      case (_, r) => (r, r)
+    }))
+  }
+
+  test("drift degrades safely on empty and zero-reference input") {
+    assert(!Bench.familyDrift(Seq.empty))
+    assert(!Bench.familyDrift(Seq.fill(25)((0.5, 0.0))))
+  }
+
   // ---- nextFlagshipRef (upward-only, clean-run-only, 2x cap) --------------
 
   test("flagship ref rises on a clean faster run and holds on a slower one") {
