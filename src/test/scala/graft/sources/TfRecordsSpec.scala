@@ -233,7 +233,15 @@ class TfRecordsSpec extends AnyFunSuite {
       .filter(_.getName.endsWith(".crc")).foreach(_.delete())
     val lenient = TfRecords.readLenient(spark, path).collect()
     assert(lenient.exists(!_.getBoolean(3)), "corrupt gzip shard must flag")
-    assert(lenient.count(_.getBoolean(3)) >= 26, "intact shards must read clean")
+    // the intact MANIFEST-CLAIMED shard reads clean; the hand-dropped
+    // part-99999 is listed-but-UNCLAIMED, so with claims present it is
+    // flagged as a zombie the writer never described (ADVICE r15) while
+    // its verified rows still surface — corruption is data
+    assert(lenient.count(_.getBoolean(3)) == 25, "the claimed intact shard reads clean")
+    val unclaimed = lenient.filter(_.getString(0) == "part-99999.tfrecord")
+    assert(unclaimed.length == 1 && !unclaimed(0).getBoolean(3) &&
+      !unclaimed(0).isNullAt(2),
+      "an unclaimed listed shard must flag but still emit its rows")
   }
 
   test("size-weighted file→task packing: one huge shard among many " +
@@ -563,19 +571,124 @@ class TfRecordsSpec extends AnyFunSuite {
       "a same-count different-payload swap must still flag the file")
   }
 
+  test("disk_crc32c closes the same-length swap hole: a content swap with " +
+    "identical count, payload, AND length flags on readLenient and is " +
+    "REWRITTEN on resume (VERDICT r15 #1)") {
+    import spark.implicits._
+    // the one class every length-based check waves through: replace a
+    // committed shard with different records of the SAME sizes — framing
+    // arithmetic, record count, payload bytes, and disk length all still
+    // match the manifest's claims, every frame CRC verifies
+    val df = spark.range(40).selectExpr("id % 2 as shard_id",
+      "cast(printf('p-A-%03d', id) as binary) as rec")
+    val path = java.nio.file.Files.createTempDirectory("graft-tfrec-crc").toString
+    TfRecords.writeSharded(df, "rec", "shard_id", 2, path)
+    val victim = new java.io.File(path, "part-00000.tfrecord")
+    val originalLen = victim.length
+    val swapped = (0L until 40L).filter(_ % 2 == 0)
+      .map(i => TfRecords.encodeRecord(f"p-B-$i%03d".getBytes("UTF-8")))
+      .reduce(_ ++ _)
+    java.nio.file.Files.write(victim.toPath, swapped)
+    new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    assert(victim.length == originalLen, "the swap must be length-invisible")
+    // every pre-crc check passes: strict read sees valid frames, counts
+    // and payload match the claims — only the content CRC differs
+    assert(TfRecords.read(spark, path).count() == 40)
+    val flagged = TfRecords.readLenient(spark, path).collect()
+      .filter(!_.getBoolean(3)).map(_.getString(0)).distinct
+    assert(flagged.toSeq == Seq("part-00000.tfrecord"),
+      s"exactly the swapped shard must flag, got ${flagged.mkString(",")}")
+    // resume detects the mismatch against the manifest's disk_crc32c and
+    // rewrites ONLY the corrupt shard; the intact one is never touched
+    val intact = new java.io.File(path, "part-00001.tfrecord")
+    intact.setLastModified(1000000000000L)
+    TfRecords.writeSharded(df, "rec", "shard_id", 2, path, resume = true)
+    assert(intact.lastModified == 1000000000000L, "intact shard rewritten")
+    val restored = TfRecords.decodeAll(
+      java.nio.file.Files.readAllBytes(victim.toPath))
+      .map(new String(_, "UTF-8"))
+    assert(restored.forall(_.startsWith("p-A-")), "corrupt shard not restored")
+    assert(TfRecords.readLenient(spark, path).collect()
+      .forall(_.getBoolean(3)), "post-resume export must verify clean")
+  }
+
+  test("a same-length post-commit corruption of a GZIP shard is rewritten " +
+    "on resume and flagged by readLenient (VERDICT r15 #1 done-criterion)") {
+    import spark.implicits._
+    val df = spark.range(60).selectExpr("id % 3 as shard_id",
+      "cast(concat('gz=', id) as binary) as rec")
+    val path = java.nio.file.Files.createTempDirectory("graft-tfrec-gzcrc").toString
+    TfRecords.writeSharded(df, "rec", "shard_id", 3, path, gzip = true)
+    val victim = new java.io.File(path, "part-00001.tfrecord.gz")
+    val bytes = java.nio.file.Files.readAllBytes(victim.toPath)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x40).toByte
+    java.nio.file.Files.write(victim.toPath, bytes) // same length, one bit off
+    new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    // flagged by the lenient read (both the inflate failure and the crc
+    // claim catch it — the crc matters for corruptions deflate survives)
+    val flagged = TfRecords.readLenient(spark, path).collect()
+      .filter(!_.getBoolean(3)).map(_.getString(0)).distinct
+    assert(flagged.toSeq == Seq(victim.getName))
+    // resume: presence must NOT prove completeness for a crc-failed
+    // shard — it is deleted and rewritten while survivors keep their
+    // bytes (mtime sentinels) and their manifest claims
+    val survivors = Seq("part-00000.tfrecord.gz", "part-00002.tfrecord.gz")
+      .map(new java.io.File(path, _))
+    survivors.foreach(_.setLastModified(1000000000000L))
+    TfRecords.writeSharded(df, "rec", "shard_id", 3, path, gzip = true,
+      resume = true)
+    survivors.foreach(f => assert(f.lastModified == 1000000000000L,
+      s"${f.getName} rewritten on resume"))
+    assert(TfRecords.read(spark, path).count() == 60)
+    assert(TfRecords.readLenient(spark, path).collect().forall(_.getBoolean(3)))
+    assert(TfRecords.readManifest(spark, path)
+      .selectExpr("sum(n_records)").collect()(0).getLong(0) == 60L)
+  }
+
+  test("resume enforces the same-shape contract: a flipped gzip flag sweeps " +
+    "the other format's shards, a shrunk numShards fails loud (ADVICE r15)") {
+    import spark.implicits._
+    val df = spark.range(30).selectExpr("id % 3 as shard_id",
+      "cast(concat('f=', id) as binary) as rec")
+    val path = java.nio.file.Files.createTempDirectory("graft-tfrec-shape").toString
+    TfRecords.writeSharded(df, "rec", "shard_id", 3, path)
+    // flipped format on resume: the plain shards can never count as
+    // committed (suffix mismatch), so leaving them would double the
+    // corpus under read()'s *.tfrecord* glob — they must be swept
+    TfRecords.writeSharded(df, "rec", "shard_id", 3, path, gzip = true,
+      resume = true)
+    val names = new java.io.File(path).listFiles().map(_.getName)
+    assert(names.count(_.endsWith(".tfrecord.gz")) == 3)
+    assert(!names.exists(n => n.endsWith(".tfrecord") && n.startsWith("part-")),
+      s"old-format shards must be swept: ${names.mkString(",")}")
+    assert(TfRecords.read(spark, path).count() == 30, "no duplicated corpus")
+    // shrunk shard count on resume: stale high-id files would silently
+    // ride into every read — fail with a self-explanatory error
+    val e = intercept[IllegalArgumentException] {
+      TfRecords.writeSharded(df.filter("shard_id < 2"), "rec", "shard_id", 2,
+        path, gzip = true, resume = true)
+    }
+    assert(e.getMessage.contains("outside [0, 2)"))
+  }
+
   test("manifestClaims parsing: pre-disk_bytes manifests fall back to -1, " +
     "malformed lines are skipped, a garbage file degrades to no claims") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tfrec-oldmani")
-    // a pre-r15 manifest (no disk_bytes) plus one malformed line
+    // a pre-r15 manifest line (no disk_bytes), a pre-r16 line (no
+    // disk_crc32c), a current line, and one malformed line
     java.nio.file.Files.writeString(dir.resolve("_manifest.json"),
       """{"shard":0,"file":"part-00000.tfrecord","n_records":7,"payload_bytes":42,"framed_bytes":154}
         |not json at all
         |{"shard":1,"file":"part-00001.tfrecord.gz","n_records":3,"payload_bytes":9,"framed_bytes":57,"disk_bytes":31}
+        |{"shard":2,"file":"part-00002.tfrecord","n_records":2,"payload_bytes":8,"framed_bytes":40,"disk_bytes":40,"disk_crc32c":3994871409}
         |""".stripMargin)
     val claims = TfRecords.manifestClaims(spark, dir.toString)
     assert(claims == Map(
-      "part-00000.tfrecord" -> ((7L, 42L, -1L)),
-      "part-00001.tfrecord.gz" -> ((3L, 9L, 31L))))
+      "part-00000.tfrecord" -> TfRecords.ManifestClaim(7L, 42L, -1L, -1L),
+      "part-00001.tfrecord.gz" -> TfRecords.ManifestClaim(3L, 9L, 31L, -1L),
+      "part-00002.tfrecord" -> TfRecords.ManifestClaim(2L, 8L, 40L, 3994871409L)))
     // absent manifest => empty, never a failure
     val empty = java.nio.file.Files.createTempDirectory("graft-tfrec-nomani")
     assert(TfRecords.manifestClaims(spark, empty.toString).isEmpty)
