@@ -666,13 +666,15 @@ object CurationOps {
         .join(cur.select("doc_id", "phase", "ord"), "doc_id")
         .selectExpr(
           "(phase - 1) * 2 + pmod(doc_id, 2) as shard_id",
-          // zero-padded numeric concat: lexicographic == (ord, doc_id)
-          "concat(lpad(cast(ord as string), 12, '0'), " +
-            "lpad(cast(doc_id as string), 19, '0')) as okey",
+          // primary key: zero-padded ord (lexicographic == numeric);
+          // doc_id rides as a STRUCTURAL tie-break (writeShardedSorted
+          // tieCols — ord ties across sources within a shard)
+          "lpad(cast(ord as string), 12, '0') as okey",
+          "doc_id",
           "cast(concat(lpad(cast(doc_id as string), 19, '0'), '|', text) as binary) as rec")
       val path = Scratch.dir("graft-curriculum-export")
       graft.sources.TfRecords.writeShardedSorted(
-        recs, "rec", "shard_id", "okey", 8, path)
+        recs, "rec", "shard_id", "okey", 8, path, tieCols = Seq("doc_id"))
       graft.sources.TfRecords.read(s, path)
         .selectExpr(
           "cast(substring(file, 6, 5) as bigint) as shard_id",
@@ -831,10 +833,14 @@ object CurationOps {
         .selectExpr(
           s"least((8 * (pos - 1)) div $total, 7) as shard_id",
           "lpad(cast(pos as string), 19, '0') as okey",
+          "doc_id",
           "cast(concat(lpad(cast(doc_id as string), 19, '0'), '|', text) as binary) as rec")
       val path = Scratch.dir("graft-epoch-ordered-export")
+      // pos is already unique (the Ordinal's rank), but declaring the
+      // doc_id tie makes the reproducible-layout contract structural
+      // rather than an invariant the caller has to know
       graft.sources.TfRecords.writeShardedSorted(
-        recs, "rec", "shard_id", "okey", 8, path)
+        recs, "rec", "shard_id", "okey", 8, path, tieCols = Seq("doc_id"))
       graft.sources.TfRecords.read(s, path)
         .selectExpr(
           "cast(substring(file, 6, 5) as bigint) as shard_id",

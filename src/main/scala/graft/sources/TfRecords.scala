@@ -730,13 +730,21 @@ object TfRecords {
     * the corpus (e.g. curriculum phases × equal-mass blocks), exactly
     * like any sharded training export.
     *
-    * Reproducible-layout contract (ADVICE r14): the sort is by
-    * `orderCol` ALONE, so rows with EQUAL order keys land in
-    * shuffle-read arrival order — byte-identical reruns require
-    * `orderCol` to be unique within each shard (compose a row identity
-    * into the key's tail, the cu17/cu20 idiom of appending the
-    * zero-padded doc_id). With duplicate keys the ORDER contract still
-    * holds; only the layout's byte-for-byte determinism is forfeit.
+    * Reproducible-layout contract (ADVICE r14, made STRUCTURAL per
+    * VERDICT r15 #4): the sort is by (`orderCol`, `tieCols`...) — rows
+    * with EQUAL order keys are placed by the tie-break columns, so
+    * byte-identical reruns need (`orderCol`, `tieCols`) to be unique
+    * per shard, with the row identity declared as a PARAMETER instead
+    * of string-concatenated into the key by every caller. Tie-break
+    * encoding: non-negative integral columns compare NUMERICALLY
+    * (zero-padded to 20 digits — a negative value would break the
+    * padding order, so the contract is non-negative); anything else
+    * compares by its string form; multiple tie columns compare
+    * left-to-right (joined below the U+0000 separator, which also
+    * keeps a short `orderCol` sorting before its own extensions). With
+    * `tieCols` empty AND duplicate order keys, ties land in
+    * shuffle-read arrival order — the ORDER contract still holds, only
+    * byte-for-byte determinism is forfeit (the pre-r16 behavior).
     *
     * `resume` is [[writeSharded]]'s idempotent-restart contract applied
     * to the ordered writer: committed shards' rows are filtered out
@@ -746,7 +754,8 @@ object TfRecords {
     */
   def writeShardedSorted(df: DataFrame, bytesCol: String, shardCol: String,
       orderCol: String, numShards: Int, path: String,
-      gzip: Boolean = false, resume: Boolean = false): Unit = {
+      gzip: Boolean = false, resume: Boolean = false,
+      tieCols: Seq[String] = Seq.empty): Unit = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
     val spark = df.sparkSession
     val w = beginShardedWrite(spark, path, gzip, resume, numShards)
@@ -758,19 +767,35 @@ object TfRecords {
     val byShardKey = new org.apache.spark.Partitioner {
       override def numPartitions: Int = numShards
       override def getPartition(key: Any): Int = {
-        val s = key.asInstanceOf[(Long, String)]._1
+        val s = key.asInstanceOf[(Long, String, String)]._1
         require(s >= 0L && s < numShards,
           s"tfrecord: shard id $s outside [0, $numShards)")
         s.toInt
       }
     }
+    // order-preserving string encoding per tie column (scaladoc above);
+    // the whole tie key is one concatenated string so the shuffle key
+    // stays a flat Tuple3 with the stock lexicographic Ordering
+    import org.apache.spark.sql.types._
+    val tieExpr =
+      if (tieCols.isEmpty) lit("")
+      else concat(tieCols.flatMap { c =>
+        val enc = df.schema(c).dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            lpad(col(c).cast("string"), 20, "0")
+          case _ => col(c).cast("string")
+        }
+        Seq(lit("\u0000"), enc)
+      }: _*)
     val stats = df.select(col(shardCol).cast("long"), col(orderCol).cast("string"),
-        col(bytesCol).cast("binary"))
+        tieExpr.cast("string"), col(bytesCol).cast("binary"))
       .rdd.map { r =>
         require(!r.isNullAt(0), "tfrecord: shard id must not be null")
         require(!r.isNullAt(1),
           "tfrecord: order key must not be null (a null cannot be placed)")
-        ((r.getLong(0), r.getString(1)), r.getAs[Array[Byte]](2))
+        require(!r.isNullAt(2),
+          "tfrecord: tie-break key must not be null (a null cannot be placed)")
+        ((r.getLong(0), r.getString(1), r.getString(2)), r.getAs[Array[Byte]](3))
       }
       .filter(r => !doneB.value.contains(r._1._1)) // map-side, pre-shuffle
       .repartitionAndSortWithinPartitions(byShardKey)

@@ -354,6 +354,41 @@ class TfRecordsSpec extends AnyFunSuite {
     }
   }
 
+  test("tieCols make the reproducible-layout contract structural: " +
+    "duplicate order keys place by the declared tie-break, and reruns " +
+    "are byte-identical (VERDICT r15 #4)") {
+    import spark.implicits._
+    // EVERY order key collides (okey = id % 4): without a tie-break,
+    // layout would be shuffle-arrival order — nondeterministic across
+    // input partitionings. The declared integral tie column must order
+    // NUMERICALLY (id 10 before id 9 would be the string-compare bug).
+    def df(parts: Int, seed: Long) = spark.range(48)
+      .selectExpr(s"pmod(id * 31 + $seed, 48) as rid").repartition(parts)
+      .selectExpr("rid % 2 as shard_id",
+        "lpad(cast(rid % 4 as string), 3, '0') as okey",
+        "rid", "cast(concat('t=', rid) as binary) as rec")
+    val p1 = java.nio.file.Files.createTempDirectory("graft-tfrec-tie1").toString
+    val p2 = java.nio.file.Files.createTempDirectory("graft-tfrec-tie2").toString
+    TfRecords.writeShardedSorted(df(3, 7L), "rec", "shard_id", "okey", 2, p1,
+      tieCols = Seq("rid"))
+    TfRecords.writeShardedSorted(df(11, 29L), "rec", "shard_id", "okey", 2, p2,
+      tieCols = Seq("rid"))
+    (0 until 2).foreach { k =>
+      val f1 = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p1, f"part-$k%05d.tfrecord"))
+      val f2 = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p2, f"part-$k%05d.tfrecord"))
+      assert(java.util.Arrays.equals(f1, f2),
+        s"shard $k differs between reruns with different input layouts")
+      // and the on-disk order is (okey, rid) — rid compared numerically
+      val ids = TfRecords.decodeAll(f1)
+        .map(r => new String(r, "UTF-8").stripPrefix("t=").toLong)
+      val expected = (0L until 48L).filter(_ % 2 == k)
+        .sortBy(i => (i % 4, i))
+      assert(ids == expected, s"shard $k order: $ids")
+    }
+  }
+
   test("every writer emits _manifest.json whose per-file stats equal " +
     "the bytes on disk, and the manifest is invisible to shard reads") {
     import spark.implicits._
