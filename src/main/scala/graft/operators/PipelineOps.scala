@@ -260,6 +260,53 @@ object PipelineOps {
           |  from li_reservoir group by l_orderkey % 4)""".stripMargin)
     },
 
+    // op 11c: DETERMINISTIC reservoir shuffle (VERDICT r15 #5) — exactly
+    // Algorithm R's buffer semantics (the op11b aggregate's contract),
+    // but with every random decision derived from (seed, position)
+    // instead of a PRNG over arrival order, so the final reservoir is a
+    // pure function of the data and DuckDB reproduces it bit-for-bit
+    // (op11b stays no_oracle only because MLlib-free arrival order
+    // can't: this variant shrinks the unverifiable surface to dd07).
+    // The sequential recurrence is expressed RELATIONALLY: position i
+    // fills slot i while i <= k; for i > k the hash draw j(i) =
+    // H(seed, shard, i) mod i + 1 replaces slot j(i) iff j(i) <= k —
+    // so slot s's final occupant is simply the element at the LARGEST
+    // position that ever wrote s (max_by), no stateful fold needed.
+    // Scale: per-stream positions ride a stream-sharded window (the
+    // op11 convention — a bounded shuffle buffer is sequential PER
+    // STREAM in tf.data too; parallelism scales with streams), and the
+    // k·streams result rows partial-aggregate map-side.
+    Q(
+      "op11c_reservoir_det",
+      s"""WITH p AS (SELECT l_orderkey % 4 AS shard, l_orderkey,
+         |    row_number() OVER (PARTITION BY l_orderkey % 4
+         |      ORDER BY l_orderkey, l_linenumber, l_quantity) AS i
+         |  FROM lineitem),
+         |  s AS (SELECT shard, i, l_orderkey,
+         |    CASE WHEN i <= 64 THEN i
+         |         ELSE ${P.duckHash60("'res|7|' || shard::VARCHAR || '|' || i::VARCHAR")} % i + 1
+         |    END AS slot
+         |  FROM p)
+         |SELECT CAST(shard AS BIGINT) AS shard, CAST(slot AS BIGINT) AS slot,
+         |  CAST(arg_max(l_orderkey, i) AS BIGINT) AS l_orderkey
+         |FROM s WHERE slot <= 64 GROUP BY shard, slot""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("shard")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+      val h = P.hash60(
+        "concat('res|7|', cast(shard as string), '|', cast(i as string))")
+      T.lineitem(s, d)
+        .withColumn("shard", col("l_orderkey") % 4)
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("slot",
+          when(col("i") <= 64, col("i"))
+            .otherwise(expr(s"pmod($h, i) + 1")))
+        .filter(col("slot") <= 64)
+        .groupBy("shard", "slot")
+        .agg(expr("max_by(l_orderkey, i)").cast("long").as("l_orderkey"))
+        .selectExpr("cast(shard as bigint) as shard",
+          "cast(slot as bigint) as slot", "l_orderkey")
+    },
+
     // op 12: repeat(3) (graphdef_util.py:566-601)
     Q(
       "op12_repeat",

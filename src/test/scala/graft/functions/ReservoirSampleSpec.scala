@@ -70,6 +70,56 @@ class ReservoirSampleSpec extends AnyFunSuite {
     assert(arrays.map(_.head).distinct.length == 20) // ids unique → no aliasing
   }
 
+  test("op11c's relational form implements Algorithm R's recurrence " +
+    "exactly: max_by over hash-driven slot writes == the sequential fold " +
+    "(VERDICT r15 #5)") {
+    // The deterministic reservoir (op11c) claims that 'slot s's final
+    // occupant = element at the LARGEST position that wrote s' is the
+    // SAME state Algorithm R's sequential loop reaches when its random
+    // draw at position i is H(seed, shard, i) mod i + 1. Pin the
+    // equivalence against a direct driver-side simulation of the loop,
+    // with the same md5-based portable hash.
+    import org.apache.spark.sql.functions._
+    val k = 8
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    // two shards, 50 elements each, values disjoint from positions so a
+    // slot/value mix-up cannot cancel out
+    def simulate(shard: Long, values: Seq[Long]): Map[Long, Long] = {
+      val res = scala.collection.mutable.Map[Long, Long]()
+      values.zipWithIndex.foreach { case (v, idx) =>
+        val i = idx + 1L
+        val j = if (i <= k) i else h60(s"res|9|$shard|$i") % i + 1
+        if (j <= k) res(j) = v
+      }
+      res.toMap
+    }
+    val values = (0 until 2).map(sh => sh.toLong ->
+      (1 to 50).map(i => 1000L * (sh + 1) + i))
+    val df = spark.createDataFrame(
+      values.flatMap { case (sh, vs) => vs.map(v => (sh, v)) })
+      .toDF("shard", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("v")
+    val hx = graft.Portable.hash60(
+      "concat('res|9|', cast(shard as string), '|', cast(i as string))")
+    val got = df.withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("slot",
+        when(col("i") <= k, col("i")).otherwise(expr(s"pmod($hx, i) + 1")))
+      .filter(col("slot") <= k)
+      .groupBy("shard", "slot").agg(expr("max_by(v, i)").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = values.flatMap { case (sh, vs) =>
+      simulate(sh, vs.sorted.map(_.toLong)).map { case (s, v) => (sh, s) -> v }
+    }.toMap
+    assert(got == want, "relational reservoir diverges from the sequential fold")
+    assert(got.keys.count(_._1 == 0L) == k && got.keys.count(_._1 == 1L) == k)
+  }
+
   test("string items survive buffer reuse (UTF8String deep copy)") {
     ReservoirSample.register(spark)
     val rows = spark.sql(
