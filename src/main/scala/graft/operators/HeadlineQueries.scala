@@ -180,8 +180,16 @@ object HeadlineQueries {
       // persisted: the kth-min and count branches don't canonicalize to
       // one exchange (verified in PLANS.md — no ReusedExchange), so an
       // unpersisted frame would scan + distinct the fact TWICE; caller
-      // clearCache releases (the r1Bands convention)
+      // clearCache releases (the r1Bands convention).
+      // Hash AFTER the key-level distinct (VERDICT r15 #6): md5 is the
+      // dominant per-row cost, and hashing the fact column directly
+      // paid it once per ROW (600k at sf0.1) instead of once per
+      // DISTINCT KEY (~20k) — the first distinct partial-aggregates
+      // longs map-side, then ~3% of the md5 work reproduces the same
+      // hash set (the outer distinct keeps the oracle's exact
+      // distinct-hash semantics under a 60-bit collision).
       val t = T.lineitem(s, d)
+        .select("l_partkey").distinct()
         .selectExpr(s"${P.hash60("concat('kmv|', cast(l_partkey as string))")} as h")
         .distinct()
         .persist()

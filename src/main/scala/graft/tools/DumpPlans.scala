@@ -162,7 +162,12 @@ object DumpPlans {
     // the TFRecord round-trip must show the binaryFile scan (one task
     // per shard) feeding the decode flatMap — no exchange before the agg
     "q_tfrecord_roundtrip", "fn12_tfexample_roundtrip",
-    "mm12_imagenet_ingest", "fn13_varlen_roundtrip")
+    "mm12_imagenet_ingest", "fn13_varlen_roundtrip",
+    // round-16: deterministic reservoir — the pinned plan must show
+    // stream-sharded position windows (never a single-partition
+    // row_number), the hash draw + slot filter INSIDE the scan-side
+    // projection, and the max_by rollup partial-aggregating map-side
+    "op11c_reservoir_det")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

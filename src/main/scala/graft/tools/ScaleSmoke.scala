@@ -7,24 +7,34 @@ import org.apache.spark.sql.functions._
 /** sf1-equivalent smoke for the heavy query family (VERDICT r5 #7): all
   * SCALE.md evidence is sf0.1, so the linearity claims are unstressed.
   * No sf1 fixture exists, so this derives one from sf0.1: documents and
-  * embeddings replicated `copies`× with remapped ids, text rotated
-  * through a per-copy character substitution and embedding dimensions
-  * sign-flipped by a per-(copy, dim) hash. The rotation keeps each copy's ORGANIC
+  * embeddings replicated `copies`× with remapped ids, text mapped
+  * through a per-copy alphabet permutation and embedding dimensions
+  * sign-flipped by a per-(copy, dim) hash. The substitution keeps each copy's ORGANIC
   * near-dup structure intact while making cross-copy shingles/planes
   * distinct — i.e. 10× the data carries 10× the structure, instead of
   * turning every document into a 10-way near-dup flood (which the flood
   * fixture already covers separately).
   *
-  *   sbt 'runMain graft.tools.ScaleSmoke [sfDir] [copies]'
+  *   sbt 'runMain graft.tools.ScaleSmoke [sfDir] [copies] [q1,q2,...]'
   *
   * Appends a measured section to SCALE.md: per heavy query, shuffle
   * write, spill, wall time, and the ratio vs the sf0.1 run — linear
   * plans should land ≈ copies× on shuffle bytes with ZERO spill.
+  *
+  * The optional third argument selects a SUBSET of the audited queries
+  * for a deeper-multiplier arm (VERDICT r15 #3: e.g. copies=100 for the
+  * flood-sensitive exports) — subset runs write their own
+  * `## Derived Nx subset smoke` section with wall ratios alongside the
+  * shuffle ratios, and never disturb the main fixture section.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = if (args.length > 1) args(1).toInt else 10
+    val subset: Option[Set[String]] =
+      if (args.length > 2)
+        Some(args(2).split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      else None
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -39,14 +49,22 @@ object ScaleSmoke {
     val docs = graft.Tables.documents(spark, sfDir)
     val embs = graft.Tables.embeddings(spark, sfDir)
 
-    // copy c: ids offset into disjoint ranges; letters rotated by c so
-    // shingle/minhash/winnow content is copy-distinct but structurally
-    // identical within the copy
+    // copy c: ids offset into disjoint ranges; letters mapped through a
+    // deterministic pseudorandom PERMUTATION of the alphabet
+    // (Fisher-Yates seeded by c; copy 0 is the identity) so shingle/
+    // minhash/winnow content is copy-distinct but structurally identical
+    // within the copy. Previously a rotate-by-c, which WRAPS at 26: a
+    // 100x fixture then carried genuine whole-corpus 4-way duplication
+    // (copies 0/26/52/78 byte-identical text under fresh ids) and the
+    // dd21 subset arm measured that flood, not the plan (282x shuffle at
+    // 100x — honest work on dishonest data). 26! permutations never wrap.
     val bigDocs = (0 until copies).map { c =>
-      val rot = alpha.drop(c % 26) + alpha.take(c % 26)
+      val perm =
+        if (c == 0) alpha
+        else new scala.util.Random(c).shuffle(alpha.toList).mkString
       docs.select(
         (col("doc_id") + lit(c.toLong * 10000000L)).as("doc_id"),
-        translate(col("text"), alpha, rot).as("text"),
+        translate(col("text"), alpha, perm).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionAll _)
     bigDocs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -167,10 +185,46 @@ object ScaleSmoke {
       }
     }
 
+    // Deep-multiplier subset arm (VERDICT r15 #3): the selected queries
+    // only, with WALL ratios recorded beside the shuffle ratios — the
+    // claim at 100x is 'wall and shuffle ≈ Nx; spill acceptable and
+    // recorded, superlinear wall is not'. Writes its own SCALE.md
+    // section; the main fixture section is untouched.
+    if (subset.isDefined) {
+      val picked = audited.filter { case (n, _) => subset.get(n) }
+      require(picked.nonEmpty,
+        s"no audited query matches: ${subset.get.mkString(",")}")
+      val sb = new StringBuilder
+      sb ++= s"\n## Derived ${copies}x subset smoke (" +
+        picked.map(_._1).mkString(", ") + ")\n\n"
+      sb ++= s"Same fixture derivation as the main section, at ${copies}x, on\n"
+      sb ++= "the flood-sensitive queries only. Linear plans must hold wall AND\n"
+      sb ++= "shuffle ≈ Nx; spill is acceptable (the ordered exports sort via\n"
+      sb ++= "ExternalSorter's spilled merge runs by design) and recorded.\n\n"
+      sb ++= s"| query | rows 1x/${copies}x | shuffle 1x | shuffle ${copies}x " +
+        s"| shuffle ratio | spill ${copies}x | wall 1x | wall ${copies}x " +
+        "| wall ratio | claim |\n"
+      sb ++= "|---|---|---|---|---|---|---|---|---|---|\n"
+      picked.foreach { case (name, claim) =>
+        val (s1, _, dt1, r1, _) = run(name, sfDir)
+        val (sN, spN, dtN, rN, _) = run(name, dir)
+        val sRatio = if (s1 > 0) f"${sN.toDouble / s1}%.1fx" else "n/a"
+        val wRatio = if (dt1 > 0) f"${dtN / dt1}%.1fx" else "n/a"
+        sb ++= s"| $name | $r1 / $rN | ${fmt(s1)} | ${fmt(sN)} | $sRatio " +
+          f"| ${fmt(spN)} | $dt1%.1f s | $dtN%.1f s | $wRatio | $claim |\n"
+        println(f"$name subset done: ${fmt(sN)} shuffle, ${fmt(spN)} spill, " +
+          f"$dtN%.1f s ($wRatio wall)")
+      }
+      writeSection(sb.toString, subsetKind = true)
+      println(s"appended ${picked.size}-query ${copies}x subset section to SCALE.md")
+      spark.stop()
+      return
+    }
+
     val sb = new StringBuilder
     sb ++= s"\n## Derived ${copies}x fixture (sf0.1 replicated, copy-rotated text, sign-flipped embeddings)\n\n"
     sb ++= s"${copies}× the documents/embeddings/events of sf0.1 with per-copy\n"
-    sb ++= "character-rotated text, per-(copy, dim) sign-flipped embeddings, and\n"
+    sb ++= "character-permuted text, per-(copy, dim) sign-flipped embeddings, and\n"
     sb ++= "id-offset events on the SAME timestamps (same windows, copies× the\n"
     sb ++= "events each) — organic near-dup structure preserved per copy, no\n"
     sb ++= "cross-copy floods. Linear plans\n"
@@ -339,23 +393,31 @@ object ScaleSmoke {
     sb ++= "cross-copy images of the same vector clear the 0.3 verify threshold\n"
     sb ++= "~1% of the time; shuffle stays proportional to (organic + tail) pair\n"
     sb ++= "volume with zero spill, which is the linearity claim. tx12/dd04's few-%\n"
-    sb ++= "row deviations are cross-copy k-gram collisions of the rotated tiny\n"
+    sb ++= "row deviations are cross-copy k-gram collisions of the permuted tiny\n"
     sb ++= "vocabulary (tx12 +) and merged buckets crossing the 64 cap (dd04 −).\n"
     sb ++= "dd21 runs with broadcast joins forced off on BOTH legs, so its ratio\n"
     sb ++= "is a true linear-vs-linear exchange measurement (r9's 579× row was a\n"
     sb ++= "broadcast-vs-shuffle artifact of the 1x leg fitting the threshold).\n"
 
+    writeSection(sb.toString, subsetKind = false)
+    println(s"appended ${audited.size}-query smoke section to SCALE.md")
+    spark.stop()
+  }
+
+  /** Replace THIS kind's previous `## Derived …` section in SCALE.md
+    * (main fixture vs subset smoke), leaving the other kind's section —
+    * and everything else — intact, then append the new section.
+    */
+  private def writeSection(section: String, subsetKind: Boolean): Unit = {
     val scalePath = java.nio.file.Paths.get("SCALE.md")
     val existing = if (java.nio.file.Files.exists(scalePath))
       java.nio.file.Files.readString(scalePath) else ""
-    // replace a previous smoke section if present, else append
-    val marker = "\n## Derived "
-    val base = existing.indexOf(marker) match {
-      case -1 => existing
-      case i  => existing.substring(0, i)
+    val parts = existing.split("(?=\n## Derived )")
+    val keep = parts.filterNot { p =>
+      p.startsWith("\n## Derived ") &&
+        (if (subsetKind) p.contains("x subset smoke")
+         else !p.contains("x subset smoke"))
     }
-    java.nio.file.Files.writeString(scalePath, base + sb.toString)
-    println(s"appended ${audited.size}-query smoke section to SCALE.md")
-    spark.stop()
+    java.nio.file.Files.writeString(scalePath, keep.mkString + section)
   }
 }

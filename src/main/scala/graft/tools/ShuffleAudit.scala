@@ -121,6 +121,7 @@ object ShuffleAudit {
     "cu17_curriculum_export" -> "ordered export: cu11's source-keyed curriculum windows ((id, score, ntok) longs), then ONE repartitionAndSortWithinPartitions exchange places the record bytes — the reduce side merges SPILLED sorted runs, so within-shard sort never holds a shard in task memory",
     "cu18_export_manifest" -> "manifest audit: pays cu16's export once; the manifest itself is numShards lines of driver-bounded metadata (one stats row per writer task), so the audit adds ZERO shuffle beyond the export it audits",
     "cu19_sequence_packing" -> "running token total rides withGlobalPrefixSum ((doc_id, ntok) longs on the bucket key — text never shuffles); seq ids are scan-local, both rollups partial-aggregate map-side",
+    "op11c_reservoir_det" -> "deterministic reservoir: positions ride stream-sharded windows ((key, pos) longs — one exchange); the hash draw + slot filter run scan-side, so only the ≤ k·streams surviving slot writes reach the max_by agg, which partial-aggregates map-side (r16)",
     "sm15_epoch_shuffle" -> "each epoch's permutation rank rides the distributed Ordinal over (hash, doc_id) longs — 3 bucket-keyed exchanges, never a single-partition row_number; rollup is one row per epoch; the base (doc_id) projection persists once so 3 epochs cost ONE corpus read (r15)",
     "cu20_epoch_ordered_export" -> "epoch-ordered export: the epoch-1 permutation rank rides the distributed Ordinal ((hash, doc_id) longs), then ONE repartitionAndSortWithinPartitions exchange places the record bytes into contiguous permutation-block shards (spilled merge sort — no shard held in task memory); the order gate scans the export once, rollup combines map-side to 8 rows",
     "ss23_ranking_metrics" -> "queries broadcast; the scored pass reduces to (q_id, rank, relevant) rows before the per-query rollup",
@@ -308,7 +309,17 @@ object ShuffleAudit {
     sb ++= s"| audit shuffle write | ${fmt(auditL.shuffleWriteBytes)} |\n"
     sb ++= s"| audit spill | ${fmt(auditL.spillBytes)} |\n"
 
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
+    // preserve ScaleSmoke's `## Derived …` sections: the two tools share
+    // SCALE.md, and a full-table regeneration must not silently wipe the
+    // smoke evidence (previously an ordering hazard — ShuffleAudit had
+    // to run first or the smoke sections vanished)
+    val outPath = java.nio.file.Paths.get(out)
+    val derived =
+      if (!java.nio.file.Files.exists(outPath)) ""
+      else java.nio.file.Files.readString(outPath)
+        .split("(?=\n## Derived )")
+        .filter(_.startsWith("\n## Derived ")).mkString
+    java.nio.file.Files.writeString(outPath, sb.toString + derived)
     println(s"wrote $out (${audited.size + floodAudited.size} queries + cluster-once section)")
     spark.stop()
   }
