@@ -412,12 +412,22 @@ object ScaleSmoke {
     val scalePath = java.nio.file.Paths.get("SCALE.md")
     val existing = if (java.nio.file.Files.exists(scalePath))
       java.nio.file.Files.readString(scalePath) else ""
-    val parts = existing.split("(?=\n## Derived )")
-    val keep = parts.filterNot { p =>
+    java.nio.file.Files.writeString(scalePath,
+      spliceSection(existing, section, subsetKind))
+  }
+
+  /** Pure splice rule (spec-pinned — a regression here silently destroys
+    * committed measurement evidence): drop only the same-kind `## Derived`
+    * section(s), keep the audit base and the other kind verbatim, append
+    * the new section at the end.
+    */
+  private[tools] def spliceSection(existing: String, section: String,
+      subsetKind: Boolean): String = {
+    val keep = existing.split("(?=\n## Derived )").filterNot { p =>
       p.startsWith("\n## Derived ") &&
         (if (subsetKind) p.contains("x subset smoke")
          else !p.contains("x subset smoke"))
     }
-    java.nio.file.Files.writeString(scalePath, keep.mkString + section)
+    keep.mkString + section
   }
 }

@@ -314,13 +314,20 @@ object ShuffleAudit {
     // smoke evidence (previously an ordering hazard — ShuffleAudit had
     // to run first or the smoke sections vanished)
     val outPath = java.nio.file.Paths.get(out)
-    val derived =
+    val existing =
       if (!java.nio.file.Files.exists(outPath)) ""
       else java.nio.file.Files.readString(outPath)
-        .split("(?=\n## Derived )")
-        .filter(_.startsWith("\n## Derived ")).mkString
-    java.nio.file.Files.writeString(outPath, sb.toString + derived)
+    java.nio.file.Files.writeString(outPath,
+      sb.toString + preservedDerived(existing))
     println(s"wrote $out (${audited.size + floodAudited.size} queries + cluster-once section)")
     spark.stop()
   }
+
+  /** Pure preservation rule (spec-pinned beside ScaleSmoke.spliceSection):
+    * everything from the first `## Derived` section onward survives a
+    * full audit-table regeneration verbatim.
+    */
+  private[tools] def preservedDerived(existing: String): String =
+    existing.split("(?=\n## Derived )")
+      .filter(_.startsWith("\n## Derived ")).mkString
 }
