@@ -950,35 +950,59 @@ object TfRecords {
   /** Pass 1 of the lenient read: a CRC-only streamed walk (payloads
     * discarded as they verify, their lengths summed) producing the
     * per-file verdict — (records that verify before any failure point,
-    * verified payload bytes, file was clean). Resync past a bad frame is
+    * verified payload bytes, file was clean, raw-byte CRC32C). Resync
+    * past a bad frame is
     * impossible: the format carries no record-boundary markers, so the
     * rest of the file is unparseable by construction (TensorFlow's own
     * readers stop at the first bad frame too). Only [[isCorruption]]
     * failures flip the verdict; a transient IOException fails the task
     * for retry.
+    *
+    * The RAW CRC rides this same pass for free (a CheckedInputStream
+    * under the inflater/buffer sees exactly the physical bytes) — so
+    * the manifest `disk_crc32c` cross-check costs zero extra reads. It
+    * is meaningful only on a CLEAN walk (corruption cuts the walk short
+    * and the verdict is already false); the drain loop makes the value
+    * buffering-independent at clean EOF.
     */
   private def scanVerdict(fullPath: String,
-      conf: org.apache.hadoop.conf.Configuration): (Long, Long, Boolean) = {
+      conf: org.apache.hadoop.conf.Configuration): (Long, Long, Boolean, Long) = {
     var n = 0L
     var payload = 0L
     var clean = true
+    val crc = new java.util.zip.CRC32C
+    var checked: java.util.zip.CheckedInputStream = null
     var din: java.io.DataInputStream = null
     try {
-      din = openStream(fullPath, conf) // gzip-header failure lands here
+      val p = new org.apache.hadoop.fs.Path(fullPath)
+      checked = new java.util.zip.CheckedInputStream(
+        p.getFileSystem(conf).open(p), crc)
+      val in: java.io.InputStream =
+        if (fullPath.endsWith(".gz"))
+          new java.util.zip.GZIPInputStream(checked, 65536) // header fails here
+        else new java.io.BufferedInputStream(checked, 65536)
+      din = new java.io.DataInputStream(in)
       var rec = readRecord(din, shardName(fullPath))
       while (rec != null) {
         n += 1
         payload += rec.length
         rec = readRecord(din, shardName(fullPath))
       }
+      // drain any raw tail the decoder didn't pull (a gzip member's
+      // next-member probe can stop short of physical EOF) so the CRC
+      // covers the whole file regardless of buffering internals
+      val buf = new Array[Byte](65536)
+      while (checked.read(buf) != -1) ()
     } catch {
       case e if isCorruption(e) => clean = false
     } finally {
       if (din != null) {
         try din.close() catch { case _: java.io.IOException => () }
+      } else if (checked != null) {
+        try checked.close() catch { case _: java.io.IOException => () }
       }
     }
-    (n, payload, clean)
+    (n, payload, clean, crc.getValue)
   }
 
   /** Pass 2 of the lenient read: like [[recordIterator]] but a framing /
@@ -1042,8 +1066,9 @@ object TfRecords {
     * because a swap can preserve the record count while changing record
     * sizes; pass 1 computes the payload sum for free). A claim carrying
     * `disk_crc32c` additionally verifies the PHYSICAL byte stream
-    * (VERDICT r15 #1 — one extra raw streaming pass per claimed file,
-    * no decode): this closes the last swap class, a replacement with
+    * (VERDICT r15 #1 — computed inside pass 1 by a CheckedInputStream
+    * under the inflater, zero extra reads): this closes the last swap
+    * class, a replacement with
     * identical count, payload, and length but different content. When
     * claims exist, a listed shard file the manifest does NOT claim is
     * flagged too (ADVICE r15): a zombie file from a differently-
@@ -1082,18 +1107,19 @@ object TfRecords {
       .parallelize(bins.map(_.toList), math.max(1, bins.size))
       .flatMap(_.iterator.flatMap { f =>
         val file = shardName(f)
-        val (n, pay, verified) = scanVerdict(f, hconf.value)
+        val (n, pay, verified, rawCrc) = scanVerdict(f, hconf.value)
         // manifest cross-check: CRC-clean but count OR payload bytes
         // differ from the writer's claim ⇒ the file is not the one the
         // writer described (payload matters: a swap with the SAME record
         // count but different record sizes passes a count-only check);
         // a disk_crc32c claim also verifies the raw byte stream (the
-        // same-count same-length swap class); with claims present, an
+        // same-count same-length swap class) using the CRC pass 1
+        // computed in-stream — zero extra reads; with claims present, an
         // UNCLAIMED listed file is a zombie the writer never described
         val claimOk = claims.get(file) match {
           case Some(c) =>
             c.nRecords == n && c.payloadBytes == pay &&
-              (c.diskCrc < 0 || c.diskCrc == fileCrc(f, hconf.value))
+              (c.diskCrc < 0 || c.diskCrc == rawCrc)
           case None => claims.isEmpty
         }
         val clean = verified && claimOk

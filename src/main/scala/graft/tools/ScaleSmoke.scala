@@ -143,7 +143,7 @@ object ScaleSmoke {
       "cu15_equal_mass_shards" -> "the prefix sum runs over EVERY document: shuffle must scale ≈ Nx in (doc_id, n_chars) longs with zero spill — the corpus-frame stress of the r13 primitive",
       "sm14_priority_sample" -> "TakeOrdered selection: shuffle stays ≈ FLAT at Nx (k+1 rows per partition partial, never the corpus) — the constant-communication claim, measured",
       "cu16_equal_mass_export" -> "physical sharded export: the terminal shard_id exchange carries the corpus bytes ONCE, so wall and shuffle must scale ≈ Nx; writer-task skew is bounded by the assignment's <1-max-doc mass deviation",
-      "cu17_curriculum_export" -> "ordered export: the sort-within-shard exchange carries the corpus bytes ONCE (ExternalSorter merges spilled runs, no in-memory shard), so wall and shuffle must scale ≈ Nx like cu16 plus the sort's log factor",
+      "cu17_curriculum_export" -> "ordered export: TWO corpus-byte exchanges by design — the assignment→text join plus the sort-within-shard placement (ExternalSorter merges spilled runs, no in-memory shard); broadcast forced OFF on both legs (a 100 TB assignment table cannot broadcast), so the ratio is linear-vs-linear",
       "cu19_sequence_packing" -> "the prefix sum runs over EVERY document and the seq rollup over corpus_tokens/2048 keys: shuffle must scale ≈ Nx in longs with zero spill — no single-partition window anywhere",
       "sm15_epoch_shuffle" -> "3 whole-corpus permutation ranks on the distributed Ordinal: shuffle must scale ≈ Nx in (hash, doc_id) longs with zero spill — the epoch-order claim is bit-reproducibility, not locality",
       "cu20_epoch_ordered_export" -> "epoch-ordered export: one Ordinal rank pass in longs plus the terminal sort-within-shard exchange carrying the corpus bytes ONCE — wall and shuffle must scale ≈ Nx like cu17, with the permutation (not the curriculum) as the placement key")
@@ -161,8 +161,14 @@ object ScaleSmoke {
       // — r9 published a 579x broadcast-vs-shuffle artifact with a
       // caveat paragraph. Force the exchange on BOTH legs (the
       // PlanQualitySpec q_bucket_join pattern) so the row measures
-      // linear-vs-linear.
-      val forceShuffle = name == "dd21_containment"
+      // linear-vs-linear. cu17 is the same class at deep multipliers
+      // (r16): its assignment→text join broadcasts at 1x but cannot at
+      // Nx (or on a real cluster at 100 TB), so the unforced 100x ratio
+      // read ≈ 2N — the honest at-scale constant is TWO corpus-byte
+      // exchanges (assignment join + placement sort), measured
+      // linear-vs-linear with the broadcast off.
+      val forceShuffle =
+        name == "dd21_containment" || name == "cu17_curriculum_export"
       val prevBjt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       if (forceShuffle) {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
