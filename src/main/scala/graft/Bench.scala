@@ -26,6 +26,36 @@ object Bench {
   private case class BenchRow(name: String, min: Double, med: Double,
       ok: Boolean, settle: Int, inflated: Boolean)
 
+  /** Fully materialize a query result via the noop sink — the timed
+    * action (r16). `.count()` is NOT a valid benchmark action: Catalyst
+    * prunes columns the row count does not need, and for window/agg-
+    * shaped queries that deletes the very work being timed (measured:
+    * op11's count() shuffled 171 BYTES vs the real 1 MiB — the timed
+    * plan was a filtered scan-count; sm15's count() lost its three rank
+    * exchanges; even q1's count() scanned one column instead of seven
+    * because the pruned sums never reached the scan). The noop sink
+    * evaluates every output column and discards it — the cost a consumer
+    * of the full result actually pays.
+    */
+  private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** Cross-run references are valid only between runs of the SAME
+    * measurement methodology. r16 switched the timed action from
+    * `.count()` (prunable — see [[materialize]]) to full noop-sink
+    * materialization, which strictly increases measured work for the
+    * pruned class: comparing a noop min against a count-era reference
+    * would latch phantom regressions on every affected row, and the
+    * monotone min would keep the stale faster references forever. A
+    * bench_out.json without the CURRENT methodology marker therefore
+    * contributes NO references — the next run re-seeds, exactly like a
+    * first run (an explicit, documented reset; the r9→r10 rule bans
+    * SILENT resets, not methodology migrations).
+    */
+  private[graft] val methodology = "noop"
+  private[graft] def refsCompatible(txt: String): Boolean =
+    txt.contains("\"methodology\":\"" + methodology + "\"")
+
   /** Parse the per-query cross-run reference out of a committed
     * bench_out.json body: prefers the MONOTONE `queries_ref` block (see
     * [[nextQueryRef]]), falling back to the raw `queries` mins for
@@ -188,7 +218,7 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     SparkEntry.all.find(_.name == "q3_top_revenue_orders")
-      .foreach(q => try q.fn(spark, sfDir).count() catch { case _: Throwable => () })
+      .foreach(q => try materialize(q.fn(spark, sfDir)) catch { case _: Throwable => () })
 
     def round3(v: Double): Double = math.rint(v * 1000) / 1000
     def median(xs: Seq[Double]): Double = {
@@ -235,7 +265,11 @@ object Bench {
     val priorMin: Map[String, Double] = try {
       val p = java.nio.file.Paths.get("bench_out.json")
       if (!java.nio.file.Files.exists(p)) Map.empty
-      else parsePriorMin(java.nio.file.Files.readString(p), sfDir)
+      else {
+        val txt = java.nio.file.Files.readString(p)
+        // methodology gate: count-era references are not comparable
+        if (!refsCompatible(txt)) Map.empty else parsePriorMin(txt, sfDir)
+      }
     } catch { case _: Throwable => Map.empty }
 
     // The flagship's cross-run reference, same contract as priorMin: the
@@ -247,7 +281,10 @@ object Bench {
     val priorFlagship: Double = try {
       val p = java.nio.file.Paths.get("bench_out.json")
       if (!java.nio.file.Files.exists(p)) 0.0
-      else parsePriorFlagship(java.nio.file.Files.readString(p), sfDir)
+      else {
+        val txt = java.nio.file.Files.readString(p)
+        if (!refsCompatible(txt)) 0.0 else parsePriorFlagship(txt, sfDir)
+      }
     } catch { case _: Throwable => 0.0 }
 
     // Flagship pipeline throughput (input elements/sec over one pass) —
@@ -266,11 +303,11 @@ object Bench {
       else try {
         val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
         val n = li.count()
-        api.Flagship.run(spark, sfDir).count() // untimed warmup rep
+        materialize(api.Flagship.run(spark, sfDir)) // untimed warmup rep
         def rep(): Double = {
           val df = api.Flagship.run(spark, sfDir)
           val t0 = System.nanoTime()
-          df.count()
+          materialize(df)
           val dt = (System.nanoTime() - t0) / 1e9
           if (dt > 0) math.rint(n / dt) else 0.0
         }
@@ -298,7 +335,7 @@ object Bench {
       def rep(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok =
-          try { q.fn(spark, sfDir).count(); true }
+          try { materialize(q.fn(spark, sfDir)); true }
           catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         // unpersist query-local caches so back-to-back runs don't
@@ -386,7 +423,7 @@ object Bench {
             val ts = (1 to 3).flatMap { _ =>
               val t0 = System.nanoTime()
               val succeeded =
-                try { q.fn(spark, sfDir).count(); true }
+                try { materialize(q.fn(spark, sfDir)); true }
                 catch { case _: Throwable => false }
               val dt = (System.nanoTime() - t0) / 1e9
               spark.sharedState.cacheManager.clearCache()
@@ -460,7 +497,8 @@ object Bench {
     val flagshipRef =
       nextFlagshipRef(priorFlagship, flagshipRate, flagshipFailed, flagshipInflated)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","methodology":"$methodology",""" +
+        s""""queries":$qs,""" +
         s""""queries_median":$qsMed,"failed":$failed,""" +
         s""""noisy":$noisy,"noisy_queries":$noisyCount,""" +
         s""""drift":$drift,"drift_ratio":$driftRatio,""" +
@@ -488,7 +526,8 @@ object Bench {
     def compactLine(entries: Seq[BenchRow]): String = {
       val m = entries.map(r => "\"" + r.name + "\":" + r.min)
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$m,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","methodology":"$methodology",""" +
+        s""""queries":$m,""" +
         s""""queries_shown":${entries.size},"queries_total":${okResults.size},""" +
         s""""full_results":"bench_out.json","failed":$failed,""" +
         s""""noisy":$noisy,"noisy_queries":$noisyCount,""" +

@@ -175,12 +175,19 @@ object ScaleSmoke {
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       }
       try {
+        // rows for the table come from an UNTIMED count (count() prunes
+        // work, so it must not be the measured action — the Bench r16
+        // methodology); the metrics/wall leg then fully materializes via
+        // the noop sink, which evaluates every output column
+        val rows = q.fn(spark, d).count()
+        spark.sharedState.cacheManager.clearCache()
         val l = new StageMetricsListener
         graft.functions.Dedup.lastCcRounds = -1
         graft.operators.SimilarityOps.lastCellStats = None
         val t0 = System.nanoTime()
-        var rows = 0L
-        l.collect(spark) { rows = q.fn(spark, d).count() }
+        l.collect(spark) {
+          q.fn(spark, d).write.format("noop").mode("overwrite").save()
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
         (l.shuffleWriteBytes, l.spillBytes, dt, rows,

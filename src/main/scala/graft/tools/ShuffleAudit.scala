@@ -273,10 +273,14 @@ object ShuffleAudit {
       val q = byName(name)
       val plainRows = q.fn(spark, sfDir).count()
       spark.sharedState.cacheManager.clearCache()
+      // rows untimed via count; metrics from a full noop materialization
+      // (count() prunes work — the Bench r16 methodology)
+      val rows = q.fn(spark, floodDir).count()
+      spark.sharedState.cacheManager.clearCache()
       val l = new StageMetricsListener
-      val df = q.fn(spark, floodDir)
-      var rows = 0L
-      l.collect(spark) { rows = df.count() }
+      l.collect(spark) {
+        q.fn(spark, floodDir).write.format("noop").mode("overwrite").save()
+      }
       spark.sharedState.cacheManager.clearCache()
       sb ++= s"| $name | $plainRows | $rows | ${fmt(l.shuffleWriteBytes)} " +
         s"| ${fmt(l.spillBytes)} | $claim |\n"

@@ -56,6 +56,22 @@ class BenchRefSpec extends AnyFunSuite {
       body(""""flagship_ref":523452"""), "/other/sf") == 0.0)
   }
 
+  // ---- refsCompatible (methodology gate — r16 count()→noop migration) -----
+
+  test("a count-era bench_out.json contributes no references; the noop " +
+    "methodology marker restores them") {
+    // r16 changed the timed action from .count() (Catalyst prunes the
+    // work the row count doesn't need) to full noop materialization —
+    // strictly more work for the pruned class, so count-era minima must
+    // not become noop-era regression thresholds
+    assert(!Bench.refsCompatible(body(""""queries_ref":{"a":0.4}""")))
+    val current = body(""""methodology":"noop","queries_ref":{"a":0.4}""")
+    assert(Bench.refsCompatible(current))
+    assert(Bench.parsePriorMin(current, sf) == Map("a" -> 0.4))
+    // a future methodology bump invalidates noop files the same way
+    assert(!Bench.refsCompatible(body(""""methodology":"count"""")))
+  }
+
   // ---- nextQueryRef (monotone min — VERDICT r12 #1) -----------------------
 
   test("an inflated row cannot overwrite its committed reference") {
