@@ -221,10 +221,16 @@ object FunctionOps {
          |FROM t CROSS JOIN range(0, 16) r(b)""".stripMargin) { (s, d) =>
       graft.Tables.documents(s, d)
         .selectExpr("doc_id", "split(lower(text), '\\\\s+') as toks")
+        // hash each token ONCE per document (md5 is the per-row cost
+        // driver): the 16-way bucket fan-out then counts over the
+        // precomputed bucket ids instead of re-hashing every token per
+        // bucket — 16x the md5 work, exposed r16 by the honest
+        // noop-materialization bench (count() had pruned it all)
         .selectExpr("doc_id",
-          "explode(sequence(0, 15)) as bucket", "toks")
+          s"transform(toks, w -> ${graft.Portable.hash60("w")} % 16) as hb")
+        .selectExpr("doc_id", "explode(sequence(0, 15)) as bucket", "hb")
         .selectExpr("doc_id", "cast(bucket as bigint) as bucket",
-          s"cast(size(filter(toks, w -> ${graft.Portable.hash60("w")} % 16 = bucket)) as bigint) as cnt")
+          "cast(size(filter(hb, h -> h = bucket)) as bigint) as cnt")
     },
 
     // Vocabulary count-vectorizer: each document against the corpus
@@ -268,12 +274,20 @@ object FunctionOps {
         .selectExpr("w", "cast(row_number() over (order by n desc, w) as bigint) as slot")
         .agg(expr("array_sort(collect_list(struct(slot, w)))").as("vs"))
       t.crossJoin(broadcast(slotted))
-        .select(col("doc_id"), col("toks"), col("vs"),
+        // per-document invariants computed BELOW the generate: after the
+        // 16-way explode they would be recomputed once per slot row, and
+        // n_invocab's lambda would rebuild transform(vs, …) per token —
+        // 16x the scan work (exposed r16 by the honest bench; the old
+        // count() action had pruned these columns away entirely)
+        .withColumn("vw", expr("transform(vs, y -> y.w)"))
+        .withColumn("n_invocab",
+          expr("cast(size(filter(toks, x -> array_contains(vw, x))) as bigint)"))
+        .withColumn("n_toks", expr("cast(size(toks) as bigint)"))
+        .select(col("doc_id"), col("toks"), col("n_invocab"), col("n_toks"),
           explode(col("vs")).as("v"))
         .selectExpr("doc_id", "v.slot as slot", "v.w as word",
           "cast(size(filter(toks, x -> x = v.w)) as bigint) as cnt",
-          "cast(size(filter(toks, x -> array_contains(transform(vs, y -> y.w), x))) as bigint) as n_invocab",
-          "cast(size(toks) as bigint) as n_toks")
+          "n_invocab", "n_toks")
     },
 
     // TFExample wire-format round-trip with FixedLenFeature defaults —
