@@ -22,7 +22,9 @@ object FlagshipProbe {
     spark.range(1L << 20).selectExpr("sum(id)").collect()
     for (i <- 1 to 4) {
       val df = graft.api.Flagship.run(spark, sf)
-      val t0 = System.nanoTime(); df.count()
+      // noop materialization — commensurable with Bench's r16 methodology
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"flagship rep $i: ${n / dt}%.0f elems/s")
     }

@@ -23,9 +23,10 @@ object Profile {
     println("=== PLAN ===")
     println(df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode).take(8000))
+    val n = df.count() // rows untimed; timing materializes fully (r16)
     for (i <- 1 to 3) {
       val t0 = System.nanoTime()
-      val n = df.count()
+      df.write.format("noop").mode("overwrite").save()
       println(f"=== run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
     }
     spark.stop()
