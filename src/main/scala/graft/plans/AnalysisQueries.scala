@@ -649,8 +649,14 @@ object AnalysisQueries {
          |SELECT source, CAST(32 AS BIGINT) AS k, n_exact, n_est,
          |  (abs(n_est - n_exact) * 10000) // n_exact AS err_bp
          |FROM e""".stripMargin) { (s, d) =>
+      // md5 AFTER the (source, token) distinct (the q_approx_distinct
+      // r16 convention): hashing the raw token stream pays md5 once per
+      // OCCURRENCE; the distinct first cuts that to once per vocabulary
+      // entry, and the outer distinct keeps the oracle's exact
+      // distinct-hash semantics under a 60-bit collision
       val t = T.documents(s, d)
         .selectExpr("source", "explode(split(lower(text), '\\\\s+')) as w")
+        .distinct()
         .selectExpr("source", s"${P.hash60("concat('kmv|', w)")} as h")
         .distinct()
       t.withColumn("rn",
@@ -797,9 +803,14 @@ object AnalysisQueries {
          |FROM e""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val bySrc = Window.partitionBy("source").orderBy("h")
+      // md5 after the (doc_id, source, token) distinct — once per
+      // distinct triple instead of once per occurrence (the an17/
+      // q_approx_distinct r16 convention); outer distinct keeps exact
+      // distinct-hash semantics under a 60-bit collision
       val t = T.documents(s, d)
         .selectExpr("doc_id", "source",
           "explode(split(lower(text), '\\\\s+')) as w")
+        .distinct()
         .selectExpr("doc_id", "source", s"${P.hash60("concat('kmv|', w)")} as h")
         .distinct()
         .persist() // base + delta + full sketches share it; clearCache releases
