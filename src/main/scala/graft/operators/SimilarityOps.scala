@@ -2523,6 +2523,14 @@ object SimilarityOps {
         .join(dom.select("vec_id"), Seq("vec_id"), "left_anti")
         .select("vec_id", "cell", "embedding")
       kept = if (kept == null) survivors else kept.unionByName(survivors)
+      // persist each level's kept set: level b+1 references `kept` twice
+      // (dominator arm + next survivors) and, unpersisted, each level
+      // re-executed EVERY previous level's cos-joins inside its own plan
+      // — O(parts²) pair-join recomputation (measured r16 under the
+      // honest bench). The InMemoryRelation builds from the PREVIOUS
+      // level's cached frame, so the fold is linear in parts; kept is
+      // survivors-only (≤ corpus), and the caller's clearCache releases.
+      kept = kept.persist()
       ledger
     }
     ledgers.reduce(_ unionByName _)
