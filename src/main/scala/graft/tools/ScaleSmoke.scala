@@ -142,7 +142,7 @@ object ScaleSmoke {
       "an18_ks_drift" -> "corpus CDF rides withGlobalPrefixSum: exchanges track the sources × values grid, the per-source CDFs stay source-partitioned",
       "cu15_equal_mass_shards" -> "the prefix sum runs over EVERY document: shuffle must scale ≈ Nx in (doc_id, n_chars) longs with zero spill — the corpus-frame stress of the r13 primitive",
       "sm14_priority_sample" -> "TakeOrdered selection: shuffle stays ≈ FLAT at Nx (k+1 rows per partition partial, never the corpus) — the constant-communication claim, measured",
-      "cu16_equal_mass_export" -> "physical sharded export: the terminal shard_id exchange carries the corpus bytes ONCE, so wall and shuffle must scale ≈ Nx; writer-task skew is bounded by the assignment's <1-max-doc mass deviation",
+      "cu16_equal_mass_export" -> "physical sharded export: TWO corpus-byte exchanges by design — the assignment→text join plus the terminal shard_id placement; broadcast forced OFF on both legs (a 100 TB assignment table cannot broadcast), so the ratio is linear-vs-linear; writer-task skew is bounded by the assignment's <1-max-doc mass deviation",
       "cu17_curriculum_export" -> "ordered export: TWO corpus-byte exchanges by design — the assignment→text join plus the sort-within-shard placement (ExternalSorter merges spilled runs, no in-memory shard); broadcast forced OFF on both legs (a 100 TB assignment table cannot broadcast), so the ratio is linear-vs-linear",
       "cu19_sequence_packing" -> "the prefix sum runs over EVERY document and the seq rollup over corpus_tokens/2048 keys: shuffle must scale ≈ Nx in longs with zero spill — no single-partition window anywhere",
       "sm15_epoch_shuffle" -> "3 whole-corpus permutation ranks on the distributed Ordinal: shuffle must scale ≈ Nx in (hash, doc_id) longs with zero spill — the epoch-order claim is bit-reproducibility, not locality",
@@ -168,7 +168,8 @@ object ScaleSmoke {
       // exchanges (assignment join + placement sort), measured
       // linear-vs-linear with the broadcast off.
       val forceShuffle =
-        name == "dd21_containment" || name == "cu17_curriculum_export"
+        name == "dd21_containment" || name == "cu17_curriculum_export" ||
+          name == "cu16_equal_mass_export"
       val prevBjt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       if (forceShuffle) {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -117,7 +117,7 @@ object ShuffleAudit {
     "sm13_temporal_split" -> "one user-keyed min-agg; the median rank rides the distributed Ordinal over the entity-cardinality frame (r12's one scale-killer, fixed); cutoff broadcasts back",
     "cu15_equal_mass_shards" -> "corpus-frame running mass rides withGlobalPrefixSum: only (doc_id, n_chars) longs shuffle on the bucket key, text never does; total broadcasts, rollup is 8 rows",
     "sm14_priority_sample" -> "priorities born in the scan; TakeOrdered(k+1) ships per-partition top-(k+1) partials — k+1 rows cross the network at ANY corpus size, τ broadcasts back",
-    "cu16_equal_mass_export" -> "physical export: assignment rides cu15's prefix-sum path ((doc_id, n_chars) longs), then ONE terminal shard_id exchange (identity partitioner) carries the record bytes to the 8 writer tasks — the floor any sharded export pays; the audit scans the export ONCE (r15: the grand total derives from the 8-row rollup via a window over it, not a second shard read)",
+    "cu16_equal_mass_export" -> "physical export: assignment rides cu15's prefix-sum path ((doc_id, n_chars) longs), an assignment→text join (broadcast here; a second corpus-byte exchange at 100 TB — see the 100x subset smoke), then the terminal shard_id exchange (identity partitioner) carries the record bytes to the 8 writer tasks; the audit scans the export ONCE (r15: the grand total derives from the 8-row rollup via a window over it, not a second shard read)",
     "cu17_curriculum_export" -> "ordered export: cu11's source-keyed curriculum windows ((id, score, ntok) longs), an assignment→text join (broadcast here; a second corpus-byte exchange at 100 TB — see the 100x subset smoke), then repartitionAndSortWithinPartitions places the record bytes — the reduce side merges SPILLED sorted runs, so within-shard sort never holds a shard in task memory",
     "cu18_export_manifest" -> "manifest audit: pays cu16's export once; the manifest itself is numShards lines of driver-bounded metadata (one stats row per writer task), so the audit adds ZERO shuffle beyond the export it audits",
     "cu19_sequence_packing" -> "running token total rides withGlobalPrefixSum ((doc_id, ntok) longs on the bucket key — text never shuffles); seq ids are scan-local, both rollups partial-aggregate map-side",
