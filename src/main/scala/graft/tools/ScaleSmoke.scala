@@ -138,7 +138,7 @@ object ScaleSmoke {
       "st16_stream_semdedup" -> "sequential (streaming-twin) fold: all 4 levels reuse ONE persisted assignment, kept/within-batch joins stay cell-bounded — same k∝N linearity as ss25 with batch boundaries in the plan",
       "ss29_bitext_margin" -> "A×B never forms: the per-copy labels give Nx cells, so cross-side pair volume (the dominant shuffle) stays ≈ Nx under the k∝N contract — mining cost linear in the corpus",
       "sm13_temporal_split" -> "entity-scale median rides the distributed Ordinal (r12's one scale-killer, fixed r13): shuffle tracks the per-user frame ≈ Nx, no single-partition window anywhere",
-      "an11_zipf_octaves" -> "vocab rank rides Ordinal on -freq: shuffle tracks the (copy-rotated, ~Nx) vocab frame; octave rollup ≤ 64 rows at any corpus",
+      "an11_zipf_octaves" -> "vocab rank rides Ordinal on -freq: shuffle tracks the (copy-permuted, ~Nx) vocab frame; octave rollup ≤ 64 rows at any corpus",
       "an18_ks_drift" -> "corpus CDF rides withGlobalPrefixSum: exchanges track the sources × values grid, the per-source CDFs stay source-partitioned",
       "cu15_equal_mass_shards" -> "the prefix sum runs over EVERY document: shuffle must scale ≈ Nx in (doc_id, n_chars) longs with zero spill — the corpus-frame stress of the r13 primitive",
       "sm14_priority_sample" -> "TakeOrdered selection: shuffle stays ≈ FLAT at Nx (k+1 rows per partition partial, never the corpus) — the constant-communication claim, measured",
@@ -236,7 +236,7 @@ object ScaleSmoke {
     }
 
     val sb = new StringBuilder
-    sb ++= s"\n## Derived ${copies}x fixture (sf0.1 replicated, copy-rotated text, sign-flipped embeddings)\n\n"
+    sb ++= s"\n## Derived ${copies}x fixture (sf0.1 replicated, copy-permuted text, sign-flipped embeddings)\n\n"
     sb ++= s"${copies}× the documents/embeddings/events of sf0.1 with per-copy\n"
     sb ++= "character-permuted text, per-(copy, dim) sign-flipped embeddings, and\n"
     sb ++= "id-offset events on the SAME timestamps (same windows, copies× the\n"
