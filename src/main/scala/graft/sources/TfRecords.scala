@@ -550,8 +550,40 @@ object TfRecords {
       doneB: org.apache.spark.broadcast.Broadcast[Set[Long]], suffix: String,
       claims: Map[String, ManifestClaim])
 
+  /** Read `_layout.json`'s declared shard count back, if the marker
+    * exists and parses: the intended layout, written BEFORE any shard
+    * commits, so resume can enforce shard-count equality in BOTH
+    * directions (ADVICE r16 — the forall(_ < numShards) presence check
+    * catches a shrink but lets a GROWN count silently mix two
+    * assignments' shards).
+    */
+  private[graft] def layoutNumShards(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[Int] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir, "_layout.json")
+      if (!fs.exists(p)) None
+      else {
+        val src = scala.io.Source.fromInputStream(fs.open(p), "UTF-8")
+        val txt = try src.mkString finally src.close()
+        txt.split("\"num_shards\":", 2).lift(1)
+          .flatMap(s =>
+            scala.util.Try(s.takeWhile(_.isDigit).toInt).toOption)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def writeLayout(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, numShards: Int, gzip: Boolean): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_layout.json")
+    val w = new java.io.PrintWriter(
+      new java.io.OutputStreamWriter(fs.create(p, true), "UTF-8"))
+    try w.println(s"""{"num_shards":$numShards,"gzip":$gzip}""")
+    finally w.close()
+  }
+
   private def beginShardedWrite(spark: SparkSession, path: String,
-      gzip: Boolean, resume: Boolean, numShards: Int): ShardedWrite = {
+      gzip: Boolean, resume: Boolean, numShards: Int,
+      verifyOnResume: Boolean = true): ShardedWrite = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(conf)
@@ -575,7 +607,21 @@ object TfRecords {
         foreign.foreach(f =>
           fs.delete(new org.apache.hadoop.fs.Path(f), false))
         val committed = committedShardIds(spark, path, suffix)
-        // (b) a committed shard id at/above numShards means the export
+        // (b) the `_layout.json` marker — written at export START, before
+        // any shard commits — declares the intended shard count, so a
+        // resume under a DIFFERENT count (grown OR shrunk) fails loud
+        // instead of mixing shards committed under two assignments
+        // (ADVICE r16: the presence check below catches only a shrink).
+        // Pre-marker exports (no _layout.json) keep the presence check as
+        // their only shrink guard.
+        layoutNumShards(fs, dir).foreach { declared =>
+          require(declared == numShards,
+            s"tfrecord: resume with numShards=$numShards but the export " +
+              s"was started with numShards=$declared (_layout.json) — " +
+              "resume requires the failed run's shard count (clear the " +
+              "directory to change the layout)")
+        }
+        // (c) a committed shard id at/above numShards means the export
         // SHRANK between runs — fail loud; the stale high-id files would
         // otherwise silently ride into every read and get manifest rows.
         require(committed.forall(_ < numShards),
@@ -595,11 +641,19 @@ object TfRecords {
         // resume is single-writer by contract and the file is provably
         // wrong). Claims without a CRC (pre-r16 manifest, or no manifest
         // at all) keep presence-proves-completeness semantics.
-        val withCrc = committed.toSeq.sorted
-          .map(s => (s, f"part-$s%05d$suffix"))
-          .flatMap { case (s, n) =>
-            claims.get(n).filter(_.diskCrc >= 0).map(c => (s, n, c.diskCrc))
-          }
+        // `verifyOnResume = false` skips the pass entirely (ADVICE r16):
+        // the full-corpus streaming read re-runs on EVERY resume attempt,
+        // so a crash-looping 10,000-shard export re-pays O(corpus) I/O
+        // per attempt even for shards verified last attempt — a caller
+        // that trusts its storage's durability between attempts can
+        // amortize to O(missing shards); the full pass stays the default.
+        val withCrc =
+          if (!verifyOnResume) Seq.empty
+          else committed.toSeq.sorted
+            .map(s => (s, f"part-$s%05d$suffix"))
+            .flatMap { case (s, n) =>
+              claims.get(n).filter(_.diskCrc >= 0).map(c => (s, n, c.diskCrc))
+            }
         val bad: Set[Long] =
           if (withCrc.isEmpty) Set.empty
           else {
@@ -617,6 +671,10 @@ object TfRecords {
         }
         committed -- bad
       }
+    // declare the intended layout BEFORE any shard commits — fresh writes
+    // seed the marker, pre-marker resumes upgrade in place (the require
+    // above proved the count consistent with whatever evidence existed)
+    writeLayout(fs, dir, numShards, gzip)
     ShardedWrite(done, spark.sparkContext.broadcast(done), suffix, claims)
   }
 
@@ -682,10 +740,11 @@ object TfRecords {
     */
   def writeSharded(df: DataFrame, bytesCol: String, shardCol: String,
       numShards: Int, path: String, gzip: Boolean = false,
-      resume: Boolean = false): Unit = {
+      resume: Boolean = false, verifyOnResume: Boolean = true): Unit = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
     val spark = df.sparkSession
-    val w = beginShardedWrite(spark, path, gzip, resume, numShards)
+    val w = beginShardedWrite(spark, path, gzip, resume, numShards,
+      verifyOnResume)
     // locals for the task closures — never capture `w` itself (its raw
     // done set would serialize into every task beside the broadcast)
     val doneB = w.doneB
@@ -736,13 +795,17 @@ object TfRecords {
     * byte-identical reruns need (`orderCol`, `tieCols`) to be unique
     * per shard, with the row identity declared as a PARAMETER instead
     * of string-concatenated into the key by every caller. Tie-break
-    * encoding: non-negative integral columns compare NUMERICALLY
-    * (zero-padded to 20 digits — a negative value would break the
-    * padding order, so the contract is non-negative); anything else
-    * compares by its string form; multiple tie columns compare
-    * left-to-right (joined below the U+0000 separator, which also
-    * keeps a short `orderCol` sorting before its own extensions). With
-    * `tieCols` empty AND duplicate order keys, ties land in
+    * encoding: integral columns compare NUMERICALLY over the FULL
+    * signed range — each value is offset by 2^63 into [0, 2^64) as a
+    * decimal and zero-padded to 20 digits, so negatives order before
+    * non-negatives instead of corrupting the padding (ADVICE r16: the
+    * old non-negative-only lpad turned -5 into "00…0-5", which sorts
+    * AFTER every non-negative key — a silent break of the
+    * byte-identical-rerun contract the parameter exists to provide);
+    * anything else compares by its string form; multiple tie columns
+    * compare left-to-right (joined below the U+0000 separator, which
+    * also keeps a short `orderCol` sorting before its own extensions).
+    * With `tieCols` empty AND duplicate order keys, ties land in
     * shuffle-read arrival order — the ORDER contract still holds, only
     * byte-for-byte determinism is forfeit (the pre-r16 behavior).
     *
@@ -755,10 +818,12 @@ object TfRecords {
   def writeShardedSorted(df: DataFrame, bytesCol: String, shardCol: String,
       orderCol: String, numShards: Int, path: String,
       gzip: Boolean = false, resume: Boolean = false,
-      tieCols: Seq[String] = Seq.empty): Unit = {
+      tieCols: Seq[String] = Seq.empty,
+      verifyOnResume: Boolean = true): Unit = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
     val spark = df.sparkSession
-    val w = beginShardedWrite(spark, path, gzip, resume, numShards)
+    val w = beginShardedWrite(spark, path, gzip, resume, numShards,
+      verifyOnResume)
     // locals for the task closures — never capture `w` (see writeSharded)
     val doneB = w.doneB
     val suffix = w.suffix
@@ -782,7 +847,13 @@ object TfRecords {
       else concat(tieCols.flatMap { c =>
         val enc = df.schema(c).dataType match {
           case ByteType | ShortType | IntegerType | LongType =>
-            lpad(col(c).cast("string"), 20, "0")
+            // sign-aware order-preserving encoding: value + 2^63 maps the
+            // full signed-long range onto [0, 2^64) — always exactly
+            // representable in decimal(21,0), always ≤ 20 digits, so the
+            // zero-pad is order-preserving for NEGATIVE ties too
+            lpad((col(c).cast(DecimalType(21, 0)) +
+              lit(new java.math.BigDecimal("9223372036854775808")))
+              .cast(DecimalType(21, 0)).cast("string"), 20, "0")
           case _ => col(c).cast("string")
         }
         Seq(lit("\u0000"), enc)

@@ -699,13 +699,96 @@ class TfRecordsSpec extends AnyFunSuite {
     assert(!names.exists(n => n.endsWith(".tfrecord") && n.startsWith("part-")),
       s"old-format shards must be swept: ${names.mkString(",")}")
     assert(TfRecords.read(spark, path).count() == 30, "no duplicated corpus")
-    // shrunk shard count on resume: stale high-id files would silently
-    // ride into every read — fail with a self-explanatory error
+    // shrunk shard count on resume: the _layout.json marker (written at
+    // export start) declares the intended count, so ANY mismatch fails
+    // loud with a self-explanatory error (ADVICE r16)
     val e = intercept[IllegalArgumentException] {
       TfRecords.writeSharded(df.filter("shard_id < 2"), "rec", "shard_id", 2,
         path, gzip = true, resume = true)
     }
-    assert(e.getMessage.contains("outside [0, 2)"))
+    assert(e.getMessage.contains("numShards=2") &&
+      e.getMessage.contains("numShards=3"))
+    // a GROWN count fails loud too — the presence check alone would wave
+    // it through and mix shards committed under two assignments
+    val eg = intercept[IllegalArgumentException] {
+      TfRecords.writeSharded(df, "rec", "shard_id", 5, path, gzip = true,
+        resume = true)
+    }
+    assert(eg.getMessage.contains("numShards=5") &&
+      eg.getMessage.contains("numShards=3"))
+    // pre-marker exports (no _layout.json) keep the shrink-only presence
+    // guard — the old behavior, with its original error
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path, "_layout.json"))
+    val ep = intercept[IllegalArgumentException] {
+      TfRecords.writeSharded(df.filter("shard_id < 2"), "rec", "shard_id", 2,
+        path, gzip = true, resume = true)
+    }
+    assert(ep.getMessage.contains("outside [0, 2)"))
+  }
+
+  test("tieCols order NEGATIVE integral ties numerically: -5 sorts before " +
+    "0 and 3, and reruns stay byte-identical (ADVICE r16)") {
+    import spark.implicits._
+    // every order key collides; tie values span negative and positive —
+    // the old non-negative lpad encoded -5 as '000…0-5', which sorts
+    // AFTER every non-negative key (the '-' codepoint exceeds digits'),
+    // silently breaking both the numeric order and rerun determinism
+    def df(parts: Int) = spark.range(24)
+      .selectExpr("cast(id - 12 as bigint) as tie").repartition(parts)
+      .selectExpr("0L as shard_id", "'k' as okey", "tie",
+        "cast(concat('v=', tie) as binary) as rec")
+    val p1 = java.nio.file.Files.createTempDirectory("graft-tfrec-negtie1").toString
+    val p2 = java.nio.file.Files.createTempDirectory("graft-tfrec-negtie2").toString
+    TfRecords.writeShardedSorted(df(3), "rec", "shard_id", "okey", 1, p1,
+      tieCols = Seq("tie"))
+    TfRecords.writeShardedSorted(df(7), "rec", "shard_id", "okey", 1, p2,
+      tieCols = Seq("tie"))
+    val b1 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p1, "part-00000.tfrecord"))
+    val b2 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p2, "part-00000.tfrecord"))
+    assert(java.util.Arrays.equals(b1, b2), "reruns differ under negative ties")
+    val vals = TfRecords.decodeAll(b1)
+      .map(r => new String(r, "UTF-8").stripPrefix("v=").toLong)
+    assert(vals == (-12L until 12L).toList,
+      s"negative ties must order numerically, got $vals")
+  }
+
+  test("verifyOnResume=false amortizes the resume content pass: committed " +
+    "shards are trusted (no CRC read, no rewrite) while missing shards " +
+    "still write (ADVICE r16)") {
+    import spark.implicits._
+    val df = spark.range(40).selectExpr("id % 2 as shard_id",
+      "cast(printf('p-A-%03d', id) as binary) as rec")
+    val path = java.nio.file.Files.createTempDirectory("graft-tfrec-novrfy").toString
+    TfRecords.writeSharded(df, "rec", "shard_id", 2, path)
+    // same-length content swap of shard 0 (the class only the CRC pass
+    // catches), and shard 1 deleted (a genuinely missing shard)
+    val victim = new java.io.File(path, "part-00000.tfrecord")
+    val swapped = (0L until 40L).filter(_ % 2 == 0)
+      .map(i => TfRecords.encodeRecord(f"p-B-$i%03d".getBytes("UTF-8")))
+      .reduce(_ ++ _)
+    java.nio.file.Files.write(victim.toPath, swapped)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(path, "part-00001.tfrecord"))
+    new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    TfRecords.writeSharded(df, "rec", "shard_id", 2, path, resume = true,
+      verifyOnResume = false)
+    // the missing shard was rewritten; the swapped one was TRUSTED —
+    // that is the documented trade: O(missing) resume I/O, and the
+    // lenient read's disk_crc32c cross-check remains the detection net
+    val s0 = TfRecords.decodeAll(java.nio.file.Files.readAllBytes(victim.toPath))
+      .map(new String(_, "UTF-8"))
+    assert(s0.forall(_.startsWith("p-B-")),
+      "verifyOnResume=false must not rewrite a committed shard")
+    val s1 = TfRecords.decodeAll(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "part-00001.tfrecord")))
+    assert(s1.size == 20)
+    val flagged = TfRecords.readLenient(spark, path).collect()
+      .filter(!_.getBoolean(3)).map(_.getString(0)).distinct
+    assert(flagged.toSeq == Seq("part-00000.tfrecord"),
+      "readLenient must still flag the trusted-but-swapped shard")
   }
 
   test("manifestClaims parsing: pre-disk_bytes manifests fall back to -1, " +
