@@ -40,6 +40,25 @@ class SectionSpliceSpec extends AnyFunSuite {
       subsetKind = true) == base + fixture10 + subset100)
   }
 
+  test("kind is decided by the HEADER LINE only: a fixture section whose " +
+    "body merely MENTIONS the subset smoke is not misclassified (ADVICE r16)") {
+    // the hazard: ShuffleAudit claim prose already contains the phrase
+    // 'x subset smoke', so a body-wide contains() would delete the main
+    // fixture section on a subset rerun (or keep two copies on a fixture
+    // rerun) — exactly the committed-evidence destruction the splice
+    // rule exists to prevent
+    val fixtureWithMention =
+      "\n## Derived 10x fixture (replicated)\n\nsee the 100x subset smoke " +
+        "section below for the deep-multiplier arm\n"
+    val existing = base + fixtureWithMention + subset100
+    val freshSubset = "\n## Derived 100x subset smoke (dd21)\n\nNEW\n"
+    assert(ScaleSmoke.spliceSection(existing, freshSubset, subsetKind = true)
+      == base + fixtureWithMention + freshSubset)
+    val freshFixture = "\n## Derived 10x fixture (replicated)\n\nNEW-FIX\n"
+    assert(ScaleSmoke.spliceSection(existing, freshFixture, subsetKind = false)
+      == base + subset100 + freshFixture)
+  }
+
   test("ShuffleAudit's regeneration preserves every Derived section " +
     "verbatim and drops only its own base") {
     val existing = base + fixture10 + subset100
