@@ -101,10 +101,8 @@ object CosineSimilarity {
 
   /** Register `cosine_similarity` for SQL use on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_similarity",
-      exprs => CosineSimilarity(exprs(0), exprs(1)),
-      "built-in")
+    SqlRegistry.registerOnce(spark, "cosine_similarity",
+      exprs => CosineSimilarity(exprs(0), exprs(1)))
 }
 
 /** Plan-time extraction of literal scalar arguments for SQL-registered

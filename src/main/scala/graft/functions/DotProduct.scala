@@ -105,8 +105,6 @@ object DotProduct {
 
   /** Register `dot_product` for SQL use on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product",
-      exprs => DotProduct(exprs(0), exprs(1)),
-      "built-in")
+    SqlRegistry.registerOnce(spark, "dot_product",
+      exprs => DotProduct(exprs(0), exprs(1)))
 }

@@ -108,8 +108,6 @@ object L2DistanceSq {
 
   /** Register `l2_distance_sq` for SQL use on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "l2_distance_sq",
-      exprs => L2DistanceSq(exprs(0), exprs(1)),
-      "built-in")
+    SqlRegistry.registerOnce(spark, "l2_distance_sq",
+      exprs => L2DistanceSq(exprs(0), exprs(1)))
 }

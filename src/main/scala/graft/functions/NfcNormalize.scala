@@ -57,8 +57,6 @@ object NfcNormalize {
 
   /** Register `nfc_normalize` for SQL use on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "nfc_normalize",
-      exprs => NfcNormalize(exprs.head),
-      "built-in")
+    SqlRegistry.registerOnce(spark, "nfc_normalize",
+      exprs => NfcNormalize(exprs.head))
 }

@@ -131,13 +131,11 @@ object ReservoirSample {
     * not an eval NPE).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "reservoir_sample",
+    SqlRegistry.registerOnce(spark, "reservoir_sample",
       exprs => ReservoirSample(
         exprs(0),
         LiteralArg.int("reservoir_sample", "n", exprs(1)),
         if (exprs.size > 2) LiteralArg.long("reservoir_sample", "seed", exprs(2))
         else 42L)
-        .toAggregateExpression(),
-      "built-in")
+        .toAggregateExpression())
 }

@@ -113,11 +113,9 @@ object WinnowFingerprints {
     * not an eval NPE).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "winnow_fps",
+    SqlRegistry.registerOnce(spark, "winnow_fps",
       exprs => WinnowFingerprints(
         exprs(0),
         LiteralArg.int("winnow_fps", "k", exprs(1)),
-        LiteralArg.int("winnow_fps", "w", exprs(2))),
-      "built-in")
+        LiteralArg.int("winnow_fps", "w", exprs(2))))
 }

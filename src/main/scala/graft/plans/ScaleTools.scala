@@ -44,14 +44,10 @@ object BloomPrefilter {
   def register(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bloom_filter_agg",
-      exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2)).toAggregateExpression(),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "might_contain",
-      exprs => new BloomFilterMightContain(exprs(0), exprs(1)),
-      "built-in")
+    graft.functions.SqlRegistry.registerOnce(spark, "bloom_filter_agg",
+      exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2)).toAggregateExpression())
+    graft.functions.SqlRegistry.registerOnce(spark, "might_contain",
+      exprs => new BloomFilterMightContain(exprs(0), exprs(1)))
   }
 
   private val viewCounter = new java.util.concurrent.atomic.AtomicLong()
