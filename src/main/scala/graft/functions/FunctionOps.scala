@@ -1,6 +1,7 @@
 package graft.functions
 
 import graft.{Portable => P, Q, Tables => T}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.b — scalar/UDF function families that run *inside* pipeline
@@ -392,6 +393,97 @@ object FunctionOps {
           "cast(size(ls) as bigint) as n_toks",
           "aggregate(ls, 0L, (a, b) -> a + b) as len_sum",
           "array_max(ls) as max_len")
+    },
+
+    // The GNMT/Transformer text-ingest chain COMPOSED end-to-end
+    // (VERDICT r16 #1 — 2 of the reference's 5 MLPerf workload shapes had
+    // no composed twin; composition bugs like the bucket-boundary ×
+    // padding interaction never show in per-operator gates): tokenize →
+    // vocab lookup with OOV hash buckets (iterator_utils.py:90-141's
+    // hash-lookup semantics; fn03/fn02's pieces) → sos/eos wrap
+    // (iterator_utils.py:64-66,169-193; fn07) → group_by_window length
+    // bucketing (iterator_utils.py:231-255; op22) → padded_batch to the
+    // BATCH max length (iterator_utils.py:207-229; op09), emitted
+    // cell-by-cell per the op09 unnest convention. Id space: 0 pad,
+    // 1 sos, 2 eos, 4..19 the top-16 vocab by corpus frequency (3+slot),
+    // 20..83 OOV hash buckets (20 + hash60 % 64 — to_hash_bucket_fast).
+    // Sequence lengths vary per doc (first 3 + doc_id%6 tokens) so the
+    // bucket × window × pad interaction is genuinely exercised.
+    // Scale: the corpus path is ONE scan; the vocab is a token-only
+    // rollup broadcast as a single sorted array (fn11's idiom — lookup
+    // happens inside the scan projection, no per-token join explosion);
+    // bucketing pays ONE hash exchange on `bucket`, and the batch-max
+    // window reuses that partitioning (hashpartitioning(bucket)
+    // satisfies ClusteredDistribution(bucket, wid) — subset rule), so
+    // padded_batch adds a sort, never a second corpus shuffle
+    // (plan-pinned in PlanQualitySpec).
+    Q(
+      "fn14_wmt_ingest",
+      s"""WITH t AS (SELECT doc_id,
+         |    regexp_split_to_array(lower(text), '\\s+')[1:(3 + CAST(doc_id % 6 AS INT))] AS toks
+         |  FROM documents),
+         |  cnt AS (SELECT w, count(*)::BIGINT AS n FROM
+         |    (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+         |     FROM documents) GROUP BY w),
+         |  vocab AS (SELECT w, n FROM cnt ORDER BY n DESC, w LIMIT 16),
+         |  vl AS (SELECT list(w ORDER BY n DESC, w) AS vw FROM vocab),
+         |  ids AS (SELECT doc_id,
+         |    list_concat(list_concat([1::BIGINT],
+         |      list_transform(t.toks, w -> CASE WHEN list_position(vl.vw, w) > 0
+         |        THEN CAST(3 + list_position(vl.vw, w) AS BIGINT)
+         |        ELSE CAST(20 + ${P.duckHash60("w")} % 64 AS BIGINT) END)),
+         |      [2::BIGINT]) AS ids
+         |  FROM t CROSS JOIN vl),
+         |  bkt AS (SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS seq_len,
+         |    CAST(len(ids) // 3 AS BIGINT) AS bucket FROM ids),
+         |  win AS (SELECT doc_id, ids, seq_len, bucket,
+         |    row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM bkt),
+         |  wb AS (SELECT doc_id, ids, seq_len, bucket,
+         |    CAST(FLOOR((rn-1)/4.0) AS BIGINT) AS wid FROM win),
+         |  pb AS (SELECT doc_id, ids, seq_len, bucket, wid,
+         |    CAST(max(seq_len) OVER (PARTITION BY bucket, wid) AS BIGINT) AS batch_len FROM wb)
+         |SELECT doc_id, bucket, wid, seq_len, batch_len,
+         |  u.pos AS pos, u.tok_id AS tok_id, u.is_pad AS is_pad FROM (
+         |  SELECT doc_id, bucket, wid, seq_len, batch_len,
+         |    unnest(list_transform(range(1, batch_len + 1), i -> {
+         |      'pos': CAST(i AS BIGINT),
+         |      'tok_id': CASE WHEN i <= seq_len THEN ids[i] ELSE 0::BIGINT END,
+         |      'is_pad': CAST(CASE WHEN i > seq_len THEN 1 ELSE 0 END AS BIGINT)})) AS u
+         |  FROM pb)""".stripMargin) { (s, d) =>
+      val t = T.documents(s, d).selectExpr(
+        "doc_id",
+        "slice(split(lower(text), '\\\\s+'), 1, 3 + cast(doc_id % 6 as int)) as toks")
+      // the vocab table, broadcast ONCE as a frequency-sorted word array
+      // (fn11's idiom): the lookup then runs inside the scan projection —
+      // an explode→join→regroup lookup would pay two corpus shuffles
+      val vocab = T.documents(s, d)
+        .selectExpr("explode(split(lower(text), '\\\\s+')) as w")
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(16)
+        .agg(expr("array_sort(collect_list(struct(n, w)), " +
+          "(a, b) -> case when a.n > b.n then -1 when a.n < b.n then 1 " +
+          "when a.w < b.w then -1 when a.w > b.w then 1 else 0 end)")
+          .as("vsorted"))
+        .selectExpr("transform(vsorted, y -> y.w) as vw")
+      t.crossJoin(broadcast(vocab))
+        .withColumn("ids", expr(
+          "concat(array(1L), transform(toks, w -> " +
+            "case when array_position(vw, w) > 0 " +
+            "then 3 + array_position(vw, w) " +
+            s"else 20 + ${P.hash60("w")} % 64 end), array(2L))"))
+        .withColumn("seq_len", expr("cast(size(ids) as bigint)"))
+        .withColumn("bucket", expr("seq_len div 3"))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("bucket").orderBy("doc_id")))
+        .withColumn("wid", floor((col("rn") - 1) / 4))
+        .withColumn("batch_len",
+          max("seq_len").over(Window.partitionBy("bucket", "wid")))
+        .selectExpr("doc_id", "bucket", "wid", "seq_len", "batch_len",
+          "posexplode(concat(ids, array_repeat(0L, " +
+            "cast(batch_len - seq_len as int)))) as (pos0, tok_id)")
+        .selectExpr("doc_id", "bucket", "wid", "seq_len", "batch_len",
+          "cast(pos0 + 1 as bigint) as pos", "tok_id",
+          "cast(case when pos0 + 1 > seq_len then 1 else 0 end as bigint) as is_pad")
     }
   )
 }

@@ -313,6 +313,33 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("fn14's composed ingest plan: ONE broadcast vocab join, and the " +
+    "padded_batch window reuses the bucketing exchange — no second " +
+    "corpus shuffle (VERDICT r16 #1 done-criterion)") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    val (_, _, plan) = built.find(_._1.name == "fn14_wmt_ingest").get
+    // the vocab reaches the corpus path as exactly one broadcast (the
+    // fn11 idiom: a 1-row sorted-array frame, never a per-token join)
+    assert(plan.collect { case b: BroadcastExchangeExec => b }.size == 1,
+      s"expected exactly one broadcast vocab exchange:\n$plan")
+    // two windows: rn over (bucket) below, batch-max over (bucket, wid)
+    // above — identified structurally by partition-spec arity
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.size == 2, s"expected the two ingest windows:\n$plan")
+    val outer = windows.find(_.partitionSpec.size == 2).get
+    val inner = windows.find(_.partitionSpec.size == 1).get
+    assert(outer.collect { case w: WindowExec => w }.contains(inner),
+      "the batch-max window must sit above the bucketing window")
+    // hashpartitioning(bucket) satisfies ClusteredDistribution(bucket,
+    // wid) — the subset rule — so NOTHING between the two windows may
+    // re-shuffle: padded_batch costs a sort, never a second corpus
+    // exchange (the regression this pin exists to catch)
+    val between = outer.collect { case s: ShuffleExchangeExec => s }.toSet --
+      inner.collect { case s: ShuffleExchangeExec => s }.toSet
+    assert(between.isEmpty,
+      s"padded_batch must reuse the bucketing exchange, found: $between")
+  }
+
   test("sm15 reads the corpus ONCE: all three epochs derive from the " +
     "persisted base projection (VERDICT r14 #2)") {
     // At 100 TB the repeated scan, not the rank, is a 3-epoch audit's
