@@ -168,6 +168,39 @@ object Bench {
     }
   }
 
+  /** Deterministic sample for the drift self-adjudication (VERDICT r16
+    * #2): the `n` most-drifted rows of the short-row family the
+    * [[familyDrift]] guard watches (prior ref in [0.1, 2) s), ranked by
+    * current/ref descending with a name tie-break — so a contended
+    * driver run re-measures the same rows any re-run would.
+    * Takes (name, currentMin, priorRef) triples.
+    */
+  private[graft] def driftSample(rows: Seq[(String, Double, Double)],
+      n: Int = 10): Seq[String] =
+    rows.filter { case (_, _, ref) => ref >= 0.1 && ref < 2.0 }
+      .sortBy { case (name, cur, ref) => (-cur / ref, name) }
+      .take(n).map(_._1)
+
+  /** Drift verdict from the isolated re-measurements of the sample
+    * (VERDICT r16 #2): the family guard fires on the SWEEP's mins, which
+    * a contended host inflates uniformly; the post-sweep isolated reps
+    * measure the same rows on a quiet(er) scheduler. Verdict =
+    * `regression` iff the isolated sample's aggregate still exceeds the
+    * same 1.3× bar the family guard uses — i.e. the drift survives
+    * isolation; otherwise `contention` (this round's exact scenario:
+    * every flagged row cleared its isolated re-run). An empty sample
+    * (every isolated rep failed — no evidence either way) stays
+    * `regression`: silence must not read as exoneration.
+    * Takes (isolatedMin, priorRef) pairs for the sampled rows that
+    * produced an isolated measurement.
+    */
+  private[graft] def driftVerdict(sample: Seq[(Double, Double)]): String = {
+    val refSum = sample.map(_._2).sum
+    if (sample.isEmpty || refSum <= 0) "regression"
+    else if (sample.map(_._1).sum / refSum > 1.3) "regression"
+    else "contention"
+  }
+
   /** Final inflation adjudication (VERDICT r14 #1): the post-sweep
     * isolated re-measurement was already the human adjudication step —
     * "re-run isolated before calling it a regression" — so its verdict
@@ -394,14 +427,30 @@ object Bench {
       BenchRow(q.name, round3(ts.min), round3(median(medTs)), ok, settle, inflated)
     }
 
+    val okResults = results.filter(_.ok)
+    // Family-level drift over the short-row family (familyDrift, pinned
+    // by BenchRefSpec — VERDICT r15 #2), computed BEFORE the isolated
+    // pass so a latched flag can select its own adjudication sample: the
+    // `driftSample` rows ride the same post-sweep isolated re-measure as
+    // the inflated rows, and `driftVerdict` decides contention-vs-
+    // regression from THEIR quiet-scheduler mins (VERDICT r16 #2 — the
+    // r16 driver run needed a human to diff the contended sweep against
+    // the committed clean bench; now the artifacts carry the verdict).
+    val driftTriples = okResults.flatMap(r =>
+      priorMin.get(r.name).map(p => (r.name, r.min, p)))
+    val drift = familyDrift(driftTriples.map { case (_, c, p) => (c, p) })
+    val driftSampleNames: Seq[String] =
+      if (drift) driftSample(driftTriples) else Seq.empty
+
     // Post-sweep isolated re-measurement (VERDICT r12 #6): rows still
-    // inflated after healing get one more timing pass AFTER the sweep's
-    // memory/scheduler churn has ended, recorded to bench_isolated.json
-    // so the round's own artifacts carry the contention adjudication a
-    // judge previously had to re-run by hand. The isolated mins also
-    // feed queries_ref below — a contended sweep therefore cannot poison
-    // the cross-run reference even for rows whose settle reps never
-    // caught a clean sample.
+    // inflated after healing — plus, on a latched drift flag, the
+    // drift-adjudication sample — get one more timing pass AFTER the
+    // sweep's memory/scheduler churn has ended, recorded to
+    // bench_isolated.json so the round's own artifacts carry the
+    // contention adjudication a judge previously had to re-run by hand.
+    // The isolated mins also feed queries_ref below — a contended sweep
+    // therefore cannot poison the cross-run reference even for rows
+    // whose settle reps never caught a clean sample.
     // Subset runs (SPARK_GRAFT_BENCH_ONLY) adjudicate too (ADVICE r15):
     // skipping the isolated pass left bench_out_subset.json's `inflated`
     // carrying raw sweep verdicts while the key's documented semantics
@@ -411,14 +460,15 @@ object Bench {
     // committed full-surface adjudication artifact.
     val isolated: Map[String, Double] = {
       val infl = results.filter(r => r.ok && r.inflated).map(_.name)
-      if (infl.isEmpty) Map.empty
+      val toMeasure = (infl ++ driftSampleNames).distinct
+      if (toMeasure.isEmpty) Map.empty
       else {
         val byName = bench.map(q => q.name -> q).toMap
         // Only SUCCESSFUL reps may time: a mid-query failure's partial
         // wall time would feed the MONOTONE queries_ref and permanently
         // lower the committed reference (ADVICE r13). All 3 reps failing
         // omits the query from the isolated map entirely.
-        val m = infl.flatMap { n =>
+        val m = toMeasure.flatMap { n =>
           byName.get(n).flatMap { q =>
             val ts = (1 to 3).flatMap { _ =>
               val t0 = System.nanoTime()
@@ -444,7 +494,18 @@ object Bench {
       }
     }
 
-    val okResults = results.filter(_.ok)
+    // Drift self-adjudication artifacts (VERDICT r16 #2): the sampled
+    // rows' isolated mins and the verdict they imply — `contention`
+    // replays this round's exact scenario (uniform sweep inflation,
+    // quiet isolated re-runs); `regression` means the drift SURVIVED
+    // isolation and is real. Rules pinned in BenchRefSpec.
+    val driftIso: Seq[(String, Double)] =
+      driftSampleNames.flatMap(n => isolated.get(n).map(n -> _))
+    val driftVerdictStr =
+      if (!drift) "none"
+      else driftVerdict(driftIso.map { case (n, iso) =>
+        (iso, priorMin(n))
+      })
     val qs = okResults.map(r => "\"" + r.name + "\":" + r.min)
       .mkString("{", ",", "}")
     // Cross-run reference, MONOTONE — the nextQueryRef rule (VERDICT
@@ -480,12 +541,11 @@ object Bench {
       r.ok && r.min >= 0.1 && r.med / r.min > 1.5
     }
     val noisy = noisyCount >= 5
-    // Family-level drift over the short-row family (familyDrift, pinned
-    // by BenchRefSpec — VERDICT r15 #2); the ratio and row count publish
-    // beside the flag so a reader sees how close the run sat to the bar.
-    val driftRows = okResults.flatMap(r => priorMin.get(r.name).map(r.min -> _))
-    val drift = familyDrift(driftRows)
-    val driftFam = driftRows.filter { case (_, ref) => ref >= 0.1 && ref < 2.0 }
+    // the drift ratio and row count publish beside the flag so a reader
+    // sees how close the run sat to the bar (flag computed above, before
+    // the isolated pass, so the sample could ride it)
+    val driftFam = driftTriples
+      .collect { case (_, c, ref) if ref >= 0.1 && ref < 2.0 => (c, ref) }
     val driftRatio =
       if (driftFam.isEmpty || driftFam.map(_._2).sum == 0) 0.0
       else round3(driftFam.map(_._1).sum / driftFam.map(_._2).sum)
@@ -503,6 +563,10 @@ object Bench {
         s""""noisy":$noisy,"noisy_queries":$noisyCount,""" +
         s""""drift":$drift,"drift_ratio":$driftRatio,""" +
         s""""drift_rows":${driftFam.size},""" +
+        s""""drift_verdict":"$driftVerdictStr",""" +
+        s""""drift_isolated":${driftIso.map { case (k, v) =>
+          "\"" + k + "\":" + v
+        }.mkString("{", ",", "}")},""" +
         s""""inflated":$inflatedList,"inflated_sweep":$inflatedSweepList,""" +
         s""""healed":$healed,""" +
         s""""queries_ref":$qsRef,""" +
@@ -531,7 +595,7 @@ object Bench {
         s""""queries_shown":${entries.size},"queries_total":${okResults.size},""" +
         s""""full_results":"bench_out.json","failed":$failed,""" +
         s""""noisy":$noisy,"noisy_queries":$noisyCount,""" +
-        s""""drift":$drift,""" +
+        s""""drift":$drift,"drift_verdict":"$driftVerdictStr",""" +
         s""""inflated":$inflatedList,""" +
         s""""flagship_failed":$flagshipFailed,""" +
         s""""flagship_inflated":$flagshipInflated,""" +

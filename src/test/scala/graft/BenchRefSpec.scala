@@ -180,6 +180,44 @@ class BenchRefSpec extends AnyFunSuite {
     assert(!Bench.familyDrift(Seq.fill(25)((0.5, 0.0))))
   }
 
+  // ---- drift self-adjudication (VERDICT r16 #2) ---------------------------
+
+  test("driftSample picks the n most-drifted short-family rows, " +
+    "deterministically (ratio desc, name tie-break), family-gated") {
+    val rows = Seq(
+      ("a_mild", 0.6, 0.5), // 1.2x
+      ("b_hot", 1.5, 0.5), // 3.0x
+      ("c_hot", 0.9, 0.3), // 3.0x — ties with b_hot, name breaks it
+      ("d_long", 9.0, 3.0), // outside the family (ref >= 2)
+      ("e_tiny", 0.9, 0.05), // outside the family (ref < 0.1)
+      ("f_warm", 1.0, 0.5)) // 2.0x
+    assert(Bench.driftSample(rows, n = 3) == Seq("b_hot", "c_hot", "f_warm"))
+    // n larger than the family returns the whole family, still ranked
+    assert(Bench.driftSample(rows, n = 10) ==
+      Seq("b_hot", "c_hot", "f_warm", "a_mild"))
+  }
+
+  test("driftVerdict replays the r16 scenario as contention: uniform sweep " +
+    "inflation whose isolated re-runs sit at the reference") {
+    // sweep latched drift at ~1.31x; the isolated sample re-measures at
+    // ~1.0x of the refs — busy box, not a regression
+    val sample = Seq.fill(10)((0.52, 0.5))
+    assert(Bench.driftVerdict(sample) == "contention")
+  }
+
+  test("driftVerdict calls a regression only when the drift SURVIVES " +
+    "isolation (same 1.3x bar as the family guard)") {
+    assert(Bench.driftVerdict(Seq.fill(10)((0.7, 0.5))) == "regression")
+    // exactly at the bar is NOT a regression (strict >, like familyDrift;
+    // single pair so the ratio is an exact division, not a summed float)
+    assert(Bench.driftVerdict(Seq((1.3, 1.0))) == "contention")
+  }
+
+  test("driftVerdict: no isolated evidence must not read as exoneration") {
+    assert(Bench.driftVerdict(Seq.empty) == "regression")
+    assert(Bench.driftVerdict(Seq((0.5, 0.0))) == "regression")
+  }
+
   // ---- nextFlagshipRef (upward-only, clean-run-only, 2x cap) --------------
 
   test("flagship ref rises on a clean faster run and holds on a slower one") {
