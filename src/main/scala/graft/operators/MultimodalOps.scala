@@ -491,6 +491,110 @@ object MultimodalOps {
         .agg(count(lit(1)).cast("long").as("n"),
           sum("px1").cast("long").as("px"),
           sum("px_sum1").cast("long").as("px_sum"))
+    },
+
+    // The DETECTION ingest shape composed end-to-end (simple_ssd/
+    // dataloader.py:249-446 + object_detection/tf_example_decoder.py:
+    // 34-77 — with mm12/fn14 this covers the remaining MLPerf workload
+    // family): TFRecord shards of Examples carrying image/encoded PNG
+    // bytes PLUS variable-length per-object box lists
+    // (image/object/bbox/{xmin,ymin,xmax,ymax} and class labels — the
+    // VarLen list path fn13 gates, here inside a composed chain) →
+    // CRC-verified framing → wire parse → REAL javax.imageio decode →
+    // per-box CROP over the decoded pixels (the decode-and-crop the SSD
+    // loader actually does) + ppm-normalized coordinates
+    // (tf_example_decoder normalizes boxes to [0,1]; integer ppm is the
+    // portable rendering). Box geometry is closed-form off (doc_id, i),
+    // always strictly inside the image, 1-3 boxes per doc — so DuckDB
+    // reproduces every crop sum without a codec and the gate pins the
+    // WHOLE chain (framing, VarLen parse, decode, crop window
+    // arithmetic) bit-exactly. Scale: encode/parse/decode/crop all ride
+    // partition-local Dataset maps; boxes explode per-record INSIDE the
+    // map (no Generate over payload bytes); no exchange anywhere — the
+    // output is per-box rows.
+    Q(
+      "mm13_ssd_ingest",
+      """WITH p AS (SELECT doc_id, 16 + doc_id % 5 AS w, 12 + doc_id % 7 AS h
+        |           FROM documents WHERE doc_id < 64),
+        |  b AS (SELECT doc_id, w, h,
+        |          unnest(range(0, 1 + CAST(doc_id % 3 AS INT))) AS i FROM p),
+        |  g AS (SELECT doc_id, w, h, CAST(i AS BIGINT) AS box_idx,
+        |    (doc_id * 3 + 5 * i) % (w - 4) AS xmin,
+        |    (doc_id * 7 + 3 * i) % (h - 4) AS ymin,
+        |    (doc_id * 3 + 5 * i) % (w - 4) + 1 + (doc_id + i) % 4 AS xmax,
+        |    (doc_id * 7 + 3 * i) % (h - 4) + 1 + (doc_id + 2 * i) % 4 AS ymax,
+        |    (doc_id + i) % 10 AS label FROM b)
+        |SELECT doc_id, box_idx, CAST(label AS BIGINT) AS label,
+        |  CAST((xmax - xmin) * (ymax - ymin) AS BIGINT) AS area,
+        |  CAST(list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(range(0, (xmax - xmin) * (ymax - ymin)),
+        |      t -> (doc_id * 31 + 7 * (xmin + t % (xmax - xmin))
+        |            + 13 * (ymin + t // (xmax - xmin))) % 256)),
+        |    (a, v) -> a + v) AS BIGINT) AS crop_sum,
+        |  CAST((1000000 * xmin) // w AS BIGINT) AS xmin_ppm,
+        |  CAST((1000000 * ymin) // h AS BIGINT) AS ymin_ppm,
+        |  CAST((1000000 * xmax) // w AS BIGINT) AS xmax_ppm,
+        |  CAST((1000000 * ymax) // h AS BIGINT) AS ymax_ppm
+        |FROM g""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.multimodal.ImageCodec
+      import graft.sources.{TfExample, TfRecords}
+      val path = Scratch.dir("graft-tfex-ssd")
+      val encoded = ImageCodec.payloads(s, d, 64).as[(Long, Array[Byte])]
+        .map { case (id, png) =>
+          val w = 16 + id % 5
+          val h = 12 + id % 7
+          val k = (1 + id % 3).toInt
+          val boxes = (0 until k).map { i =>
+            val xmin = (id * 3 + 5 * i) % (w - 4)
+            val ymin = (id * 7 + 3 * i) % (h - 4)
+            (xmin, ymin, xmin + 1 + (id + i) % 4, ymin + 1 + (id + 2 * i) % 4,
+              (id + i) % 10)
+          }
+          TfExample.encode(Seq(
+            "image/encoded" -> TfExample.Feature(bytes = Seq(png)),
+            "image/format" -> TfExample.Feature(bytes = Seq("PNG".getBytes("UTF-8"))),
+            "image/source_id" -> TfExample.Feature(longs = Seq(id)),
+            "image/object/bbox/xmin" -> TfExample.Feature(longs = boxes.map(_._1)),
+            "image/object/bbox/ymin" -> TfExample.Feature(longs = boxes.map(_._2)),
+            "image/object/bbox/xmax" -> TfExample.Feature(longs = boxes.map(_._3)),
+            "image/object/bbox/ymax" -> TfExample.Feature(longs = boxes.map(_._4)),
+            "image/object/class/label" -> TfExample.Feature(longs = boxes.map(_._5))))
+        }
+        .toDF("rec")
+      TfRecords.write(encoded.repartition(4), "rec", path)
+      TfRecords.read(s, path).select("record").as[Array[Byte]]
+        .mapPartitions(_.flatMap { rec =>
+          val m = TfExample.decode(rec)
+          val id = TfExample.int64(m, "image/source_id", -1L)
+          val img = ImageCodec.decodeImage(m("image/encoded").bytes.head)
+          val (w, h) = (img.getWidth.toLong, img.getHeight.toLong)
+          val xs = TfExample.int64List(m, "image/object/bbox/xmin")
+          val ys = TfExample.int64List(m, "image/object/bbox/ymin")
+          val xe = TfExample.int64List(m, "image/object/bbox/xmax")
+          val ye = TfExample.int64List(m, "image/object/bbox/ymax")
+          val lb = TfExample.int64List(m, "image/object/class/label")
+          xs.indices.map { i =>
+            // the crop: real pixel reads off the decoded image, summed
+            // over [xmin, xmax) × [ymin, ymax) — the gray channel of the
+            // lossless PNG (all three channels carry it)
+            var cropSum = 0L
+            var y = ys(i)
+            while (y < ye(i)) {
+              var x = xs(i)
+              while (x < xe(i)) {
+                cropSum += (img.getRGB(x.toInt, y.toInt) & 0xff).toLong
+                x += 1
+              }
+              y += 1
+            }
+            (id, i.toLong, lb(i), (xe(i) - xs(i)) * (ye(i) - ys(i)), cropSum,
+              1000000L * xs(i) / w, 1000000L * ys(i) / h,
+              1000000L * xe(i) / w, 1000000L * ye(i) / h)
+          }
+        })
+        .toDF("doc_id", "box_idx", "label", "area", "crop_sum",
+          "xmin_ppm", "ymin_ppm", "xmax_ppm", "ymax_ppm")
     }
   )
 
