@@ -491,13 +491,29 @@ object SimilarityOps {
     * (cosine, ties toward the smaller cell id). Returns N slim
     * (vec_id, cell, embedding) rows.
     */
+  /** Best-cell assignment against a broadcast codebook, computed
+    * ENTIRELY inside the scan projection: the codebook collapses to one
+    * sorted struct array (the fn11 broadcast idiom), each vector scores
+    * it with a transform() and arg-maxes by struct comparison —
+    * max(struct(cos, -cell)) ≡ ORDER BY cos DESC, cell ASC, including
+    * the NaN-sorts-greatest rule, so the result is bit-identical to the
+    * old row_number form. The old form crossJoined e × cent and ranked
+    * with a window, which EXCHANGED AND SORTED the exploded N·k frame
+    * with embeddings aboard — at the 100x fixture that sort alone
+    * spilled 3.3 GiB on ss29 (r17); this form ships nothing anywhere:
+    * no exchange, no sort, one codegen'd projection.
+    */
   private def semDedupAssign(e: org.apache.spark.sql.DataFrame,
       cent: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    e.crossJoin(broadcast(cent))
-      .selectExpr("vec_id", "embedding", "cell",
-        s"row_number() over (partition by vec_id order by " +
-          s"${sparkCos("embedding", "ce")} desc, cell) as rn")
-      .filter(col("rn") === 1)
+    e.crossJoin(broadcast(
+        cent.agg(expr("array_sort(collect_list(struct(cell, ce)))").as("_cents"))))
+      .selectExpr("vec_id", "embedding",
+        s"array_max(transform(_cents, c -> named_struct(" +
+          s"'cs', ${sparkCos("embedding", "c.ce")}, 'negc', -c.cell, " +
+          "'cell', c.cell))).cell as cell") // cell keeps cent's own dtype
+      // an empty codebook leaves cell null (agg still emits its one
+      // row); the old crossJoin form produced zero rows — keep that
+      .filter(col("cell").isNotNull)
       .select("vec_id", "cell", "embedding")
 
   /** The within-cell greedy pair stage over a (vec_id, cell, embedding)
