@@ -136,7 +136,7 @@ object ScaleSmoke {
       "st15_window_quantiles" -> "same windows, Nx events each: the (window, value, hash) frame scales linearly; the sample cut stays ≤ k rows/window",
       "ss25_semdedup_cells" -> "SemDeDup k∝N contract: per-copy labels give Nx CELLS of constant size, so within-cell pair work and shuffle stay ≈ Nx, never quadratic",
       "st16_stream_semdedup" -> "sequential (streaming-twin) fold: all 4 levels reuse ONE persisted assignment, kept/within-batch joins stay cell-bounded — same k∝N linearity as ss25 with batch boundaries in the plan",
-      "ss29_bitext_margin" -> "A×B never forms: the per-copy labels give Nx cells, so cross-side pair volume (the dominant shuffle) stays ≈ Nx under the k∝N contract — mining cost linear in the corpus",
+      "ss29_bitext_margin" -> "A×B never forms: the per-copy labels give Nx cells, so cross-side pair volume (the dominant shuffle) stays ≈ Nx under the k∝N contract — mining cost linear in the corpus; broadcast forced OFF on both legs (the 1x leg's joins all fit the threshold once the assignment stopped exploding — r17), so the ratio is linear-vs-linear",
       "sm13_temporal_split" -> "entity-scale median rides the distributed Ordinal (r12's one scale-killer, fixed r13): shuffle tracks the per-user frame ≈ Nx, no single-partition window anywhere",
       "an11_zipf_octaves" -> "vocab rank rides Ordinal on -freq: shuffle tracks the (copy-permuted, ~Nx) vocab frame; octave rollup ≤ 64 rows at any corpus",
       "an18_ks_drift" -> "corpus CDF rides withGlobalPrefixSum: exchanges track the sources × values grid, the per-source CDFs stay source-partitioned",
@@ -176,9 +176,13 @@ object ScaleSmoke {
       // read ≈ 2N — the honest at-scale constant is TWO corpus-byte
       // exchanges (assignment join + placement sort), measured
       // linear-vs-linear with the broadcast off.
+      // ss29 joined the list in r17: once semDedupAssign stopped paying
+      // the exploded-frame exchange, the 1x leg's remaining joins all
+      // fit the broadcast threshold and the unforced ratio read ≈ 534x
+      // — the same broadcast-vs-shuffle artifact, one query later
       val forceShuffle =
         name == "dd21_containment" || name == "cu17_curriculum_export" ||
-          name == "cu16_equal_mass_export"
+          name == "cu16_equal_mass_export" || name == "ss29_bitext_margin"
       val prevBjt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
       shufflePartitions.foreach(p =>
@@ -248,8 +252,13 @@ object ScaleSmoke {
       sb ++= "cannot imitate: AQE can coalesce an over-provisioned shuffle but\n"
       sb ++= "never split an under-provisioned non-skewed sort, so a fixed\n"
       sb ++= "reducer count at Nx measures harness memory pressure, not the\n"
-      sb ++= "plan. Shuffle bytes are partition-count-independent; the\n"
-      sb ++= "linearity ratios stay like-for-like. Each leg executes ONCE —\n"
+      sb ++= "plan. Logical shuffle volume is partition-count-independent, but\n"
+      sb ++= "the PHYSICAL bytes carry a granularity penalty at higher reducer\n"
+      sb ++= "counts (more, smaller lz4 blocks compress worse — dd21's 100x\n"
+      sb ++= "leg writes 3.28 GiB at 8 reducers vs 4.47 GiB at 80, same plan,\n"
+      sb ++= "same rows), so byte ratios here can overshoot Nx by up to ~1.35x\n"
+      sb ++= "where the 1x leg's blocks are large; row ratios and spill are the\n"
+      sb ++= "granularity-free signals. Each leg executes ONCE —\n"
       sb ++= "the row count rides the measured noop run as an Observation.\n\n"
       sb ++= s"| query | rows 1x/${copies}x | shuffle 1x | shuffle ${copies}x " +
         s"| shuffle ratio | spill ${copies}x | wall 1x | wall ${copies}x " +
