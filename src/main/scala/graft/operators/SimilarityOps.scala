@@ -329,15 +329,11 @@ object SimilarityOps {
       k: Int, nprobe: Int): org.apache.spark.sql.DataFrame = {
     // _q is evaluated on `e` BEFORE the centroid projection so the
     // predicate may reference any of e's columns (the public ivfTopK
-    // passes a caller-built pred); rows past rank nprobe are dropped
-    // BEFORE the persist so the cache holds N×nprobe rows, not N×C
-    // (the unfiltered scored frame is one row per vector per centroid).
-    val scored = e.withColumn("_q", queryPred)
-      .crossJoin(broadcast(cent))
-      .selectExpr(
-        "vec_id", "cell", "_q",
-        s"row_number() over (partition by vec_id order by ${sparkCos("embedding", "ce")} desc, cell) as rn")
-      .filter(col("rn") <= math.max(nprobe, 1))
+    // passes a caller-built pred). topCells keeps only the nprobe best
+    // cells per vector, computed scan-locally (r17 — no exploded-frame
+    // exchange/sort), so the cache holds N×nprobe rows, not N×C.
+    val scored = topCells(e.withColumn("_q", queryPred), cent,
+        math.max(nprobe, 1), Seq("vec_id", "_q"))
       // consumed twice (cell assignment + query probe list); released by
       // caller clearCache — reruns reuse the entry (CacheManager dedups
       // by plan; asserted in CacheHygieneSpec)
@@ -491,29 +487,44 @@ object SimilarityOps {
     * (cosine, ties toward the smaller cell id). Returns N slim
     * (vec_id, cell, embedding) rows.
     */
-  /** Best-cell assignment against a broadcast codebook, computed
-    * ENTIRELY inside the scan projection: the codebook collapses to one
-    * sorted struct array (the fn11 broadcast idiom), each vector scores
-    * it with a transform() and arg-maxes by struct comparison —
-    * max(struct(cos, -cell)) ≡ ORDER BY cos DESC, cell ASC, including
-    * the NaN-sorts-greatest rule, so the result is bit-identical to the
-    * old row_number form. The old form crossJoined e × cent and ranked
-    * with a window, which EXCHANGED AND SORTED the exploded N·k frame
-    * with embeddings aboard — at the 100x fixture that sort alone
-    * spilled 3.3 GiB on ss29 (r17); this form ships nothing anywhere:
-    * no exchange, no sort, one codegen'd projection.
+  /** Top-`n` codebook cells per vector, computed ENTIRELY inside the
+    * scan projection (r17): the broadcast codebook `cent(cell, ce)`
+    * collapses to one sorted struct array (the fn11 broadcast idiom);
+    * each row scores it with a transform() and keeps the first `n` of
+    * reverse(array_sort(struct(cos, -cell, cell))) — exactly ORDER BY
+    * cos DESC, cell ASC INCLUDING the NaN-sorts-greatest rule, so the
+    * emitted (keep..., cell, rn) rows are bit-identical to the old
+    * row_number()-over-exploded-frame form. That form crossJoined
+    * e × cent and ranked with a window, which EXCHANGED AND SORTED the
+    * exploded N·k frame (embeddings aboard) — at the 100x fixture that
+    * sort alone spilled 3.3 GiB on ss29, and at a production codebook
+    * (k in the tens of thousands) it is the dominant stage of every IVF
+    * query. This form ships nothing anywhere: no exchange, no sort, one
+    * codegen'd projection whose per-row cost is the same N·k cosines
+    * plus an in-row k log k sort. `keep` columns pass through; `e` must
+    * carry `embedding`; `rn` is 1-based like row_number; `cell` keeps
+    * cent's own dtype; an empty codebook emits zero rows (empty array →
+    * posexplode drops the row), matching the old crossJoin form.
+    */
+  private def topCells(e: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame, n: Int,
+      keep: Seq[String]): org.apache.spark.sql.DataFrame =
+    e.crossJoin(broadcast(
+        cent.agg(expr("array_sort(collect_list(struct(cell, ce)))").as("_cents"))))
+      .selectExpr(keep :+ (s"slice(reverse(array_sort(transform(_cents, " +
+        s"c -> named_struct('cs', ${sparkCos("embedding", "c.ce")}, " +
+        s"'negc', -c.cell, 'cell', c.cell)))), 1, $n) as _top"): _*)
+      .selectExpr(keep :+ "posexplode(_top) as (_p0, _t)": _*)
+      .selectExpr(keep ++ Seq("_t.cell as cell", "cast(_p0 + 1 as int) as rn"): _*)
+
+  /** Best-cell assignment against a broadcast codebook — [[topCells]]
+    * with n = 1 (see there for the scan-local argmax contract and the
+    * r17 history; all six gated SemDeDup-family queries re-validated
+    * bit-identical after the migration).
     */
   private def semDedupAssign(e: org.apache.spark.sql.DataFrame,
       cent: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    e.crossJoin(broadcast(
-        cent.agg(expr("array_sort(collect_list(struct(cell, ce)))").as("_cents"))))
-      .selectExpr("vec_id", "embedding",
-        s"array_max(transform(_cents, c -> named_struct(" +
-          s"'cs', ${sparkCos("embedding", "c.ce")}, 'negc', -c.cell, " +
-          "'cell', c.cell))).cell as cell") // cell keeps cent's own dtype
-      // an empty codebook leaves cell null (agg still emits its one
-      // row); the old crossJoin form produced zero rows — keep that
-      .filter(col("cell").isNotNull)
+    topCells(e, cent, 1, Seq("vec_id", "embedding"))
       .select("vec_id", "cell", "embedding")
 
   /** The within-cell greedy pair stage over a (vec_id, cell, embedding)
@@ -918,11 +929,7 @@ object SimilarityOps {
           "row_number() over (partition by label order by vec_id) as rn")
         .filter(col("rn") === 1)
         .drop("rn")
-      val assign = e.crossJoin(broadcast(cent))
-        .selectExpr(
-          "vec_id", "cell",
-          s"row_number() over (partition by vec_id order by ${sparkCos("embedding", "ce")} desc, cell) as rn")
-        .filter(col("rn") === 1)
+      val assign = topCells(e, cent, 1, Seq("vec_id"))
         .select("vec_id", "cell")
         .persist() // query cells + candidate cells
       val q = e.filter(col("vec_id") < 5)
@@ -1391,11 +1398,11 @@ object SimilarityOps {
       val e = T.embeddings(s, d).select("vec_id", "label", "embedding")
       val cent = trainedCentroids(e)
       // one scored pass vs broadcast centroids → assignment + probe
-      // lists (ivfSearch's head); persisted for its two consumers,
-      // released by the caller-clearCache contract (CacheHygieneSpec)
-      val scored = e.crossJoin(broadcast(cent))
-        .selectExpr("vec_id", "cell",
-          s"row_number() over (partition by vec_id order by ${sparkCos("embedding", "ce")} desc, cell) as rn")
+      // lists (ivfSearch's head, scan-local topCells since r17);
+      // persisted for its two consumers, released by the
+      // caller-clearCache contract (CacheHygieneSpec). Only ranks ≤ 2
+      // are ever consumed (rn = 1 assignment, rn ≤ 2 probes).
+      val scored = topCells(e, cent, 2, Seq("vec_id"))
         .persist()
       val assign = scored.filter(col("rn") === 1).select("vec_id", "cell")
       val qc = scored.filter(col("vec_id") < 5 && col("rn") <= 2)
@@ -1702,10 +1709,7 @@ object SimilarityOps {
       }) { (s, d) =>
       graft.functions.CosineSimilarity.register(s)
       val e = T.embeddings(s, d)
-      val scored = e.crossJoin(broadcast(labelCentroids(e)))
-        .selectExpr("vec_id", "cell",
-          s"row_number() over (partition by vec_id order by ${sparkCos("embedding", "ce")} desc, cell) as rn")
-        .filter(col("rn") <= 3)
+      val scored = topCells(e, labelCentroids(e), 3, Seq("vec_id"))
         .persist() // feeds assignment + all three probe lists; caller clearCache releases
       val assign = scored.filter(col("rn") === 1).select("vec_id", "cell")
       val q = e.filter(col("vec_id") < 5)
@@ -1994,12 +1998,8 @@ object SimilarityOps {
       val e = T.embeddings(s, d).select("vec_id", "label", "embedding")
       val cent = centroidsOf(e.filter(col("vec_id") % 2 === 0)
         .selectExpr("label as cell", "embedding"))
-      val counts = e.withColumn("era", col("vec_id") % 2)
-        .crossJoin(broadcast(cent))
-        .selectExpr("vec_id", "era", "cell",
-          s"row_number() over (partition by vec_id order by " +
-            s"${sparkCos("embedding", "ce")} desc, cell) as rn")
-        .filter(col("rn") === 1)
+      val counts = topCells(
+          e.withColumn("era", col("vec_id") % 2), cent, 1, Seq("vec_id", "era"))
         .groupBy("cell")
         .agg(
           count(when(col("era") === 0, 1)).cast("long").as("n0"),
@@ -2083,12 +2083,7 @@ object SimilarityOps {
       val e = T.embeddings(s, d).select("vec_id", "label", "embedding")
       val cent = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cell"), col("embedding").as("ce"))
-      val scored = e
-        .crossJoin(broadcast(cent))
-        .selectExpr("vec_id", "label", "embedding", "cell",
-          s"row_number() over (partition by vec_id order by " +
-            s"${sparkCos("embedding", "ce")} desc, cell) as rn")
-        .filter(col("rn") <= 2)
+      val scored = topCells(e, cent, 2, Seq("vec_id", "label", "embedding"))
         .persist() // assignment + probe lists; caller clearCache releases
       val assign = scored.filter(col("rn") === 1)
         .select(col("vec_id").as("n_id"), col("label").as("nl"), col("cell"))

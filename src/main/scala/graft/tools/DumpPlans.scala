@@ -156,6 +156,12 @@ object DumpPlans {
     // windows + broadcast offsets), three union branches, no
     // single-partition row_number anywhere
     "sm15_epoch_shuffle",
+    // round-17: the two composed ingest chains — fn14's pinned plan must
+    // show ONE corpus scan, the broadcast vocab array join, and the
+    // batch-max window REUSING the bucketing exchange (no second corpus
+    // shuffle — also asserted structurally in PlanQualitySpec); mm13 is
+    // partition-local maps end-to-end (no exchange at all)
+    "fn14_wmt_ingest", "mm13_ssd_ingest",
     // bitext mining must show the cell-keyed (never A×B) pair join and
     // per-vector rank windows over the one persisted pair frame
     "ss29_bitext_margin",

@@ -149,7 +149,9 @@ object ShuffleAudit {
     "q_tfrecord_roundtrip" -> "native TFRecord sink+source: shards are the read-parallelism unit (one binaryFile task per shard), records stream sequentially within a shard with both CRCs verified — TFRecordDataset's own contract",
     "fn12_tfexample_roundtrip" -> "Example encode/parse are per-record byte arithmetic inside Dataset maps — no driver, no exchange before the final 6-row rollup; the TFRecord shards carry the parallelism",
     "mm12_imagenet_ingest" -> "TFRecord→Example→PNG-decode all partition-local (Dataset maps over binaryFile shards); the only exchange is the 10-row label rollup — the imagenet_input path with zero shuffle before the agg",
-    "fn13_varlen_roundtrip" -> "variable-length int64 features (token-length lists) encode/parse partition-local; the output is per-document, so there is NO exchange at all — ingest of sequence features is pure scan work")
+    "fn13_varlen_roundtrip" -> "variable-length int64 features (token-length lists) encode/parse partition-local; the output is per-document, so there is NO exchange at all — ingest of sequence features is pure scan work",
+    "fn14_wmt_ingest" -> "the composed GNMT text chain: one corpus scan, vocab broadcast as one sorted array (lookup inside the scan projection), ONE bucket exchange that the batch-max window reuses (plan-pinned) — padded_batch costs a sort, never a second corpus shuffle",
+    "mm13_ssd_ingest" -> "the composed detection chain: TFRecord→Example(VarLen boxes)→PNG-decode→per-box crop all partition-local Dataset maps; output is per-box rows, so there is NO exchange at all")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
