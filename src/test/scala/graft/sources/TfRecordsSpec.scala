@@ -726,6 +726,33 @@ class TfRecordsSpec extends AnyFunSuite {
     assert(ep.getMessage.contains("outside [0, 2)"))
   }
 
+  test("a garbage or missing _layout.json degrades to the presence-only " +
+    "guard (best-effort metadata, like the manifest), and a fresh write " +
+    "seeds a parseable marker") {
+    import spark.implicits._
+    val df = spark.range(20).selectExpr("id % 2 as shard_id",
+      "cast(concat('l=', id) as binary) as rec")
+    val path = java.nio.file.Files.createTempDirectory("graft-tfrec-layout").toString
+    TfRecords.writeSharded(df, "rec", "shard_id", 2, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(TfRecords.layoutNumShards(fs,
+      new org.apache.hadoop.fs.Path(path)).contains(2))
+    // corrupt the marker: resume must not fail on unparseable metadata —
+    // it silently falls back to the shrink-only presence check
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_layout.json"), Array[Byte](0, 1, -1))
+    new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(path, "part-00001.tfrecord"))
+    TfRecords.writeSharded(df, "rec", "shard_id", 2, path, resume = true)
+    assert(TfRecords.read(spark, path).count() == 20)
+    // and the resume re-seeded a parseable marker for the next attempt
+    assert(TfRecords.layoutNumShards(fs,
+      new org.apache.hadoop.fs.Path(path)).contains(2))
+  }
+
   test("tieCols order NEGATIVE integral ties numerically: -5 sorts before " +
     "0 and 3, and reruns stay byte-identical (ADVICE r16)") {
     import spark.implicits._
