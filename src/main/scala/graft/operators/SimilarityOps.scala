@@ -644,15 +644,22 @@ object SimilarityOps {
               .partitionBy("cell").orderBy("vec_id")))
           .filter(col("r") <= col("kc"))
           .selectExpr("cell", "base + r - 1 as sub", "embedding as ce")
+        // argmin by (d2 ASC, sub ASC) as a map-side-combinable aggregate
+        // (r17): the old row_number window exchanged AND sorted the
+        // hot-member × sub-centroid frame — large exactly when the
+        // splitter runs (that is what made the cell hot). min_by over
+        // struct(d2, sub) is the same ordering (NaN d2 sorts greatest
+        // under both forms); embedding rides in the value struct (it is
+        // constant per vec_id here, one member row fanned per sub-cell).
         def assignSub(centTab: org.apache.spark.sql.DataFrame) = hotMembers
           .join(centTab.withColumnRenamed("cell", "c2"),
             col("cell") === col("c2"))
-          .selectExpr("vec_id", "cell", "embedding", "sub",
+          .selectExpr("vec_id", "embedding", "sub",
             s"${sparkD2("embedding", "ce")} as d2")
-          .withColumn("rn", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy("vec_id").orderBy("d2", "sub")))
-          .filter(col("rn") === 1)
+          .groupBy("vec_id")
+          .agg(expr("min_by(named_struct('sub', sub, 'embedding', embedding), " +
+            "named_struct('d2', d2, 'sub', sub))").as("_m"))
+          .selectExpr("vec_id", "_m.sub as sub", "_m.embedding as embedding")
         // one Lloyd refinement: assign → decimal-exact mean → re-assign
         subCent = centroidsOf(
           assignSub(subCent).selectExpr("sub as cell", "embedding"))
