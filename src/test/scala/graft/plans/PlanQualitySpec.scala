@@ -313,6 +313,27 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("no plan ranks the exploded codebook frame: zero WindowExec " +
+    "partitioned by vec_id anywhere (r17 — the scan-local topCells rail)") {
+    // the pre-r17 IVF/SemDeDup scorer crossJoined corpus × codebook and
+    // ranked with row_number() over (partition by vec_id) — an exchange
+    // plus sort of the N·k frame, the dominant stage at production
+    // codebook sizes (and ss29's measured 3.3 GiB of 100x spill). The
+    // replacement computes top-n cells inside the scan projection
+    // (topCells); this rail keeps the pattern from creeping back. Other
+    // per-entity windows (q_id candidate ranks, a_id/b_id pair frames)
+    // stay legitimate — only the per-VECTOR rank over scored cells was
+    // the explosion signature.
+    val offenders = built.flatMap { case (q, _, plan) =>
+      plan.collect {
+        case w: WindowExec if w.partitionSpec.exists(
+          _.references.exists(_.name == "vec_id")) => q.name
+      }
+    }.distinct
+    assert(offenders.isEmpty,
+      s"vec_id-partitioned WindowExec found in: ${offenders.mkString(", ")}")
+  }
+
   test("fn14's composed ingest plan: ONE broadcast vocab join, and the " +
     "padded_batch window reuses the bucketing exchange — no second " +
     "corpus shuffle (VERDICT r16 #1 done-criterion)") {
