@@ -134,7 +134,7 @@ object ScaleSmoke {
       "an22_sample_quantiles" -> "the (source, value, hash) frame scales linearly; samples stay k rows/source, so estimate work is corpus-size-free",
       "an23_quantile_merge" -> "each side cuts to ≤ k rows/source BEFORE the merge: the merge exchange is ≤ 2k rows/source at any corpus size",
       "st15_window_quantiles" -> "same windows, Nx events each: the (window, value, hash) frame scales linearly; the sample cut stays ≤ k rows/window",
-      "ss25_semdedup_cells" -> "SemDeDup k∝N contract: per-copy labels give Nx CELLS of constant size, so within-cell pair work and shuffle stay ≈ Nx, never quadratic",
+      "ss25_semdedup_cells" -> "SemDeDup k∝N contract: per-copy labels give Nx CELLS of constant size, so within-cell pair work and shuffle stay ≈ Nx, never quadratic; broadcast forced OFF on both legs (the 1x leg's cell-keyed pair join fits the threshold once the assignment went scan-local — r17), so the ratio is linear-vs-linear",
       "st16_stream_semdedup" -> "sequential (streaming-twin) fold: all 4 levels reuse ONE persisted assignment, kept/within-batch joins stay cell-bounded — same k∝N linearity as ss25 with batch boundaries in the plan",
       "ss29_bitext_margin" -> "A×B never forms: the per-copy labels give Nx cells, so cross-side pair volume (the dominant shuffle) stays ≈ Nx under the k∝N contract — mining cost linear in the corpus; broadcast forced OFF on both legs (the 1x leg's joins all fit the threshold once the assignment stopped exploding — r17), so the ratio is linear-vs-linear",
       "sm13_temporal_split" -> "entity-scale median rides the distributed Ordinal (r12's one scale-killer, fixed r13): shuffle tracks the per-user frame ≈ Nx, no single-partition window anywhere",
@@ -176,13 +176,15 @@ object ScaleSmoke {
       // read ≈ 2N — the honest at-scale constant is TWO corpus-byte
       // exchanges (assignment join + placement sort), measured
       // linear-vs-linear with the broadcast off.
-      // ss29 joined the list in r17: once semDedupAssign stopped paying
-      // the exploded-frame exchange, the 1x leg's remaining joins all
-      // fit the broadcast threshold and the unforced ratio read ≈ 534x
-      // — the same broadcast-vs-shuffle artifact, one query later
+      // ss29/ss25 joined the list in r17: once semDedupAssign stopped
+      // paying the exploded-frame exchange, the 1x legs' remaining
+      // cell-keyed pair joins fit the broadcast threshold (ss29's
+      // unforced ratio read ≈ 534x, ss25's ≈ 15.5x) — the same
+      // broadcast-vs-shuffle artifact, one stage later
       val forceShuffle =
         name == "dd21_containment" || name == "cu17_curriculum_export" ||
-          name == "cu16_equal_mass_export" || name == "ss29_bitext_margin"
+          name == "cu16_equal_mass_export" || name == "ss29_bitext_margin" ||
+          name == "ss25_semdedup_cells"
       val prevBjt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
       shufflePartitions.foreach(p =>
