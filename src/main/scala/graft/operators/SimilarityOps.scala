@@ -508,14 +508,30 @@ object SimilarityOps {
     */
   private def topCells(e: org.apache.spark.sql.DataFrame,
       cent: org.apache.spark.sql.DataFrame, n: Int,
-      keep: Seq[String]): org.apache.spark.sql.DataFrame =
-    e.crossJoin(broadcast(
-        cent.agg(expr("array_sort(collect_list(struct(cell, ce)))").as("_cents"))))
-      .selectExpr(keep :+ (s"slice(reverse(array_sort(transform(_cents, " +
-        s"c -> named_struct('cs', ${sparkCos("embedding", "c.ce")}, " +
-        s"'negc', -c.cell, 'cell', c.cell)))), 1, $n) as _top"): _*)
-      .selectExpr(keep :+ "posexplode(_top) as (_p0, _t)": _*)
-      .selectExpr(keep ++ Seq("_t.cell as cell", "cast(_p0 + 1 as int) as rn"): _*)
+      keep: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val withCents = e.crossJoin(broadcast(
+      cent.agg(expr("array_sort(collect_list(struct(cell, ce)))").as("_cents"))))
+    val scoredStruct = s"named_struct('cs', ${sparkCos("embedding", "c.ce")}, " +
+      "'negc', -c.cell, 'cell', c.cell)"
+    if (n == 1)
+      // argmax specialization for the dominant path (every SemDeDup
+      // assignment): max(struct) is one O(k) pass per row — same
+      // (cos DESC, cell ASC, NaN-greatest) ordering as the sorted form,
+      // without materializing and sorting a k-array per row. An empty
+      // codebook arg-maxes to NULL; the filter keeps the zero-row
+      // contract the posexplode branch gets for free.
+      withCents
+        .selectExpr(keep :+
+          (s"array_max(transform(_cents, c -> $scoredStruct)).cell as cell"): _*)
+        .filter(col("cell").isNotNull)
+        .selectExpr(keep ++ Seq("cell", "cast(1 as int) as rn"): _*)
+    else
+      withCents
+        .selectExpr(keep :+ (s"slice(reverse(array_sort(transform(_cents, " +
+          s"c -> $scoredStruct))), 1, $n) as _top"): _*)
+        .selectExpr(keep :+ "posexplode(_top) as (_p0, _t)": _*)
+        .selectExpr(keep ++ Seq("_t.cell as cell", "cast(_p0 + 1 as int) as rn"): _*)
+  }
 
   /** Best-cell assignment against a broadcast codebook — [[topCells]]
     * with n = 1 (see there for the scan-local argmax contract and the
