@@ -506,13 +506,16 @@ object SimilarityOps {
     * cent's own dtype; an empty codebook emits zero rows (empty array →
     * posexplode drops the row), matching the old crossJoin form.
     */
-  private def topCells(e: org.apache.spark.sql.DataFrame,
+  private[graft] def topCells(e: org.apache.spark.sql.DataFrame,
       cent: org.apache.spark.sql.DataFrame, n: Int,
       keep: Seq[String]): org.apache.spark.sql.DataFrame = {
     val withCents = e.crossJoin(broadcast(
       cent.agg(expr("array_sort(collect_list(struct(cell, ce)))").as("_cents"))))
+    // tie key -1 - cell (bitwise NOT): strictly decreasing in cell like
+    // a negation, but total over the whole integral range — -cell
+    // overflows at MinValue
     val scoredStruct = s"named_struct('cs', ${sparkCos("embedding", "c.ce")}, " +
-      "'negc', -c.cell, 'cell', c.cell)"
+      "'negc', -1 - c.cell, 'cell', c.cell)"
     if (n == 1)
       // argmax specialization for the dominant path (every SemDeDup
       // assignment): max(struct) is one O(k) pass per row — same
