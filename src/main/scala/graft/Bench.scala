@@ -242,6 +242,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.tools.LogHygiene.suppressTinyFrameWindowWarnings()
 
     // Warm-up (untimed): JIT + codegen + broadcast machinery + FS cache.
     // Guarded throughout — a missing/corrupt fixture must surface as a

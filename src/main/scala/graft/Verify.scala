@@ -25,6 +25,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.tools.LogHygiene.suppressTinyFrameWindowWarnings()
     new java.io.File(outDir).mkdirs()
 
     var pool = java.util.concurrent.Executors.newSingleThreadExecutor()

@@ -572,6 +572,32 @@ object TfRecords {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Read `_layout.json`'s declared gzip flag back (ADVICE r17): the
+    * format is part of the layout contract exactly like the shard count,
+    * so a resume under the OTHER compression must fail loud too — without
+    * this check a flipped flag silently swept (deleted) every committed
+    * shard of the original format and re-exported the full corpus, while
+    * the equivalent shard-count violation failed loud. Same degradation
+    * contract as [[layoutNumShards]]: a missing or garbage marker
+    * (pre-marker export) returns None and resume keeps the sweep
+    * behavior.
+    */
+  private[graft] def layoutGzip(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[Boolean] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir, "_layout.json")
+      if (!fs.exists(p)) None
+      else {
+        val src = scala.io.Source.fromInputStream(fs.open(p), "UTF-8")
+        val txt = try src.mkString finally src.close()
+        txt.split("\"gzip\":", 2).lift(1).map(_.takeWhile(_.isLetter)).collect {
+          case "true"  => true
+          case "false" => false
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   private def writeLayout(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path, numShards: Int, gzip: Boolean): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir, "_layout.json")
@@ -596,8 +622,22 @@ object TfRecords {
       else {
         // Shape enforcement (ADVICE r15): resume's documented contract is
         // same input, same shard count, same format — now enforced, not
-        // just documented. (a) part-* shard files in the OTHER format
-        // (a flipped gzip flag between runs) are swept: they can never
+        // just documented. (0) the `_layout.json` gzip flag must match
+        // the requested one BEFORE any sweep runs (ADVICE r17): a
+        // flipped flag used to silently delete every committed shard of
+        // the original format and re-export the corpus, while the
+        // equivalent shard-count violation failed loud. Pre-marker dirs
+        // (no/garbage _layout.json → None) keep the sweep behavior.
+        layoutGzip(fs, dir).foreach { declared =>
+          require(declared == gzip,
+            s"tfrecord: resume with gzip=$gzip but the export was " +
+              s"started with gzip=$declared (_layout.json) — resume " +
+              "requires the failed run's format (clear the directory to " +
+              "change the layout)")
+        }
+        // (a) part-* shard files in the OTHER format
+        // (a flipped gzip flag between runs, pre-marker dirs only now)
+        // are swept: they can never
         // count as committed (suffix mismatch), and leaving them would
         // make read()'s *.tfrecord* glob return the corpus twice.
         val foreign = listShards(spark, path).filter { f =>

@@ -16,6 +16,7 @@ object SparkTestSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.tools.LogHygiene.suppressTinyFrameWindowWarnings()
     s
   }
   val sf: String = "/root/testdata/sf0.001"

@@ -682,18 +682,40 @@ class TfRecordsSpec extends AnyFunSuite {
       .selectExpr("sum(n_records)").collect()(0).getLong(0) == 60L)
   }
 
-  test("resume enforces the same-shape contract: a flipped gzip flag sweeps " +
-    "the other format's shards, a shrunk numShards fails loud (ADVICE r15)") {
+  test("resume enforces the same-shape contract: a flipped gzip flag fails " +
+    "loud when the layout marker declares the format (ADVICE r17), sweeps " +
+    "the other format's shards only pre-marker, a shrunk numShards fails " +
+    "loud (ADVICE r15)") {
     import spark.implicits._
     val df = spark.range(30).selectExpr("id % 3 as shard_id",
       "cast(concat('f=', id) as binary) as rec")
     val path = java.nio.file.Files.createTempDirectory("graft-tfrec-shape").toString
     TfRecords.writeSharded(df, "rec", "shard_id", 3, path)
-    // flipped format on resume: the plain shards can never count as
-    // committed (suffix mismatch), so leaving them would double the
-    // corpus under read()'s *.tfrecord* glob — they must be swept
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(TfRecords.layoutGzip(fs,
+      new org.apache.hadoop.fs.Path(path)).contains(false))
+    // flipped format on resume with the marker present: fail loud, SAME
+    // contract as a changed shard count — before ADVICE r17 this path
+    // silently deleted every committed shard and re-exported the corpus
+    val ef = intercept[IllegalArgumentException] {
+      TfRecords.writeSharded(df, "rec", "shard_id", 3, path, gzip = true,
+        resume = true)
+    }
+    assert(ef.getMessage.contains("gzip=true") &&
+      ef.getMessage.contains("gzip=false"))
+    assert(new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".tfrecord")) == 3,
+      "fail-loud must not sweep the committed shards")
+    // pre-marker exports (no _layout.json) keep the sweep: the plain
+    // shards can never count as committed (suffix mismatch), so leaving
+    // them would double the corpus under read()'s *.tfrecord* glob
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path, "_layout.json"))
     TfRecords.writeSharded(df, "rec", "shard_id", 3, path, gzip = true,
       resume = true)
+    assert(TfRecords.layoutGzip(fs,
+      new org.apache.hadoop.fs.Path(path)).contains(true),
+      "the resume must re-seed a marker declaring the new format")
     val names = new java.io.File(path).listFiles().map(_.getName)
     assert(names.count(_.endsWith(".tfrecord.gz")) == 3)
     assert(!names.exists(n => n.endsWith(".tfrecord") && n.startsWith("part-")),
