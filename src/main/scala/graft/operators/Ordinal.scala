@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   *
   *   1. bucket rows by key QUANTILE (order-preserving: every key in bucket
   *      i sorts before every key in bucket i+1; boundaries come from
-  *      Spark's Greenwald-Khanna sketch, so buckets stay balanced no
-  *      matter how skewed the key distribution is),
+  *      Spark's Greenwald-Khanna sketch for numeric keys and from a
+  *      RangePartitioner-style bounded sample for string keys, so
+  *      buckets stay balanced no matter how skewed the key
+  *      distribution is),
   *   2. rank inside each bucket with a partitioned window (parallel),
   *   3. add each bucket's exclusive prefix count, computed by windowing
   *      the ~`buckets`-row count table (tiny, driver-scale) and
@@ -36,6 +38,47 @@ object Ordinal {
     if (buckets <= 1) Array.empty
     else df.stat.approxQuantile(
       keyCol, (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+
+  /** Sampled split points for a STRING `keyCol` (VERDICT r17 #2) —
+    * approxQuantile's Greenwald-Khanna sketch is numeric-only, so string
+    * keys size their buckets the way `RangePartitioner` does
+    * (Partitioner.scala in Spark core, public source): sample a bounded
+    * number of keys, sort, pick ≤ buckets-1 evenly spaced boundary
+    * strings. The collect is DRIVER-BOUNDED by `sampleTarget` (~64k
+    * strings) regardless of corpus size — the same contract
+    * RangePartitioner relies on at any scale — and costs one key-column
+    * scan (count + sample), matching the numeric path's sketch pass.
+    *
+    * The driver-side sort uses unsigned UTF-8 byte order
+    * (`Arrays.compareUnsigned`), matching Spark's in-engine UTF8String
+    * comparison under the default UTF8_BINARY collation — Java's own
+    * String ordering diverges on supplementary characters (UTF-16
+    * surrogates sort below U+E000..U+FFFF, UTF-8 bytes sort above).
+    * Correctness does not hinge on it — [[withGlobalOrdinal]]'s bucket
+    * id is `count(splits < key)` under the ENGINE's comparison, which is
+    * monotone in the key whatever order the split array is in — but a
+    * mis-sorted sample would pick boundary strings that no longer
+    * equi-partition the distribution.
+    */
+  def sampledStringSplits(df: DataFrame, keyCol: String, buckets: Int,
+      sampleTarget: Int = 65536): Array[String] = {
+    if (buckets <= 1) return Array.empty
+    val keys = df.select(col(keyCol).cast("string").as(keyCol))
+      .where(col(keyCol).isNotNull)
+    val n = keys.count()
+    if (n == 0) return Array.empty
+    val fraction = math.min(1.0, sampleTarget.toDouble / n)
+    val utf8 = Ordering.comparatorToOrdering[String]((a, b) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes("UTF-8"), b.getBytes("UTF-8")))
+    val sample = keys.sample(withReplacement = false, fraction, seed = 0x5eedL)
+      .collect().map(_.getString(0)).sorted(utf8)
+    if (sample.isEmpty) Array.empty
+    else (1 until buckets)
+      .map(i => sample(((i.toLong * sample.length) / buckets).toInt
+        .min(sample.length - 1)))
+      .distinct.toArray
+  }
 
   /** @param splits precomputed quantile boundaries from [[quantileSplits]]
     *               — pass when an eager probe on `df` itself is
@@ -64,11 +107,43 @@ object Ordinal {
         typedLit(bs.toSeq), lit(0L),
         (acc, s) => acc + when(col(keyCol).cast("double") > s, 1L).otherwise(0L)))
 
+  /** String twin of [[bucketOf]]: count of boundary strings strictly
+    * below the key under the engine's UTF8_BINARY comparison — the same
+    * collation `orderBy` ranks with inside each bucket, so bucket i's
+    * keys all sort before bucket i+1's and duplicate keys share a
+    * bucket (strict `>`), exactly the numeric invariants.
+    */
+  private def bucketOfStr(keyCol: String, bs: Array[String]): Column =
+    if (bs.isEmpty) when(col(keyCol).isNull, lit(-1L)).otherwise(lit(0L))
+    else when(col(keyCol).isNull, lit(-1L)).otherwise(
+      aggregate(
+        typedLit(bs.toSeq), lit(0L),
+        (acc, s) => acc + when(col(keyCol).cast("string") > s, 1L).otherwise(0L)))
+
+  /** Dispatch on the key's dtype: numeric keys bucket by GK-sketch
+    * quantiles, string keys by sampled boundaries
+    * ([[sampledStringSplits]]). Either way the payload never crosses a
+    * partition for the rank — closing VERDICT r17 #2's funnel, where a
+    * string-keyed positional zip fell back to a single-partition global
+    * window.
+    */
+  private def bucketColumn(df: DataFrame, keyCol: String, buckets: Int,
+      splits: Option[Array[Double]],
+      strSplits: Option[Array[String]]): Column =
+    df.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        bucketOfStr(keyCol,
+          strSplits.getOrElse(sampledStringSplits(df, keyCol, buckets)))
+      case _ =>
+        bucketOf(keyCol, splits.getOrElse(quantileSplits(df, keyCol, buckets)))
+    }
+
   def withGlobalOrdinal(df: DataFrame, keyCol: String, outCol: String,
       buckets: Int = 32, splits: Option[Array[Double]] = None,
-      tieCols: Seq[String] = Nil): DataFrame = {
-    val bs = splits.getOrElse(quantileSplits(df, keyCol, buckets))
-    val withB = df.withColumn("_ord_b", bucketOf(keyCol, bs))
+      tieCols: Seq[String] = Nil,
+      strSplits: Option[Array[String]] = None): DataFrame = {
+    val withB = df.withColumn("_ord_b",
+      bucketColumn(df, keyCol, buckets, splits, strSplits))
     val offsets = withB
       .groupBy("_ord_b")
       .agg(count(lit(1)).as("_ord_n"))
@@ -107,8 +182,8 @@ object Ordinal {
   def withGlobalPrefixSum(df: DataFrame, keyCol: String, valueCol: String,
       outCol: String, buckets: Int = 32,
       tieCols: Seq[String] = Nil): DataFrame = {
-    val bs = quantileSplits(df, keyCol, buckets)
-    val withB = df.withColumn("_ord_b", bucketOf(keyCol, bs))
+    val withB = df.withColumn("_ord_b",
+      bucketColumn(df, keyCol, buckets, None, None))
     val offsets = withB
       .groupBy("_ord_b")
       .agg(sum(valueCol).as("_ord_s"))

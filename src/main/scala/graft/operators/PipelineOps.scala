@@ -392,6 +392,30 @@ object PipelineOps {
       a.join(b, "rn").select("rn", "c_custkey", "s_suppkey")
     },
 
+    // op 18b: zip positioned by a STRING order key (VERDICT r17 #2) — the
+    // shape that used to funnel through a single-partition global window
+    // (approxQuantile can't sketch string boundaries) now rides the same
+    // distributed ordinal with RangePartitioner-style sampled boundary
+    // strings (Ordinal.sampledStringSplits): per-bucket ranks + broadcast
+    // prefix offsets, no corpus-sized sort on one task. Tie columns pin a
+    // total order so the oracle hash is deterministic.
+    Q(
+      "op18b_zip_string",
+      """WITH a AS (SELECT c_name, c_custkey,
+        |            row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+        |           FROM customer),
+        |     b AS (SELECT s_name, s_suppkey,
+        |            row_number() OVER (ORDER BY s_name, s_suppkey) AS rn
+        |           FROM supplier)
+        |SELECT CAST(a.rn AS BIGINT) AS rn, a.c_name, b.s_name
+        |FROM a JOIN b ON a.rn = b.rn""".stripMargin) { (s, d) =>
+      val a = Ordinal.withGlobalOrdinal(T.customer(s, d), "c_name", "rn",
+        tieCols = Seq("c_custkey"))
+      val b = Ordinal.withGlobalOrdinal(T.supplier(s, d), "s_name", "rn",
+        tieCols = Seq("s_suppkey"))
+      a.join(b, "rn").select("rn", "c_name", "s_name")
+    },
+
     // op 19: concatenate (imagenet_input.py:191-197): order-preserving union
     // via an explicit source ordinal.
     Q(

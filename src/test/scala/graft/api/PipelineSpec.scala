@@ -219,4 +219,45 @@ class PipelineSpec extends AnyFunSuite {
     val z = Compiler.compile(spark, self, sf).df
     assert(z.count() == graft.Tables.lineitem(spark, sf).count())
   }
+
+  test("zip with a STRING primary order key rides the distributed ordinal " +
+    "(sampled boundary strings, no payload-sized global window — r17 #2)") {
+    // pre-r18 a non-numeric primary fell back to row_number() over an
+    // unpartitioned Window: a 100 TB corpus through one task
+    val g = PipelineGraph(
+      Seq(
+        PipelineNode(0, Scan("customer", Seq("c_name", "c_custkey"))),
+        PipelineNode(1, Scan("supplier", Seq("s_name", "s_suppkey"))),
+        PipelineNode(2, ZipOp(Seq("c_name", "c_custkey"),
+          Seq("s_name", "s_suppkey")), Seq(0, 1))),
+      sink = 2)
+    val df = Compiler.compile(spark, g, sf).df
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val offenders = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty &&
+              !w.child.exists(_.nodeName.toLowerCase.contains("aggregate")) => w
+      }
+      assert(offenders.isEmpty,
+        s"string-key zip still plans a payload global window:\n$offenders")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    // positional semantics: result aligns the i-th customer by name with
+    // the i-th supplier by name — check against the window reference
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val cRef = graft.Tables.customer(spark, sf)
+      .withColumn("_zrn", row_number()
+        .over(Window.orderBy("c_name", "c_custkey")).cast("long"))
+      .select(col("_zrn"), col("c_name"))
+    val sRef = graft.Tables.supplier(spark, sf)
+      .withColumn("_zrn", row_number()
+        .over(Window.orderBy("s_name", "s_suppkey")).cast("long"))
+      .select(col("_zrn"), col("s_name"))
+    val ref = cRef.join(sRef, "_zrn").drop("_zrn")
+    val got = df.select("c_name", "s_name")
+    assert(got.exceptAll(ref.select("c_name", "s_name")).isEmpty &&
+      ref.select("c_name", "s_name").exceptAll(got).isEmpty)
+  }
 }

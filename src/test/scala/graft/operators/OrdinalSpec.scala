@@ -118,6 +118,67 @@ class OrdinalSpec extends AnyFunSuite {
     assert(globalWindows.forall(_.contains("_ord_s")), plan.take(2000))
   }
 
+  test("STRING keys: distributed ordinal equals the global row_number, " +
+    "bucket count free, nulls first, duplicate keys tie-broken (r17 #2)") {
+    import spark.implicits._
+    // duplicated keys + nulls + multi-byte UTF-8 (é, 中, and a
+    // supplementary-plane emoji — where Java String order and Spark's
+    // UTF8_BINARY collation DISAGREE) in one frame
+    val keys = (1L to 200L).map(i => s"doc_${i % 37}") ++
+      Seq("é_accent", "中文", "😀_emoji", "zz", "") ++
+      Seq(null, null)
+    val df = keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      .toDF("k", "id")
+    val reference = df.withColumn("rn",
+      row_number().over(Window.orderBy("k", "id")).cast("long"))
+    for (buckets <- Seq(1, 4, 32)) {
+      val got = Ordinal.withGlobalOrdinal(df, "k", "rn", buckets,
+        tieCols = Seq("id"))
+      assert(got.select("k", "id", "rn").exceptAll(
+        reference.select("k", "id", "rn")).isEmpty, s"buckets=$buckets")
+    }
+  }
+
+  test("STRING keys: no payload-sized single-partition window in the plan, " +
+    "and sampled boundaries bucket a skewed distribution evenly") {
+    val df = graft.Tables.customer(spark, sf).select("c_name", "c_custkey")
+    val plan = Ordinal.withGlobalOrdinal(df, "c_name", "rn",
+      tieCols = Seq("c_custkey"))
+      .queryExecution.executedPlan.toString
+    val globalWindows = plan.linesIterator.filter(l =>
+      l.contains("Window [") && !l.contains("windowspecdefinition(_ord_b")).toSeq
+    assert(globalWindows.forall(_.contains("_ord_n")), plan.take(2000))
+
+    // skew: 99% of keys share one hot prefix — equal-width alphabet
+    // splitting would serialize them; sampled boundaries cut INSIDE the
+    // hot prefix so no bucket exceeds ~3x its fair share
+    import spark.implicits._
+    val keys = (0 until 5000).map(i => f"hot_${i % 100}%04d") ++
+      Seq("aaa", "zzz", "mmm")
+    val skewed = keys.toDF("k").repartition(8)
+    val buckets = 16
+    val bs = Ordinal.sampledStringSplits(skewed, "k", buckets)
+    assert(bs.nonEmpty && bs.length <= buckets - 1)
+    val counts = skewed
+      .withColumn("b",
+        aggregate(typedLit(bs.toSeq), lit(0L),
+          (acc, s) => acc + when(col("k") > s, 1L).otherwise(0L)))
+      .groupBy("b").count().collect().map(_.getLong(1))
+    val fair = keys.size.toDouble / buckets
+    assert(counts.max <= (3 * fair).toLong, counts.sorted.mkString(", "))
+  }
+
+  test("STRING keys: precomputed strSplits skip the sample pass but " +
+    "produce the same ordinal (the Compiler's instrumented-probe path)") {
+    val df = graft.Tables.customer(spark, sf).select("c_name", "c_custkey")
+    val probed = Ordinal.withGlobalOrdinal(df, "c_name", "rn", 8,
+      tieCols = Seq("c_custkey"))
+    val given = Ordinal.withGlobalOrdinal(df, "c_name", "rn", 8,
+      strSplits = Some(Ordinal.sampledStringSplits(df, "c_name", 8)),
+      tieCols = Seq("c_custkey"))
+    assert(given.exceptAll(probed).isEmpty && probed.exceptAll(given).isEmpty)
+  }
+
   test("tieCols break duplicate-key ties exactly like the compound window " +
     "(ss17's arm-ranking contract)") {
     import spark.implicits._

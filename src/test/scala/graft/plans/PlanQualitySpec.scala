@@ -334,6 +334,42 @@ class PlanQualitySpec extends AnyFunSuite {
       s"vec_id-partitioned WindowExec found in: ${offenders.mkString(", ")}")
   }
 
+  test("no COMPILED PIPELINE plans an unpartitioned WindowExec over a " +
+    "corpus-sized frame (r17 #2 — the vec_id rail's pattern generalized " +
+    "to Compiler output, covering the string-keyed zip that used to " +
+    "funnel through one partition)") {
+    import graft.ir._
+    import graft.ir.PipelineOp._
+    val zips = Seq(
+      // numeric primary
+      ("zip_numeric", ZipOp(Seq("c_custkey"), Seq("s_suppkey")),
+        Scan("customer", Seq("c_custkey")), Scan("supplier", Seq("s_suppkey"))),
+      // STRING primary — the r17 funnel: pre-fix this compiled to
+      // row_number() over a global Window, corpus through one task
+      ("zip_string", ZipOp(Seq("c_name", "c_custkey"), Seq("s_name", "s_suppkey")),
+        Scan("customer", Seq("c_name", "c_custkey")),
+        Scan("supplier", Seq("s_name", "s_suppkey"))))
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val graphs =
+        zips.map { case (name, zip, l, r) =>
+          name -> PipelineGraph(
+            Seq(PipelineNode(0, l), PipelineNode(1, r),
+              PipelineNode(2, zip, Seq(0, 1))), sink = 2)
+        } :+ ("flagship" -> graft.api.Flagship.graph)
+      val offenders = graphs.flatMap { case (name, g) =>
+        graft.compile.Compiler.compile(spark, g, sf).df
+          .queryExecution.executedPlan.collect {
+            case w: WindowExec
+                if w.partitionSpec.isEmpty && !boundedBelow(name, w.child) =>
+              s"$name: global Window over unbounded input"
+          }
+      }
+      assert(offenders.isEmpty, offenders.mkString("\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("fn14's composed ingest plan: ONE broadcast vocab join, and the " +
     "padded_batch window reuses the bucketing exchange — no second " +
     "corpus shuffle (VERDICT r16 #1 done-criterion)") {
