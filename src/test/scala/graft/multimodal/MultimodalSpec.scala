@@ -97,4 +97,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(banded == global)
     assert(banded(1L) == -1L) // very first row still reports -1
   }
+
+  test("mm14's crowd-gather + pad contract: every doc emits exactly 4 " +
+    "slots, crowd instances drop and survivors re-pack densely, and an " +
+    "all-crowd doc emits 4 padding rows") {
+    // docs 0/15/30/45/60 have k=1 whose only instance is crowd
+    // ((doc+0)%5==0 with doc%3==0) — the zero-survivor edge the
+    // composed gate covers in aggregate but is worth pinning by name
+    val rows = graft.SparkEntry.queries("mm14_rcnn_ingest")(spark, sf)
+      .collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.size == 64 && byDoc.values.forall(_.length == 4))
+    for (doc <- Seq(0L, 15L, 30L, 45L, 60L)) {
+      val slots = byDoc(doc).sortBy(_.getLong(1))
+      assert(slots.forall(_.getLong(3) == -1L),
+        s"doc $doc must be all padding (its single instance is crowd)")
+    }
+    // real rows re-pack densely: slots 0..n_real-1 are real (label >= 0),
+    // the rest are -1 padding, never interleaved
+    for ((_, ds) <- byDoc) {
+      val sorted = ds.sortBy(_.getLong(1)).map(_.getLong(3) >= 0)
+      assert(sorted.sameElements(sorted.sorted(Ordering[Boolean].reverse)))
+    }
+    // mask pixels never exceed the box area, and the 8x8 NN resample of
+    // a parity mask lands in [0, 64]
+    for (r <- rows if r.getLong(3) >= 0) {
+      assert(r.getLong(6) <= r.getLong(4) && r.getLong(6) >= 0)
+      assert(r.getLong(7) >= 0 && r.getLong(7) <= 64)
+    }
+  }
 }

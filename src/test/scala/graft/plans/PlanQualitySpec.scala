@@ -370,6 +370,21 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("mm13/mm14 composed detection ingest plans: partition-local " +
+    "decode, NO corpus exchange anywhere in the read chain (VERDICT " +
+    "r17 #1 done-criterion for mm14; mm13's r16 contract, now pinned)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    for (name <- Seq("mm13_ssd_ingest", "mm14_rcnn_ingest")) {
+      val (_, _, plan) = built.find(_._1.name == name).get
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty,
+        s"$name's read chain plans ${shuffles.size} exchange(s):\n$plan")
+      val windows = plan.collect { case w: WindowExec => w }
+      assert(windows.isEmpty,
+        s"$name's read chain plans a window:\n$plan")
+    }
+  }
+
   test("fn14's composed ingest plan: ONE broadcast vocab join, and the " +
     "padded_batch window reuses the bucketing exchange — no second " +
     "corpus shuffle (VERDICT r16 #1 done-criterion)") {
