@@ -679,22 +679,38 @@ object SimilarityOps {
           .agg(expr("min_by(named_struct('sub', sub, 'embedding', embedding), " +
             "named_struct('d2', d2, 'sub', sub))").as("_m"))
           .selectExpr("vec_id", "_m.sub as sub", "_m.embedding as embedding")
-        // one Lloyd refinement: assign → decimal-exact mean → re-assign
+        // one Lloyd refinement: assign → decimal-exact mean → re-assign.
+        // The refined sub-centroid table is persisted before the final
+        // re-assign: it is ≤ Σkc rows, but its LINEAGE contains the
+        // whole seed-assign + decimal-mean chain, which the final
+        // assignSub would otherwise recompute on every downstream
+        // action (measured ~2x the splitter's wall at fixture scale)
         subCent = centroidsOf(
           assignSub(subCent).selectExpr("sub as cell", "embedding"))
           .join(broadcast(planDf.selectExpr("cell as oc", "base", "kc")),
             col("cell") >= col("base") && col("cell") < col("base") + col("kc"))
           .selectExpr("oc as cell", "cell as sub", "ce")
+          .persist()
+        subCent.count()
         val refined = assignSub(subCent)
           .selectExpr("vec_id", "sub as cell", "embedding")
         val prev = assign
+        // EAGER localCheckpoint, not persist: each round's assignment
+        // references the previous round's plan TWICE (the left_anti
+        // branch and the hotMembers branch inside `refined`), so a
+        // persist-only loop doubles the LOGICAL plan per round — with
+        // the broadcast-codebook agg subtree aboard each copy, four
+        // rounds of that OOMed the driver inside AQE's explainString
+        // before a single task ran. The checkpoint cuts the lineage to
+        // a flat scan of cached blocks (same fault-tolerance tradeoff
+        // as the connected-components loop, DedupOps.scala:251-262).
         assign = assign.join(broadcast(planDf.select("cell")), Seq("cell"),
             "left_anti")
           .unionByName(refined)
-          .persist()
-        assign.count()
+          .localCheckpoint()
         prev.unpersist()
         hotMembers.unpersist()
+        subCent.unpersist()
         codebookK += plan.map(_._2.toLong).sum - plan.length
         round += 1
       }
