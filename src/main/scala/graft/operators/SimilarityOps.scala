@@ -28,6 +28,12 @@ object SimilarityOps {
     */
   @volatile private[graft] var lastCellStats: Option[(Long, Long, Double)] = None
   @volatile private[graft] var lastHotCellFlagged: Boolean = false
+  /** Split rounds the last [[semDedupCellsAdaptive]] call actually ran
+    * (0 = no cell was hot). Diagnostic twin of [[lastCellStats]]; lets
+    * specs pin multi-round behavior (the lineage-growth OOM class only
+    * manifests past round 1) without guessing from cell geometry.
+    */
+  @volatile private[graft] var lastSplitRounds: Int = 0
   /** A cell bigger than this × the mean cell size is "hot": its share of
     * the quadratic within-cell pair work dominates the stage. 4× mean is
     * well past k-means' organic imbalance but far below the flood shapes
@@ -715,6 +721,7 @@ object SimilarityOps {
         round += 1
       }
     }
+    lastSplitRounds = round
     recordCellGeometry(assign, math.max(codebookK, 1L), "semDedupCellsAdaptive",
       s"the flood did not split in $maxRounds rounds (identical vectors " +
         "have no geometry to separate) — the quadratic cost was paid")

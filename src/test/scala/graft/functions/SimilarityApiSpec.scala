@@ -191,6 +191,43 @@ class SimilarityApiSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("semDedupCellsAdaptive keeps the ledger plan flat across split rounds") {
+    import spark.implicits._
+    val SO = graft.operators.SimilarityOps
+    val cent = (0 until 8).map { c =>
+      (c, Array.tabulate(64)(i => if (i == c) 1.0f else 0.0f))
+    }.toDF("cell", "ce")
+    // 160 vectors, all nearest cell 0, in 8 blobs with SKEWED sizes:
+    // blob 0 holds 90 (identical) vectors, blobs 1-7 hold 10 each; ids
+    // 0..7 seed one per blob. Round 1 (kc=8) separates the blobs; blob
+    // 0's 90-row sub-cell is still over target=20, so round 2 MUST run
+    // (identical vectors, so it can't split further — flag stays, which
+    // is fine: this test pins the loop's PLAN hygiene, not geometry).
+    def blobVec(b: Int) = Array.tabulate(64)(j =>
+      if (j == 0) 1.0f else if (j == 10 + b) 0.4f else 0.0f)
+    val corpus = ((0L until 8L).map(i => (i, blobVec(i.toInt))) ++
+      (8L until 97L).map(i => (i, blobVec(0))) ++
+      (97L until 160L).map(i => (i, blobVec(1 + ((i - 97) % 7).toInt)))
+    ).toDF("vec_id", "embedding")
+    val ledger = Similarity.semDedupCellsAdaptive(corpus, cent,
+      targetCellSize = 20, maxRounds = 2)
+    assert(ledger.count() == 160)
+    assert(SO.lastSplitRounds == 2,
+      s"fixture must exercise BOTH rounds, ran ${SO.lastSplitRounds}")
+    // the lineage rail: each round references the previous round's plan
+    // twice (left_anti + hotMembers), so a persist-only loop DOUBLES
+    // the logical plan per round — with the broadcast-codebook agg
+    // subtree aboard each copy, four rounds of that OOMed the driver
+    // inside AQE's explainString before a single task ran. The eager
+    // localCheckpoint cuts each round to a flat scan, so the ledger's
+    // analyzed plan stays small and round-count-independent.
+    val nodes = ledger.queryExecution.analyzed.collect { case n => n }.length
+    assert(nodes <= 80,
+      s"ledger plan has $nodes nodes — splitter lineage is compounding " +
+        "across rounds (the localCheckpoint per round is gone?)")
+    spark.catalog.clearCache()
+  }
+
   test("semDedupIncrement equals gated ss26 and admits only genuinely novel vectors") {
     val e = graft.Tables.embeddings(spark, sf).select("vec_id", "label", "embedding")
     val corpus = e.filter(col("vec_id") < 400)
