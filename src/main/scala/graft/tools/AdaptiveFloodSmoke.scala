@@ -105,35 +105,49 @@ object AdaptiveFloodSmoke {
     }
     val p1 = timed("plain 1x")(measure(200, adaptive = false))
     val pN = timed("plain 10x")(measure(2000, adaptive = false))
+    // the 100x plain leg is the measured CLIFF, not a linearity row: a
+    // 20k-row hot cell pays ~2·10^8 within-cell cosine pairs through
+    // the ledger's self-join — the run completes (bounded, spills), and
+    // its wall next to the adaptive leg's is the point of the table
+    val pC = timed("plain 100x")(measure(20000, adaptive = false))
     val a1 = timed("adaptive 1x")(measure(200, adaptive = true))
     val aN = timed("adaptive 10x")(measure(2000, adaptive = true))
+    val aC = timed("adaptive 100x")(measure(20000, adaptive = true))
 
     val sb = new StringBuilder
     sb ++= "\n## Adaptive hot-cell splitter under flood (ss25's adaptive variant, measured)\n\n"
     sb ++= s"Fixture: 400 organic sf0.01 vectors + F near-copies of one vector\n"
-    sb ++= "(deterministic tiny displacement), all in ONE codebook cell; F=200\n"
-    sb ++= "(1x) vs F=2000 (10x), same k=10 trained codebook on both legs,\n"
-    sb ++= "targetCellSize=64. The plain cell-keyed pair stage is quadratic in\n"
-    sb ++= "the hot cell; the adaptive splitter (Lloyd sub-assignment via\n"
-    sb ++= "min_by, commit 70994ba) must split it first and keep the pair\n"
-    sb ++= "stage ≈ Nx.\n\n"
-    sb ++= "| variant | candidate pairs 1x/10x | pair ratio | shuffle 1x/10x | wall 1x/10x | post-run cells 1x/10x | max cell 1x/10x | hot flag 1x/10x |\n"
-    sb ++= "|---|---|---|---|---|---|---|---|\n"
-    sb ++= f"| plain semDedupCells | ${p1.pairs} / ${pN.pairs} | ${pN.pairs.toDouble / math.max(p1.pairs, 1L)}%.1fx | ${fmt(p1.shuffle)} / ${fmt(pN.shuffle)} | ${p1.wall}%.1f / ${pN.wall}%.1f s | ${p1.cells} / ${pN.cells} | ${p1.maxCell} / ${pN.maxCell} | ${p1.hot} / ${pN.hot} |\n"
-    sb ++= f"| adaptive (target 64) | ${a1.pairs} / ${aN.pairs} | ${aN.pairs.toDouble / math.max(a1.pairs, 1L)}%.1fx | ${fmt(a1.shuffle)} / ${fmt(aN.shuffle)} | ${a1.wall}%.1f / ${aN.wall}%.1f s | ${a1.cells} / ${aN.cells} | ${a1.maxCell} / ${aN.maxCell} | ${a1.hot} / ${aN.hot} |\n"
+    sb ++= "(deterministic tiny displacement), all in ONE codebook cell;\n"
+    sb ++= "F=200 (1x) / 2000 (10x) / 20000 (100x), same k=10 trained codebook\n"
+    sb ++= "on every leg, targetCellSize=64. The plain cell-keyed pair stage\n"
+    sb ++= "is quadratic in the hot cell; the adaptive splitter (Lloyd\n"
+    sb ++= "sub-assignment via min_by, commit 70994ba) must split it first\n"
+    sb ++= "and keep the pair stage ≈ Nx.\n\n"
+    sb ++= "| variant | candidate pairs 1x/10x/100x | pair 100x/1x | shuffle 1x/10x/100x | wall 1x/10x/100x | max cell 1x/10x/100x | hot flag |\n"
+    sb ++= "|---|---|---|---|---|---|---|\n"
+    def row(tag: String, l1: Leg, l10: Leg, l100: Leg): String =
+      f"| $tag | ${l1.pairs} / ${l10.pairs} / ${l100.pairs} | " +
+        f"${l100.pairs.toDouble / math.max(l1.pairs, 1L)}%.0fx | " +
+        f"${fmt(l1.shuffle)} / ${fmt(l10.shuffle)} / ${fmt(l100.shuffle)} | " +
+        f"${l1.wall}%.1f / ${l10.wall}%.1f / ${l100.wall}%.1f s | " +
+        f"${l1.maxCell} / ${l10.maxCell} / ${l100.maxCell} | " +
+        f"${l1.hot}/${l10.hot}/${l100.hot} |\n"
+    sb ++= row("plain semDedupCells", p1, pN, pC)
+    sb ++= row("adaptive (target 64)", a1, aN, aC)
     sb ++= "\nCandidate pairs (Σ n·(n-1)/2 over final cells) are the quadratic\n"
     sb ++= "signal — the explosion happens inside the cell-keyed join AFTER\n"
     sb ++= "the exchange, so shuffle bytes alone understate a flood. The\n"
-    sb ++= "plain variant's hot cell holds the whole flood (guard FLAGGED at\n"
-    sb ++= "10x) and its pair volume pays the square of F; the adaptive\n"
-    sb ++= "variant splits the flood to ≈ target-sized sub-cells BEFORE\n"
-    sb ++= "pairing, so its pair volume stays ≈ Nx — the splitter converts\n"
-    sb ++= "the quadratic cliff into extra linear passes, the ss25 remedy\n"
-    sb ++= "contract at 100 TB. Fixture-scale walls on the adaptive legs are\n"
-    sb ++= "dominated by per-round job scheduling (dozens of small jobs per\n"
-    sb ++= "split round, constant in corpus size — they amortize at\n"
-    sb ++= "production row counts); the pair/shuffle columns are the\n"
-    sb ++= "corpus-size signals.\n"
+    sb ++= "plain variant's hot cell holds the whole flood (guard FLAGGED\n"
+    sb ++= "from 10x up) and its pair volume pays the square of F — its 100x\n"
+    sb ++= "leg is the measured cliff (~2·10^8 pairs through the ledger's\n"
+    sb ++= "self-join). The adaptive variant splits the flood to\n"
+    sb ++= "≈ target-sized sub-cells BEFORE pairing, so its pair volume\n"
+    sb ++= "stays ≈ Nx — the splitter converts the quadratic cliff into\n"
+    sb ++= "extra linear passes, the ss25 remedy contract at 100 TB. Fixture-\n"
+    sb ++= "scale walls on the adaptive legs are dominated by per-round job\n"
+    sb ++= "scheduling (dozens of small jobs per split round, constant in\n"
+    sb ++= "corpus size — they amortize at production row counts); the\n"
+    sb ++= "pair/shuffle columns are the corpus-size signals.\n"
 
     // splice: replace a previous same-header section in place; insert
     // before the first "## Derived" section so ScaleSmoke's kind-keyed
