@@ -201,6 +201,20 @@ object Bench {
     else "contention"
   }
 
+  /** Of the sampled (isolatedMin, priorRef) rows, how many individually
+    * cleared their own inflation threshold. Published as `drift_cleared`
+    * (beside `drift_sampled`) next to the verdict: the aggregate
+    * [[driftVerdict]] sum-ratio can read `regression` while every row
+    * clears individually — one heavy row dominating a sample of light
+    * ones (r18's drifted run: ss25 at 1.74x its ref pushed the sum to
+    * 1.32 while all ten rows, ss25 included, sat under their
+    * thresholds). The count does not soften the verdict — the verdict
+    * rule stands — it hands the reader the per-row evidence for that
+    * mixed signal without recomputing thresholds by hand.
+    */
+  private[graft] def driftClearedCount(sample: Seq[(Double, Double)]): Int =
+    sample.count { case (iso, ref) => iso <= inflationThreshold(ref) }
+
   /** Final inflation adjudication (VERDICT r14 #1): the post-sweep
     * isolated re-measurement was already the human adjudication step —
     * "re-run isolated before calling it a regression" — so its verdict
@@ -502,11 +516,11 @@ object Bench {
     // isolation and is real. Rules pinned in BenchRefSpec.
     val driftIso: Seq[(String, Double)] =
       driftSampleNames.flatMap(n => isolated.get(n).map(n -> _))
+    val driftIsoSample = driftIso.map { case (n, iso) => (iso, priorMin(n)) }
     val driftVerdictStr =
       if (!drift) "none"
-      else driftVerdict(driftIso.map { case (n, iso) =>
-        (iso, priorMin(n))
-      })
+      else driftVerdict(driftIsoSample)
+    val driftCleared = driftClearedCount(driftIsoSample)
     val qs = okResults.map(r => "\"" + r.name + "\":" + r.min)
       .mkString("{", ",", "}")
     // Cross-run reference, MONOTONE — the nextQueryRef rule (VERDICT
@@ -565,6 +579,7 @@ object Bench {
         s""""drift":$drift,"drift_ratio":$driftRatio,""" +
         s""""drift_rows":${driftFam.size},""" +
         s""""drift_verdict":"$driftVerdictStr",""" +
+        s""""drift_cleared":$driftCleared,"drift_sampled":${driftIso.size},""" +
         s""""drift_isolated":${driftIso.map { case (k, v) =>
           "\"" + k + "\":" + v
         }.mkString("{", ",", "}")},""" +

@@ -218,6 +218,23 @@ class BenchRefSpec extends AnyFunSuite {
     assert(Bench.driftVerdict(Seq((0.5, 0.0))) == "regression")
   }
 
+  test("driftClearedCount publishes the per-row evidence behind a mixed " +
+    "verdict: one heavy row can push the sum-ratio over the bar while " +
+    "every row clears its own threshold (r18's drifted run)") {
+    // nine light rows near their refs + one heavy row at 1.74x its ref:
+    // sum ratio 5.47/4.13 = 1.32 > 1.3 -> regression, yet each row sits
+    // under inflationThreshold(ref) = 1.5*ref + 0.5 -> cleared = 10
+    val sample = Seq.fill(9)((0.396, 0.337)) :+ (1.901, 1.094)
+    assert(Bench.driftVerdict(sample) == "regression")
+    assert(Bench.driftClearedCount(sample) == 10)
+    // a genuinely regressed row is NOT counted as cleared
+    assert(Bench.driftClearedCount(Seq((2.2, 1.094), (0.3, 0.3))) == 1)
+    assert(Bench.driftClearedCount(Seq.empty) == 0)
+    // exactly at the threshold clears (<=, matching adjudicateInflated's
+    // strict > for staying flagged)
+    assert(Bench.driftClearedCount(Seq((2.0, 1.0))) == 1)
+  }
+
   // ---- nextFlagshipRef (upward-only, clean-run-only, 2x cap) --------------
 
   test("flagship ref rises on a clean faster run and holds on a slower one") {
