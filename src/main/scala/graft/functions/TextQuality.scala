@@ -635,9 +635,16 @@ object Dedup {
     * propagation (the previous implementation) needed diameter rounds —
     * unbounded for chain-shaped near-dup graphs (doc A ~ B ~ C under
     * gradual drift), the one remaining scale cliff at 100 TB. Each round
-    * still shuffles only (long, long) edge pairs, and both per-round
-    * aggregations (neighborhood min, edge fingerprint) combine map-side,
-    * so a high-degree hub never materializes its neighbor list anywhere.
+    * shuffles only (long, long) edge pairs, exactly ONCE per star step:
+    * the neighborhood minimum rides an ascending-v window (running
+    * first(v) ≡ partition min) instead of a groupBy + join that crossed
+    * the wire twice, and a hub's neighborhood is only ever a sorted
+    * spill-safe run inside its window partition — the sort the old
+    * sort-merge join paid anyway — never an in-memory neighbor list.
+    * Convergence is tested DIRECTLY (star-forest check on the new edge
+    * set: out-degree 1 and leaf/center disjointness — one map-side-
+    * combinable aggregation) rather than by comparing fingerprints
+    * across rounds, which always paid one full extra confirming round.
     *
     *   large-star: ∀u, connect every neighbor v > u to m = min(Γ(u) ∪ {u})
     *   small-star: ∀u (edges directed big→small), connect every smaller
@@ -663,26 +670,33 @@ object Dedup {
           s"${t.simpleString} — hash non-numeric ids to long first " +
           "(e.g. Portable.hash60)")
     }
-    // Edge-set fingerprint (count + decimal-exact xxhash64 sum): the
-    // per-step no-op test. Equal fingerprints ⇒ equal distinct-edge sets
-    // up to a 2⁻⁶⁴-ish hash-sum collision; one tiny map-side-combined
-    // aggregation per step replaces an edges⋈edges set-equality join.
-    def fp(e: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = e.agg(
-        count(lit(1)).as("n"),
-        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("s")).head()
-      (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
-    }
-    def same(a: (Long, java.math.BigDecimal), b: (Long, java.math.BigDecimal)) =
-      a._1 == b._1 && a._2.compareTo(b._2) == 0
+    // Direct star-forest convergence test (r18): a distinct big→small
+    // edge set is a star forest ⟺ (a) every leaf u has out-degree 1 and
+    // (b) no node is both a leaf (u side) and a center (v side). Both
+    // star steps are provably no-ops exactly on star forests (the
+    // fixpoint characterization in the scaladoc), so testing the NEW
+    // edge set directly saves the full confirming round the previous
+    // fingerprint-comparison convergence always paid — and an input
+    // that is ALREADY a star forest (e.g. saved min-id labels) now
+    // converges in zero rounds. One map-side-combinable aggregation,
+    // whose collect also materializes the lazily-checkpointed frame.
+    def starForestViolations(e: DataFrame): Long =
+      e.select(explode(array(
+          struct(col("u").as("n"), lit(1L).as("od"), lit(0).as("ctr")),
+          struct(col("v").as("n"), lit(0L).as("od"), lit(1).as("ctr")))).as("x"))
+        .select(col("x.n").as("n"), col("x.od").as("od"), col("x.ctr").as("ctr"))
+        .groupBy("n")
+        .agg(sum("od").as("od"), max("ctr").as("ctr"))
+        .filter(col("od") > 1 || (col("od") >= 1 && col("ctr") === 1))
+        .count()
     // direct every edge big→small (the small-star orientation; large-star
     // symmetrizes internally). localCheckpoint TRUNCATES lineage each
-    // step — without it round k's plan embeds round k−1's several times
+    // round — without it round k's plan embeds round k−1's several times
     // over, i.e. exponential plan growth that OOMs the driver. LAZY
     // (eager=false) everywhere: under AQE the exchanges still execute at
     // build time (toRdd materializes intermediate stages), but the final
-    // stage of each frame is deferred into the fingerprint collect — one
-    // fewer result pass per frame and no standalone count jobs.
+    // stage of each frame is deferred into the convergence-test collect —
+    // one fewer result pass per frame and no standalone count jobs.
     // Executor-local blocks are fine for iterative temp state.
     var edges = pairs
       .select(
@@ -690,60 +704,56 @@ object Dedup {
         least(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(false) // fp() below forces it; cuts pair-derivation lineage
-    var prev = fp(edges)
-    var converged = prev._1 == 0L
+      .localCheckpoint(false) // the star test below forces it; cuts pair-derivation lineage
+    var converged = starForestViolations(edges) == 0L
     var rounds = 0
     // Empirical safety margin, not the O(log² n) worst-case bound (which
     // is ~4096 for a 2⁶⁴-node graph): alternating star rounds converge in
     // ~log n rounds in practice, and non-convergence past the cap fails
     // loudly below rather than looping forever.
     val maxRounds = 64
+    // Both star steps compute per-u-neighborhood minima. An ASCENDING-v
+    // window per u gives that minimum as first("v") (running first ≡
+    // partition min under the sort) and a row_number in the SAME spec —
+    // ONE exchange + ONE sort per step, where the previous groupBy+join
+    // form shipped the frame across the wire twice (agg exchange + join
+    // exchange) and sorted it anyway inside the sort-merge join (r18;
+    // guide §2.3/§2.4 — same keyed work, one exchange instead of two).
+    val wuv = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy("v")
     while (!converged && rounds < maxRounds) {
       rounds += 1
-      // large-star: group the symmetrized edges by u (min combines
-      // map-side) and attach each strictly-larger neighbor to the
-      // neighborhood minimum. Output stays directed big→small (m ≤ u < v).
+      // large-star: attach each strictly-larger neighbor v of u to
+      // m = min(Γ(u) ∪ {u}). The window runs over the FULL symmetrized
+      // neighborhood (filter after, so m sees every neighbor). Output
+      // stays directed big→small (m ≤ u < v). Duplicates are NOT
+      // scrubbed here — each sym row emits at most one edge, so the
+      // frame stays ≤ |sym| rows and the next step's distinct collapses
+      // them; consumed exactly once, so no checkpoint either.
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-      val lmin = sym.groupBy("u").agg(min("v").as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val large = sym.filter(col("v") > col("u"))
-        .join(lmin, "u")
+      val large = sym
+        .select(col("u"), col("v"), least(col("u"), first("v").over(wuv)).as("m"))
+        .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v"))
-        .distinct()
-        .localCheckpoint(false)
       // small-star: attach every smaller neighbor AND u itself to the
       // smallest neighbor (all of Γ(u) is < u here, so min(Γ(u)) = m).
-      val smin = large.groupBy("u").agg(min("v").as("m"))
-      val small = large.join(smin, "u")
-        .select(col("v").as("u"), col("m").as("v"))
-        .union(smin.select(col("u"), col("m").as("v")))
+      // The rn=1 row additionally emits (u, m) — the row_number rides
+      // the same window spec, so the whole step is one sort.
+      val small = large
+        .select(col("u"), col("v"), first("v").over(wuv).as("m"),
+          row_number().over(wuv).as("rn"))
+        .select(explode(when(col("rn") === 1,
+            array(struct(col("v").as("eu"), col("m").as("ev")),
+              struct(col("u").as("eu"), col("m").as("ev"))))
+          .otherwise(array(struct(col("v").as("eu"), col("m").as("ev"))))).as("e"))
+        .select(col("e.eu").as("u"), col("e.ev").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint(false)
-      // Both steps' fingerprints in ONE tagged aggregation over the two
-      // LAZILY-checkpointed edge sets — the collect is the round's single
-      // job: it materializes large (cached on first use, then read again
-      // by small and the union) and small, truncating both lineages.
-      // Missing group ⇒ that edge set is empty.
-      val fpRows = large.select(lit(0).as("t"), col("u"), col("v"))
-        .union(small.select(lit(1).as("t"), col("u"), col("v")))
-        .groupBy("t")
-        .agg(count(lit(1)).as("n"),
-          sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("s"))
-        .collect()
-        .map(r => r.getInt(0) ->
-          (r.getLong(1),
-            if (r.isNullAt(2)) java.math.BigDecimal.ZERO else r.getDecimal(2)))
-        .toMap
-      val empty = (0L, java.math.BigDecimal.ZERO)
-      val largeFp = fpRows.getOrElse(0, empty)
-      val cur = fpRows.getOrElse(1, empty)
-      // converged ⇔ BOTH steps were no-ops this round (a fixpoint of the
-      // composition alone could in principle cycle; of both, only stars)
-      converged = same(prev, largeFp) && same(largeFp, cur)
-      prev = cur
+      // converged ⟺ the new edge set is a star forest — the exact
+      // fixpoint of both steps — tested directly on `small` (one
+      // aggregation job per round, which also truncates the lineage).
+      converged = starForestViolations(small) == 0L
       edges = small
     }
     // an edge set still changing past maxRounds would yield labels above

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Portable => P, Q, Tables => T}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family over the `documents` table: exact (hash-groupBy),
@@ -137,9 +138,17 @@ object DedupOps {
     * size because every admitted bucket contributes ≤ cap² pairs.
     */
   private[graft] def cappedBandPairs(bands: DataFrame): DataFrame = {
-    val sized = bands.groupBy("band", "h").agg(count(lit(1)).as("n"))
+    // bucket size via an unordered (band, h) window instead of a
+    // groupBy + join back (r18): the banded frame crosses the wire ONCE
+    // (the window exchange) and the self-join below is already
+    // co-partitioned on (band, h) by that exchange — the old form
+    // shipped `bands` twice (agg exchange + join exchange) to compute
+    // the same per-bucket count (guide §2.4: share one exchange).
+    val wbh = Window.partitionBy("band", "h")
     val small = bands
-      .join(sized.filter(col("n") <= bucketCap), Seq("band", "h"))
+      .select(col("doc_id"), col("band"), col("h"),
+        count(lit(1)).over(wbh).as("n"))
+      .filter(col("n") <= bucketCap)
       .select("doc_id", "band", "h")
     small.select(col("doc_id").as("a_id"), col("band"), col("h"))
       .join(small.select(col("doc_id").as("b_id"), col("band"), col("h")), Seq("band", "h"))
@@ -231,22 +240,24 @@ object DedupOps {
     * problem; components only need connectivity.
     */
   private[graft] def cappedBandEdges(bands: DataFrame): DataFrame = {
-    // NOT persisted: both consumers (the small filter and the star join)
-    // sit inside the ONE edges plan below, so the grouped aggregation's
-    // exchange is shared via ReusedExchange — a cache would only add a
-    // blocking materialization job and a block to clean up.
-    val sized = bands.groupBy("band", "h")
-      .agg(count(lit(1)).as("n"), min("doc_id").as("root"))
-    val small = bands
-      .join(sized.filter(col("n") <= bucketCap), Seq("band", "h"))
+    // Bucket size AND root from ONE unordered (band, h) window pass
+    // (r18): the banded frame crosses the wire once (the window
+    // exchange) where the old groupBy + two joins back shipped it three
+    // times for the same per-bucket (count, min) — and the star edges
+    // now need NO join at all (root is already on every row). The pair
+    // self-join stays co-partitioned on (band, h) by the window
+    // exchange (guide §2.4: share one exchange).
+    val wbh = Window.partitionBy("band", "h")
+    val sized = bands.select(col("doc_id"), col("band"), col("h"),
+      count(lit(1)).over(wbh).as("n"), min("doc_id").over(wbh).as("root"))
+    val small = sized.filter(col("n") <= bucketCap)
       .select("doc_id", "band", "h")
     val pairs = small.select(col("doc_id").as("a_id"), col("band"), col("h"))
       .join(small.select(col("doc_id").as("b_id"), col("band"), col("h")), Seq("band", "h"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
-    val stars = bands
-      .join(sized.filter(col("n") > bucketCap), Seq("band", "h"))
-      .filter(col("doc_id") =!= col("root"))
+    val stars = sized
+      .filter(col("n") > bucketCap && col("doc_id") =!= col("root"))
       .select(col("root").as("a_id"), col("doc_id").as("b_id"))
     // LAZY localCheckpoint: the consumer's first action (connected-
     // components' init fingerprint, or a pair query's aggregation)
