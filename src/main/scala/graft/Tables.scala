@@ -51,6 +51,35 @@ object Tables {
     }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Fan a CPU-heavy projection out across every core when its input
+    * scan is too small to split (r18). The sf fixtures are single-row-
+    * group parquet files, so `documents`/`embeddings` scans yield ONE
+    * input split and an expensive per-row projection (per-window md5
+    * hashing, shingling + minhash, N·k cosine scoring) runs on one task
+    * while the other cores idle — measured 3.2 s single-task for dd24's
+    * chunker at sf0.1 on local[32]. Round-robins to defaultParallelism
+    * ONLY when the input's planned parallelism is below it, so at
+    * production scale — where a corpus scan already yields far more
+    * splits than cores — this adds NO exchange and is a no-op (the
+    * guide §2.5 "input skew: one huge unsplittable file → repartition
+    * immediately after the read", applied to the small-file end).
+    * Row VALUES are untouched and every caller is row-order-insensitive
+    * (the oracle gate hash-compares sorted rows), so results are
+    * unchanged. The partition count is read from the non-adaptive
+    * sparkPlan, which for scan-shaped inputs (file scans, cached
+    * frames, local test relations) plans lazily without running jobs;
+    * an input whose pre-preparation plan cannot build an RDD (e.g. a
+    * broadcast join before EnsureRequirements inserts its exchange)
+    * conservatively reads as already-parallel and passes through
+    * untouched.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val parts = scala.util.Try(
+      df.queryExecution.sparkPlan.execute().getNumPartitions).getOrElse(p)
+    if (parts < p) df.repartition(p) else df
+  }
 }
 
 /** Cross-engine (Spark vs DuckDB) deterministic building blocks.

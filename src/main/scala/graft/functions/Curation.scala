@@ -18,7 +18,11 @@ object Curation {
     */
   def ledger(docs0: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", sourceCol: String = "source"): DataFrame = {
-    val docs = docs0.select(
+    // spread: every per-row signal below (language scores, quality
+    // filters, md5 digest) is computed BELOW the first exchange, so on
+    // the one-split fixture scan it would run single-task (r18); a
+    // no-op at production scan widths
+    val docs = graft.Tables.spread(docs0).select(
       col(idCol).as("doc_id"), col(textCol).as("text"),
       col(sourceCol).as("source"))
     val labels = graft.operators.DedupOps.clusterLabels(docs)
@@ -62,7 +66,9 @@ object Curation {
       textCol: String = "text", sourceCol: String = "source",
       langCol: String = "lang"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = docs0.select(
+    // spread: same rationale as `ledger` — the single codegen projection
+    // carrying every per-row signal sits below the first exchange
+    val docs = graft.Tables.spread(docs0).select(
       col(idCol).as("doc_id"), col(textCol).as("text"),
       col(sourceCol).as("source"), col(langCol).as("lang"))
     val labels = graft.operators.DedupOps.clusterLabels(docs)
@@ -131,7 +137,8 @@ object Curation {
   def qualityKeeper(docs0: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = docs0.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val docs = graft.Tables.spread(docs0)
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val labels = graft.operators.DedupOps.clusterLabels(docs)
     // tx02's mean-token-length×100 score — the shared integer-exact
     // snippet cu02/cu03 also inline
@@ -185,7 +192,7 @@ object Curation {
       textCol: String = "text", sourceCol: String = "source"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bysrc = Window.partitionBy("source")
-    docs0.selectExpr(
+    graft.Tables.spread(docs0).selectExpr(
         s"$idCol as doc_id", s"$sourceCol as source",
         s"cast(floor(cast(100 as double) * length($textCol) / " +
           s"size(split(lower($textCol), '\\\\s+'))) as bigint) as score")

@@ -263,7 +263,7 @@ object FunctionOps {
          |  CAST(len(list_filter(t.toks, x -> list_contains(vl.vw, x))) AS BIGINT) AS n_invocab,
          |  CAST(len(t.toks) AS BIGINT) AS n_toks
          |FROM t CROSS JOIN vs CROSS JOIN vl""".stripMargin) { (s, d) =>
-      val t = graft.Tables.documents(s, d)
+      val t = graft.Tables.spread(graft.Tables.documents(s, d))
         .selectExpr("doc_id", "split(lower(text), '\\\\s+') as toks")
       // ONE broadcast of the slotted vocab as a sorted struct array —
       // a separate slots + word-list broadcast would evaluate the

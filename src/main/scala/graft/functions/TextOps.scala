@@ -122,7 +122,7 @@ object TextOps {
     // sf0.1); HOFs over a pre-split codepoint array ran 3.0 s in
     // interpreted lambdas; the native expression is 0-shuffle AND
     // loop-fused (sub-second).
-    docs
+    graft.Tables.spread(docs)
       .selectExpr("doc_id",
         "trim(regexp_replace(lower(text), '\\\\s+', ' ')) as norm")
       .select(col("doc_id"),
@@ -903,11 +903,17 @@ object TextOps {
       idCol: String = "doc_id", textCol: String = "text",
       k: Int = 8): org.apache.spark.sql.DataFrame = {
     val wh = P.hash60(s"concat('nv|', array_join(slice(toks, i + 1, $k), ' '))")
-    val w = docs
+    // spread: stride-1 k-gram md5 hashing dominates and the fixture scan
+    // is one split (r18). persist: both consumers (first-doc rollup and
+    // the novelty join) otherwise re-run the whole hash pipeline — their
+    // exchanges differ (partial-agg vs plain), so ReusedExchange never
+    // applies. Caller clearCache frees.
+    val w = graft.Tables.spread(docs)
       .selectExpr(s"$idCol as doc_id", s"split(lower($textCol), '\\\\s+') as toks")
       .selectExpr("doc_id",
         s"explode(case when size(toks) < $k then array() else " +
           s"array_distinct(transform(sequence(0, size(toks) - $k), i -> $wh)) end) as wh")
+      .persist()
     val f = w.groupBy("wh").agg(min("doc_id").as("first_doc"))
     w.join(f, "wh")
       .groupBy("doc_id")

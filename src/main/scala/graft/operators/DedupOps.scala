@@ -173,14 +173,14 @@ object DedupOps {
     * gated dd12 query and the `Dedup.contamination` driver API.
     */
   private[graft] def shingleHashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.selectExpr(s"$idCol as doc_id", s"split($textCol, '\\\\s+') as toks")
+    T.spread(df).selectExpr(s"$idCol as doc_id", s"split($textCol, '\\\\s+') as toks")
       .selectExpr("doc_id", s"$sparkShingles as shingles")
       .selectExpr(
         "doc_id",
         s"explode(array_distinct(transform(shingles, x -> ${P.hash60("x")}))) as sng")
 
   private[graft] def r1Bands(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.selectExpr(s"$idCol as doc_id", s"split($textCol, '\\\\s+') as toks")
+    T.spread(df).selectExpr(s"$idCol as doc_id", s"split($textCol, '\\\\s+') as toks")
       .selectExpr("doc_id", s"$sparkShingles as shingles")
       .selectExpr("doc_id", s"$sparkHs as hs")
       .selectExpr("doc_id", sparkMh(0), sparkMh(1), sparkMh(2), sparkMh(3))
@@ -355,7 +355,7 @@ object DedupOps {
         s"(case when 2 * size(filter(hs, h -> (shiftright(h, $b) & 1) = 1)) >= size(hs) " +
           s"then ${1L << b}L else 0L end)"
       }.mkString(" + ")
-      T.documents(s, d)
+      T.spread(T.documents(s, d))
         .selectExpr("doc_id", s"$sparkToks as toks")
         .selectExpr("doc_id", s"transform(toks, w -> ${P.hash60("w")}) as hs")
         .selectExpr("doc_id", s"cast($bits as bigint) as simhash")
@@ -392,7 +392,7 @@ object DedupOps {
       // persist both derived tables: hh feeds three consumers (sig, ex —
       // twice via the pair join), sig self-joins; without materialization
       // each consumer re-runs the shingle + hash pipeline.
-      val hh = T.documents(s, d)
+      val hh = T.spread(T.documents(s, d))
         .selectExpr("doc_id", s"$sparkToks as toks")
         .selectExpr("doc_id", s"$sparkShingles as shingles")
         .selectExpr("doc_id", s"$sparkHs as hs")
@@ -533,7 +533,7 @@ object DedupOps {
         s"(case when 2 * size(filter(hs, h -> (shiftright(h, $b) & 1) = 1)) >= size(hs) " +
           s"then ${1L << b}L else 0L end)"
       }.mkString(" + ")
-      val sig = T.documents(s, d)
+      val sig = T.spread(T.documents(s, d))
         .selectExpr("doc_id", s"$sparkToks as toks")
         .selectExpr("doc_id", s"transform(toks, w -> ${P.hash60("w")}) as hs")
         .selectExpr("doc_id", s"cast($simBits as bigint) as sh")
@@ -1306,7 +1306,8 @@ object DedupOps {
     * Persists the signature and band frames (multiple consumers);
     * caller clearCache releases.
     */
-  private[graft] def passageNearDupPairs(docs: DataFrame): DataFrame = {
+  private[graft] def passageNearDupPairs(docs0: DataFrame): DataFrame = {
+    val docs = T.spread(docs0)
     val simBits = (0 until 60).map { b =>
       val cnt = s"size(filter(hs, h -> (shiftright(h, $b) & 1) = 1))"
       s"(case when 2 * $cnt > size(hs) then ${1L << b}L " +
@@ -1358,7 +1359,7 @@ object DedupOps {
     */
   private[graft] def cdcChunkRows(docs: DataFrame, mask: Int = 64): DataFrame = {
     require(mask >= 2, s"mask must be >= 2, got $mask")
-    docs
+    T.spread(docs)
       .selectExpr("doc_id", "lower(text) as t")
       .selectExpr("doc_id", "t", "length(t) as n")
       // n >= 8 guard: Spark's sequence(8, n) DESCENDS for n < 8
@@ -1406,7 +1407,7 @@ object DedupOps {
     * shuffles. Shared by the gated dd21 query and `Dedup.containment`.
     */
   private[graft] def containmentPairs(docs: DataFrame): DataFrame = {
-    val hh = docs
+    val hh = T.spread(docs)
       .selectExpr("doc_id", s"$sparkToks as toks")
       .selectExpr("doc_id", s"$sparkShingles as shingles")
       .selectExpr("doc_id", s"$sparkHs as hs")
@@ -1484,13 +1485,19 @@ object DedupOps {
     import org.apache.spark.sql.expressions.Window
     val hashFrag = P.hash60(
       s"concat('es|', array_join(slice(toks, i + 1, $k), ' '))")
-    val windows = docs
+    // spread: the stride-1 window hashing is the dominant per-task cost
+    // and the fixture scan is one split (r18). persist: BOTH consumers
+    // (the frequency rollup and the flag join) otherwise re-run the
+    // whole hash pipeline — their exchanges differ (partial-agg vs
+    // plain), so ReusedExchange never applies. Caller clearCache frees.
+    val windows = T.spread(docs)
       .selectExpr("doc_id", "split(lower(text), '\\\\s+') as toks")
       .selectExpr("doc_id",
         s"explode(case when size(toks) < $k then array() else " +
           s"transform(sequence(0, size(toks) - $k), " +
           s"i -> struct(i as i, $hashFrag as wh)) end) as p")
       .selectExpr("doc_id", "p.i as i", "p.wh as wh")
+      .persist()
     val dups = windows.groupBy("wh")
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)

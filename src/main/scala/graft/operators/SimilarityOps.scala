@@ -2548,10 +2548,16 @@ object SimilarityOps {
       cent: org.apache.spark.sql.DataFrame,
       tau: Double, parts: Int): org.apache.spark.sql.DataFrame = {
     require(parts >= 1, s"parts must be >= 1, got $parts")
-    val assign = semDedupAssign(e, cent)
+    // persist the codebook: it is consumed twice (the k-count feeding
+    // the hot-cell guard, and the broadcast collect inside the
+    // assignment) and unpersisted each consumer re-runs the full
+    // corpus-wide centroid aggregation — at scale that is a second
+    // corpus pass for a k-row table (r18). Caller clearCache releases.
+    val centP = cent.persist()
+    val assign = semDedupAssign(e, centP)
       .withColumn("batch", expr(s"cast(vec_id % $parts as int)"))
       .persist()
-    recordCellGeometry(assign, math.max(cent.count(), 1L), "semDedupSequential",
+    recordCellGeometry(assign, math.max(centP.count(), 1L), "semDedupSequential",
       "raise k or re-cluster the hot cell before streaming ingest")
     var kept: org.apache.spark.sql.DataFrame = null
     val ledgers = (0 until parts).map { b =>
@@ -2574,23 +2580,25 @@ object SimilarityOps {
           .unionByName(batchDom)
       val dom = allDom.groupBy("b_id").agg(min("a_id").as("keeper"))
         .withColumnRenamed("b_id", "vec_id")
-      val ledger = cur.select("vec_id", "batch", "cell")
+      // ONE left join serves both the ledger row and the survivor set
+      // (r18): `keeper` is a grouped min over a nonempty group, so it is
+      // NULL exactly on unmatched rows — filtering the join output on
+      // keeper IS NULL is the old left_anti, without the second join.
+      // Persist the joined level: the ledger (final union) and the next
+      // level's kept arm both read it, and — unlike the previous
+      // cumulative kept.persist() — each level's rows are cached ONCE
+      // (the old fold re-materialized every earlier level's survivors
+      // into each new kept cache: O(parts²) cache writes; the fold
+      // stays linear in parts either way). Caller clearCache releases.
+      val led = cur.select("vec_id", "batch", "cell", "embedding")
         .join(dom, Seq("vec_id"), "left")
-        .selectExpr("vec_id", "batch", "cell",
-          "cast(case when keeper is null then 1 else 0 end as int) as keep_flag",
-          "keeper")
-      val survivors = cur
-        .join(dom.select("vec_id"), Seq("vec_id"), "left_anti")
+        .persist()
+      val ledger = led.selectExpr("vec_id", "batch", "cell",
+        "cast(case when keeper is null then 1 else 0 end as int) as keep_flag",
+        "keeper")
+      val survivors = led.filter(col("keeper").isNull)
         .select("vec_id", "cell", "embedding")
       kept = if (kept == null) survivors else kept.unionByName(survivors)
-      // persist each level's kept set: level b+1 references `kept` twice
-      // (dominator arm + next survivors) and, unpersisted, each level
-      // re-executed EVERY previous level's cos-joins inside its own plan
-      // — O(parts²) pair-join recomputation (measured r16 under the
-      // honest bench). The InMemoryRelation builds from the PREVIOUS
-      // level's cached frame, so the fold is linear in parts; kept is
-      // survivors-only (≤ corpus), and the caller's clearCache releases.
-      kept = kept.persist()
       ledger
     }
     ledgers.reduce(_ unionByName _)
