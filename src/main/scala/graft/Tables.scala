@@ -66,19 +66,36 @@ object Tables {
     * immediately after the read", applied to the small-file end).
     * Row VALUES are untouched and every caller is row-order-insensitive
     * (the oracle gate hash-compares sorted rows), so results are
-    * unchanged. The partition count is read from the non-adaptive
-    * sparkPlan, which for scan-shaped inputs (file scans, cached
-    * frames, local test relations) plans lazily without running jobs;
-    * an input whose pre-preparation plan cannot build an RDD (e.g. a
-    * broadcast join before EnsureRequirements inserts its exchange)
-    * conservatively reads as already-parallel and passes through
-    * untouched.
+    * unchanged. The decision is purely LOGICAL-plan-based — no physical
+    * planning, so nothing (broadcast futures, shuffle registration) is
+    * eagerly prepared: it fires only when the input is a single
+    * file-source leaf under deterministic unary operators whose planned
+    * split count (Spark's own maxSplitBytes formula over the relation's
+    * bytes) is below defaultParallelism. Anything else — joins, unions,
+    * cached frames, local test relations — conservatively reads as
+    * already-parallel and passes through untouched.
     */
   def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    val parts = scala.util.Try(
-      df.queryExecution.sparkPlan.execute().getNumPartitions).getOrElse(p)
-    if (parts < p) df.repartition(p) else df
+    val sess = df.sparkSession
+    val p = math.max(sess.sparkContext.defaultParallelism, 1)
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    val starved = leaves match {
+      case Seq(l: org.apache.spark.sql.execution.datasources.LogicalRelation) =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            val conf = sess.sessionState.conf
+            val bytes = math.max(fs.location.sizeInBytes, 1L)
+            // FilePartition's sizing: splits of min(maxPartitionBytes,
+            // max(openCost, bytes/parallelism)) — small relations bottom
+            // out at openCost-sized splits, i.e. far fewer than p
+            val maxSplit = math.min(conf.filesMaxPartitionBytes,
+              math.max(conf.filesOpenCostInBytes, bytes / p))
+            (bytes + maxSplit - 1) / maxSplit < p
+          case _ => false
+        }
+      case _ => false
+    }
+    if (starved) df.repartition(p) else df
   }
 }
 

@@ -515,7 +515,11 @@ object SimilarityOps {
   private[graft] def topCells(e: org.apache.spark.sql.DataFrame,
       cent: org.apache.spark.sql.DataFrame, n: Int,
       keep: Seq[String]): org.apache.spark.sql.DataFrame = {
-    val withCents = e.crossJoin(broadcast(
+    // spread: the N·k cosine scoring below is the dominant per-task cost
+    // of a SemDeDup/IVF assignment and the fixture embeddings scan is
+    // ONE split (r18) — fan plain scan inputs out; derived inputs
+    // (joins, cached frames) and production-width scans pass through
+    val withCents = graft.Tables.spread(e).crossJoin(broadcast(
       cent.agg(expr("array_sort(collect_list(struct(cell, ce)))").as("_cents"))))
     // tie key -1 - cell (bitwise NOT): strictly decreasing in cell like
     // a negation, but total over the whole integral range — -cell

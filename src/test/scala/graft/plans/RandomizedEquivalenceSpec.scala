@@ -81,6 +81,33 @@ class RandomizedEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("a star-forest input converges with ZERO star rounds, labels exact") {
+    // saved min-id labels ARE a star forest — the r18 direct convergence
+    // test must recognize it without paying a single star round
+    val verts = (0L to 10L).toDF("doc_id")
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (5L, 7L), (5L, 9L))
+      .toDF("a_id", "b_id")
+    val got = graft.functions.Dedup.connectedComponents(
+        verts, edges, "doc_id", "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(graft.functions.Dedup.lastCcRounds == 0)
+    val expected = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L,
+      5L -> 5L, 6L -> 6L, 7L -> 5L, 8L -> 8L, 9L -> 5L, 10L -> 10L)
+    assert(got == expected)
+  }
+
+  test("a 30-hop chain converges to one min-labeled component (diameter independence)") {
+    val n = 31L
+    val verts = (0L until n).toDF("doc_id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got = graft.functions.Dedup.connectedComponents(
+        verts, edges, "doc_id", "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until n).map(_ -> 0L).toMap)
+    // star rounds, not diameter rounds: ~log n, nowhere near 30
+    assert(graft.functions.Dedup.lastCcRounds <= 8)
+  }
+
   test("duplicatedSpans match a brute-force reference on random corpora") {
     val k = 4
     for (seed <- 1 to 5) {
