@@ -78,7 +78,15 @@ object Tables {
   def spread(df: DataFrame): DataFrame = {
     val sess = df.sparkSession
     val p = math.max(sess.sparkContext.defaultParallelism, 1)
-    val leaves = df.queryExecution.analyzed.collectLeaves()
+    val analyzed = df.queryExecution.analyzed
+    // idempotent: a composed pipeline may route an already-spread frame
+    // into a second spread-guarded helper — one fan-out is enough
+    val alreadySpread = analyzed.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Repartition => true
+      case _ => false
+    }
+    if (alreadySpread) return df
+    val leaves = analyzed.collectLeaves()
     val starved = leaves match {
       case Seq(l: org.apache.spark.sql.execution.datasources.LogicalRelation) =>
         l.relation match {

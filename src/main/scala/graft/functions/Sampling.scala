@@ -128,7 +128,7 @@ object Sampling {
     // stream would pin ~corpus-sized state for work cheaper than the
     // cache write. (tx16 persists its bigram stream because its reuse
     // crosses a shuffle; this one never shuffles.)
-    val tok = docs
+    val tok = graft.Tables.spread(docs)
       .withColumn("_tgt", isTarget)
       .selectExpr(idCol, "_tgt",
         s"explode(split(lower($textCol), '\\\\s+')) as w")

@@ -70,7 +70,7 @@ object TextOps {
     * shuffles — released by the caller's clearCache.
     */
   private[graft] def bigramFluency(docs: DataFrame): DataFrame = {
-    val bg = docs
+    val bg = graft.Tables.spread(docs)
       .selectExpr("doc_id", "split(lower(text), '\\\\s+') as toks")
       .selectExpr("doc_id",
         "explode(case when size(toks) >= 2 then " +

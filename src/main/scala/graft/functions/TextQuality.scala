@@ -77,7 +77,7 @@ object TextQuality {
 
   def gopherFlags(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    df.selectExpr(idCol,
+    graft.Tables.spread(df).selectExpr(idCol,
         s"$textCol as _text", s"split(lower($textCol), '\\\\s+') as _toks")
       .selectExpr(idCol +: gopherSignalExprs: _*)
       .selectExpr(idCol +: gopherRules.map { case (e, a) => s"$e as $a" }: _*)
@@ -265,7 +265,7 @@ object TextQuality {
       val struct = cols.zipWithIndex
         .map { case (c, j) => s"element_at(toks, i + $j) as $c" }
         .mkString("struct(", ", ", ")")
-      df.selectExpr(s"$idCol as doc_id",
+      graft.Tables.spread(df).selectExpr(s"$idCol as doc_id",
           s"split(lower($textCol), '\\\\s+') as toks")
         .selectExpr("doc_id",
           s"explode(case when size(toks) >= $n then " +

@@ -185,7 +185,9 @@ object AnalysisQueries {
          |FROM q CROSS JOIN k CROSS JOIN n CROSS JOIN m""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val li = T.lineitem(s, d)
-      val smp = li
+      // spread: the sample branch pays one md5 per ROW before its
+      // TakeOrdered, and the 3-split fixture scan ran it on 3 tasks (r18)
+      val smp = T.spread(li)
         .selectExpr("l_extendedprice as p",
           s"${P.hash60("concat('smp|', cast(l_orderkey as string), '|', cast(l_linenumber as string))")} as hh")
         .orderBy(col("hh"), col("p")).limit(1024)
@@ -203,8 +205,13 @@ object AnalysisQueries {
           max("ns").cast("long").as("n_sample"))
       // persisted: kth-min + count branches don't share the distinct
       // exchange (no ReusedExchange — see q_approx_distinct); caller
-      // clearCache releases
+      // clearCache releases.
+      // Hash AFTER the key-level distinct (the q_approx_distinct r15 #6
+      // convention, applied here r18): md5 once per distinct key (~20k)
+      // instead of once per row (600k); the outer distinct keeps the
+      // oracle's exact distinct-hash semantics under a 60-bit collision.
       val t = li
+        .select("l_partkey").distinct()
         .selectExpr(s"${P.hash60("concat('kmv|', cast(l_partkey as string))")} as h")
         .distinct()
         .persist()
