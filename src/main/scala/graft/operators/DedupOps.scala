@@ -930,7 +930,7 @@ object DedupOps {
            |              GROUP BY 1)
            |$arms""".stripMargin
       }) { (s, d) =>
-      val sig = T.documents(s, d)
+      val sig = T.spread(T.documents(s, d))
         .selectExpr("doc_id", s"$sparkToks as toks")
         .selectExpr("doc_id", s"$sparkShingles as shingles")
         .selectExpr("doc_id", s"$sparkHs as hs")
@@ -945,10 +945,14 @@ object DedupOps {
         (0 until 8).map(k => col(s"mh$k").as(s"amh$k")): _*)
       val bSide = sig.select(col("doc_id").as("b_id") +:
         (0 until 8).map(k => col(s"mh$k").as(s"bmh$k")): _*)
+      // persist the ≤9-row m-histogram: each of the three (b, r) arms
+      // below re-executed the WHOLE pair pipeline (banding + capped
+      // self-join + two signature joins) without it (r18)
       val hist = cappedBandPairs(bands)
         .join(aSide, "a_id").join(bSide, "b_id")
         .selectExpr(s"cast($m8 as bigint) as m")
         .groupBy("m").agg(count(lit(1)).cast("long").as("n_pairs"))
+        .persist()
       scurveConfigs.map { case (b, r) =>
         hist.selectExpr(s"cast($b as bigint) as b", s"cast($r as bigint) as r",
           "m", "(1000 * m) div 8 as est_j_x1000",
@@ -1215,6 +1219,12 @@ object DedupOps {
     */
   private[graft] def incrementalLabels(corpus: DataFrame, batch: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // NOTE (r18): a tagged-union single-pass banding of corpus+batch was
+    // tried and REVERTED — it halves the banding passes but prepends the
+    // (large) batch's tokenize+minhash to the CC rounds' critical chain,
+    // which is what actually bounds this query's wall clock (measured
+    // ~+25% at sf0.1). Two passes keep the CC path fed by the small
+    // corpus frame only.
     val cb = r1Bands(corpus, idCol, textCol) // persisted; shared by edges + rollup
     val edges = cappedBandEdges(cb)
     val labels = graft.functions.Dedup.connectedComponents(

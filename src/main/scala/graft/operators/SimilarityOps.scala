@@ -473,7 +473,11 @@ object SimilarityOps {
   private[graft] def semDedupCells(e: org.apache.spark.sql.DataFrame,
       cent: org.apache.spark.sql.DataFrame,
       tau: Double): org.apache.spark.sql.DataFrame = {
-    val assign = semDedupAssign(e, cent).persist()
+    // persist the codebook: consumed twice (guard k-count + broadcast
+    // collect) — unpersisted, each consumer re-runs the full centroid
+    // aggregation, a second corpus pass at scale (r18)
+    val centP = cent.persist()
+    val assign = semDedupAssign(e, centP).persist()
     // Hot-cell guard (VERDICT r11 #3). Costs one k-row aggregate over
     // the assignment the pair stage reads anyway; runs eagerly so the
     // warning lands BEFORE the caller pays the quadratic pair stage.
@@ -482,7 +486,7 @@ object SimilarityOps {
     // leaves few occupied cells with max ≈ occupied-mean, which would
     // read as perfectly balanced; against k it reads as the k-violation
     // it is.
-    recordCellGeometry(assign, cent.count(), "semDedupCells",
+    recordCellGeometry(assign, centP.count(), "semDedupCells",
       "raise k or re-cluster the hot cell (semDedupCellsAdaptive does " +
         "this automatically) before this call")
     semDedupLedger(assign, tau)
@@ -2693,8 +2697,10 @@ object SimilarityOps {
       tauPcts: Seq[Int]): org.apache.spark.sql.DataFrame = {
     require(tauPcts.nonEmpty, "tauPcts must be non-empty")
     val spark = e.sparkSession
-    val assign = semDedupAssign(e, cent).persist()
-    recordCellGeometry(assign, math.max(cent.count(), 1L), "semDedupTauSweep",
+    // persist the codebook — guard k-count + broadcast collect (r18)
+    val centP = cent.persist()
+    val assign = semDedupAssign(e, centP).persist()
+    recordCellGeometry(assign, math.max(centP.count(), 1L), "semDedupTauSweep",
       "raise k or re-cluster the hot cell before sweeping")
     val a = assign.select(
       col("vec_id").as("a_id"), col("cell"), col("embedding").as("ea"))
