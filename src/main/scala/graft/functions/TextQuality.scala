@@ -763,15 +763,17 @@ object Dedup {
       s"connectedComponents did not converge in $maxRounds star rounds " +
         "(edge set still changing)")
     lastCcRounds = rounds
-    // star forest: leaves point at their component minimum; centers
-    // (the v side) label themselves; each node appears exactly once.
+    // star forest: leaves point at their component minimum, EXACTLY once
+    // each (the verified convergence invariant is out-degree 1 with
+    // leaf/center disjointness), so the label frame is just the edge set
+    // itself — no center rows, no union, no distinct exchange (r18):
+    // centers never appear as a leaf and label themselves through the
+    // same coalesce that handles singletons below.
     val labels = edges.select(col("u").as("_node"), col("v").as("cluster_id"))
-      .union(edges.select(col("v").as("_node"), col("v").as("cluster_id")))
-      .distinct()
     // join labels back on the long form of the caller's id (output keeps
-    // the original id column type); singletons miss the join and label
-    // themselves via coalesce — ONE left join instead of inner + anti +
-    // union, i.e. one pass over the node keys at any scale.
+    // the original id column type); singletons AND star centers miss the
+    // join and label themselves via coalesce — ONE left join instead of
+    // inner + anti + union, i.e. one pass over the node keys at any scale.
     val keyed = nodes.select(
       col(idCol).as("_orig"), col(idCol).cast("long").as("_node"))
     keyed.join(labels, Seq("_node"), "left")
