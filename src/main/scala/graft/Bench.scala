@@ -201,6 +201,35 @@ object Bench {
     else "contention"
   }
 
+  /** Drift-normalization divisor (VERDICT r18 #2): the MEDIAN isolated-
+    * min / prior-ref ratio over the drift-adjudication sample. The r18
+    * driver run was unadjudicable raw — the box slowed ~1.45x mid-round,
+    * so every per-query ratio needed manual normalization against rows
+    * the round had not touched. The drift sample's isolated re-runs are
+    * exactly that evidence (quiet-scheduler re-measures of the most-
+    * drifted short rows), so the bench now publishes the divisor a
+    * round-over-round comparison should divide current times by before
+    * calling anything a regression. Median, not mean: the sample is
+    * chosen MOST-drifted-first, so one genuinely regressed row would
+    * poison a mean while the median stays at the box's true speed as
+    * long as the majority of sampled rows are untouched (documented
+    * bias: with >5 truly regressed rows in the sample the divisor reads
+    * high and under-flags — the per-row `iso_ratio` map is published
+    * beside it so a reader can recompute). 1.0 when there is no sample
+    * (no drift latched, or every isolated rep failed): dividing by the
+    * published value is then a no-op, never a crash. Additive field
+    * only — no existing field's semantics change.
+    */
+  private[graft] def driftDivisor(sample: Seq[(Double, Double)]): Double = {
+    val ratios = sample.collect { case (iso, ref) if ref > 0 => iso / ref }
+    if (ratios.isEmpty) 1.0
+    else {
+      val s = ratios.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+  }
+
   /** Of the sampled (isolatedMin, priorRef) rows, how many individually
     * cleared their own inflation threshold. Published as `drift_cleared`
     * (beside `drift_sampled`) next to the verdict: the aggregate
@@ -521,6 +550,13 @@ object Bench {
       if (!drift) "none"
       else driftVerdict(driftIsoSample)
     val driftCleared = driftClearedCount(driftIsoSample)
+    // Drift-normalized PERF survival (VERDICT r18 #2, additive): the
+    // per-row iso ratios and their median as the box-speed divisor.
+    val driftDiv = round3(driftDivisor(driftIsoSample))
+    val isoRatioMap = driftIso.collect {
+      case (n, iso) if priorMin.getOrElse(n, 0.0) > 0 =>
+        "\"" + n + "\":" + round3(iso / priorMin(n))
+    }.mkString("{", ",", "}")
     val qs = okResults.map(r => "\"" + r.name + "\":" + r.min)
       .mkString("{", ",", "}")
     // Cross-run reference, MONOTONE — the nextQueryRef rule (VERDICT
@@ -580,6 +616,7 @@ object Bench {
         s""""drift_rows":${driftFam.size},""" +
         s""""drift_verdict":"$driftVerdictStr",""" +
         s""""drift_cleared":$driftCleared,"drift_sampled":${driftIso.size},""" +
+        s""""drift_divisor":$driftDiv,"iso_ratio":$isoRatioMap,""" +
         s""""drift_isolated":${driftIso.map { case (k, v) =>
           "\"" + k + "\":" + v
         }.mkString("{", ",", "}")},""" +
@@ -612,6 +649,7 @@ object Bench {
         s""""full_results":"bench_out.json","failed":$failed,""" +
         s""""noisy":$noisy,"noisy_queries":$noisyCount,""" +
         s""""drift":$drift,"drift_verdict":"$driftVerdictStr",""" +
+        s""""drift_divisor":$driftDiv,""" +
         s""""inflated":$inflatedList,""" +
         s""""flagship_failed":$flagshipFailed,""" +
         s""""flagship_inflated":$flagshipInflated,""" +

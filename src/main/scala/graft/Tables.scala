@@ -76,29 +76,58 @@ object Tables {
     * already-parallel and passes through untouched.
     */
   def spread(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
     val sess = df.sparkSession
     val p = math.max(sess.sparkContext.defaultParallelism, 1)
     val analyzed = df.queryExecution.analyzed
     // idempotent: a composed pipeline may route an already-spread frame
-    // into a second spread-guarded helper — one fan-out is enough
+    // into a second spread-guarded helper — one fan-out is enough. Only
+    // SHUFFLING repartitions count (ADVICE r18): coalesce(n) is a
+    // Repartition with shuffle=false — it narrows a frame to FEWER
+    // partitions and must not suppress the fan-out — and a keyed
+    // repartitionByExpression already established cluster-wide
+    // parallelism (and a layout a round-robin on top would destroy).
     val alreadySpread = analyzed.exists {
-      case _: org.apache.spark.sql.catalyst.plans.logical.Repartition => true
+      case r: Repartition => r.shuffle
+      case _: RepartitionByExpression => true
       case _ => false
     }
     if (alreadySpread) return df
-    val leaves = analyzed.collectLeaves()
-    val starved = leaves match {
+    // Enforce the documented guard (ADVICE r18): fire only when the
+    // single file-source leaf sits under DETERMINISTIC, row-oblivious
+    // unary shapes (projections/filters/aliases). Tie-sensitive or
+    // row-id-shaped operators (limits, sorts, samples, windows, local
+    // limits) and nondeterministic expressions conservatively read as
+    // pass-through — their semantics may depend on row placement, which
+    // a round-robin reshuffle perturbs.
+    def plainPath(n: LogicalPlan): Boolean = n match {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case pj: Project => pj.projectList.forall(_.deterministic) && plainPath(pj.child)
+      case f: Filter => f.condition.deterministic && plainPath(f.child)
+      case a: SubqueryAlias => plainPath(a.child)
+      // coalesce (shuffle=false) narrows a starved frame further — the
+      // fan-out may still fire above it (ADVICE r18)
+      case r: Repartition if !r.shuffle => plainPath(r.child)
+      case _ => false
+    }
+    if (!plainPath(analyzed)) return df
+    val starved = analyzed.collectLeaves() match {
       case Seq(l: org.apache.spark.sql.execution.datasources.LogicalRelation) =>
         l.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
             val conf = sess.sessionState.conf
-            val bytes = math.max(fs.location.sizeInBytes, 1L)
-            // FilePartition's sizing: splits of min(maxPartitionBytes,
-            // max(openCost, bytes/parallelism)) — small relations bottom
-            // out at openCost-sized splits, i.e. far fewer than p
+            val open = conf.filesOpenCostInBytes
+            // FilePartition's sizing, faithfully: every file is charged
+            // openCostInBytes on top of its length, so a MULTI-file
+            // relation plans at least ~one split per openCost-sized file
+            // group — without the per-file charge a directory of p small
+            // files read as one split and got a spurious fan-out
+            // (caught by SpreadSpec's plan-identity test).
+            val nFiles = math.max(fs.location.inputFiles.length, 1).toLong
+            val padded = math.max(fs.location.sizeInBytes, 1L) + nFiles * open
             val maxSplit = math.min(conf.filesMaxPartitionBytes,
-              math.max(conf.filesOpenCostInBytes, bytes / p))
-            (bytes + maxSplit - 1) / maxSplit < p
+              math.max(open, padded / p))
+            (padded + maxSplit - 1) / maxSplit < p
           case _ => false
         }
       case _ => false

@@ -930,27 +930,46 @@ object DedupOps {
            |              GROUP BY 1)
            |$arms""".stripMargin
       }) { (s, d) =>
-      val sig = T.spread(T.documents(s, d))
+      // The full 8-component signature RIDES the band rows (r19): the
+      // old form banded (doc_id, band, h) and joined the distinct pairs
+      // BACK to the persisted sig frame twice to fetch both sides'
+      // components — two more corpus-scale shuffles (sig crossed the
+      // wire once per join side) and two sort-merge joins. Packing the
+      // signature as ONE array<bigint> column costs 64 bytes/band-row
+      // through the (band, h) window exchange the bucket cap pays
+      // anyway, hands the pair self-join both sides' signatures for
+      // free, and m computes inline before the distinct (m is a pure
+      // function of the pair, so distinct-(a,b,m) ≡ distinct-(a,b) then
+      // join — guide §2.4 remove shuffles outright). The sig persist is
+      // gone: the banding is now the hashing's only consumer.
+      val sigArr = (0 until 8).map(k => s"mh$k").mkString("array(", ", ", ")")
+      val bands = T.spread(T.documents(s, d))
         .selectExpr("doc_id", s"$sparkToks as toks")
         .selectExpr("doc_id", s"$sparkShingles as shingles")
         .selectExpr("doc_id", s"$sparkHs as hs")
         .selectExpr("doc_id" +: (0 until 8).map(sparkMh): _*)
-        .persist() // bands + both m-histogram sides; caller clearCache releases
-      val bands = sig.selectExpr("doc_id",
-        "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) as (band, h)")
+        .selectExpr("doc_id", s"$sigArr as sig",
+          "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) as (band, h)")
+      val wbh = Window.partitionBy("band", "h")
+      val small = bands
+        .select(col("doc_id"), col("sig"), col("band"), col("h"),
+          count(lit(1)).over(wbh).as("n"))
+        .filter(col("n") <= bucketCap)
+        .select("doc_id", "sig", "band", "h")
       val m8 = (0 until 8)
-        .map(k => s"(case when amh$k = bmh$k then 1 else 0 end)")
+        .map(k => s"(case when element_at(siga, ${k + 1}) = " +
+          s"element_at(sigb, ${k + 1}) then 1 else 0 end)")
         .mkString(" + ")
-      val aSide = sig.select(col("doc_id").as("a_id") +:
-        (0 until 8).map(k => col(s"mh$k").as(s"amh$k")): _*)
-      val bSide = sig.select(col("doc_id").as("b_id") +:
-        (0 until 8).map(k => col(s"mh$k").as(s"bmh$k")): _*)
       // persist the ≤9-row m-histogram: each of the three (b, r) arms
-      // below re-executed the WHOLE pair pipeline (banding + capped
-      // self-join + two signature joins) without it (r18)
-      val hist = cappedBandPairs(bands)
-        .join(aSide, "a_id").join(bSide, "b_id")
-        .selectExpr(s"cast($m8 as bigint) as m")
+      // below re-executed the WHOLE pair pipeline without it (r18)
+      val hist = small
+        .select(col("doc_id").as("a_id"), col("sig").as("siga"),
+          col("band"), col("h"))
+        .join(small.select(col("doc_id").as("b_id"), col("sig").as("sigb"),
+          col("band"), col("h")), Seq("band", "h"))
+        .filter(col("a_id") < col("b_id"))
+        .selectExpr("a_id", "b_id", s"cast($m8 as bigint) as m")
+        .distinct()
         .groupBy("m").agg(count(lit(1)).cast("long").as("n_pairs"))
         .persist()
       scurveConfigs.map { case (b, r) =>
@@ -1334,30 +1353,40 @@ object DedupOps {
       .selectExpr("doc_id", "idx", "hs",
         "aggregate(hs, cast(0 as bigint), (a, h) -> a ^ h) as hx")
       .selectExpr("doc_id", "idx", s"cast($simBits as bigint) as sh")
-      .persist() // bands + both verify sides; caller clearCache releases
     val bandVals = (0 until 4)
       .map(k => s"$k, shiftright(sh, ${k * 15}) & 32767")
       .mkString(", ")
+    // The signature RIDES the band rows (r19): the old form banded
+    // (doc_id, idx, band, v) and joined the surviving pairs BACK to the
+    // persisted sig frame twice to fetch sha/shb — two corpus-scale
+    // sort-merge joins whose sort buffers were dd23's only nonzero spill
+    // at the 100x subset (601 MiB, SCALE.md). Carrying the one sh long
+    // on each band row costs +8 bytes through the band exchange the
+    // pipeline pays anyway, hands the pair self-join BOTH sides'
+    // signatures for free (guide §2.3 "shuffle keys and metadata instead
+    // of payloads" — here the metadata IS the payload, one long), and
+    // lets the Hamming verify run BEFORE the distinct, so the distinct
+    // dedups only verified pairs. hamming is a pure function of the pair
+    // key, so distinct-then-verify and verify-then-distinct emit the
+    // same rows. The sig persist is gone too — bands is now sig's only
+    // consumer, so the hashing runs exactly once inside the persisted
+    // band frame's own materialization.
     val bands = sig
-      .selectExpr("doc_id", "idx", s"stack(4, $bandVals) as (band, v)")
-      .persist() // sized + both pair sides
+      .selectExpr("doc_id", "idx", "sh", s"stack(4, $bandVals) as (band, v)")
+      .persist() // sized + both pair sides; caller clearCache releases
     val sized = bands.groupBy("band", "v").agg(count(lit(1)).as("n"))
     val small = bands.join(sized.filter(col("n") <= 64), Seq("band", "v"))
-    val pairs = small
+    small
       .select(col("doc_id").as("a_id"), col("idx").as("a_idx"),
-        col("band"), col("v"))
+        col("sh").as("sha"), col("band"), col("v"))
       .join(small.select(col("doc_id").as("b_id"), col("idx").as("b_idx"),
-        col("band"), col("v")), Seq("band", "v"))
+        col("sh").as("shb"), col("band"), col("v")), Seq("band", "v"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "a_idx", "b_id", "b_idx")
-      .distinct()
-    pairs
-      .join(sig.toDF("a_id", "a_idx", "sha"), Seq("a_id", "a_idx"))
-      .join(sig.toDF("b_id", "b_idx", "shb"), Seq("b_id", "b_idx"))
       .selectExpr("a_id", "cast(a_idx as bigint) as a_idx",
         "b_id", "cast(b_idx as bigint) as b_idx",
         "cast(bit_count(sha ^ shb) as bigint) as hamming")
       .filter(col("hamming") <= 3)
+      .distinct()
   }
 
   /** Content-defined chunks over `(doc_id, text)` rows — the dd24

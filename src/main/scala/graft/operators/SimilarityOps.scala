@@ -473,11 +473,13 @@ object SimilarityOps {
   private[graft] def semDedupCells(e: org.apache.spark.sql.DataFrame,
       cent: org.apache.spark.sql.DataFrame,
       tau: Double): org.apache.spark.sql.DataFrame = {
-    // persist the codebook: consumed twice (guard k-count + broadcast
-    // collect) — unpersisted, each consumer re-runs the full centroid
-    // aggregation, a second corpus pass at scale (r18)
-    val centP = cent.persist()
-    val assign = semDedupAssign(e, centP).persist()
+    // The codebook is SINGLE-consumer (r19): its cardinality rides the
+    // assignment rows as `_k` (topCells emitK — size of the broadcast
+    // array, free at scan time), so the r18 persist + count() pair —
+    // whose materialization job ss27 measured as a net loss — is gone
+    // and the centroid aggregation runs exactly once, inside the
+    // assignment's broadcast build.
+    val assign = semDedupAssign(e, cent, emitK = true).persist()
     // Hot-cell guard (VERDICT r11 #3). Costs one k-row aggregate over
     // the assignment the pair stage reads anyway; runs eagerly so the
     // warning lands BEFORE the caller pays the quadratic pair stage.
@@ -486,10 +488,10 @@ object SimilarityOps {
     // leaves few occupied cells with max ≈ occupied-mean, which would
     // read as perfectly balanced; against k it reads as the k-violation
     // it is.
-    recordCellGeometry(assign, centP.count(), "semDedupCells",
+    recordCellGeometryK(assign, "semDedupCells",
       "raise k or re-cluster the hot cell (semDedupCellsAdaptive does " +
         "this automatically) before this call")
-    semDedupLedger(assign, tau)
+    semDedupLedger(assign.select("vec_id", "cell", "embedding"), tau)
   }
 
   /** Nearest-centroid cell assignment shared by the plain and adaptive
@@ -518,7 +520,7 @@ object SimilarityOps {
     */
   private[graft] def topCells(e: org.apache.spark.sql.DataFrame,
       cent: org.apache.spark.sql.DataFrame, n: Int,
-      keep: Seq[String]): org.apache.spark.sql.DataFrame = {
+      keep: Seq[String], emitK: Boolean = false): org.apache.spark.sql.DataFrame = {
     // spread: the N·k cosine scoring below is the dominant per-task cost
     // of a SemDeDup/IVF assignment and the fixture embeddings scan is
     // ONE split (r18) — fan plain scan inputs out; derived inputs
@@ -530,6 +532,15 @@ object SimilarityOps {
     // overflows at MinValue
     val scoredStruct = s"named_struct('cs', ${sparkCos("embedding", "c.ce")}, " +
       "'negc', -1 - c.cell, 'cell', c.cell)"
+    // emitK rides the codebook CARDINALITY on every output row (r19):
+    // `size(_cents)` against the broadcast array is free at scan time,
+    // and a consumer that needs k (the hot-cell guard's mean divisor)
+    // reads it off the assignment it aggregates anyway — so the
+    // codebook frame stays SINGLE-consumer and needs neither a persist
+    // (ss27's r18 regression: the materialization job outweighed the
+    // saved k-row aggregation) nor a second corpus-scale count pass.
+    val kCols = if (emitK) Seq("size(_cents) as _k") else Nil
+    val kNames = if (emitK) Seq("_k") else Nil
     if (n == 1)
       // argmax specialization for the dominant path (every SemDeDup
       // assignment): max(struct) is one O(k) pass per row — same
@@ -538,16 +549,18 @@ object SimilarityOps {
       // codebook arg-maxes to NULL; the filter keeps the zero-row
       // contract the posexplode branch gets for free.
       withCents
-        .selectExpr(keep :+
-          (s"array_max(transform(_cents, c -> $scoredStruct)).cell as cell"): _*)
+        .selectExpr((keep :+
+          (s"array_max(transform(_cents, c -> $scoredStruct)).cell as cell")) ++
+          kCols: _*)
         .filter(col("cell").isNotNull)
-        .selectExpr(keep ++ Seq("cell", "cast(1 as int) as rn"): _*)
+        .selectExpr(keep ++ Seq("cell", "cast(1 as int) as rn") ++ kNames: _*)
     else
       withCents
-        .selectExpr(keep :+ (s"slice(reverse(array_sort(transform(_cents, " +
-          s"c -> $scoredStruct))), 1, $n) as _top"): _*)
-        .selectExpr(keep :+ "posexplode(_top) as (_p0, _t)": _*)
-        .selectExpr(keep ++ Seq("_t.cell as cell", "cast(_p0 + 1 as int) as rn"): _*)
+        .selectExpr((keep :+ (s"slice(reverse(array_sort(transform(_cents, " +
+          s"c -> $scoredStruct))), 1, $n) as _top")) ++ kCols: _*)
+        .selectExpr((keep :+ "posexplode(_top) as (_p0, _t)") ++ kNames: _*)
+        .selectExpr(keep ++ Seq("_t.cell as cell", "cast(_p0 + 1 as int) as rn") ++
+          kNames: _*)
   }
 
   /** Best-cell assignment against a broadcast codebook — [[topCells]]
@@ -556,9 +569,14 @@ object SimilarityOps {
     * bit-identical after the migration).
     */
   private def semDedupAssign(e: org.apache.spark.sql.DataFrame,
-      cent: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    topCells(e, cent, 1, Seq("vec_id", "embedding"))
-      .select("vec_id", "cell", "embedding")
+      cent: org.apache.spark.sql.DataFrame,
+      emitK: Boolean = false): org.apache.spark.sql.DataFrame =
+    if (emitK)
+      topCells(e, cent, 1, Seq("vec_id", "embedding"), emitK = true)
+        .select("vec_id", "cell", "embedding", "_k")
+    else
+      topCells(e, cent, 1, Seq("vec_id", "embedding"))
+        .select("vec_id", "cell", "embedding")
 
   /** The within-cell greedy pair stage over a (vec_id, cell, embedding)
     * assignment: cell-keyed self-join, keep the LOWEST id of every
@@ -596,6 +614,30 @@ object SimilarityOps {
     val (maxCell, meanCell) =
       if (cells == 0L) (0L, 0.0)
       else (geo.getLong(1), geo.getLong(2).toDouble / math.max(k, 1L))
+    recordGeo(cells, maxCell, meanCell, who, remedy)
+  }
+
+  /** [[recordCellGeometry]] over an assignment carrying the codebook
+    * cardinality as its `_k` column ([[topCells]] emitK) — k rides the
+    * SAME one-pass aggregate the guard pays anyway, so the codebook
+    * frame needs neither a persist nor a count pass of its own (r19:
+    * the ss27 persist regression's fix, applied to the whole family).
+    */
+  private def recordCellGeometryK(assign: org.apache.spark.sql.DataFrame,
+      who: String, remedy: String): Unit = {
+    val geo = assign.groupBy("cell")
+      .agg(count(lit(1)).as("n"), max("_k").as("k"))
+      .agg(count(lit(1)), max("n"), sum("n"), max("k")).collect()(0)
+    val cells = geo.getLong(0)
+    val (maxCell, meanCell) =
+      if (cells == 0L) (0L, 0.0)
+      else (geo.getLong(1),
+        geo.getLong(2).toDouble / math.max(geo.getInt(3).toLong, 1L))
+    recordGeo(cells, maxCell, meanCell, who, remedy)
+  }
+
+  private def recordGeo(cells: Long, maxCell: Long, meanCell: Double,
+      who: String, remedy: String): Unit = {
     lastCellStats = Some((cells, maxCell, meanCell))
     lastHotCellFlagged =
       maxCell > hotCellFloor && maxCell > hotCellSkewFactor * meanCell
@@ -2556,16 +2598,13 @@ object SimilarityOps {
       cent: org.apache.spark.sql.DataFrame,
       tau: Double, parts: Int): org.apache.spark.sql.DataFrame = {
     require(parts >= 1, s"parts must be >= 1, got $parts")
-    // persist the codebook: it is consumed twice (the k-count feeding
-    // the hot-cell guard, and the broadcast collect inside the
-    // assignment) and unpersisted each consumer re-runs the full
-    // corpus-wide centroid aggregation — at scale that is a second
-    // corpus pass for a k-row table (r18). Caller clearCache releases.
-    val centP = cent.persist()
-    val assign = semDedupAssign(e, centP)
+    // Codebook cardinality rides the assignment as `_k` (r19 — see
+    // semDedupCells): no codebook persist, no count pass; the centroid
+    // aggregation runs once, inside the assignment's broadcast build.
+    val assign = semDedupAssign(e, cent, emitK = true)
       .withColumn("batch", expr(s"cast(vec_id % $parts as int)"))
       .persist()
-    recordCellGeometry(assign, math.max(centP.count(), 1L), "semDedupSequential",
+    recordCellGeometryK(assign, "semDedupSequential",
       "raise k or re-cluster the hot cell before streaming ingest")
     var kept: org.apache.spark.sql.DataFrame = null
     val ledgers = (0 until parts).map { b =>
@@ -2697,10 +2736,14 @@ object SimilarityOps {
       tauPcts: Seq[Int]): org.apache.spark.sql.DataFrame = {
     require(tauPcts.nonEmpty, "tauPcts must be non-empty")
     val spark = e.sparkSession
-    // persist the codebook — guard k-count + broadcast collect (r18)
-    val centP = cent.persist()
-    val assign = semDedupAssign(e, centP).persist()
-    recordCellGeometry(assign, math.max(centP.count(), 1L), "semDedupTauSweep",
+    // Codebook cardinality rides the assignment as `_k` (r19 — see
+    // semDedupCells). This query is WHY: the r18 codebook persist was
+    // ss27's only change and it regressed 1.64x beyond the drift floor
+    // (VERDICT r18 #1) — the persist's materialization job cost more
+    // than the k-row aggregation it saved. emitK keeps the one-pass
+    // property with no persist and no count job at all.
+    val assign = semDedupAssign(e, cent, emitK = true).persist()
+    recordCellGeometryK(assign, "semDedupTauSweep",
       "raise k or re-cluster the hot cell before sweeping")
     val a = assign.select(
       col("vec_id").as("a_id"), col("cell"), col("embedding").as("ea"))

@@ -235,6 +235,32 @@ class BenchRefSpec extends AnyFunSuite {
     assert(Bench.driftClearedCount(Seq((2.0, 1.0))) == 1)
   }
 
+  // ---- driftDivisor (drift-normalized PERF survival — VERDICT r18 #2) -----
+
+  test("driftDivisor is the median iso/ref ratio of the adjudication " +
+    "sample — the box-speed multiplier a comparison divides out") {
+    // r18's scenario: untouched rows isolated at ~1.45x their refs
+    val sample = Seq((0.725, 0.5), (1.45, 1.0), (0.29, 0.2))
+    assert(math.abs(Bench.driftDivisor(sample) - 1.45) < 1e-9)
+    // even count: mean of the middle two
+    assert(math.abs(Bench.driftDivisor(
+      Seq((1.2, 1.0), (1.4, 1.0), (1.6, 1.0), (1.8, 1.0))) - 1.5) < 1e-9)
+  }
+
+  test("driftDivisor's median resists one genuinely regressed row in a " +
+    "mostly-untouched sample (the most-drifted-first selection bias)") {
+    val sample = Seq((5.0, 1.0)) ++ Seq.fill(8)((1.4, 1.0))
+    assert(math.abs(Bench.driftDivisor(sample) - 1.4) < 1e-9)
+  }
+
+  test("driftDivisor degrades to a safe 1.0 with no evidence, and skips " +
+    "zero references") {
+    assert(Bench.driftDivisor(Seq.empty) == 1.0)
+    assert(Bench.driftDivisor(Seq((0.5, 0.0))) == 1.0)
+    // a FASTER box publishes a sub-1 divisor — normalization is two-sided
+    assert(math.abs(Bench.driftDivisor(Seq((0.8, 1.0))) - 0.8) < 1e-9)
+  }
+
   // ---- nextFlagshipRef (upward-only, clean-run-only, 2x cap) --------------
 
   test("flagship ref rises on a clean faster run and holds on a slower one") {

@@ -40,4 +40,49 @@ class SpreadSpec extends AnyFunSuite {
     val local = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
     assert(graft.Tables.spread(local) eq local)
   }
+
+  test("a production-width relation (splits >= cores) passes through BY " +
+    "PLAN IDENTITY — the 100 TB no-op claim (VERDICT r18 #10)") {
+    // Write a multi-file copy of documents so the scan plans >= p splits
+    // even at the fixture's size: p files, one split floor each
+    // (openCostInBytes charges every file ~4 MB, so p files >= p splits).
+    val p = spark.sparkContext.defaultParallelism
+    val dir = graft.operators.Scratch.dir("graft-spread-wide")
+    graft.Tables.documents(spark, sf).repartition(p)
+      .write.mode("overwrite").parquet(dir)
+    val wide = spark.read.parquet(dir)
+    assert(wide.rdd.getNumPartitions >= p)
+    // `eq`: the SAME DataFrame object back — no Repartition node, no
+    // plan rewrite, nothing for a 100 TB scan to pay
+    assert(graft.Tables.spread(wide) eq wide)
+  }
+
+  test("tie-sensitive shapes above the leaf pass through (ADVICE r18: the " +
+    "documented unary-deterministic guard is now enforced)") {
+    val docs = graft.Tables.documents(spark, sf)
+    val limited = docs.limit(5)
+    assert(graft.Tables.spread(limited) eq limited)
+    val sampled = docs.sample(0.5, seed = 7)
+    assert(graft.Tables.spread(sampled) eq sampled)
+    val agg = docs.groupBy("lang").count()
+    assert(graft.Tables.spread(agg) eq agg)
+    val nondet = docs.selectExpr("doc_id", "rand() as r")
+    assert(graft.Tables.spread(nondet) eq nondet)
+  }
+
+  test("repartition idempotence counts only SHUFFLING repartitions " +
+    "(ADVICE r18): coalesce does not suppress the fan-out, a keyed " +
+    "repartition does") {
+    val docs = graft.Tables.documents(spark, sf)
+    val spread1 = graft.Tables.spread(docs)
+    // already-spread: second call is a pass-through
+    assert(graft.Tables.spread(spread1) eq spread1)
+    // coalesce is shuffle=false — it must NOT read as already-spread
+    val narrowed = docs.coalesce(1)
+    assert(graft.Tables.spread(narrowed).rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    // a hash-partitioned frame keeps its layout (no second shuffle)
+    val keyed = docs.repartition(org.apache.spark.sql.functions.col("doc_id"))
+    assert(graft.Tables.spread(keyed) eq keyed)
+  }
 }
