@@ -479,7 +479,14 @@ object SimilarityOps {
     // whose materialization job ss27 measured as a net loss — is gone
     // and the centroid aggregation runs exactly once, inside the
     // assignment's broadcast build.
-    val assign = semDedupAssign(e, cent, emitK = true).persist()
+    // Cached CELL-partitioned (r19): the guard's aggregate, both pair
+    // sides, the dominator rollup and the ledger join are all (cell)-
+    // or (cell, id)-keyed, so ONE hash(cell) exchange at cache build
+    // replaces every downstream exchange of the corpus-scale frame
+    // (guide §2.4). Skew exposure is unchanged — the pair join already
+    // hashed by cell — and the hot-cell guard still observes it.
+    val assign = semDedupAssign(e, cent, emitK = true)
+      .repartition(col("cell")).persist()
     // Hot-cell guard (VERDICT r11 #3). Costs one k-row aggregate over
     // the assignment the pair stage reads anyway; runs eagerly so the
     // warning lands BEFORE the caller pays the quadratic pair stage.
@@ -589,14 +596,23 @@ object SimilarityOps {
       col("vec_id").as("a_id"), col("cell"), col("embedding").as("ea"))
     val b = assign.select(
       col("vec_id").as("b_id"), col("cell"), col("embedding").as("eb"))
+    // Everything downstream of the cell-keyed pair join stays ON the
+    // join's hash(cell) partitioning (r19, guide §2.4 "share one
+    // exchange"): `cell` is functional on `b_id` (one assignment row
+    // per vector), so grouping by (cell, b_id) groups exactly as
+    // (b_id) while letting the aggregation reuse hash(cell) — no
+    // exchange — and the ledger's left join keyed (cell, vec_id)
+    // accepts the dom side as-is and the assign side by its own cell
+    // partitioning where the caller pre-partitioned it. The old
+    // b_id-keyed forms re-exchanged both frames.
     val dom = a.join(b, Seq("cell"))
       .filter(col("a_id") < col("b_id"))
       .filter(expr(s"${sparkCos("ea", "eb")} > $tau"))
-      .groupBy("b_id")
+      .groupBy("cell", "b_id")
       .agg(min("a_id").as("keeper"))
       .withColumnRenamed("b_id", "vec_id")
     assign.select("vec_id", "cell")
-      .join(dom, Seq("vec_id"), "left")
+      .join(dom, Seq("cell", "vec_id"), "left")
       .selectExpr("vec_id", "cell",
         "cast(case when keeper is null then 1 else 0 end as int) as keep_flag",
         "keeper")
@@ -2601,6 +2617,13 @@ object SimilarityOps {
     // Codebook cardinality rides the assignment as `_k` (r19 — see
     // semDedupCells): no codebook persist, no count pass; the centroid
     // aggregation runs once, inside the assignment's broadcast build.
+    // NOT pre-partitioned by cell (unlike semDedupCells): the fold's
+    // per-level work runs on cell-keyed partitions wherever it is
+    // cell-keyed anyway (the self-joins), and at fixture k (10 cells)
+    // pinning the CACHE itself to hash(cell) collapsed every downstream
+    // stage to ~k tasks — measured st16 8.5 → 10.9 s. The (cell, id)
+    // keyed rollup + ledger join below still reuse the self-join's own
+    // exchange (guide §2.4) without touching the cache's parallelism.
     val assign = semDedupAssign(e, cent, emitK = true)
       .withColumn("batch", expr(s"cast(vec_id % $parts as int)"))
       .persist()
@@ -2625,6 +2648,12 @@ object SimilarityOps {
           .filter(expr(s"${sparkCos("ea", "eb")} > $tau"))
           .select("b_id", "a_id")
           .unionByName(batchDom)
+      // NOTE (r19): keying this rollup and the ledger join by
+      // (cell, b_id)/(cell, vec_id) — the semDedupLedger trick — was
+      // tried here and REVERTED: the union over the kept arm erases the
+      // partitioning the reuse needs, so the planner re-exchanged with
+      // MISMATCHED specs (hash(cell) vs hash(cell, id)) and both bytes
+      // and wall went up (2.4 MB vs 1.9 MB, ~+15% wall).
       val dom = allDom.groupBy("b_id").agg(min("a_id").as("keeper"))
         .withColumnRenamed("b_id", "vec_id")
       // ONE left join serves both the ledger row and the survivor set
