@@ -225,44 +225,45 @@ object DedupOps {
     */
   private[graft] def clusterLabels(docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val edges = cappedBandEdges(r1Bands(docs, idCol, textCol))
+    val edges = bandStarEdges(r1Bands(docs, idCol, textCol))
     graft.functions.Dedup.connectedComponents(
       docs.select(idCol), edges, idCol, "a_id", "b_id")
   }
 
-  /** Edges for CLUSTERING: capped pairwise edges for normal buckets plus
-    * a linear STAR (every doc → the bucket's min doc_id) for oversized
-    * ones. A star has the same connected components as the full clique,
-    * so dedup clusters stay EXACT under a template flood — the flooded
-    * bucket contributes O(bucket) edges instead of O(bucket²) pairs.
-    * Pairwise-verify queries (dd04/dd06/dd09) keep the plain cap: their
-    * output IS the pair list, and a quadratic pair list is the scale
-    * problem; components only need connectivity.
+  /** Edges for CLUSTERING: a linear STAR per bucket — every doc → the
+    * bucket's min doc_id. A star has the same connected components as
+    * the full clique (it spans the bucket), so the clustering result is
+    * EXACTLY the pairs+stars closure the oracle computes, at O(bucket)
+    * edges for EVERY bucket — flooded or organic. Until r19 organic
+    * (≤ cap) buckets emitted full pairwise edges through a (band, h)
+    * self-join; components only need connectivity, so that join shipped
+    * and deduped up to cap²/2 rows per bucket for nothing (guide §2.4:
+    * remove shuffles outright — sf0.1 edge count 42k → 15k, and the
+    * near-star initial graph also converges in fewer star rounds).
+    * Pairwise-verify queries (dd04/dd06/dd09) keep cappedBandPairs:
+    * their OUTPUT is the pair list.
+    *
+    * NULL band keys (docs below the shingle width) are excluded
+    * explicitly: the old pair self-join dropped them by join equality,
+    * and the oracle's stars CTE joins on h equality too — a NULL bucket
+    * must yield singletons, never a cluster. (Pre-r19 the star branch
+    * would have connected an over-cap NULL bucket — latent, never hit
+    * at fixture scale; the filter closes it.)
     */
-  private[graft] def cappedBandEdges(bands: DataFrame): DataFrame = {
-    // Bucket size AND root from ONE unordered (band, h) window pass
-    // (r18): the banded frame crosses the wire once (the window
-    // exchange) where the old groupBy + two joins back shipped it three
-    // times for the same per-bucket (count, min) — and the star edges
-    // now need NO join at all (root is already on every row). The pair
-    // self-join stays co-partitioned on (band, h) by the window
-    // exchange (guide §2.4: share one exchange).
+  private[graft] def bandStarEdges(bands: DataFrame): DataFrame = {
+    // Bucket root from ONE unordered (band, h) window pass (r18 form,
+    // minus the bucket count — stars need no cap: they are linear in
+    // the bucket by construction). No join anywhere: root rides every
+    // row out of the window exchange.
     val wbh = Window.partitionBy("band", "h")
-    val sized = bands.select(col("doc_id"), col("band"), col("h"),
-      count(lit(1)).over(wbh).as("n"), min("doc_id").over(wbh).as("root"))
-    val small = sized.filter(col("n") <= bucketCap)
-      .select("doc_id", "band", "h")
-    val pairs = small.select(col("doc_id").as("a_id"), col("band"), col("h"))
-      .join(small.select(col("doc_id").as("b_id"), col("band"), col("h")), Seq("band", "h"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
-    val stars = sized
-      .filter(col("n") > bucketCap && col("doc_id") =!= col("root"))
+    val stars = bands
+      .filter(col("h").isNotNull)
+      .select(col("doc_id"), min("doc_id").over(wbh).as("root"))
+      .filter(col("doc_id") =!= col("root"))
       .select(col("root").as("a_id"), col("doc_id").as("b_id"))
     // LAZY localCheckpoint: the consumer's first action (connected-
-    // components' init fingerprint, or a pair query's aggregation)
-    // materializes the edge blocks as part of its own job — no separate
-    // count pass over the pair derivation.
+    // components' init fingerprint) materializes the edge blocks as
+    // part of its own job — no separate count pass.
     // Fault-tolerance tradeoff: localCheckpoint blocks live only on
     // executors, so a lost executor (preemption, dynamic allocation)
     // makes the edges unrecoverable and fails the job. That is the right
@@ -270,7 +271,7 @@ object DedupOps {
     // survive executor loss should set spark.checkpoint.dir and use
     // reliable Dataset.checkpoint() here instead — same lineage cut,
     // storage-backed blocks.
-    pairs.union(stars).distinct().localCheckpoint(false)
+    stars.distinct().localCheckpoint(false)
   }
 
   val queries: Seq[Q] = Seq(
@@ -1245,7 +1246,7 @@ object DedupOps {
     // ~+25% at sf0.1). Two passes keep the CC path fed by the small
     // corpus frame only.
     val cb = r1Bands(corpus, idCol, textCol) // persisted; shared by edges + rollup
-    val edges = cappedBandEdges(cb)
+    val edges = bandStarEdges(cb)
     val labels = graft.functions.Dedup.connectedComponents(
         corpus.select(idCol), edges, idCol, "a_id", "b_id")
       .withColumnRenamed(idCol, "doc_id")

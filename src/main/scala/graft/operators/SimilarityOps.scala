@@ -1511,25 +1511,37 @@ object SimilarityOps {
       graft.functions.CosineSimilarity.register(s)
       graft.functions.DotProduct.register(s)
       val e = T.embeddings(s, d).select("vec_id", "label", "embedding")
-      val cent = trainedCentroids(e)
+      // lazily persisted: genuinely TWO consumers here (the topCells
+      // broadcast and the exploded cd table), and with no eager count
+      // job the cache materializes inside the first consumer's own job
+      // — one corpus-scale centroid pass instead of two (r19; unlike
+      // ss27's reverted persist, which paid a separate count action)
+      val cent = trainedCentroids(e).persist()
       // one scored pass vs broadcast centroids → assignment + probe
       // lists (ivfSearch's head, scan-local topCells since r17);
       // persisted for its two consumers, released by the
       // caller-clearCache contract (CacheHygieneSpec). Only ranks ≤ 2
       // are ever consumed (rn = 1 assignment, rn ≤ 2 probes).
-      val scored = topCells(e, cent, 2, Seq("vec_id"))
+      // `embedding` RIDES the scored cache (r19): the residual pass
+      // used to re-join the N×64 exploded frame back to the assignment
+      // on vec_id — two corpus-scale exchanges for a column the scoring
+      // pass already held. Caching it costs ≤ 2 embedding copies per
+      // vector and makes the residual derivation exchange-free.
+      val scored = topCells(e, cent, 2, Seq("vec_id", "embedding"))
         .persist()
       val assign = scored.filter(col("rn") === 1).select("vec_id", "cell")
       val qc = scored.filter(col("vec_id") < 5 && col("rn") <= 2)
         .select(col("vec_id").as("q_id"), col("cell"))
-      val ex = e
-        .select(col("vec_id"), posexplode(col("embedding")))
-        .selectExpr("vec_id", "pos + 1 as dim", "cast(col as double) as v")
       val cd = cent.select(col("cell"), posexplode(col("ce")))
         .selectExpr("cell", "pos + 1 as dim", "cast(col as double) as cv")
       // residuals vs the assigned cell's centroid; consumed by PQ train
-      // and the full-corpus coding pass (same release contract)
-      val resid = ex.join(assign, "vec_id")
+      // and the full-corpus coding pass (same release contract).
+      // Explode AFTER the (cached) assignment and join the k×64-row
+      // centroid table broadcast: zero exchanges anywhere in the
+      // residual derivation (guide §2.4).
+      val resid = scored.filter(col("rn") === 1)
+        .select(col("vec_id"), col("cell"), posexplode(col("embedding")))
+        .selectExpr("vec_id", "cell", "pos + 1 as dim", "cast(col as double) as v")
         .join(broadcast(cd), Seq("cell", "dim"))
         .selectExpr("vec_id", "dim", "cv", "v - cv as rv")
         .persist()
@@ -1555,13 +1567,20 @@ object SimilarityOps {
         .selectExpr("vec_id as n_id", "dim", "cv", s"$sparkBucket as bucket")
         .join(broadcast(cb), Seq("dim", "bucket"), "left")
         .selectExpr("n_id", "dim", "cv + coalesce(rrep, 0.0d) as recon")
-      val qx = ex.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("dim"), col("v").as("qv"))
+      val qx = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), posexplode(col("embedding")))
+        .selectExpr("q_id", "pos + 1 as dim", "cast(col as double) as qv")
       val cand = qc.join(assign.toDF("n_id", "cell"), "cell")
         .filter(col("n_id") =!= col("q_id"))
         .select("q_id", "n_id")
-      val adc = cand.join(broadcast(qx), "q_id")
-        .join(recon, Seq("n_id", "dim"))
+      // ADC: the candidate×query side (probe-cell members of the 5
+      // queries × 64 dims) is broadcast, so the corpus-wide recon frame
+      // is FILTERED by the broadcast hash join instead of shuffled by
+      // (n_id, dim) — the old sort-merge join exchanged all N×64 recon
+      // rows to score a candidate set bounded by nprobe·|cell|·|Q|
+      // (guide §3.1: broadcast the side that fits; §2.3: prune the big
+      // side before it moves).
+      val adc = recon.join(broadcast(cand.join(qx, "q_id")), Seq("n_id", "dim"))
         .groupBy("q_id", "n_id")
         .agg(expr("cast(sum(cast(qv * recon as decimal(28,12))) as double)").as("score"))
       val pq = adc

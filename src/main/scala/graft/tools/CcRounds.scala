@@ -15,7 +15,7 @@ object CcRounds {
     spark.sparkContext.setLogLevel("ERROR")
     val docs = graft.Tables.documents(spark, sfDir)
     println("docs=" + docs.count())
-    val edges = graft.operators.DedupOps.cappedBandEdges(
+    val edges = graft.operators.DedupOps.bandStarEdges(
       graft.operators.DedupOps.r1Bands(docs, "doc_id", "text"))
     println("edges=" + edges.count())
     spark.sharedState.cacheManager.clearCache()

@@ -41,20 +41,32 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("star edges keep a flooded bucket as ONE cluster at linear cost") {
-    // 300 template docs share a bucket (over the cap): pairwise edges are
-    // suppressed, but the star (doc -> bucket min) must still connect the
-    // whole flood into a single component — with 299 edges, not 44,850.
+    // 300 template docs share a bucket: the star (doc -> bucket min)
+    // connects the whole flood into a single component with 299 edges,
+    // not 44,850 — and since r19 organic buckets are stars too (same
+    // components as the clique, O(bucket) edges): 4 edges for 5 docs.
     val flood = (0L until 300L).map(i => (i, 0, 777L))
     val organic = (1000L until 1005L).map(i => (i, 1, 42L))
     val bands = (flood ++ organic).toDF("doc_id", "band", "h")
-    val edges = DedupOps.cappedBandEdges(bands)
-    assert(edges.count() == 299L + 5L * 4 / 2)
+    val edges = DedupOps.bandStarEdges(bands)
+    assert(edges.count() == 299L + 4L)
     val vertices = (flood ++ organic).map(_._1).toDF("doc_id")
     val clusters = graft.functions.Dedup
       .connectedComponents(vertices, edges, "doc_id", "a_id", "b_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0L until 300L).forall(clusters(_) == 0L), "flood must be one cluster")
     assert((1000L until 1005L).forall(clusters(_) == 1000L))
+  }
+
+  test("a NULL band key never forms a cluster (r19): short docs band to " +
+    "NULL and must stay singletons, exactly like the oracle's equality join") {
+    val rows = Seq[(Long, Int, Option[Long])](
+      (1L, 0, None), (2L, 0, None), (3L, 0, None), // NULL bucket
+      (10L, 1, Some(5L)), (11L, 1, Some(5L)))      // real bucket
+    val bands = rows.toDF("doc_id", "band", "h")
+    val edges = DedupOps.bandStarEdges(bands)
+    assert(edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((10L, 11L)))
   }
 
   test("connected components converge on a path graph far longer than the round cap") {
