@@ -823,8 +823,9 @@ object CurationOps {
       // failure (ADVICE r15) — fail self-explanatorily instead
       require(total > 0, "cu20: empty corpus (no documents to export)")
       val hkExpr = P.hash60("concat('epoch|1|', cast(doc_id as string))")
-      val splits = graft.operators.Ordinal.quantileSplits(
-        base.selectExpr("doc_id", s"$hkExpr as hk"), "hk", 32)
+      // hk is a hash60 value: fixed equal-width splits replace the
+      // eager quantile probe scan (r19; ordinal values unchanged)
+      val splits = graft.operators.Ordinal.hash60Splits()
       val keyed = T.documents(s, d)
         .selectExpr("doc_id", "text", s"$hkExpr as hk")
       val recs = graft.operators.Ordinal

@@ -39,6 +39,22 @@ object Ordinal {
     else df.stat.approxQuantile(
       keyCol, (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
 
+  /** Fixed equal-width split points for a key that is a 60-bit
+    * `Portable.hash60` value (r19): md5-derived keys are uniform on
+    * [0, 2⁶⁰), so equal-width IS equal-mass and the quantile probe —
+    * an EAGER full key-column scan + sketch aggregation per
+    * withGlobalOrdinal call — buys nothing (sm15 paid it three times,
+    * once per epoch). The ordinal's VALUE is exact for any split set
+    * (splits place bucket boundaries, the rank reconstructs the global
+    * order regardless); a non-uniform key fed these splits would only
+    * unbalance buckets, never corrupt the ordinal. Use ONLY for
+    * hash60-shaped keys.
+    */
+  def hash60Splits(buckets: Int = 32): Array[Double] =
+    if (buckets <= 1) Array.empty
+    else (1 until buckets).map(i =>
+      math.pow(2, 60) * i.toDouble / buckets).toArray
+
   /** Sampled split points for a STRING `keyCol` (VERDICT r17 #2) —
     * approxQuantile's Greenwald-Khanna sketch is numeric-only, so string
     * keys size their buckets the way `RangePartitioner` does

@@ -539,7 +539,12 @@ object SamplingOps {
         val keyed = base.selectExpr("doc_id",
           s"${P.hash60(s"concat('epoch|$e|', cast(doc_id as string))")} as hk")
         graft.operators.Ordinal
-          .withGlobalOrdinal(keyed, "hk", "pos", tieCols = Seq("doc_id"))
+          .withGlobalOrdinal(keyed, "hk", "pos",
+            // hk is a hash60 value: fixed equal-width splits replace the
+            // per-epoch quantile probe — one full eager key scan per
+            // epoch gone, ordinal values unchanged (r19)
+            splits = Some(graft.operators.Ordinal.hash60Splits()),
+            tieCols = Seq("doc_id"))
           .selectExpr(s"cast($e as bigint) as epoch", "doc_id", "pos")
           .groupBy("epoch")
           .agg(
