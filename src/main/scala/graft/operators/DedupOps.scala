@@ -987,7 +987,7 @@ object DedupOps {
     // "reweight, don't delete" dedup policy (keeps benign variation a
     // min-id keeper discards; the sampler sees a deduplicated
     // distribution either way). Rides dd08's exact clustering machinery
-    // — same shingle → minhash → capped-band/star edges → CC chain the
+    // — same shingle → minhash → per-bucket star edges → CC chain the
     // dd08 oracle pins — plus ONE per-cluster count window over
     // (id, label) longs. At 100 TB the weights join back to the corpus
     // on doc_id (co-partitioned with any downstream sampling pass);

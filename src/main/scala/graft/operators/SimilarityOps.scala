@@ -1855,28 +1855,38 @@ object SimilarityOps {
           s"row_number() over (partition by q_id order by ${sparkCos("qe", "ne")} desc, n_id) as rn")
         .filter(col("rn") <= 3)
         .select("q_id", "n_id")
-      val arms = (1 to 3).map { k =>
-        val probes = scored.filter(col("vec_id") < 5 && col("rn") <= k)
-          .select(col("vec_id").as("q_id"), col("cell"))
-        val cand = broadcast(q.join(probes, "q_id"))
-          .join(assign.withColumnRenamed("vec_id", "n_id"), "cell")
-          .filter(col("n_id") =!= col("q_id"))
-          .join(e.select(col("vec_id").as("n_id"), col("embedding").as("ne")), "n_id")
-        val ranked = cand
-          .selectExpr("q_id", "n_id",
-            s"row_number() over (partition by q_id order by ${sparkCos("qe", "ne")} desc, n_id) as rn",
-            "count(1) over (partition by q_id) as cnt")
-        exact.join(ranked.withColumnRenamed("q_id", "iq_id")
-            .withColumnRenamed("n_id", "in_id"),
-            col("q_id") === col("iq_id") && col("n_id") === col("in_id") &&
-              col("rn") <= 3, "left")
-          .groupBy("q_id")
-          .agg(count(col("in_id")).cast("long").as("n_hit"))
-          .join(ranked.groupBy("q_id").agg(max("cnt").cast("long").as("n_cand")), "q_id")
-          .selectExpr(s"cast($k as bigint) as nprobe", "q_id", "n_cand",
-            "n_hit", "(n_hit * 100) div 3 as recall_x100")
-      }
-      arms.reduce(_ unionAll _)
+      // ONE stacked pass for all three arms (r19): a candidate reached
+      // through the probe ranked `prank` belongs to every arm k ≥ prank
+      // (a vector has exactly one assigned cell, so each (q, n) pair
+      // arrives through one probe rank) — explode(sequence(prank, 3))
+      // stacks nprobe as a COLUMN, one window over (nprobe, q_id) ranks
+      // all arms in one exchange, and the tiny exact top-3 broadcasts a
+      // hit flag so a single aggregation yields n_cand AND n_hit. The
+      // old per-arm form built the candidate join + window three times
+      // and consumed each twice (hit join + n_cand rollup): six
+      // executions of the same pipeline (46 jobs at sf0.1 — guide §2.4).
+      val probes = scored.filter(col("vec_id") < 5 && col("rn") <= 3)
+        .select(col("vec_id").as("q_id"), col("cell"), col("rn").as("prank"))
+      val cand = broadcast(q.join(probes, "q_id"))
+        .join(assign.withColumnRenamed("vec_id", "n_id"), "cell")
+        .filter(col("n_id") =!= col("q_id"))
+        .join(e.select(col("vec_id").as("n_id"), col("embedding").as("ne")), "n_id")
+      val ranked = cand
+        .selectExpr("explode(sequence(cast(prank as int), 3)) as nprobe",
+          "q_id", "n_id", "qe", "ne")
+        .selectExpr("nprobe", "q_id", "n_id",
+          s"row_number() over (partition by nprobe, q_id order by ${sparkCos("qe", "ne")} desc, n_id) as rn",
+          "count(1) over (partition by nprobe, q_id) as cnt")
+      ranked
+        .join(broadcast(exact.withColumn("hit", lit(1))),
+          Seq("q_id", "n_id"), "left")
+        .groupBy("nprobe", "q_id")
+        .agg(
+          max("cnt").cast("long").as("n_cand"),
+          count(when(col("rn") <= 3 && col("hit") === 1, 1))
+            .cast("long").as("n_hit"))
+        .selectExpr("cast(nprobe as bigint) as nprobe", "q_id", "n_cand",
+          "n_hit", "(n_hit * 100) div 3 as recall_x100")
     },
 
     // Binary (sign-bit) quantization ANN + Hamming-shortlist rerank: each

@@ -81,14 +81,14 @@ object ShuffleAudit {
     "sm10_neyman_allocation" -> "one map-side moment agg per stratum; allocation runs on the tiny aggregate, totals broadcast",
     "an14_funnel" -> "three keyed min-aggs + user-keyed joins of (id, ts) longs; output is O(#stages)",
     "st09_late_events" -> "one user-keyed exchange of (id, ts) longs; running max is a per-key window",
-    "ss18_nprobe_sweep" -> "ONE persisted scored frame (N×3 rows) feeds assignment and all three probe arms",
+    "ss18_nprobe_sweep" -> "ONE persisted scored frame (N×3 rows) feeds assignment and probes; the three arms stack as a column (r19) — one candidate join + one window rank all of them",
     "cu09_dedup_provenance" -> "one (id, label) rollup past the CC rounds; dropped lists capped at 16 ids",
     "q_incr_merge" -> "base + delta each map-side combine; the merge joins key-count rows of decimal state",
     "fn11_count_vector" -> "vocab is a 16-row broadcast; vectors assemble in the scan projection",
     "an15_join_cardinality" -> "the probe costs two key-count aggs + a key-row join — far below the join it sizes",
     "mm08_ahash_neardup" -> "decode partition-local; only (doc_id, band, key) and two hash longs per doc shuffle",
     "sm11_neyman_execute" -> "allocation broadcast back; one per-stratum rank window of (id, hash) longs",
-    "dd22_lsh_scurve" -> "rides dd04's capped candidates; the m-histogram reads 8 longs/side, rolls to ≤ 9 rows",
+    "dd22_lsh_scurve" -> "the 8-component signature rides the band rows as one array (r19) — no join back to a signature frame; the m-histogram rolls to ≤ 9 rows",
     "st10_watermark_curve" -> "four delays share ONE user-keyed running-max window; rollup is a 4-row conditional agg",
     "q_cdc_compact" -> "one key-partitioned rank window — the same exchange the upsert write itself pays",
     "ss19_hamming_rerank" -> "BQ sign codes born in the scan; shortlist ships (q_id, n_id, ham) rows, exact rerank reads 50 vectors/query",
@@ -110,7 +110,7 @@ object ShuffleAudit {
     "sm12_bootstrap_ci" -> "32× replica expansion combines map-side to (source × B) partials; rank windows order 32-row frames",
     "q_mor_deletes" -> "delete keys broadcast against the base; the audit rolls up map-side to manifest cardinality",
     "mm10_stereo_downmix" -> "pure scan projection (two HOF folds): zero shuffle",
-    "dd23_passage_neardup" -> "passage text hashed in the scan; (doc_id, idx, band, key) longs + two sig longs per verify shuffle",
+    "dd23_passage_neardup" -> "passage text hashed in the scan; the sig long RIDES the band rows (r19), so the verify is a projection on the pair join — no join back, Hamming filtered before the distinct",
     "cu13_dataset_card" -> "every signal in ONE scan projection; the single global agg (count-distinct digest included) combines map-side",
     "dd24_cdc_chunks" -> "boundary scan + chunk slicing are HOFs inside the scan; only (doc_id, idx, pos, len, hash) rows leave it",
     "ss22_index_staleness" -> "centroids broadcast; scored pass scan-local; per-cell rollup combines map-side to codebook cardinality",
