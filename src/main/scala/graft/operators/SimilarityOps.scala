@@ -2689,15 +2689,19 @@ object SimilarityOps {
       // (r18): `keeper` is a grouped min over a nonempty group, so it is
       // NULL exactly on unmatched rows — filtering the join output on
       // keeper IS NULL is the old left_anti, without the second join.
-      // Persist the joined level: the ledger (final union) and the next
-      // level's kept arm both read it, and — unlike the previous
-      // cumulative kept.persist() — each level's rows are cached ONCE
-      // (the old fold re-materialized every earlier level's survivors
-      // into each new kept cache: O(parts²) cache writes; the fold
-      // stays linear in parts either way). Caller clearCache releases.
+      // LAZY localCheckpoint per level (r19, replacing the r18 persist):
+      // the ledger (final union) and the next level's kept arm both read
+      // the materialized blocks ONCE like the persist, but the
+      // checkpoint also TRUNCATES the logical lineage — with persist the
+      // driver re-optimized a plan embedding every earlier level per
+      // action (measured: a ~1.9 s zero-job driver stall inside st16,
+      // guide §7.3 "very large plans"). Same executor-local
+      // fault-tolerance trade as the CC loop's checkpoints
+      // (DedupOps.scala bandStarEdges note); blocks release when the
+      // frame's RDD is GC'd after the action.
       val led = cur.select("vec_id", "batch", "cell", "embedding")
         .join(dom, Seq("vec_id"), "left")
-        .persist()
+        .localCheckpoint(false)
       val ledger = led.selectExpr("vec_id", "batch", "cell",
         "cast(case when keeper is null then 1 else 0 end as int) as keep_flag",
         "keeper")
