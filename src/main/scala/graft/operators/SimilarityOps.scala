@@ -2893,15 +2893,21 @@ object SimilarityOps {
       .persist() // three consumers: both k-NN averages + the best-pick
     val aRank = row_number().over(
       Window.partitionBy("a_id").orderBy(desc("cq"), col("b_id")))
-    val ax = pairs.withColumn("rk", aRank).filter(col("rk") <= k)
-      .groupBy("a_id").agg(expr("cast(sum(cq) div count(1) as bigint)").as("ak"))
+    // ONE a-side window serves both the k-NN average AND the best pick
+    // (r19): rk = 1 is the minimum rk of the ≤ k group, so min_by over
+    // rk recovers the best candidate inside the SAME aggregation that
+    // averages the top-k — the old form ran the a_id window twice (ax
+    // arm + best-pick arm) and joined them back on a_id (guide §2.4).
+    val aSide = pairs.withColumn("rk", aRank).filter(col("rk") <= k)
+      .groupBy("a_id").agg(
+        expr("cast(sum(cq) div count(1) as bigint)").as("ak"),
+        expr("min_by(named_struct('b_id', b_id, 'cq', cq), rk)").as("_best"))
+      .selectExpr("a_id", "ak", "_best.b_id as b_id", "_best.cq as cq")
     val bx = pairs.withColumn("rk", row_number().over(
       Window.partitionBy("b_id").orderBy(desc("cq"), col("a_id"))))
       .filter(col("rk") <= k)
       .groupBy("b_id").agg(expr("cast(sum(cq) div count(1) as bigint)").as("bk"))
-    pairs.withColumn("rk", aRank).filter(col("rk") === 1)
-      .select("a_id", "b_id", "cq")
-      .join(ax, "a_id").join(bx, "b_id")
+    aSide.join(bx, "b_id")
       .selectExpr("a_id", "b_id", "cq as cos_x1e6",
         "cast((2 * cq * 1000000) div (ak + bk) as bigint) as margin_x1e6")
   }
