@@ -472,7 +472,7 @@ object SimilarityOps {
     */
   private[graft] def semDedupCells(e: org.apache.spark.sql.DataFrame,
       cent: org.apache.spark.sql.DataFrame,
-      tau: Double): org.apache.spark.sql.DataFrame = {
+      tau: Double, keepEmbedding: Boolean = false): org.apache.spark.sql.DataFrame = {
     // The codebook is SINGLE-consumer (r19): its cardinality rides the
     // assignment rows as `_k` (topCells emitK — size of the broadcast
     // array, free at scan time), so the r18 persist + count() pair —
@@ -498,7 +498,8 @@ object SimilarityOps {
     recordCellGeometryK(assign, "semDedupCells",
       "raise k or re-cluster the hot cell (semDedupCellsAdaptive does " +
         "this automatically) before this call")
-    semDedupLedger(assign.select("vec_id", "cell", "embedding"), tau)
+    semDedupLedger(assign.select("vec_id", "cell", "embedding"), tau,
+      keepEmbedding)
   }
 
   /** Nearest-centroid cell assignment shared by the plain and adaptive
@@ -591,7 +592,7 @@ object SimilarityOps {
     * assignment (both pair sides and the output spine read it).
     */
   private def semDedupLedger(assign: org.apache.spark.sql.DataFrame,
-      tau: Double): org.apache.spark.sql.DataFrame = {
+      tau: Double, keepEmbedding: Boolean = false): org.apache.spark.sql.DataFrame = {
     val a = assign.select(
       col("vec_id").as("a_id"), col("cell"), col("embedding").as("ea"))
     val b = assign.select(
@@ -611,11 +612,19 @@ object SimilarityOps {
       .groupBy("cell", "b_id")
       .agg(min("a_id").as("keeper"))
       .withColumnRenamed("b_id", "vec_id")
-    assign.select("vec_id", "cell")
+    // keepEmbedding: a caller that feeds survivors into a later stage
+    // (ss26's incremental admission) reads the vector straight off the
+    // assignment this join consumes anyway — in semDedupCells the join
+    // is exchange-free on the cell-partitioned cache, so the column is
+    // a free ride there; without it ss26 re-joined the corpus by vec_id
+    // to fetch a column the plan already held (r19, guide §2.4).
+    val cols = if (keepEmbedding) Seq("vec_id", "cell", "embedding")
+      else Seq("vec_id", "cell")
+    assign.select(cols.head, cols.tail: _*)
       .join(dom, Seq("cell", "vec_id"), "left")
-      .selectExpr("vec_id", "cell",
+      .selectExpr(cols ++ Seq(
         "cast(case when keeper is null then 1 else 0 end as int) as keep_flag",
-        "keeper")
+        "keeper"): _*)
   }
 
   /** Measure an assignment's cell geometry into [[lastCellStats]] /
@@ -2424,15 +2433,21 @@ object SimilarityOps {
         val e = T.embeddings(s, d).select("vec_id", "label", "embedding")
         val corpus = e.filter(col("vec_id") < 400)
         val batch = e.filter(col("vec_id") >= 400)
-        val cent = trainedCentroids(corpus)
+        // lazily persisted: TWO genuine broadcast consumers (the corpus
+        // ledger's assignment and the batch assignment) — one centroid
+        // pass instead of two, with no eager action (the ss13/r19
+        // persist discipline)
+        val cent = trainedCentroids(corpus).persist()
         // production reads the SAVED kept ledger (cluster-once, dd26's
         // convention); the gated query derives it in-plan so the oracle
-        // can replay the whole chain
+        // can replay the whole chain. keepEmbedding: the survivor
+        // vectors ride the ledger join (exchange-free on the cell-
+        // partitioned cache) instead of a corpus re-join by vec_id (r19)
         val kept = semDedupCells(
-            corpus.select("vec_id", "embedding"), cent, tau = 0.3)
+            corpus.select("vec_id", "embedding"), cent, tau = 0.3,
+            keepEmbedding = true)
           .filter(col("keep_flag") === 1)
-          .select("vec_id", "cell")
-          .join(corpus.select("vec_id", "embedding"), Seq("vec_id"))
+          .select("vec_id", "cell", "embedding")
         semDedupIncrement(kept, batch.select("vec_id", "embedding"),
           cent, tau = 0.3)
     },
