@@ -426,8 +426,9 @@ object Dedup {
   def incrementalNearDup(corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     import graft.operators.DedupOps
-    val cKeys = DedupOps.r1Bands(corpus, idCol, textCol)
-      .select("band", "h").distinct()
+    val cKeys = DedupOps.r1Bands(corpus, idCol, textCol, cache = false)
+      .select("band", "h").distinct() // one pass into the distinct
+
     val bBands = DedupOps.r1Bands(batch, idCol, textCol)
     val rejected = bBands.join(cKeys, Seq("band", "h"), "left_semi")
       .select("doc_id").distinct()

@@ -157,15 +157,6 @@ object DedupOps {
       .distinct()
   }
 
-  /** r=1 banded MinHash frame `(doc_id, band, h)` over arbitrary id/text
-    * columns — the shingle→hash→minhash→band stage shared by the gated
-    * dd04 query and the `Dedup.nearDupCandidates` driver API, so the
-    * public API and the oracle-checked pipeline can never diverge.
-    * Persisted: the downstream self-join would otherwise recompute the
-    * minhash on both sides AND inline the shingle pipeline into an
-    * isnotnull(h) pushdown filter (observed 13 s → <1 s). Caller-side
-    * `spark.catalog.clearCache()` releases it (bench/verify contract).
-    */
   /** DISTINCT per-document 60-bit shingle hashes over arbitrary id/text
     * columns — dd12's audit primitive (per-doc `array_distinct` before
     * the explode ≡ row-level DISTINCT, minus the re-run of the shingle
@@ -179,13 +170,33 @@ object DedupOps {
         "doc_id",
         s"explode(array_distinct(transform(shingles, x -> ${P.hash60("x")}))) as sng")
 
-  private[graft] def r1Bands(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    T.spread(df).selectExpr(s"$idCol as doc_id", s"split($textCol, '\\\\s+') as toks")
+  /** r=1 banded MinHash frame `(doc_id, band, h)` over arbitrary id/text
+    * columns — the shingle→hash→minhash→band stage shared by the gated
+    * dd04 query and the `Dedup.nearDupCandidates` driver API, so the
+    * public API and the oracle-checked pipeline can never diverge.
+    *
+    * `cache` (default true): persist the banded frame. Required when the
+    * caller consumes it MORE THAN ONCE — the pair self-join would
+    * otherwise recompute the minhash on both sides AND inline the
+    * shingle pipeline into an isnotnull(h) pushdown filter (observed
+    * 13 s → <1 s). Caller-side `spark.catalog.clearCache()` releases it
+    * (bench/verify contract). Single-consumer callers (the clustering
+    * star path, dd27's batch probe, dd15's corpus key side — each one
+    * window or join pass) pass cache=false: the persist there was a pure
+    * extra columnar cache write of the ~4-rows/doc banded frame per
+    * query with zero reuse (r19; guide §1.2 — don't pay for what nothing
+    * reads).
+    */
+  private[graft] def r1Bands(df: DataFrame, idCol: String, textCol: String,
+      cache: Boolean = true): DataFrame = {
+    val bands = T.spread(df)
+      .selectExpr(s"$idCol as doc_id", s"split($textCol, '\\\\s+') as toks")
       .selectExpr("doc_id", s"$sparkShingles as shingles")
       .selectExpr("doc_id", s"$sparkHs as hs")
       .selectExpr("doc_id", sparkMh(0), sparkMh(1), sparkMh(2), sparkMh(3))
       .selectExpr("doc_id", "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) as (band, h)")
-      .persist()
+    if (cache) bands.persist() else bands
+  }
 
   /** dd08's full oracle CTE chain — shingle → minhash → r=1 bands →
     * capped pairs + star edges → recursive min-id closure, ending in
@@ -225,7 +236,10 @@ object DedupOps {
     */
   private[graft] def clusterLabels(docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val edges = bandStarEdges(r1Bands(docs, idCol, textCol))
+    // cache=false: the star path reads the banded frame exactly once
+    // (bandStarEdges' single window pass, materialized into the edges
+    // localCheckpoint) — persisting it was a wasted cache write (r19)
+    val edges = bandStarEdges(r1Bands(docs, idCol, textCol, cache = false))
     graft.functions.Dedup.connectedComponents(
       docs.select(idCol), edges, idCol, "a_id", "b_id")
   }
@@ -1253,7 +1267,7 @@ object DedupOps {
     val bucketLabel = cb.join(labels, "doc_id")
       .groupBy("band", "h")
       .agg(min("cluster_id").as("cl")) // min ≡ the bucket's one label
-    val matched = r1Bands(batch, idCol, textCol)
+    val matched = r1Bands(batch, idCol, textCol, cache = false) // one join pass
       .join(bucketLabel, Seq("band", "h"))
       .groupBy("doc_id")
       .agg(min("cl").as("adopted"),

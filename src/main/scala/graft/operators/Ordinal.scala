@@ -107,6 +107,22 @@ object Ordinal {
     *               duplicate keys always share a bucket (strict `>`
     *               against the split points), so a tie group can never
     *               straddle a bucket boundary.
+    * @param partitionCols NON-NULL columns that reset the ordinal —
+    *               `row_number() OVER (PARTITION BY p ORDER BY key,
+    *               ties...)` for EVERY partition value in one pass (r19:
+    *               ss17 stacks its two ranking arms instead of running
+    *               the probe + offsets + window machinery twice). The
+    *               bucket boundaries still come from ONE key sketch over
+    *               the whole frame — mixing partitions can only
+    *               unbalance buckets, never corrupt the rank, because
+    *               the offsets table and the in-bucket window both key
+    *               by (partition, bucket) and the ordinal's value is
+    *               split-independent. The offsets table stays tiny:
+    *               |partition values| × buckets rows. NULLs in a
+    *               partition column would DROP its rows at the offsets
+    *               equi-join — callers pass literals or verified
+    *               non-null keys. Empty (the default) takes the exact
+    *               pre-r19 plan shape.
     */
   /** Bucket = number of split points strictly below the key: monotone in
     * the key (long→double casts are order-preserving), so bucket i's keys
@@ -157,26 +173,30 @@ object Ordinal {
   def withGlobalOrdinal(df: DataFrame, keyCol: String, outCol: String,
       buckets: Int = 32, splits: Option[Array[Double]] = None,
       tieCols: Seq[String] = Nil,
-      strSplits: Option[Array[String]] = None): DataFrame = {
+      strSplits: Option[Array[String]] = None,
+      partitionCols: Seq[String] = Nil): DataFrame = {
     val withB = df.withColumn("_ord_b",
       bucketColumn(df, keyCol, buckets, splits, strSplits))
+    val bKeys = partitionCols :+ "_ord_b"
+    val offWindow =
+      if (partitionCols.isEmpty) Window.orderBy("_ord_b")
+      else Window.partitionBy(partitionCols.map(col): _*).orderBy("_ord_b")
     val offsets = withB
-      .groupBy("_ord_b")
+      .groupBy(bKeys.map(col): _*)
       .agg(count(lit(1)).as("_ord_n"))
-      // global window over ≤`buckets` rows — deliberately tiny
+      // window over ≤ |partitions|×buckets rows — deliberately tiny
       .withColumn(
         "_ord_off",
         coalesce(
-          sum("_ord_n").over(
-            Window.orderBy("_ord_b").rowsBetween(Window.unboundedPreceding, -1)),
+          sum("_ord_n").over(offWindow.rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-      .select("_ord_b", "_ord_off")
+      .select((bKeys :+ "_ord_off").map(col): _*)
     withB
-      .join(broadcast(offsets), "_ord_b")
+      .join(broadcast(offsets), bKeys)
       .withColumn(
         outCol,
         (col("_ord_off") +
-          row_number().over(Window.partitionBy("_ord_b")
+          row_number().over(Window.partitionBy(bKeys.map(col): _*)
             .orderBy(col(keyCol) +: tieCols.map(col): _*))).cast("long"))
       .drop("_ord_b", "_ord_off")
   }

@@ -2935,23 +2935,29 @@ object SimilarityOps {
       e: org.apache.spark.sql.DataFrame, terms: Seq[String],
       qId: Long, k: Int): org.apache.spark.sql.DataFrame = {
     // Each arm's global rank runs on the distributed quantile-bucketed
-    // ordinal (op18's machinery), NOT a single-partition window: the
-    // scored (id, score) frame is persisted once (the ordinal's quantile
-    // probe would otherwise recompute BM25/cosine), bucketed by negated
-    // score (double negation is order-reversing and exact, so ASC ordinal
-    // ≡ score DESC) with doc_id as the in-bucket tiebreak. The only
-    // global window left is the ordinal's ≤32-row bucket-offset table —
-    // the plan survives a corpus where one ranking partition won't.
-    def ranked(scored: org.apache.spark.sql.DataFrame, scoreCol: String,
-        idCol: String, rankCol: String) = {
-      val s = scored.withColumn("_neg", -col(scoreCol)).persist()
-      Ordinal.withGlobalOrdinal(s, "_neg", rankCol, tieCols = Seq(idCol))
-        .select(col(idCol).as("doc_id"), col(rankCol))
-    }
-    val lex = ranked(
-      graft.functions.TextOps.bm25Scores(docs, terms)
-        .filter(col("doc_id") =!= qId).select("doc_id", "bm25"),
-      "bm25", "doc_id", "rank_lex")
+    // ordinal (op18's machinery), NOT a single-partition window,
+    // bucketed by negated score (double negation is order-reversing and
+    // exact, so ASC ordinal ≡ score DESC) with the id as the in-bucket
+    // tiebreak. The only global window is the ordinal's tiny
+    // bucket-offset table — the plan survives a corpus where one
+    // ranking partition won't.
+    //
+    // r19: the two arms STACK as an `_arm` column through ONE ordinal
+    // pass (partitionCols resets the rank per arm) instead of running
+    // the persist + quantile probe + offsets + rank window machinery
+    // twice — one persisted (arm, id, key) frame, one probe, one window
+    // exchange. Per-arm ranks are identical by construction: within an
+    // arm the frame is exactly the old per-arm frame, and the ordinal's
+    // value is split-independent (mixed-arm boundaries only shift
+    // bucket sizes). The fusion then PIVOTS the single rank frame by
+    // arm — groupBy(doc_id) with max(when) — instead of left-joining
+    // the dense arm to the lex arm: one exchange of (arm, id, rank)
+    // longs, and `rank_dense IS NOT NULL` ≡ the old join's dense-side
+    // universe (lex-only docs drop, exactly as the left join dropped
+    // them).
+    val lexScored = graft.functions.TextOps.bm25Scores(docs, terms)
+      .filter(col("doc_id") =!= qId)
+      .select(lit(0).as("_arm"), col("doc_id"), (-col("bm25")).as("_neg"))
     val qe = e.filter(col("vec_id") === qId).select(col("embedding").as("qe"))
     // nanvl: a zero-norm embedding yields NaN cosine, and NaN sorts
     // GREATEST under both ASC and DESC in Spark — so the negation trick
@@ -2959,13 +2965,22 @@ object SimilarityOps {
     // to last. Pin the semantics explicitly instead: undefined
     // similarity ranks last, via a sentinel strictly below the cosine
     // range (ADVICE r9).
-    val dense = ranked(
-      e.filter(col("vec_id") =!= qId)
-        .crossJoin(broadcast(qe))
-        .selectExpr("vec_id",
-          s"nanvl(${sparkCos("embedding", "qe")}, cast(-2.0 as double)) as cs"),
-      "cs", "vec_id", "rank_dense")
-    dense.join(lex, Seq("doc_id"), "left")
+    val denseScored = e.filter(col("vec_id") =!= qId)
+      .crossJoin(broadcast(qe))
+      .selectExpr("vec_id",
+        s"nanvl(${sparkCos("embedding", "qe")}, cast(-2.0 as double)) as cs")
+      .select(lit(1).as("_arm"), col("vec_id").as("doc_id"),
+        (-col("cs")).as("_neg"))
+    // persisted: the ordinal's quantile probe would otherwise recompute
+    // BM25 + cosine; clearCache releases (the r1Bands convention)
+    val stacked = lexScored.unionAll(denseScored).persist()
+    val ranked = Ordinal.withGlobalOrdinal(stacked, "_neg", "rank",
+      tieCols = Seq("doc_id"), partitionCols = Seq("_arm"))
+    ranked.groupBy("doc_id")
+      .agg(
+        max(when(col("_arm") === 0, col("rank"))).as("rank_lex"),
+        max(when(col("_arm") === 1, col("rank"))).as("rank_dense"))
+      .filter(col("rank_dense").isNotNull)
       .selectExpr("doc_id",
         "cast(coalesce(rank_lex, 0) as bigint) as rank_lex",
         "rank_dense",

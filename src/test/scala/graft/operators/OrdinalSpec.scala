@@ -179,6 +179,33 @@ class OrdinalSpec extends AnyFunSuite {
     assert(given.exceptAll(probed).isEmpty && probed.exceptAll(given).isEmpty)
   }
 
+  test("partitionCols reset the ordinal per partition exactly like the " +
+    "partitioned window, in one pass (ss17's stacked-arm contract, r19)") {
+    import spark.implicits._
+    // two arms with DISJOINT key ranges (bm25-like vs cosine-like) so the
+    // shared bucket boundaries land lopsided per arm — the rank must not
+    // care — plus duplicate keys inside each arm for the tie path
+    val rows = (1L to 150L).map(i => (i % 3, (i % 11).toDouble / (i % 3 + 1), i))
+    val df = rows.toDF("arm", "score", "id")
+    val reference = df.withColumn("rn",
+      row_number().over(
+        Window.partitionBy("arm").orderBy("score", "id")).cast("long"))
+    for (buckets <- Seq(1, 4, 32)) {
+      val got = Ordinal.withGlobalOrdinal(df, "score", "rn", buckets,
+        tieCols = Seq("id"), partitionCols = Seq("arm"))
+      assert(got.select("arm", "score", "id", "rn").exceptAll(
+        reference.select("arm", "score", "id", "rn")).isEmpty, s"buckets=$buckets")
+    }
+    // and empty partitionCols still plans the exact pre-r19 shape: no
+    // payload-sized single-partition window appears
+    val plan = Ordinal.withGlobalOrdinal(df, "score", "rn",
+      partitionCols = Seq("arm"))
+      .queryExecution.executedPlan.toString
+    val globalWindows = plan.linesIterator.filter(l =>
+      l.contains("Window [") && !l.contains("windowspecdefinition(arm")).toSeq
+    assert(globalWindows.isEmpty, plan.take(2000))
+  }
+
   test("tieCols break duplicate-key ties exactly like the compound window " +
     "(ss17's arm-ranking contract)") {
     import spark.implicits._
