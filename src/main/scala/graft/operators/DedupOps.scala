@@ -548,28 +548,45 @@ object DedupOps {
         s"(case when 2 * size(filter(hs, h -> (shiftright(h, $b) & 1) = 1)) >= size(hs) " +
           s"then ${1L << b}L else 0L end)"
       }.mkString(" + ")
-      val sig = T.spread(T.documents(s, d))
-        .selectExpr("doc_id", s"$sparkToks as toks")
-        .selectExpr("doc_id", s"transform(toks, w -> ${P.hash60("w")}) as hs")
-        .selectExpr("doc_id", s"cast($simBits as bigint) as sh")
-        .persist() // consumed three times (bands + both verify sides)
+      // The signature RIDES the band rows and the bucket cap rides a
+      // (band, v) window (r19 — dd23's sh-carry + cappedBandPairs'
+      // one-exchange cap applied here): the old form persisted sig AND
+      // bands, sized buckets with a groupBy + join back, and joined the
+      // surviving pairs BACK to sig twice to fetch sha/shb — two
+      // corpus-scale joins to move one long. Now the +8-byte sh column
+      // crosses the band exchange the cap pays anyway, the self-join
+      // hands both signatures over for free, and the Hamming verify
+      // runs BEFORE the distinct (hamming is a pure function of the
+      // pair key, so verify-then-distinct ≡ distinct-then-verify) —
+      // the distinct dedups only verified pairs. One persist instead
+      // of two: bands is sig's only consumer, so the simhash
+      // majority-vote runs exactly once inside the persisted band
+      // frame's own materialization.
       val bandVals = (0 until 4)
         .map(k => s"$k, shiftright(sh, ${k * 12}) & 4095")
         .mkString(", ")
-      val bands = sig.selectExpr("doc_id", s"stack(4, $bandVals) as (band, v)")
-        .persist() // sized + both pair sides
-      val sized = bands.groupBy("band", "v").agg(count(lit(1)).as("n"))
-      val small = bands.join(sized.filter(col("n") <= 64), Seq("band", "v"))
-      val pairs = small.select(col("doc_id").as("a_id"), col("band"), col("v"))
-        .join(small.select(col("doc_id").as("b_id"), col("band"), col("v")), Seq("band", "v"))
+      val bands = T.spread(T.documents(s, d))
+        .selectExpr("doc_id", s"$sparkToks as toks")
+        .selectExpr("doc_id", s"transform(toks, w -> ${P.hash60("w")}) as hs")
+        .selectExpr("doc_id", s"cast($simBits as bigint) as sh")
+        .selectExpr("doc_id", "sh", s"stack(4, $bandVals) as (band, v)")
+        .persist() // both pair-join sides; caller clearCache releases
+      val wbv = Window.partitionBy("band", "v")
+      val small = bands
+        .select(col("doc_id"), col("sh"), col("band"), col("v"),
+          count(lit(1)).over(wbv).as("n"))
+        .filter(col("n") <= 64)
+        .select("doc_id", "sh", "band", "v")
+      small
+        .select(col("doc_id").as("a_id"), col("sh").as("sha"),
+          col("band"), col("v"))
+        .join(small.select(col("doc_id").as("b_id"), col("sh").as("shb"),
+          col("band"), col("v")), Seq("band", "v"))
         .filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
-      pairs
-        .join(sig.toDF("a_id", "sha"), Seq("a_id"))
-        .join(sig.toDF("b_id", "shb"), Seq("b_id"))
-        .selectExpr("a_id", "b_id", "cast(bit_count(sha ^ shb) as bigint) as hamming")
+        .selectExpr("a_id", "b_id",
+          "cast(bit_count(sha ^ shb) as bigint) as hamming")
         .filter(col("hamming") <= 3)
+        .distinct()
     },
 
     // Incremental-ingest dedup: a new batch (doc_id ≥ 400) arrives and
