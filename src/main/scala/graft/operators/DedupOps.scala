@@ -1405,9 +1405,19 @@ object DedupOps {
     // band frame's own materialization.
     val bands = sig
       .selectExpr("doc_id", "idx", "sh", s"stack(4, $bandVals) as (band, v)")
-      .persist() // sized + both pair sides; caller clearCache releases
-    val sized = bands.groupBy("band", "v").agg(count(lit(1)).as("n"))
-    val small = bands.join(sized.filter(col("n") <= 64), Seq("band", "v"))
+      .persist() // both pair-join sides; caller clearCache releases
+    // bucket cap via one unordered (band, v) window (r19 — the
+    // cappedBandPairs form): the groupBy + join-back sized the buckets
+    // with a second pass over the banded frame; the window's exchange
+    // also CO-PARTITIONS both self-join sides on (band, v). At scale the
+    // sized table is bucket-cardinality (corpus-sized), so the join-back
+    // could never stay a broadcast — the window shape has no such cliff.
+    val wbv = Window.partitionBy("band", "v")
+    val small = bands
+      .select(col("doc_id"), col("idx"), col("sh"), col("band"), col("v"),
+        count(lit(1)).over(wbv).as("n"))
+      .filter(col("n") <= 64)
+      .select("doc_id", "idx", "sh", "band", "v")
     small
       .select(col("doc_id").as("a_id"), col("idx").as("a_idx"),
         col("sh").as("sha"), col("band"), col("v"))
