@@ -137,7 +137,17 @@ object DedupOps {
     * Shuffles only (band, h, doc_id) tuples; output is linear in corpus
     * size because every admitted bucket contributes ≤ cap² pairs.
     */
-  private[graft] def cappedBandPairs(bands: DataFrame): DataFrame = {
+  /** `carry`: per-document columns of `bands` to ride the band rows and
+    * come out on BOTH pair sides as `a_<c>`/`b_<c>` (r19 — dd09 carries
+    * its 4 minhash components so the verify needs no join back to the
+    * signature frame; the dd23/dd10 sh-carry generalized). Carried
+    * columns must be FUNCTIONAL on doc_id: the trailing distinct keys on
+    * (pair, carried...) and dedups exactly the pair iff each id
+    * determines its carried values. Empty (the default) emits the exact
+    * pre-r19 (a_id, b_id) shape.
+    */
+  private[graft] def cappedBandPairs(bands: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
     // bucket size via an unordered (band, h) window instead of a
     // groupBy + join back (r18): the banded frame crosses the wire ONCE
     // (the window exchange) and the self-join below is already
@@ -145,15 +155,19 @@ object DedupOps {
     // shipped `bands` twice (agg exchange + join exchange) to compute
     // the same per-bucket count (guide §2.4: share one exchange).
     val wbh = Window.partitionBy("band", "h")
+    val cols = Seq("doc_id") ++ carry ++ Seq("band", "h")
     val small = bands
-      .select(col("doc_id"), col("band"), col("h"),
-        count(lit(1)).over(wbh).as("n"))
+      .select(cols.map(col) :+ count(lit(1)).over(wbh).as("n"): _*)
       .filter(col("n") <= bucketCap)
-      .select("doc_id", "band", "h")
-    small.select(col("doc_id").as("a_id"), col("band"), col("h"))
-      .join(small.select(col("doc_id").as("b_id"), col("band"), col("h")), Seq("band", "h"))
+      .select(cols.map(col): _*)
+    val aSide = small.select(col("doc_id").as("a_id") +:
+      carry.map(c => col(c).as(s"a_$c")) ++: Seq(col("band"), col("h")): _*)
+    val bSide = small.select(col("doc_id").as("b_id") +:
+      carry.map(c => col(c).as(s"b_$c")) ++: Seq(col("band"), col("h")): _*)
+    aSide.join(bSide, Seq("band", "h"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
+      .select(("a_id" +: "b_id" +:
+        (carry.map(c => s"a_$c") ++ carry.map(c => s"b_$c"))).map(col): _*)
       .distinct()
   }
 
@@ -481,21 +495,25 @@ object DedupOps {
            |FROM pairs p JOIN sig sa ON sa.doc_id = p.a_id
            |             JOIN sig sb ON sb.doc_id = p.b_id""".stripMargin
       }) { (s, d) =>
+      // The 4 minhash components RIDE the band rows (r19 — the dd23/dd10
+      // sh-carry via cappedBandPairs' carry columns): the old form
+      // persisted sig and joined the distinct pairs BACK to it twice —
+      // two corpus-scale joins to move 4 longs per side. +32 B per band
+      // row through the window exchange the cap pays anyway; one persist
+      // (bands) instead of sig, and the minhash pipeline runs exactly
+      // once inside its materialization.
       val matches = (0 until 4)
-        .map(k => s"(case when sa_mh$k = sb_mh$k then 1 else 0 end)")
+        .map(k => s"(case when a_mh$k = b_mh$k then 1 else 0 end)")
         .mkString(" + ")
-      val sig = T.documents(s, d)
+      val bands = T.documents(s, d)
         .selectExpr("doc_id", s"$sparkToks as toks")
         .selectExpr("doc_id", s"$sparkShingles as shingles")
         .selectExpr("doc_id", s"$sparkHs as hs")
         .selectExpr("doc_id", sparkMh(0), sparkMh(1), sparkMh(2), sparkMh(3))
-        .persist() // consumed three times (bands + both pair sides)
-      val bands = sig
-        .selectExpr("doc_id", "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) as (band, h)")
-      val pairs = cappedBandPairs(bands)
-      val sa = sig.toDF("a_id", "sa_mh0", "sa_mh1", "sa_mh2", "sa_mh3")
-      val sb = sig.toDF("b_id", "sb_mh0", "sb_mh1", "sb_mh2", "sb_mh3")
-      pairs.join(sa, Seq("a_id")).join(sb, Seq("b_id"))
+        .selectExpr("doc_id", "mh0", "mh1", "mh2", "mh3",
+          "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) as (band, h)")
+        .persist() // both pair-join sides; caller clearCache releases
+      cappedBandPairs(bands, carry = Seq("mh0", "mh1", "mh2", "mh3"))
         .selectExpr(
           "a_id", "b_id",
           s"cast($matches as bigint) as match_cnt",
