@@ -110,7 +110,7 @@ object ShuffleAudit {
     "sm12_bootstrap_ci" -> "32× replica expansion combines map-side to (source × B) partials; rank windows order 32-row frames",
     "q_mor_deletes" -> "delete keys broadcast against the base; the audit rolls up map-side to manifest cardinality",
     "mm10_stereo_downmix" -> "pure scan projection (two HOF folds): zero shuffle",
-    "dd23_passage_neardup" -> "passage text hashed in the scan; the sig long RIDES the band rows (r19), so the verify is a projection on the pair join — no join back, Hamming filtered before the distinct",
+    "dd23_passage_neardup" -> "passage text hashed in the scan; the sig long RIDES the band rows (r19), so the verify is a projection on the pair join — no join back, Hamming filtered before the distinct; bytes here are the two full-row (band, v) window exchanges that replaced the bucket-sizing join-back (whose sized table is bucket-cardinality — a broadcast cliff at scale), linear and spill-free at the 100x smoke",
     "cu13_dataset_card" -> "every signal in ONE scan projection; the single global agg (count-distinct digest included) combines map-side",
     "dd24_cdc_chunks" -> "boundary scan + chunk slicing are HOFs inside the scan; only (doc_id, idx, pos, len, hash) rows leave it",
     "ss22_index_staleness" -> "centroids broadcast; scored pass scan-local; per-cell rollup combines map-side to codebook cardinality",
@@ -144,7 +144,7 @@ object ShuffleAudit {
     "ss26_semdedup_increment" -> "incremental ingest: only kept corpus reps enter the cell-keyed join (the corpus never rescans); the batch pays one scored pass + a cell-bounded self-join — cost scales with the batch, not the corpus",
     "ss27_semdedup_tau_sweep" -> "ONE pair pass shared by every τ arm: max(cs) partial-aggregates map-side so the post-pair exchange is ≤ N slim (id, double) rows; the τ grid is a broadcast literal and the rollup is |τ| rows",
     "ss28_cell_geometry" -> "pre-flight before the pair stage: broadcast-scored assignment + k-row cell rollup, hot rule by integer cross-multiply — no pair join, no quadratic anywhere",
-    "st16_stream_semdedup" -> "sequential SemDeDup over 4 ingest batches on ONE persisted assignment: per level a cell-keyed kept-side join + a within-batch self-join, both bounded by the k∝N cell contract; the streaming twin's state is the kept reps per cell",
+    "st16_stream_semdedup" -> "sequential SemDeDup over 4 ingest batches on ONE persisted assignment: per level a cell-keyed kept-side join + a within-batch self-join, both bounded by the k∝N cell contract; the streaming twin's state is the kept reps per cell. NOTE: reads 0 B at the r19 HEAD because the per-level lazy localCheckpoint truncates lineage — the audited final plan is a union of checkpoint block scans; the per-level exchange bytes are carried by the bench/probe rows instead",
     "ss29_bitext_margin" -> "A×B never forms: cross-side pairs are cell-keyed (k∝N-bounded); k-NN averages are per-vector windows over the ONE persisted pair frame; margin is row-local integer arithmetic on a three-way id join",
     "q_tfrecord_roundtrip" -> "native TFRecord sink+source: shards are the read-parallelism unit (one binaryFile task per shard), records stream sequentially within a shard with both CRCs verified — TFRecordDataset's own contract",
     "fn12_tfexample_roundtrip" -> "Example encode/parse are per-record byte arithmetic inside Dataset maps — no driver, no exchange before the final 6-row rollup; the TFRecord shards carry the parallelism",
