@@ -710,11 +710,15 @@ object SimilarityOps {
     assign.count()
     // synthetic sub-cell ids must clear the CODEBOOK's id space, not
     // just the occupied cells' — an id reused from an empty codebook
-    // cell would silently merge the sub-cell with it on a later call
-    val cbMax = Option(
-      cent.selectExpr("max(cast(cell as bigint)) as m").head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(-1L)
-    var codebookK = cent.count()
+    // cell would silently merge the sub-cell with it on a later call.
+    // One action carries both the max id and the cardinality (r19):
+    // the old separate head() + count() each re-executed the codebook
+    // plan — two extra corpus-scale aggregations when cent is trained.
+    val cbRow = cent
+      .agg(expr("max(cast(cell as bigint))").as("m"), count(lit(1)).as("k"))
+      .head()
+    val cbMax = if (cbRow.isNullAt(0)) -1L else cbRow.getLong(0)
+    var codebookK = cbRow.getLong(1)
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
@@ -2856,13 +2860,22 @@ object SimilarityOps {
     */
   private[graft] def cellGeometry(e: org.apache.spark.sql.DataFrame,
       cent: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val sizes = semDedupAssign(e, cent)
-      .groupBy("cell").agg(count(lit(1)).as("n"))
+    // Codebook cardinality rides the assignment as `_k` (r19 — the
+    // semDedupCells/recordCellGeometryK convention): the old
+    // `cent.groupBy().count()` arm was a structurally DIFFERENT plan
+    // over the same codebook subtree, so when cent is a trained
+    // aggregation (ss28 passes trainedCentroids) AQE's stage reuse
+    // cannot dedup it and the whole corpus-scale centroid aggregation
+    // ran a second time just to count k. size(_cents) counts the same
+    // collected rows the assignment broadcasts anyway — one corpus
+    // pass fewer at any scale, and `max(_k)` rides the k-row sizes
+    // rollup this audit already pays.
+    val sizes = semDedupAssign(e, cent, emitK = true)
+      .groupBy("cell").agg(count(lit(1)).as("n"), max("_k").as("k"))
       .persist() // k-ish rows; feeds the total AND the output spine
     val tot = sizes.agg(sum("n").as("total"))
-    val kdf = cent.groupBy().agg(count(lit(1)).as("k"))
     val f = hotCellSkewFactor.toLong
-    sizes.crossJoin(broadcast(tot)).crossJoin(broadcast(kdf))
+    sizes.crossJoin(broadcast(tot))
       .selectExpr("cell", "n",
         s"cast(case when n > $hotCellFloor and n * k > $f * total " +
           "then 1 else 0 end as int) as hot")
